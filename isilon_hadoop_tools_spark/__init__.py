@@ -1,0 +1,30 @@
+"""isilon_hadoop_tools_spark — a PySpark-native analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of
+``Isilon/isilon_hadoop_tools`` (reference at ``/root/reference``),
+re-expressed Spark-first: DataFrame/SQL logical plans optimized by
+Catalyst, plus the LLM-data-pipeline operators (dedup, similarity
+search, multimodal columns, text analysis) the reference lacks.
+
+Layout
+------
+- ``session``    : SparkSession builder tuned for local + cluster use.
+- ``errors``     : exception taxonomy + error-row algebra
+                   (reference: ``onefs.py:218-519``).
+- ``sources``    : parquet/csv/json scans, seed catalogs (identity /
+                   directory tables, reference ``identities.py:350-538``,
+                   ``directories.py:115-240``).
+- ``functions``  : scalar helper expressions (octal modes, IPv4<->int,
+                   posix paths, text shingles/hashes).
+- ``operators``  : relational + reconciliation + LLM-pipeline operators.
+- ``plans``      : actions-DataFrame model and the staged executor
+                   (reference ``identities.py:284-309``).
+- ``streaming``  : Structured Streaming mappings of the event surface.
+- ``multimodal`` : binary image/audio columns with typed metadata.
+"""
+
+__version__ = "0.1.0"
+
+
+class IsilonHadoopToolsSparkError(Exception):
+    """Root exception (reference: ``__init__.py:16-28``)."""

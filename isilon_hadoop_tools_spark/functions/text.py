@@ -1,0 +1,65 @@
+"""Text-analysis expressions for the LLM-data-pipeline surface.
+
+Whitespace tokenization, a BPE-ish regex token count, shingles,
+character n-grams, and quality-score ingredients — all built-in
+``pyspark.sql.functions`` compositions (JVM-side, codegen'd), chosen
+so each has an exact ANSI-SQL equivalent for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}\-]"
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens (empty text → empty array)."""
+    c = F.trim(_c(col))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(F.split(c, r"\s+"))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish regex tokens (letters runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are punctuation (0.0 for empty)."""
+    c = _c(col)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(n_punct / F.length(c))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(n_stop / F.size(toks))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles joined by single spaces (distinct not
+    applied; empty when fewer than k tokens)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of character n-grams (empty when text shorter than n)."""
+    c = _c(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(c, i, n))

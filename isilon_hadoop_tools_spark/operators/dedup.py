@@ -1,0 +1,187 @@
+"""Deduplication operators for the LLM-data-pipeline surface.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, and SimHash — each
+a pure DataFrame composition over the ``documents`` table, designed
+around one shuffle pattern: explode features → self-join candidates →
+verify. All hashes are the cross-engine md5-derived
+:func:`~isilon_hadoop_tools_spark.functions.hashing.stable_hash32`,
+so every operator is DuckDB-oracle-checkable.
+
+Scale notes (100 TB):
+- candidate generation joins on feature keys; hot features (stopword
+  shingles) are capped with ``max_df`` (drop posting lists longer than
+  N docs) — the standard inverted-index trick that bounds the
+  self-join's skew.
+- MinHash bands turn the quadratic pair space into |bands| equi-joins
+  on (band_id, band_hash) — the shuffle key is uniform by
+  construction.
+- pair outputs use ``id_a < id_b`` so each pair shuffles once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.functions.hashing import fingerprint64, stable_hash32
+from isilon_hadoop_tools_spark.functions.text import tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One surviving row per distinct text: fingerprint → min(id).
+
+    Output: ``fingerprint``, ``keep_id``, ``n_dups``. Map-side partial
+    aggregation makes this one shuffle of (fingerprint, id, 1).
+    """
+    return (
+        df.select(fingerprint64(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingle_posting_list(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """(shingle, id) posting list with optional frequent-shingle cap."""
+    posts = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+    if max_df is not None:
+        hot = posts.groupBy("shingle").count().filter(F.col("count") > max_df)
+        posts = posts.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    return posts
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over k-word shingle sets.
+
+    Output: ``id_a``, ``id_b``, ``jaccard`` (id_a < id_b, jaccard >=
+    threshold). Inverted-index self-join: only pairs sharing >= 1
+    shingle are scored, so cost is sum(posting_list^2), not n^2.
+    """
+    posts = shingle_posting_list(df, text_col, id_col, k, max_df)
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = posts.select(F.col("shingle"), F.col("id").alias("id_a"))
+    b = posts.select(F.col("shingle"), F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "set_size": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "set_size": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signature per document: for each seed, the min
+    stable_hash32 over the document's shingle set.
+
+    Output: ``id``, ``seed``, ``minhash`` (long format — band grouping
+    composes on top without array surgery).
+    """
+    posts = shingle_posting_list(df, text_col, id_col, k)
+    return (
+        posts.select(
+            "id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        )
+        .withColumn("h", stable_hash32(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of
+    ``num_hashes // bands`` rows; documents agreeing on all rows of
+    any band become a candidate pair. Output: ``id_a``, ``id_b``,
+    ``n_bands`` (number of agreeing bands).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
+        .withColumn("band_key", F.md5(F.to_json(F.col("sig"))))
+        .select("id", "band", "band_key")
+    )
+    a = banded.select("band", "band_key", F.col("id").alias("id_a"))
+    b = banded.select("band", "band_key", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint over distinct whitespace tokens.
+
+    bit j of the fingerprint = sign of sum over tokens of
+    (+1 if bit j of stable_hash32(token) else -1).  Output: ``id``,
+    ``simhash`` (long). Cost: |tokens| × bits intermediate rows — one
+    explode + one aggregation, shuffle on (id, bit).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", stable_hash32("tok"))
+    )
+    bitsum = (
+        toks.select(
+            "id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn(
+            # (h >> bit) & 1 with a Column shift amount: shiftright()
+            # only takes a literal, so use exact double pow (h < 2^32).
+            "vote",
+            F.when(
+                F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))) % 2 == 1, 1
+            ).otherwise(-1),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return bitsum.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )

@@ -1,0 +1,61 @@
+"""Scans over the driver's TPC-H-ish parquet testdata.
+
+Maps the reference's pushdown-capable scan surface
+(``onefs.py:1343-1359``: caller-supplied projection ``key`` and
+predicate ``filter_`` applied during iteration) onto Spark parquet
+scans, where Catalyst performs column pruning and predicate pushdown
+into the file format for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Parquet scan of one testdata table (lazy; pushdown-capable).
+
+    ``events.ts`` is parquet ``TIMESTAMP(NANOS)``, which Spark rejects
+    by default; we read it as a nanos long (``nanosAsLong``) and
+    convert to a microsecond timestamp — the same µs truncation DuckDB
+    applies when it reads the file, so oracle comparisons line up.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    # The caller may hand us a vanilla session (the driver harness
+    # does); pin the one conf oracle comparability depends on.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div`, not `/`: double division of an ns epoch loses
+        # ulp precision and lands one µs off
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (for the SQL API)."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,804 @@
+"""The engine's oracle-checked query suite.
+
+Every operator declared in SURVEY §2 (plus the LLM-pipeline
+extensions) is exercised by at least one named query here. Each entry
+pairs a Spark implementation ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL string the DuckDB oracle runs on the same parquet
+tables — identical column names/aliases on both sides so the driver's
+order-insensitive value-hash can match.
+
+Catalog-derived queries build their oracle side from the *same* row
+constants (``sources/catalogs.py``) rendered as VALUES CTEs — one
+source of truth, two engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.functions.hashing import (
+    FINGERPRINT64_SQL,
+    stable_hash32_sql,
+)
+from isilon_hadoop_tools_spark.functions.octal import to_octal
+from isilon_hadoop_tools_spark.functions.text import punct_ratio, token_count
+from isilon_hadoop_tools_spark.operators import dedup, similarity
+from isilon_hadoop_tools_spark.operators.allocate_ids import allocate_ids
+from isilon_hadoop_tools_spark.operators.guards import dangling_references
+from isilon_hadoop_tools_spark.operators.reconcile import reconcile
+from isilon_hadoop_tools_spark.operators.topk import topk_per_group
+from isilon_hadoop_tools_spark.oracle import values_cte
+from isilon_hadoop_tools_spark.sources import catalogs, tpch
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None => driver does a rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tpch.load_table(spark, name, sf_dir)
+
+
+# =====================================================================
+# TPC-H-shaped relational coverage (scans S15, filters P1-P2, joins J9,
+# aggregations A6, top-k §2.6, windows W3, set ops SO1-SO3)
+# =====================================================================
+
+Q1_CUTOFF = "1999-12-31 00:00:00"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed-down filter → 8-agg groupBy.
+
+    Catalyst plan: parquet scan with PushedFilters on l_shipdate,
+    partial (map-side) HashAggregate → exchange on the 2 group keys →
+    final HashAggregate, all whole-stage-codegen'd.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → global top-k.
+
+    customer is dimension-sized → broadcast into the orders scan; the
+    only shuffle is the groupBy on o_orderkey; top-10 plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (4 broadcast dims + 1 fact
+    shuffle join) → agg. region/nation/supplier/customer all broadcast;
+    lineitem⋈orders is the one sort-merge/shuffle join (AQE decides).
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (SURVEY J6/SO2 semantics on fact data)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "urgent_orders_with_heavy_items",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    """,
+)
+def urgent_orders_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (SURVEY J7: existence check)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    )
+    WHERE rank <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (SURVEY W3, §2.6).
+
+    One shuffle on o_custkey; rank filter is pushed below the window's
+    sort via Spark's WindowGroupLimit optimization.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+@query(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate)::BIGINT AS gap_days
+    FROM orders
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic window (SURVEY W3): days since the customer's
+    previous order (NULL for the first)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days"),
+    )
+
+
+@query(
+    "nations_customers_only",
+    oracle="""
+    SELECT n_nationkey FROM nation JOIN customer ON c_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_nationkey FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (SURVEY SO2)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust_n = nation.join(
+        _t(spark, sf_dir, "customer"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("n_nationkey")
+    supp_n = nation.join(
+        _t(spark, sf_dir, "supplier"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("n_nationkey")
+    return cust_n.subtract(supp_n)  # set-semantics EXCEPT
+
+
+@query(
+    "nations_customers_and_suppliers",
+    oracle="""
+    SELECT n_nationkey FROM nation JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_nationkey FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (SURVEY SO3)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust_n = nation.join(
+        _t(spark, sf_dir, "customer"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("n_nationkey")
+    supp_n = nation.join(
+        _t(spark, sf_dir, "supplier"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("n_nationkey")
+    return cust_n.intersect(supp_n)
+
+
+# =====================================================================
+# Identity-catalog surface (SURVEY S1/S2, F1, J6, W1, J8)
+# =====================================================================
+
+
+def _users_cte(dist: str, zone: str = "zone1") -> str:
+    return values_cte(
+        "seed_users", ["user_name", "primary_group"], catalogs.user_rows(dist, zone)
+    )
+
+
+@query(
+    "identity_users_cdh",
+    oracle=f"WITH {_users_cte('cdh')} SELECT user_name, primary_group FROM seed_users",
+)
+def identity_users_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed catalog scan (S1): CDH users normalized to 1NF."""
+    return catalogs.users_df(spark, "cdh")
+
+
+@query(
+    "identity_groups_cdp",
+    oracle=(
+        "WITH "
+        + values_cte("seed_groups", ["group_name"], catalogs.group_rows("cdp"))
+        + " SELECT group_name FROM seed_groups"
+    ),
+)
+def identity_groups_cdp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed catalog scan (S1): CDP groups = declared ∪ primary ∪
+    secondary, deduplicated (SURVEY SO1/A4)."""
+    return catalogs.groups_df(spark, "cdp")
+
+
+@query(
+    "identity_memberships_hdp",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_m", ["user_name", "group_name"], catalogs.membership_rows("hdp")
+        )
+        + " SELECT user_name, group_name FROM seed_m"
+    ),
+)
+def identity_memberships_hdp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership flatten (J5 explode semantics) for HDP."""
+    return catalogs.memberships_df(spark, "hdp")
+
+
+@query(
+    "identity_proxy_users_cdp",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_p",
+            ["proxy_name", "member_name", "member_type"],
+            catalogs.proxy_user_rows("cdp"),
+        )
+        + " SELECT proxy_name, member_name, member_type FROM seed_p"
+    ),
+)
+def identity_proxy_users_cdp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy-user flatten: typed (member_name, member_type) pairs."""
+    return catalogs.proxy_users_df(spark, "cdp")
+
+
+_DIR_SUFFIX = "-prod"
+
+
+@query(
+    "directories_cdh_suffixed",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_d",
+            ["seq", "path", "owner", "grp", "mode"],
+            catalogs.directory_rows("cdh"),
+        )
+        + f"""
+    SELECT seq, path,
+           owner || '{_DIR_SUFFIX}' AS owner,
+           grp   || '{_DIR_SUFFIX}' AS grp,
+           to_base(mode, 8) AS mode_octal
+    FROM seed_d
+    """
+    ),
+)
+def directories_cdh_suffixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory catalog (S2) + identity-suffix transform (F1,
+    ``directories.py:109-112``) + octal formatting (F5,
+    ``onefs.py:822``: f"{mode:o}"). ``seq`` preserves the reference's
+    parent-first order (W2)."""
+    dirs = catalogs.directories_df(spark, "cdh")
+    return dirs.select(
+        "seq",
+        "path",
+        F.concat(F.col("owner"), F.lit(_DIR_SUFFIX)).alias("owner"),
+        F.concat(F.col("group"), F.lit(_DIR_SUFFIX)).alias("grp"),
+        to_octal("mode").alias("mode_octal"),
+    )
+
+
+_TAKEN_UIDS = (1026, 1027, 1030, 1040)
+
+
+def _allocation_oracle(dist: str) -> str:
+    n = len(catalogs.user_rows(dist))
+    hi = 1025 + n + len(_TAKEN_UIDS) - 1
+    taken = ", ".join(f"({t})" for t in _TAKEN_UIDS)
+    return f"""
+    WITH {_users_cte(dist)},
+    taken(id) AS (VALUES {taken}),
+    ranked AS (
+      SELECT user_name, row_number() OVER (ORDER BY user_name) AS rk
+      FROM seed_users
+    ),
+    free AS (
+      SELECT gs.g AS id, row_number() OVER (ORDER BY gs.g) AS rk
+      FROM generate_series(1025, {hi}) gs(g)
+      WHERE gs.g NOT IN (SELECT id FROM taken)
+    )
+    SELECT r.user_name, f.id AS uid
+    FROM ranked r JOIN free f USING (rk)
+    """
+
+
+@query("uid_allocation_cdh", oracle=_allocation_oracle("cdh"))
+def uid_allocation_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous UID allocation with collision skip (W1): the k-th
+    user name (total order) gets the k-th free ID >= 1025, skipping
+    already-taken IDs — the parallel re-expression of the reference's
+    serial counter probe (``identities.py:75-89,126-149``)."""
+    users = catalogs.users_df(spark, "cdh")
+    taken = users.sparkSession.createDataFrame(
+        [(t,) for t in _TAKEN_UIDS], "id INT"
+    )
+    return allocate_ids(users, "user_name", taken, start=1025, out_col="uid")
+
+
+@query(
+    "referential_integrity_cdh",
+    oracle=f"""
+    WITH {_users_cte('cdh')},
+    {values_cte('seed_groups', ['group_name'], catalogs.group_rows('cdh'))},
+    {values_cte('seed_d', ['seq', 'path', 'owner', 'grp', 'mode'], catalogs.directory_rows('cdh'))}
+    SELECT 'owner' AS kind, count(*)::BIGINT AS violations
+    FROM seed_d WHERE owner NOT IN (SELECT user_name FROM seed_users)
+    UNION ALL
+    SELECT 'group' AS kind, count(*)::BIGINT AS violations
+    FROM seed_d WHERE grp NOT IN (SELECT group_name FROM seed_groups)
+    """,
+)
+def referential_integrity_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity anti-join (J6): every directory owner must
+    be a user, every directory group a group
+    (``tests/test_directories.py:6-14``). Violations must be 0."""
+    dirs = catalogs.directories_df(spark, "cdh")
+    users = catalogs.users_df(spark, "cdh")
+    groups = catalogs.groups_df(spark, "cdh")
+    owner_bad = dangling_references(dirs, "owner", users, "user_name").agg(
+        F.count(F.lit(1)).alias("violations")
+    ).select(F.lit("owner").alias("kind"), "violations")
+    group_bad = dangling_references(
+        dirs.withColumnRenamed("group", "group_name"), "group_name", groups, "group_name"
+    ).agg(F.count(F.lit(1)).alias("violations")).select(
+        F.lit("group").alias("kind"), "violations"
+    )
+    return owner_bad.unionByName(group_bad)
+
+
+# Desired-vs-actual reconciliation fixture: actual = CDH users with
+# three rows missing (→ create), one primary group drifted (→ update),
+# and one stray row (→ orphan).
+_RECON_MISSING = ("flume", "kafka", "sentry")
+_RECON_DRIFTED = {"hive": "hadoop"}
+_RECON_STRAY = ("legacy-svc", "legacy-svc")
+
+
+def _actual_user_rows() -> list[tuple[str, str]]:
+    rows = []
+    for name, pgroup in catalogs.user_rows("cdh"):
+        if name in _RECON_MISSING:
+            continue
+        rows.append((name, _RECON_DRIFTED.get(name, pgroup)))
+    rows.append(_RECON_STRAY)
+    return sorted(rows)
+
+
+@query(
+    "reconcile_users_cdh",
+    oracle=f"""
+    WITH {_users_cte('cdh')},
+    {values_cte('actual_users', ['user_name', 'primary_group'], _actual_user_rows())}
+    SELECT coalesce(d.user_name, a.user_name) AS user_name,
+           CASE WHEN a.user_name IS NULL THEN 'create'
+                WHEN d.user_name IS NULL THEN 'orphan'
+                WHEN d.primary_group IS DISTINCT FROM a.primary_group THEN 'update'
+                ELSE 'noop' END AS action,
+           d.primary_group AS desired_primary_group,
+           a.primary_group AS actual_primary_group
+    FROM seed_users d FULL OUTER JOIN actual_users a USING (user_name)
+    """,
+)
+def reconcile_users_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Desired-vs-actual full-outer reconciliation (J8): classify every
+    key as create / update / noop / orphan — the engine's declarative
+    form of the reference's write-and-tolerate-conflict semantics
+    (``identities.py:137-148,251-262``)."""
+    desired = catalogs.users_df(spark, "cdh")
+    actual = spark.createDataFrame(_actual_user_rows(), catalogs.USERS_SCHEMA)
+    return reconcile(desired, actual, "user_name")
+
+
+# =====================================================================
+# Events (streaming surface in batch mode, SURVEY §2.9)
+# =====================================================================
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup in batch mode — the same groupBy the
+    streaming path runs with a watermark (see streaming/events.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "events_dedup_first",
+    oracle="""
+    SELECT event_id, min(ts) AS first_ts, count(*) AS n_seen
+    FROM events GROUP BY event_id
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest sighting — batch twin of
+    streaming ``dropDuplicates`` + watermark state eviction."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_id").agg(
+        F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_seen")
+    )
+
+
+# =====================================================================
+# LLM-pipeline: text analysis + dedup + similarity
+# =====================================================================
+
+
+@query(
+    "doc_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars,
+           round(length(text)::DOUBLE
+                 / length(regexp_split_to_array(trim(text), '\s+')), 4)
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-score ingredients, all JVM-side exprs."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length("text") / n_tokens, 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "doc_lang_quality",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(length(text)), 4) AS avg_chars,
+           round(avg(length(regexp_split_to_array(trim(text), '\s+'))), 4)
+             AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-sliced corpus quality profile."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=f"""
+    SELECT {FINGERPRINT64_SQL.format(expr='text')} AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint → groupBy → keep min id."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_SHINGLE_SQL = r"""
+    shingled AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(length(toks) - 2, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+             ))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+    )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / (sa.set_size + sb.set_size - n_inter), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter::DOUBLE / (sa.set_size + sb.set_size - n_inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.2 via
+    inverted-index self-join (no n^2 cross product)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.2
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_id AS id, seed,
+           min({stable_hash32_sql("seed::VARCHAR || ':' || shingle")}) AS minhash
+    FROM shingled, range(0, 8) r(seed)
+    GROUP BY doc_id, seed
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 seeded md5-derived hash functions) — the
+    LSH candidate generator's input, exact-checked against the oracle."""
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=8
+    )
+
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    votes AS (
+      SELECT id, bit,
+             sum(CASE WHEN floor(h / pow(2, bit))::BIGINT % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM (SELECT id, {stable_hash32_sql('tok')} AS h FROM toks),
+           range(0, 32) r(bit)
+      GROUP BY id, bit
+    )
+    SELECT id, sum(CASE WHEN s > 0 THEN pow(2, bit)::BIGINT ELSE 0 END)::BIGINT
+                 AS simhash
+    FROM votes GROUP BY id
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints over distinct tokens."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=32)
+
+
+_ANN_QUERIES = 5
+_ANN_K = 10
+
+
+@query(
+    "ann_brute_force_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+      FROM embeddings WHERE vec_id < {_ANN_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(
+               list_dot_product(q.q_vec, c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def ann_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for the first 5 vectors —
+    broadcast nested loop + per-group top-k (no shuffle of the corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K
+    )
+
+
+@query("ann_lsh_bucketed", oracle=None)  # approximate: rows-only check
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH buckets then exact rank
+    within bucket. Approximate by design → no SQL oracle; recall vs
+    brute force is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K, planes=4
+    )
+
+
+# =====================================================================
+# public accessors (consumed by __spark_entry__.py)
+# =====================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
