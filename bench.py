@@ -1,0 +1,88 @@
+"""Bench harness: timed runs of the headline queries at sf0.1.
+
+Runs each headline query from the oracle-checked suite against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line::
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a ``noop`` write (full plan
+execution, no driver-side collect cost), after a one-query warmup to
+amortize JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from isilon_hadoop_tools_spark import suite  # noqa: E402
+from isilon_hadoop_tools_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per major subsystem (scan+agg, joins, windows,
+# events, text, dedup family, similarity).
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_local_supplier_volume",
+    "top3_orders_per_customer",
+    "customer_order_gaps",
+    "events_hourly_rollup",
+    "events_dedup_first",
+    "doc_token_stats",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "simhash_docs",
+    "ann_brute_force_cosine",
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    spark = get_session("bench")
+    registry = suite.queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warmup: run the cheapest query once so JVM startup / codegen /
+    # parquet footer caching don't pollute the first measurement.
+    run_query(registry[names[0]], spark, SF_DIR)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_query(registry[name], spark, SF_DIR), 3)
+
+    result = {
+        "metric": "suite_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
