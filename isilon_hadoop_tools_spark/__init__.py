@@ -9,18 +9,15 @@ search, multimodal columns, text analysis) the reference lacks.
 Layout
 ------
 - ``session``    : SparkSession builder tuned for local + cluster use.
-- ``errors``     : exception taxonomy + error-row algebra
-                   (reference: ``onefs.py:218-519``).
-- ``sources``    : parquet/csv/json scans, seed catalogs (identity /
-                   directory tables, reference ``identities.py:350-538``,
+- ``oracle``     : seed-catalog → ANSI-SQL VALUES rendering for the
+                   DuckDB correctness oracle.
+- ``sources``    : parquet scans + seed catalogs (identity / directory
+                   tables, reference ``identities.py:350-538``,
                    ``directories.py:115-240``).
 - ``functions``  : scalar helper expressions (octal modes, IPv4<->int,
                    posix paths, text shingles/hashes).
 - ``operators``  : relational + reconciliation + LLM-pipeline operators.
-- ``plans``      : actions-DataFrame model and the staged executor
-                   (reference ``identities.py:284-309``).
-- ``streaming``  : Structured Streaming mappings of the event surface.
-- ``multimodal`` : binary image/audio columns with typed metadata.
+- ``suite``      : the oracle-checked query registry (driver contract).
 """
 
 __version__ = "0.1.0"

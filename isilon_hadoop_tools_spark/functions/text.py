@@ -31,8 +31,12 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_token_count(col: Column | str) -> Column:
-    """Count of BPE-ish regex tokens (letters runs / digit runs / symbols)."""
-    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE)))
+    """Count of BPE-ish regex tokens (letters runs / digit runs / symbols).
+
+    ``idx=0`` selects the whole match — the pattern has no capture
+    groups, and the default group index of 1 would raise.
+    """
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE), 0))
 
 
 def punct_ratio(col: Column | str) -> Column:

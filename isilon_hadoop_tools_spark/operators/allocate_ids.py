@@ -69,16 +69,27 @@ def allocate_ids(
 
 
 def allocate_ids_scalable(
-    names: DataFrame, name_col: str, start: int = 1025, out_col: str = "id"
+    names: DataFrame,
+    name_col: str,
+    start: int = 1025,
+    out_col: str = "id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Contiguous dense IDs at fact scale, no taken-set, no global sort
     partition: range-partition by name, then rank = per-partition
     row_number + cumulative count of earlier partitions (a two-pass
     contiguous zip-with-index in pure DataFrame ops).
+
+    ``num_partitions`` defaults to ``spark.sql.shuffle.partitions``.
+    Range partitioning keeps ``_pid`` order-aligned with the name
+    order, so per-partition offsets compose into a global dense rank.
     """
+    spark = names.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     distinct_names = names.select(name_col).distinct()
     parts = distinct_names.repartitionByRange(
-        max(distinct_names.rdd.getNumPartitions(), 1), name_col
+        max(num_partitions, 1), name_col
     ).withColumn("_pid", F.spark_partition_id())
     counts = parts.groupBy("_pid").count()
     offsets = counts.withColumn(

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark.functions.hashing import fingerprint64, stable_hash32
-from isilon_hadoop_tools_spark.functions.text import tokens, word_shingles
+from isilon_hadoop_tools_spark.functions.text import tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -46,9 +46,29 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingle_posting_list(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, max_df: int | None = None
 ) -> DataFrame:
-    """(shingle, id) posting list with optional frequent-shingle cap."""
+    """(shingle, id) posting list with optional frequent-shingle cap.
+
+    Shingles are built by ``posexplode`` + ``lead`` windows rather than
+    the array higher-order-function form (``functions.text.
+    word_shingles``): HOF expressions fall out of whole-stage codegen
+    and measure ~4x slower here. The trailing ``distinct()`` needs no
+    exchange — the window already hash-partitioned rows by ``id``,
+    which satisfies the (id, shingle) clustering requirement.
+    """
+    pe = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
     posts = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        pe.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
         .distinct()
     )
     if max_df is not None:
@@ -63,22 +83,50 @@ def ngram_jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over k-word shingle sets.
 
     Output: ``id_a``, ``id_b``, ``jaccard`` (id_a < id_b, jaccard >=
     threshold). Inverted-index self-join: only pairs sharing >= 1
     shingle are scored, so cost is sum(posting_list^2), not n^2.
+
+    ``max_df`` caps posting-list length (default 1000): a shingle seen
+    in more docs is discriminating nothing and would make the hottest
+    join key quadratic at corpus scale, so it is dropped from both the
+    index and the per-doc set sizes. Pass ``None`` to disable (exact
+    Jaccard over every shingle — small corpora only).
+
+    Shape: postings are grouped once per shingle (arrays bounded by
+    ``max_df``), then pairs are generated *in place* with nested
+    ``transform`` — no self-join, no second shuffle of the postings.
+    ``sizes`` hangs off the same grouped exchange, so Spark's
+    ReusedExchange computes the posting shuffle once.
     """
     posts = shingle_posting_list(df, text_col, id_col, k, max_df)
-    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-
-    a = posts.select(F.col("shingle"), F.col("id").alias("id_a"))
-    b = posts.select(F.col("shingle"), F.col("id").alias("id_b"))
+    lists = posts.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    sizes = (
+        lists.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("set_size"))
+    )
+    # all ordered pairs (ids[i], ids[j]), i < j — ids is sorted, so
+    # id_a < id_b by construction
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        lists.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -102,17 +150,27 @@ def minhash_signatures(
 
     Output: ``id``, ``seed``, ``minhash`` (long format — band grouping
     composes on top without array surgery).
+
+    One wide aggregation, not a seed-explode: each (id, shingle) row
+    computes ``num_hashes`` hash columns and a single ``groupBy(id)``
+    takes ``num_hashes`` mins, so the shuffle carries |ids| rows of
+    ``num_hashes`` columns instead of ``num_hashes``x the row count.
+    The long format is restored afterward with ``stack`` (a cheap
+    post-shuffle unpivot).
     """
     posts = shingle_posting_list(df, text_col, id_col, k)
-    return (
-        posts.select(
-            "id",
-            "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        )
-        .withColumn("h", stable_hash32(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    mins = posts.groupBy("id").agg(
+        *[
+            F.min(
+                stable_hash32(F.concat_ws(":", F.lit(s), F.col("shingle")))
+            ).alias(f"_m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    stack_args = ", ".join(f"{s}, _m{s}" for s in range(num_hashes))
+    return mins.select(
+        "id",
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"),
     )
 
 
@@ -158,11 +216,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     ``simhash`` (long). Cost: |tokens| × bits intermediate rows — one
     explode + one aggregation, shuffle on (id, bit).
     """
-    toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
-        .distinct()
-        .withColumn("h", stable_hash32("tok"))
-    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", stable_hash32("tok"))
     bitsum = (
         toks.select(
             "id",

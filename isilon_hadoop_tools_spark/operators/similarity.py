@@ -15,10 +15,10 @@ the bucket key, turning the cross product into a partitioned join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
-from pyspark.sql import functions as F
+import hashlib
 
-from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def _dot(a, b):
@@ -79,23 +79,27 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec_col, planes: int, dim: int, seed: int = 7):
+def _plane_component(p: int, j: int, seed: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): the
+    md5-derived 32-bit hash of ``"p:j:seed"`` (same formula as
+    ``functions.hashing.stable_hash32``) scaled to the unit range."""
+    h = int(hashlib.md5(f"{p}:{j}:{seed}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
+
+
+def hyperplane_bucket(vec_col, planes: int, dim: int, seed: int = 7) -> Column:
     """Random-hyperplane LSH bucket id (0 .. 2^planes-1) for an
     array<double> column.
 
-    Plane p's normal has component j = stable_hash32("p:j:seed")
-    mapped to [-1, 1] — deterministic, no stored model, identical on
-    any engine. bit p = (dot(vec, plane_p) >= 0).
+    The planes are data-independent constants, so they are computed
+    once in Python and embedded as array literals — zero per-row
+    hashing (the naive form re-derives planes*dim md5 values per row).
+    bit p = (dot(vec, plane_p) >= 0).
     """
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        comp = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j, p=p: (
-                stable_hash32(F.concat_ws(":", F.lit(p), j, F.lit(seed)))
-                / F.lit(2147483648.0)
-                - 1.0
-            ),
+        comp = F.array(
+            *[F.lit(_plane_component(p, j, seed)) for j in range(dim)]
         )
         bit = (_dot(vec_col, comp) >= 0).cast("long")
         bucket = bucket + bit * F.lit(2**p)
@@ -109,19 +113,42 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     k: int = 10,
     planes: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane
     bucket; exact cosine rank within the bucket. Recall < 1 by design
-    (tested against :func:`brute_force_topk` in the suite)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("q_vec"), planes, dim))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("c_vec"), planes, dim))
+    (recall vs :func:`brute_force_topk` asserted in
+    ``tests/test_similarity.py``).
+
+    ``dim`` defaults to the corpus embedding length (one-row probe).
+    A vector of any other length would silently produce a NULL bucket
+    and vanish from the join, so mismatches raise instead.
+    """
+    if dim is None:
+        probe = corpus.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("cannot infer embedding dim from an empty corpus")
+        dim = probe["d"]
+
+    def _bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        bucket = F.when(
+            F.size(vec) == dim, hyperplane_bucket(vec, planes, dim)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"embedding dim %s != expected {dim}", F.size(vec)
+                )
+            ).cast("long")
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            vec.alias(out_vec),
+            bucket.alias("bucket"),
+        )
+
+    q = _bucketed(queries, "query_id", "q_vec")
+    c = _bucketed(corpus, "neighbor_id", "c_vec")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -25,7 +25,12 @@ from isilon_hadoop_tools_spark.functions.hashing import (
     stable_hash32_sql,
 )
 from isilon_hadoop_tools_spark.functions.octal import to_octal
-from isilon_hadoop_tools_spark.functions.text import punct_ratio, token_count
+from isilon_hadoop_tools_spark.functions.text import (
+    bpe_token_count,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
 from isilon_hadoop_tools_spark.operators import dedup, similarity
 from isilon_hadoop_tools_spark.operators.allocate_ids import allocate_ids
 from isilon_hadoop_tools_spark.operators.guards import dangling_references
@@ -563,8 +568,8 @@ def reconcile_users_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window rollup in batch mode — the same groupBy the
-    streaming path runs with a watermark (see streaming/events.py)."""
+    """Tumbling-window rollup in batch mode — the reference for the
+    watermarked streaming twin (``hourly_rollup_stream``)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
@@ -595,27 +600,45 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
 @query(
     "doc_token_stats",
-    oracle=r"""
+    oracle=rf"""
     SELECT doc_id,
            length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
            length(text) AS n_chars,
            round(length(text)::DOUBLE
                  / length(regexp_split_to_array(trim(text), '\s+')), 4)
-             AS chars_per_token
+             AS chars_per_token,
+           round((length(text) - length(regexp_replace(text,
+                  '[.,!?;:''"()\[\]{{}}\-]', '', 'g')))::DOUBLE
+                 / length(text), 4) AS punct_ratio,
+           round(length(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  t -> t IN ({_STOPWORDS_SQL})))::DOUBLE
+                 / length(regexp_split_to_array(trim(text), '\s+')), 4)
+             AS stopword_ratio
     FROM documents
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality-score ingredients, all JVM-side exprs."""
+    """Token counting + quality-score ingredients (whitespace tokens,
+    BPE-ish regex tokens, punctuation / stopword ratios) — all
+    JVM-side exprs, no Python in the loop."""
     docs = _t(spark, sf_dir, "documents")
     n_tokens = token_count("text")
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
         F.round(F.length("text") / n_tokens, 4).alias("chars_per_token"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text", _STOPWORDS), 4).alias("stopword_ratio"),
     )
 
 
@@ -668,14 +691,24 @@ _SHINGLE_SQL = r"""
 """
 
 
+_NGRAM_MAX_DF = 100
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLE_SQL},
-    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingled GROUP BY doc_id),
+    kept AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s
+      JOIN (SELECT shingle FROM shingled
+            GROUP BY shingle HAVING count(*) <= {_NGRAM_MAX_DF}) ok
+      USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM shingled a JOIN shingled b USING (shingle)
+      FROM kept a JOIN kept b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -690,9 +723,16 @@ _SHINGLE_SQL = r"""
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.2 via
-    inverted-index self-join (no n^2 cross product)."""
+    inverted-index self-join (no n^2 cross product), with the hot-
+    shingle ``max_df`` cap ON — a stopword shingle's posting list is
+    what turns the self-join quadratic at corpus scale."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.2,
+        max_df=_NGRAM_MAX_DF,
     )
 
 
