@@ -55,15 +55,27 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles joined by single spaces (distinct not
-    applied; empty when fewer than k tokens)."""
+    applied; empty when fewer than k tokens).
+
+    Guarded with ``when``: ``sequence(1, 0)`` is *descending* in Spark
+    ([1, 0]), so short texts must short-circuit to an empty array
+    before the index sequence is built.
+    """
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Array of character n-grams (empty when text shorter than n)."""
     c = _c(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(c, i, n))
+    length = F.length(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), length - (n - 1)),
+        lambda i: F.substring(c, i, n),
+    )
+    return F.when(length >= n, grams).otherwise(F.array().cast("array<string>"))

@@ -113,12 +113,25 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     k: int = 10,
     planes: int = 4,
+    tables: int = 8,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane
-    bucket; exact cosine rank within the bucket. Recall < 1 by design
-    (recall vs :func:`brute_force_topk` asserted in
+    """Approximate top-k via **multi-table** random-hyperplane LSH.
+
+    ``tables`` independent hash tables of ``planes`` hyperplanes each;
+    a corpus row is a candidate for a query if they share a bucket in
+    ANY table, then exact cosine ranks the deduplicated candidates.
+    Recall ~= 1 - (1 - p^planes)^tables for per-plane agreement
+    probability p = 1 - theta/pi — a single table at realistic
+    dimensionality recalls barely above random, which is why the
+    multi-table union is not optional (recall floor asserted in
     ``tests/test_similarity.py``).
+
+    Scale shape: the corpus is hashed once into ``tables`` entries per
+    row (explode), the join key (table_id, bucket) is uniform-ish, and
+    candidate dedup + scoring happen before the per-query top-k
+    window. Tune ``planes`` up with corpus size (bucket occupancy
+    ~ n / 2^planes per table).
 
     ``dim`` defaults to the corpus embedding length (one-row probe).
     A vector of any other length would silently produce a NULL bucket
@@ -130,33 +143,39 @@ def lsh_ann_topk(
             raise ValueError("cannot infer embedding dim from an empty corpus")
         dim = probe["d"]
 
-    def _bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+    def _hashed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         vec = F.col(vec_col).cast("array<double>")
-        bucket = F.when(
-            F.size(vec) == dim, hyperplane_bucket(vec, planes, dim)
-        ).otherwise(
+        buckets = F.array(
+            *[
+                hyperplane_bucket(vec, planes, dim, seed=7 + 1000 * t)
+                for t in range(tables)
+            ]
+        )
+        guarded = F.when(F.size(vec) == dim, buckets).otherwise(
             F.raise_error(
                 F.format_string(
                     f"embedding dim %s != expected {dim}", F.size(vec)
                 )
-            ).cast("long")
+            ).cast("array<long>")
         )
         return df.select(
             F.col(id_col).alias(out_id),
             vec.alias(out_vec),
-            bucket.alias("bucket"),
+            F.posexplode(guarded).alias("table_id", "bucket"),
         )
 
-    q = _bucketed(queries, "query_id", "q_vec")
-    c = _bucketed(corpus, "neighbor_id", "c_vec")
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    q = _hashed(queries, "query_id", "q_vec")
+    c = _hashed(corpus, "neighbor_id", "c_vec")
+    candidates = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec"))
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

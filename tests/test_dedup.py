@@ -1,0 +1,96 @@
+"""Dedup operator invariants: exact dedup grouping, MinHash signature
+properties, and the LSH candidate-generation guarantee (high-Jaccard
+pairs land in the candidate set)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.operators import dedup
+
+DOCS_SCHEMA = "doc_id LONG, text STRING"
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate of 1
+        (3, base + " extra"),  # near-duplicate of 1
+        (4, "completely different text about spark engines and shuffles"),
+        (5, "another unrelated document mentioning parquet files only"),
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    out = dedup.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    assert by_keep[1] == 2  # docs 1 and 2 collapse, min id kept
+    assert len(out) == 4  # 5 docs, one pair merged
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sigs = dedup.minhash_signatures(
+        _docs(spark), "text", "doc_id", num_hashes=8
+    ).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r["id"], {})[r["seed"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2]
+    assert len(by_doc[1]) == 8
+    # near-dup shares most minhashes; unrelated docs share few
+    agree_13 = sum(1 for s in range(8) if by_doc[1][s] == by_doc[3][s])
+    agree_14 = sum(1 for s in range(8) if by_doc[1][s] == by_doc[4][s])
+    assert agree_13 > agree_14
+
+
+def test_lsh_candidates_contain_high_jaccard_pairs(spark):
+    docs = _docs(spark)
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.8, max_df=None
+        ).collect()
+    }
+    assert (1, 2) in true_pairs  # sanity: exact dup is a 1.0-jaccard pair
+    candidates = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=8
+        ).collect()
+    }
+    # banding theorem: >= 0.8 jaccard pairs collide in >= 1 of 8
+    # 2-row bands with overwhelming probability on these fixtures
+    assert true_pairs <= candidates
+
+
+def test_lsh_pairs_band_counts_bounded(spark):
+    out = dedup.minhash_lsh_pairs(
+        _docs(spark), "text", "doc_id", num_hashes=16, bands=8
+    ).collect()
+    assert all(1 <= r["n_bands"] <= 8 for r in out)
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    out = {r["id"]: r["simhash"] for r in dedup.simhash(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == out[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    # every doc shares the same 3 leading tokens -> that shingle is hot
+    rows = [(i, f"common lead phrase unique{i} tail{i} words{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.01, max_df=None
+    ).count()
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.01, max_df=4
+    ).count()
+    assert uncapped > 0
+    assert capped == 0  # the only shared shingle was dropped by the cap

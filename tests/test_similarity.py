@@ -1,0 +1,89 @@
+"""Similarity-search tests, including the LSH ANN recall floor vs the
+exact brute-force baseline (promised by ``suite.ann_lsh_bucketed``).
+
+Runs on the driver's sf0.001 embeddings (500 x 64-dim vectors)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.operators import similarity
+from isilon_hadoop_tools_spark.sources import tpch
+
+from conftest import SMOKE_SF_DIR
+
+K = 10
+N_QUERIES = 10
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return tpch.load_table(spark, "embeddings", SMOKE_SF_DIR)
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_brute_force_exact_shape(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    rows = similarity.brute_force_topk(embeddings, queries, k=K).collect()
+    got = _topk_sets(rows)
+    assert set(got) == set(range(N_QUERIES))
+    assert all(len(v) == K for v in got.values())
+    # ranks are 1..K with descending cos_sim
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [rk for rk, _ in ranks] == list(range(1, K + 1))
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_beats_random(spark, embeddings):
+    """LSH top-k must recall a meaningful fraction of the true top-k —
+    far above the ~bucket_fraction a random bucketing would get."""
+    queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    exact = _topk_sets(similarity.brute_force_topk(embeddings, queries, k=K).collect())
+    approx = _topk_sets(
+        similarity.lsh_ann_topk(embeddings, queries, k=K, planes=4).collect()
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * K)
+    # 4 planes -> 16 buckets/table; random assignment would recall
+    # ~1/16 per table. The 8-table union measures ~0.67 here; require
+    # a floor far above random with headroom for hash jitter.
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+
+
+def test_lsh_cos_sims_match_brute_force_for_shared_pairs(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.brute_force_topk(embeddings, queries, k=K).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.lsh_ann_topk(embeddings, queries, k=K, planes=4).collect()
+    }
+    shared = set(exact) & set(approx)
+    assert shared, "no overlap between LSH and brute force at all"
+    for pair in shared:
+        assert abs(exact[pair] - approx[pair]) < 1e-9
+
+
+def test_lsh_raises_on_ragged_dims(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 7)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0] * 8)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        similarity.lsh_ann_topk(corpus, queries, k=2).collect()
