@@ -17,6 +17,11 @@ Layout
 - ``functions``  : scalar helper expressions (octal modes, IPv4<->int,
                    posix paths, text shingles/hashes).
 - ``operators``  : relational + reconciliation + LLM-pipeline operators.
+- ``plans``      : the write side — parquet-backed state, idempotent
+                   merge/update/delete sinks, the staged topological
+                   executor, and the identity / directory pipelines
+                   (reference ``identities.py:284-309``,
+                   ``directories.py:62-86``).
 - ``suite``      : the oracle-checked query registry (driver contract).
 """
 

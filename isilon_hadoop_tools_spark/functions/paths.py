@@ -17,7 +17,12 @@ def _c(col: Column | str) -> Column:
 def posix_join(root: Column | str, rel: Column | str) -> Column:
     """``posixpath.join(root, rel.lstrip('/'))`` with ``//`` collapse —
     absolute ``rel`` is re-rooted under ``root`` (the reference joins
-    zone-relative paths this way, ``directories.py:63``)."""
+    zone-relative paths this way, ``directories.py:63``). Trailing
+    slashes are stripped (joining ``rel='/'`` yields ``root`` itself),
+    except for the bare-root result ``'/'``."""
     joined = F.concat_ws("/", F.rtrim(F.regexp_replace(_c(root), "/+$", "")),
                          F.regexp_replace(_c(rel), "^/+", ""))
-    return F.regexp_replace(joined, "/+", "/")
+    collapsed = F.regexp_replace(joined, "/+", "/")
+    return F.when(collapsed == "/", F.lit("/")).otherwise(
+        F.regexp_replace(collapsed, "/$", "")
+    )

@@ -1,0 +1,62 @@
+"""Parquet-backed mutable table state with swap-on-write.
+
+Stands in for the reference's remote cluster state (the OneFS side of
+every reconcile). Each logical table is a parquet directory; writes
+land in a staging dir first and swap in atomically, so a sink that
+*reads* the current generation while computing the next one never
+overwrites its own input mid-plan (Spark reads lazily — in-place
+overwrite of a source is a classic self-corruption).
+
+On a real deployment the same contract is a Delta/Iceberg table (ACID
+MERGE); plain parquet + swap keeps this engine dependency-free while
+preserving the read-modify-swap discipline.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class ParquetState:
+    """A directory of named parquet tables with atomic replace."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self._path(table))
+
+    def read(self, table: str, schema: T.StructType | str) -> DataFrame:
+        """Current state of ``table``; empty DataFrame if never written."""
+        if self.exists(table):
+            return self.spark.read.parquet(self._path(table))
+        return self.spark.createDataFrame([], schema)
+
+    def write(self, table: str, df: DataFrame) -> int:
+        """Replace ``table`` with ``df`` (stage then swap); returns the
+        new row count (forces the plan exactly once)."""
+        final = self._path(table)
+        tmp = final + ".staging"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        old = final + ".old"
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        return n
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

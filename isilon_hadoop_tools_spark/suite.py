@@ -553,6 +553,220 @@ def reconcile_users_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Write side: staged executor + idempotent sinks (S9-S14, W2)
+# =====================================================================
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _fresh_state(spark: SparkSession, name: str):
+    import shutil
+
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+
+    root = f"{_SCRATCH}/{name}"
+    shutil.rmtree(root, ignore_errors=True)
+    return ParquetState(spark, root)
+
+
+# Pre-existing cluster state: one group and one user already created
+# with out-of-sequence IDs — exercises both ID adoption (the existing
+# rows keep their IDs/attributes, reference identities.py:251-262) and
+# collision skip (allocation must step over 1030/1026).
+_PRE_GROUP = ("hadoop", 1030)
+_PRE_USER = ("hdfs", 1026, "hadoop")
+
+
+def _apply_identities_oracle() -> str:
+    n_g = len(catalogs.group_rows("cdh"))
+    n_u = len(catalogs.user_rows("cdh"))
+    hi_g = 1025 + n_g + 8
+    hi_u = 1025 + n_u + 8
+    return f"""
+    WITH {values_cte('seed_groups', ['group_name'], catalogs.group_rows('cdh'))},
+    {_users_cte('cdh')},
+    pre_g(group_name, gid) AS (VALUES ('{_PRE_GROUP[0]}', {_PRE_GROUP[1]})),
+    pre_u(user_name, uid, primary_group) AS (
+      VALUES ('{_PRE_USER[0]}', {_PRE_USER[1]}, '{_PRE_USER[2]}')),
+    ranked_g AS (
+      SELECT group_name, row_number() OVER (ORDER BY group_name) AS rk
+      FROM seed_groups WHERE group_name NOT IN (SELECT group_name FROM pre_g)
+    ),
+    free_g AS (
+      SELECT gs.g AS gid, row_number() OVER (ORDER BY gs.g) AS rk
+      FROM generate_series(1025, {hi_g}) gs(g)
+      WHERE gs.g NOT IN (SELECT gid FROM pre_g)
+    ),
+    groups_f AS (
+      SELECT group_name, gid FROM pre_g
+      UNION ALL
+      SELECT r.group_name, f.gid FROM ranked_g r JOIN free_g f USING (rk)
+    ),
+    ranked_u AS (
+      SELECT user_name, primary_group,
+             row_number() OVER (ORDER BY user_name) AS rk
+      FROM seed_users WHERE user_name NOT IN (SELECT user_name FROM pre_u)
+    ),
+    free_u AS (
+      SELECT gs.g AS uid, row_number() OVER (ORDER BY gs.g) AS rk
+      FROM generate_series(1025, {hi_u}) gs(g)
+      WHERE gs.g NOT IN (SELECT uid FROM pre_u)
+    ),
+    users_f AS (
+      SELECT user_name, uid, primary_group FROM pre_u
+      UNION ALL
+      SELECT r.user_name, f.uid, r.primary_group
+      FROM ranked_u r JOIN free_u f USING (rk)
+    )
+    SELECT u.user_name, u.uid, u.primary_group, g.gid AS primary_gid
+    FROM users_f u JOIN groups_f g ON g.group_name = u.primary_group
+    """
+
+
+@query("apply_identities_cdh", oracle=_apply_identities_oracle())
+def apply_identities_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full staged identity apply (S9/W1/W2): seed a state with one
+    pre-existing group and user (stray IDs), run the four-stage
+    pipeline, read the committed parquet state back, and resolve each
+    user's primary gid (J4 composed lookup). Checks ID adoption,
+    collision skip, and the write->read-back round trip in one query."""
+    from isilon_hadoop_tools_spark.plans import identities as pid
+
+    state = _fresh_state(spark, "apply_identities_cdh")
+    state.write(
+        "groups", spark.createDataFrame([_PRE_GROUP], pid.GROUPS_STATE)
+    )
+    state.write("users", spark.createDataFrame([_PRE_USER], pid.USERS_STATE))
+    pid.apply_identities(spark, state, "cdh")
+    users = state.read("users", pid.USERS_STATE)
+    groups = state.read("groups", pid.GROUPS_STATE)
+    return users.join(
+        F.broadcast(groups.withColumnRenamed("group_name", "primary_group")),
+        "primary_group",
+    ).select(
+        "user_name", "uid", "primary_group", F.col("gid").alias("primary_gid")
+    )
+
+
+@query(
+    "apply_identities_rerun_delta",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS user_name, CAST(NULL AS VARCHAR) AS action,
+           CAST(NULL AS VARCHAR) AS desired_primary_group,
+           CAST(NULL AS VARCHAR) AS actual_primary_group
+    WHERE FALSE
+    """,
+)
+def apply_identities_rerun_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's rerun invariant (J8, README "work with what it
+    finds"): applying the pipeline twice and reconciling desired vs
+    committed state leaves nothing to create or update."""
+    from isilon_hadoop_tools_spark.operators.reconcile import idempotency_delta
+    from isilon_hadoop_tools_spark.plans import identities as pid
+
+    state = _fresh_state(spark, "apply_identities_rerun")
+    pid.apply_identities(spark, state, "cdh")
+    pid.apply_identities(spark, state, "cdh")
+    desired = catalogs.users_df(spark, "cdh")
+    actual = state.read("users", pid.USERS_STATE).select(
+        "user_name", "primary_group"
+    )
+    return idempotency_delta(desired, actual, "user_name")
+
+
+@query(
+    "apply_directories_cdh",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_d",
+            ["seq", "path", "owner", "grp", "mode"],
+            catalogs.directory_rows("cdh"),
+        )
+        + f"""
+    SELECT '/ifs/zone1/hadoop'
+             || CASE WHEN path = '/' THEN '' ELSE path END AS path,
+           owner || '{_DIR_SUFFIX}' AS owner,
+           grp   || '{_DIR_SUFFIX}' AS grp,
+           to_base(mode, 8) AS mode_octal
+    FROM seed_d
+    """
+    ),
+)
+def apply_directories_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parents-first staged mkdir/chmod/chown apply (S11/W2): commit
+    the CDH directory catalog depth level by depth level into a state
+    table, then read the committed state back with octal modes."""
+    from isilon_hadoop_tools_spark.plans import directories as pdir
+
+    state = _fresh_state(spark, "apply_directories_cdh")
+    pdir.apply_directories(
+        spark,
+        state,
+        "cdh",
+        zone_path="/ifs/zone1",
+        hdfs_root_dir="hadoop",
+        suffix=_DIR_SUFFIX,
+    )
+    out = state.read("directories", pdir.DIRECTORIES_STATE)
+    return out.select(
+        "path",
+        "owner",
+        F.col("group").alias("grp"),
+        to_octal("mode").alias("mode_octal"),
+    )
+
+
+def _script_oracle() -> str:
+    n_g = len(catalogs.group_rows("cdh"))
+    n_u = len(catalogs.user_rows("cdh"))
+    return f"""
+    WITH {values_cte('seed_groups', ['group_name'], catalogs.group_rows('cdh'))},
+    {_users_cte('cdh')},
+    {values_cte('seed_m', ['user_name', 'group_name'], catalogs.membership_rows('cdh'))},
+    groups_f AS (
+      SELECT group_name,
+             1024 + row_number() OVER (ORDER BY group_name) AS gid
+      FROM seed_groups
+    ),
+    users_f AS (
+      SELECT user_name, primary_group,
+             1024 + row_number() OVER (ORDER BY user_name) AS uid
+      FROM seed_users
+    )
+    SELECT 1 AS stage, group_name AS sort_key,
+           'groupadd --gid ' || gid || ' ' || group_name AS line
+    FROM groups_f
+    UNION ALL
+    SELECT 2 AS stage, u.user_name AS sort_key,
+           'useradd --uid ' || u.uid || ' --gid ' || g.gid || ' ' || u.user_name
+             AS line
+    FROM users_f u JOIN groups_f g ON g.group_name = u.primary_group
+    UNION ALL
+    SELECT 3 AS stage, user_name || ':' || group_name AS sort_key,
+           'usermod -a -G ' || group_name || ' ' || user_name AS line
+    FROM seed_m
+    """
+
+
+@query("identity_script_cdh", oracle=_script_oracle())
+def identity_script_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shell-script side output (S13): the replay script rows —
+    ``groupadd --gid``, ``useradd --uid --gid``, ``usermod -a -G`` —
+    generated from a freshly applied state (reference
+    ``identities.py:224-229,279-280``)."""
+    from isilon_hadoop_tools_spark.plans import identities as pid
+
+    state = _fresh_state(spark, "identity_script_cdh")
+    pid.apply_identities(spark, state, "cdh")
+    return pid.script_lines(
+        state.read("groups", pid.GROUPS_STATE),
+        state.read("users", pid.USERS_STATE),
+        state.read("memberships", pid.MEMBERSHIPS_STATE),
+    )
+
+
+# =====================================================================
 # Events (streaming surface in batch mode, SURVEY §2.9)
 # =====================================================================
 

@@ -1,0 +1,140 @@
+"""Write-side tests: idempotent sinks, staged execution, ID adoption,
+parents-first guard, root refusal, and the script side output
+(reference ``identities.py:162-309``, ``directories.py:41-86``)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from isilon_hadoop_tools_spark.operators.guards import IntegrityError
+from isilon_hadoop_tools_spark.plans import directories as pdir
+from isilon_hadoop_tools_spark.plans import identities as pid
+from isilon_hadoop_tools_spark.plans.sinks import (
+    apply_delete,
+    apply_update,
+    merge_create,
+)
+from isilon_hadoop_tools_spark.plans.state import ParquetState
+
+
+@pytest.fixture()
+def state(spark, tmp_path):
+    return ParquetState(spark, str(tmp_path / "state"))
+
+
+def test_merge_create_adopts_existing_rows(spark):
+    actual = spark.createDataFrame([("hdfs", 9999)], "name STRING, uid INT")
+    delta = spark.createDataFrame(
+        [("hdfs", 1025), ("hive", 1026)], "name STRING, uid INT"
+    )
+    out = {r["name"]: r["uid"] for r in merge_create(actual, delta, "name").collect()}
+    assert out == {"hdfs": 9999, "hive": 1026}  # existing row wins
+
+
+def test_apply_update_overwrites_matched_only(spark):
+    state_df = spark.createDataFrame(
+        [("/a", "u1", 755), ("/b", "u2", 700)], "path STRING, owner STRING, mode INT"
+    )
+    upd = spark.createDataFrame([("/a", "u9", 777)], "path STRING, owner STRING, mode INT")
+    out = {
+        r["path"]: (r["owner"], r["mode"])
+        for r in apply_update(state_df, upd, "path", ["owner", "mode"]).collect()
+    }
+    assert out == {"/a": ("u9", 777), "/b": ("u2", 700)}
+
+
+def test_apply_delete(spark):
+    state_df = spark.createDataFrame([("a",), ("b",)], "k STRING")
+    doomed = spark.createDataFrame([("b",), ("zz",)], "k STRING")
+    assert [r["k"] for r in apply_delete(state_df, doomed, "k").collect()] == ["a"]
+
+
+def test_state_read_missing_is_empty(spark, state):
+    df = state.read("nothing", "k STRING, v INT")
+    assert df.count() == 0
+    assert df.columns == ["k", "v"]
+
+
+def test_state_write_swaps_generations(spark, state):
+    state.write("t", spark.createDataFrame([("a",)], "k STRING"))
+    # next generation derived from reading the current one
+    gen2 = state.read("t", "k STRING").unionByName(
+        spark.createDataFrame([("b",)], "k STRING")
+    )
+    assert state.write("t", gen2) == 2
+    assert {r["k"] for r in state.read("t", "k STRING").collect()} == {"a", "b"}
+
+
+def test_identity_pipeline_idempotent(spark, state):
+    r1 = pid.apply_identities(spark, state, "cdh")
+    r2 = pid.apply_identities(spark, state, "cdh")
+    assert r1 == r2  # same row counts after every stage on rerun
+    users = state.read("users", pid.USERS_STATE)
+    uids = [r["uid"] for r in users.collect()]
+    assert len(uids) == len(set(uids))  # no duplicate IDs
+
+
+def test_identity_pipeline_suffix(spark, state):
+    pid.apply_identities(spark, state, "cdh", suffix="-c1")
+    users = {r["user_name"] for r in state.read("users", pid.USERS_STATE).collect()}
+    assert users and all(u.endswith("-c1") for u in users)
+    groups = {r["group_name"] for r in state.read("groups", pid.GROUPS_STATE).collect()}
+    assert groups and all(g.endswith("-c1") for g in groups)
+
+
+def test_directory_pipeline_parent_guard(spark, state):
+    # committing a deep level before its parents must fail loudly
+    stages = pdir.directory_stages(spark, "cdh")
+    deepest = stages[-1]
+    with pytest.raises(IntegrityError):
+        deepest.build(state)
+
+
+def test_hdfs_root_refusal():
+    with pytest.raises(pdir.HDFSRootDirectoryError):
+        pdir.resolve_hdfs_root("/ifs", "")
+    assert pdir.resolve_hdfs_root("/ifs/z", "hadoop") == "/ifs/z/hadoop"
+
+
+def test_directory_pipeline_chmod_on_existing(spark, state):
+    pdir.apply_directories(spark, state, "cdh")
+    # drift one row's mode, then re-apply: chmod runs even though the
+    # mkdir conflicts (reference directories.py:67-73)
+    drifted = apply_update(
+        state.read("directories", pdir.DIRECTORIES_STATE),
+        spark.createDataFrame(
+            [("/ifs/zone1/hadoop/tmp", 0o700)], "path STRING, mode INT"
+        ),
+        "path",
+        ["mode"],
+    )
+    state.write("directories", drifted)
+    pdir.apply_directories(spark, state, "cdh")
+    row = (
+        state.read("directories", pdir.DIRECTORIES_STATE)
+        .filter("path = '/ifs/zone1/hadoop/tmp'")
+        .first()
+    )
+    assert row["mode"] == 0o1777
+
+
+def test_write_script_file(spark, state, tmp_path):
+    pid.apply_identities(spark, state, "cdh")
+    lines = pid.script_lines(
+        state.read("groups", pid.GROUPS_STATE),
+        state.read("users", pid.USERS_STATE),
+        state.read("memberships", pid.MEMBERSHIPS_STATE),
+    )
+    path = str(tmp_path / "replay.sh")
+    pid.write_script(lines, path)
+    content = open(path).read().splitlines()
+    assert content[:3] == list(pid.SCRIPT_HEADER)
+    body = content[3:]
+    assert any(ln.startswith("groupadd --gid ") for ln in body)
+    assert any(ln.startswith("useradd --uid ") for ln in body)
+    assert any(ln.startswith("usermod -a -G ") for ln in body)
+    # stage order: all groupadds before all useradds before usermods
+    kinds = [ln.split()[0] for ln in body]
+    assert kinds == sorted(kinds, key=["groupadd", "useradd", "usermod"].index)
