@@ -22,6 +22,10 @@ Layout
                    executor, and the identity / directory pipelines
                    (reference ``identities.py:284-309``,
                    ``directories.py:62-86``).
+- ``streaming``  : Structured Streaming mappings of the event surface
+                   (watermarked windows, sessionization, stateful
+                   dedup, foreachBatch idempotent sinks — the
+                   reference's inotify contract, ``onefs.py:1099-1120``).
 - ``suite``      : the oracle-checked query registry (driver contract).
 """
 

@@ -1,0 +1,27 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference's only streaming-adjacent contract is the HDFS inotify
+settings read (``onefs.py:1099-1120``): an event feed with a maximum
+delivery delay and a retention horizon. The engine maps that contract
+onto Structured Streaming over the ``events`` table — max delay ==
+watermark, retention == watermark-driven state eviction — and the
+reference's idempotent sinks (S9) onto ``foreachBatch`` merges.
+"""
+
+from isilon_hadoop_tools_spark.streaming.events import (
+    dedup_first_stream,
+    dedup_within_watermark,
+    hourly_rollup_stream,
+    read_events_stream,
+    run_available_now,
+    sessionize,
+)
+
+__all__ = [
+    "dedup_first_stream",
+    "dedup_within_watermark",
+    "hourly_rollup_stream",
+    "read_events_stream",
+    "run_available_now",
+    "sessionize",
+]

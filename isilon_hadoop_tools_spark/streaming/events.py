@@ -1,0 +1,159 @@
+"""Streaming operators over the ``events`` table.
+
+Every transformation here is the *same DataFrame expression* its batch
+twin uses — the suite checks each streaming query's ``availableNow``
+run against the batch oracle (``events_hourly_rollup`` /
+``events_dedup_first``), which is exactly the reference's
+inotify contract made testable: deliver-late-up-to-watermark, then
+results equal the batch answer.
+
+Watermark == the inotify ``maximum_delay`` (``onefs.py:1099-1120``);
+state TTL / retention == watermark eviction.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.plans.sinks import merge_create
+from isilon_hadoop_tools_spark.plans.state import ParquetState
+
+DEFAULT_WATERMARK = "1 day"
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    Same nanos handling as the batch scan (``sources/tpch.py``): the
+    file is TIMESTAMP(NANOS), read as a long and integer-divided to
+    microseconds. The file source needs a directory/glob, so the
+    single-file table is addressed with a glob pattern.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(f"{sf_dir}/events.*")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Tumbling 1-hour window rollup — the streaming twin of
+    ``events_hourly_rollup`` (window.start == date_trunc('hour'))."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def dedup_first_stream(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Keyed first-sighting dedup as a streaming aggregation — the
+    deterministic streaming twin of ``events_dedup_first``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_id")
+        .agg(F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_seen"))
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Row-level stateful dedup: keep the first arriving row per
+    event_id, with state evicted past the watermark
+    (``dropDuplicatesWithinWatermark``). Arrival order dependent by
+    nature — asserted by count, not by value hash."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Gap-based session windows per event_type: a session extends
+    while successive events arrive < gap apart; ``session_end`` is
+    last_ts + gap (Spark's half-open [start, last+gap) window).
+
+    Works identically on a batch DataFrame (``session_window`` is a
+    plain grouping expression there; the watermark only applies to
+    streams) — which is how the oracle checks it.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream with trigger(availableNow) into a memory sink
+    and return the result as a batch DataFrame."""
+    name = "q" + uuid.uuid4().hex
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def merge_stream_into_state(
+    events: DataFrame,
+    state: ParquetState,
+    table: str = "events_seen",
+    checkpoint: str | None = None,
+) -> None:
+    """``foreachBatch`` idempotent sink (S9 semantics): each micro-
+    batch is reduced to one row per event_id and merged with
+    adopt-on-conflict, so replaying a batch — or restarting the whole
+    stream without a checkpoint — cannot change committed state."""
+    schema = "event_id LONG, first_ts TIMESTAMP"
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        delta = batch.groupBy("event_id").agg(F.min("ts").alias("first_ts"))
+        current = state.read(table, schema)
+        state.write(table, merge_create(current, delta, "event_id"))
+
+    writer = events.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -809,6 +809,102 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOURLY_ROLLUP_ORACLE = """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+@query("events_hourly_rollup_stream", oracle=_HOURLY_ROLLUP_ORACLE)
+def events_hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked streaming twin of ``events_hourly_rollup``
+    (§2.9): readStream -> withWatermark -> 1h tumbling window,
+    drained with trigger(availableNow) — must equal the batch oracle
+    (the inotify max-delay contract, ``onefs.py:1099-1120``)."""
+    from isilon_hadoop_tools_spark import streaming
+
+    ev = streaming.read_events_stream(spark, sf_dir)
+    return streaming.run_available_now(streaming.hourly_rollup_stream(ev))
+
+
+@query(
+    "events_dedup_first_stream",
+    oracle="""
+    SELECT event_id, min(ts) AS first_ts, count(*) AS n_seen
+    FROM events GROUP BY event_id
+    """,
+)
+def events_dedup_first_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed dedup (stateful aggregation with watermark
+    eviction) — must equal the batch ``events_dedup_first`` oracle."""
+    from isilon_hadoop_tools_spark import streaming
+
+    ev = streaming.read_events_stream(spark, sf_dir)
+    return streaming.run_available_now(streaming.dedup_first_stream(ev))
+
+
+_SESSION_GAP_SEC = 600
+
+
+@query(
+    "events_sessionized",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_type, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= {_SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY event_type ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT event_type,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {_SESSION_GAP_SEC} SECOND AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY event_type, sid
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (§2.9) in batch mode — the identical
+    ``session_window`` expression the streaming path runs; the oracle
+    re-derives sessions with a lag/cumsum idiom."""
+    from isilon_hadoop_tools_spark import streaming
+
+    ev = _t(spark, sf_dir, "events")
+    return streaming.sessionize(ev, gap=f"{_SESSION_GAP_SEC} seconds")
+
+
+@query(
+    "events_foreach_batch_state",
+    oracle="""
+    SELECT event_id, min(ts) AS first_ts FROM events GROUP BY event_id
+    """,
+)
+def events_foreach_batch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent sink (S9 -> §2.9): each micro-batch
+    merges adopt-on-conflict into parquet state; the stream is run
+    TWICE without a checkpoint — the second full replay must not
+    change committed state (the reference's tolerate-already-exists
+    rerun contract)."""
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.streaming.events import merge_stream_into_state
+
+    state = _fresh_state(spark, "events_foreach_batch")
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir)
+        merge_stream_into_state(ev, state)
+    return state.read("events_seen", "event_id LONG, first_ts TIMESTAMP")
+
+
 # =====================================================================
 # LLM-pipeline: text analysis + dedup + similarity
 # =====================================================================

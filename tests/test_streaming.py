@@ -1,0 +1,140 @@
+"""Streaming tests over a multi-file stream fixture: micro-batch
+processing, watermark late-data drop, stateful dedup, and
+foreachBatch sink idempotence across restarts."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.plans.state import ParquetState
+from isilon_hadoop_tools_spark.streaming.events import (
+    dedup_within_watermark,
+    hourly_rollup_stream,
+    merge_stream_into_state,
+    run_available_now,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _write_batch(dirpath: str, name: str, rows: list[tuple[int, dt.datetime, str, float]]):
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, name))
+    time.sleep(0.05)  # file source orders batches by modification time
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    m = dt.timedelta(minutes=1)
+    # batch 1: two events at 12:00h, one at 13:00h
+    _write_batch(d, "b1.parquet", [
+        (1, T0, "click", 1.0),
+        (2, T0 + 5 * m, "click", 2.0),
+        (3, T0 + 65 * m, "view", 3.0),
+    ])
+    # batch 2: duplicate id 2 and a fresh event
+    _write_batch(d, "b2.parquet", [
+        (2, T0 + 6 * m, "click", 2.0),
+        (4, T0 + 70 * m, "view", 4.0),
+    ])
+    # batch 3: a LATE event 3h back. Spark's late-event filter uses the
+    # watermark as of the *previous* batch's start (the late/eviction
+    # watermark split, SPARK-40925), so the late row must arrive two
+    # batches after the watermark-advancing data to be dropped.
+    _write_batch(d, "b3.parquet", [
+        (9, T0 - 180 * m, "click", 9.0),
+    ])
+    return d
+
+
+def _read_stream(spark, d, files_per_trigger=1):
+    schema = "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(d)
+    )
+
+
+def test_multi_batch_rollup_drops_late_rows(spark, stream_dir):
+    """With a 10-minute watermark the 3h-late row in batch 3 must be
+    dropped (update mode — complete mode never filters late data)."""
+    ev = _read_stream(spark, stream_dir)
+    out = run_available_now(
+        hourly_rollup_stream(ev, watermark="10 minutes"), output_mode="update"
+    )
+    rows = out.collect()  # one row per (key, batch-update)
+    hours = {r["hour"].hour for r in rows}
+    assert 9 not in hours  # the late row never surfaced
+    final_clicks = max(
+        r["n_events"] for r in rows if r["event_type"] == "click" and r["hour"].hour == 12
+    )
+    assert final_clicks == 3
+
+
+def test_rollup_with_long_watermark_equals_batch(spark, stream_dir):
+    ev = _read_stream(spark, stream_dir)
+    out = run_available_now(hourly_rollup_stream(ev, watermark="1 day"))
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {(r["hour"], r["event_type"]): r["n_events"] for r in out.collect()}
+    want = {(r["hour"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert got == want
+
+
+def test_dedup_within_watermark_keeps_first_arrival(spark, stream_dir):
+    ev = _read_stream(spark, stream_dir)
+    out = run_available_now(
+        dedup_within_watermark(ev, watermark="1 day"), output_mode="append"
+    )
+    rows = {r["event_id"]: r["ts"] for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 9}
+    # id 2 kept its first arrival (batch 1, 12:05), not the batch-2 dup
+    assert rows[2] == T0 + dt.timedelta(minutes=5)
+
+
+def test_sessionize_stream_matches_batch(spark, stream_dir):
+    ev = _read_stream(spark, stream_dir)
+    stream_out = {
+        (r["event_type"], r["session_start"], r["n_events"])
+        for r in run_available_now(sessionize(ev, gap="10 minutes")).collect()
+    }
+    batch_out = {
+        (r["event_type"], r["session_start"], r["n_events"])
+        for r in sessionize(spark.read.parquet(stream_dir), gap="10 minutes").collect()
+    }
+    assert stream_out == batch_out
+    # clicks at 12:00/12:05/12:06 chain into one 3-event session
+    assert ("click", T0, 3) in stream_out
+
+
+def test_foreach_batch_sink_idempotent_across_restarts(spark, stream_dir, tmp_path):
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for _ in range(2):  # full replay without checkpoint
+        merge_stream_into_state(_read_stream(spark, stream_dir), state)
+    rows = {
+        r["event_id"]: r["first_ts"]
+        for r in state.read("events_seen", "event_id LONG, first_ts TIMESTAMP").collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 9}
+    assert rows[2] == T0 + dt.timedelta(minutes=5)  # min ts across batches
