@@ -9,6 +9,9 @@ search, multimodal columns, text analysis) the reference lacks.
 Layout
 ------
 - ``session``    : SparkSession builder tuned for local + cluster use.
+- ``errors``     : error-row algebra — body classification, the 15
+                   message predicates, transient/retry routing
+                   (reference ``onefs.py:256-478,566-596``).
 - ``oracle``     : seed-catalog → ANSI-SQL VALUES rendering for the
                    DuckDB correctness oracle.
 - ``sources``    : parquet scans + seed catalogs (identity / directory

@@ -809,6 +809,186 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Error algebra (SURVEY §2.11, P3/P4/F10; reference onefs.py:256-478)
+# =====================================================================
+
+_ERR_CTX = {
+    "gid": 1026,
+    "uid": 2001,
+    "group_name": "hadoop",
+    "user_name": "hdfs",
+    "proxy_name": "oozie",
+    "license_name": "HDFS",
+    "zone_name": "zone1",
+}
+_ERR_COLS = ["err_id", "body"] + list(_ERR_CTX)
+
+
+def _err_body(*messages: str) -> str:
+    import json as _json
+
+    return _json.dumps({"errors": [{"message": m} for m in messages]})
+
+
+def _rendered_py(kind: str) -> str:
+    from isilon_hadoop_tools_spark import errors as _e
+
+    args = [_ERR_CTX[p] for p in _e.MATCHER_PARAMS[kind]]
+    return _e.FORMATS[kind].format(*args)
+
+
+def _error_seed_rows() -> list[tuple]:
+    from isilon_hadoop_tools_spark import errors as _e
+
+    ctx = tuple(_ERR_CTX.values())
+    rows = []
+    for i, kind in enumerate(_e.FORMATS, start=1):
+        rows.append((i, _err_body(_rendered_py(kind)), *ctx))
+    rows += [
+        (16, _err_body("something else entirely"), *ctx),
+        (17, _err_body(_rendered_py("try_again"), _rendered_py("group_already_exists")), *ctx),
+        # the reference's 10 malformation fixtures, conftest.py:424-533
+        (18, '{"errors": [{}]}', *ctx),
+        (19, '{"errors": [[]]}', *ctx),
+        (20, '{"errors": []}', *ctx),
+        (21, '{"errors": null}', *ctx),
+        (22, "{}", *ctx),
+        (23, "[]", *ctx),
+        (24, "not JSON", *ctx),
+        (25, None, *ctx),
+        (26, "", *ctx),
+        (27, _err_body(""), *ctx),
+    ]
+    return rows
+
+
+_ERR_SCHEMA = (
+    "err_id INT, body STRING, gid INT, uid INT, group_name STRING, "
+    "user_name STRING, proxy_name STRING, license_name STRING, zone_name STRING"
+)
+
+_ERR_VALID_SQL = """
+      body IS NOT NULL AND json_valid(body)
+      AND json_type(try_cast(body AS JSON)) = 'OBJECT'
+      AND json_type(try_cast(body AS JSON), '$.errors') IS NOT DISTINCT FROM 'ARRAY'
+      AND len(list_filter(
+            json_transform(body, '{"errors":[{"message":"VARCHAR"}]}').errors,
+            e -> e.message IS NULL)) = 0
+"""
+
+
+def _sql_rendered(kind: str) -> str:
+    """DuckDB twin of errors.rendered(): fmt-style format() call."""
+    from isilon_hadoop_tools_spark import errors as _e
+
+    fmt_sql = _e.FORMATS[kind].replace("'", "''")
+    params = _e.MATCHER_PARAMS[kind]
+    if not params:
+        return f"'{fmt_sql}'"
+    args = ", ".join(dict.fromkeys(params))  # {0},{1} bind by position
+    return f"format('{fmt_sql}', {args})"
+
+
+@query(
+    "error_classification",
+    oracle=(
+        "WITH "
+        + values_cte("seed_err", _ERR_COLS, _error_seed_rows())
+        + f"""
+    SELECT err_id,
+           CASE WHEN body IS NULL OR NOT json_valid(body) THEN 'undecodable'
+                WHEN NOT ({_ERR_VALID_SQL}) THEN 'malformed'
+                ELSE 'ok' END AS validity,
+           CASE WHEN {_ERR_VALID_SQL}
+                THEN len(json_transform(body,
+                         '{{"errors":[{{"message":"VARCHAR"}}]}}').errors)
+                END AS n_messages
+    FROM seed_err
+    """
+    ),
+)
+def error_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-body shape classification (F10 + §2.11): every one of the
+    reference's 10 malformation cases plus valid bodies, classified by
+    one CASE expression — undecodable / malformed / ok."""
+    from isilon_hadoop_tools_spark import errors as E
+
+    seed = spark.createDataFrame(_error_seed_rows(), _ERR_SCHEMA)
+    validity = E.classify_body("body")
+    parsed = F.from_json("body", E.ERRORS_SCHEMA)
+    return seed.select(
+        "err_id",
+        validity.alias("validity"),
+        F.when(validity == E.VALID, F.size(parsed["errors"])).alias("n_messages"),
+    )
+
+
+@query(
+    "error_matchers",
+    oracle=(
+        "WITH "
+        + values_cte("seed_err", _ERR_COLS, _error_seed_rows())
+        + f""",
+    valid AS (SELECT * FROM seed_err WHERE {_ERR_VALID_SQL}),
+    msgs AS (
+      SELECT v.err_id, v.gid, v.uid, v.group_name, v.user_name,
+             v.proxy_name, v.license_name, v.zone_name, e.message AS message
+      FROM valid v,
+           UNNEST(json_transform(v.body,
+                  '{{"errors":[{{"message":"VARCHAR"}}]}}').errors) AS t(e)
+    )
+    SELECT err_id, message,
+           CASE
+             {{matcher_chain}}
+             ELSE 'unclassified' END AS kind,
+           message = '{{try_again_msg}}' AS transient
+    FROM msgs
+    """.replace(
+            "{matcher_chain}",
+            "\n             ".join(
+                f"WHEN message = {_sql_rendered(k)} THEN '{k}'"
+                for k in (
+                    "gid_already_exists",
+                    "group_already_exists",
+                    "group_not_found",
+                    "group_unresolvable",
+                    "license_expired",
+                    "license_missing",
+                    "proxy_user_already_exists",
+                    "try_again",
+                    "uid_already_exists",
+                    "user_already_exists",
+                    "user_already_in_group",
+                    "user_not_found",
+                    "user_unresolvable",
+                    "zone_not_found",
+                    "dir_path_already_exists",
+                )
+            ),
+        ).replace(
+            "{try_again_msg}",
+            "OneFS API is temporarily unavailable. Try your request again.",
+        )
+    ),
+)
+def error_matchers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 15 equality predicates (P4) as one first-match expression
+    over exploded messages, plus the transient/retry classifier
+    (``accesses_onefs``, ``onefs.py:566-596``)."""
+    from isilon_hadoop_tools_spark import errors as E
+
+    seed = spark.createDataFrame(_error_seed_rows(), _ERR_SCHEMA)
+    msgs = E.parse_messages(seed, "body")
+    ctx = {k: F.col(k) for k in _ERR_CTX}
+    return msgs.select(
+        "err_id",
+        "message",
+        E.first_match("message", ctx).alias("kind"),
+        E.is_transient("message").alias("transient"),
+    )
+
+
 _HOURLY_ROLLUP_ORACLE = """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n_events,
