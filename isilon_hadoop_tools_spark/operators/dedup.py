@@ -194,8 +194,18 @@ def minhash_lsh_pairs(
     banded = (
         sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
-        .withColumn("band_key", F.md5(F.to_json(F.col("sig"))))
+        .agg(
+            # seed-ordered minhash vector rendered as a join key —
+            # equality on the string == equality on the band vector,
+            # and (unlike md5(to_json)) it has an exact SQL twin
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
         .select("id", "band", "band_key")
     )
     a = banded.select("band", "band_key", F.col("id").alias("id_a"))
@@ -206,6 +216,61 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Keep-one clustering: label every node with the min id reachable
+    through the near-dup pair graph (iterative min-label propagation —
+    no graph library needed).
+
+    Output: ``id``, ``keep_id`` (singletons keep themselves; a doc is
+    a duplicate iff ``keep_id != id``). Each iteration is one
+    edges⋈labels join + min-aggregation; the label front advances one
+    hop per iteration, so iterations ~ component diameter (near-dup
+    components are shallow in practice). ``localCheckpoint`` truncates
+    the growing lineage each round. At extreme scale swap in the
+    large-star/small-star iteration — same driver-loop shape.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("keep_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("keep_id").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("keep_id"), F.coalesce("_nmin", "keep_id")).alias(
+                    "keep_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.keep_id") != F.col("o.keep_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:

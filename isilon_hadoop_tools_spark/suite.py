@@ -1245,6 +1245,92 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sigs AS (
+      SELECT doc_id AS id, seed,
+             min({stable_hash32_sql("seed::VARCHAR || ':' || shingle")}) AS minhash
+      FROM shingled, range(0, 8) r(seed)
+      GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT id, (seed // 2) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY id, (seed // 2)
+    )
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+    FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.id < b.id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (8 hashes, 4 bands of 2):
+    documents agreeing on any band's full minhash vector become
+    candidates. The shuffle key (band, band_key) is uniform by
+    construction — the 100 TB-safe alternative to the quadratic
+    shingle self-join. Exact-checked: the seeded hash family makes
+    the candidate set deterministic and SQL-reproducible."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=8, bands=4
+    )
+
+
+@query(
+    "dedup_keep_one",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    kept AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s
+      JOIN (SELECT shingle FROM shingled
+            GROUP BY shingle HAVING count(*) <= {_NGRAM_MAX_DF}) ok
+      USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM kept a JOIN kept b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter::DOUBLE / (sa.set_size + sb.set_size - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc(id, keep_id) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, c.keep_id FROM cc c JOIN edges e ON e.src = c.id
+    )
+    SELECT id, min(keep_id) AS keep_id FROM cc GROUP BY id
+    """,
+)
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: Jaccard pairs (hot-shingle capped)
+    -> connected components by iterative min-label propagation ->
+    every doc labeled with its component's surviving min id
+    (singletons keep themselves). Oracle re-derives components with a
+    recursive transitive-closure CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.2, max_df=_NGRAM_MAX_DF
+    )
+    return dedup.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+
+
+@query(
     "simhash_docs",
     oracle=f"""
     WITH toks AS (

@@ -82,6 +82,20 @@ def test_simhash_near_dups_close_in_hamming(spark):
     assert hamming(out[1], out[3]) < hamming(out[1], out[4])
 
 
+def test_connected_components_chain_and_singletons(spark):
+    # chain 1-2-3 plus pair 10-11 plus singleton 99: min-id propagation
+    # must cross the chain even though 1 and 3 share no edge
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "id LONG")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    out = {
+        r["id"]: r["keep_id"]
+        for r in dedup.connected_components(nodes, pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     # every doc shares the same 3 leading tokens -> that shingle is hot
     rows = [(i, f"common lead phrase unique{i} tail{i} words{i}") for i in range(5)]
