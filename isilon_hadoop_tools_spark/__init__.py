@@ -25,6 +25,10 @@ Layout
                    executor, and the identity / directory pipelines
                    (reference ``identities.py:284-309``,
                    ``directories.py:62-86``).
+- ``multimodal`` : binary image/audio/video columns with typed
+                   metadata, magic-byte sniffing, binary dedup, and
+                   Arrow-batched decode/frame-sample stages (codecs
+                   stubbed deterministically).
 - ``streaming``  : Structured Streaming mappings of the event surface
                    (watermarked windows, sessionization, stateful
                    dedup, foreachBatch idempotent sinks — the

@@ -1,0 +1,150 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+The engine treats image/audio/video content as ``BinaryType`` columns
+plus a typed metadata struct — the scale-safe shape for a 100 TB
+training-data pipeline (payload bytes stay columnar in parquet; all
+filtering/dedup runs on cheap metadata, and decode only touches rows
+that survive).
+
+Decode / feature-extraction run as Arrow-batched ``mapInPandas``
+stages. The actual codec calls are STUBBED with deterministic fakes
+(this container ships no image/audio libraries): every stub marks the
+single line where ``PIL.Image.open`` / ``librosa.load`` would plug
+in, and everything around it — schema contract, Arrow batch shape,
+partitioning — is real and tested.
+
+Cross-engine note: payload hashing/sniffing goes through ``hex()``
+(identical in Spark and DuckDB) because the oracle's md5 only accepts
+strings; a Spark-only deployment would hash the binary directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (hex prefix of the file's magic bytes, mime) — checked in order.
+# RIFF is sniffed by prefix only (a full WAV check also reads bytes
+# 9-12 == "WAVE"); fine for metadata routing.
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),
+    ("494433", "audio/mpeg"),
+    ("4F676753", "audio/ogg"),
+)
+DEFAULT_MIME = "application/octet-stream"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def detect_mime(bin_col: Column | str) -> Column:
+    """Magic-byte MIME sniffing as one CASE chain over the hex prefix
+    — pure JVM expressions, no UDF."""
+    h = F.hex(_c(bin_col))
+    expr = F.lit(DEFAULT_MIME)
+    for prefix, mime in reversed(MAGIC_PREFIXES):
+        expr = F.when(
+            F.substring(h, 1, len(prefix)) == prefix, F.lit(mime)
+        ).otherwise(expr)
+    return expr
+
+
+def content_hash(bin_col: Column | str) -> Column:
+    """md5 over the hex encoding (see module note on oracle parity)."""
+    return F.md5(F.hex(_c(bin_col)))
+
+
+def attach_metadata(df: DataFrame, bin_col: str, out: str = "meta") -> DataFrame:
+    """Add the typed metadata struct: size_bytes, content_hash, mime."""
+    return df.withColumn(
+        out,
+        F.struct(
+            F.length(_c(bin_col)).alias("size_bytes"),
+            content_hash(bin_col).alias("content_hash"),
+            detect_mime(bin_col).alias("mime"),
+        ),
+    )
+
+
+def binary_dedup(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Exact binary dedup by content hash — one shuffle, map-side
+    partial agg, payload bytes never leave the scan."""
+    return (
+        df.select(content_hash(bin_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _fake_dims(size: int) -> tuple[int, int, int]:
+    """Deterministic stand-in for decoded image dimensions."""
+    return (size % 640 + 1, (size * 7) % 480 + 1, 3)
+
+
+def decode_image_stub(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched decode stage (``mapInPandas``).
+
+    STUB: dimensions are a deterministic function of payload size so
+    the stage is oracle-checkable. A real deployment replaces the
+    body of ``decode_one`` with ``PIL.Image.open(io.BytesIO(raw))``
+    and returns genuine (width, height, channels).
+    """
+    schema = f"{id_col} LONG, width INT, height INT, channels INT"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_one(raw: bytes) -> tuple[int, int, int]:
+            # >>> real decoder plugs in here (PIL/libvips) <<<
+            return _fake_dims(len(raw))
+
+        for batch in batches:
+            dims = [decode_one(raw) for raw in batch[bin_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema)
+
+
+def sample_frames_stub(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched frame-sampling stage for video-like payloads.
+
+    STUB: emits ``size %% 5 + 1`` frames per payload, each tagged with
+    an md5 over (hex payload, frame index) — the real implementation
+    replaces ``frames_of`` with a decoder loop (pyav/ffmpeg) yielding
+    actual frame tensors/bytes.
+    """
+    schema = f"{id_col} LONG, frame_idx INT, frame_hash STRING"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def frames_of(raw: bytes) -> list[tuple[int, str]]:
+            # >>> real frame decoder plugs in here <<<
+            hexstr = raw.hex().upper()
+            n = len(raw) % 5 + 1
+            return [
+                (i, hashlib.md5(f"{hexstr}:{i}".encode()).hexdigest())
+                for i in range(1, n + 1)
+            ]
+
+        for batch in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, raw in zip(batch[id_col], batch[bin_col]):
+                for i, h in frames_of(raw):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_hash": hashes})
+
+    return df.select(id_col, bin_col).mapInPandas(sample, schema)

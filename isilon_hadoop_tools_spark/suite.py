@@ -1356,6 +1356,127 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=32)
 
 
+# =====================================================================
+# Multimodal columns: binary payloads + typed metadata
+# =====================================================================
+
+# payloads synthesized deterministically from documents: a third get
+# PNG magic bytes, a third JPEG, the rest stay bare text bytes
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff\xe0"
+_PAYLOAD_SQL = r"""
+    CASE WHEN doc_id % 3 = 0
+           THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+         WHEN doc_id % 3 = 1
+           THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+         ELSE encode(text) END
+"""
+
+
+def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(F.lit(_PNG_MAGIC), F.encode("text", "utf-8")),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(3)) == 1,
+            F.concat(F.lit(_JPEG_MAGIC), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+@query(
+    "multimodal_metadata",
+    oracle=f"""
+    WITH payloads AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents)
+    SELECT doc_id,
+           octet_length(payload) AS size_bytes,
+           md5(hex(payload)) AS content_hash,
+           CASE WHEN left(hex(payload), 16) = '89504E470D0A1A0A' THEN 'image/png'
+                WHEN left(hex(payload), 6) = 'FFD8FF' THEN 'image/jpeg'
+                ELSE 'application/octet-stream' END AS mime
+    FROM payloads
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: byte size, content
+    hash, magic-byte MIME sniffing — all JVM expressions, the payload
+    never crosses into Python."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    out = M.attach_metadata(_payload_df(spark, sf_dir), "payload")
+    return out.select(
+        "doc_id",
+        F.col("meta.size_bytes").alias("size_bytes"),
+        F.col("meta.content_hash").alias("content_hash"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@query(
+    "multimodal_binary_dedup",
+    oracle=f"""
+    WITH payloads AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents)
+    SELECT md5(hex(payload)) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM payloads GROUP BY 1
+    """,
+)
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup by content hash (fingerprint -> min id),
+    the multimodal twin of ``dedup_exact_docs``."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.binary_dedup(_payload_df(spark, sf_dir), "payload", "doc_id")
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle=f"""
+    WITH payloads AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents)
+    SELECT doc_id,
+           octet_length(payload) % 640 + 1 AS width,
+           (octet_length(payload) * 7) % 480 + 1 AS height,
+           3 AS channels
+    FROM payloads
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode stage (stubbed codec): the
+    schema contract, batch iteration, and column plumbing are real;
+    the decoder body is a deterministic fake the oracle reproduces."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.decode_image_stub(_payload_df(spark, sf_dir), "payload", "doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH payloads AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents),
+    frames AS (
+      SELECT doc_id, hex(payload) AS h,
+             unnest(generate_series(1, octet_length(payload) % 5 + 1)) AS i
+      FROM payloads
+    )
+    SELECT doc_id, i::INT AS frame_idx, md5(h || ':' || i) AS frame_hash
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage for video-like payloads (stubbed decoder):
+    one output row per sampled frame, exercising the one-to-many
+    mapInPandas shape the real pyav/ffmpeg loop would use."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.sample_frames_stub(_payload_df(spark, sf_dir), "payload", "doc_id")
+
+
 _ANN_QUERIES = 5
 _ANN_K = 10
 

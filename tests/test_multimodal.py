@@ -1,0 +1,78 @@
+"""Multimodal column tests: magic-byte sniffing, metadata struct,
+binary dedup, and the Arrow-batched decode/frame-sample stubs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark import multimodal as M
+
+SCHEMA = "doc_id LONG, payload BINARY"
+
+
+def _df(spark, payloads: list[bytes]):
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], SCHEMA
+    )
+
+
+def test_detect_mime_known_magics(spark):
+    payloads = [
+        b"\x89PNG\r\n\x1a\nrest",
+        b"\xff\xd8\xff\xe0jpeg",
+        b"GIF89a...",
+        b"RIFF....WAVE",
+        b"ID3\x04tag",
+        b"OggSpage",
+        b"plain text",
+    ]
+    out = [r["m"] for r in _df(spark, payloads).select(M.detect_mime("payload").alias("m")).collect()]
+    assert out == [
+        "image/png",
+        "image/jpeg",
+        "image/gif",
+        "audio/wav",
+        "audio/mpeg",
+        "audio/ogg",
+        "application/octet-stream",
+    ]
+
+
+def test_attach_metadata_fields(spark):
+    raw = b"\x89PNG\r\n\x1a\npayload"
+    row = M.attach_metadata(_df(spark, [raw]), "payload").select("meta.*").first()
+    assert row["size_bytes"] == len(raw)
+    assert row["mime"] == "image/png"
+    assert row["content_hash"] == hashlib.md5(raw.hex().upper().encode()).hexdigest()
+
+
+def test_binary_dedup_groups_identical_payloads(spark):
+    out = M.binary_dedup(
+        _df(spark, [b"same", b"same", b"other"]), "payload", "doc_id"
+    ).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    assert by_keep == {0: 2, 2: 1}
+
+
+def test_decode_stub_schema_and_determinism(spark):
+    df = _df(spark, [b"x" * 10, b"y" * 700])
+    rows = {r["doc_id"]: r for r in M.decode_image_stub(df, "payload", "doc_id").collect()}
+    assert rows[0]["width"] == 11 and rows[0]["height"] == 71
+    assert rows[1]["width"] == 700 % 640 + 1
+    assert all(r["channels"] == 3 for r in rows.values())
+    # repartitioned input yields identical results (pure per-row fn)
+    again = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in M.decode_image_stub(df.repartition(4), "payload", "doc_id").collect()
+    }
+    assert again == {k: (v["width"], v["height"]) for k, v in rows.items()}
+
+
+def test_frame_sample_one_to_many(spark):
+    raw = b"abcdefg"  # 7 bytes -> 7 % 5 + 1 = 3 frames
+    out = M.sample_frames_stub(_df(spark, [raw]), "payload", "doc_id").collect()
+    assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [1, 2, 3]
+    expected = hashlib.md5(f"{raw.hex().upper()}:2".encode()).hexdigest()
+    assert {r["frame_hash"] for r in out if r["frame_idx"] == 2} == {expected}
