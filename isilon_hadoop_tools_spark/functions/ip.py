@@ -41,18 +41,29 @@ def long_to_ip(col: Column | str) -> Column:
     )
 
 
-def expand_ip_ranges(df: DataFrame, lo_col: str, hi_col: str, out: str = "addr") -> DataFrame:
+def expand_ip_ranges(
+    df: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    out: str = "addr",
+    keep: list[str] | None = None,
+) -> DataFrame:
     """One row per address in ``[lo, hi]`` (inclusive), deduplicated —
     the engine's ``node_addresses`` (``onefs.py:1182-1197``).
+    ``keep`` columns ride along (dedup is then per kept-key).
 
     ``sequence()`` materializes per-row arrays; for WAN-sized ranges
     at 100 TB scale, pre-split ranges into /24 chunks first so no
     single row explodes into millions of elements.
     """
+    keep = keep or []
     return (
         df.select(
-            F.explode(F.sequence(ip_to_long(lo_col), ip_to_long(hi_col))).alias("_addr_long")
+            *keep,
+            F.explode(F.sequence(ip_to_long(lo_col), ip_to_long(hi_col))).alias(
+                "_addr_long"
+            ),
         )
-        .select(long_to_ip("_addr_long").alias(out))
+        .select(*keep, long_to_ip("_addr_long").alias(out))
         .distinct()
     )

@@ -1,0 +1,70 @@
+"""Cluster-metadata seed tables (SURVEY S6/S7): access zones, network
+pools with IP ranges, nodes with revisions, and settings documents.
+
+The reference fetches these rows from the OneFS REST API — zones
+(``onefs.py:701-703,1398-1401``), network pools with ranges
+(``onefs.py:659-665,1182-1197``), node revisions
+(``onefs.py:684-686,1240-1249``), ACL/HDFS/zone settings projections
+(``onefs.py:705-726,1122-1142,1376-1396``). The engine declares
+equivalent fact rows and exposes them as broadcast-sized DataFrames;
+in production the same shapes arrive via ``spark.read`` from the
+cluster's export.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# (zone_name, zone_path, zone_id) — mixed case on purpose: the
+# reference compares zone names case-insensitively (onefs.py:688-693)
+ZONE_ROWS: tuple[tuple[str, str, int], ...] = (
+    ("System", "/ifs", 1),
+    ("Zone1", "/ifs/zone1", 2),
+    ("HDP-Zone", "/ifs/hdp", 3),
+)
+
+# (pool_name, low_ip, high_ip) — pool_name carries a "subnet:pool"
+# shape the reference splits (onefs.py:1082,1277 split-":" idiom)
+POOL_ROWS: tuple[tuple[str, str, str], ...] = (
+    ("subnet0:pool0", "10.7.180.1", "10.7.180.6"),
+    ("subnet0:pool1", "10.7.180.4", "10.7.180.9"),
+    ("subnet1:pool2", "192.168.1.250", "192.168.2.3"),
+)
+
+# (node_id, revision) — all equal: the cluster is not mid-upgrade
+# (revision() cardinality-1 assert, onefs.py:1240-1245)
+NODE_ROWS: tuple[tuple[int, str], ...] = (
+    (1, "0x900050500000000B"),
+    (2, "0x900050500000000B"),
+    (3, "0x900050500000000B"),
+)
+
+# single-row HDFS settings document per zone (onefs.py:1122-1142)
+HDFS_SETTINGS_ROWS: tuple[tuple[str, str, int, bool], ...] = (
+    ("Zone1", "hadoop", 131072, True),
+    ("HDP-Zone", "apps/hdfs", 65536, True),
+)
+
+ZONES_SCHEMA = "zone_name STRING, zone_path STRING, zone_id INT"
+POOLS_SCHEMA = "pool_name STRING, low_ip STRING, high_ip STRING"
+NODES_SCHEMA = "node_id INT, revision STRING"
+HDFS_SETTINGS_SCHEMA = (
+    "zone_name STRING, root_directory STRING, default_block_size INT, "
+    "service_enabled BOOLEAN"
+)
+
+
+def zones_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(ZONE_ROWS), ZONES_SCHEMA)
+
+
+def pools_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(POOL_ROWS), POOLS_SCHEMA)
+
+
+def nodes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(NODE_ROWS), NODES_SCHEMA)
+
+
+def hdfs_settings_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(HDFS_SETTINGS_ROWS), HDFS_SETTINGS_SCHEMA)

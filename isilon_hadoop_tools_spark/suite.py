@@ -37,7 +37,7 @@ from isilon_hadoop_tools_spark.operators.guards import dangling_references
 from isilon_hadoop_tools_spark.operators.reconcile import reconcile
 from isilon_hadoop_tools_spark.operators.topk import topk_per_group
 from isilon_hadoop_tools_spark.oracle import values_cte
-from isilon_hadoop_tools_spark.sources import catalogs, tpch
+from isilon_hadoop_tools_spark.sources import catalogs, cluster, tpch
 
 
 @dataclass
@@ -339,15 +339,374 @@ def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     return cust_n.intersect(supp_n)
 
 
+def _users_cte(dist: str, zone: str = "zone1") -> str:
+    return values_cte(
+        "seed_users", ["user_name", "primary_group"], catalogs.user_rows(dist, zone)
+    )
+
+
+# =====================================================================
+# Full aggregate surface (SURVEY A1/A6): countDistinct, stddev, exact
+# percentile, rollup/cube with grouping ids
+# =====================================================================
+
+
+@query(
+    "agg_surface_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           round(stddev_samp(l_quantity), 4) AS qty_stddev,
+           round(quantile_cont(l_quantity, 0.5), 4) AS qty_median,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_surface_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count-distinct + sample stddev + exact interpolated percentiles
+    (A1/A6). ``percentile`` (exact) matches DuckDB's quantile_cont;
+    at 100 TB the same query swaps in approx_count_distinct /
+    percentile_approx for one-pass sketches."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("price_p90"),
+    )
+
+
+@query(
+    "lineitem_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id (A6): subtotal rows per flag and a
+    grand total, one pass (Catalyst expands + single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "lineitem_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id (A6): all grouping-set combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# =====================================================================
+# Cluster metadata scans + settings reads (SURVEY S6/S7, A1/A3, F3,
+# F7/F11, P5/P6, F2/F4)
+# =====================================================================
+
+
+@query(
+    "cluster_node_revision",
+    oracle=(
+        "WITH "
+        + values_cte("seed_nodes", ["node_id", "revision"], cluster.NODE_ROWS)
+        + """
+    SELECT revision,
+           count(*) AS n_nodes,
+           (SELECT count(DISTINCT revision) FROM seed_nodes) AS n_revisions
+    FROM seed_nodes GROUP BY revision
+    """
+    ),
+)
+def cluster_node_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-revision check (A1/A3, ``onefs.py:1240-1245``): the
+    single distinct node revision; a mixed-mode cluster (n_revisions
+    > 1) is the reference's ``MixedModeError``."""
+    from isilon_hadoop_tools_spark.operators.guards import assert_unique
+    from isilon_hadoop_tools_spark.sources import cluster
+
+    nodes = cluster.nodes_df(spark)
+    distinct_revs = nodes.select("revision").distinct()
+    assert_unique(distinct_revs.select(F.lit(1).alias("one")), "one")
+    n_revs = distinct_revs.count()
+    return nodes.groupBy("revision").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.lit(n_revs).cast("long").alias("n_revisions"),
+    )
+
+
+def _pool_int_sql(col: str) -> str:
+    return (
+        f"split_part({col}, '.', 1)::BIGINT * 16777216"
+        f" + split_part({col}, '.', 2)::BIGINT * 65536"
+        f" + split_part({col}, '.', 3)::BIGINT * 256"
+        f" + split_part({col}, '.', 4)::BIGINT"
+    )
+
+
+@query(
+    "pool_addresses",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_pools",
+            ["pool_name", "low_ip", "high_ip"],
+            cluster.POOL_ROWS,
+        )
+        + f""",
+    expanded AS (
+      SELECT split_part(pool_name, ':', 2) AS pool_id,
+             unnest(generate_series({_pool_int_sql('low_ip')},
+                                    {_pool_int_sql('high_ip')})) AS a
+      FROM seed_pools
+      WHERE pool_name LIKE 'subnet0%'
+    )
+    SELECT DISTINCT pool_id,
+           (a // 16777216) % 256 || '.' || (a // 65536) % 256 || '.'
+             || (a // 256) % 256 || '.' || a % 256 AS addr
+    FROM expanded
+    """
+    ),
+)
+def pool_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network-pool IP range expansion (F7/F11, ``node_addresses``
+    ``onefs.py:1182-1197``) with the split-':' pool-id parse (F3) and
+    a startswith prefix predicate (P6)."""
+    from isilon_hadoop_tools_spark.functions.ip import expand_ip_ranges
+    from isilon_hadoop_tools_spark.sources import cluster
+
+    pools = cluster.pools_df(spark).filter(
+        F.col("pool_name").startswith("subnet0")
+    ).withColumn("pool_id", F.split("pool_name", ":").getItem(1))
+    return expand_ip_ranges(pools, "low_ip", "high_ip", keep=["pool_id"])
+
+
+@query(
+    "zone_hdfs_root",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_zones",
+            ["zone_name", "zone_path", "zone_id"],
+            cluster.ZONE_ROWS,
+        )
+        + ",\n    "
+        + values_cte(
+            "seed_hdfs",
+            ["zone_name", "root_directory", "default_block_size", "service_enabled"],
+            cluster.HDFS_SETTINGS_ROWS,
+        )
+        + """
+    SELECT z.zone_name, s.root_directory,
+           z.zone_path || '/' || s.root_directory AS hdfs_root,
+           s.default_block_size
+    FROM seed_zones z
+    JOIN seed_hdfs s ON lower(z.zone_name) = lower(s.zone_name)
+    WHERE s.service_enabled
+    """
+    ),
+)
+def zone_hdfs_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Settings projection reads (S7) joined case-insensitively on the
+    zone name (P5/F2, ``onefs.py:688-693``) and composed into the
+    zone-relative HDFS root path (F4, ``directories.py:47-59``)."""
+    from isilon_hadoop_tools_spark.functions.paths import posix_join
+    from isilon_hadoop_tools_spark.sources import cluster
+
+    zones = cluster.zones_df(spark)
+    settings = cluster.hdfs_settings_df(spark).filter(F.col("service_enabled"))
+    return zones.join(
+        F.broadcast(settings.withColumnRenamed("zone_name", "s_zone")),
+        F.lower(zones["zone_name"]) == F.lower(F.col("s_zone")),
+    ).select(
+        "zone_name",
+        "root_directory",
+        posix_join(F.col("zone_path"), F.col("root_directory")).alias("hdfs_root"),
+        "default_block_size",
+    )
+
+
+_SFX = "-c1"
+
+
+@query(
+    "identity_suffix_all_tables",
+    oracle=f"""
+    WITH {_users_cte('cdh')},
+    {values_cte('seed_groups', ['group_name'], catalogs.group_rows('cdh'))},
+    {values_cte('seed_m', ['user_name', 'group_name'], catalogs.membership_rows('cdh'))},
+    {values_cte('seed_p', ['proxy_name', 'member_name', 'member_type'], catalogs.proxy_user_rows('cdh'))}
+    SELECT 'user' AS kind, user_name || '{_SFX}' AS name_1,
+           primary_group || '{_SFX}' AS name_2, CAST(NULL AS VARCHAR) AS member_type
+    FROM seed_users
+    UNION ALL
+    SELECT 'group', group_name || '{_SFX}', NULL, NULL FROM seed_groups
+    UNION ALL
+    SELECT 'membership', user_name || '{_SFX}', group_name || '{_SFX}', NULL
+    FROM seed_m
+    UNION ALL
+    SELECT 'proxy', proxy_name || '{_SFX}', member_name || '{_SFX}', member_type
+    FROM seed_p
+    """,
+)
+def identity_suffix_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identity-suffix transform applied across all four identity
+    tables (F1, ``identities.py:323-347`` — users, groups,
+    memberships, proxy members; the member *type* is never suffixed)."""
+    from isilon_hadoop_tools_spark.plans.identities import _suffixed
+
+    u = _suffixed(
+        catalogs.users_df(spark, "cdh"), ["user_name", "primary_group"], _SFX
+    ).select(
+        F.lit("user").alias("kind"),
+        F.col("user_name").alias("name_1"),
+        F.col("primary_group").alias("name_2"),
+        F.lit(None).cast("string").alias("member_type"),
+    )
+    g = _suffixed(catalogs.groups_df(spark, "cdh"), ["group_name"], _SFX).select(
+        F.lit("group").alias("kind"),
+        F.col("group_name").alias("name_1"),
+        F.lit(None).cast("string").alias("name_2"),
+        F.lit(None).cast("string").alias("member_type"),
+    )
+    m = _suffixed(
+        catalogs.memberships_df(spark, "cdh"), ["user_name", "group_name"], _SFX
+    ).select(
+        F.lit("membership").alias("kind"),
+        F.col("user_name").alias("name_1"),
+        F.col("group_name").alias("name_2"),
+        F.lit(None).cast("string").alias("member_type"),
+    )
+    p = _suffixed(
+        catalogs.proxy_users_df(spark, "cdh"), ["proxy_name", "member_name"], _SFX
+    ).select(
+        F.lit("proxy").alias("kind"),
+        F.col("proxy_name").alias("name_1"),
+        F.col("member_name").alias("name_2"),
+        F.col("member_type"),
+    )
+    return u.unionByName(g).unionByName(m).unionByName(p)
+
+
+_PROBE_USERS = ("hdfs", "hive", "yarn")
+
+
+def _uid_lookup_oracle() -> str:
+    n_u = len(catalogs.user_rows("cdh"))
+    n_g = len(catalogs.group_rows("cdh"))
+    probes = ", ".join(f"'{u}'" for u in _PROBE_USERS)
+    return f"""
+    WITH {_users_cte('cdh')},
+    {values_cte('seed_groups', ['group_name'], catalogs.group_rows('cdh'))},
+    users_f AS (
+      SELECT user_name, primary_group,
+             1024 + row_number() OVER (ORDER BY user_name) AS uid
+      FROM seed_users
+    ),
+    groups_f AS (
+      SELECT group_name,
+             1024 + row_number() OVER (ORDER BY group_name) AS gid
+      FROM seed_groups
+    )
+    SELECT u.user_name, u.uid, u.primary_group, g.gid
+    FROM users_f u JOIN groups_f g ON g.group_name = u.primary_group
+    WHERE u.user_name IN ({probes})
+    """
+
+
+@query("uid_lookup_probe", oracle=_uid_lookup_oracle())
+def uid_lookup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-asserted name lookups (J1/J2/J3 + P6 isin): probe
+    three user names through the composed user->uid, user->pgroup,
+    pgroup->gid broadcast joins, with uniqueness asserted on both
+    lookup tables first (``onefs.py:1072-1082,1267-1277``)."""
+    from isilon_hadoop_tools_spark.operators.guards import assert_unique
+
+    users = allocate_ids(
+        catalogs.users_df(spark, "cdh"), "user_name", start=1025, out_col="uid"
+    ).join(catalogs.users_df(spark, "cdh"), "user_name")
+    groups = allocate_ids(
+        catalogs.groups_df(spark, "cdh"), "group_name", start=1025, out_col="gid"
+    )
+    assert_unique(users, "user_name")
+    assert_unique(groups, "group_name")
+    probes = users.filter(F.col("user_name").isin(*_PROBE_USERS))
+    return probes.join(
+        F.broadcast(groups.withColumnRenamed("group_name", "primary_group")),
+        "primary_group",
+    ).select("user_name", "uid", "primary_group", "gid")
+
+
+@query(
+    "orders_format_roundtrip",
+    oracle="""
+    SELECT fmt, o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM (
+      SELECT 'csv' AS fmt, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderpriority LIKE '1-%'
+      UNION ALL
+      SELECT 'json', o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderpriority LIKE '1-%'
+    )
+    GROUP BY fmt, o_orderstatus
+    """,
+)
+def orders_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-format sinks + scans (S15): the same projection written to
+    CSV and JSON, read back with explicit schemas, and aggregated —
+    the round trip must be lossless for both formats."""
+    import shutil
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").startswith("1-"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    schema = "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"
+    outs = []
+    for fmt in ("csv", "json"):
+        path = f"{_SCRATCH}/roundtrip_{fmt}"
+        shutil.rmtree(path, ignore_errors=True)
+        writer = sub.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        getattr(writer, fmt)(path)
+        reader = spark.read.schema(schema)
+        if fmt == "csv":
+            reader = reader.option("header", True)
+        back = getattr(reader, fmt)(path)
+        outs.append(back.withColumn("fmt", F.lit(fmt)))
+    both = outs[0].unionByName(outs[1])
+    return both.groupBy("fmt", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
 # =====================================================================
 # Identity-catalog surface (SURVEY S1/S2, F1, J6, W1, J8)
 # =====================================================================
 
 
-def _users_cte(dist: str, zone: str = "zone1") -> str:
-    return values_cte(
-        "seed_users", ["user_name", "primary_group"], catalogs.user_rows(dist, zone)
-    )
 
 
 @query(
