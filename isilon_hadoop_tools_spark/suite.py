@@ -1348,6 +1348,64 @@ def error_matchers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_latest_order",
+    oracle="""
+    WITH quotes AS (
+      SELECT o_custkey,
+             TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 30) DAY AS quote_ts,
+             max(o_orderkey) AS matched_order
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           q.matched_order, q.quote_ts AS matched_ts
+    FROM events e
+    ASOF JOIN quotes q ON e.user_id = q.o_custkey AND e.ts >= q.quote_ts
+    """,
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J9): each event picks the customer's most recent
+    quote row at-or-before its timestamp. Spark has no ASOF JOIN, so
+    the operator uses the union+window form (one shuffle on the key,
+    no per-key theta blowup); the oracle is DuckDB's *native*
+    ASOF JOIN — two totally different algorithms, same rows. Quote
+    timestamps are synthesized inside the event window so matches
+    genuinely interleave."""
+    from isilon_hadoop_tools_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    quotes = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "timestampadd(DAY, cast(o_orderkey % 30 AS INT),"
+                " timestamp'2024-01-01 00:00:00')"
+            ).alias("quote_ts"),
+            "o_orderkey",
+        )
+        .groupBy("o_custkey", "quote_ts")
+        .agg(F.max("o_orderkey").alias("matched_order"))
+    )
+    out = asof_join(
+        ev,
+        quotes,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="quote_ts",
+        right_cols=["matched_order", "quote_ts"],
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "matched_order",
+        F.col("quote_ts").alias("matched_ts"),
+    )
+
+
 _HOURLY_ROLLUP_ORACLE = """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n_events,
