@@ -218,6 +218,60 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= ``max_hamming``.
+
+    Pigeonhole band join: the fingerprint splits into ``bands`` equal
+    bit-slices; <= ``max_hamming`` flipped bits can dirty at most
+    ``max_hamming`` slices, so any qualifying pair agrees exactly on
+    >= 1 slice whenever ``max_hamming < bands`` — candidate generation
+    is an equi-join on (band_idx, band_value), *complete by
+    construction*, and the full cross product never materializes.
+    Output: ``id_a``, ``id_b``, ``hamming``.
+    """
+    if max_hamming >= bands:
+        raise ValueError("completeness requires max_hamming < bands")
+    band_bits = bits // bands
+    sims = simhash(df, text_col, id_col, bits)
+    slices = F.array(
+        *[
+            (
+                F.floor(F.col("simhash") / F.lit(2 ** (band_bits * j)))
+                % F.lit(2**band_bits)
+            ).cast("long")
+            for j in range(bands)
+        ]
+    )
+    banded = sims.select(
+        "id", "simhash", F.posexplode(slices).alias("band_idx", "band_val")
+    )
+    a = banded.select(
+        "band_idx", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("ha")
+    )
+    b = banded.select(
+        "band_idx", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("hb")
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("ha").alias("ha"), F.first("hb").alias("hb"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -106,6 +106,62 @@ def hyperplane_bucket(vec_col, planes: int, dim: int, seed: int = 7) -> Column:
     return bucket
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: int = 4,
+    tables: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table LSH
+    candidate generation (self-join on (table, bucket)) + exact cosine
+    verification.
+
+    Output: ``id_a``, ``id_b``, ``cos_sim`` (id_a < id_b, cos >=
+    threshold). The self-join never materializes the n^2 pair space —
+    only co-bucketed rows meet — and sign-hash buckets are
+    scale-invariant, so exact duplicates (and near-exact, with
+    multi-table union probability) always co-bucket. Recall for
+    borderline pairs follows 1-(1-p^planes)^tables; raise ``tables``
+    for higher-recall sweeps.
+    """
+    if dim is None:
+        probe = df.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("cannot infer embedding dim from an empty corpus")
+        dim = probe["d"]
+    vec = F.col(vec_col).cast("array<double>")
+    buckets = F.array(
+        *[
+            hyperplane_bucket(vec, planes, dim, seed=7 + 1000 * t)
+            for t in range(tables)
+        ]
+    )
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        F.posexplode(buckets).alias("table_id", "bucket"),
+    )
+    a = hashed.select("table_id", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = hashed.select("table_id", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    candidates = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

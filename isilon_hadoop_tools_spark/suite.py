@@ -1747,10 +1747,8 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "simhash_docs",
-    oracle=f"""
-    WITH toks AS (
+_SIMHASH_SQL = f"""
+    toks AS (
       SELECT DISTINCT doc_id AS id,
              unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
       FROM documents
@@ -1762,15 +1760,122 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT id, {stable_hash32_sql('tok')} AS h FROM toks),
            range(0, 32) r(bit)
       GROUP BY id, bit
+    ),
+    sims AS (
+      SELECT id, sum(CASE WHEN s > 0 THEN pow(2, bit)::BIGINT ELSE 0 END)::BIGINT
+                   AS simhash
+      FROM votes GROUP BY id
     )
-    SELECT id, sum(CASE WHEN s > 0 THEN pow(2, bit)::BIGINT ELSE 0 END)::BIGINT
-                 AS simhash
-    FROM votes GROUP BY id
-    """,
+"""
+
+
+@query(
+    "simhash_docs",
+    oracle=f"WITH {_SIMHASH_SQL} SELECT id, simhash FROM sims",
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints over distinct tokens."""
     return dedup.simhash(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=32)
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SQL}
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= 3, found by the
+    byte-band pigeonhole trick: 3 flipped bits touch at most 3 of the
+    4 bytes, so every qualifying pair agrees on >= 1 whole byte —
+    candidate generation is an equi-join on (byte_idx, byte_value),
+    provably complete, never the n^2 cross product the oracle runs."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
+_COS_DUP_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 1.1)
+      FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.id < b.id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {_COS_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: the corpus is doubled with
+    scaled copies (cosine-identical, id+10000), then pairs >= 0.9 are
+    found via multi-table LSH candidates + exact verify. Sign-hash
+    buckets are scale-invariant, so the duplicate pairs co-bucket in
+    every table — candidate recall is exact here while the join stays
+    bucket-local; the oracle brute-forces all pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    scaled = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.1).alias(
+            "embedding"
+        ),
+    )
+    return similarity.cosine_near_dup_pairs(
+        base.unionByName(scaled), threshold=_COS_DUP_THRESHOLD
+    )
+
+
+@query(
+    "orders_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('small', 0.0, 50000.0),
+      ('medium', 50000.0, 150000.0),
+      ('large', 150000.0, 1000000000.0)
+    )
+    SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join (J9): facts joined to a broadcast band table
+    on an interval condition — plans as BroadcastNestedLoopJoin with
+    the tiny side broadcast, the fact side streaming."""
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0),
+         ("large", 150000.0, 1e9)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders["o_totalprice"] >= bands["lo"])
+            & (orders["o_totalprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
 
 
 # =====================================================================

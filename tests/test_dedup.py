@@ -82,6 +82,20 @@ def test_simhash_near_dups_close_in_hamming(spark):
     assert hamming(out[1], out[3]) < hamming(out[1], out[4])
 
 
+def test_simhash_near_pairs_complete_and_bounded(spark):
+    out = dedup.simhash_near_pairs(_docs(spark), "text", "doc_id", max_hamming=3)
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert rows[(1, 2)] == 0  # identical docs -> identical fingerprints
+    assert all(h <= 3 for h in rows.values())
+
+
+def test_simhash_near_pairs_rejects_bad_bands(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(_docs(spark), "text", "doc_id", max_hamming=4, bands=4)
+
+
 def test_connected_components_chain_and_singletons(spark):
     # chain 1-2-3 plus pair 10-11 plus singleton 99: min-id propagation
     # must cross the chain even though 1 and 3 share no edge

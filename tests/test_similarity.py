@@ -78,6 +78,26 @@ def test_lsh_cos_sims_match_brute_force_for_shared_pairs(spark, embeddings):
         assert abs(exact[pair] - approx[pair]) < 1e-9
 
 
+def test_cosine_near_dup_pairs_finds_scaled_duplicates(spark):
+    rows = [
+        (i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    doubled = df.unionByName(
+        df.select(
+            (F.col("vec_id") + 100).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+    )
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs(doubled, threshold=0.999).collect()
+    }
+    # scaling never changes cosine, and sign-hash buckets are
+    # scale-invariant -> every (i, i+100) pair must be found
+    assert {(i, i + 100) for i in range(20)} <= out
+
+
 def test_lsh_raises_on_ragged_dims(spark):
     corpus = spark.createDataFrame(
         [(1, [1.0] * 8), (2, [1.0] * 7)], "vec_id LONG, embedding ARRAY<DOUBLE>"
