@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,6 +39,27 @@ def _norm(a):
 def cosine(a, b):
     """Cosine similarity of two array<double> columns."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_pandas():
+    """Arrow-vectorized scalar ``pandas_udf`` twin of :func:`cosine`
+    (SURVEY §2.10). The JVM higher-order-function form above is the
+    default; this is the escape hatch for numerics the built-ins
+    can't express (numpy inside, whole batches per call, ~10-100x
+    over row-at-a-time Python UDFs). Tested equal to the JVM form in
+    ``tests/test_stateful.py``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.stack(a.to_numpy())
+        bv = np.stack(b.to_numpy())
+        dots = (av * bv).sum(axis=1)
+        norms = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        return pd.Series(dots / norms)
+
+    return _cos
 
 
 def brute_force_topk(

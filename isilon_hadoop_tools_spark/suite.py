@@ -1406,6 +1406,41 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMA_ALPHA = 0.3
+
+
+@query(
+    "events_user_ema",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS j,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, max(n) AS n_events,
+           round(sum(CASE WHEN j = 1 THEN pow({1 - _EMA_ALPHA}, n - 1) * value
+                          ELSE {_EMA_ALPHA} * pow({1 - _EMA_ALPHA}, n - j) * value
+                     END), 4) AS ema
+    FROM ordered
+    GROUP BY user_id
+    """,
+)
+def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom order-dependent aggregate (§2.10): per-user exponential
+    moving average via grouped-map ``applyInPandas`` (Arrow batches,
+    one shuffle on the key). No built-in aggregate expresses the
+    recurrence; the oracle uses its closed form. The streaming twin
+    (``applyInPandasWithState``) is equivalence-tested in
+    tests/test_stateful.py."""
+    from isilon_hadoop_tools_spark.streaming.stateful import ema_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = ema_batch(ev, "user_id", "ts", "event_id", "value", _EMA_ALPHA)
+    return out.select("user_id", "n_events", F.round("ema", 4).alias("ema"))
+
+
 _HOURLY_ROLLUP_ORACLE = """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n_events,

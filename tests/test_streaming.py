@@ -5,14 +5,10 @@ foreachBatch sink idempotence across restarts."""
 from __future__ import annotations
 
 import datetime as dt
-import os
-import time
 
-import pyarrow as pa
-import pyarrow.parquet as pq
-import pytest
 from pyspark.sql import functions as F
 
+from conftest import T0
 from isilon_hadoop_tools_spark.plans.state import ParquetState
 from isilon_hadoop_tools_spark.streaming.events import (
     dedup_within_watermark,
@@ -21,47 +17,6 @@ from isilon_hadoop_tools_spark.streaming.events import (
     run_available_now,
     sessionize,
 )
-
-T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
-
-
-def _write_batch(dirpath: str, name: str, rows: list[tuple[int, dt.datetime, str, float]]):
-    table = pa.table(
-        {
-            "event_id": pa.array([r[0] for r in rows], pa.int64()),
-            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-            "event_type": pa.array([r[2] for r in rows], pa.string()),
-            "value": pa.array([r[3] for r in rows], pa.float64()),
-        }
-    )
-    pq.write_table(table, os.path.join(dirpath, name))
-    time.sleep(0.05)  # file source orders batches by modification time
-
-
-@pytest.fixture()
-def stream_dir(tmp_path):
-    d = str(tmp_path / "stream")
-    os.makedirs(d)
-    m = dt.timedelta(minutes=1)
-    # batch 1: two events at 12:00h, one at 13:00h
-    _write_batch(d, "b1.parquet", [
-        (1, T0, "click", 1.0),
-        (2, T0 + 5 * m, "click", 2.0),
-        (3, T0 + 65 * m, "view", 3.0),
-    ])
-    # batch 2: duplicate id 2 and a fresh event
-    _write_batch(d, "b2.parquet", [
-        (2, T0 + 6 * m, "click", 2.0),
-        (4, T0 + 70 * m, "view", 4.0),
-    ])
-    # batch 3: a LATE event 3h back. Spark's late-event filter uses the
-    # watermark as of the *previous* batch's start (the late/eviction
-    # watermark split, SPARK-40925), so the late row must arrive two
-    # batches after the watermark-advancing data to be dropped.
-    _write_batch(d, "b3.parquet", [
-        (9, T0 - 180 * m, "click", 9.0),
-    ])
-    return d
 
 
 def _read_stream(spark, d, files_per_trigger=1):
