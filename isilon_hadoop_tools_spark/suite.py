@@ -982,6 +982,73 @@ def _apply_identities_oracle() -> str:
     """
 
 
+_STRAY_USERS = (("legacy-svc", "legacy-svc"), ("old-etl", "etl"))
+
+
+@query(
+    "delete_orphan_users",
+    oracle=f"WITH {_users_cte('cdh')} SELECT user_name, primary_group FROM seed_users",
+)
+def delete_orphan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete sink (S10, reference ``onefs.py:958-1008``): seed state
+    with the catalog plus two stray rows, classify orphans via the
+    reconcile diff, delete them with the key anti-join sink, commit,
+    and read the committed state back — only catalog rows survive."""
+    from isilon_hadoop_tools_spark.operators.reconcile import ACTION_ORPHAN, reconcile
+    from isilon_hadoop_tools_spark.plans.sinks import apply_delete
+
+    state = _fresh_state(spark, "delete_orphan_users")
+    seeded = sorted(list(catalogs.user_rows("cdh")) + list(_STRAY_USERS))
+    state.write("svc_users", spark.createDataFrame(seeded, catalogs.USERS_SCHEMA))
+    actual = state.read("svc_users", catalogs.USERS_SCHEMA)
+    desired = catalogs.users_df(spark, "cdh")
+    orphans = reconcile(desired, actual, "user_name").filter(
+        F.col("action") == ACTION_ORPHAN
+    )
+    state.write("svc_users", apply_delete(actual, orphans, "user_name"))
+    return state.read("svc_users", catalogs.USERS_SCHEMA)
+
+
+@query(
+    "update_hdfs_settings",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_hdfs",
+            ["zone_name", "root_directory", "default_block_size", "service_enabled"],
+            cluster.HDFS_SETTINGS_ROWS,
+        )
+        + """
+    SELECT zone_name, root_directory,
+           CASE WHEN zone_name = 'Zone1' THEN 262144
+                ELSE default_block_size END AS default_block_size,
+           service_enabled
+    FROM seed_hdfs
+    """
+    ),
+)
+def update_hdfs_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Settings update sink (S12, reference ``onefs.py:1291-1304``):
+    per-key column overwrite of one zone's block size, committed and
+    read back; unknown settings columns are rejected by Spark's
+    analyzer — the engine's twin of the reference's reflective key
+    validation (``onefs.py:1279-1289``)."""
+    from isilon_hadoop_tools_spark.plans.sinks import apply_update
+    from isilon_hadoop_tools_spark.sources import cluster as cl
+
+    state = _fresh_state(spark, "update_hdfs_settings")
+    state.write("hdfs_settings", cl.hdfs_settings_df(spark))
+    current = state.read("hdfs_settings", cl.HDFS_SETTINGS_SCHEMA)
+    updates = spark.createDataFrame(
+        [("Zone1", 262144)], "zone_name STRING, default_block_size INT"
+    )
+    state.write(
+        "hdfs_settings",
+        apply_update(current, updates, "zone_name", ["default_block_size"]),
+    )
+    return state.read("hdfs_settings", cl.HDFS_SETTINGS_SCHEMA)
+
+
 @query("apply_identities_cdh", oracle=_apply_identities_oracle())
 def apply_identities_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full staged identity apply (S9/W1/W2): seed a state with one
