@@ -70,6 +70,35 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
 
 
+# stopword profiles for the heuristic language identifier — one
+# source of truth shared with the SQL oracle twin
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "is", "to"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+}
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Count of tokens hitting ``lang``'s stopword profile."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*LANG_PROFILES[lang])))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword-profile
+    scores; ties break alphabetically, zero evidence -> 'unknown'.
+    A production pipeline swaps the profiles for char-n-gram models —
+    the expression shape (score family + argmax CASE) is the same.
+    """
+    scores = {lang: lang_score(col, lang) for lang in sorted(LANG_PROFILES)}
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    for lang in reversed(sorted(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("unknown")).otherwise(expr)
+
+
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Array of character n-grams (empty when text shorter than n)."""
     c = _c(col)

@@ -1673,6 +1673,101 @@ def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_score_sql(lang: str) -> str:
+    from isilon_hadoop_tools_spark.functions.text import LANG_PROFILES
+
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        r"len(list_filter(regexp_split_to_array(trim(text), '\s+'),"
+        f" t -> t IN ({words})))"
+    )
+
+
+def _lang_id_oracle() -> str:
+    from isilon_hadoop_tools_spark.functions.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    scores = ",\n           ".join(
+        f"{_lang_score_sql(lang)} AS s_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    chain = "\n                ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+           {scores}
+      FROM documents
+    ),
+    m AS (SELECT *, {best} AS m FROM scored)
+    SELECT doc_id, labeled_lang,
+           CASE WHEN m = 0 THEN 'unknown'
+                {chain}
+                END AS detected_lang,
+           m AS score
+    FROM m
+    """
+
+
+@query("doc_lang_id", oracle=_lang_id_oracle())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-profile argmax) next to the
+    labeled language — the LLM-pipeline lang-ID operator; profiles
+    and tie order are one source of truth with the oracle."""
+    from isilon_hadoop_tools_spark.functions.text import (
+        LANG_PROFILES,
+        lang_id,
+        lang_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("detected_lang"),
+        F.greatest(
+            *[lang_score("text", lang) for lang in sorted(LANG_PROFILES)]
+        ).alias("score"),
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact scan with a pushed one-month predicate,
+    broadcast join to the part dimension, conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
 @query(
     "dedup_exact_docs",
     oracle=f"""

@@ -129,6 +129,20 @@ def test_char_ngrams(spark):
     assert _one(spark, char_ngrams("t", 3), t="ab") == []
 
 
+def test_lang_id_on_real_sentences(spark):
+    from isilon_hadoop_tools_spark.functions.text import lang_id
+
+    cases = [
+        ("the cat is one of the best animals", "en"),
+        ("der hund ist nicht die katze und das pferd", "de"),
+        ("el perro y los gatos es una historia", "es"),
+        ("le chien et les chats est une histoire dans paris", "fr"),
+        ("xyzzy plugh", "unknown"),
+    ]
+    for text, expected in cases:
+        assert _one(spark, lang_id("t"), t=text) == expected
+
+
 def test_punct_ratio(spark):
     assert _one(spark, punct_ratio("t"), t="") == 0.0
     assert abs(_one(spark, punct_ratio("t"), t="ab,.") - 0.5) < 1e-9
