@@ -1,0 +1,73 @@
+"""Scale-technique tests: salted joins/aggs match their unsalted
+twins, and bucketed tables co-locate joins with no exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.operators.skew import salted_count, salted_join
+
+
+def _skewed(spark, n=5000):
+    # 80% of rows share one hot key
+    return spark.range(n).select(
+        F.when(F.col("id") % 5 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = _skewed(spark)
+    right = spark.createDataFrame(
+        [(7, "hot"), (5, "cold"), (10, "cold")], "k LONG, tag STRING"
+    )
+    plain = left.join(right, "k").groupBy("tag").count()
+    salted = salted_join(left, right, "k", salt=4).groupBy("tag").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_count_matches_plain_count(spark):
+    df = _skewed(spark)
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r["k"]: r["count"] for r in salted_count(df, "k", salt=4).collect()}
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed by the join key into the same bucket count
+    -> SortMergeJoin with ZERO exchanges (the co-located join the
+    engine relies on for repeated fact-fact joins at scale).
+    (warehouse.dir is static config, so the default ./spark-warehouse
+    is used and gitignored.)"""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = spark.range(1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_flag")
+    )
+    lineitem = spark.range(3000).select(
+        (F.col("id") % 1000).alias("l_orderkey"), F.col("id").alias("l_qty")
+    )
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout satisfies the join
+        assert joined.count() == 3000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
