@@ -184,6 +184,78 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``n_lists`` inverted
+    lists by nearest centroid, probe the ``n_probe`` closest lists per
+    query, exact-rank within the probed lists.
+
+    Centroids here are the ``n_lists`` lowest-id corpus vectors — a
+    deterministic stand-in for a k-means pass (at 100 TB you train
+    centroids on a sample once and broadcast them; the assignment /
+    probe / rank dataflow below is identical). Assignment is one scan
+    with broadcast centroids; the probe join's key is the list id, so
+    each query only meets ~n_probe/n_lists of the corpus.
+
+    Output: ``query_id``, ``neighbor_id``, ``cos_sim``, ``rank``.
+    """
+    spark = corpus.sparkSession
+    cents = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    ]
+    cent_rows = [(i, vec) for i, (_, vec) in enumerate(cents)]
+    cent_df = F.broadcast(
+        spark.createDataFrame(cent_rows, "list_id INT, c_vec ARRAY<DOUBLE>")
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, probe: int) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        scored = (
+            df.select(F.col(id_col).alias(out_id), vec.alias(out_vec))
+            .join(cent_df)
+            .select(
+                out_id,
+                out_vec,
+                "list_id",
+                cosine(F.col(out_vec), F.col("c_vec")).alias("_c_sim"),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_c_sim").desc(), F.col("list_id")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= probe)
+            .drop("_c_sim", "_r")
+        )
+
+    c = assign(corpus, "neighbor_id", "c_vec2", probe=1)
+    q = assign(queries, "query_id", "q_vec", probe=n_probe)
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec2").alias("c_vec2"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec2")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2245,6 +2245,19 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_probed", oracle=None)  # approximate: rows-only check
+def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale-path ANN: corpus partitioned into inverted lists by
+    nearest centroid, queries probe the closest lists, exact rank
+    inside. Approximate by design -> no SQL oracle; recall vs brute
+    force (~0.92 at 16 lists / 4 probes) is asserted in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

@@ -78,6 +78,20 @@ def test_lsh_cos_sims_match_brute_force_for_shared_pairs(spark, embeddings):
         assert abs(exact[pair] - approx[pair]) < 1e-9
 
 
+def test_ivf_recall_beats_lsh_floor(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    exact = _topk_sets(similarity.brute_force_topk(embeddings, queries, k=K).collect())
+    approx = _topk_sets(
+        similarity.ivf_ann_topk(
+            embeddings, queries, k=K, n_lists=16, n_probe=4
+        ).collect()
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * K)
+    # measures ~0.92 here; generous floor for centroid jitter
+    assert recall >= 0.7, f"IVF recall {recall:.2f} below floor"
+
+
 def test_cosine_near_dup_pairs_finds_scaled_duplicates(spark):
     rows = [
         (i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)]) for i in range(20)
