@@ -1473,6 +1473,30 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_props_parsed",
+    oracle="""
+    SELECT event_type,
+           round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
+           max(json_extract(props, '$.k')::INT) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property parsing over real data (F10 from_json + F9 struct
+    access): the events table's ``props`` column is a JSON document;
+    parse with an explicit schema and aggregate the typed field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "STRUCT<k: INT>")["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _EMA_ALPHA = 0.3
 
 

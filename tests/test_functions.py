@@ -129,6 +129,20 @@ def test_char_ngrams(spark):
     assert _one(spark, char_ngrams("t", 3), t="ab") == []
 
 
+def test_uuid_and_seeded_rand(spark):
+    """F12: uuid() yields distinct RFC-4122 strings; rand(seed) is
+    deterministic across runs of the same plan."""
+    import re
+
+    df = spark.range(100)
+    uuids = [r["u"] for r in df.select(F.expr("uuid()").alias("u")).collect()]
+    assert len(set(uuids)) == 100
+    assert all(re.fullmatch(r"[0-9a-f-]{36}", u) for u in uuids)
+    a = [r["x"] for r in df.select(F.rand(seed=42).alias("x")).collect()]
+    b = [r["x"] for r in df.select(F.rand(seed=42).alias("x")).collect()]
+    assert a == b
+
+
 def test_lang_id_on_real_sentences(spark):
     from isilon_hadoop_tools_spark.functions.text import lang_id
 
