@@ -8,8 +8,11 @@ Runs each headline query from the oracle-checked suite against
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
 
 Each query is forced end-to-end with a ``noop`` write (full plan
-execution, no driver-side collect cost), after a one-query warmup to
-amortize JVM/codegen startup out of the numbers.
+execution, no driver-side collect cost). Before timing, every query
+runs once against the sf0.001 smoke data: that compiles the plan and
+generates its codegen classes, so the timed sf0.1 run measures
+steady-state execution (what a resident cluster job sees), not
+one-time JIT/compile overhead.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from isilon_hadoop_tools_spark import suite  # noqa: E402
 from isilon_hadoop_tools_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 # Headline set: one per major subsystem (scan+agg, joins, windows,
 # events, text, dedup family, similarity).
@@ -65,9 +69,10 @@ def main() -> int:
     registry = suite.queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warmup: run the cheapest query once so JVM startup / codegen /
-    # parquet footer caching don't pollute the first measurement.
-    run_query(registry[names[0]], spark, SF_DIR)
+    # Warmup: run every query once at the smoke scale so plan compile
+    # + whole-stage-codegen class generation happen before the clock.
+    for name in names:
+        run_query(registry[name], spark, WARMUP_SF_DIR)
 
     timings: dict[str, float] = {}
     for name in names:

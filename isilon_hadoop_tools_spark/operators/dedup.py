@@ -332,32 +332,29 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
 
     bit j of the fingerprint = sign of sum over tokens of
     (+1 if bit j of stable_hash32(token) else -1).  Output: ``id``,
-    ``simhash`` (long). Cost: |tokens| × bits intermediate rows — one
-    explode + one aggregation, shuffle on (id, bit).
+    ``simhash`` (long).
+
+    One wide aggregation: each token row computes ``bits`` vote
+    columns ((h >> j) & 1, literal shifts, all codegen'd) and a single
+    ``groupBy(id)`` sums them — no bits-explode (the naive form
+    shuffles ``bits``x the token count) and one shuffle instead of
+    two. The fingerprint is then reassembled from the signs.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     ).withColumn("h", stable_hash32("tok"))
-    bitsum = (
-        toks.select(
-            "id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        )
-        .withColumn(
-            # (h >> bit) & 1 with a Column shift amount: shiftright()
-            # only takes a literal, so use exact double pow (h < 2^32).
-            "vote",
-            F.when(
-                F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))) % 2 == 1, 1
-            ).otherwise(-1),
-        )
-        .groupBy("id", "bit")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return bitsum.groupBy("id").agg(
+    votes = [
         F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0)
-        ).alias("simhash")
-    )
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*votes)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"_s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("id", fingerprint.alias("simhash"))
