@@ -544,6 +544,44 @@ def zone_hdfs_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "settings_as_map_entries",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_hdfs",
+            ["zone_name", "root_directory", "default_block_size", "service_enabled"],
+            cluster.HDFS_SETTINGS_ROWS,
+        )
+        + """
+    SELECT zone_name, e.entry.key AS setting_key, e.entry.value AS setting_value
+    FROM seed_hdfs,
+         UNNEST(map_entries(MAP {
+           'root_directory': root_directory,
+           'default_block_size': default_block_size::VARCHAR,
+           'service_enabled': service_enabled::VARCHAR
+         })) AS e(entry)
+    """
+    ),
+)
+def settings_as_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (F9: map construction, entry explode): each
+    settings document pivoted to (zone, key, value) rows — the
+    engine's form of the reference's settings-dict projections
+    (``onefs.py:1122-1142``)."""
+    from isilon_hadoop_tools_spark.sources import cluster as cl
+
+    settings = cl.hdfs_settings_df(spark)
+    doc = F.create_map(
+        F.lit("root_directory"), F.col("root_directory"),
+        F.lit("default_block_size"), F.col("default_block_size").cast("string"),
+        F.lit("service_enabled"), F.col("service_enabled").cast("string"),
+    )
+    return settings.select(
+        "zone_name", F.explode(doc).alias("setting_key", "setting_value")
+    )
+
+
 _SFX = "-c1"
 
 
