@@ -327,6 +327,54 @@ def connected_components(
     return labels
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash scheme): hash every character ``k``-gram, slide a
+    ``window``-wide frame over the hash sequence, and keep the distinct
+    window minima. The winnowing guarantee: two documents sharing any
+    substring of length >= ``k + window - 1`` share at least one
+    fingerprint, so fingerprint overlap is an edit-robust containment
+    signal (plagiarism / boilerplate / quotation detection) that exact
+    and shingle-set dedup both miss.
+
+    Output: ``id``, ``fp`` (distinct selected hashes per document).
+
+    Shape: characters are exploded *individually* and k-grams rebuilt
+    with ``lead`` windows — rows carry one char, never the whole text,
+    so per-doc memory is O(len), not the O(len^2) a
+    posexplode-of-grams-with-text-carried plan would cost. All three
+    window passes (lead-gram build, frame min, per-doc max position)
+    share one hash-partition-by-id exchange; the trailing
+    ``distinct()`` reuses that clustering too — one shuffle total.
+    """
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("i", "ch"),
+    )
+    w = Window.partitionBy("id").orderBy("i")
+    gram = F.concat(F.col("ch"), *[F.lead("ch", j).over(w) for j in range(1, k)])
+    hashed = chars.select(
+        "id",
+        "i",
+        # concat is null if any lead ran off the end -> trailing
+        # partial grams hash to null and full-window filtering below
+        # never selects them
+        stable_hash32(gram).alias("h"),
+        F.max("i").over(Window.partitionBy("id")).alias("max_i"),
+    )
+    frame = Window.partitionBy("id").orderBy("i").rowsBetween(0, window - 1)
+    return (
+        hashed.withColumn("fp", F.min("h").over(frame))
+        # 0-based: grams live at i <= max_i-(k-1); full windows start
+        # at i <= max_i-(k-1)-(window-1)
+        .filter(F.col("i") <= F.col("max_i") - (k - 1) - (window - 1))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """Per-document SimHash fingerprint over distinct whitespace tokens.
 

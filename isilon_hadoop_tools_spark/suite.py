@@ -2006,6 +2006,38 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH positions AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+      FROM documents
+      WHERE length(text) >= 11
+    ),
+    grams AS (
+      SELECT doc_id, i, length(text) - 7 AS n_grams,
+             {stable_hash32_sql("substr(text, i, 8)")} AS h
+      FROM positions
+    ),
+    wm AS (
+      SELECT doc_id, i, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_grams - 3
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (the MOSS
+    scheme): 8-char-gram hashes, min per 4-wide sliding window,
+    distinct selected hashes per doc. Any shared substring of length
+    >= 11 chars yields a shared fingerprint."""
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, window=4
+    ).withColumnRenamed("id", "doc_id")
+
+
 _SIMHASH_SQL = f"""
     toks AS (
       SELECT DISTINCT doc_id AS id,

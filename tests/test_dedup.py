@@ -122,3 +122,38 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     ).count()
     assert uncapped > 0
     assert capped == 0  # the only shared shingle was dropped by the cap
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    # winnowing guarantee: a shared substring of length >= k+window-1
+    # (= 11 here) forces at least one shared selected fingerprint
+    shared = "identical quoted passage kept verbatim across documents"
+    rows = [
+        (1, "intro text before. " + shared + " and a unique tail one."),
+        (2, "other lead-in words: " + shared + " then different ending."),
+        (3, "nothing in common with the others at all, fully disjoint!"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    fps = dedup.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    # disjoint doc shares (almost) nothing: strictly fewer overlaps
+    assert len(by_doc[1] & by_doc[3]) < len(by_doc[1] & by_doc[2])
+
+
+def test_winnow_short_docs_yield_no_fingerprints(spark):
+    # len < k+window-1 = 11 -> no full window -> no rows (and no error)
+    docs = spark.createDataFrame([(1, "tiny text!"), (2, "ok")], DOCS_SCHEMA)
+    assert dedup.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4).count() == 0
+
+
+def test_winnow_fingerprints_deterministic_and_distinct(spark):
+    docs = spark.createDataFrame(
+        [(7, "a reasonably long document body for fingerprinting checks")],
+        DOCS_SCHEMA,
+    )
+    a = sorted(r["fp"] for r in dedup.winnow_fingerprints(docs, "text", "doc_id").collect())
+    b = sorted(r["fp"] for r in dedup.winnow_fingerprints(docs, "text", "doc_id").collect())
+    assert a == b and len(a) == len(set(a)) and len(a) > 0
