@@ -116,16 +116,37 @@ def hyperplane_bucket(vec_col, planes: int, dim: int, seed: int = 7) -> Column:
     The planes are data-independent constants, so they are computed
     once in Python and embedded as array literals — zero per-row
     hashing (the naive form re-derives planes*dim md5 values per row).
+    Each plane is rendered as ONE ``F.expr("array(...)")`` literal:
+    element-wise ``F.lit`` assembly costs planes*dim driver->JVM
+    round-trips (seconds of pure plan-construction latency at
+    dim=64 x 8 tables), the single parsed string costs one.
     bit p = (dot(vec, plane_p) >= 0).
     """
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        comp = F.array(
-            *[F.lit(_plane_component(p, j, seed)) for j in range(dim)]
+        comp = F.expr(
+            "array("
+            + ",".join(f"{_plane_component(p, j, seed)!r}D" for j in range(dim))
+            + ")"
         )
         bit = (_dot(vec_col, comp) >= 0).cast("long")
         bucket = bucket + bit * F.lit(2**p)
     return bucket
+
+
+TARGET_BUCKET_OCCUPANCY = 64
+
+
+def auto_planes(n_rows: int, target: int = TARGET_BUCKET_OCCUPANCY) -> int:
+    """Plane count sized so expected bucket occupancy ~= ``target``:
+    ``ceil(log2(n / target))`` clamped to [2, 16]. Fixed plane counts
+    are a scale bug — 16 buckets over a 100 TB corpus means ~1/16 of
+    the corpus self-joins per bucket; occupancy, not bucket count, is
+    what must stay constant as n grows (candidate work ~ tables *
+    2^planes * occupancy^2)."""
+    import math
+
+    return max(2, min(16, math.ceil(math.log2(max(n_rows, 1) / target))))
 
 
 def cosine_near_dup_pairs(
@@ -133,7 +154,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    planes: int = 4,
+    planes: int | None = None,
     tables: int = 8,
     dim: int | None = None,
 ) -> DataFrame:
@@ -147,13 +168,18 @@ def cosine_near_dup_pairs(
     scale-invariant, so exact duplicates (and near-exact, with
     multi-table union probability) always co-bucket. Recall for
     borderline pairs follows 1-(1-p^planes)^tables; raise ``tables``
-    for higher-recall sweeps.
+    for higher-recall sweeps. ``planes=None`` (default) sizes the
+    bucket count from the corpus so occupancy — and with it the
+    per-bucket candidate volume — stays constant as the corpus grows
+    (see :func:`auto_planes`).
     """
     if dim is None:
         probe = df.select(F.size(vec_col).alias("d")).first()
         if probe is None:
             raise ValueError("cannot infer embedding dim from an empty corpus")
         dim = probe["d"]
+    if planes is None:
+        planes = auto_planes(df.count())
     vec = F.col(vec_col).cast("array<double>")
     buckets = F.array(
         *[
@@ -161,24 +187,44 @@ def cosine_near_dup_pairs(
             for t in range(tables)
         ]
     )
+    # candidate generation is id-only: carrying the vectors through
+    # the bucket self-join shuffles ~dim*8 bytes per *candidate* row
+    # (64x the key payload) and was the measured bottleneck; instead
+    # the distinct pair set re-joins the per-id vector+norm table.
     hashed = df.select(
         F.col(id_col).alias("id"),
-        vec.alias("v"),
         F.posexplode(buckets).alias("table_id", "bucket"),
     )
-    a = hashed.select("table_id", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = hashed.select("table_id", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    a = hashed.select("table_id", "bucket", F.col("id").alias("id_a"))
+    b = hashed.select("table_id", "bucket", F.col("id").alias("id_b"))
     candidates = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # norms precomputed once per id: the verify pass then evaluates
+    # ONE higher-order dot per pair instead of dot + 2 norms (3x), and
+    # dot/(na*nb) is the exact same floating-point expression the
+    # brute-force oracle computes.
+    vecs = df.select(F.col(id_col).alias("id"), vec.alias("v")).withColumn(
+        "n", _norm(F.col("v"))
+    )
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
     return (
-        candidates.select(
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -216,16 +262,18 @@ def ivf_ann_topk(
         spark.createDataFrame(cent_rows, "list_id INT, c_vec ARRAY<DOUBLE>")
     )
 
-    def assign(df: DataFrame, out_id: str, out_vec: str, probe: int) -> DataFrame:
+    def assign(df: DataFrame, out_id: str, probe: int) -> DataFrame:
+        """(id, list_id) assignment rows — vectors are dropped after
+        centroid scoring; the exact-rank pass re-joins them so the
+        list-probe join shuffles ids, not arrays."""
         vec = F.col(vec_col).cast("array<double>")
         scored = (
-            df.select(F.col(id_col).alias(out_id), vec.alias(out_vec))
+            df.select(F.col(id_col).alias(out_id), vec.alias("_v"))
             .join(cent_df)
             .select(
                 out_id,
-                out_vec,
                 "list_id",
-                cosine(F.col(out_vec), F.col("c_vec")).alias("_c_sim"),
+                cosine(F.col("_v"), F.col("c_vec")).alias("_c_sim"),
             )
         )
         w = Window.partitionBy(out_id).orderBy(
@@ -234,16 +282,21 @@ def ivf_ann_topk(
         return (
             scored.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= probe)
-            .drop("_c_sim", "_r")
+            .select(out_id, "list_id")
         )
 
-    c = assign(corpus, "neighbor_id", "c_vec2", probe=1)
-    q = assign(queries, "query_id", "q_vec", probe=n_probe)
+    c = assign(corpus, "neighbor_id", probe=1)
+    q = assign(queries, "query_id", probe=n_probe)
+    vec = F.col(vec_col).cast("array<double>")
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), vec.alias("q_vec"))
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), vec.alias("c_vec2"))
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec2").alias("c_vec2"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -293,7 +346,7 @@ def lsh_ann_topk(
             raise ValueError("cannot infer embedding dim from an empty corpus")
         dim = probe["d"]
 
-    def _hashed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+    def _hashed(df: DataFrame, out_id: str) -> DataFrame:
         vec = F.col(vec_col).cast("array<double>")
         buckets = F.array(
             *[
@@ -308,24 +361,36 @@ def lsh_ann_topk(
                 )
             ).cast("array<long>")
         )
+        # id-only hash-table rows: the vectors re-join after candidate
+        # dedup, so the bucket join shuffles 16-byte keys, not arrays
         return df.select(
             F.col(id_col).alias(out_id),
-            vec.alias(out_vec),
             F.posexplode(guarded).alias("table_id", "bucket"),
         )
 
-    q = _hashed(queries, "query_id", "q_vec")
-    c = _hashed(corpus, "neighbor_id", "c_vec")
+    q = _hashed(queries, "query_id")
+    c = _hashed(corpus, "neighbor_id")
     candidates = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    vec = F.col(vec_col).cast("array<double>")
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), vec.alias("q_vec")
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vec.alias("c_vec")
+    )
+    scored = (
+        candidates.join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
