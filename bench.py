@@ -37,16 +37,22 @@ HEADLINE = (
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q18_large_volume_customers",
     "top3_orders_per_customer",
     "customer_order_gaps",
     "events_hourly_rollup",
     "events_dedup_first",
     "doc_token_stats",
+    "doc_winnow_fingerprints",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
     "simhash_docs",
+    "dedup_embedding_cosine",
     "ann_brute_force_cosine",
+    "ann_ivf_probed",
 )
 
 

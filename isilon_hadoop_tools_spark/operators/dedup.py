@@ -304,24 +304,21 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("keep_id").alias("_nmin"))
         )
-        new_labels = (
+        # convergence flag computed inside the same pass — a separate
+        # new-vs-old join would re-shuffle both label sets every round
+        stepped = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
             .select(
                 "id",
                 F.least(F.col("keep_id"), F.coalesce("_nmin", "keep_id")).alias(
                     "keep_id"
                 ),
+                (F.coalesce("_nmin", "keep_id") < F.col("keep_id")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.keep_id") != F.col("o.keep_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("_changed").limit(1).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     return labels
