@@ -2062,6 +2062,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        # applied once at the source (ID keys are non-null by schema
+        # contract): the probe-side join would push isnotnull into its
+        # own scan, and the asymmetric filters would defeat exchange
+        # reuse — the revenue subplan would be computed twice
+        & F.col("l_suppkey").isNotNull()
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

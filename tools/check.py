@@ -100,7 +100,9 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time() - t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    n_run = sum(1 for name in qs if not only or name in only)
+    print(f"\n{n_run - len(failures)}/{n_run} queries pass"
+          + (f" ({len(qs) - n_run} skipped)" if n_run < len(qs) else ""))
     return 1 if failures else 0
 
 
