@@ -15,6 +15,7 @@ from isilon_hadoop_tools_spark.streaming.events import (
     read_events_stream,
     run_available_now,
     sessionize,
+    view_purchase_interval_join,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "sessionize",
+    "view_purchase_interval_join",
 ]

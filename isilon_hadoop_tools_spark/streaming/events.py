@@ -118,6 +118,50 @@ def sessionize(
     )
 
 
+def view_purchase_interval_join(
+    events: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    horizon_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream inner join with event-time interval bounds:
+    each purchase joins the same user's views from the preceding
+    ``horizon_sec`` seconds.
+
+    Both sides carry a watermark and the join condition bounds
+    ``purchase_ts`` to ``[view_ts, view_ts + horizon]``, so Spark can
+    evict join state older than watermark + horizon — without the
+    time bounds the state would grow forever (the planner rejects
+    unbounded stream-stream joins in append mode for exactly that
+    reason). Output: ``user_id``, ``view_ts``, ``purchase_ts``,
+    ``value``.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")
+        )
+    )
+    return views.join(purchases, cond).select(
+        F.col("v_user").alias("user_id"), "view_ts", "purchase_ts", "value"
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

@@ -1645,6 +1645,72 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
+    FROM events v
+    JOIN events p ON v.user_id = p.user_id
+                 AND v.event_type = 'view'
+                 AND p.event_type = 'purchase'
+                 AND p.ts >= v.ts
+                 AND p.ts <= v.ts + INTERVAL 3600 SECOND
+    """,
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (§2.9): views ⋈ purchases per user
+    within a 1-hour horizon, both sides watermarked so join state is
+    evicted past watermark + horizon. Drained with availableNow in
+    append mode — must equal the batch self-join oracle."""
+    from isilon_hadoop_tools_spark import streaming
+
+    ev = streaming.read_events_stream(spark, sf_dir)
+    return streaming.run_available_now(
+        streaming.view_purchase_interval_join(ev), output_mode="append"
+    )
+
+
+@query(
+    "orders_partitioned_pruning",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table lifecycle (S15 + the 100 TB layout story):
+    orders written out hive-partitioned by derived year, read back
+    with a partition predicate. The filter prunes at planning time —
+    the scan's PartitionFilters handles o_year=1997 and non-matching
+    directories are never listed into the task set (asserted in
+    tests/test_plan_quality.py). At 100 TB this is the difference
+    between reading one year and reading the decade."""
+    import os
+    import shutil
+
+    path = f"{_SCRATCH}/orders_by_year_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_year") == 1997)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+@query(
     "events_foreach_batch_state",
     oracle="""
     SELECT event_id, min(ts) AS first_ts FROM events GROUP BY event_id

@@ -133,3 +133,11 @@ def test_embedding_cosine_id_only_candidates(spark):
     # vectors re-join after pair dedup: the candidate distinct's
     # exchange partitions on the id pair, not on array payloads
     assert "hashpartitioning(id_a" in plan
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    plan = _plan(spark, "orders_partitioned_pruning")
+    # the o_year predicate must be a partition filter on the scan
+    # (directory-level pruning), never a post-scan data filter
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_year" in pf and "1997" in pf

@@ -93,3 +93,29 @@ def test_foreach_batch_sink_idempotent_across_restarts(spark, stream_dir, tmp_pa
     }
     assert set(rows) == {1, 2, 3, 4, 9}
     assert rows[2] == T0 + dt.timedelta(minutes=5)  # min ts across batches
+
+
+def test_stream_stream_interval_join_bounds(spark, tmp_path):
+    from isilon_hadoop_tools_spark.streaming.events import (
+        view_purchase_interval_join,
+    )
+
+    d = str(tmp_path / "ss_events")
+    rows = [
+        # user 1: view at 12:00; purchases at 12:30 (in horizon) and
+        # 14:00 (outside the 1h horizon)
+        (1, T0 + dt.timedelta(hours=0), 1, "view", 0.0),
+        (2, T0 + dt.timedelta(minutes=30), 1, "purchase", 9.5),
+        (3, T0 + dt.timedelta(hours=2), 1, "purchase", 1.0),
+        # user 2: purchase with no prior view -> inner join drops it
+        (4, T0 + dt.timedelta(minutes=10), 2, "purchase", 3.0),
+    ]
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    spark.createDataFrame(rows, schema).write.parquet(d)
+    ev = spark.readStream.schema(schema).parquet(d)
+    out = run_available_now(
+        view_purchase_interval_join(ev, watermark="1 day", horizon_sec=3600),
+        output_mode="append",
+    ).collect()
+    assert [(r["user_id"], r["value"]) for r in out] == [(1, 9.5)]
+    assert out[0]["purchase_ts"] == T0 + dt.timedelta(minutes=30)
