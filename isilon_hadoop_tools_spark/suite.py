@@ -1670,6 +1670,28 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_salted_type_counts",
+    oracle="""
+    SELECT event_type, count(*) AS count
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (SURVEY §4 skew tooling): counts
+    per event_type computed as partial counts per (key, salt) then a
+    final sum per key — identical result to a plain groupBy, with hot
+    keys spread over ``salt`` subgroups. event_type has exactly 5
+    values over the whole corpus, the worst-case hot-key shape a
+    plain groupBy would funnel into 5 reducers at 100 TB (map-side
+    partial aggregation already bounds pure counts; salting is the
+    same insurance for aggregates without cheap partials, e.g.
+    collect_list / percentile state)."""
+    from isilon_hadoop_tools_spark.operators.skew import salted_count
+
+    return salted_count(_t(spark, sf_dir, "events"), "event_type", salt=8)
+
+
+@query(
     "orders_partitioned_pruning",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,
