@@ -424,6 +424,65 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_trailing_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_30d
+    FROM orders
+    """,
+)
+def customer_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window (W3): per order, the same
+    customer's trailing-30-day revenue. The frame is value-based
+    (epoch seconds), not row-based — ties on the date enter the frame
+    together, which a rowsBetween frame would get wrong."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
+
+
+@query(
+    "lineitem_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A6) through the SQL entrypoint — the
+    engine's plans are declarable as SQL text too; Catalyst expands
+    the sets into one Expand node over a single scan, not one scan
+    per set."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
     "cluster_node_revision",
     oracle=(
         "WITH "
