@@ -1,0 +1,101 @@
+"""Property-based invariants (hypothesis): randomized inputs against
+the algebraic contracts the example-based tests pin down pointwise.
+
+Each example builds ONE DataFrame and runs ONE action, so hypothesis
+drives Spark at a usable cost; example counts are deliberately small
+(the properties are exercised again every round at other seeds).
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.functions.octal import from_octal, to_octal
+from isilon_hadoop_tools_spark.operators import dedup
+from isilon_hadoop_tools_spark.operators.allocate_ids import allocate_ids
+from isilon_hadoop_tools_spark.operators.skew import salted_count
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_TEXT = st.text(alphabet=string.ascii_lowercase + " ", min_size=0, max_size=120)
+
+
+@_SETTINGS
+@given(
+    prefix_a=_TEXT,
+    suffix_a=_TEXT,
+    prefix_b=_TEXT,
+    suffix_b=_TEXT,
+    shared=st.text(alphabet=string.ascii_lowercase, min_size=11, max_size=40),
+)
+def test_winnow_guarantee_property(spark, prefix_a, suffix_a, prefix_b, suffix_b, shared):
+    """Any two docs sharing a substring of length >= k + window - 1
+    (= 11 at the defaults) share at least one winnowing fingerprint,
+    regardless of what surrounds it."""
+    rows = [(1, prefix_a + shared + suffix_a), (2, prefix_b + shared + suffix_b)]
+    fps = dedup.winnow_fingerprints(
+        spark.createDataFrame(rows, "doc_id LONG, text STRING"), "text", "doc_id"
+    ).collect()
+    by_doc: dict[int, set] = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r["id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+
+
+@_SETTINGS
+@given(
+    names=st.lists(
+        st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    taken=st.lists(st.integers(min_value=1025, max_value=1100), max_size=20),
+    start=st.integers(min_value=1025, max_value=1050),
+)
+def test_allocator_property(spark, names, taken, start):
+    """Allocated IDs are unique, >= start, never collide with the
+    taken set, and are exactly the |names| smallest free slots (the
+    reference's linear-probe semantics, identities.py:126-149)."""
+    names_df = spark.createDataFrame([(n,) for n in names], "name STRING")
+    taken_df = spark.createDataFrame(
+        [(i,) for i in taken] or [(None,)], "id LONG"
+    ).filter(F.col("id").isNotNull())
+    out = allocate_ids(names_df, "name", taken=taken_df, start=start, out_col="id")
+    got = sorted(r["id"] for r in out.collect())
+    free = (i for i in range(start, start + 1000) if i not in set(taken))
+    expect = sorted(next(free) for _ in names)
+    assert got == expect
+
+
+@_SETTINGS
+@given(modes=st.lists(st.integers(min_value=0, max_value=0o7777), min_size=1, max_size=50))
+def test_octal_round_trip_property(spark, modes):
+    df = spark.createDataFrame([(m,) for m in modes], "mode LONG")
+    out = df.select(
+        "mode", from_octal(to_octal("mode")).alias("back")
+    ).collect()
+    assert all(r["back"] == r["mode"] for r in out)
+
+
+@_SETTINGS
+@given(
+    keys=st.lists(
+        st.sampled_from(["a", "b", "c", "hot", "hot", "hot"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_count_equals_plain_count(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k STRING")
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r["k"]: r["count"] for r in salted_count(df, "k", salt=4).collect()}
+    assert salted == plain
