@@ -45,6 +45,25 @@ HDFS_SETTINGS_ROWS: tuple[tuple[str, str, int, bool], ...] = (
     ("HDP-Zone", "apps/hdfs", 65536, True),
 )
 
+# (realm_name, auth_provider, sc_zone) — kerberos realms + their
+# SmartConnect zone name (realms() onefs.py:1235-1238; provider
+# create onefs.py:851-860; SPN names built as "{service}/{sc_zone}",
+# onefs.py:919-932)
+REALM_ROWS: tuple[tuple[str, str, str], ...] = (
+    ("EXAMPLE.COM", "krb5-example", "cluster.example.com"),
+    ("CORP.LOCAL", "krb5-corp", "corp-cluster.corp.local"),
+)
+
+# (realm_name, spn) — current keytab entries (_keytab_entries
+# onefs.py:648-653); one stale host on purpose so the reconcile has a
+# delete row (delete_spn keep-list semantics, onefs.py:988-1000)
+KEYTAB_ROWS: tuple[tuple[str, str], ...] = (
+    ("EXAMPLE.COM", "hdfs/cluster.example.com"),
+    ("EXAMPLE.COM", "HTTP/cluster.example.com"),
+    ("EXAMPLE.COM", "hdfs/old-node.example.com"),
+    ("CORP.LOCAL", "HTTP/corp-cluster.corp.local"),
+)
+
 ZONES_SCHEMA = "zone_name STRING, zone_path STRING, zone_id INT"
 POOLS_SCHEMA = "pool_name STRING, low_ip STRING, high_ip STRING"
 NODES_SCHEMA = "node_id INT, revision STRING"
@@ -52,6 +71,8 @@ HDFS_SETTINGS_SCHEMA = (
     "zone_name STRING, root_directory STRING, default_block_size INT, "
     "service_enabled BOOLEAN"
 )
+REALMS_SCHEMA = "realm_name STRING, auth_provider STRING, sc_zone STRING"
+KEYTAB_SCHEMA = "realm_name STRING, spn STRING"
 
 
 def zones_df(spark: SparkSession) -> DataFrame:
@@ -68,3 +89,11 @@ def nodes_df(spark: SparkSession) -> DataFrame:
 
 def hdfs_settings_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(list(HDFS_SETTINGS_ROWS), HDFS_SETTINGS_SCHEMA)
+
+
+def realms_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(REALM_ROWS), REALMS_SCHEMA)
+
+
+def keytab_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(KEYTAB_ROWS), KEYTAB_SCHEMA)

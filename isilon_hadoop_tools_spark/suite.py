@@ -483,6 +483,68 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "realm_spn_reconcile",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_realms",
+            ["realm_name", "auth_provider", "sc_zone"],
+            cluster.REALM_ROWS,
+        )
+        + ", "
+        + values_cte("seed_keytab", ["realm_name", "spn"], cluster.KEYTAB_ROWS)
+        + """,
+    desired AS (
+      SELECT realm_name, svc || '/' || sc_zone AS spn
+      FROM seed_realms, unnest(['hdfs', 'HTTP']) AS t(svc)
+    )
+    SELECT coalesce(d.realm_name, k.realm_name) AS realm_name,
+           coalesce(d.spn, k.spn) AS spn,
+           CASE WHEN k.spn IS NULL THEN 'create'
+                WHEN d.spn IS NULL THEN 'delete'
+                ELSE 'noop' END AS action
+    FROM desired d
+    FULL OUTER JOIN seed_keytab k
+      ON d.realm_name = k.realm_name AND d.spn = k.spn
+    """
+    ),
+)
+def realm_spn_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kerberos SPN lifecycle (S6 realms/keytab scans + S9 create_spn
+    + S10 delete_spn): desired SPNs are {hdfs,HTTP}/{SmartConnect
+    zone} per realm (``onefs.py:919-932``); reconciling against the
+    keytab classifies create (missing), noop (present), delete (stale
+    entry — the keep-list semantics of ``onefs.py:988-1000``)."""
+    realms = cluster.realms_df(spark)
+    keytab = cluster.keytab_df(spark)
+    desired = realms.select(
+        "realm_name",
+        "sc_zone",
+        F.explode(F.array(F.lit("hdfs"), F.lit("HTTP"))).alias("svc"),
+    ).select(
+        "realm_name", F.concat_ws("/", "svc", "sc_zone").alias("spn")
+    )
+    d = desired.alias("d")
+    k = keytab.alias("k")
+    return (
+        d.join(
+            k,
+            (F.col("d.realm_name") == F.col("k.realm_name"))
+            & (F.col("d.spn") == F.col("k.spn")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("d.realm_name", "k.realm_name").alias("realm_name"),
+            F.coalesce("d.spn", "k.spn").alias("spn"),
+            F.when(F.col("k.spn").isNull(), "create")
+            .when(F.col("d.spn").isNull(), "delete")
+            .otherwise("noop")
+            .alias("action"),
+        )
+    )
+
+
+@query(
     "cluster_node_revision",
     oracle=(
         "WITH "
