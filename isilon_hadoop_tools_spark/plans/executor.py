@@ -30,8 +30,18 @@ class Stage:
     build: Callable[[ParquetState], DataFrame]
 
 
-def run_stages(state: ParquetState, stages: list[Stage]) -> list[tuple[str, int]]:
+def run_stages(
+    state: ParquetState,
+    stages: list[Stage],
+    target_partitions: int | None = 1,
+) -> list[tuple[str, int]]:
     """Run stages in order; returns ``[(stage_name, rows_after)]``.
+
+    ``target_partitions=1`` (default) coalesces each stage's output
+    before the write: these state tables are dimension catalogs
+    (reference workload <= ~60 rows/table), and a 32-partition plan
+    would otherwise commit 32 near-empty files per stage. Pass
+    ``None`` for fact-sized states.
 
     Dry-run (reference S14, ``log_identities``): call each
     ``stage.build(state)`` yourself and display the DataFrames —
@@ -40,6 +50,8 @@ def run_stages(state: ParquetState, stages: list[Stage]) -> list[tuple[str, int]
     report = []
     for stage in stages:
         next_gen = stage.build(state)
+        if target_partitions is not None:
+            next_gen = next_gen.coalesce(target_partitions)
         n = state.write(stage.table, next_gen)
         report.append((stage.name, n))
     return report

@@ -43,13 +43,15 @@ class ParquetState:
 
     def write(self, table: str, df: DataFrame) -> int:
         """Replace ``table`` with ``df`` (stage then swap); returns the
-        new row count (forces the plan exactly once)."""
+        new row count (read from the staged parquet footers on the
+        driver — a re-read ``count()`` would cost one extra Spark job
+        per write, and the staged executor writes per stage)."""
         final = self._path(table)
         tmp = final + ".staging"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         df.write.mode("overwrite").parquet(tmp)
-        n = self.spark.read.parquet(tmp).count()
+        n = self._footer_count(tmp)
         old = final + ".old"
         if os.path.isdir(final):
             os.rename(final, old)
@@ -57,6 +59,22 @@ class ParquetState:
         if os.path.isdir(old):
             shutil.rmtree(old)
         return n
+
+    @staticmethod
+    def _footer_count(path: str) -> int:
+        """Row count from parquet footer metadata — no Spark job.
+
+        Local-filesystem only, like the rest of this stand-in class
+        (the production analog is a Delta/Iceberg table whose commit
+        log carries the count).
+        """
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
