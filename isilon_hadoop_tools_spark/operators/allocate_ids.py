@@ -46,8 +46,20 @@ def allocate_ids(
     """
     spark = names.sparkSession
     distinct_names = names.select(name_col).distinct()
-    n = distinct_names.count()
-    n_taken = taken.count() if taken is not None else 0
+    if taken is not None:
+        # one job for both range-sizing counts, not two
+        counts = dict(
+            distinct_names.agg(
+                F.lit("n").alias("k"), F.count(F.lit(1)).alias("c")
+            )
+            .unionAll(
+                taken.agg(F.lit("t").alias("k"), F.count(F.lit(1)).alias("c"))
+            )
+            .collect()
+        )
+        n, n_taken = counts["n"], counts["t"]
+    else:
+        n, n_taken = distinct_names.count(), 0
 
     ranked = distinct_names.withColumn(
         "_rk", F.row_number().over(Window.orderBy(name_col))

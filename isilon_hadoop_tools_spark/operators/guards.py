@@ -54,3 +54,23 @@ def assert_referential_integrity(
     bad = dangling_references(child, child_col, parent, parent_col).limit(1).collect()
     if bad:
         raise IntegrityError(f"dangling references: {bad}")
+
+
+def assert_referential_integrity_many(
+    checks: list[tuple[DataFrame, str, DataFrame, str]],
+) -> None:
+    """Batch form: union all dangling-reference probes into ONE Spark
+    job (each ``assert_*`` collect costs a full job-scheduling round
+    trip, which dominates on dimension-sized inputs)."""
+    probes = None
+    for child, child_col, parent, parent_col in checks:
+        p = dangling_references(child, child_col, parent, parent_col).select(
+            F.lit(child_col).alias("fk"),
+            F.col(child_col).cast("string").alias("value"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    if probes is None:
+        return
+    bad = probes.limit(1).collect()
+    if bad:
+        raise IntegrityError(f"dangling references: {bad}")

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from isilon_hadoop_tools_spark.sources.local import local_df
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -259,7 +261,7 @@ def ivf_ann_topk(
     ]
     cent_rows = [(i, vec) for i, (_, vec) in enumerate(cents)]
     cent_df = F.broadcast(
-        spark.createDataFrame(cent_rows, "list_id INT, c_vec ARRAY<DOUBLE>")
+        local_df(spark, cent_rows, "list_id INT, c_vec ARRAY<DOUBLE>")
     )
 
     def assign(df: DataFrame, out_id: str, probe: int) -> DataFrame:

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark.operators.allocate_ids import allocate_ids
-from isilon_hadoop_tools_spark.operators.guards import assert_referential_integrity
+from isilon_hadoop_tools_spark.operators.guards import (
+    assert_referential_integrity,
+    assert_referential_integrity_many,
+)
 from isilon_hadoop_tools_spark.plans.executor import Stage, run_stages
 from isilon_hadoop_tools_spark.plans.sinks import merge_create
 from isilon_hadoop_tools_spark.plans.state import ParquetState
@@ -103,8 +106,12 @@ def identity_stages(
         )
         users = state.read("users", USERS_STATE)
         groups = state.read("groups", GROUPS_STATE)
-        assert_referential_integrity(desired, "user_name", users, "user_name")
-        assert_referential_integrity(desired, "group_name", groups, "group_name")
+        assert_referential_integrity_many(
+            [
+                (desired, "user_name", users, "user_name"),
+                (desired, "group_name", groups, "group_name"),
+            ]
+        )
         actual = state.read("memberships", MEMBERSHIPS_STATE)
         return merge_create(actual, desired, ["user_name", "group_name"])
 

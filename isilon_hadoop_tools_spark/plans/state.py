@@ -20,6 +20,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from isilon_hadoop_tools_spark.sources.local import local_df
+
 
 class ParquetState:
     """A directory of named parquet tables with atomic replace."""
@@ -36,10 +38,16 @@ class ParquetState:
         return os.path.isdir(self._path(table))
 
     def read(self, table: str, schema: T.StructType | str) -> DataFrame:
-        """Current state of ``table``; empty DataFrame if never written."""
+        """Current state of ``table``; empty DataFrame if never written.
+
+        The never-written branch is an empty ``LocalRelation`` (not
+        ``createDataFrame([], …)``, whose ExistingRDD leaf has unknown
+        stats — it blocks broadcast planning and empty-relation
+        propagation for every consumer downstream).
+        """
         if self.exists(table):
             return self.spark.read.parquet(self._path(table))
-        return self.spark.createDataFrame([], schema)
+        return local_df(self.spark, [], schema)
 
     def write(self, table: str, df: DataFrame) -> int:
         """Replace ``table`` with ``df`` (stage then swap); returns the

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from isilon_hadoop_tools_spark.sources.local import local_df
+
 DISTS = ("cdh", "cdp", "hdp")
 
 # (user_name, primary_group, secondary_groups) — identities.py:353-393
@@ -357,20 +359,20 @@ DIRECTORIES_SCHEMA = T.StructType(
 
 
 def users_df(spark: SparkSession, dist: str, zone: str = "zone1") -> DataFrame:
-    return spark.createDataFrame(user_rows(dist, zone), USERS_SCHEMA)
+    return local_df(spark, user_rows(dist, zone), USERS_SCHEMA)
 
 
 def groups_df(spark: SparkSession, dist: str, zone: str = "zone1") -> DataFrame:
-    return spark.createDataFrame(group_rows(dist, zone), GROUPS_SCHEMA)
+    return local_df(spark, group_rows(dist, zone), GROUPS_SCHEMA)
 
 
 def memberships_df(spark: SparkSession, dist: str) -> DataFrame:
-    return spark.createDataFrame(membership_rows(dist), MEMBERSHIPS_SCHEMA)
+    return local_df(spark, membership_rows(dist), MEMBERSHIPS_SCHEMA)
 
 
 def proxy_users_df(spark: SparkSession, dist: str) -> DataFrame:
-    return spark.createDataFrame(proxy_user_rows(dist), PROXY_USERS_SCHEMA)
+    return local_df(spark, proxy_user_rows(dist), PROXY_USERS_SCHEMA)
 
 
 def directories_df(spark: SparkSession, dist: str) -> DataFrame:
-    return spark.createDataFrame(directory_rows(dist), DIRECTORIES_SCHEMA)
+    return local_df(spark, directory_rows(dist), DIRECTORIES_SCHEMA)

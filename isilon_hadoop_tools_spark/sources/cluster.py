@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from isilon_hadoop_tools_spark.sources.local import local_df
+
 # (zone_name, zone_path, zone_id) — mixed case on purpose: the
 # reference compares zone names case-insensitively (onefs.py:688-693)
 ZONE_ROWS: tuple[tuple[str, str, int], ...] = (
@@ -76,24 +78,24 @@ KEYTAB_SCHEMA = "realm_name STRING, spn STRING"
 
 
 def zones_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(list(ZONE_ROWS), ZONES_SCHEMA)
+    return local_df(spark, list(ZONE_ROWS), ZONES_SCHEMA)
 
 
 def pools_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(list(POOL_ROWS), POOLS_SCHEMA)
+    return local_df(spark, list(POOL_ROWS), POOLS_SCHEMA)
 
 
 def nodes_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(list(NODE_ROWS), NODES_SCHEMA)
+    return local_df(spark, list(NODE_ROWS), NODES_SCHEMA)
 
 
 def hdfs_settings_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(list(HDFS_SETTINGS_ROWS), HDFS_SETTINGS_SCHEMA)
+    return local_df(spark, list(HDFS_SETTINGS_ROWS), HDFS_SETTINGS_SCHEMA)
 
 
 def realms_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(list(REALM_ROWS), REALMS_SCHEMA)
+    return local_df(spark, list(REALM_ROWS), REALMS_SCHEMA)
 
 
 def keytab_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(list(KEYTAB_ROWS), KEYTAB_SCHEMA)
+    return local_df(spark, list(KEYTAB_ROWS), KEYTAB_SCHEMA)

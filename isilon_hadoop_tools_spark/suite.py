@@ -38,6 +38,7 @@ from isilon_hadoop_tools_spark.operators.reconcile import reconcile
 from isilon_hadoop_tools_spark.operators.topk import topk_per_group
 from isilon_hadoop_tools_spark.oracle import values_cte
 from isilon_hadoop_tools_spark.sources import catalogs, cluster, tpch
+from isilon_hadoop_tools_spark.sources.local import local_df
 
 
 @dataclass
@@ -990,9 +991,7 @@ def uid_allocation_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-taken IDs — the parallel re-expression of the reference's
     serial counter probe (``identities.py:75-89,126-149``)."""
     users = catalogs.users_df(spark, "cdh")
-    taken = users.sparkSession.createDataFrame(
-        [(t,) for t in _TAKEN_UIDS], "id INT"
-    )
+    taken = local_df(users.sparkSession, [(t,) for t in _TAKEN_UIDS], "id INT")
     return allocate_ids(users, "user_name", taken, start=1025, out_col="uid")
 
 
@@ -1066,7 +1065,7 @@ def reconcile_users_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the reference's write-and-tolerate-conflict semantics
     (``identities.py:137-148,251-262``)."""
     desired = catalogs.users_df(spark, "cdh")
-    actual = spark.createDataFrame(_actual_user_rows(), catalogs.USERS_SCHEMA)
+    actual = local_df(spark, _actual_user_rows(), catalogs.USERS_SCHEMA)
     return reconcile(desired, actual, "user_name")
 
 
@@ -1158,7 +1157,7 @@ def delete_orphan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = _fresh_state(spark, "delete_orphan_users")
     seeded = sorted(list(catalogs.user_rows("cdh")) + list(_STRAY_USERS))
-    state.write("svc_users", spark.createDataFrame(seeded, catalogs.USERS_SCHEMA))
+    state.write("svc_users", local_df(spark, seeded, catalogs.USERS_SCHEMA))
     actual = state.read("svc_users", catalogs.USERS_SCHEMA)
     desired = catalogs.users_df(spark, "cdh")
     orphans = reconcile(desired, actual, "user_name").filter(
@@ -1198,8 +1197,8 @@ def update_hdfs_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _fresh_state(spark, "update_hdfs_settings")
     state.write("hdfs_settings", cl.hdfs_settings_df(spark))
     current = state.read("hdfs_settings", cl.HDFS_SETTINGS_SCHEMA)
-    updates = spark.createDataFrame(
-        [("Zone1", 262144)], "zone_name STRING, default_block_size INT"
+    updates = local_df(
+        spark, [("Zone1", 262144)], "zone_name STRING, default_block_size INT"
     )
     state.write(
         "hdfs_settings",
@@ -1219,9 +1218,9 @@ def apply_identities_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = _fresh_state(spark, "apply_identities_cdh")
     state.write(
-        "groups", spark.createDataFrame([_PRE_GROUP], pid.GROUPS_STATE)
+        "groups", local_df(spark, [_PRE_GROUP], pid.GROUPS_STATE)
     )
-    state.write("users", spark.createDataFrame([_PRE_USER], pid.USERS_STATE))
+    state.write("users", local_df(spark, [_PRE_USER], pid.USERS_STATE))
     pid.apply_identities(spark, state, "cdh")
     users = state.read("users", pid.USERS_STATE)
     groups = state.read("groups", pid.GROUPS_STATE)
@@ -1499,7 +1498,7 @@ def error_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     one CASE expression — undecodable / malformed / ok."""
     from isilon_hadoop_tools_spark import errors as E
 
-    seed = spark.createDataFrame(_error_seed_rows(), _ERR_SCHEMA)
+    seed = local_df(spark, _error_seed_rows(), _ERR_SCHEMA)
     validity = E.classify_body("body")
     parsed = F.from_json("body", E.ERRORS_SCHEMA)
     return seed.select(
@@ -1563,7 +1562,7 @@ def error_matchers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``accesses_onefs``, ``onefs.py:566-596``)."""
     from isilon_hadoop_tools_spark import errors as E
 
-    seed = spark.createDataFrame(_error_seed_rows(), _ERR_SCHEMA)
+    seed = local_df(spark, _error_seed_rows(), _ERR_SCHEMA)
     msgs = E.parse_messages(seed, "body")
     ctx = {k: F.col(k) for k in _ERR_CTX}
     return msgs.select(
@@ -2780,7 +2779,8 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/theta join (J9): facts joined to a broadcast band table
     on an interval condition — plans as BroadcastNestedLoopJoin with
     the tiny side broadcast, the fact side streaming."""
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0),
          ("large", 150000.0, 1e9)],
         "band STRING, lo DOUBLE, hi DOUBLE",
