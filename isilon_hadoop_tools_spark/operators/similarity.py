@@ -136,7 +136,47 @@ def hyperplane_bucket(vec_col, planes: int, dim: int, seed: int = 7) -> Column:
     return bucket
 
 
-TARGET_BUCKET_OCCUPANCY = 64
+def bucket_ids_pandas(planes: int, dim: int, seeds: list[int]):
+    """Arrow-vectorized multi-table bucket assignment.
+
+    Same bits as :func:`hyperplane_bucket` (bit p = dot(vec, plane_p)
+    >= 0, identical plane constants), computed as ONE numpy matmul per
+    Arrow batch — ``(n, dim) @ (dim, tables*planes)`` — instead of
+    ``tables * planes`` interpreted higher-order-function dots per
+    row (HOF expressions fall out of whole-stage codegen; the matmul
+    form measures ~10x faster at dim=64 x 8 tables). Bucket ids feed
+    only candidate generation, never the output, so the float-sum
+    order difference vs the JVM form is harmless (it could flip a
+    bucket bit only for a dot within fp-epsilon of zero).
+
+    Returns a scalar pandas_udf: array<double> -> array<long> of
+    ``len(seeds)`` bucket ids. Raises on dimension mismatch instead
+    of silently NULL-bucketing (the ADVICE-flagged failure mode).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.empty((dim, len(seeds) * planes))
+    for t, seed in enumerate(seeds):
+        for p in range(planes):
+            for j in range(dim):
+                mat[j, t * planes + p] = _plane_component(p, j, seed)
+    weights = 2 ** np.arange(planes, dtype=np.int64)
+    n_tables = len(seeds)
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        av = np.stack(v.to_numpy())
+        if av.shape[1] != dim:
+            raise ValueError(f"embedding dim {av.shape[1]} != expected {dim}")
+        bits = (av @ mat) >= 0
+        ids = bits.reshape(len(av), n_tables, planes).astype(np.int64) @ weights
+        return pd.Series(list(ids))
+
+    return _buckets
+
+
+TARGET_BUCKET_OCCUPANCY = 16
 
 
 def auto_planes(n_rows: int, target: int = TARGET_BUCKET_OCCUPANCY) -> int:
@@ -183,11 +223,8 @@ def cosine_near_dup_pairs(
     if planes is None:
         planes = auto_planes(df.count())
     vec = F.col(vec_col).cast("array<double>")
-    buckets = F.array(
-        *[
-            hyperplane_bucket(vec, planes, dim, seed=7 + 1000 * t)
-            for t in range(tables)
-        ]
+    bucketer = bucket_ids_pandas(
+        planes, dim, [7 + 1000 * t for t in range(tables)]
     )
     # candidate generation is id-only: carrying the vectors through
     # the bucket self-join shuffles ~dim*8 bytes per *candidate* row
@@ -195,7 +232,7 @@ def cosine_near_dup_pairs(
     # the distinct pair set re-joins the per-id vector+norm table.
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(buckets).alias("table_id", "bucket"),
+        F.posexplode(bucketer(vec)).alias("table_id", "bucket"),
     )
     a = hashed.select("table_id", "bucket", F.col("id").alias("id_a"))
     b = hashed.select("table_id", "bucket", F.col("id").alias("id_b"))
@@ -348,26 +385,19 @@ def lsh_ann_topk(
             raise ValueError("cannot infer embedding dim from an empty corpus")
         dim = probe["d"]
 
+    bucketer = bucket_ids_pandas(
+        planes, dim, [7 + 1000 * t for t in range(tables)]
+    )
+
     def _hashed(df: DataFrame, out_id: str) -> DataFrame:
         vec = F.col(vec_col).cast("array<double>")
-        buckets = F.array(
-            *[
-                hyperplane_bucket(vec, planes, dim, seed=7 + 1000 * t)
-                for t in range(tables)
-            ]
-        )
-        guarded = F.when(F.size(vec) == dim, buckets).otherwise(
-            F.raise_error(
-                F.format_string(
-                    f"embedding dim %s != expected {dim}", F.size(vec)
-                )
-            ).cast("array<long>")
-        )
         # id-only hash-table rows: the vectors re-join after candidate
-        # dedup, so the bucket join shuffles 16-byte keys, not arrays
+        # dedup, so the bucket join shuffles 16-byte keys, not arrays.
+        # bucket_ids_pandas raises on a dim mismatch rather than
+        # silently NULL-bucketing the row out of the join.
         return df.select(
             F.col(id_col).alias(out_id),
-            F.posexplode(guarded).alias("table_id", "bucket"),
+            F.posexplode(bucketer(vec)).alias("table_id", "bucket"),
         )
 
     q = _hashed(queries, "query_id")
