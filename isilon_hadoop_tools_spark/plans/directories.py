@@ -121,3 +121,88 @@ def apply_directories(
     return run_stages(
         state, directory_stages(spark, dist, zone_path, hdfs_root_dir, suffix)
     )
+
+
+# ---------------------------------------------------------------------
+# S8: permissions read + postcondition drift check
+# ---------------------------------------------------------------------
+
+# what a filesystem-metadata scan returns: mode as an octal STRING,
+# exactly the ACL shape the reference's permissions read parses with
+# int(acl.mode, 8) (onefs.py:1209-1221)
+PERMISSIONS_ACTUAL_SCHEMA = (
+    "path STRING, owner STRING, group STRING, mode_octal STRING"
+)
+
+DRIFT_MKDIR = "mkdir"
+DRIFT_CHMOD = "chmod"
+DRIFT_CHOWN = "chown"
+DRIFT_CHMOD_CHOWN = "chmod+chown"
+DRIFT_OK = "ok"
+DRIFT_FOREIGN = "foreign"
+
+
+def read_permissions(actual: DataFrame) -> DataFrame:
+    """Permissions read (S8): project owner/group/mode per path,
+    parsing the octal mode string at the edge (the reference's
+    ``permissions(path)`` reads the ACL and parses ``int(acl.mode, 8)``,
+    ``onefs.py:1209-1221``)."""
+    from isilon_hadoop_tools_spark.functions.octal import from_octal
+
+    return actual.select(
+        "path", "owner", "group", from_octal("mode_octal").alias("mode")
+    )
+
+
+def permissions_drift(desired: DataFrame, actual: DataFrame) -> DataFrame:
+    """Postcondition check for the directory triple: classify each path
+    into the exact repair call it needs.
+
+    The reference runs mkdir → chmod → chown per row and can then read
+    permissions back (``directories.py:62-86``, ``onefs.py:1209-1221``);
+    the engine expresses the check as one full-outer diff: ``mkdir``
+    (path absent — the whole triple runs), ``chmod`` / ``chown`` /
+    ``chmod+chown`` (metadata drift), ``ok``, and ``foreign`` (present
+    on the cluster but not in the catalog — reported, never deleted).
+
+    Scale shape: the desired catalog is dimension-sized, the actual
+    side is the 100 TB filesystem-metadata scan — AQE broadcasts the
+    desired side, so the scan streams with no shuffle.
+    """
+    d = desired.select(
+        "path",
+        F.lit(True).alias("_d"),
+        F.col("owner").alias("desired_owner"),
+        F.col("group").alias("desired_group"),
+        F.col("mode").alias("desired_mode"),
+    )
+    a = actual.select(
+        "path",
+        F.lit(True).alias("_a"),
+        F.col("owner").alias("actual_owner"),
+        F.col("group").alias("actual_group"),
+        F.col("mode").alias("actual_mode"),
+    )
+    joined = d.join(a, "path", "full_outer")
+    needs_chmod = ~F.col("desired_mode").eqNullSafe(F.col("actual_mode"))
+    needs_chown = ~F.col("desired_owner").eqNullSafe(
+        F.col("actual_owner")
+    ) | ~F.col("desired_group").eqNullSafe(F.col("actual_group"))
+    action = (
+        F.when(F.col("_a").isNull(), F.lit(DRIFT_MKDIR))
+        .when(F.col("_d").isNull(), F.lit(DRIFT_FOREIGN))
+        .when(needs_chmod & needs_chown, F.lit(DRIFT_CHMOD_CHOWN))
+        .when(needs_chmod, F.lit(DRIFT_CHMOD))
+        .when(needs_chown, F.lit(DRIFT_CHOWN))
+        .otherwise(F.lit(DRIFT_OK))
+    )
+    return joined.select(
+        "path",
+        action.alias("action"),
+        "desired_owner",
+        "desired_group",
+        "desired_mode",
+        "actual_owner",
+        "actual_group",
+        "actual_mode",
+    )

@@ -1301,6 +1301,109 @@ def apply_directories_cdh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S8 fixture: actual filesystem permissions = the resolved CDH catalog
+# with two paths absent (→ mkdir), one mode drifted (→ chmod), one
+# owner drifted (→ chown), one mode+group drifted (→ chmod+chown), and
+# one path the catalog doesn't know (→ foreign). Modes are octal
+# STRINGS — the shape a filesystem-metadata scan returns (S8,
+# onefs.py:1209-1221 parses int(acl.mode, 8)).
+_PERM_ROOT = "/ifs/zone1/hadoop"
+_PERM_MISSING = frozenset({"/user/flume", "/user/sqoop2"})
+_PERM_CHMOD = {"/tmp/hive": 0o755}
+_PERM_CHOWN = {"/user/hue": "hue-legacy"}
+_PERM_CHMOD_CHOWN = {"/user/spark": (0o755, "hadoop")}
+_PERM_FOREIGN = (f"{_PERM_ROOT}/legacy", "nobody", "nobody", "755")
+
+
+def _actual_perm_rows() -> list[tuple[str, str, str, str]]:
+    rows = []
+    for _seq, path, owner, grp, mode in catalogs.directory_rows("cdh"):
+        if path in _PERM_MISSING:
+            continue
+        if path in _PERM_CHMOD:
+            mode = _PERM_CHMOD[path]
+        if path in _PERM_CHOWN:
+            owner = _PERM_CHOWN[path]
+        if path in _PERM_CHMOD_CHOWN:
+            mode, grp = _PERM_CHMOD_CHOWN[path]
+        abs_path = _PERM_ROOT + ("" if path == "/" else path)
+        rows.append((abs_path, owner, grp, f"{mode:o}"))
+    rows.append(_PERM_FOREIGN)
+    return sorted(rows)
+
+
+@query(
+    "directory_permissions_drift",
+    oracle=(
+        "WITH "
+        + values_cte(
+            "seed_d",
+            ["seq", "path", "owner", "grp", "mode"],
+            catalogs.directory_rows("cdh"),
+        )
+        + ",\n"
+        + values_cte(
+            "actual_raw",
+            ["path", "owner", "grp", "mode_octal"],
+            _actual_perm_rows(),
+        )
+        + f"""
+    , desired AS (
+      SELECT '{_PERM_ROOT}'
+               || CASE WHEN path = '/' THEN '' ELSE path END AS path,
+             owner, grp, mode
+      FROM seed_d
+    ),
+    actual AS (
+      SELECT path, owner, grp,
+             list_sum(list_transform(
+               range(1, length(mode_octal) + 1),
+               i -> (ascii(substring(mode_octal, i::INT, 1)) - 48)
+                    * 8 ** (length(mode_octal) - i)))::INT AS mode
+      FROM actual_raw
+    )
+    SELECT coalesce(d.path, a.path) AS path,
+           CASE WHEN a.path IS NULL THEN 'mkdir'
+                WHEN d.path IS NULL THEN 'foreign'
+                WHEN d.mode <> a.mode
+                     AND (d.owner <> a.owner OR d.grp <> a.grp)
+                  THEN 'chmod+chown'
+                WHEN d.mode <> a.mode THEN 'chmod'
+                WHEN d.owner <> a.owner OR d.grp <> a.grp THEN 'chown'
+                ELSE 'ok' END AS action,
+           to_base(d.mode, 8) AS desired_mode_octal,
+           to_base(a.mode, 8) AS actual_mode_octal,
+           d.owner AS desired_owner, a.owner AS actual_owner,
+           d.grp AS desired_grp, a.grp AS actual_grp
+    FROM desired d FULL OUTER JOIN actual a ON d.path = a.path
+    """
+    ),
+)
+def directory_permissions_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissions read + postcondition drift check (S8): parse the
+    octal modes a filesystem-metadata scan returns, full-outer diff
+    against the resolved directory catalog, and classify each path
+    into the repair call it needs (``onefs.py:1209-1221``,
+    ``directories.py:62-86``)."""
+    from isilon_hadoop_tools_spark.plans import directories as pdir
+
+    desired = pdir.desired_directories(spark, "cdh", _PERM_ROOT).drop("depth")
+    actual = pdir.read_permissions(
+        local_df(spark, _actual_perm_rows(), pdir.PERMISSIONS_ACTUAL_SCHEMA)
+    )
+    out = pdir.permissions_drift(desired, actual)
+    return out.select(
+        "path",
+        "action",
+        to_octal("desired_mode").alias("desired_mode_octal"),
+        to_octal("actual_mode").alias("actual_mode_octal"),
+        "desired_owner",
+        F.col("actual_owner"),
+        F.col("desired_group").alias("desired_grp"),
+        F.col("actual_group").alias("actual_grp"),
+    )
+
+
 def _script_oracle() -> str:
     n_g = len(catalogs.group_rows("cdh"))
     n_u = len(catalogs.user_rows("cdh"))

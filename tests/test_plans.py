@@ -138,3 +138,50 @@ def test_write_script_file(spark, state, tmp_path):
     # stage order: all groupadds before all useradds before usermods
     kinds = [ln.split()[0] for ln in body]
     assert kinds == sorted(kinds, key=["groupadd", "useradd", "usermod"].index)
+
+
+def test_permissions_drift_classification(spark):
+    desired = spark.createDataFrame(
+        [
+            ("/r", "hdfs", "hadoop", 0o755),
+            ("/r/new", "hive", "hive", 0o777),
+            ("/r/mode", "hdfs", "hadoop", 0o700),
+            ("/r/owner", "hue", "hue", 0o755),
+            ("/r/both", "spark", "spark", 0o750),
+        ],
+        "path STRING, owner STRING, group STRING, mode INT",
+    )
+    actual = pdir.read_permissions(
+        spark.createDataFrame(
+            [
+                ("/r", "hdfs", "hadoop", "755"),
+                ("/r/mode", "hdfs", "hadoop", "755"),
+                ("/r/owner", "hue-old", "hue", "755"),
+                ("/r/both", "spark", "hadoop", "777"),
+                ("/r/stray", "nobody", "nobody", "700"),
+            ],
+            pdir.PERMISSIONS_ACTUAL_SCHEMA,
+        )
+    )
+    out = {
+        r["path"]: r["action"]
+        for r in pdir.permissions_drift(desired, actual).collect()
+    }
+    assert out == {
+        "/r": "ok",
+        "/r/new": "mkdir",
+        "/r/mode": "chmod",
+        "/r/owner": "chown",
+        "/r/both": "chmod+chown",
+        "/r/stray": "foreign",
+    }
+
+
+def test_read_permissions_parses_sticky_bit_octal(spark):
+    actual = pdir.read_permissions(
+        spark.createDataFrame(
+            [("/t", "hdfs", "supergroup", "1777")],
+            pdir.PERMISSIONS_ACTUAL_SCHEMA,
+        )
+    )
+    assert actual.head()["mode"] == 0o1777
