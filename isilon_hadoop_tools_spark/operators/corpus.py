@@ -1,0 +1,167 @@
+"""Corpus-curation operators for the LLM-data-pipeline surface.
+
+The three stages every training-data pipeline runs after raw ingest:
+within-document repetition signals (the Gopher/MassiveText quality
+filters), deterministic content-addressed train/val/test splitting,
+and the filter→dedup curation funnel that reports per-stage survivor
+counts. All pure DataFrame compositions with exact DuckDB oracle
+twins (hashes via
+:func:`~isilon_hadoop_tools_spark.functions.hashing.stable_hash32`).
+
+Scale notes (100 TB): repetition stats shuffle n-gram rows keyed by
+(doc, gram) then by doc — both partial-aggregated map-side, and no
+key is hotter than the longest single document. The split assignment
+is a stateless per-row expression (no shuffle, no rand(): adding new
+documents never reassigns old ones). The funnel is one pass plus the
+exact-dedup shuffle it already needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+from isilon_hadoop_tools_spark.functions.text import tokens, word_shingles
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Within-document repetition quality signals.
+
+    Output per document: ``n_tokens``, ``unique_token_ratio``
+    (distinct tokens / tokens), ``top_ngram_frac`` (share of all token
+    n-grams taken by the single most frequent one), ``dup_ngram_frac``
+    (share of n-gram occurrences that are repeats). High top/dup
+    fractions flag boilerplate and degenerate repetition — the
+    standard Gopher-style reasons to drop a document.
+
+    Documents with fewer than ``n`` tokens have no n-grams; their
+    fractions are 0.0 (left join + coalesce), not dropped rows.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_cnt"
+        ),
+    )
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_distinct") / F.col("n_tokens"), 4))
+        .alias("unique_token_ratio"),
+        F.coalesce(
+            F.round(F.col("top_cnt") / F.col("n_grams"), 4), F.lit(0.0)
+        ).alias("top_ngram_frac"),
+        F.coalesce(
+            F.round(F.col("dup_cnt") / F.col("n_grams"), 4), F.lit(0.0)
+        ).alias("dup_ngram_frac"),
+    )
+
+
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 80),
+    ("val", 10),
+    ("test", 10),
+)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment, content-addressed.
+
+    ``bucket = stable_hash32(salt || id) % 100`` maps each document to
+    a fixed percentile; split boundaries are cumulative weights. No
+    ``rand()``: the assignment is reproducible across runs, cluster
+    sizes, and partitionings, and appending new documents never moves
+    an existing document between splits (the property per-partition
+    ``randomSplit`` cannot give). A different ``salt`` yields an
+    independent re-split.
+
+    Output: all input columns plus ``bucket`` and ``split``.
+    """
+    total = sum(w for _, w in splits)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = F.pmod(
+        stable_hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.lit(100),
+    )
+    out = df.withColumn("bucket", bucket)
+    expr = F.lit(splits[-1][0])
+    hi = 0
+    cases = []
+    for name, w in splits[:-1]:
+        hi += w
+        cases.append((name, hi))
+    for name, hi in reversed(cases):
+        expr = F.when(F.col("bucket") < hi, F.lit(name)).otherwise(expr)
+    return out.withColumn("split", expr)
+
+
+def curation_funnel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_langs: tuple[str, ...],
+    max_top_ngram_frac: float = 0.2,
+) -> DataFrame:
+    """Filter → dedup funnel with per-stage survivor counts.
+
+    Stages: ``raw`` (all documents) → ``lang`` (heuristic language ID
+    in ``keep_langs``) → ``quality`` (top-bigram fraction below the
+    repetition ceiling) → ``dedup`` (one survivor per exact text
+    fingerprint). Output: ``(stage_no, stage, n_docs)`` — the shape a
+    curation dashboard ingests, and the composition proof that the
+    lang-ID, repetition, and dedup operators stack.
+
+    One funnel = one pass over the corpus for the three filters plus
+    the fingerprint aggregation's shuffle; stage counts are computed
+    from the same cached lineage, not four separate scans.
+    """
+    from isilon_hadoop_tools_spark.functions.text import lang_id
+
+    ids = df.select(
+        F.col(id_col).alias("id"),
+        lang_id(text_col).alias("_lang"),
+        F.col(text_col).alias("_text"),
+    )
+    reps = repetition_stats(df, text_col, id_col).select("id", "top_ngram_frac")
+    staged = ids.join(reps, "id")
+    lang_ok = staged.filter(F.col("_lang").isin(*keep_langs))
+    quality_ok = lang_ok.filter(F.col("top_ngram_frac") <= max_top_ngram_frac)
+    from isilon_hadoop_tools_spark.operators.dedup import exact_dedup
+
+    deduped = exact_dedup(quality_ok, "_text", "id")
+
+    def count_row(no: int, stage: str, d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        count_row(1, "raw", staged)
+        .unionByName(count_row(2, "lang", lang_ok))
+        .unionByName(count_row(3, "quality", quality_ok))
+        .unionByName(count_row(4, "dedup", deduped))
+    )

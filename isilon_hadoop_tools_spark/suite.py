@@ -2105,6 +2105,131 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared oracle CTE: per-doc token-bigram repetition ingredients
+_REPETITION_SQL = r"""
+    rep_base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    rep_toks AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM rep_base
+    ),
+    rep_grams AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS gram
+      FROM rep_toks
+      QUALIFY gram IS NOT NULL
+    ),
+    rep_per_gram AS (
+      SELECT doc_id, gram, count(*) AS cnt
+      FROM rep_grams GROUP BY doc_id, gram
+    ),
+    rep_per_doc AS (
+      SELECT doc_id, sum(cnt) AS n_grams, max(cnt) AS top_cnt,
+             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+      FROM rep_per_gram GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH {_REPETITION_SQL}
+    SELECT b.doc_id,
+           length(toks) AS n_tokens,
+           round(length(list_distinct(toks))::DOUBLE / length(toks), 4)
+             AS unique_token_ratio,
+           coalesce(round(top_cnt::DOUBLE / n_grams, 4), 0.0)
+             AS top_ngram_frac,
+           coalesce(round(dup_cnt::DOUBLE / n_grams, 4), 0.0)
+             AS dup_ngram_frac
+    FROM rep_base b LEFT JOIN rep_per_doc p USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality
+    filters): unique-token ratio, top-bigram fraction, duplicate-bigram
+    fraction — the standard boilerplate/degenerate-repetition flags."""
+    from isilon_hadoop_tools_spark.operators.corpus import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "doc_train_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {stable_hash32_sql("'split:' || doc_id::VARCHAR")} % 100 AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split: bucket =
+    stable_hash32('split:' || id) % 100 — reproducible across runs and
+    partitionings, no rand(), appends never reassign existing docs."""
+    from isilon_hadoop_tools_spark.operators.corpus import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "lang", "bucket", "split")
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH {_REPETITION_SQL},
+    scored AS (
+      SELECT doc_id, text,
+             {_lang_score_sql('de')} AS s_de, {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es, {_lang_score_sql('fr')} AS s_fr
+      FROM documents
+    ),
+    det AS (
+      SELECT doc_id, text,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS detected
+      FROM scored
+    ),
+    joined AS (
+      SELECT d.doc_id, d.text, d.detected,
+             coalesce(round(p.top_cnt::DOUBLE / p.n_grams, 4), 0.0)
+               AS top_frac
+      FROM det d LEFT JOIN rep_per_doc p USING (doc_id)
+    ),
+    lang_ok AS (SELECT * FROM joined WHERE detected IN ('en', 'de')),
+    q_ok AS (SELECT * FROM lang_ok WHERE top_frac <= 0.2)
+    SELECT 1 AS stage_no, 'raw' AS stage, count(*)::BIGINT AS n_docs
+    FROM joined
+    UNION ALL SELECT 2, 'lang', count(*)::BIGINT FROM lang_ok
+    UNION ALL SELECT 3, 'quality', count(*)::BIGINT FROM q_ok
+    UNION ALL SELECT 4, 'dedup', count(DISTINCT text)::BIGINT FROM q_ok
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: raw → lang-ID filter → repetition
+    quality filter → exact dedup, reporting per-stage survivor counts.
+    Composition proof that the lang-ID, repetition, and dedup operators
+    stack in one lineage."""
+    from isilon_hadoop_tools_spark.operators.corpus import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(
+        docs, "text", "doc_id", keep_langs=("en", "de"), max_top_ngram_frac=0.2
+    )
+
+
 @query(
     "q14_promo_revenue",
     oracle="""

@@ -1,0 +1,75 @@
+"""Corpus-curation operator tests: repetition signals, deterministic
+splits, and funnel monotonicity."""
+
+from __future__ import annotations
+
+import pytest
+
+from isilon_hadoop_tools_spark.operators.corpus import (
+    curation_funnel,
+    hash_split,
+    repetition_stats,
+)
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # one bigram repeated 3x
+            (2, "a fresh set of words"),  # all bigrams unique
+            (3, "solo"),  # < 2 tokens: no bigrams
+        ],
+        "id BIGINT, text STRING",
+    )
+    out = {r["id"]: r.asDict() for r in repetition_stats(df, "text", "id").collect()}
+    assert out[1]["top_ngram_frac"] == 1.0
+    assert out[1]["dup_ngram_frac"] == 1.0
+    assert out[1]["unique_token_ratio"] == 0.25
+    assert out[2]["top_ngram_frac"] == 0.25  # 4 bigrams, each once
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_ngram_frac"] == 0.0  # gram-less doc kept, not dropped
+
+
+def test_hash_split_deterministic_and_stable_under_append(spark):
+    df1 = spark.createDataFrame([(i,) for i in range(100)], "id BIGINT")
+    df2 = spark.createDataFrame([(i,) for i in range(200)], "id BIGINT")
+    s1 = {r["id"]: r["split"] for r in hash_split(df1, "id").collect()}
+    s2 = {r["id"]: r["split"] for r in hash_split(df2, "id").collect()}
+    # appending new docs never moves an existing doc between splits
+    assert all(s2[i] == s1[i] for i in range(100))
+    # all three splits materialize over 200 docs
+    assert set(s2.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_salt_gives_independent_split(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "id BIGINT")
+    a = {r["id"]: r["split"] for r in hash_split(df, "id", salt="a").collect()}
+    b = {r["id"]: r["split"] for r in hash_split(df, "id", salt="b").collect()}
+    assert any(a[i] != b[i] for i in range(200))
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1,)], "id BIGINT")
+    with pytest.raises(ValueError, match="sum to 100"):
+        hash_split(df, "id", splits=(("train", 50), ("test", 40)))
+
+
+def test_curation_funnel_monotone(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and the dog is here"),  # en, clean
+            (2, "the cat is on the mat and the dog is here"),  # exact dup
+            (3, "der hund ist nicht die katze und das haus"),  # de, clean
+            (4, "el perro y el gato y una casa es una"),  # es → dropped
+            (5, "the the the the the the the the"),  # en, degenerate
+        ],
+        "id BIGINT, text STRING",
+    )
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in curation_funnel(
+            df, "text", "id", keep_langs=("en", "de")
+        ).collect()
+    }
+    assert rows == {"raw": 5, "lang": 4, "quality": 3, "dedup": 2}
