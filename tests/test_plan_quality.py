@@ -141,3 +141,18 @@ def test_partitioned_scan_prunes_partitions(spark):
     # (directory-level pruning), never a post-scan data filter
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "o_year" in pf and "1997" in pf
+
+
+def test_hash_split_no_shuffle(spark):
+    # the split assignment is a stateless per-row expression: scan →
+    # project, zero exchanges — appending docs cannot reshuffle splits
+    plan = _plan(spark, "doc_train_split")
+    assert "Exchange (" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_partial_aggs_no_cartesian(spark):
+    plan = _plan(spark, "doc_repetition_stats")
+    assert "CartesianProduct" not in plan
+    # both aggregations carry map-side partials (4+ HashAggregate nodes)
+    assert plan.count("HashAggregate (") >= 4
