@@ -18,7 +18,7 @@ exact-dedup shuffle it already needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
@@ -115,6 +115,79 @@ def hash_split(
     for name, hi in reversed(cases):
         expr = F.when(F.col("bucket") < hi, F.lit(name)).otherwise(expr)
     return out.withColumn("split", expr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum contribution cap.
+
+    Rank documents within each stratum by content-addressed hash (ties
+    broken by id) and keep the first ``n_per_stratum`` — the standard
+    "no source may contribute more than N docs" cap, reproducible
+    across runs and partitionings because the order is a hash, not
+    ``rand()``.
+
+    One shuffle keyed by the stratum; each window is bounded by the
+    hottest stratum's size. At 100 TB with a pathological stratum,
+    pre-filter with an approximate per-stratum count and a hash-range
+    predicate before ranking (the rank is over a hash, so the cut
+    ``hash < threshold`` keeps a uniform sample of the stratum).
+
+    Output: input columns plus ``sample_rank``.
+    """
+    order = stable_hash32(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    token_budget: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-then-split sequence packing: assign each document to a
+    fixed-token-budget chunk within its group.
+
+    The standard LLM pretraining step — concatenate documents in a
+    deterministic (hash) order and split the stream every
+    ``token_budget`` tokens — expressed declaratively: ``tok_offset`` =
+    running token total before the document (an exclusive-prefix-sum
+    window), ``chunk_id = floor(tok_offset / token_budget)``. A document
+    whose tokens straddle a boundary belongs to the chunk where it
+    starts, exactly like the concatenated-stream split.
+
+    One shuffle keyed by ``group_col`` (shard or source); the window
+    is a single ordered pass per group.
+
+    Output: ``id``, group, ``n_tokens``, ``tok_offset``, ``chunk_id``.
+    """
+    sized = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    order = stable_hash32(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order, F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sized.withColumn(
+        "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("chunk_id", F.floor(F.col("tok_offset") / token_budget))
 
 
 def curation_funnel(

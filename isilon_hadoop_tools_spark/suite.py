@@ -2184,6 +2184,60 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {stable_hash32_sql("'sample:' || doc_id::VARCHAR")},
+                        doc_id) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 40
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum contribution cap: hash-ranked top-40
+    per language — reproducible stratified sampling, no rand()."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        stratified_sample_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "lang", "doc_id", 40).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+@query(
+    "doc_pack_chunks",
+    oracle=rf"""
+    WITH sized AS (
+      SELECT doc_id AS id, source,
+             length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             {stable_hash32_sql("'pack:' || doc_id::VARCHAR")} AS ord
+      FROM documents
+    )
+    SELECT id, source, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY ord, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset,
+           (tok_offset // 2048)::BIGINT AS chunk_id
+    FROM sized
+    """,
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing: deterministic hash order per
+    source, exclusive prefix-sum of token counts, chunk = offset //
+    budget — the LLM pretraining packing step as one window pass."""
+    from isilon_hadoop_tools_spark.operators.corpus import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_chunks(docs, "text", "doc_id", "source", 2048)
+
+
+@query(
     "corpus_curation_funnel",
     oracle=f"""
     WITH {_REPETITION_SQL},

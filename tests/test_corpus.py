@@ -73,3 +73,46 @@ def test_curation_funnel_monotone(spark):
         ).collect()
     }
     assert rows == {"raw": 5, "lang": 4, "quality": 3, "dedup": 2}
+
+
+def test_stratified_sample_cap_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(60)],
+        "id BIGINT, stratum STRING",
+    )
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        stratified_sample_exact,
+    )
+
+    out1 = stratified_sample_exact(df, "stratum", "id", 10)
+    rows = out1.groupBy("stratum").count().collect()
+    counts = {r["stratum"]: r["count"] for r in rows}
+    assert counts == {"a": 10, "b": 10}
+    # deterministic: same sample every run, even repartitioned
+    ids1 = sorted(r["id"] for r in out1.collect())
+    ids2 = sorted(
+        r["id"]
+        for r in stratified_sample_exact(
+            df.repartition(7), "stratum", "id", 10
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_pack_chunks_prefix_sum_semantics(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import pack_chunks
+
+    df = spark.createDataFrame(
+        [(i, "g", "tok " * 10) for i in range(10)],  # 10 tokens each
+        "id BIGINT, grp STRING, text STRING",
+    )
+    out = sorted(
+        pack_chunks(df, "text", "id", "grp", token_budget=25).collect(),
+        key=lambda r: r["tok_offset"],
+    )
+    # offsets are an exclusive prefix sum: 0,10,20,...,90
+    assert [r["tok_offset"] for r in out] == list(range(0, 100, 10))
+    # chunk = floor(offset/25): 0,0,0,1,1,2,2,2,3,3
+    assert [r["chunk_id"] for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # every chunk's docs start inside the budget boundary
+    assert all(r["chunk_id"] == r["tok_offset"] // 25 for r in out)
