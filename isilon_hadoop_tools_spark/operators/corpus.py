@@ -190,6 +190,46 @@ def pack_chunks(
     ).withColumn("chunk_id", F.floor(F.col("tok_offset") / token_budget))
 
 
+def tfidf_topk(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    ``score = tf * ln((N+1)/(df+1))`` rounded to 6 places *before*
+    ranking, so the rank is deterministic cross-engine (ties break by
+    term). Document frequencies and the corpus count are
+    dimension-sized aggregates broadcast back onto the (doc, term)
+    fact — no second fact shuffle; the per-doc top-k is one ranking
+    window keyed by the doc.
+
+    Output: ``id``, ``term``, ``tf``, ``tfidf``, ``rk`` (1-based).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "term", "tf", "tfidf", "rk")
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     text_col: str,

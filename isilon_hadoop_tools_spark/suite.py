@@ -2238,6 +2238,40 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_tfidf_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT id, term, tf,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN total
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT id, term, tf, tfidf, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf-idf: broadcast
+    document-frequency + corpus-count aggregates onto the (doc, term)
+    fact, score rounded before ranking for cross-engine determinism."""
+    from isilon_hadoop_tools_spark.operators.corpus import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "text", "doc_id")
+
+
+@query(
     "corpus_curation_funnel",
     oracle=f"""
     WITH {_REPETITION_SQL},

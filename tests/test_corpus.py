@@ -116,3 +116,23 @@ def test_pack_chunks_prefix_sum_semantics(spark):
     assert [r["chunk_id"] for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
     # every chunk's docs start inside the budget boundary
     assert all(r["chunk_id"] == r["tok_offset"] // 25 for r in out)
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2 common common"),
+            (3, "common common common common"),
+        ],
+        "id BIGINT, text STRING",
+    )
+    out = tfidf_topk(df, "text", "id", k=1)
+    top = {r["id"]: r["term"] for r in out.collect()}
+    # the doc-unique term beats the everywhere-term despite lower tf
+    assert top[1] == "rare1"
+    assert top[2] == "rare2"
+    assert top[3] == "common"
+    assert out.filter("rk > 1").count() == 0
