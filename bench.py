@@ -46,6 +46,9 @@ HEADLINE = (
     "events_dedup_first",
     "doc_token_stats",
     "doc_winnow_fingerprints",
+    "doc_repetition_stats",
+    "doc_tfidf_topk",
+    "doc_pack_chunks",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",

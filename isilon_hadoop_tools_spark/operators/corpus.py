@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
-from isilon_hadoop_tools_spark.functions.text import tokens, word_shingles
+from isilon_hadoop_tools_spark.functions.text import tokens
 
 
 def repetition_stats(
@@ -40,9 +40,23 @@ def repetition_stats(
     Documents with fewer than ``n`` tokens have no n-grams; their
     fractions are 0.0 (left join + coalesce), not dropped rows.
     """
-    grams = df.select(
+    # n-grams via posexplode + lead windows, not the array-HOF
+    # word_shingles form: higher-order functions fall out of
+    # whole-stage codegen and measure ~3x slower here
+    pe = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("gram"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = (
+        pe.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
     )
     per_gram = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = per_gram.groupBy("id").agg(
