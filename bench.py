@@ -39,7 +39,9 @@ HEADLINE = (
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_volume",
+    "q8_market_share",
     "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "top3_orders_per_customer",
     "customer_order_gaps",
     "events_hourly_rollup",
