@@ -244,6 +244,81 @@ def tfidf_topk(
     )
 
 
+# Default PII patterns — identical Java-regex / RE2 subset so the
+# DuckDB oracle can run the same expressions verbatim.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[a-z0-9._]+@[a-z0-9-]+\.[a-z]{2,}",
+    "IPV4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\+\d{1,2}-\d{3}-\d{4}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII spans and count replacements per class.
+
+    Each pattern class is replaced by its ``<TAG>`` placeholder, applied
+    in sorted tag order so the output is deterministic regardless of
+    dict ordering. Output per document: ``redacted`` text plus one
+    ``n_<tag>`` count column per class (match counts from the
+    *pre-redaction* text, so overlapping classes don't mask each
+    other's counts).
+
+    Scale: a stateless per-row projection — no shuffle, no UDF; the
+    regex engine runs inside whole-stage codegen. At 100 TB this is
+    scan-bound, exactly what a redaction pass should be.
+    """
+    pats = dict(PII_PATTERNS if patterns is None else patterns)
+    tags = sorted(pats)
+    red = F.col(text_col)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pats[t])).alias(f"n_{t.lower()}")
+        for t in tags
+    ]
+    for t in tags:
+        red = F.regexp_replace(red, pats[t], f"<{t}>")
+    return df.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_eval,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any
+    token ``n``-gram with an evaluation set.
+
+    ``is_eval`` is a boolean Column over the posting-list ``id``
+    column (e.g. ``F.col("id") % 97 == 0``) selecting the held-out
+    benchmark rows inside ``df``. Output: one row per *contaminated* training
+    doc — ``(doc_id, n_shared_grams)`` where ``n_shared_grams`` counts
+    distinct n-grams also present anywhere in the eval set. Real
+    pipelines use n=8..13; the default 3 suits short synthetic docs.
+
+    Scale: the eval side of the join is a benchmark suite — thousands
+    of docs against a 100 TB corpus — so its distinct-gram set
+    broadcasts and the corpus streams through map-side with no
+    shuffle on the fact; the only exchange is the per-doc count
+    aggregation of the (rare) matches.
+    """
+    from isilon_hadoop_tools_spark.operators.dedup import shingle_posting_list
+
+    posts = shingle_posting_list(df, text_col, id_col, k=n, max_df=None)
+    eval_grams = posts.filter(is_eval).select("shingle").distinct()
+    return (
+        posts.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     text_col: str,

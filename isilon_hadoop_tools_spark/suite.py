@@ -2238,6 +2238,103 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_redact_pii",
+    # patterns mirror operators.corpus.PII_PATTERNS verbatim (the
+    # oracle must be a literal string; tests assert the two stay in
+    # sync) — counts from the pre-redaction text, replace in sorted
+    # tag order EMAIL -> IPV4 -> PHONE on both engines
+    oracle=r"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' or admin' || (doc_id % 7)::VARCHAR || '@test.org'
+                          ELSE '' END
+                  || ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' from ' || (doc_id % 256)::VARCHAR || '.0.0.1' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[a-z0-9._]+@[a-z0-9-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+             '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9-]+\.[a-z]{2,}'))
+             AS n_email,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS n_ipv4,
+           len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS n_phone
+    FROM pii
+    """,
+)
+def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email/IPv4/phone spans replaced by typed
+    placeholders, per-class match counts kept for curation metrics.
+    The testdata corpus is PII-free word soup, so a deterministic
+    contact line is synthesized from doc_id inside the query — the
+    redaction itself (and its oracle check) runs on real columns.
+    Stateless per-row projection: no shuffle, scan-bound at 100 TB."""
+    from isilon_hadoop_tools_spark.operators.corpus import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" or admin"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("@test.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from "),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.0.1"),
+        ).alias("text"),
+    )
+    return redact_pii(pii, "text", "doc_id")
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(length(t) - 2, 0) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+    SELECT grams.doc_id, count(*) AS n_shared_grams
+    FROM grams JOIN ev USING (g)
+    WHERE doc_id % 97 <> 0
+    GROUP BY 1
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any token
+    3-gram with the held-out eval slice (doc_id % 97 == 0). The eval
+    gram set broadcasts — a benchmark suite is tiny next to a 100 TB
+    corpus — so the corpus streams map-side; the only shuffle is the
+    per-doc count of (rare) matches."""
+    from isilon_hadoop_tools_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs, "text", "doc_id", F.col("id") % 97 == 0, 3)
+
+
+@query(
     "doc_tfidf_topk",
     oracle=r"""
     WITH toks AS (

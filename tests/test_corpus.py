@@ -136,3 +136,56 @@ def test_tfidf_topk_ranks_distinctive_terms(spark):
     assert top[2] == "rare2"
     assert top[3] == "common"
     assert out.filter("rk > 1").count() == 0
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.s@corp-x.io or call +1-555-1234"),
+            (2, "server 10.0.0.1 and 192.168.1.255 up"),
+            (3, "nothing sensitive here"),
+        ],
+        "id BIGINT, text STRING",
+    )
+    out = {r["id"]: r.asDict() for r in redact_pii(df, "text", "id").collect()}
+    assert out[1]["redacted"] == "mail me at <EMAIL> or call <PHONE>"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 0)
+    assert out[2]["redacted"] == "server <IPV4> and <IPV4> up"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["redacted"] == "nothing sensitive here"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_redact_pii_patterns_match_suite_oracle():
+    # the doc_redact_pii oracle embeds the patterns as literals; keep
+    # them in sync with the operator's canonical dict
+    import __spark_entry__ as entry
+    from isilon_hadoop_tools_spark.operators.corpus import PII_PATTERNS
+
+    oracle = entry.oracle_sql()["doc_redact_pii"]
+    for pat in PII_PATTERNS.values():
+        assert pat in oracle
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import decontaminate
+
+    df = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps"),  # eval
+            (11, "lazy dogs sleep all day"),  # eval
+            (20, "a quick brown fox appears"),  # shares 'quick brown fox'
+            (21, "totally different words entirely here"),  # clean
+            (22, "lazy dogs sleep all day long"),  # shares 3 grams w/ 11
+        ],
+        "id BIGINT, text STRING",
+    )
+    out = {
+        r["id"]: r["n_shared_grams"]
+        for r in decontaminate(df, "text", "id", F.col("id") < 20, 3).collect()
+    }
+    assert out == {20: 1, 22: 3}
