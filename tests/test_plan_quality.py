@@ -156,3 +156,40 @@ def test_repetition_stats_partial_aggs_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # both aggregations carry map-side partials (4+ HashAggregate nodes)
     assert plan.count("HashAggregate (") >= 4
+
+
+def test_q8_broadcasts_all_dims_single_fact_shuffle(spark):
+    plan = _plan(spark, "q8_market_share")
+    # part/supplier/customer/both nation roles (+region folded into
+    # the customer-nation side) all broadcast
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    # the only hash exchanges: lineitem⋈orders build + final 2-row agg
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q21_single_fact_scan(spark):
+    plan = _plan(spark, "q21_waiting_suppliers")
+    # single-pass form: lineitem is scanned once — the window supplies
+    # both existence tests, no self-join re-scan of the fact
+    # (count tree nodes "+-/:- Scan parquet", not the detail section)
+    n_scans = plan.count("+- Scan parquet") + plan.count(":- Scan parquet")
+    assert n_scans <= 3  # lineitem + orders + supplier
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    plan = _plan(spark, "corpus_decontaminate")
+    # eval gram set broadcasts; the corpus side never shuffles for the
+    # join itself (only the final per-doc count aggregates)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_redact_pii_is_shuffle_free(spark):
+    plan = _plan(spark, "doc_redact_pii")
+    # stateless per-row projection: no exchange anywhere in the plan
+    assert "Exchange" not in plan
+    # "*" prefix = the projection runs inside whole-stage codegen
+    assert "* Project" in plan
