@@ -12,6 +12,7 @@ from isilon_hadoop_tools_spark.streaming.events import (
     dedup_first_stream,
     dedup_within_watermark,
     hourly_rollup_stream,
+    sliding_rollup_stream,
     read_events_stream,
     run_available_now,
     sessionize,
@@ -22,6 +23,7 @@ __all__ = [
     "dedup_first_stream",
     "dedup_within_watermark",
     "hourly_rollup_stream",
+    "sliding_rollup_stream",
     "read_events_stream",
     "run_available_now",
     "sessionize",

@@ -62,6 +62,29 @@ def hourly_rollup_stream(
     )
 
 
+def sliding_rollup_stream(
+    events: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window rollup: each event lands in width/slide
+    overlapping windows (2 at the defaults). Same watermark contract
+    as the tumbling twin; state per (window, event_type) is evicted
+    once the watermark passes window.end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
 def dedup_first_stream(
     events: DataFrame, watermark: str = DEFAULT_WATERMARK
 ) -> DataFrame:

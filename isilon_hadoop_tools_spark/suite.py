@@ -1815,6 +1815,36 @@ def events_hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_rollup_stream",
+    # a 1h window sliding every 30m means each event belongs to
+    # exactly two windows: the ones starting at its 30m bucket and at
+    # that bucket minus 30m — expressed as a two-branch UNION ALL
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b30, event_type, value
+      FROM events
+    )
+    SELECT w_start, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT b30 AS w_start, event_type, value FROM b
+      UNION ALL
+      SELECT b30 - INTERVAL 30 MINUTE AS w_start, event_type, value FROM b
+    ) e
+    GROUP BY w_start, event_type
+    """,
+)
+def events_sliding_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1h wide, 30m slide) streaming rollup — each
+    event aggregates into two overlapping windows. Drained with
+    trigger(availableNow); must equal the batch two-branch oracle."""
+    from isilon_hadoop_tools_spark import streaming
+
+    ev = streaming.read_events_stream(spark, sf_dir)
+    return streaming.run_available_now(streaming.sliding_rollup_stream(ev))
+
+
+@query(
     "events_dedup_first_stream",
     oracle="""
     SELECT event_id, min(ts) AS first_ts, count(*) AS n_seen

@@ -119,3 +119,17 @@ def test_stream_stream_interval_join_bounds(spark, tmp_path):
     ).collect()
     assert [(r["user_id"], r["value"]) for r in out] == [(1, 9.5)]
     assert out[0]["purchase_ts"] == T0 + dt.timedelta(minutes=30)
+
+
+def test_sliding_rollup_each_event_in_two_windows(spark, stream_dir):
+    from isilon_hadoop_tools_spark.streaming.events import sliding_rollup_stream
+
+    ev = _read_stream(spark, stream_dir, files_per_trigger=100)
+    out = run_available_now(sliding_rollup_stream(ev, watermark="1 day"))
+    rows = out.collect()
+    batch = spark.read.parquet(stream_dir)
+    # every event lands in exactly two 1h/30m windows: total window
+    # contributions = 2x the event count
+    assert sum(r["n_events"] for r in rows) == 2 * batch.count()
+    # window starts are 30m-aligned and 30m apart where overlapping
+    assert all(r["w_start"].minute in (0, 30) for r in rows)
