@@ -367,3 +367,23 @@ def curation_funnel(
         .unionByName(count_row(3, "quality", quality_ok))
         .unionByName(count_row(4, "dedup", deduped))
     )
+
+
+def truncate_tokens(
+    df: DataFrame, text_col: str, id_col: str, max_tokens: int = 32
+) -> DataFrame:
+    """Context-length truncation: keep the first ``max_tokens``
+    whitespace tokens, rejoined with single spaces. Output: id,
+    ``n_tokens`` (pre-truncation), ``truncated``, ``was_truncated``.
+
+    Stateless per-row projection (slice + concat_ws) — no shuffle,
+    scan-bound at 100 TB, exactly what a context-window clipping
+    pass should be.
+    """
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws(" ", F.slice(toks, 1, max_tokens)).alias("truncated"),
+        (F.size(toks) > max_tokens).alias("was_truncated"),
+    )

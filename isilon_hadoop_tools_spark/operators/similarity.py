@@ -428,3 +428,34 @@ def lsh_ann_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, id_col: str, bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int quantization for embedding storage.
+
+    ``scale = round(max(|x|) / (2^(bits-1) - 1), 6)`` (rounded so the
+    scalar survives a float32 parquet round-trip bit-identically),
+    ``q[i] = round(x[i] / scale)`` — the standard storage layout that
+    cuts a float32 embedding column 4x at 100 TB. Output: id,
+    ``scale``, ``qvec``. Zero vectors keep scale 0 and quantize to
+    all-zero (guarded division).
+
+    Stateless per-row projection — no shuffle; the array math runs as
+    higher-order functions, acceptable here because this is a
+    write-amortized storage pass, not a hot join path.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    x = F.col(vec_col)
+    scale = F.round(
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))) / qmax, 6
+    )
+    qvec = F.when(scale == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            x, lambda v: F.round(v.cast("double") / scale).cast("int")
+        )
+    )
+    return df.select(
+        F.col(id_col), scale.alias("scale"), qvec.alias("qvec")
+    )

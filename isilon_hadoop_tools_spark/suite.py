@@ -2365,6 +2365,56 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_truncate_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           array_to_string(
+             list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 32), ' ')
+             AS truncated,
+           length(regexp_split_to_array(trim(text), '\s+')) > 32
+             AS was_truncated
+    FROM documents
+    """,
+)
+def doc_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation: first 32 whitespace tokens kept,
+    rejoined — the context-window clipping pass. Stateless slice +
+    concat_ws projection, no shuffle, scan-bound at 100 TB."""
+    from isilon_hadoop_tools_spark.operators.corpus import truncate_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return truncate_tokens(docs, "text", "doc_id", 32)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           round(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                 / 127, 6) AS scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                                    x -> round(x::DOUBLE / scale)::INT)
+           END AS qvec
+    FROM embeddings
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x storage cut for
+    embedding columns at 100 TB. Scale is pre-rounded to 6 decimals so
+    the scalar is reproducible cross-engine; zero vectors quantize to
+    all-zero. Shuffle-free per-row array math."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "embedding", "vec_id", 8)
+
+
+@query(
     "doc_tfidf_topk",
     oracle=r"""
     WITH toks AS (

@@ -189,3 +189,18 @@ def test_decontaminate_flags_overlap_only(spark):
         for r in decontaminate(df, "text", "id", F.col("id") < 20, 3).collect()
     }
     assert out == {20: 1, 22: 3}
+
+
+def test_truncate_tokens_short_doc_untouched(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import truncate_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(50)))],
+        "id BIGINT, text STRING",
+    )
+    out = {r["id"]: r.asDict() for r in truncate_tokens(df, "text", "id", 8).collect()}
+    assert out[1]["truncated"] == "a b c"
+    assert out[1]["was_truncated"] is False
+    assert out[2]["truncated"] == "t0 t1 t2 t3 t4 t5 t6 t7"
+    assert out[2]["n_tokens"] == 50
+    assert out[2]["was_truncated"] is True

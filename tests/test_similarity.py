@@ -121,3 +121,24 @@ def test_lsh_raises_on_ragged_dims(spark):
     )
     with pytest.raises(Exception, match="dim"):
         similarity.lsh_ann_topk(corpus, queries, k=2).collect()
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.54, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [127.0])],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    out = {r["id"]: r.asDict() for r in quantize_embeddings(df, "v", "id").collect()}
+    # zero vector: scale 0, all-zero qvec (no NaN from 0/0)
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0]
+    # max |x| maps to ±127 exactly
+    assert out[3]["qvec"] == [127]
+    assert out[1]["qvec"][1] == -127
+    # dequantized values stay within half a quantization step
+    for rid in (1, 3):
+        scale = out[rid]["scale"]
+        orig = {1: [1.0, -2.54, 0.5], 3: [127.0]}[rid]
+        for o, q in zip(orig, out[rid]["qvec"]):
+            assert abs(o - q * scale) <= scale / 2 + 1e-9
