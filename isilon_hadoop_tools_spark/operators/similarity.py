@@ -459,3 +459,93 @@ def quantize_embeddings(
     return df.select(
         F.col(id_col), scale.alias("scale"), qvec.alias("qvec")
     )
+
+
+def kmeans_assign(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment over quantized vectors.
+
+    ``vecs`` carries (vid, qv: array<bigint>); centroids broadcast as
+    literals. Distance is exact integer squared-euclidean, ties broken
+    by list_id, so the argmin is deterministic on any engine. One scan,
+    no shuffle beyond the per-vector ranking window's id partition.
+    """
+    spark = vecs.sparkSession
+    cent_df = F.broadcast(
+        local_df(spark, cents, "list_id INT, c ARRAY<BIGINT>")
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vid").orderBy("dist", "list_id")
+    return (
+        vecs.join(cent_df)
+        .select("vid", "qv", "list_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_iterate(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Lloyd's k-means over embeddings, cross-engine deterministic.
+
+    Float drift makes naive distributed k-means unreproducible: both
+    the distance sums and the centroid means depend on accumulation
+    order. This runs in integer-quantized space — ``qv = round(x *
+    scale)`` — where squared distances are exact bigint sums (any
+    order) and each mean is one double division of exact sums, so
+    every engine computes bit-identical centroids every iteration.
+
+    Init: the ``k`` lowest-id vectors. Per iteration: broadcast the
+    (tiny) centroid table, assign by exact integer argmin, recompute
+    centroids as round(sum/count) per component; clusters that lose
+    all members keep their previous centroid. Output: the final
+    assignment ``(vec_id, list_id, dist)``.
+
+    Scale: the classic 100 TB layout — centroids live on the driver
+    (k x dim values) and broadcast each round; the corpus is scanned
+    once per iteration with map-side partial sums, never collected.
+    The quantized corpus is persisted across iterations.
+    """
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), qv.alias("qv")).persist()
+    try:
+        init = vecs.orderBy("vid").limit(k).collect()
+        cents = [(i, list(r["qv"])) for i, r in enumerate(init)]
+        dim = len(cents[0][1])
+        for _ in range(iters):
+            assign = kmeans_assign(vecs, cents)
+            upd = (
+                assign.select("list_id", F.posexplode("qv").alias("pos", "val"))
+                .groupBy("list_id", "pos")
+                .agg(
+                    F.round(
+                        F.sum("val").cast("double") / F.count(F.lit(1))
+                    )
+                    .cast("long")
+                    .alias("cval")
+                )
+            )
+            bylist: dict[int, dict[int, int]] = {}
+            for r in upd.collect():
+                bylist.setdefault(r["list_id"], {})[r["pos"]] = r["cval"]
+            cents = [
+                (lid, [bylist[lid][p] for p in range(dim)] if lid in bylist else c)
+                for lid, c in cents
+            ]
+        return kmeans_assign(vecs, cents).select(
+            F.col("vid").alias("vec_id"), "list_id", "dist"
+        )
+    finally:
+        vecs.unpersist()

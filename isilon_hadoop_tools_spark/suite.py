@@ -2387,6 +2387,81 @@ def doc_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncate_tokens(docs, "text", "doc_id", 32)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Hand-unrolled Lloyd iterations as a DuckDB CTE chain — possible
+    only because the operator runs in integer-quantized space (exact
+    bigint distance sums; one double division per mean), so every
+    iteration is bit-identical across engines."""
+    idx = f"range(1, {dim + 1})"
+    parts = [
+        """
+    qvecs AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS qv
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, qv AS c
+      FROM qvecs ORDER BY vec_id LIMIT %d
+    )"""
+        % k
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""
+    a{t} AS (
+      SELECT vec_id, qv, list_id,
+             list_sum(list_transform({idx},
+               i -> (qv[i] - c[i]) * (qv[i] - c[i]))) AS dist,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform({idx},
+                 i -> (qv[i] - c[i]) * (qv[i] - c[i]))), list_id) AS rn
+      FROM qvecs CROSS JOIN {prev}
+    ),
+    m{t} AS (
+      SELECT list_id, i, round(sum(qv[i])::DOUBLE / count(*))::BIGINT AS cval
+      FROM a{t}, (SELECT unnest({idx}) AS i) _idx
+      WHERE rn = 1 GROUP BY list_id, i
+    ),
+    c{t} AS (
+      SELECT {prev}.list_id,
+             CASE WHEN count(m{t}.i) = 0 THEN any_value({prev}.c)
+                  ELSE list(m{t}.cval ORDER BY m{t}.i) END AS c
+      FROM {prev} LEFT JOIN m{t} USING (list_id) GROUP BY {prev}.list_id
+    )"""
+        )
+    final = f"""
+    SELECT vec_id, list_id, dist
+    FROM (
+      SELECT vec_id, list_id,
+             list_sum(list_transform({idx},
+               i -> (qv[i] - c[i]) * (qv[i] - c[i]))) AS dist,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform({idx},
+                 i -> (qv[i] - c[i]) * (qv[i] - c[i]))), list_id) AS rn
+      FROM qvecs CROSS JOIN c{iters}
+    ) WHERE rn = 1
+    """
+    return "WITH" + ",".join(parts) + final
+
+
+@query("embedding_kmeans_assign", oracle=_kmeans_oracle())
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations) in integer-quantized space:
+    centroids train on the driver-broadcast loop, the corpus is
+    scanned once per iteration — the iterative-algorithm pattern a
+    100 TB IVF index build uses, deterministic enough to hash-match a
+    hand-unrolled DuckDB CTE chain."""
+    from isilon_hadoop_tools_spark.operators.similarity import kmeans_iterate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_iterate(emb, "embedding", "vec_id", k=8, iters=3)
+
+
 @query(
     "embedding_quantize_int8",
     oracle="""

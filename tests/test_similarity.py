@@ -142,3 +142,40 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
         orig = {1: [1.0, -2.54, 0.5], 3: [127.0]}[rid]
         for o, q in zip(orig, out[rid]["qvec"]):
             assert abs(o - q * scale) <= scale / 2 + 1e-9
+
+
+def test_kmeans_converges_to_obvious_clusters(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import kmeans_iterate
+
+    # two tight blobs far apart; init takes the two lowest-id vectors
+    # (one from each blob), so Lloyd must separate them perfectly
+    rows = [(i, [10.0 + (i % 3) * 0.1, 10.0]) for i in range(0, 6)] + [
+        (i, [-10.0 - (i % 3) * 0.1, -10.0]) for i in range(10, 16)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in rows],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    out = kmeans_iterate(df, "v", "id", k=2, iters=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["list_id"], set()).add(r["vec_id"])
+    assert sorted(len(v) for v in by_cluster.values()) == [6, 6]
+    # blob membership is exact: ids < 10 together, ids >= 10 together
+    blobs = sorted(by_cluster.values(), key=min)
+    assert blobs[0] == set(range(0, 6))
+    assert blobs[1] == set(range(10, 16))
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import kmeans_iterate
+
+    # k=3 over 2 distinct points: one centroid never wins a vector
+    # (init = two coincident + one distinct) and must survive with its
+    # previous coordinates rather than divide by zero
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [5.0, 5.0])],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    out = kmeans_iterate(df, "v", "id", k=3, iters=2).collect()
+    assert len(out) == 3  # every vector assigned, no crash
