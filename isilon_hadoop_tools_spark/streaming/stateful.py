@@ -88,3 +88,51 @@ def ema_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ema_stream_tws(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """The same per-key EMA on Spark 4's ``transformWithStateInPandas``
+    (SPARK-49564): typed value state via a ``StatefulProcessor``
+    instead of the tuple-state ``applyInPandasWithState`` contract.
+    The newer API adds composable state variables (value/list/map),
+    per-state TTL, and timers; this twin exercises the migration path
+    and is asserted equal to :func:`ema_stream` and :func:`ema_batch`
+    in tests.
+
+    Requires ``google.protobuf`` (the transformWithState worker
+    protocol is protobuf-framed); environments without it should use
+    :func:`ema_stream`, which is wire-format-free.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _EmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ema_n", "ema DOUBLE, n LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._state.get() if self._state.exists() else None
+            ema, n = (prior[0], prior[1]) if prior is not None else (None, 0)
+            batch = pd.concat(list(rows)).sort_values([ts_col, id_col])
+            ema = _ema_update(batch[val_col].tolist(), ema, alpha)
+            n += len(batch)
+            self._state.update((ema, n))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "ema": [ema]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_EmaProcessor(),
+        outputStructType=f"{key_col} LONG, n_events LONG, ema DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -94,3 +94,40 @@ def test_pandas_udf_cosine_matches_jvm(spark):
     assert out
     for r in out:
         assert abs(r["jvm"] - r["py"]) < 1e-9
+
+
+def test_ema_transform_with_state_equals_batch(spark, tmp_path):
+    import pytest
+
+    # transformWithState's worker protocol needs protobuf (absent in
+    # some minimal containers); the operator is gated on it
+    pytest.importorskip("google.protobuf.descriptor")
+    from isilon_hadoop_tools_spark.streaming.stateful import ema_stream_tws
+
+    d = _ema_dir(tmp_path)
+    schema = "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    name = "tws" + uuid.uuid4().hex[:8]
+    q = (
+        ema_stream_tws(stream, "event_id", "ts", "event_id", "value", ALPHA)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final state per key = the update with the highest n_events
+    last = {}
+    for r in spark.table(name).collect():
+        if r["event_id"] not in last or r["n_events"] > last[r["event_id"]][0]:
+            last[r["event_id"]] = (r["n_events"], r["ema"])
+    batch = ema_batch(
+        spark.read.parquet(d), "event_id", "ts", "event_id", "value", ALPHA
+    )
+    for b in batch.collect():
+        n, ema = last[b["event_id"]]
+        assert n == b["n_events"]
+        assert abs(ema - b["ema"]) < 1e-9
