@@ -284,8 +284,9 @@ def ivf_ann_topk(
 
     Centroids here are the ``n_lists`` lowest-id corpus vectors — a
     deterministic stand-in for a k-means pass (at 100 TB you train
-    centroids on a sample once and broadcast them; the assignment /
-    probe / rank dataflow below is identical). Assignment is one scan
+    centroids once with :func:`kmeans_iterate` — or on a sample — and
+    broadcast them; the assignment / probe / rank dataflow below is
+    identical). Assignment is one scan
     with broadcast centroids; the probe join's key is the list id, so
     each query only meets ~n_probe/n_lists of the corpus.
 

@@ -1,0 +1,59 @@
+"""Anti-vaporware guards: every query name the docs claim must exist
+in the driver contract, and every registered query must have both a
+callable and (unless explicitly rows-only) an oracle."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import __spark_entry__ as entry
+
+REPO = Path(__file__).resolve().parent.parent
+
+# queries with no SQL-expressible oracle (driver records rows-only)
+ROWS_ONLY = {"ann_lsh_bucketed", "ann_ivf_probed"}
+
+
+def test_survey_2_12_query_names_exist():
+    text = (REPO / "SURVEY.md").read_text()
+    qs = set(entry.queries())
+    # table rows cite suite queries in backticks in the last column
+    sec = text.split("### 2.12")[1].split("## 3.")[0]
+    cited = set()
+    for cell in re.findall(r"\| `([a-z0-9_,` ]+)` \|", sec):
+        for name in re.split(r"[,` ]+", cell):
+            if name:
+                cited.add(name)
+    def satisfied(c: str) -> bool:
+        # SC6 cites TPC-H queries by short prefix (q1, q21, ...)
+        return c in qs or c.endswith("*") or any(
+            q.startswith(c + "_") for q in qs
+        )
+
+    missing = {c for c in cited if not satisfied(c)}
+    assert not missing, f"SURVEY.md cites nonexistent queries: {sorted(missing)}"
+
+
+def test_readme_query_mentions_exist():
+    text = (REPO / "README.md").read_text()
+    qs = set(entry.queries())
+    for name in re.findall(r"`([a-z0-9_]+)`", text):
+        if name.startswith(("q1_", "q3_", "dedup_", "doc_", "events_", "ann_")):
+            assert name in qs, f"README cites nonexistent query {name}"
+
+
+def test_every_query_has_oracle_or_declared_rows_only():
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert oracles <= qs
+    assert qs - oracles == ROWS_ONLY
+
+
+def test_module_docstring_layout_lists_only_real_modules():
+    import importlib
+
+    import isilon_hadoop_tools_spark as pkg
+
+    for mod in re.findall(r"^- ``(\w+)``", pkg.__doc__, re.M):
+        importlib.import_module(f"isilon_hadoop_tools_spark.{mod}")
