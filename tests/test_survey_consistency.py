@@ -35,6 +35,24 @@ def test_survey_2_12_query_names_exist():
     assert not missing, f"SURVEY.md cites nonexistent queries: {sorted(missing)}"
 
 
+def test_survey_2_13_coverage_map_names_exist():
+    text = (REPO / "SURVEY.md").read_text()
+    qs = set(entry.queries())
+    sec = text.split("### 2.13")[1].split("## 3.")[0]
+    known_non_queries = {
+        "__spark_entry__",  # contract module
+        "lower",  # function mention
+        "posix_join",
+    }
+    missing = set()
+    for name in re.findall(r"`([a-z0-9_]+)`", sec):
+        if name in known_non_queries or name.startswith(("tests", "test_")):
+            continue
+        if name not in qs and not any(q.startswith(name + "_") for q in qs):
+            missing.add(name)
+    assert not missing, f"SURVEY §2.13 cites nonexistent queries: {sorted(missing)}"
+
+
 def test_readme_query_mentions_exist():
     text = (REPO / "README.md").read_text()
     qs = set(entry.queries())
