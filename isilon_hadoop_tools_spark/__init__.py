@@ -33,6 +33,10 @@ Layout
                    (watermarked windows, sessionization, stateful
                    dedup, foreachBatch idempotent sinks — the
                    reference's inotify contract, ``onefs.py:1099-1120``).
+- ``scripts``    : reference-shaped entry points (``create_users`` /
+                   ``create_directories`` with the console scripts'
+                   argument semantics, incl. copy-on-write dry runs —
+                   reference ``_scripts.py:78-167``).
 - ``suite``      : the oracle-checked query registry (driver contract).
 """
 

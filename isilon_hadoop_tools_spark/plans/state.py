@@ -37,16 +37,19 @@ class ParquetState:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self._path(table))
 
-    def read(self, table: str, schema: T.StructType | str) -> DataFrame:
+    def read(self, table: str, schema: T.StructType | str | None = None) -> DataFrame:
         """Current state of ``table``; empty DataFrame if never written.
 
         The never-written branch is an empty ``LocalRelation`` (not
         ``createDataFrame([], …)``, whose ExistingRDD leaf has unknown
         stats — it blocks broadcast planning and empty-relation
-        propagation for every consumer downstream).
+        propagation for every consumer downstream). Reading a
+        never-written table requires ``schema`` for that branch.
         """
         if self.exists(table):
             return self.spark.read.parquet(self._path(table))
+        if schema is None:
+            raise KeyError(f"state table {table!r} never written and no schema given")
         return local_df(self.spark, [], schema)
 
     def write(self, table: str, df: DataFrame) -> int:
@@ -86,3 +89,25 @@ class ParquetState:
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
+
+
+class OverlayState(ParquetState):
+    """A copy-on-write view over a base state, for dry runs.
+
+    Reads fall through to ``base`` until the table is written here;
+    writes land only in this overlay's directory. A staged pipeline
+    can therefore *compose* through its own pending outputs (stage 2
+    reads stage 1's would-be state) while the base state stays
+    untouched — the reference's dry-run substitutes logging sinks but
+    still threads its in-memory counters the same way
+    (``identities.py:188-198,312-320``).
+    """
+
+    def __init__(self, base: ParquetState, root: str):
+        super().__init__(base.spark, root)
+        self.base = base
+
+    def read(self, table: str, schema: T.StructType | str | None = None) -> DataFrame:
+        if self.exists(table):
+            return super().read(table, schema)
+        return self.base.read(table, schema)

@@ -185,3 +185,51 @@ def test_read_permissions_parses_sticky_bit_octal(spark):
         )
     )
     assert actual.head()["mode"] == 0o1777
+
+
+def test_create_users_entrypoint_end_to_end(spark, state, tmp_path):
+    from isilon_hadoop_tools_spark.scripts import create_users
+
+    sh = str(tmp_path / "replay.sh")
+    # suffix without the leading '-' is normalized (reference
+    # _scripts.py:106-109)
+    report = create_users(
+        spark, state, "cdh", append_cluster_name="c1", script_path=sh
+    )
+    assert [name for name, _ in report] == [
+        "create groups",
+        "create users",
+        "add users to groups",
+        "create proxy users",
+    ]
+    groups = state.read("groups", "group_name STRING, gid INT")
+    assert groups.filter(~groups.group_name.endswith("-c1")).count() == 0
+    with open(sh, encoding="utf-8") as fh:
+        body = fh.read()
+    assert "groupadd --gid" in body and "useradd --uid" in body
+    # rerun is a no-op: same row counts, same state
+    again = create_users(
+        spark, state, "cdh", append_cluster_name="-c1", script_path=None
+    )
+    assert [n for _, n in again] == [n for _, n in report]
+
+
+def test_create_users_dry_returns_unwritten_actions(spark, state):
+    from isilon_hadoop_tools_spark.scripts import create_users
+
+    out = create_users(spark, state, "cdp", dry=True)
+    assert len(out) == 4
+    assert out[0][1].count() > 0  # actions materialize...
+    assert state.read("groups", "group_name STRING, gid INT").count() == 0
+    # ...but nothing was committed
+
+
+def test_create_directories_entrypoint(spark, state):
+    from isilon_hadoop_tools_spark.scripts import create_directories
+
+    report = create_directories(spark, state, "cdh", zone_path="/ifs/z1")
+    assert sum(n for _, n in report) > 0
+    paths = state.read(
+        "directories", "path STRING, owner STRING, group STRING, mode INT"
+    )
+    assert paths.filter(~paths.path.startswith("/ifs/z1/")).count() == 0
