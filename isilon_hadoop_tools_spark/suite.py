@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark.functions.hashing import (
     FINGERPRINT64_SQL,
+    stable_hash32,
     stable_hash32_sql,
 )
 from isilon_hadoop_tools_spark.functions.octal import to_octal
@@ -3025,6 +3026,268 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# Derived partsupp: the testdata omits TPC-H's partsupp table, so the
+# remaining four TPC-H shapes (q2/q11/q16/q20) derive an identical
+# relation on both engines — the distinct (partkey, suppkey) pairs
+# observed in lineitem, with hash-synthesized supplycost/availqty.
+# ---------------------------------------------------------------------
+
+_PS_KEY_SQL = "ps_partkey::VARCHAR || ':' || ps_suppkey::VARCHAR"
+PARTSUPP_SQL = f"""
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             round(1 + ({stable_hash32_sql(_PS_KEY_SQL)} % 10000) / 100.0, 2)
+               AS ps_supplycost,
+             (1 + ({stable_hash32_sql(_PS_KEY_SQL, seed=1)} % 9999))::INT
+               AS ps_availqty
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey FROM lineitem)
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of ``PARTSUPP_SQL``. One lineitem shuffle for
+    the distinct pair set; costs/quantities are stateless hash
+    expressions, so the relation needs no storage and is identical on
+    every engine and every run."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", "ps_partkey", "ps_suppkey")
+    return (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "ps_supplycost",
+            F.round(1 + F.pmod(stable_hash32(key), F.lit(10000)) / 100.0, 2),
+        )
+        .withColumn(
+            "ps_availqty",
+            (1 + F.pmod(stable_hash32(key, seed=1), F.lit(9999))).cast("int"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {PARTSUPP_SQL.strip()}
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+    FROM part
+    JOIN partsupp ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: minimum-cost supplier per part within a region — the
+    correlated min subquery decorrelated into a per-part min aggregate
+    over the region-filtered partsupp, re-joined on cost equality.
+    The region-filtered partsupp subplan feeds both the probe and the
+    aggregate; dims broadcast; top-k via TakeOrderedAndProject."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    eu_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu_ps.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey")
+        )
+        .join(
+            F.broadcast(min_cost),
+            (F.col("mc_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q11_NATION = "NATION_7"
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {PARTSUPP_SQL.strip()},
+    nat_ps AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = '{Q11_NATION}'
+    )
+    SELECT ps_partkey, round(sum(v), 2) AS stock_value
+    FROM nat_ps
+    GROUP BY ps_partkey
+    HAVING sum(v) > (SELECT sum(v) * 0.001 FROM nat_ps)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: stock value per part filtered by a scalar fraction
+    of the national total — the HAVING subquery is a single-row
+    broadcast; the national partsupp slice is computed once and feeds
+    both the per-part aggregate and the total."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    nat_supp = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    nat_ps = ps.join(
+        F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select(
+        "ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v")
+    )
+    total = nat_ps.agg((F.sum("v") * 0.001).alias("_cap"))
+    return (
+        nat_ps.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("_sv"))
+        .join(F.broadcast(total))
+        .filter(F.col("_sv") > F.col("_cap"))
+        .select("ps_partkey", F.round("_sv", 2).alias("stock_value"))
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle=f"""
+    WITH {PARTSUPP_SQL.strip()}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 14, 19)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct-supplier counts per part attribute bucket,
+    excluding flagged suppliers (negative balance stands in for the
+    'Customer Complaints' text filter — the testdata has no comment
+    column). NOT IN over a non-null key is a left-anti join; part
+    filters push to the scan; dims broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19)
+    )
+    flagged = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20_NATION = "NATION_3"
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+    WITH {PARTSUPP_SQL.strip()}
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{Q20_NATION}'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+          AND ps_availqty > (
+            SELECT 0.5 * sum(l_quantity) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'))
+    ORDER BY s_name
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers holding excess stock of selected parts —
+    a three-deep nested IN decorrelated to: per-(part, supplier)
+    shipped-quantity aggregate, inner-joined to partsupp (absent
+    shipment rows excluded, matching the NULL-compare semantics of
+    the correlated subquery), semi-joined up to the supplier list."""
+    ps = _partsupp(spark, sf_dir)
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sh_partkey"),
+            F.col("l_suppkey").alias("sh_suppkey"),
+        )
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(red_parts), F.col("p_partkey") == F.col("ps_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("sh_partkey") == F.col("ps_partkey"))
+            & (F.col("sh_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q20_NATION)
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
 
 
