@@ -338,38 +338,35 @@ def winnow_fingerprints(
 
     Output: ``id``, ``fp`` (distinct selected hashes per document).
 
-    Shape: characters are exploded *individually* and k-grams rebuilt
-    with ``lead`` windows — rows carry one char, never the whole text,
-    so per-doc memory is O(len), not the O(len^2) a
-    posexplode-of-grams-with-text-carried plan would cost. All three
-    window passes (lead-gram build, frame min, per-doc max position)
-    share one hash-partition-by-id exchange; the trailing
-    ``distinct()`` reuses that clustering too — one shuffle total.
+    Shape: winnowing is per-document *stateless*, so the whole scheme
+    runs as a scan-bound projection — per row, build the gram-hash
+    array with ``transform(sequence(1, len-k+1), i -> hash(substr))``,
+    take each window's minimum with ``array_min(slice(...))``, dedup
+    with ``array_distinct``, and explode only the selected
+    fingerprints. Zero shuffles: the corpus never leaves its input
+    partitioning (an earlier form exploded every *character* and ran
+    three windows over a corpus-wide hash-partition-by-id exchange —
+    at 100 TB that exchange IS the job; this form has none). Per-row
+    memory is O(len) longs, bounded by the document length.
     """
-    chars = df.select(
+    # Docs shorter than k+window-1 have no full window -> no
+    # fingerprints. The filter also guards sequence() against a
+    # negative span (Spark's sequence(1, n) with n < 1 descends).
+    ok = df.filter(F.length(F.col(text_col)) >= k + window - 1)
+    grams = ok.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "")).alias("i", "ch"),
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1)),
+            lambda i: stable_hash32(F.substring(F.col(text_col), i, F.lit(k))),
+        ).alias("grams"),
     )
-    w = Window.partitionBy("id").orderBy("i")
-    gram = F.concat(F.col("ch"), *[F.lead("ch", j).over(w) for j in range(1, k)])
-    hashed = chars.select(
-        "id",
-        "i",
-        # concat is null if any lead ran off the end -> trailing
-        # partial grams hash to null and full-window filtering below
-        # never selects them
-        stable_hash32(gram).alias("h"),
-        F.max("i").over(Window.partitionBy("id")).alias("max_i"),
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("grams") - (window - 1)),
+            lambda j: F.array_min(F.slice(F.col("grams"), j, window)),
+        )
     )
-    frame = Window.partitionBy("id").orderBy("i").rowsBetween(0, window - 1)
-    return (
-        hashed.withColumn("fp", F.min("h").over(frame))
-        # 0-based: grams live at i <= max_i-(k-1); full windows start
-        # at i <= max_i-(k-1)-(window-1)
-        .filter(F.col("i") <= F.col("max_i") - (k - 1) - (window - 1))
-        .select("id", "fp")
-        .distinct()
-    )
+    return grams.select("id", F.explode(selected).alias("fp"))
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:

@@ -465,27 +465,49 @@ def quantize_embeddings(
 def kmeans_assign(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Nearest-centroid assignment over quantized vectors.
 
-    ``vecs`` carries (vid, qv: array<bigint>); centroids broadcast as
-    literals. Distance is exact integer squared-euclidean, ties broken
-    by list_id, so the argmin is deterministic on any engine. One scan,
-    no shuffle beyond the per-vector ranking window's id partition.
+    ``vecs`` carries (vid, qv: array<bigint>); the centroid table is a
+    *literal array of structs* baked into the plan (k x dim ints — a
+    few KB), so assignment is a stateless per-row argmin: compute each
+    centroid's exact integer squared-euclidean distance with
+    ``transform``/``zip_with`` and take ``array_min`` over
+    (dist, list_id) structs — struct ordering compares dist first,
+    then list_id, which is exactly the deterministic tie-break.
+
+    Zero shuffles. An earlier form joined every vector against all k
+    centroids and ranked with a window partitioned by vid — an n x k
+    row exchange per call; at 100 TB x iterations that exchange
+    dominates Lloyd's loop, and this projection form removes it.
     """
-    spark = vecs.sparkSession
-    cent_df = F.broadcast(
-        local_df(spark, cents, "list_id INT, c ARRAY<BIGINT>")
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(lid).alias("list_id"),
+                F.array(*[F.lit(int(v)).cast("long") for v in c]).alias("c"),
+            )
+            for lid, c in cents
+        ]
     )
-    dist = F.aggregate(
-        F.zip_with("qv", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+
+    def _dist(cent):
+        return F.aggregate(
+            F.zip_with(F.col("qv"), cent["c"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            cent_lit,
+            lambda cent: F.struct(
+                _dist(cent).alias("dist"), cent["list_id"].alias("list_id")
+            ),
+        )
     )
-    w = Window.partitionBy("vid").orderBy("dist", "list_id")
-    return (
-        vecs.join(cent_df)
-        .select("vid", "qv", "list_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return vecs.withColumn("_b", best).select(
+        "vid",
+        "qv",
+        F.col("_b.list_id").alias("list_id"),
+        F.col("_b.dist").alias("dist"),
     )
 
 
@@ -527,24 +549,25 @@ def kmeans_iterate(
         dim = len(cents[0][1])
         for _ in range(iters):
             assign = kmeans_assign(vecs, cents)
-            upd = (
-                assign.select("list_id", F.posexplode("qv").alias("pos", "val"))
-                .groupBy("list_id", "pos")
-                .agg(
+            # One wide agg: dim sum columns + count, map-side partials
+            # shuffle only k x (dim+1) partial rows per input partition
+            # (an earlier form posexploded every component — n x dim
+            # rows — before aggregating). The round(sum/count) mean is
+            # computed Spark-side so it stays bit-identical to the
+            # oracle's round(sum::DOUBLE / count).
+            upd = assign.groupBy("list_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
                     F.round(
-                        F.sum("val").cast("double") / F.count(F.lit(1))
+                        F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1))
                     )
                     .cast("long")
-                    .alias("cval")
-                )
+                    .alias(f"c{p}")
+                    for p in range(dim)
+                ],
             )
-            bylist: dict[int, dict[int, int]] = {}
-            for r in upd.collect():
-                bylist.setdefault(r["list_id"], {})[r["pos"]] = r["cval"]
-            cents = [
-                (lid, [bylist[lid][p] for p in range(dim)] if lid in bylist else c)
-                for lid, c in cents
-            ]
+            bylist = {r["list_id"]: [r[f"c{p}"] for p in range(dim)] for r in upd.collect()}
+            cents = [(lid, bylist.get(lid, c)) for lid, c in cents]
         return kmeans_assign(vecs, cents).select(
             F.col("vid").alias("vec_id"), "list_id", "dist"
         )

@@ -14,6 +14,7 @@ source of truth, two engines.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -59,8 +60,28 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Shared base-table reads: at the correctness scales (sf0.001/sf0.01)
+# every suite query used to re-read its parquet inputs from scratch;
+# with 100+ queries per oracle run that re-scan dominated the gate's
+# wall clock. Cache each (session, sf_dir, table) once and let all
+# queries hang off the same in-memory relation. Disabled at bench
+# scales (the benchmark should measure real scans) and switchable off
+# for the physical-plan audits (which assert parquet pushdown, a
+# property an InMemoryTableScan would mask).
+CACHE_TABLES = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
+_CACHEABLE_SF = ("sf0.001", "sf0.01")
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return tpch.load_table(spark, name, sf_dir)
+    if not CACHE_TABLES or os.path.basename(sf_dir.rstrip("/")) not in _CACHEABLE_SF:
+        return tpch.load_table(spark, name, sf_dir)
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = tpch.load_table(spark, name, sf_dir).cache()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 # =====================================================================
@@ -4047,12 +4068,81 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
 
+# Queries already driver-green in CORRECTNESS_r02.json. The driver's
+# per-round correctness budget can run out before it reaches the end of
+# the registry, so the accessors below surface *not-yet-driver-checked*
+# queries first (in registration order) and the already-green ones
+# after. Any new query added later is automatically "fresh" and sorts
+# to the front.
+_R02_DRIVER_GREEN = frozenset(
+    {
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_local_supplier_volume",
+        "customers_without_orders",
+        "urgent_orders_with_heavy_items",
+        "top3_orders_per_customer",
+        "customer_order_gaps",
+        "nations_customers_only",
+        "nations_customers_and_suppliers",
+        "agg_surface_stats",
+        "lineitem_rollup",
+        "lineitem_cube",
+        "customer_trailing_revenue",
+        "lineitem_grouping_sets",
+        "realm_spn_reconcile",
+        "cluster_node_revision",
+        "pool_addresses",
+        "zone_hdfs_root",
+        "settings_as_map_entries",
+        "identity_suffix_all_tables",
+        "uid_lookup_probe",
+        "orders_format_roundtrip",
+        "identity_users_cdh",
+        "identity_groups_cdp",
+        "identity_memberships_hdp",
+        "identity_proxy_users_cdp",
+        "directories_cdh_suffixed",
+        "uid_allocation_cdh",
+        "referential_integrity_cdh",
+        "reconcile_users_cdh",
+        "delete_orphan_users",
+        "update_hdfs_settings",
+        "apply_identities_cdh",
+        "apply_identities_rerun_delta",
+        "apply_directories_cdh",
+        "directory_permissions_drift",
+        "identity_script_cdh",
+        "events_hourly_rollup",
+        "events_dedup_first",
+        "error_classification",
+        "error_matchers",
+        "events_asof_latest_order",
+        "events_props_parsed",
+        "events_user_ema",
+        "events_hourly_rollup_stream",
+        "events_sliding_rollup_stream",
+        "events_dedup_first_stream",
+        "events_sessionized",
+        "events_stream_stream_join",
+        "events_salted_type_counts",
+    }
+)
+
+
+def _ordered_names() -> list[str]:
+    fresh = [n for n in REGISTRY if n not in _R02_DRIVER_GREEN]
+    green = [n for n in REGISTRY if n in _R02_DRIVER_GREEN]
+    return fresh + green
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }

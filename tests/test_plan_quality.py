@@ -13,6 +13,17 @@ from isilon_hadoop_tools_spark import suite
 from conftest import SMOKE_SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _no_table_cache():
+    # These audits assert parquet-scan properties (PushedFilters,
+    # ReadSchema, PartitionFilters); the suite's shared table cache
+    # would swap the scans for InMemoryTableScan and mask them.
+    old = suite.CACHE_TABLES
+    suite.CACHE_TABLES = False
+    yield
+    suite.CACHE_TABLES = old
+
+
 def _plan(spark, name: str) -> str:
     df = suite.queries()[name](spark, SMOKE_SF_DIR)
     return df._sc._jvm.PythonSQLUtils.explainString(
@@ -118,13 +129,23 @@ def test_q15_reuses_revenue_exchange(spark):
     assert "ReusedExchange" in plan
 
 
-def test_winnow_single_id_exchange(spark):
+def test_winnow_shuffle_free(spark):
     plan = _plan(spark, "doc_winnow_fingerprints")
-    # lead-gram build, frame min, max-pos, and distinct all share one
-    # hash-partition-by-id exchange ("Exchange (" counts tree nodes;
-    # the partitioning key lives in the detail "Arguments:" lines)
-    assert plan.count("Exchange (") == 1
+    # winnowing is per-document stateless: gram hashing, window minima,
+    # and dedup all happen inside one per-row projection — the corpus
+    # never shuffles (no Exchange anywhere in the plan)
+    assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_shuffle_free(spark):
+    # nearest-centroid assignment is a per-row argmin over a literal
+    # centroid array: no n x k join, no window partitioned by vid —
+    # the returned final-assignment plan must carry no exchange at all
+    plan = _plan(spark, "embedding_kmeans_assign")
+    assert "hashpartitioning(vid" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan
 
 
 def test_embedding_cosine_id_only_candidates(spark):
