@@ -2272,9 +2272,12 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT id, source, n_tokens,
+           -- ::BIGINT: DuckDB's integer-sum window yields HUGEINT ->
+           -- float64 in pandas, hash-mismatching Spark's int64
            coalesce(sum(n_tokens) OVER (
              PARTITION BY source ORDER BY ord, id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS tok_offset,
            (tok_offset // 2048)::BIGINT AS chunk_id
     FROM sized
     """,
@@ -2456,7 +2459,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     )"""
         )
     final = f"""
-    SELECT vec_id, list_id, dist
+    SELECT vec_id, list_id, dist::BIGINT AS dist
     FROM (
       SELECT vec_id, list_id,
              list_sum(list_transform({idx},
@@ -3427,11 +3430,14 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q12_late_shipment_priority",
     oracle="""
+    -- sums cast to BIGINT: DuckDB sums integers into HUGEINT, which
+    -- lands as float64 in the gate's pandas compare and hash-mismatches
+    -- Spark's int64 (CORRECTNESS_r03 flagged exactly this)
     SELECT ship_band,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM (
       SELECT o_orderpriority,
              CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
