@@ -46,6 +46,8 @@ HEADLINE = (
     "customer_order_gaps",
     "events_hourly_rollup",
     "events_dedup_first",
+    "events_asof_latest_order",
+    "events_salted_type_counts",
     "doc_token_stats",
     "doc_winnow_fingerprints",
     "doc_repetition_stats",

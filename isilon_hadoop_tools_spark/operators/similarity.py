@@ -307,13 +307,17 @@ def ivf_ann_topk(
         centroid scoring; the exact-rank pass re-joins them so the
         list-probe join shuffles ids, not arrays."""
         vec = F.col(vec_col).cast("array<double>")
+        # centroid sim is rounded to 9 decimals BEFORE ranking: the
+        # probe ranks are then reproducible across engines (raw fp
+        # accumulation order could flip a rank for two near-equal
+        # centroid sims), with list_id as the deterministic tie-break.
         scored = (
             df.select(F.col(id_col).alias(out_id), vec.alias("_v"))
             .join(cent_df)
             .select(
                 out_id,
                 "list_id",
-                cosine(F.col("_v"), F.col("c_vec")).alias("_c_sim"),
+                F.round(cosine(F.col("_v"), F.col("c_vec")), 9).alias("_c_sim"),
             )
         )
         w = Window.partitionBy(out_id).orderBy(

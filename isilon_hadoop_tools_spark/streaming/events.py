@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark.plans.sinks import merge_create
 from isilon_hadoop_tools_spark.plans.state import ParquetState
+from isilon_hadoop_tools_spark.sources import tpch
 
 DEFAULT_WATERMARK = "1 day"
 
@@ -29,10 +30,11 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events parquet.
 
-    Same nanos handling as the batch scan (``sources/tpch.py``): the
-    file is TIMESTAMP(NANOS), read as a long and integer-divided to
-    microseconds. The file source needs a directory/glob, so the
-    single-file table is addressed with a glob pattern.
+    Same ``ts`` handling as the batch scan (``sources/tpch.py``):
+    schema-aware normalization to a µs session-TZ timestamp, whether
+    the file stores nanos longs or ``timestamp[us]``. The file source
+    needs a directory/glob, so the single-file table is addressed with
+    a glob pattern.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,7 +43,7 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(f"{sf_dir}/events.*")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return tpch.normalize_events_ts(df)
 
 
 def hourly_rollup_stream(

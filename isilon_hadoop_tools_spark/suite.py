@@ -2490,28 +2490,43 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_quantize_int8",
     oracle="""
-    SELECT vec_id,
-           round(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
-                 / 127, 6) AS scale,
-           CASE WHEN scale = 0
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding,
-                                    x -> round(x::DOUBLE / scale)::INT)
-           END AS qvec
-    FROM embeddings
+    WITH q AS (
+      SELECT vec_id,
+             round(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                   / 127, 6) AS scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                                      x -> round(x::DOUBLE / scale)::INT)
+             END AS qvec
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           unnest(generate_series(0, len(qvec) - 1))::INT AS pos,
+           unnest(qvec)::INT AS qval
+    FROM q
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization — the 4x storage cut for
     embedding columns at 100 TB. Scale is pre-rounded to 6 decimals so
     the scalar is reproducible cross-engine; zero vectors quantize to
-    all-zero. Shuffle-free per-row array math."""
+    all-zero. Shuffle-free per-row array math.
+
+    The gate output is the *exploded* form ``(vec_id, scale, pos,
+    qval)`` — one scalar row per component — because the driver's
+    canonicalizer can't sort an array column (pandas ``unhashable
+    type: 'list'``); ``quantize_embeddings`` itself still returns the
+    packed ``qvec`` array a storage pass would write."""
     from isilon_hadoop_tools_spark.operators.similarity import (
         quantize_embeddings,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb, "embedding", "vec_id", 8)
+    packed = quantize_embeddings(emb, "embedding", "vec_id", 8)
+    return packed.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("pos", "qval")
+    )
 
 
 @query(
@@ -4046,23 +4061,111 @@ def ann_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_bucketed", oracle=None)  # approximate: rows-only check
+_ANN_SCORE_RANK_SQL = f"""
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM cand
+      JOIN vecs q ON q.vec_id = cand.query_id
+      JOIN vecs c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+"""
+
+
+def _lsh_ann_oracle(planes: int = 4, tables: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of ``lsh_ann_topk``: the md5-derived hyperplanes are
+    deterministic constants (``similarity._plane_component``), so they
+    are embedded as literal DOUBLE[] rows and the bucket bits recompute
+    exactly — bit p = (dot(v, plane_p) >= 0), bucket = Σ 2^p·bit.
+    ``dim`` is pinned to the testdata's embedding length (64)."""
+    rows = []
+    for t in range(tables):
+        seed = 7 + 1000 * t
+        for p in range(planes):
+            w = ",".join(
+                repr(similarity._plane_component(p, j, seed)) for j in range(dim)
+            )
+            rows.append(f"({t}, {p}, [{w}]::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(table_id, p, w) AS (VALUES
+      {values}),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    hashed AS (
+      SELECT vec_id, table_id,
+             sum(CASE WHEN list_dot_product(v, w) >= 0
+                      THEN pow(2, p)::BIGINT ELSE 0 END)::BIGINT AS bucket
+      FROM vecs CROSS JOIN planes GROUP BY vec_id, table_id
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM hashed c JOIN hashed q USING (table_id, bucket)
+      WHERE q.vec_id < {_ANN_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    {_ANN_SCORE_RANK_SQL}
+    """
+
+
+def _ivf_ann_oracle(n_lists: int = 16, n_probe: int = 4) -> str:
+    """DuckDB twin of ``ivf_ann_topk``: centroids are the ``n_lists``
+    lowest-id vectors; assignment ranks centroid cosine rounded to 9
+    decimals (both engines round before ranking, so fp accumulation
+    order can't flip a probe rank), tie-broken by list_id."""
+    cos9 = (
+        "round(list_dot_product(v, c) / (sqrt(list_dot_product(v, v))"
+        " * sqrt(list_dot_product(c, c))), 9)"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS c
+      FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {n_lists})
+    ),
+    assigned AS (
+      SELECT vec_id, list_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY {cos9} DESC, list_id) AS r
+      FROM vecs CROSS JOIN cents
+    ),
+    cassign AS (SELECT vec_id AS neighbor_id, list_id FROM assigned WHERE r <= 1),
+    qassign AS (SELECT vec_id AS query_id, list_id FROM assigned
+                WHERE vec_id < {_ANN_QUERIES} AND r <= {n_probe}),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM cassign JOIN qassign USING (list_id)
+      WHERE query_id != neighbor_id
+    ),
+    {_ANN_SCORE_RANK_SQL}
+    """
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_ann_oracle())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH buckets then exact rank
-    within bucket. Approximate by design → no SQL oracle; recall vs
-    brute force is asserted in tests/test_similarity.py."""
+    within bucket. Approximate vs brute force but *deterministic* —
+    the md5-derived planes let the SQL oracle recompute the identical
+    bucket bits, so this hash-checks despite being an ANN. Recall vs
+    brute force additionally asserted in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K, planes=4
     )
 
 
-@query("ann_ivf_probed", oracle=None)  # approximate: rows-only check
+@query("ann_ivf_probed", oracle=_ivf_ann_oracle())
 def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale-path ANN: corpus partitioned into inverted lists by
-    nearest centroid, queries probe the closest lists, exact rank
-    inside. Approximate by design -> no SQL oracle; recall vs brute
-    force (~0.92 at 16 lists / 4 probes) is asserted in
+    nearest centroid (the n_lists lowest-id vectors — deterministic),
+    queries probe the 4 closest lists, exact rank inside. The
+    deterministic centroids make it SQL-oracle-checkable; recall vs
+    brute force (~0.92 at 16 lists / 4 probes) is asserted in
     tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_ann_topk(
@@ -4136,10 +4239,93 @@ _R02_DRIVER_GREEN = frozenset(
 )
 
 
+# Queries driver-green in CORRECTNESS_r04.json (the r03/r04 window
+# checked the complement of the r02 set; these 48 exclude the two
+# in-window reds, embedding_quantize_int8 / events_foreach_batch_state,
+# which must sort to the very front until they earn a green row).
+_R04_DRIVER_GREEN = frozenset(
+    {
+        "orders_partitioned_pruning",
+        "doc_token_stats",
+        "doc_lang_quality",
+        "doc_lang_id",
+        "doc_repetition_stats",
+        "doc_train_split",
+        "doc_stratified_sample",
+        "doc_pack_chunks",
+        "doc_redact_pii",
+        "corpus_decontaminate",
+        "doc_truncate_tokens",
+        "embedding_kmeans_assign",
+        "doc_tfidf_topk",
+        "corpus_curation_funnel",
+        "q14_promo_revenue",
+        "q6_forecast_revenue",
+        "q4_order_priority",
+        "q7_nation_volume",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q19_bracket_revenue",
+        "q22_dormant_customers",
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q16_supplier_part_counts",
+        "q20_excess_stock_suppliers",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q12_late_shipment_priority",
+        "q21_waiting_suppliers",
+        "dedup_exact_docs",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_signatures",
+        "dedup_minhash_lsh_candidates",
+        "dedup_keep_one",
+        "doc_winnow_fingerprints",
+        "simhash_docs",
+        "simhash_hamming_pairs",
+        "dedup_embedding_cosine",
+        "orders_price_bands",
+        "multimodal_metadata",
+        "multimodal_binary_dedup",
+        "multimodal_decode_stub",
+        "multimodal_frame_sample",
+        "ann_brute_force_cosine",
+    }
+)
+
+# r02-green queries with the strongest repeat evidence (judge-verified
+# every round since): sacrificed to positions just past the driver's
+# ~50-query window so every weaker query fits inside it.
+_WELL_VERIFIED_TAIL = frozenset(
+    {
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_local_supplier_volume",
+        "customers_without_orders",
+    }
+)
+
+
 def _ordered_names() -> list[str]:
-    fresh = [n for n in REGISTRY if n not in _R02_DRIVER_GREEN]
-    green = [n for n in REGISTRY if n in _R02_DRIVER_GREEN]
-    return fresh + green
+    """Registration order for the driver gate, least-verified first:
+    never-driver-green queries, then r02-only greens (unchecked since
+    r02 — includes the whole events family), then the well-verified
+    tail, then r03/r04 greens."""
+
+    def rank(n: str) -> int:
+        if n not in _R02_DRIVER_GREEN and n not in _R04_DRIVER_GREEN:
+            return 0
+        if n in _WELL_VERIFIED_TAIL:
+            return 2
+        if n in _R02_DRIVER_GREEN:
+            return 1
+        return 3
+
+    names = list(REGISTRY)
+    return sorted(names, key=lambda n: (rank(n), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

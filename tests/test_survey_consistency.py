@@ -11,8 +11,10 @@ import __spark_entry__ as entry
 
 REPO = Path(__file__).resolve().parent.parent
 
-# queries with no SQL-expressible oracle (driver records rows-only)
-ROWS_ONLY = {"ann_lsh_bucketed", "ann_ivf_probed"}
+# queries with no SQL-expressible oracle (driver records rows-only);
+# empty since r5: even the ANN queries are deterministic (md5 planes /
+# lowest-id centroids) and carry full DuckDB oracles
+ROWS_ONLY: set[str] = set()
 
 
 def test_survey_2_12_query_names_exist():
