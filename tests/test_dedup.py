@@ -157,3 +157,22 @@ def test_winnow_fingerprints_deterministic_and_distinct(spark):
     a = sorted(r["fp"] for r in dedup.winnow_fingerprints(docs, "text", "doc_id").collect())
     b = sorted(r["fp"] for r in dedup.winnow_fingerprints(docs, "text", "doc_id").collect())
     assert a == b and len(a) == len(set(a)) and len(a) > 0
+
+
+def test_winnow_arrow_and_hof_impls_identical(spark):
+    # the Arrow (mapInPandas) fast path and the pure-JVM HOF path must
+    # produce byte-identical fingerprints (same md5-derived hash, same
+    # window minima, same distinct) — also covers unicode text, where
+    # Python slicing must match Spark's character-based substring
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog repeatedly"),
+        (2, "naïve café déjà-vu — unicode résumé text with accents àè"),
+        (3, "short"),
+        (4, "aaaaaaaaaaaaaaaaaaaaaaaa"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    arrow = dedup.winnow_fingerprints(docs, "text", "doc_id", impl="arrow")
+    hof = dedup.winnow_fingerprints(docs, "text", "doc_id", impl="hof")
+    assert arrow.exceptAll(hof).count() == 0
+    assert hof.exceptAll(arrow).count() == 0
+    assert arrow.count() > 0
