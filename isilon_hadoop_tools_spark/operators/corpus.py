@@ -387,3 +387,122 @@ def truncate_tokens(
         F.concat_ws(" ", F.slice(toks, 1, max_tokens)).alias("truncated"),
         (F.size(toks) > max_tokens).alias("was_truncated"),
     )
+
+
+def dup_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 10
+) -> DataFrame:
+    """Cross-document duplicated token-span detection — the
+    substring-level dedup signal (RefinedWeb / "exact substring
+    deduplication"): any token ``n``-gram that occurs in more than one
+    document marks a duplicated span in every document containing it.
+
+    Output: ``id``, ``pos`` (0-based token start), ``gram_hash`` — one
+    row per duplicated span occurrence.
+
+    Shape: n-grams via posexplode + ``lead`` windows (codegen'd; the
+    array-HOF shingle form is ~3x slower), then one aggregation keyed
+    by gram hash to find multi-document grams, then a semi-ish join
+    back. At 100 TB both shuffles are partial-aggregated map-side and
+    keyed by a 64-bit hash — no key hotter than the most-duplicated
+    boilerplate span, which is exactly the data a dedup pass must
+    move. Returning (id, pos) spans rather than rewritten text keeps
+    the operator composable: the caller decides cut vs drop.
+    """
+    pe = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    hashed = (
+        pe.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("id", "pos", stable_hash32("gram").alias("gram_hash"))
+    )
+    multi = (
+        hashed.groupBy("gram_hash")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("gram_hash")
+    )
+    return hashed.join(multi, "gram_hash").select("id", "pos", "gram_hash")
+
+
+def chunk_overlap(
+    df: DataFrame, text_col: str, id_col: str, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the RAG /
+    context-packing precursor: chunk starts at 0, stride, 2·stride, …
+    while < n_tokens; each chunk holds the next ``size`` tokens
+    (truncated at the end of the document), so every token is covered
+    and consecutive chunks overlap by ``size - stride``.
+
+    Output: ``id``, ``chunk_idx``, ``start_tok``, ``n_tokens``,
+    ``chunk_hash`` (hash of the space-joined chunk text — lets a
+    downstream exact-dedup pass run on chunks without re-tokenizing).
+
+    Stateless per-row explode — no shuffle; at 100 TB this is
+    scan-bound with output ~n/stride rows per document.
+    """
+    toks = tokens(text_col)
+    with_toks = df.select(
+        F.col(id_col).alias("id"), toks.alias("tk"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    exploded = with_toks.select(
+        "id", "tk", "n", F.explode(starts).alias("start_tok")
+    )
+    chunk = F.slice(F.col("tk"), F.col("start_tok") + 1, size)
+    return exploded.select(
+        "id",
+        (F.col("start_tok") / stride).cast("int").alias("chunk_idx"),
+        "start_tok",
+        F.least(F.lit(size), F.col("n") - F.col("start_tok")).alias("n_tokens"),
+        stable_hash32(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Character-distribution entropy per document (bits/char, rounded
+    to 6): near-zero entropy flags degenerate/repetitive text, very
+    high entropy flags binary-ish noise — a standard cheap quality
+    gate next to the token-level Gopher signals.
+
+    Computed as ``log2(n) - (Σ c·log2(c)) / n`` over per-character
+    counts ``c`` — the algebraically equal form whose terms are exact
+    per character class, so cross-engine float drift is confined to
+    one final subtraction.
+
+    Two partial-aggregated shuffles ((id, ch) then id), keys bounded
+    by alphabet size × documents — no skew beyond document length.
+    """
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col)),
+                lambda i: F.substring(F.col(text_col), i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+        )
+        .select(
+            "id",
+            F.col("n").alias("n_chars"),
+            F.round(F.log2("n") - F.col("_clogc") / F.col("n"), 6).alias(
+                "entropy_bits"
+            ),
+        )
+    )

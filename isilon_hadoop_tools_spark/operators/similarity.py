@@ -577,3 +577,58 @@ def kmeans_iterate(
         )
     finally:
         vecs.unpersist()
+
+
+def l2_normalize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors — the standard
+    pre-pass that turns cosine ANN into dot-product ANN and makes
+    int8 quantization scale-uniform).
+
+    Output is the gate-comparable exploded form ``(id, pos, nval)``
+    with ``nval = round(x / ||v||, 6)``; zero vectors normalize to
+    all-zero (guarded division). Stateless per-row projection — no
+    shuffle, scan-bound at any scale.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    nrm = _norm(vec)
+    nvec = F.when(nrm == 0, F.transform(vec, lambda x: F.lit(0.0))).otherwise(
+        F.transform(vec, lambda x: F.round(x / nrm, 6))
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(nvec).alias("pos", "nval")
+    )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """Recall@k of the LSH ANN path against the exact brute-force
+    ground truth — the eval every approximate index needs before it
+    replaces an exact scan in production.
+
+    Output per query: ``query_id``, ``n_hits`` (ground-truth top-k
+    rows the ANN also returned), ``recall`` (= n_hits / k, rounded).
+    Both sides are the engine's own operators, so the join is k-row
+    per query — evaluation cost is dominated by the two searches, and
+    on a cluster both searches share the corpus scan.
+    """
+    truth = brute_force_topk(corpus, queries, vec_col, id_col, k=k)
+    approx = lsh_ann_topk(
+        corpus, queries, vec_col, id_col, k=k, planes=planes, tables=tables
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / k, 6).alias("recall"),
+        )
+    )

@@ -4079,12 +4079,13 @@ _ANN_SCORE_RANK_SQL = f"""
 """
 
 
-def _lsh_ann_oracle(planes: int = 4, tables: int = 8, dim: int = 64) -> str:
-    """DuckDB twin of ``lsh_ann_topk``: the md5-derived hyperplanes are
-    deterministic constants (``similarity._plane_component``), so they
-    are embedded as literal DOUBLE[] rows and the bucket bits recompute
-    exactly — bit p = (dot(v, plane_p) >= 0), bucket = Σ 2^p·bit.
-    ``dim`` is pinned to the testdata's embedding length (64)."""
+def _lsh_cand_cte(planes: int = 4, tables: int = 8, dim: int = 64) -> str:
+    """Shared CTE chain recomputing ``lsh_ann_topk``'s candidate set in
+    DuckDB: the md5-derived hyperplanes are deterministic constants
+    (``similarity._plane_component``), so they are embedded as literal
+    DOUBLE[] rows and the bucket bits recompute exactly — bit p =
+    (dot(v, plane_p) >= 0), bucket = Σ 2^p·bit. ``dim`` is pinned to
+    the testdata's embedding length (64)."""
     rows = []
     for t in range(tables):
         seed = 7 + 1000 * t
@@ -4094,8 +4095,7 @@ def _lsh_ann_oracle(planes: int = 4, tables: int = 8, dim: int = 64) -> str:
             )
             rows.append(f"({t}, {p}, [{w}]::DOUBLE[])")
     values = ",\n      ".join(rows)
-    return f"""
-    WITH planes(table_id, p, w) AS (VALUES
+    return f"""planes(table_id, p, w) AS (VALUES
       {values}),
     vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     hashed AS (
@@ -4108,7 +4108,13 @@ def _lsh_ann_oracle(planes: int = 4, tables: int = 8, dim: int = 64) -> str:
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM hashed c JOIN hashed q USING (table_id, bucket)
       WHERE q.vec_id < {_ANN_QUERIES} AND c.vec_id != q.vec_id
-    ),
+    )"""
+
+
+def _lsh_ann_oracle(planes: int = 4, tables: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of ``lsh_ann_topk`` (see :func:`_lsh_cand_cte`)."""
+    return f"""
+    WITH {_lsh_cand_cte(planes, tables, dim)},
     {_ANN_SCORE_RANK_SQL}
     """
 
@@ -4170,6 +4176,186 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K
+    )
+
+
+_DUP_SPAN_N = 10
+
+
+@query(
+    "doc_dup_spans",
+    oracle=f"""
+    WITH spans AS (
+      SELECT id, tk, unnest(generate_series(0, len(tk) - {_DUP_SPAN_N})) AS pos
+      FROM (SELECT doc_id AS id,
+                   regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents)
+    ),
+    hashed AS (
+      SELECT id, pos,
+             {stable_hash32_sql(f"array_to_string(tk[pos+1:pos+{_DUP_SPAN_N}], ' ')")}
+               AS gram_hash
+      FROM spans
+    ),
+    multi AS (
+      SELECT gram_hash FROM (
+        SELECT gram_hash, count(DISTINCT id) AS nd FROM hashed GROUP BY gram_hash
+      ) WHERE nd > 1
+    )
+    SELECT id, pos, gram_hash FROM hashed JOIN multi USING (gram_hash)
+    """,
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated token-span detection (substring-level
+    dedup signal, RefinedWeb-style): every 10-gram that appears in >1
+    document marks a span occurrence in each document carrying it."""
+    from isilon_hadoop_tools_spark.operators.corpus import dup_spans
+
+    return dup_spans(_t(spark, sf_dir, "documents"), "text", "doc_id", n=_DUP_SPAN_N)
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 16, 12
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             regexp_split_to_array(trim(text), '\\s+') AS tk,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    exploded AS (
+      SELECT id, tk, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_STRIDE})) AS start_tok
+      FROM base WHERE n > 0
+    )
+    SELECT id,
+           (start_tok // {_CHUNK_STRIDE})::INT AS chunk_idx,
+           start_tok,
+           least({_CHUNK_SIZE}, n - start_tok)::INT AS n_tokens,
+           {stable_hash32_sql(
+               f"array_to_string(tk[start_tok+1:start_tok+{_CHUNK_SIZE}], ' ')"
+           )} AS chunk_hash
+    FROM exploded
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking with overlap (size 16, stride 12)
+    — the RAG / context-packing precursor; chunk_hash feeds chunk-level
+    exact dedup without re-tokenizing."""
+    from isilon_hadoop_tools_spark.operators.corpus import chunk_overlap
+
+    return chunk_overlap(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        size=_CHUNK_SIZE,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+@query(
+    "doc_char_entropy",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id AS id, text,
+             unnest(generate_series(1, length(text))) AS i
+      FROM documents
+    ),
+    counts AS (
+      SELECT id, substring(text, i::INT, 1) AS ch, count(*) AS c
+      FROM idx GROUP BY id, ch
+    )
+    SELECT id, sum(c)::BIGINT AS n_chars,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+    FROM counts GROUP BY id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document (bits/char): the
+    cheap quality gate that flags degenerate repetition (near 0) and
+    binary-ish noise (near log2 alphabet)."""
+    from isilon_hadoop_tools_spark.operators.corpus import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "embedding_l2_normalize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           unnest(generate_series(0, len(v) - 1))::INT AS pos,
+           unnest(list_transform(
+             v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE round(x / nrm, 6) END))
+             AS nval
+    FROM v
+    """,
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column, exploded to scalar
+    (vec_id, pos, nval) rows for the gate — unit vectors turn cosine
+    ANN into dot-product ANN and make int8 quantization uniform."""
+    from isilon_hadoop_tools_spark.operators.similarity import l2_normalize
+
+    return l2_normalize(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id")
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_lsh_cand_cte()},
+    lsh_scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM cand
+      JOIN vecs q ON q.vec_id = cand.query_id
+      JOIN vecs c ON c.vec_id = cand.neighbor_id
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM lsh_scored
+      ) WHERE rank <= {_ANN_K}
+    ),
+    bf_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM vecs q JOIN vecs c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_ANN_QUERIES}
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM bf_scored
+      ) WHERE rank <= {_ANN_K}
+    )
+    SELECT b.query_id, count(l.neighbor_id)::BIGINT AS n_hits,
+           round(count(l.neighbor_id) / {_ANN_K}.0, 6) AS recall
+    FROM bf b LEFT JOIN lsh l USING (query_id, neighbor_id)
+    GROUP BY b.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN path against brute-force ground truth
+    — the eval an approximate index must pass before replacing an
+    exact scan; per-query (n_hits, recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(
+        emb, emb.filter(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K, planes=4
     )
 
 

@@ -204,3 +204,45 @@ def test_truncate_tokens_short_doc_untouched(spark):
     assert out[2]["truncated"] == "t0 t1 t2 t3 t4 t5 t6 t7"
     assert out[2]["n_tokens"] == 50
     assert out[2]["was_truncated"] is True
+
+
+def test_dup_spans_detects_shared_10gram(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import dup_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "lead in words " + shared + " tail a"),
+        (2, shared + " other ending entirely here"),
+        (3, "completely different text with no overlap at all whatsoever kept"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_spans(docs, "text", "doc_id", n=10)
+    got = {(r["id"], r["pos"]) for r in out.collect()}
+    # doc 1's shared span starts at token 3, doc 2's at token 0
+    assert (1, 3) in got
+    assert (2, 0) in got
+    assert all(i != 3 for i, _ in got)
+
+
+def test_chunk_overlap_boundaries(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import chunk_overlap
+
+    text = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {r["start_tok"]: r for r in chunk_overlap(
+        docs, "text", "doc_id", size=16, stride=12).collect()}
+    assert set(out) == {0, 12}
+    assert out[0]["n_tokens"] == 16 and out[0]["chunk_idx"] == 0
+    assert out[12]["n_tokens"] == 8 and out[12]["chunk_idx"] == 1  # truncated tail
+
+
+def test_char_entropy_known_values(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab")], "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in char_entropy(docs, "text", "doc_id").collect()}
+    assert got[1]["entropy_bits"] == 0.0  # single symbol
+    assert got[2]["entropy_bits"] == 1.0  # two equiprobable symbols
+    assert got[1]["n_chars"] == 4

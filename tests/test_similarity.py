@@ -179,3 +179,30 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     )
     out = kmeans_iterate(df, "v", "id", k=3, iters=2).collect()
     assert len(out) == 3  # every vector assigned, no crash
+
+
+def test_l2_normalize_unit_norm_and_zero_guard(spark):
+    import math
+
+    rows = [(0, [3.0, 4.0]), (1, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.l2_normalize(df, "embedding", "vec_id").collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], {})[r["pos"]] = r["nval"]
+    assert by_vec[0] == {0: 0.6, 1: 0.8}
+    assert math.isclose(sum(v * v for v in by_vec[0].values()), 1.0, rel_tol=1e-9)
+    assert by_vec[1] == {0: 0.0, 1: 0.0}
+
+
+def test_ann_recall_bounds_and_exact_duplicate_hit(spark):
+    emb = tpch.load_table(spark, "embeddings", SMOKE_SF_DIR)
+    out = similarity.ann_recall(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, planes=4
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall"] - r["n_hits"] / 5) < 1e-9
+    # multi-table LSH at this scale should recall most of the truth
+    assert sum(r["n_hits"] for r in out) >= 10
