@@ -477,32 +477,33 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Computed as ``log2(n) - (Σ c·log2(c)) / n`` over per-character
     counts ``c`` — the algebraically equal form whose terms are exact
     per character class, so cross-engine float drift is confined to
-    one final subtraction.
+    one final division+subtraction.
 
-    Two partial-aggregated shuffles ((id, ch) then id), keys bounded
-    by alphabet size × documents — no skew beyond document length.
+    Entropy is per-document *stateless*, so this runs as a zero-shuffle
+    Arrow kernel (``mapInPandas`` + ``numpy.unique`` counts per row):
+    the exploded-chars + double-groupBy form shuffles ~len(text) rows
+    per document twice — at 100 TB that exchange is the whole job,
+    while this form is scan-bound (the winnowing precedent: per-row
+    string kernels are the pandas-UDF carve-out).
     """
-    chars = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(text_col)),
-                lambda i: F.substring(F.col(text_col), i, F.lit(1)),
-            )
-        ).alias("ch"),
-    )
-    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        counts.groupBy("id")
-        .agg(
-            F.sum("c").alias("n"),
-            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
-        )
-        .select(
-            "id",
-            F.col("n").alias("n_chars"),
-            F.round(F.log2("n") - F.col("_clogc") / F.col("n"), 6).alias(
-                "entropy_bits"
-            ),
-        )
-    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            ns = np.empty(len(pdf), dtype=np.int64)
+            ents = np.empty(len(pdf), dtype=np.float64)
+            for r, text in enumerate(pdf[text_col]):
+                counts = np.unique(list(text), return_counts=True)[1]
+                n = counts.sum()
+                ns[r] = n
+                ents[r] = round(
+                    float(np.log2(n) - (counts * np.log2(counts)).sum() / n), 6
+                )
+            yield pd.DataFrame({"id": ids, "n_chars": ns, "entropy_bits": ents})
+
+    return df.filter(F.length(text_col) > 0).select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(gen, "id long, n_chars long, entropy_bits double")

@@ -4491,6 +4491,11 @@ _WELL_VERIFIED_TAIL = frozenset(
         "q3_top_revenue_orders",
         "q5_local_supplier_volume",
         "customers_without_orders",
+        "agg_surface_stats",
+        "lineitem_rollup",
+        "lineitem_cube",
+        "lineitem_grouping_sets",
+        "customer_trailing_revenue",
     }
 )
 

@@ -214,3 +214,11 @@ def test_redact_pii_is_shuffle_free(spark):
     assert "Exchange" not in plan
     # "*" prefix = the projection runs inside whole-stage codegen
     assert "* Project" in plan
+
+
+def test_char_entropy_shuffle_free(spark):
+    # entropy is per-document stateless: the Arrow kernel form must
+    # keep the corpus on its input partitioning (no Exchange at all)
+    plan = _plan(spark, "doc_char_entropy")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan

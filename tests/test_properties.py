@@ -26,6 +26,7 @@ _SETTINGS = settings(
 )
 
 _TEXT = st.text(alphabet=string.ascii_lowercase + " ", min_size=0, max_size=120)
+_WORD = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
 
 
 @_SETTINGS
@@ -99,3 +100,30 @@ def test_salted_count_equals_plain_count(spark, keys):
     plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
     salted = {r["k"]: r["count"] for r in salted_count(df, "k", salt=4).collect()}
     assert salted == plain
+
+
+@_SETTINGS
+@given(
+    prefix_a=st.lists(_WORD, min_size=0, max_size=8),
+    prefix_b=st.lists(_WORD, min_size=0, max_size=8),
+    shared=st.lists(_WORD, min_size=10, max_size=14),
+)
+def test_dup_spans_guarantee_property(spark, prefix_a, prefix_b, shared):
+    """Any two docs sharing a run of >= n (=10) tokens must both get a
+    duplicated-span row at the run's start position, regardless of
+    what precedes it."""
+    from isilon_hadoop_tools_spark.operators.corpus import dup_spans
+
+    rows = [
+        (1, " ".join(prefix_a + shared)),
+        (2, " ".join(prefix_b + shared)),
+    ]
+    out = dup_spans(
+        spark.createDataFrame(rows, "doc_id LONG, text STRING"),
+        "text",
+        "doc_id",
+        n=10,
+    )
+    got = {(r["id"], r["pos"]) for r in out.collect()}
+    assert (1, len(prefix_a)) in got
+    assert (2, len(prefix_b)) in got
