@@ -507,3 +507,71 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.filter(F.length(text_col) > 0).select(
         F.col(id_col).cast("long").alias(id_col), text_col
     ).mapInPandas(gen, "id long, n_chars long, entropy_bits double")
+
+
+def vocab_topk(df: DataFrame, text_col: str, id_col: str, k: int = 1000) -> DataFrame:
+    """Corpus vocabulary build — the tokenizer-training precursor:
+    per-term total frequency, document frequency, and frequency rank
+    (ties broken by term), truncated to the top ``k``.
+
+    Output: ``term``, ``tf_total``, ``df``, ``rank``.
+
+    Shape: one (doc, term) partial-agg shuffle then a term-keyed agg;
+    the final rank is a single un-partitioned window over the *term*
+    table — vocabulary-sized (bounded by k after truncation), not
+    corpus-sized, so the single-partition ranking is safe at any
+    corpus scale.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    per_doc = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.groupBy("term").agg(
+        F.sum("tf").alias("tf_total"), F.count(F.lit(1)).alias("df")
+    )
+    w = Window.orderBy(F.col("tf_total").desc(), F.col("term"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "tf_total", "df", "rank")
+    )
+
+
+def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean unigram surprisal — the corpus-frequency
+    perplexity proxy used as a quality score (a document of rare /
+    out-of-distribution tokens scores high, templated boilerplate
+    scores low): ``mean(-log2((tf_total + 1) / (T + V)))`` over the
+    document's tokens, with add-one smoothing over vocabulary size V
+    and corpus token count T.
+
+    Output: ``id``, ``n_tokens``, ``surprisal_bits`` (rounded to 6).
+
+    Shape: corpus token stats are one aggregation whose result is
+    vocabulary-sized; they broadcast back onto the (doc, term) fact
+    (the tf-idf pattern), so the corpus streams through exactly one
+    keyed shuffle. The per-token term is pre-rounded to 9 decimals so
+    the per-doc mean hash-matches cross-engine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf_total"))
+    totals = freq.agg(
+        F.sum("tf_total").alias("t_tokens"), F.count(F.lit(1)).alias("v_terms")
+    )
+    surprisal = F.round(
+        -F.log2(
+            (F.col("tf_total") + 1.0) / (F.col("t_tokens") + F.col("v_terms"))
+        ),
+        9,
+    )
+    return (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(surprisal), 6).alias("surprisal_bits"),
+        )
+    )

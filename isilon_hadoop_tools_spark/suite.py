@@ -4359,6 +4359,61 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_vocab_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    per_doc AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+    stats AS (
+      SELECT term, sum(tf)::BIGINT AS tf_total, count(*) AS df
+      FROM per_doc GROUP BY term
+    )
+    SELECT term, tf_total, df, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY tf_total DESC, term) AS rank
+      FROM stats
+    ) WHERE rank <= 1000
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (tokenizer-training precursor): term
+    total/document frequency + frequency rank, top 1000."""
+    from isilon_hadoop_tools_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), "text", "doc_id", k=1000)
+
+
+@query(
+    "doc_unigram_surprisal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS tf_total FROM toks GROUP BY term),
+    totals AS (
+      SELECT sum(tf_total)::BIGINT AS t_tokens, count(*) AS v_terms FROM freq
+    )
+    SELECT id, count(*) AS n_tokens,
+           round(avg(round(-log2((tf_total + 1.0) / (t_tokens + v_terms)), 9)),
+                 6) AS surprisal_bits
+    FROM toks JOIN freq USING (term) CROSS JOIN totals
+    GROUP BY id
+    """,
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (corpus-frequency perplexity
+    proxy): high = rare/out-of-distribution tokens, low = templated
+    boilerplate — the cheap LM-free quality score."""
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
@@ -4496,6 +4551,8 @@ _WELL_VERIFIED_TAIL = frozenset(
         "lineitem_cube",
         "lineitem_grouping_sets",
         "customer_trailing_revenue",
+        "top3_orders_per_customer",
+        "customer_order_gaps",
     }
 )
 

@@ -246,3 +246,27 @@ def test_char_entropy_known_values(spark):
     assert got[1]["entropy_bits"] == 0.0  # single symbol
     assert got[2]["entropy_bits"] == 1.0  # two equiprobable symbols
     assert got[1]["n_chars"] == 4
+
+
+def test_vocab_topk_ranks_by_frequency(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], "doc_id long, text string"
+    )
+    out = {r["term"]: r for r in vocab_topk(docs, "text", "doc_id", k=3).collect()}
+    assert set(out) == {"a", "b", "z"} or set(out) == {"a", "b", "c"}
+    assert out["a"]["rank"] == 1 and out["a"]["tf_total"] == 4 and out["a"]["df"] == 2
+    assert out["b"]["rank"] == 2 and out["b"]["tf_total"] == 3
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"), (2, "rareword common")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in unigram_surprisal(docs, "text", "doc_id").collect()}
+    assert got[2]["surprisal_bits"] > got[1]["surprisal_bits"]
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 2
