@@ -1,0 +1,86 @@
+"""Deterministic sketches for 100 TB-scale approximate analytics.
+
+Spark's built-in ``approx_count_distinct`` is a HyperLogLog++ whose
+registers depend on Spark's internal hash — unverifiable against any
+other engine. This module rebuilds HLL on the engine's cross-engine
+``stable_hash32`` primitive, so every register value — and therefore
+the final estimate — is bit-identical in Spark and DuckDB, and the
+sketch can be oracle-checked like any exact query.
+
+Scale shape: the register table is ``m`` rows (``2^precision``) built
+by one partial-aggregated ``groupBy(bucket).max(rho)`` — the classic
+mergeable-sketch dataflow: shards build registers independently,
+merge = elementwise max, estimate = one fold over m rows. At 100 TB
+the corpus streams through one scan; only ``m`` values ever move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+
+def _alpha(m: int) -> float:
+    # Flajolet et al. bias-correction constants
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: Column | str, b: int = 8) -> DataFrame:
+    """HLL register table over a column: ``(bucket, rho)`` rows.
+
+    The 32-bit ``stable_hash32`` value splits into ``bucket = h mod m``
+    (``m = 2^b``) and the remaining ``w = h div m`` (32-b bits);
+    ``rho = (32-b) - floor(log2(w))`` is the 1-based position of w's
+    leftmost set bit (``32-b+1`` for w = 0). ``log2`` of an integer
+    < 2^53 is exact in IEEE double, so the registers are deterministic
+    on any engine. Only non-empty buckets appear (merge semantics:
+    absent register == 0).
+    """
+    m = 1 << b
+    h = stable_hash32(F.col(col).cast("string") if isinstance(col, str) else col)
+    w = F.floor(h / m)
+    rho = F.when(w == 0, F.lit(32 - b + 1)).otherwise(
+        (32 - b) - F.floor(F.log2(w))
+    )
+    return (
+        df.select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("_rho"))
+        .groupBy("bucket")
+        .agg(F.max("_rho").cast("long").alias("rho"))
+    )
+
+
+def hll_distinct_estimate(
+    df: DataFrame, col: Column | str, b: int = 8
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate, cross-engine exact.
+
+    One row: ``m``, ``est_distinct`` (rounded to 4), using the
+    standard raw estimator ``alpha·m²/Σ2^-M`` with the small-range
+    linear-counting correction ``m·ln(m/V₀)`` when E ≤ 2.5·m and empty
+    registers exist. Empty registers contribute ``2^0`` to the
+    denominator via ``(m - count(nonempty))``.
+    """
+    m = 1 << b
+    regs = hll_registers(df, col, b)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("v_filled"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_filled"),
+    )
+    denom = F.col("s_filled") + (m - F.col("v_filled"))
+    raw = F.lit(_alpha(m) * m * m) / denom
+    v_empty = F.lit(m) - F.col("v_filled")
+    est = F.when(
+        (raw <= 2.5 * m) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"), F.round(est, 4).alias("est_distinct")
+    )

@@ -4414,6 +4414,100 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B
+
+
+def _alpha_sql() -> str:
+    """The HLL bias-correction constant as an exact SQL literal."""
+    from isilon_hadoop_tools_spark.operators.sketches import _alpha
+
+    # ::DOUBLE: DuckDB parses the bare literal as DECIMAL(18,16) and
+    # overflows multiplying it by m^2
+    return f"{_alpha(_HLL_M)!r}::DOUBLE"
+
+
+_HLL_REG_SQL = f"""
+    h AS (
+      SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT) AS h
+      FROM events
+    ),
+    rho_rows AS (
+      SELECT h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN {32 - _HLL_B + 1}
+                  ELSE {32 - _HLL_B} - floor(log2(h // {_HLL_M}))::BIGINT
+             END AS rho
+      FROM h
+    ),
+    regs AS (SELECT bucket, max(rho)::BIGINT AS rho FROM rho_rows GROUP BY bucket)
+"""
+
+
+@query(
+    "events_hll_registers",
+    oracle=f"WITH {_HLL_REG_SQL} SELECT bucket, rho FROM regs",
+)
+def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register table over events.user_id — deterministic
+    cross-engine because the hash is the engine's stable md5 primitive
+    (Spark's approx_count_distinct registers are engine-internal and
+    unverifiable; these hash-match DuckDB bit for bit)."""
+    from isilon_hadoop_tools_spark.operators.sketches import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "events"), "user_id", b=_HLL_B)
+
+
+@query(
+    "events_hll_distinct_users",
+    oracle=f"""
+    WITH {_HLL_REG_SQL},
+    agg AS (
+      SELECT count(*) AS v_filled,
+             sum(pow(2.0, -rho)) AS s_filled
+      FROM regs
+    ),
+    est AS (
+      SELECT CASE
+               WHEN ({_alpha_sql()} * {_HLL_M * _HLL_M}) /
+                    (s_filled + ({_HLL_M} - v_filled)) <= {2.5 * _HLL_M}
+                    AND ({_HLL_M} - v_filled) > 0
+               THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - v_filled))
+               ELSE ({_alpha_sql()} * {_HLL_M * _HLL_M}) /
+                    (s_filled + ({_HLL_M} - v_filled))
+             END AS e
+      FROM agg
+    )
+    SELECT {_HLL_M} AS m, round(e, 4) AS est_distinct,
+           (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct,
+           round(abs(round(e, 4) - (SELECT count(DISTINCT user_id) FROM events))
+                 / (SELECT count(DISTINCT user_id) FROM events), 4) AS rel_err
+    FROM est
+    """,
+)
+def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate vs the exact count — the
+    mergeable 100 TB distinct-count sketch, made oracle-checkable by
+    the deterministic hash. Output: m, est_distinct, exact_distinct,
+    rel_err."""
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        hll_distinct_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct_estimate(ev, "user_id", b=_HLL_B)
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "m",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
@@ -4553,6 +4647,8 @@ _WELL_VERIFIED_TAIL = frozenset(
         "customer_trailing_revenue",
         "top3_orders_per_customer",
         "customer_order_gaps",
+        "nations_customers_only",
+        "nations_customers_and_suppliers",
     }
 )
 

@@ -1,0 +1,47 @@
+"""HLL sketch tests: estimate accuracy, determinism, merge law."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.operators.sketches import (
+    hll_distinct_estimate,
+    hll_registers,
+)
+
+
+def test_hll_estimate_within_tolerance(spark):
+    # 5000 distinct values at b=8 (m=256): standard error ~1.04/sqrt(m)
+    # ~ 6.5%; assert a loose 3-sigma band
+    df = spark.range(5000).select(F.col("id").alias("v"))
+    est = hll_distinct_estimate(df, "v", b=8).collect()[0]["est_distinct"]
+    assert 0.8 * 5000 <= est <= 1.2 * 5000
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    df = spark.range(2000).select(F.col("id").alias("v"))
+    dup = df.unionAll(df).unionAll(df)
+    a = hll_distinct_estimate(df, "v", b=8).collect()[0]["est_distinct"]
+    b = hll_distinct_estimate(dup, "v", b=8).collect()[0]["est_distinct"]
+    assert a == b
+
+
+def test_hll_register_merge_is_elementwise_max(spark):
+    # sketch(A ∪ B) == elementwise-max(sketch(A), sketch(B)) — the
+    # property that makes shard-local register builds mergeable
+    a = spark.range(0, 1500).select(F.col("id").alias("v"))
+    b = spark.range(1000, 2500).select(F.col("id").alias("v"))
+    merged = {
+        (r["bucket"], r["rho"])
+        for r in hll_registers(a.unionAll(b), "v", b=8).collect()
+    }
+    ra = hll_registers(a, "v", b=8)
+    rb = hll_registers(b, "v", b=8)
+    combined = {
+        (r["bucket"], r["rho"])
+        for r in ra.unionAll(rb)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    assert merged == combined
