@@ -575,3 +575,65 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.round(F.avg(surprisal), 6).alias("surprisal_bits"),
         )
     )
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_eval,
+    n: int = 3,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    seed_base: int = 211,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-filter prefilter — the shape
+    the broadcast join takes at real scale.
+
+    The eval side's distinct grams are folded into an ``m_bits``-wide
+    Bloom bitmap on the driver (bounded by ``m_bits``, never by data
+    size) and embedded as a literal long-array: the 100 TB corpus then
+    streams through a *pure projection* that tests ``k_hashes``
+    md5-derived bit positions per gram — no join at all for the
+    overwhelming majority of grams that miss. Only the (rare) Bloom
+    hits meet the exact eval-gram set for verification, so the final
+    output is exactly :func:`decontaminate`'s (false positives are
+    verified away) and shares its oracle.
+    """
+    from isilon_hadoop_tools_spark.operators.dedup import shingle_posting_list
+
+    posts = shingle_posting_list(df, text_col, id_col, k=n, max_df=None)
+    eval_grams = posts.filter(is_eval).select("shingle").distinct()
+
+    def bit_positions(col):
+        return [
+            F.pmod(stable_hash32(col, seed_base + j), F.lit(m_bits))
+            for j in range(k_hashes)
+        ]
+
+    set_bits = {
+        r["bit"]
+        for r in eval_grams.select(
+            F.explode(F.array(*bit_positions(F.col("shingle")))).alias("bit")
+        )
+        .distinct()
+        .collect()
+    }
+    # the bitmap as ONE parsed literal array (the hyperplane-literal
+    # precedent: element-wise F.lit assembly costs m driver->JVM
+    # round-trips, a single parsed string costs one)
+    bitmap = F.expr(
+        "array("
+        + ",".join("true" if b in set_bits else "false" for b in range(m_bits))
+        + ")"
+    )
+    cond = None
+    for bit in bit_positions(F.col("shingle")):
+        t = F.get(bitmap, bit.cast("int"))
+        cond = t if cond is None else (cond & t)
+    candidates = posts.filter(~is_eval).filter(cond)
+    return (
+        candidates.join(F.broadcast(eval_grams), "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -84,3 +84,72 @@ def hll_distinct_estimate(
     return agg.select(
         F.lit(m).alias("m"), F.round(est, 4).alias("est_distinct")
     )
+
+
+def cms_table(
+    df: DataFrame, col: Column | str, d: int = 4, w: int = 256, seed_base: int = 101
+) -> DataFrame:
+    """Count-min sketch table: ``(row_id, bucket, cnt)`` rows for ``d``
+    seeded hash rows of width ``w``.
+
+    Counts are integers and the seeded hashes are the cross-engine md5
+    family, so the whole sketch is *exactly* reproducible on any
+    engine — no fp drift at all. One partial-aggregated shuffle of
+    d·w keys max; merge across shards = elementwise sum.
+    """
+    c = F.col(col).cast("string") if isinstance(col, str) else col.cast("string")
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_id"),
+                    F.pmod(stable_hash32(c, seed_base + i), F.lit(w)).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(d)
+            ]
+        )
+    )
+    return (
+        df.select(entries.alias("e"))
+        .select("e.row_id", "e.bucket")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: Column | str,
+    d: int = 4,
+    w: int = 256,
+    seed_base: int = 101,
+) -> DataFrame:
+    """Point-query the CMS: ``est_n = min over rows of cnt[h_i(key)]``
+    (the classic overestimate-only bound). ``keys`` rows keep their
+    other columns; the sketch side is d·w rows and broadcasts."""
+    c = F.col(col).cast("string") if isinstance(col, str) else col.cast("string")
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        F.pmod(stable_hash32(c, seed_base + i), F.lit(w)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("_p"),
+    ).select("*", "_p.row_id", "_p.bucket").drop("_p")
+    key_cols = [n for n in keys.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy(*key_cols)
+        .agg(F.min("cnt").alias("est_n"))
+    )

@@ -2357,9 +2357,7 @@ def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(pii, "text", "doc_id")
 
 
-@query(
-    "corpus_decontaminate",
-    oracle=r"""
+_DECONTAMINATE_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       FROM documents
@@ -2375,8 +2373,10 @@ def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM grams JOIN ev USING (g)
     WHERE doc_id % 97 <> 0
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("corpus_decontaminate", oracle=_DECONTAMINATE_ORACLE)
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any token
     3-gram with the held-out eval slice (doc_id % 97 == 0). The eval
@@ -4508,6 +4508,73 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("corpus_decontaminate_bloom", oracle=_DECONTAMINATE_ORACLE)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a driver-built Bloom bitmap embedded as a
+    literal: the corpus tests 3 md5-derived bit positions per gram as
+    a pure projection and only Bloom hits meet the exact eval-gram
+    set — same exact output (and oracle) as corpus_decontaminate,
+    with the join traffic of the rare hits only."""
+    from isilon_hadoop_tools_spark.operators.corpus import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate_bloom(docs, "text", "doc_id", F.col("id") % 97 == 0, 3)
+
+
+_CMS_D, _CMS_W, _CMS_SEED = 4, 256, 101
+_CMS_TOP = 10
+
+
+@query(
+    "events_cms_heavy_hitters",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT user_id, r AS row_id,
+             (('0x' || substr(md5((({_CMS_SEED} + r)::VARCHAR || ':')
+                               || user_id::VARCHAR), 1, 8))::BIGINT)
+               % {_CMS_W} AS bucket
+      FROM events, range(0, {_CMS_D}) t(r)
+    ),
+    cms AS (SELECT row_id, bucket, count(*) AS cnt
+            FROM hashed GROUP BY row_id, bucket),
+    exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id),
+    top AS (SELECT user_id, exact_n FROM exact
+            ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOP}),
+    probes AS (
+      SELECT t.user_id, t.exact_n, r AS row_id,
+             (('0x' || substr(md5((({_CMS_SEED} + r)::VARCHAR || ':')
+                               || t.user_id::VARCHAR), 1, 8))::BIGINT)
+               % {_CMS_W} AS bucket
+      FROM top t, range(0, {_CMS_D}) q(r)
+    )
+    SELECT p.user_id, p.exact_n, min(c.cnt)::BIGINT AS est_n
+    FROM probes p JOIN cms c USING (row_id, bucket)
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-10 event
+    users: integer counts over the seeded md5 hash family, so the
+    sketch — and its overestimate-only point queries — reproduce
+    exactly on any engine. Output: user_id, exact_n, est_n."""
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_table(ev, "user_id", d=_CMS_D, w=_CMS_W, seed_base=_CMS_SEED)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(_CMS_TOP)
+    )
+    return cms_estimate(
+        sketch, top, "user_id", d=_CMS_D, w=_CMS_W, seed_base=_CMS_SEED
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
@@ -4649,6 +4716,8 @@ _WELL_VERIFIED_TAIL = frozenset(
         "customer_order_gaps",
         "nations_customers_only",
         "nations_customers_and_suppliers",
+        "settings_as_map_entries",
+        "zone_hdfs_root",
     }
 )
 

@@ -45,3 +45,43 @@ def test_hll_register_merge_is_elementwise_max(spark):
         .collect()
     }
     assert merged == combined
+
+
+def test_cms_overestimates_only_and_is_tight_for_heavy_keys(spark):
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    # one heavy key (500x) over light background noise
+    heavy = spark.range(500).select(F.lit("heavy").alias("v"))
+    light = spark.range(300).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    df = heavy.unionAll(light)
+    sketch = cms_table(df, "v", d=4, w=256)
+    keys = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = {r["v"]: r for r in cms_estimate(sketch, keys, "v", d=4, w=256).collect()}
+    for v, r in est.items():
+        assert r["est_n"] >= r["exact_n"]  # CMS never underestimates
+    assert est["heavy"]["est_n"] <= 500 + 300  # min over rows keeps it tight
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from pyspark.sql import functions as SF
+
+    rows = [
+        (0, "shared phrase here plus eval only words"),
+        (3, "shared phrase here inside a training doc"),
+        (7, "completely unrelated training text with nothing shared"),
+        (10, "another eval document shared phrase here too"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    is_eval = SF.col("id") % 5 == 0
+    exact = decontaminate(docs, "text", "doc_id", is_eval, 3)
+    bloom = decontaminate_bloom(docs, "text", "doc_id", is_eval, 3)
+    assert exact.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(exact).count() == 0
+    assert exact.count() > 0
