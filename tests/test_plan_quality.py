@@ -222,3 +222,32 @@ def test_char_entropy_shuffle_free(spark):
     plan = _plan(spark, "doc_char_entropy")
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_no_cartesian_one_gram_agg(spark):
+    plan = _plan(spark, "doc_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_surprisal_broadcasts_vocab(spark):
+    # the vocabulary aggregates must broadcast onto the token fact —
+    # a sort-merge join here would shuffle the corpus a second time
+    plan = _plan(spark, "doc_unigram_surprisal")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hll_registers_partial_aggregated(spark):
+    # register build must be a two-phase hash aggregate (map-side
+    # partials), so only m partial rows per input partition shuffle
+    plan = _plan(spark, "events_hll_registers")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontaminate_corpus_side_is_projection(spark):
+    # the corpus bulk must meet ONLY a broadcast (the rare-hit verify
+    # join); no shuffle-side join of corpus grams against eval grams
+    plan = _plan(spark, "corpus_decontaminate_bloom")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
