@@ -637,3 +637,84 @@ def decontaminate_bloom(
         .groupBy(F.col("id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    n: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): each row draws the content-addressed
+    uniform ``u = (stable_hash32(salt:id) + 1) / 2^32`` and keys on
+    ``u^(1/w)``; the top-``n`` keys are a weight-proportional sample —
+    the quality-weighted corpus mixing draw, reproducible across runs
+    and partitionings (no ``rand()``).
+
+    The key is rounded to 9 decimals before ranking (cross-engine
+    ``pow`` is last-ulp engine-dependent), ties break by id. The
+    top-n runs as ``orderBy().limit()`` — Spark's distributed
+    TakeOrderedAndProject, per-partition heaps then one n-row merge —
+    never a corpus-wide ranking window. Output: ``id``, ``weight``,
+    ``sample_key``, ``sample_rank``.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        stable_hash32(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        )
+        + 1
+    ) / F.lit(float(1 << 32))
+    key = F.when(w > 0, F.round(F.pow(u, 1.0 / w), 9)).otherwise(F.lit(0.0))
+    top = (
+        df.select(
+            F.col(id_col).alias("id"),
+            w.cast("double").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "id")
+        .limit(n)
+    )
+    rank_w = Window.orderBy(F.col("sample_key").desc(), "id")
+    return top.withColumn("sample_rank", F.row_number().over(rank_w))
+
+
+def mixture_plan(
+    df: DataFrame, text_col: str, source_col: str
+) -> DataFrame:
+    """Domain-mixture sampling plan: the per-source rates that
+    rebalance the corpus to equal token share per source without
+    upsampling — the "data mixing" step before weighted draws.
+
+    With S sources and per-source token counts t_s, the binding
+    source is the smallest t_s; every source samples down to it:
+    ``rate_s = min(t_s) / t_s``. Output per source: ``n_docs``,
+    ``n_tokens``, ``target_w`` (= 1/S), ``rate``, ``expected_tokens``
+    (all rounded for cross-engine stability).
+
+    One partial-aggregated shuffle keyed by source; the plan table is
+    source-count-sized, so the min/total fold is a broadcasted
+    one-row aggregate, never a second corpus pass.
+    """
+    sized = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+    )
+    totals = sized.agg(
+        F.count(F.lit(1)).alias("_s"), F.min("n_tokens").alias("_tmin")
+    )
+    return (
+        sized.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(1.0 / F.col("_s"), 6).alias("target_w"),
+            F.round(F.col("_tmin") / F.col("n_tokens"), 6).alias("rate"),
+            F.round(F.col("_tmin") / F.col("n_tokens") * F.col("n_tokens"))
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+    )

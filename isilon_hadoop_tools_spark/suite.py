@@ -4575,6 +4575,61 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_weighted_sample",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT doc_id AS id, n_chars::DOUBLE AS weight,
+             CASE WHEN n_chars > 0
+                  THEN round(pow(
+                    ((('0x' || substr(md5('wsample:' || doc_id::VARCHAR),
+                                      1, 8))::BIGINT + 1) / 4294967296.0),
+                    1.0 / n_chars), 9)
+                  ELSE 0.0 END AS sample_key
+      FROM documents
+    )
+    SELECT id, weight, sample_key,
+           row_number() OVER (ORDER BY sample_key DESC, id) AS sample_rank
+    FROM keyed ORDER BY sample_key DESC, id LIMIT 100
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis-Spirakis, weight =
+    n_chars): top-100 of u^(1/w) over the content-addressed uniform —
+    the quality/length-weighted corpus mixing draw, reproducible with
+    no rand()."""
+    from isilon_hadoop_tools_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", n=100)
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=r"""
+    WITH sized AS (
+      SELECT source, count(*) AS n_docs,
+             sum(length(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS s, min(n_tokens) AS tmin FROM sized)
+    SELECT source, n_docs, n_tokens,
+           round(1.0 / s, 6) AS target_w,
+           round(tmin / n_tokens, 6) AS rate,
+           round(tmin / n_tokens * n_tokens)::BIGINT AS expected_tokens
+    FROM sized CROSS JOIN tot
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan: per-source downsampling rates that
+    rebalance every source to the binding (smallest) source's token
+    count — the data-mixing step before weighted draws."""
+    from isilon_hadoop_tools_spark.operators.corpus import mixture_plan
+
+    return mixture_plan(_t(spark, sf_dir, "documents"), "text", "source")
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
@@ -4718,6 +4773,8 @@ _WELL_VERIFIED_TAIL = frozenset(
         "nations_customers_and_suppliers",
         "settings_as_map_entries",
         "zone_hdfs_root",
+        "uid_lookup_probe",
+        "orders_format_roundtrip",
     }
 )
 

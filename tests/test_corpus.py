@@ -270,3 +270,40 @@ def test_unigram_surprisal_rare_tokens_score_higher(spark):
     got = {r["id"]: r for r in unigram_surprisal(docs, "text", "doc_id").collect()}
     assert got[2]["surprisal_bits"] > got[1]["surprisal_bits"]
     assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 2
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import weighted_sample
+
+    # weight 1000 vs weight 1: heavy rows should dominate the sample
+    rows = [(i, 1000 if i < 50 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    top = weighted_sample(df, "doc_id", "w", n=30).collect()
+    heavy = sum(1 for r in top if r["weight"] == 1000.0)
+    assert heavy >= 25
+    assert [r["sample_rank"] for r in sorted(top, key=lambda r: r["sample_rank"])] == list(range(1, 31))
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import weighted_sample
+
+    rows = [(i, i % 7 + 1) for i in range(300)]
+    a = spark.createDataFrame(rows, "doc_id long, w long")
+    b = spark.createDataFrame(rows, "doc_id long, w long").repartition(13)
+    sa = [(r["id"], r["sample_rank"]) for r in weighted_sample(a, "doc_id", "w", 20).collect()]
+    sb = [(r["id"], r["sample_rank"]) for r in weighted_sample(b, "doc_id", "w", 20).collect()]
+    assert sorted(sa) == sorted(sb)
+
+
+def test_mixture_plan_binding_source_rate_is_one(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import mixture_plan
+
+    rows = (
+        [(i, "a b c d", "big") for i in range(10)]
+        + [(100 + i, "a b", "small") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = {r["source"]: r for r in mixture_plan(docs, "text", "source").collect()}
+    assert plan["small"]["rate"] == 1.0  # binding source keeps everything
+    assert plan["big"]["rate"] == 0.25  # 10 tokens vs 40
+    assert plan["big"]["expected_tokens"] == 10

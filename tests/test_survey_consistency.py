@@ -77,3 +77,22 @@ def test_module_docstring_layout_lists_only_real_modules():
 
     for mod in re.findall(r"^- ``(\w+)``", pkg.__doc__, re.M):
         importlib.import_module(f"isilon_hadoop_tools_spark.{mod}")
+
+
+def test_driver_window_covers_all_unverified_queries():
+    # the driver checks ~the first 50 registration-order queries; every
+    # query without a driver-green row in r02/r04 must sort inside that
+    # window or it can never earn one
+    from isilon_hadoop_tools_spark import suite
+
+    names = list(entry.queries())
+    weak = [
+        n
+        for n in names
+        if n not in suite._R04_DRIVER_GREEN and n not in suite._WELL_VERIFIED_TAIL
+    ]
+    outside = [n for n in weak if names.index(n) >= 50]
+    assert not outside, (
+        f"{len(outside)} never-driver-green queries fall outside the "
+        f"50-query gate window: {outside[:5]} — grow _WELL_VERIFIED_TAIL"
+    )
