@@ -49,3 +49,47 @@ def salted_count(df: DataFrame, key: str, salt: int = 8) -> DataFrame:
         .groupBy(key)
         .agg(F.sum("_partial").alias("count"))
     )
+
+
+def zorder_key(cols: list, bits: int = 8):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    already-bucketed column — the multi-dimensional clustering key
+    behind Delta/Iceberg OPTIMIZE ZORDER. Writing a 100 TB table
+    sorted by this key makes min/max file statistics selective on
+    *every* interleaved dimension at once, so point/range predicates
+    on any of them prune files (a single-column sort only prunes its
+    leading column).
+
+    Inputs must already be in ``[0, 2^bits)``; the key is a pure
+    integer projection (static shifts, whole-stage codegen'd), exactly
+    reproducible on any engine.
+    """
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for c, col in enumerate(cols):
+            bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * len(cols) + c)
+    return z
+
+
+def zorder_layout(
+    df: DataFrame, cols: list, bits: int = 8, n_ranges: int = 64
+) -> DataFrame:
+    """Range-partitioned Z-order layout summary: assign each row's
+    Morton key to one of ``n_ranges`` contiguous key ranges (the
+    file-sized write buckets) and report per-range row counts and key
+    bounds — the planning table a layout optimizer inspects before
+    rewriting files. Output: ``range_id``, ``n_rows``, ``z_min``,
+    ``z_max``.
+    """
+    width = (1 << (bits * len(cols))) // n_ranges
+    z = zorder_key(cols, bits)
+    return (
+        df.select((z / width).cast("long").alias("range_id"), z.alias("z"))
+        .groupBy("range_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )

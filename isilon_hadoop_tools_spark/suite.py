@@ -4630,6 +4630,44 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_plan(_t(spark, sf_dir, "documents"), "text", "source")
 
 
+def _zorder_terms(a_expr: str, b_expr: str, bits: int = 8) -> str:
+    """The Morton-interleave as an explicit SQL sum of static-shift
+    terms — the same 2·bits integer terms ``zorder_key`` builds."""
+    terms = []
+    for b in range(bits):
+        for c, e in enumerate((a_expr, b_expr)):
+            terms.append(f"((({e}) // {1 << b}) % 2) * {1 << (2 * b + c)}")
+    return " + ".join(terms)
+
+
+@query(
+    "events_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT ({_zorder_terms('user_id % 256', 'hour(ts)')})::BIGINT AS z
+      FROM events
+    )
+    SELECT (z // {(1 << 16) // 64})::BIGINT AS range_id,
+           count(*) AS n_rows, min(z) AS z_min, max(z) AS z_max
+    FROM keyed GROUP BY 1
+    """,
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout plan over (user_id bucket, hour): the
+    multi-dimensional clustering key behind OPTIMIZE ZORDER, with
+    per-range row counts and key bounds — file-skipping on both
+    dimensions at once when the table is written in this order."""
+    from isilon_hadoop_tools_spark.operators.skew import zorder_layout
+
+    ev = _t(spark, sf_dir, "events")
+    return zorder_layout(
+        ev,
+        [F.pmod(F.col("user_id"), F.lit(256)), F.hour("ts")],
+        bits=8,
+        n_ranges=64,
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
@@ -4775,6 +4813,7 @@ _WELL_VERIFIED_TAIL = frozenset(
         "zone_hdfs_root",
         "uid_lookup_probe",
         "orders_format_roundtrip",
+        "identity_suffix_all_tables",
     }
 )
 

@@ -71,3 +71,35 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from isilon_hadoop_tools_spark.operators.skew import zorder_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0101)], "a long, b long"
+    ).select(zorder_key([F.col("a"), F.col("b")], bits=4).alias("z"))
+    # interleave a=1010, b=0101 -> bit pairs (a_b, b_b) from LSB:
+    # b0: a=0,b=1 -> 10 ; b1: a=1,b=0 -> 01 ; b2: a=0,b=1 -> 10 ; b3: a=1,b=0 -> 01
+    # z = sum: a bits at even positions (0,2,4,6), b bits at odd
+    expected = sum(
+        ((0b1010 >> i) & 1) << (2 * i) | ((0b0101 >> i) & 1) << (2 * i + 1)
+        for i in range(4)
+    )
+    assert df.collect()[0]["z"] == expected
+
+
+def test_zorder_layout_partitions_cover_all_rows(spark):
+    from isilon_hadoop_tools_spark.operators.skew import zorder_layout
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 256).alias("a"), ((F.col("id") * 7) % 256).alias("b")
+    )
+    out = zorder_layout(df, [F.col("a"), F.col("b")], bits=8, n_ranges=64)
+    rows = out.collect()
+    assert sum(r["n_rows"] for r in rows) == 1000
+    width = (1 << 16) // 64
+    for r in rows:
+        assert r["range_id"] * width <= r["z_min"] <= r["z_max"] < (r["range_id"] + 1) * width
