@@ -148,3 +148,89 @@ def sample_frames_stub(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_hash": hashes})
 
     return df.select(id_col, bin_col).mapInPandas(sample, schema)
+
+
+def resize_image_stub(
+    df: DataFrame, bin_col: str, id_col: str, target: int = 64
+) -> DataFrame:
+    """Arrow-batched resize stage (``mapInPandas``): aspect-preserving
+    downscale to fit a ``target`` x ``target`` box, never upscaling.
+
+    STUB: source dimensions come from :func:`_fake_dims` and the
+    "resized payload" is an md5 tag over (hex payload, out dims); a
+    real deployment replaces ``resize_one`` with
+    ``PIL.Image.open(...).thumbnail((target, target))`` and returns
+    real bytes. Output: id, ``src_w``, ``src_h``, ``out_w``,
+    ``out_h``, ``resized_hash``.
+    """
+    schema = (
+        f"{id_col} LONG, src_w INT, src_h INT, out_w INT, out_h INT, "
+        "resized_hash STRING"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resize_one(raw: bytes) -> tuple[int, int, int, int, str]:
+            # >>> real decoder+resampler plugs in here (PIL/libvips) <<<
+            w, h, _ = _fake_dims(len(raw))
+            longest = max(w, h)
+            scale = min(1.0, target / longest)
+            # floor(x + 0.5), not round(): Python rounds half-to-even,
+            # SQL half-away — they disagree on exact .5 products
+            ow = max(1, int(w * scale + 0.5))
+            oh = max(1, int(h * scale + 0.5))
+            tag = hashlib.md5(
+                f"{raw.hex().upper()}:{ow}x{oh}".encode()
+            ).hexdigest()
+            return (w, h, ow, oh, tag)
+
+        for batch in batches:
+            out = [resize_one(raw) for raw in batch[bin_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "src_w": [o[0] for o in out],
+                    "src_h": [o[1] for o in out],
+                    "out_w": [o[2] for o in out],
+                    "out_h": [o[3] for o in out],
+                    "resized_hash": [o[4] for o in out],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(resize, schema)
+
+
+def extract_features_stub(
+    df: DataFrame, bin_col: str, id_col: str, dim: int = 8
+) -> DataFrame:
+    """Arrow-batched feature-extraction stage: payload -> fixed-dim
+    float feature vector, emitted in the exploded gate-comparable form
+    ``(id, pos, fval)``.
+
+    STUB: component ``pos`` is the md5-derived 32-bit hash of
+    (hex payload, pos) scaled into [0, 1) and rounded — deterministic
+    and SQL-recomputable. A real deployment replaces ``feature_one``
+    with an image/audio embedding model over the decoded tensor; the
+    Spark-side contract (one vector row fan-out per payload, Arrow
+    batches, downstream ANN-ready) is unchanged.
+    """
+    schema = f"{id_col} LONG, pos INT, fval DOUBLE"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feature_one(raw: bytes, pos: int) -> float:
+            # >>> real embedding model plugs in here <<<
+            h = int(
+                hashlib.md5(f"{raw.hex().upper()}:{pos}".encode()).hexdigest()[:8],
+                16,
+            )
+            return round(h / 4294967296.0, 6)
+
+        for batch in batches:
+            ids, poss, vals = [], [], []
+            for doc_id, raw in zip(batch[id_col], batch[bin_col]):
+                for p in range(dim):
+                    ids.append(doc_id)
+                    poss.append(p)
+                    vals.append(feature_one(raw, p))
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fval": vals})
+
+    return df.select(id_col, bin_col).mapInPandas(extract, schema)

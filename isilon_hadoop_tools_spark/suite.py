@@ -4668,6 +4668,64 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_resize_stub",
+    oracle=f"""
+    WITH payloads AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents),
+    dims AS (
+      SELECT doc_id, hex(payload) AS hx,
+             (octet_length(payload) % 640 + 1) AS src_w,
+             ((octet_length(payload) * 7) % 480 + 1) AS src_h
+      FROM payloads
+    ),
+    scaled AS (
+      SELECT doc_id, hx, src_w, src_h,
+             least(1.0, 64.0 / greatest(src_w, src_h)) AS scale
+      FROM dims
+    )
+    SELECT doc_id, src_w::INT AS src_w, src_h::INT AS src_h,
+           greatest(1, floor(src_w * scale + 0.5))::INT AS out_w,
+           greatest(1, floor(src_h * scale + 0.5))::INT AS out_h,
+           md5(hx || ':' || greatest(1, floor(src_w * scale + 0.5))::INT
+                  || 'x' || greatest(1, floor(src_h * scale + 0.5))::INT)
+             AS resized_hash
+    FROM scaled
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize stage for image-like payloads (stubbed
+    resampler): fit-to-64-box without upscaling, Arrow-batched
+    mapInPandas with the real schema/batch contract."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.resize_image_stub(_payload_df(spark, sf_dir), "payload", "doc_id")
+
+
+@query(
+    "multimodal_feature_stub",
+    oracle=f"""
+    WITH payloads AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents),
+    expanded AS (
+      SELECT doc_id, hex(payload) AS hx, unnest(range(0, 8))::INT AS pos
+      FROM payloads
+    )
+    SELECT doc_id, pos,
+           round((('0x' || substr(md5(hx || ':' || pos), 1, 8))::BIGINT)
+                 / 4294967296.0, 6) AS fval
+    FROM expanded
+    """,
+)
+def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage (stubbed embedding model): payload ->
+    8-dim feature vector in the exploded gate form, the ANN-ready
+    fan-out a real image/audio encoder produces."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.extract_features_stub(
+        _payload_df(spark, sf_dir), "payload", "doc_id", dim=8
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
@@ -4814,6 +4872,8 @@ _WELL_VERIFIED_TAIL = frozenset(
         "uid_lookup_probe",
         "orders_format_roundtrip",
         "identity_suffix_all_tables",
+        "identity_users_cdh",
+        "identity_groups_cdp",
     }
 )
 

@@ -76,3 +76,30 @@ def test_frame_sample_one_to_many(spark):
     assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [1, 2, 3]
     expected = hashlib.md5(f"{raw.hex().upper()}:2".encode()).hexdigest()
     assert {r["frame_hash"] for r in out if r["frame_idx"] == 2} == {expected}
+
+
+def test_resize_stub_never_upscales_and_fits_box(spark):
+    from isilon_hadoop_tools_spark import multimodal as M
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 10), (2, b"y" * 700), (3, b"z")],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in M.resize_image_stub(df, "payload", "doc_id").collect()}
+    for r in out.values():
+        assert 1 <= r["out_w"] <= 64 and 1 <= r["out_h"] <= 64
+        assert r["out_w"] <= max(r["src_w"], 64)  # no upscale beyond source
+        if max(r["src_w"], r["src_h"]) <= 64:
+            assert (r["out_w"], r["out_h"]) == (r["src_w"], r["src_h"])
+
+
+def test_feature_stub_shape_and_determinism(spark):
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    df = spark.createDataFrame([(1, b"abc"), (2, b"def")], "doc_id long, payload binary")
+    a = sorted(map(tuple, M.extract_features_stub(df, "payload", "doc_id", dim=8).collect()))
+    b = sorted(map(tuple, M.extract_features_stub(df, "payload", "doc_id", dim=8).collect()))
+    assert a == b
+    assert len(a) == 16
+    assert all(0.0 <= v < 1.0 for _, _, v in a)
