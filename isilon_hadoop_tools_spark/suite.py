@@ -4726,6 +4726,114 @@ def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH first_view AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, min(e.ts) AS t_purch
+      FROM events e JOIN first_view v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_viewers,
+           sum(CASE WHEN t_purch IS NOT NULL
+                     AND t_purch <= t_view + INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END) AS n_converted,
+           round(sum(CASE WHEN t_purch IS NOT NULL
+                           AND t_purch <= t_view + INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END) / count(*), 6) AS conv_rate
+    FROM first_view LEFT JOIN first_purchase USING (user_id)
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase funnel: share of viewers whose first purchase
+    lands within 1h of their first view — the event-analytics
+    conversion shape (two keyed aggs + one broadcast-sized join,
+    corpus scanned twice at most; at 100 TB both legs share the scan
+    via a conditional aggregation if needed)."""
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purch"))
+    )
+    conv = F.when(
+        F.col("t_purch").isNotNull()
+        & (F.col("t_purch") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR")),
+        1,
+    ).otherwise(0)
+    return (
+        fv.join(fp, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewers"),
+            F.sum(conv).alias("n_converted"),
+            F.round(F.sum(conv) / F.count(F.lit(1)), 6).alias("conv_rate"),
+        )
+    )
+
+
+@query(
+    "events_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             datediff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset::BIGINT AS week_offset,
+           count(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-seen week,
+    counted per active week offset — the classic cohort triangle.
+    Two keyed aggregations; the first-seen table is user-dimension
+    sized and broadcasts onto the event fact."""
+    ev = _t(spark, sf_dir, "events")
+    # to_date: Spark date_trunc returns a timestamp while DuckDB's
+    # returns a date — align on DATE so the canonicalized values match
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
@@ -4874,6 +4982,8 @@ _WELL_VERIFIED_TAIL = frozenset(
         "identity_suffix_all_tables",
         "identity_users_cdh",
         "identity_groups_cdp",
+        "identity_memberships_hdp",
+        "identity_proxy_users_cdp",
     }
 )
 
