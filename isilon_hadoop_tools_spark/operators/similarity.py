@@ -215,13 +215,19 @@ def cosine_near_dup_pairs(
     per-bucket candidate volume — stays constant as the corpus grows
     (see :func:`auto_planes`).
     """
-    if dim is None:
-        probe = df.select(F.size(vec_col).alias("d")).first()
-        if probe is None:
+    if dim is None or planes is None:
+        # ONE probe job for both corpus size and dim (separate count()
+        # + first() scans cost two passes — at 100 TB that's two reads
+        # of the fact table before any real work)
+        probe = df.agg(
+            F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+        ).first()
+        if probe is None or probe["d"] is None:
             raise ValueError("cannot infer embedding dim from an empty corpus")
-        dim = probe["d"]
-    if planes is None:
-        planes = auto_planes(df.count())
+        if dim is None:
+            dim = probe["d"]
+        if planes is None:
+            planes = auto_planes(probe["n"])
     vec = F.col(vec_col).cast("array<double>")
     bucketer = bucket_ids_pandas(
         planes, dim, [7 + 1000 * t for t in range(tables)]
