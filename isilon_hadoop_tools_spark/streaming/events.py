@@ -38,6 +38,17 @@ def read_events_stream(
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Streaming state stores are created per shuffle partition and the
+    # count is frozen at the query's first run: a vanilla session's
+    # 200 means 200 state dirs per stateful stage (a measured 31 s for
+    # the stream-stream join at sf0.01). Size to the machine instead —
+    # on a real cluster the caller sets SPARK_GRAFT_CPUS to the
+    # executor-core total (AQE cannot coalesce streaming exchanges).
+    import os as _os
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
