@@ -236,10 +236,15 @@ def cosine_near_dup_pairs(
     # the bucket self-join shuffles ~dim*8 bytes per *candidate* row
     # (64x the key payload) and was the measured bottleneck; instead
     # the distinct pair set re-joins the per-id vector+norm table.
+    # lazy localCheckpoint: the hash table is consumed by BOTH sides of
+    # the bucket self-join, whose per-side isnotnull pushdowns defeat
+    # ReusedExchange — without materialization the Arrow bucketer runs
+    # once per consumer (8 ArrowEvalPython nodes in the measured plan).
+    # The table is id+2 ints per (row, table) — bounded, cheap to hold.
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(bucketer(vec)).alias("table_id", "bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a = hashed.select("table_id", "bucket", F.col("id").alias("id_a"))
     b = hashed.select("table_id", "bucket", F.col("id").alias("id_b"))
     candidates = (
