@@ -250,7 +250,11 @@ def simhash_near_pairs(
     if max_hamming >= bands:
         raise ValueError("completeness requires max_hamming < bands")
     band_bits = bits // bands
-    sims = simhash(df, text_col, id_col, bits)
+    # lazy localCheckpoint: the fingerprint table feeds both sides of
+    # the band self-join, whose per-side pushdowns defeat
+    # ReusedExchange — without it the whole token-vote aggregation runs
+    # twice. One (id, simhash) row per document — corpus-key sized.
+    sims = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
     slices = F.array(
         *[
             (
