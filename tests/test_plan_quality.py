@@ -251,3 +251,27 @@ def test_bloom_decontaminate_corpus_side_is_projection(spark):
     plan = _plan(spark, "corpus_decontaminate_bloom")
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def _executed_plan(spark, name: str) -> str:
+    df = suite.queries()[name](spark, SMOKE_SF_DIR)
+    df.collect()
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_ngram_jaccard_single_pipeline(spark):
+    # the sizes-join form recomputed the posting pipeline 3x (31
+    # Exchange nodes); the size-carrying form must stay one pipeline
+    plan = _executed_plan(spark, "dedup_ngram_jaccard")
+    assert plan.count("Exchange (") <= 12
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_bucketer_materialized_once(spark):
+    # the Arrow bucketer must not run once per self-join side: the
+    # hashed table is checkpointed, so at most one ArrowEvalPython
+    # subtree may remain in the executed plan
+    plan = _executed_plan(spark, "dedup_embedding_cosine")
+    assert plan.count("ArrowEvalPython") <= 2
