@@ -106,3 +106,25 @@ def test_catches_passes_through_other_exceptions():
 def test_main_dispatch_unknown_command_exits_2(capsys):
     assert cli.main(["frobnicate"]) == 2
     assert "usage" in capsys.readouterr().err
+
+
+def test_create_users_dry_run_end_to_end(spark, tmp_path, monkeypatch):
+    # full pipeline through the console entry point: parse -> stages ->
+    # dry-run counts, exit 0, nothing written
+    monkeypatch.chdir(tmp_path)
+    rc = cli.isilon_create_users(
+        [str(tmp_path / "state"), "--dist", "cdh", "--dry", "-q"]
+    )
+    assert rc == 0
+    # dry run commits nothing: no parquet state, no side-output script
+    assert not list((tmp_path / "state").rglob("*.parquet"))
+    assert not list(tmp_path.glob("*.sh"))
+
+
+def test_create_directories_real_run_commits_state(spark, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = cli.isilon_create_directories(
+        [str(tmp_path / "state"), "--dist", "cdh", "-q"]
+    )
+    assert rc == 0
+    assert (tmp_path / "state").exists()  # stages committed

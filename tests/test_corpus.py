@@ -307,3 +307,24 @@ def test_mixture_plan_binding_source_rate_is_one(spark):
     assert plan["small"]["rate"] == 1.0  # binding source keeps everything
     assert plan["big"]["rate"] == 0.25  # 10 tokens vs 40
     assert plan["big"]["expected_tokens"] == 10
+
+
+def test_new_operators_tolerate_empty_and_null_text(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        char_entropy,
+        chunk_overlap,
+        dup_spans,
+        unigram_surprisal,
+        vocab_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real text content here")],
+        "doc_id long, text string",
+    )
+    # none of these may raise; null/empty docs just vanish or score 0
+    assert dup_spans(docs, "text", "doc_id").count() == 0
+    assert chunk_overlap(docs, "text", "doc_id").filter("id != 3").count() == 0
+    assert char_entropy(docs, "text", "doc_id").filter("id != 3").count() == 0
+    assert vocab_topk(docs, "text", "doc_id", 10).count() == 4
+    assert unigram_surprisal(docs, "text", "doc_id").filter("id != 3").count() == 0
