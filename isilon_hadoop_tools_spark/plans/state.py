@@ -26,9 +26,15 @@ from isilon_hadoop_tools_spark.sources.local import local_df
 class ParquetState:
     """A directory of named parquet tables with atomic replace."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, write_partitions: int = 1):
         self.spark = spark
         self.root = root
+        # State tables are catalog-sized (identities, directories,
+        # settings — tens to thousands of rows); under a vanilla
+        # session's 200 shuffle partitions an uncoalesced write
+        # produces 200 near-empty files per table. Callers with a
+        # genuinely large state table raise this.
+        self.write_partitions = write_partitions
         os.makedirs(root, exist_ok=True)
 
     def _path(self, table: str) -> str:
@@ -61,7 +67,7 @@ class ParquetState:
         tmp = final + ".staging"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-        df.write.mode("overwrite").parquet(tmp)
+        df.coalesce(self.write_partitions).write.mode("overwrite").parquet(tmp)
         n = self._footer_count(tmp)
         old = final + ".old"
         if os.path.isdir(final):

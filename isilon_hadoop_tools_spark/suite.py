@@ -70,13 +70,16 @@ def query(name: str, oracle: str | None = None):
 # property an InMemoryTableScan would mask).
 CACHE_TABLES = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
 _CACHEABLE_SF = ("sf0.001", "sf0.01")
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# keyed by the session OBJECT (not id(spark): holding only the id
+# would let a garbage-collected session's id be reused by a new one,
+# aliasing cached DataFrames of a dead session)
+_TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not CACHE_TABLES or os.path.basename(sf_dir.rstrip("/")) not in _CACHEABLE_SF:
         return tpch.load_table(spark, name, sf_dir)
-    key = (id(spark), sf_dir, name)
+    key = (spark, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = tpch.load_table(spark, name, sf_dir).cache()
