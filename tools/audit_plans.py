@@ -1,0 +1,70 @@
+"""Physical-plan audit across the suite.
+
+Prints one line per query with Exchange / ReusedExchange / scan /
+Python-stage node counts from the *executed* (final adaptive) plan,
+flagging cartesians and unusually exchange-heavy plans. This is how
+the round-5 recompute bugs were found (a sizes-join recomputing the
+ngram posting pipeline 3x, an Arrow bucketer running once per
+self-join side, a funnel re-scanning the corpus per stage count).
+
+Usage::
+
+    python tools/audit_plans.py [sf_dir] [query ...]   # default: headline set
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from isilon_hadoop_tools_spark import suite  # noqa: E402
+from isilon_hadoop_tools_spark.session import get_session  # noqa: E402
+
+
+def audit(spark, name: str, sf_dir: str) -> dict:
+    df = suite.REGISTRY[name].spark(spark, sf_dir)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return {
+        "exchanges": plan.count("Exchange ("),
+        "reused": plan.count("ReusedExchange"),
+        "scans": plan.count("Scan parquet")
+        + plan.count("InMemoryTableScan")
+        + plan.count("Scan ExistingRDD"),
+        "python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+        "cartesian": plan.count("CartesianProduct")
+        + plan.count("BroadcastNestedLoopJoin"),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if len(sys.argv) > 2:
+        names = sys.argv[2:]
+    else:
+        import bench
+
+        names = [n for n in bench.HEADLINE if n in suite.REGISTRY]
+    spark = get_session("audit_plans")
+    worst = 0
+    for name in names:
+        c = audit(spark, name, sf_dir)
+        # brute-force cosine legitimately broadcasts a nested loop;
+        # anything else with a cartesian is a bug
+        flag = ""
+        if c["cartesian"] and "brute_force" not in name:
+            flag = "  <== CARTESIAN"
+            worst = 1
+        print(
+            f"{name}: exch={c['exchanges']} reuse={c['reused']} "
+            f"scans={c['scans']} py={c['python']}{flag}"
+        )
+    return worst
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
