@@ -166,3 +166,42 @@ def test_stopword_ratio(spark):
     val = _one(spark, stopword_ratio("t", ("the", "a")), t="the cat a hat x")
     assert abs(val - 0.4) < 1e-9
     assert _one(spark, stopword_ratio("t", ("the",)), t="") == 0.0
+
+
+def test_feature_bitmap_decode_matches_reference_semantics(spark):
+    # reference onefs.py:1010-1035: supported iff feature_bit ==
+    # i*64 + offset for any entry i of the feature's gen; absent gen
+    # falls back to gen <= default_gen
+    from isilon_hadoop_tools_spark.functions.features import GEN, supported_features
+
+    gen_bits = spark.createDataFrame(
+        [
+            (GEN["PIPE"], 0, [0, 3]),      # bits 0 and 3
+            (GEN["PIPE"], 1, [1]),         # bit 64+1 = 65
+            (GEN["FRTR"], 0, []),          # present but empty
+        ],
+        "gen long, entry_idx int, offsets array<int>",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("pipe_bit3", GEN["PIPE"], 3),     # hit in entry 0
+            ("pipe_bit65", GEN["PIPE"], 65),   # hit via i*64+offset
+            ("pipe_bit7", GEN["PIPE"], 7),     # miss
+            ("frtr_bit0", GEN["FRTR"], 0),     # gen present, no offsets
+            ("old_gen", GEN["JAWS"], 0),       # absent gen <= default
+            ("new_gen", GEN["ERA1"], 0),       # absent gen > default
+        ],
+        "feature string, feature_gen long, feature_bit int",
+    )
+    out = {
+        r["feature"]: r["supported"]
+        for r in supported_features(gen_bits, probes, default_gen=GEN["KANA"]).collect()
+    }
+    assert out == {
+        "pipe_bit3": True,
+        "pipe_bit65": True,
+        "pipe_bit7": False,
+        "frtr_bit0": False,
+        "old_gen": True,
+        "new_gen": False,
+    }
