@@ -205,3 +205,33 @@ def test_feature_bitmap_decode_matches_reference_semantics(spark):
         "old_gen": True,
         "new_gen": False,
     }
+
+
+def test_revision_gate_matches_reference_releases(spark):
+    # onefs.py:1038-1042 branches on revision < 8.0.1.0; feature flags
+    # (onefs.py:1019-1022) need >= 8.2.0.0
+    from isilon_hadoop_tools_spark.functions.versions import (
+        ONEFS_RELEASES,
+        revision_at_least,
+        revision_long,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("old", f"{ONEFS_RELEASES['8.0.0.4']:x}"),
+        ("mid", f"0x{ONEFS_RELEASES['8.1.2.0']:X}"),  # 0x prefix, upper
+        ("new", f"{ONEFS_RELEASES['8.2.3.0']:x}"),
+    ]
+    df = spark.createDataFrame(rows, "name string, revision string")
+    out = {
+        r["name"]: (r["flush_new_api"], r["features_ok"], r["rev_long"])
+        for r in df.select(
+            "name",
+            revision_at_least("revision", "8.0.1.0").alias("flush_new_api"),
+            revision_at_least("revision", "8.2.0.0").alias("features_ok"),
+            revision_long("revision").alias("rev_long"),
+        ).collect()
+    }
+    assert out["old"] == (False, False, ONEFS_RELEASES["8.0.0.4"])
+    assert out["mid"] == (True, False, ONEFS_RELEASES["8.1.2.0"])
+    assert out["new"] == (True, True, ONEFS_RELEASES["8.2.3.0"])
