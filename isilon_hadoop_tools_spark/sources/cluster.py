@@ -14,6 +14,7 @@ cluster's export.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark.sources.local import local_df
 
@@ -99,3 +100,44 @@ def realms_df(spark: SparkSession) -> DataFrame:
 
 def keytab_df(spark: SparkSession) -> DataFrame:
     return local_df(spark, list(KEYTAB_ROWS), KEYTAB_SCHEMA)
+
+
+# Licenses (reference ``check_license`` ``onefs.py:796-806``,
+# ``_license_is_active`` ``onefs.py:606-607``): a license is active
+# when its status is one of {activated, evaluation, licensed}
+# (case-insensitive); an inactive license with a past expiration is
+# EXPIRED (ExpiredLicenseError), otherwise MISSING
+# (MissingLicenseError).
+LICENSES_SCHEMA = "name STRING, status STRING, expiration STRING"
+LICENSE_ROWS: tuple[tuple[str, str, str | None], ...] = (
+    ("SmartConnect Advanced", "Activated", None),
+    ("HDFS", "Evaluation", "2030-06-30"),
+    ("CloudPools", "Expired", "2020-01-31"),
+    ("SyncIQ", "Unlicensed", None),
+)
+
+_ACTIVE_STATUSES = ("activated", "evaluation", "licensed")
+
+
+def licenses_df(spark: SparkSession) -> DataFrame:
+    return local_df(spark, list(LICENSE_ROWS), LICENSES_SCHEMA)
+
+
+def license_status(df: DataFrame, as_of: str) -> DataFrame:
+    """Classify every license row as ``active`` / ``expired`` /
+    ``missing`` with the reference's exact branch order
+    (``onefs.py:796-806``): active by status; else expired only when
+    an expiration date exists and is before ``as_of`` (the reference
+    compares to ``date.today()`` — passed explicitly here so the
+    classification is a pure, testable function); else missing."""
+    active = F.lower(F.col("status")).isin(*_ACTIVE_STATUSES)
+    expired = F.col("expiration").isNotNull() & (
+        F.to_date("expiration") < F.to_date(F.lit(as_of))
+    )
+    return df.select(
+        "name",
+        F.when(active, "active")
+        .when(expired, "expired")
+        .otherwise("missing")
+        .alias("license_state"),
+    )

@@ -235,3 +235,22 @@ def test_revision_gate_matches_reference_releases(spark):
     assert out["old"] == (False, False, ONEFS_RELEASES["8.0.0.4"])
     assert out["mid"] == (True, False, ONEFS_RELEASES["8.1.2.0"])
     assert out["new"] == (True, True, ONEFS_RELEASES["8.2.3.0"])
+
+
+def test_license_status_matches_reference_branches(spark):
+    # onefs.py:796-806 + _license_is_active onefs.py:606-607
+    from isilon_hadoop_tools_spark.sources.cluster import (
+        license_status,
+        licenses_df,
+    )
+
+    out = {
+        r["name"]: r["license_state"]
+        for r in license_status(licenses_df(spark), as_of="2026-08-13").collect()
+    }
+    assert out == {
+        "SmartConnect Advanced": "active",
+        "HDFS": "active",  # evaluation counts as active by status
+        "CloudPools": "expired",
+        "SyncIQ": "missing",
+    }
