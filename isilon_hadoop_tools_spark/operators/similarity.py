@@ -643,3 +643,81 @@ def ann_recall(
             F.round(F.col("n_hits") / k, 6).alias("recall"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with
+    k-means, find cosine near-dup pairs *within clusters only*, and
+    keep the min-id representative of each connected near-dup group.
+
+    Output: ``vec_id``, ``list_id``, ``keep_id`` (a row is a semantic
+    duplicate iff ``keep_id != vec_id``).
+
+    Scale shape (the published SemDeDup recipe): clustering caps the
+    pair search at cluster size — the within-cluster self-join is the
+    deliberate n²/k trade that replaces a corpus-wide pair search; at
+    100 TB pick k so clusters fit comfortably in a task (the k-means
+    pass is one scan per iteration with broadcast centroids, see
+    :func:`kmeans_iterate`). Composes three existing operators —
+    kmeans_iterate → cluster-keyed exact cosine pairs →
+    connected_components — with no new shuffle shapes.
+    """
+    from isilon_hadoop_tools_spark.operators.dedup import connected_components
+
+    # cluster on the unit sphere (the SemDeDup recipe): cosine
+    # duplicates are direction-equal but not euclidean-close, so
+    # k-means must see L2-normalized vectors or scale-different
+    # duplicates land in different clusters and never meet
+    raw = F.col(vec_col).cast("array<double>")
+    nrm = _norm(raw)
+    unit = df.select(
+        F.col(id_col),
+        F.when(nrm == 0, raw)
+        .otherwise(F.transform(raw, lambda x: x / nrm))
+        .alias(vec_col),
+    )
+    assign = kmeans_iterate(unit, vec_col, id_col, k=k, iters=iters).select(
+        F.col("vec_id").alias("id"), "list_id"
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    vecs = df.select(F.col(id_col).alias("id"), vec.alias("v")).withColumn(
+        "n", _norm(F.col("v"))
+    )
+    clustered = assign.join(vecs, "id").localCheckpoint(eager=False)
+    a = clustered.select(
+        "list_id",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = clustered.select(
+        "list_id",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    keep = connected_components(assign.select("id"), pairs)
+    return (
+        assign.join(keep, "id")
+        .select(F.col("id").alias("vec_id"), "list_id", "keep_id")
+    )

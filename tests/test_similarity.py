@@ -206,3 +206,26 @@ def test_ann_recall_bounds_and_exact_duplicate_hit(spark):
         assert abs(r["recall"] - r["n_hits"] / 5) < 1e-9
     # multi-table LSH at this scale should recall most of the truth
     assert sum(r["n_hits"] for r in out) >= 10
+
+
+def test_semantic_dedup_groups_scaled_copies(spark):
+    # scaled copies are cosine-identical: they must co-cluster and
+    # collapse to one representative; distant vectors keep themselves
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, base))
+        rows.append((1000 + i, [x * 1.25 for x in base]))  # exact semantic dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        df, k=4, iters=2, threshold=0.95).collect()}
+    assert len(out) == 80
+    dup_count = 0
+    for i in range(40):
+        a, b = out[i], out[1000 + i]
+        assert a["keep_id"] == b["keep_id"]  # pair collapses to one keeper
+        dup_count += int(b["keep_id"] != b["vec_id"])
+    assert dup_count == 40  # every scaled copy is flagged a duplicate
