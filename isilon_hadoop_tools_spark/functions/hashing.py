@@ -47,3 +47,21 @@ def fingerprint64(col: Column | str) -> Column:
 
 
 FINGERPRINT64_SQL = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th universal-hash family member
+    ``h_i(x) = (a·h(x) + b) mod 2^31-1`` — derived from md5 like the
+    LSH plane constants, so any engine regenerates them exactly.
+    ``a`` is non-zero mod the Mersenne prime."""
+    import hashlib
+
+    a = (
+        int(hashlib.md5(f"mh_a:{i}".encode()).hexdigest()[:8], 16)
+        % (MERSENNE31 - 1)
+    ) + 1
+    b = int(hashlib.md5(f"mh_b:{i}".encode()).hexdigest()[:8], 16) % MERSENNE31
+    return a, b

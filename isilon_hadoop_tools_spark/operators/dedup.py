@@ -156,8 +156,8 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: for each seed, the min
-    stable_hash32 over the document's shingle set.
+    """MinHash signature per document: for each hash-family member,
+    the min hash over the document's shingle set.
 
     Output: ``id``, ``seed``, ``minhash`` (long format — band grouping
     composes on top without array surgery).
@@ -168,12 +168,29 @@ def minhash_signatures(
     ``num_hashes`` columns instead of ``num_hashes``x the row count.
     The long format is restored afterward with ``stack`` (a cheap
     post-shuffle unpivot).
+
+    The family is universal hashing over ONE base md5 —
+    ``h_i = (a_i·h + b_i) mod 2^31-1`` with md5-derived (a_i, b_i)
+    constants — instead of ``num_hashes`` seeded md5 calls per
+    shingle: the 10x-scale probe showed the seeded-md5 form CPU-bound
+    in its 16 md5s per shingle; the affine form computes one md5 and
+    ``num_hashes`` integer ops, stays integer-exact on any engine.
     """
+    from isilon_hadoop_tools_spark.functions.hashing import (
+        MERSENNE31,
+        affine_params,
+    )
+
     posts = shingle_posting_list(df, text_col, id_col, k)
-    mins = posts.groupBy("id").agg(
+    h = stable_hash32(F.col("shingle"))
+    mins = posts.withColumn("_h", h).groupBy("id").agg(
         *[
             F.min(
-                stable_hash32(F.concat_ws(":", F.lit(s), F.col("shingle")))
+                F.pmod(
+                    F.lit(affine_params(s)[0]) * F.col("_h")
+                    + F.lit(affine_params(s)[1]),
+                    F.lit(MERSENNE31),
+                )
             ).alias(f"_m{s}")
             for s in range(num_hashes)
         ]

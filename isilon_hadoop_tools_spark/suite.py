@@ -3637,14 +3637,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_params_sql(num_hashes: int = 8) -> str:
+    """The universal-hash family's (seed, a, b) constants as a VALUES
+    CTE — same md5-derived numbers ``affine_params`` computes."""
+    from isilon_hadoop_tools_spark.functions.hashing import affine_params
+
+    rows = ", ".join(
+        f"({s}, {affine_params(s)[0]}, {affine_params(s)[1]})"
+        for s in range(num_hashes)
+    )
+    return f"params(seed, pa, pb) AS (VALUES {rows})"
+
+
+_MINHASH_SIGS_SQL = f"""
+    {_minhash_params_sql()},
+    sigs AS (
+      SELECT doc_id AS id, seed,
+             min((pa * {stable_hash32_sql('shingle')} + pb) % 2147483647)
+               AS minhash
+      FROM shingled CROSS JOIN params
+      GROUP BY doc_id, seed
+    )
+"""
+
+
 @query(
     "dedup_minhash_signatures",
     oracle=f"""
-    WITH {_SHINGLE_SQL}
-    SELECT doc_id AS id, seed,
-           min({stable_hash32_sql("seed::VARCHAR || ':' || shingle")}) AS minhash
-    FROM shingled, range(0, 8) r(seed)
-    GROUP BY doc_id, seed
+    WITH {_SHINGLE_SQL},
+    {_MINHASH_SIGS_SQL}
+    SELECT id, seed, minhash FROM sigs
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3659,12 +3681,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh_candidates",
     oracle=f"""
     WITH {_SHINGLE_SQL},
-    sigs AS (
-      SELECT doc_id AS id, seed,
-             min({stable_hash32_sql("seed::VARCHAR || ':' || shingle")}) AS minhash
-      FROM shingled, range(0, 8) r(seed)
-      GROUP BY doc_id, seed
-    ),
+    {_MINHASH_SIGS_SQL},
     banded AS (
       SELECT id, (seed // 2) AS band,
              string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
