@@ -24,7 +24,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_every_oracle_parses_and_matches_spark_columns(spark):
+def test_every_oracle_parses_and_matches_spark_columns(spark, monkeypatch):
+    # plan-only schema probes: do NOT populate the suite table cache —
+    # a .cache() here registers plans in Spark's CacheManager, which
+    # then silently rewrites later tests' scans to InMemoryTableScan
+    # (it broke the pushdown plan audits)
+    monkeypatch.setattr(suite, "CACHE_TABLES", False)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -14,12 +14,18 @@ from conftest import SMOKE_SF_DIR
 
 
 @pytest.fixture(autouse=True)
-def _no_table_cache():
+def _no_table_cache(spark):
     # These audits assert parquet-scan properties (PushedFilters,
     # ReadSchema, PartitionFilters); the suite's shared table cache
-    # would swap the scans for InMemoryTableScan and mask them.
+    # would swap the scans for InMemoryTableScan and mask them. Also
+    # clear Spark's CacheManager: any earlier test that cached a
+    # table registers its plan globally, and the optimizer substitutes
+    # InMemoryTableScan into EVERY later matching sub-plan regardless
+    # of our flag.
     old = suite.CACHE_TABLES
     suite.CACHE_TABLES = False
+    spark.catalog.clearCache()
+    suite._TABLE_CACHE.clear()
     yield
     suite.CACHE_TABLES = old
 
