@@ -316,12 +316,45 @@ def ivf_ann_topk(
     def assign(df: DataFrame, out_id: str, probe: int) -> DataFrame:
         """(id, list_id) assignment rows — vectors are dropped after
         centroid scoring; the exact-rank pass re-joins them so the
-        list-probe join shuffles ids, not arrays."""
+        list-probe join shuffles ids, not arrays.
+
+        Centroid sim is rounded to 9 decimals BEFORE ranking: the
+        probe ranks are then reproducible across engines (raw fp
+        accumulation order could flip a rank for two near-equal
+        centroid sims), with list_id as the deterministic tie-break.
+
+        probe == 1 (the corpus side) is a *stateless per-row argmin*
+        over a literal centroid array — zero shuffle, the
+        kmeans_assign shape. The earlier form ranked with a window
+        partitioned by the row id: a full corpus exchange + sort per
+        call, purely to pick each row's best centroid. probe > 1 (the
+        broadcast-sized query side) keeps the ranking window.
+        """
         vec = F.col(vec_col).cast("array<double>")
-        # centroid sim is rounded to 9 decimals BEFORE ranking: the
-        # probe ranks are then reproducible across engines (raw fp
-        # accumulation order could flip a rank for two near-equal
-        # centroid sims), with list_id as the deterministic tie-break.
+        if probe == 1:
+            cent_lit = F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("list_id"),
+                        F.expr(
+                            "array(" + ",".join(f"{x!r}D" for x in v) + ")"
+                        ).alias("c"),
+                    )
+                    for i, v in cent_rows
+                ]
+            )
+            best = F.array_min(
+                F.transform(
+                    cent_lit,
+                    lambda cent: F.struct(
+                        (-F.round(cosine(vec, cent["c"]), 9)).alias("nsim"),
+                        cent["list_id"].alias("list_id"),
+                    ),
+                )
+            )
+            return df.select(
+                F.col(id_col).alias(out_id), best["list_id"].alias("list_id")
+            )
         scored = (
             df.select(F.col(id_col).alias(out_id), vec.alias("_v"))
             .join(cent_df)
