@@ -127,3 +127,26 @@ def test_dup_spans_guarantee_property(spark, prefix_a, prefix_b, shared):
     got = {(r["id"], r["pos"]) for r in out.collect()}
     assert (1, len(prefix_a)) in got
     assert (2, len(prefix_b)) in got
+
+
+@_SETTINGS
+@given(words=st.lists(_WORD, min_size=1, max_size=60))
+def test_chunk_overlap_covers_every_token(spark, words):
+    """Chunk windows at stride intervals must cover every token
+    exactly: the union of [start, start+n_tokens) intervals equals
+    [0, n), consecutive full chunks overlap by size - stride."""
+    from isilon_hadoop_tools_spark.operators.corpus import chunk_overlap
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id LONG, text STRING")
+    rows = sorted(
+        chunk_overlap(docs, "text", "doc_id", size=16, stride=12).collect(),
+        key=lambda r: r["start_tok"],
+    )
+    n = len(words)
+    covered = set()
+    for r in rows:
+        assert 1 <= r["n_tokens"] <= 16
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(n))
+    starts = [r["start_tok"] for r in rows]
+    assert starts == list(range(0, n, 12))
