@@ -37,7 +37,17 @@ Layout
                    ``create_directories`` with the console scripts'
                    argument semantics, incl. copy-on-write dry runs —
                    reference ``_scripts.py:78-167``).
+- ``cli``        : argparse console scripts mirroring the reference's
+                   argument surface (``cli.py:32-190``,
+                   ``_scripts.py:20-167``), ``catches`` → exit code 1.
 - ``suite``      : the oracle-checked query registry (driver contract).
+
+Operator modules under ``operators/``: relational (``reconcile``,
+``allocate_ids``, ``guards``, ``topk``, ``asof``, ``skew`` incl.
+Z-order), dedup (exact/ngram/minhash/simhash/winnow/connected
+components), ``similarity`` (ANN, quantization, k-means, SemDeDup),
+``corpus`` (curation, sampling, mixing, chunking, quality gates),
+``sketches`` (deterministic HyperLogLog + count-min).
 """
 
 __version__ = "0.1.0"
