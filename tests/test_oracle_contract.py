@@ -24,6 +24,32 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _duck_category(duck_type: str) -> str:
+    t = duck_type.upper()
+    if t == "HUGEINT":
+        return "hugeint"
+    if t in (
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+        "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+    ):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return "other"
+
+
+def _spark_category(spark_type: str) -> str:
+    if spark_type in ("bigint", "int", "smallint", "tinyint", "long"):
+        return "int"
+    if spark_type in ("double", "float"):
+        return "float"
+    if spark_type.startswith("decimal"):
+        return "decimal"
+    return "other"
+
+
 def test_every_oracle_parses_and_matches_spark_columns(spark, monkeypatch):
     # plan-only schema probes: do NOT populate the suite table cache —
     # a .cache() here registers plans in Spark's CacheManager, which
@@ -41,11 +67,25 @@ def test_every_oracle_parses_and_matches_spark_columns(spark, monkeypatch):
         if spec.oracle is None:
             continue
         try:
-            res = con.execute(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
-            oracle_cols = sorted(d[0] for d in res.description)
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM ({spec.oracle}) LIMIT 0"
+            ).fetchall()
+            oracle_types = {row[0]: row[1] for row in desc}
+            oracle_cols = sorted(oracle_types)
         except Exception as exc:  # noqa: BLE001
             mismatches.append(f"{name}: oracle SQL error: {exc}")
             continue
+        # DuckDB types bare sum(<int>) as HUGEINT, which the driver's
+        # canonicalizer hashes differently than Spark's BIGINT even
+        # when values are identical — this exact class caused 4 red
+        # driver rows across rounds (r3 ×3, r5 ×1). Ban it outright:
+        # every integer aggregate in an oracle needs a ::BIGINT cast.
+        for col, duck_type in oracle_types.items():
+            if _duck_category(duck_type) == "hugeint":
+                mismatches.append(
+                    f"{name}.{col}: oracle is HUGEINT — add a ::BIGINT "
+                    "cast (driver hashes it differently than Spark)"
+                )
         # streaming queries execute on schema probe; compare by the
         # batch plan only where cheap (skip the 6 streaming twins —
         # their schemas equal the hash-checked batch twins)
@@ -55,9 +95,25 @@ def test_every_oracle_parses_and_matches_spark_columns(spark, monkeypatch):
             "events_foreach_batch_state",
         ):
             continue
-        spark_cols = sorted(spec.spark(spark, SMOKE_SF_DIR).columns)
+        spark_fields = spec.spark(spark, SMOKE_SF_DIR).schema.fields
+        spark_cols = sorted(f.name for f in spark_fields)
         if spark_cols != oracle_cols:
             mismatches.append(
                 f"{name}: spark={spark_cols} oracle={oracle_cols}"
             )
+            continue
+        # numeric-category agreement: an int-typed oracle column vs a
+        # float-typed Spark column (or any decimal skew) stringifies
+        # differently in the driver canonicalizer ("4" vs "4.0") and
+        # hash-fails despite equal values — catch it plan-only here.
+        numeric = {"int", "float", "decimal", "hugeint"}
+        for f in spark_fields:
+            dc = _duck_category(oracle_types[f.name])
+            sc = _spark_category(f.dataType.simpleString())
+            if {dc, sc} <= numeric and dc != sc:
+                mismatches.append(
+                    f"{name}.{f.name}: numeric category mismatch "
+                    f"oracle={oracle_types[f.name]} "
+                    f"spark={f.dataType.simpleString()}"
+                )
     assert not mismatches, "\n".join(mismatches)

@@ -281,3 +281,13 @@ def test_embedding_cosine_bucketer_materialized_once(spark):
     # subtree may remain in the executed plan
     plan = _executed_plan(spark, "dedup_embedding_cosine")
     assert plan.count("ArrowEvalPython") <= 2
+
+
+def test_funnel_single_events_scan(spark):
+    # the two-leg (view agg + purchase self-join) form scanned events
+    # twice; the conditional-aggregation form must read the fact once
+    plan = _plan(spark, "events_funnel_conversion")
+    n_scans = plan.count("+- Scan parquet") + plan.count(":- Scan parquet")
+    assert n_scans == 1
+    assert "In(event_type" in plan  # type filter reaches the scan
+    assert "CartesianProduct" not in plan

@@ -81,18 +81,53 @@ def test_module_docstring_layout_lists_only_real_modules():
 
 def test_driver_window_covers_all_unverified_queries():
     # the driver checks ~the first 50 registration-order queries; every
-    # query without a driver-green row in r02/r04 must sort inside that
-    # window or it can never earn one
+    # query without a green driver row (new, red, or never-checked)
+    # must sort inside that window or it can never earn one
     from isilon_hadoop_tools_spark import suite
 
     names = list(entry.queries())
-    weak = [
-        n
-        for n in names
-        if n not in suite._R04_DRIVER_GREEN and n not in suite._WELL_VERIFIED_TAIL
-    ]
+    last = suite._driver_last_green()
+    if not last:  # fresh clone without CORRECTNESS files
+        weak = [
+            n
+            for n in names
+            if n not in suite._R04_DRIVER_GREEN
+            and n not in suite._WELL_VERIFIED_TAIL
+        ]
+    else:
+        weak = [n for n in names if n not in last]
     outside = [n for n in weak if names.index(n) >= 50]
     assert not outside, (
-        f"{len(outside)} never-driver-green queries fall outside the "
-        f"50-query gate window: {outside[:5]} — grow _WELL_VERIFIED_TAIL"
+        f"{len(outside)} never/least-verified queries fall outside the "
+        f"50-query gate window: {outside[:5]}"
     )
+
+
+def test_driver_window_rotates_round_robin():
+    # regression cover: the gate ordering must put least-recently-green
+    # queries first, so each round's ~50-query window is the complement
+    # of the previous rounds' — no query goes unmonitored > ceil(n/50)
+    # rounds
+    import json
+
+    from isilon_hadoop_tools_spark import suite
+
+    last = suite._driver_last_green()
+    if not last:
+        import pytest
+
+        pytest.skip("no CORRECTNESS files in this checkout")
+    names = list(entry.queries())
+    rounds = [last.get(n, -1) for n in names]
+    assert rounds == sorted(rounds), "ordering is not least-recent-first"
+    # the most recent round's green rows must all sort AFTER any query
+    # lacking a green row from that round
+    latest = max(last.values())
+    files = sorted((REPO).glob("CORRECTNESS_r*.json"))
+    latest_checked = set(json.loads(files[-1].read_text()))
+    window = set(names[:50])
+    stale = [n for n in names if last.get(n, -1) < latest]
+    if len(stale) >= 40:
+        assert len(window - latest_checked) >= 40, (
+            "next driver window re-checks mostly already-fresh queries"
+        )
