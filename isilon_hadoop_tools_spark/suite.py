@@ -2416,25 +2416,20 @@ def doc_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncate_tokens(docs, "text", "doc_id", 32)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_cte_chain(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     """Hand-unrolled Lloyd iterations as a DuckDB CTE chain — possible
     only because the operator runs in integer-quantized space (exact
     bigint distance sums; one double division per mean), so every
-    iteration is bit-identical across engines."""
+    iteration is bit-identical across engines. Expects a
+    ``qvecs(vec_id, qv)`` CTE to be defined by the caller; terminates
+    with an ``assign(vec_id, list_id, dist)`` CTE."""
     idx = f"range(1, {dim + 1})"
     parts = [
-        """
-    qvecs AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
-               AS qv
-      FROM embeddings
-    ),
+        f"""
     c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, qv AS c
-      FROM qvecs ORDER BY vec_id LIMIT %d
+      FROM qvecs ORDER BY vec_id LIMIT {k}
     )"""
-        % k
     ]
     for t in range(1, iters + 1):
         prev = f"c{t - 1}"
@@ -2462,20 +2457,35 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
       FROM {prev} LEFT JOIN m{t} USING (list_id) GROUP BY {prev}.list_id
     )"""
         )
-    final = f"""
-    SELECT vec_id, list_id, dist::BIGINT AS dist
-    FROM (
-      SELECT vec_id, list_id,
-             list_sum(list_transform({idx},
-               i -> (qv[i] - c[i]) * (qv[i] - c[i]))) AS dist,
-             row_number() OVER (
-               PARTITION BY vec_id
-               ORDER BY list_sum(list_transform({idx},
-                 i -> (qv[i] - c[i]) * (qv[i] - c[i]))), list_id) AS rn
-      FROM qvecs CROSS JOIN c{iters}
-    ) WHERE rn = 1
+    parts.append(
+        f"""
+    assign AS (
+      SELECT vec_id, list_id, dist::BIGINT AS dist
+      FROM (
+        SELECT vec_id, list_id,
+               list_sum(list_transform({idx},
+                 i -> (qv[i] - c[i]) * (qv[i] - c[i]))) AS dist,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY list_sum(list_transform({idx},
+                   i -> (qv[i] - c[i]) * (qv[i] - c[i]))), list_id) AS rn
+        FROM qvecs CROSS JOIN c{iters}
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    return f"""
+    WITH qvecs AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS qv
+      FROM embeddings
+    ),{_kmeans_cte_chain(k, iters, dim)}
+    SELECT vec_id, list_id, dist FROM assign
     """
-    return "WITH" + ",".join(parts) + final
 
 
 @query("embedding_kmeans_assign", oracle=_kmeans_oracle())
@@ -3882,6 +3892,92 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.cosine_near_dup_pairs(
         base.unionByName(scaled), threshold=_COS_DUP_THRESHOLD
+    )
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """SemDeDup oracle: the corpus doubled with scale-1.1 copies, unit
+    normalization, the hand-unrolled Lloyd chain over the quantized
+    unit vectors, within-cluster rounded-cosine pairs, then a
+    recursive transitive-closure min-label keep — every stage reusing
+    an already-hash-matched SQL pattern (``_kmeans_cte_chain``,
+    ``dedup_embedding_cosine``'s cosine, ``dedup_keep_one``'s cc)."""
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 1.1)
+      FROM embeddings
+    ),
+    unitv AS (
+      SELECT id,
+             CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                  ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             END AS u
+      FROM corpus
+    ),
+    qvecs AS (
+      SELECT id AS vec_id,
+             list_transform(u, x -> round(x * 1000)::BIGINT) AS qv
+      FROM unitv
+    ),{_kmeans_cte_chain(k, iters, dim)},
+    clustered AS (
+      SELECT a.vec_id AS id, a.list_id, c.v,
+             sqrt(list_dot_product(c.v, c.v)) AS n
+      FROM assign a JOIN corpus c ON c.id = a.vec_id
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM clustered a JOIN clustered b
+        ON a.list_id = b.list_id AND a.id < b.id
+      WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+            >= {_COS_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    cc(id, keep_id) AS (
+      SELECT id, id FROM corpus
+      UNION
+      SELECT e.dst, c.keep_id FROM cc c JOIN edges e ON e.src = c.id
+    )
+    SELECT a.vec_id, a.list_id, k.keep_id
+    FROM assign a
+    JOIN (SELECT id, min(keep_id) AS keep_id FROM cc GROUP BY id) k
+      ON k.id = a.vec_id
+    """
+
+
+@query("semantic_dedup_keep", oracle=_semantic_dedup_oracle())
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (L41): the corpus doubled with
+    cosine-identical scaled copies (id+10000), clustered on the unit
+    sphere with deterministic k-means, cosine >= 0.9 pairs found
+    within clusters only, each row labeled with its connected
+    component's min id — scaled copies must collapse onto their base
+    (keep_id == base id). The n^2/k within-cluster pair search is the
+    published SemDeDup trade that replaces a corpus-wide all-pairs
+    join; every other stage is broadcast/scan-bound (see
+    ``operators/similarity.py:semantic_dedup``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    scaled = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.1
+        ).alias("embedding"),
+    )
+    return similarity.semantic_dedup(
+        base.unionByName(scaled),
+        "embedding",
+        "vec_id",
+        k=8,
+        iters=3,
+        threshold=_COS_DUP_THRESHOLD,
     )
 
 
