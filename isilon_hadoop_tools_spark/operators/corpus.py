@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+from isilon_hadoop_tools_spark.functions.hashing import (
+    fingerprint64,
+    stable_hash32,
+)
 from isilon_hadoop_tools_spark.functions.text import tokens
 
 
@@ -415,10 +418,14 @@ def dup_spans(
     array-HOF shingle form is ~3x slower), then one aggregation keyed
     by gram hash to find multi-document grams, then a semi-ish join
     back. At 100 TB both shuffles are partial-aggregated map-side and
-    keyed by a 64-bit hash — no key hotter than the most-duplicated
-    boilerplate span, which is exactly the data a dedup pass must
-    move. Returning (id, pos) spans rather than rewritten text keeps
-    the operator composable: the caller decides cut vs drop.
+    keyed by a 60-bit fingerprint — a 32-bit key birthday-collides at
+    ~50% by ~77k distinct grams and would falsely mark unrelated
+    spans as duplicates; at 60 bits the 50% point is ~1.3e9 grams and
+    the per-corpus false-pair expectation stays <<1 even at 100 TB.
+    No key is hotter than the most-duplicated boilerplate span, which
+    is exactly the data a dedup pass must move. Returning (id, pos)
+    spans rather than rewritten text keeps the operator composable:
+    the caller decides cut vs drop.
     """
     pe = df.select(
         F.col(id_col).alias("id"),
@@ -434,7 +441,7 @@ def dup_spans(
             parts[-1].alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
-        .select("id", "pos", stable_hash32("gram").alias("gram_hash"))
+        .select("id", "pos", fingerprint64("gram").alias("gram_hash"))
         # materialized once: both the multi-doc aggregate and the
         # span join-back consume the hashed grams; without it the
         # window + per-gram hashing runs twice over the corpus

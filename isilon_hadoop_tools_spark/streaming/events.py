@@ -35,6 +35,14 @@ def read_events_stream(
     the file stores nanos longs or ``timestamp[us]``. The file source
     needs a directory/glob, so the single-file table is addressed with
     a glob pattern.
+
+    Session side effect (deliberate, narrow): when the session still
+    has Spark's stock ``spark.sql.shuffle.partitions`` (200), it is
+    lowered to ``SPARK_GRAFT_CPUS`` for the *session* — streaming
+    state-store counts freeze at the query's first run, so the change
+    cannot be scoped to one query. A caller-configured value is left
+    untouched; later batch queries that inherit the lowered value are
+    unaffected in practice because AQE re-coalesces batch exchanges.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,11 +52,15 @@ def read_events_stream(
     # the stream-stream join at sf0.01). Size to the machine instead —
     # on a real cluster the caller sets SPARK_GRAFT_CPUS to the
     # executor-core total (AQE cannot coalesce streaming exchanges).
+    # Only override the stock default: a caller who configured the
+    # session keeps their value.
     import os as _os
 
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", _os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            _os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -4310,7 +4310,7 @@ _DUP_SPAN_N = 10
     ),
     hashed AS (
       SELECT id, pos,
-             {stable_hash32_sql(f"array_to_string(tk[pos+1:pos+{_DUP_SPAN_N}], ' ')")}
+             {FINGERPRINT64_SQL.format(expr=f"array_to_string(tk[pos+1:pos+{_DUP_SPAN_N}], ' ')")}
                AS gram_hash
       FROM spans
     ),
