@@ -1,0 +1,73 @@
+"""Packaging parity: the repo installs the same two console scripts
+the reference declares (reference ``setup.py:34-38``), and each runs
+a dry-run end-to-end as a subprocess with the reference's exact
+argument list (reference ``tests/test__scripts.py:26-47``)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import tomllib
+import uuid
+from importlib import import_module
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+_REFERENCE_SCRIPTS = {"isilon_create_users", "isilon_create_directories"}
+
+
+def _project_scripts() -> dict[str, str]:
+    with open(REPO / "pyproject.toml", "rb") as fh:
+        return tomllib.load(fh)["project"]["scripts"]
+
+
+def test_console_scripts_match_reference_names():
+    assert set(_project_scripts()) == _REFERENCE_SCRIPTS
+
+
+def test_console_script_targets_resolve_to_callables():
+    for name, target in _project_scripts().items():
+        mod_name, attr = target.split(":")
+        fn = getattr(import_module(mod_name), attr)
+        assert callable(fn), f"{name} -> {target} is not callable"
+
+
+@pytest.mark.parametrize("script", sorted(_REFERENCE_SCRIPTS))
+@pytest.mark.parametrize("dist", ["cdh", "cdp", "hdp"])
+def test_dry_run_subprocess(script, dist, tmp_path):
+    # the console-script wrapper pip generates is exactly
+    # `sys.exit(fn(sys.argv[1:]))`; run that shim as a subprocess so
+    # the whole argv surface (reference test__scripts.py:30-46) is
+    # exercised without installing into site-packages
+    target = _project_scripts()[script]
+    mod_name, attr = target.split(":")
+    shim = (
+        "import sys; "
+        f"from {mod_name} import {attr} as fn; "
+        "sys.exit(fn(sys.argv[1:]))"
+    )
+    subprocess.check_call(
+        [
+            sys.executable,
+            "-c",
+            shim,
+            "--append-cluster-name",
+            str(uuid.uuid4()),
+            "--dist",
+            dist,
+            "--dry",
+            "--no-verify",
+            "--onefs-password",
+            "pw",
+            "--onefs-user",
+            "user",
+            "--zone",
+            "System",
+            str(tmp_path / "state"),
+        ],
+        cwd=REPO,
+        timeout=600,
+    )
