@@ -303,92 +303,72 @@ def ivf_ann_topk(
 
     Output: ``query_id``, ``neighbor_id``, ``cos_sim``, ``rank``.
     """
-    spark = corpus.sparkSession
     cents = [
         (int(r[id_col]), [float(x) for x in r[vec_col]])
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
     ]
     cent_rows = [(i, vec) for i, (_, vec) in enumerate(cents)]
-    cent_df = F.broadcast(
-        local_df(spark, cent_rows, "list_id INT, c_vec ARRAY<DOUBLE>")
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.expr("array(" + ",".join(f"{x!r}D" for x in v) + ")").alias(
+                    "c"
+                ),
+            )
+            for i, v in cent_rows
+        ]
     )
 
-    def assign(df: DataFrame, out_id: str, probe: int) -> DataFrame:
-        """(id, list_id) assignment rows — vectors are dropped after
-        centroid scoring; the exact-rank pass re-joins them so the
-        list-probe join shuffles ids, not arrays.
+    def assign(df: DataFrame, out_id: str, vec_out: str, probe: int) -> DataFrame:
+        """Per-row list assignment against the literal centroid array
+        — a stateless projection on BOTH sides (the kmeans_assign
+        shape): score all centroids, array_sort, keep the first
+        ``probe`` and explode. Zero shuffle, zero join — the earlier
+        form ran the query side through a broadcast join plus a
+        ranking window (an exchange + sort just to pick each row's
+        top-4 of 16 centroids).
 
-        Centroid sim is rounded to 9 decimals BEFORE ranking: the
-        probe ranks are then reproducible across engines (raw fp
-        accumulation order could flip a rank for two near-equal
-        centroid sims), with list_id as the deterministic tie-break.
-
-        probe == 1 (the corpus side) is a *stateless per-row argmin*
-        over a literal centroid array — zero shuffle, the
-        kmeans_assign shape. The earlier form ranked with a window
-        partitioned by the row id: a full corpus exchange + sort per
-        call, purely to pick each row's best centroid. probe > 1 (the
-        broadcast-sized query side) keeps the ranking window.
+        Centroid sim is rounded to 9 decimals BEFORE ranking so probe
+        ranks are reproducible across engines (raw fp accumulation
+        order could flip a rank for two near-equal centroid sims),
+        with list_id as the deterministic tie-break — array_sort on
+        (nsim, list_id) structs orders exactly like the oracle's
+        ``ORDER BY sim DESC, list_id``. The row's vector rides along:
+        the exact-rank cosine is computed inside the probe join's
+        pipeline, so candidate rows shuffle as scalars and neither
+        input is ever re-joined for its vectors.
         """
         vec = F.col(vec_col).cast("array<double>")
-        if probe == 1:
-            cent_lit = F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("list_id"),
-                        F.expr(
-                            "array(" + ",".join(f"{x!r}D" for x in v) + ")"
-                        ).alias("c"),
-                    )
-                    for i, v in cent_rows
-                ]
-            )
-            best = F.array_min(
-                F.transform(
-                    cent_lit,
-                    lambda cent: F.struct(
-                        (-F.round(cosine(vec, cent["c"]), 9)).alias("nsim"),
-                        cent["list_id"].alias("list_id"),
-                    ),
-                )
-            )
-            return df.select(
-                F.col(id_col).alias(out_id), best["list_id"].alias("list_id")
-            )
-        scored = (
-            df.select(F.col(id_col).alias(out_id), vec.alias("_v"))
-            .join(cent_df)
-            .select(
-                out_id,
-                "list_id",
-                F.round(cosine(F.col("_v"), F.col("c_vec")), 9).alias("_c_sim"),
+        ranked = F.array_sort(
+            F.transform(
+                cent_lit,
+                lambda cent: F.struct(
+                    (-F.round(cosine(vec, cent["c"]), 9)).alias("nsim"),
+                    cent["list_id"].alias("list_id"),
+                ),
             )
         )
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("_c_sim").desc(), F.col("list_id")
-        )
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= probe)
-            .select(out_id, "list_id")
+        return df.select(
+            F.col(id_col).alias(out_id),
+            vec.alias(vec_out),
+            F.explode(F.slice(ranked, 1, probe)["list_id"]).alias("list_id"),
         )
 
-    c = assign(corpus, "neighbor_id", probe=1)
-    q = assign(queries, "query_id", probe=n_probe)
-    vec = F.col(vec_col).cast("array<double>")
-    q_vecs = queries.select(F.col(id_col).alias("query_id"), vec.alias("q_vec"))
-    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), vec.alias("c_vec2"))
+    c = assign(corpus, "neighbor_id", "_c_vec", probe=1)
+    q = assign(queries, "query_id", "q_vec", probe=n_probe)
+    # (query_id, neighbor_id) candidates are unique by construction —
+    # a corpus row lives in exactly one list and a query probes
+    # n_probe distinct lists — so no distinct pass is needed; the
+    # cosine is computed map-side against the broadcast query rows
+    # and only scalar candidate rows reach the ranking shuffle.
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-        .join(F.broadcast(q_vecs), "query_id")
-        .join(c_vecs, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec2")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("q_vec"), F.col("_c_vec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
