@@ -7,11 +7,14 @@ filtering/dedup runs on cheap metadata, and decode only touches rows
 that survive).
 
 Decode / feature-extraction run as Arrow-batched ``mapInPandas``
-stages. The actual codec calls are STUBBED with deterministic fakes
+stages. Compressed-codec calls are STUBBED with deterministic fakes
 (this container ships no image/audio libraries): every stub marks the
 single line where ``PIL.Image.open`` / ``librosa.load`` would plug
 in, and everything around it — schema contract, Arrow batch shape,
-partitioning — is real and tested.
+partitioning — is real and tested. One codec IS real:
+:func:`decode_resize_ppm` parses uncompressed P6 PPM images with
+pure numpy (header parse, frombuffer, nearest-neighbor resample) —
+no stub anywhere in that path.
 
 Cross-engine note: payload hashing/sniffing goes through ``hex()``
 (identical in Spark and DuckDB) because the oracle's md5 only accepts
@@ -197,6 +200,68 @@ def resize_image_stub(
             )
 
     return df.select(id_col, bin_col).mapInPandas(resize, schema)
+
+
+def decode_resize_ppm(
+    df: DataFrame, bin_col: str, id_col: str, target: int = 4
+) -> DataFrame:
+    """REAL decoder (no stub): parse binary P6 PPM payloads with pure
+    numpy and nearest-neighbor resize to fit a ``target`` x ``target``
+    box (never upscaling).
+
+    This is the one genuinely-exercised codec path: the header
+    (``P6\\n<w> <h>\\n<maxval>\\n``) is parsed from the payload bytes,
+    the pixel buffer is ``np.frombuffer``-ed and reshaped, and the
+    resample picks source pixel ``(y*h//oh, x*w//ow)`` — integer
+    arithmetic, so any engine reproduces it exactly. Output is the
+    gate-comparable exploded pixel form ``(id, y, x, r, g, b)``.
+
+    Same Arrow ``mapInPandas`` contract as the stubbed codecs —
+    payload bytes stay in the scan partition, fan-out happens inside
+    the kernel, nothing shuffles.
+    """
+    schema = f"{id_col} LONG, y INT, x INT, r INT, g INT, b INT"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(doc_id, raw: bytes):
+            if raw[:2] != b"P6":
+                raise ValueError("not a P6 PPM payload")
+            idx, tokens = 2, []
+            while len(tokens) < 3:
+                while raw[idx : idx + 1].isspace():
+                    idx += 1
+                start = idx
+                while not raw[idx : idx + 1].isspace():
+                    idx += 1
+                tokens.append(int(raw[start:idx]))
+            idx += 1  # the single whitespace byte after maxval
+            w, h, _maxval = tokens
+            arr = np.frombuffer(
+                raw, dtype=np.uint8, count=w * h * 3, offset=idx
+            ).reshape(h, w, 3)
+            scale = min(1.0, target / max(w, h))
+            # floor(x + 0.5): SQL-compatible half-away rounding
+            ow = max(1, int(w * scale + 0.5))
+            oh = max(1, int(h * scale + 0.5))
+            out = arr[np.ix_((np.arange(oh) * h) // oh, (np.arange(ow) * w) // ow)]
+            for y in range(oh):
+                for x in range(ow):
+                    r, g, b = out[y, x]
+                    yield (doc_id, y, x, int(r), int(g), int(b))
+
+        for batch in batches:
+            rows = [
+                row
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+                for row in one(doc_id, raw)
+            ]
+            yield pd.DataFrame(
+                rows, columns=[id_col, "y", "x", "r", "g", "b"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
 
 
 def extract_features_stub(

@@ -4843,6 +4843,96 @@ def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPM_TARGET = 4
+
+
+def _ppm_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic P6 PPM binaries, one per document: dimensions
+    ``(doc_id % 6 + 2) x (doc_id % 4 + 2)``, pixel byte ``p`` =
+    ``(doc_id*31 + p*7) % 256`` — assembled as hex and unhex'd into a
+    real binary payload the decoder must genuinely parse."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = F.pmod("doc_id", F.lit(6)) + F.lit(2)
+    h = F.pmod("doc_id", F.lit(4)) + F.lit(2)
+    n_bytes = w * h * F.lit(3)
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_bytes - 1).cast("int")),
+            lambda p: F.lpad(
+                F.hex(
+                    F.pmod(
+                        F.col("doc_id") * 31 + p.cast("long") * 7, F.lit(256)
+                    )
+                ),
+                2,
+                "0",
+            ),
+        ),
+        "",
+    )
+    header = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    payload = F.unhex(F.concat(F.hex(F.encode(header, "utf-8")), pix_hex))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+@query(
+    "multimodal_resize_real",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 6 + 2)::BIGINT AS w,
+             (doc_id % 4 + 2)::BIGINT AS h
+      FROM documents
+    ),
+    od AS (
+      SELECT doc_id, w, h,
+             greatest(1, floor(w * least(1.0, {_PPM_TARGET}.0 / greatest(w, h))
+                               + 0.5))::BIGINT AS ow,
+             greatest(1, floor(h * least(1.0, {_PPM_TARGET}.0 / greatest(w, h))
+                               + 0.5))::BIGINT AS oh
+      FROM dims
+    ),
+    ys AS (
+      SELECT doc_id, w, h, ow, oh,
+             unnest(generate_series(0, oh - 1)) AS y
+      FROM od
+    ),
+    grid AS (
+      SELECT doc_id, w, h, ow, oh, y,
+             unnest(generate_series(0, ow - 1)) AS x
+      FROM ys
+    )
+    SELECT doc_id, y::INT AS y, x::INT AS x,
+           ((doc_id * 31 + (((y * h) // oh * w + (x * w) // ow) * 3 + 0) * 7)
+            % 256)::INT AS r,
+           ((doc_id * 31 + (((y * h) // oh * w + (x * w) // ow) * 3 + 1) * 7)
+            % 256)::INT AS g,
+           ((doc_id * 31 + (((y * h) // oh * w + (x * w) // ow) * 3 + 2) * 7)
+            % 256)::INT AS b
+    FROM grid
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path (no stub): binary P6 PPM payloads are built as
+    actual bytes, then ``decode_resize_ppm`` parses the header and
+    pixel buffer with pure numpy and nearest-neighbor resizes into a
+    4x4 box. The oracle recomputes every
+    output pixel analytically from the generator formula, so a wrong
+    header parse, buffer offset, reshape, or resample index
+    hash-fails. Covers both the downscale and the never-upscale
+    branches (source dims straddle the target box)."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.decode_resize_ppm(
+        _ppm_payload_df(spark, sf_dir), "payload", "doc_id", target=_PPM_TARGET
+    )
+
+
 @query(
     "events_funnel_conversion",
     oracle="""

@@ -103,3 +103,36 @@ def test_feature_stub_shape_and_determinism(spark):
     assert a == b
     assert len(a) == 16
     assert all(0.0 <= v < 1.0 for _, _, v in a)
+
+
+def test_decode_resize_ppm_known_pixels(spark):
+    # 4x2 image downscaled into a 2x2 box -> 2x1 output; nearest
+    # neighbor picks source pixel (y*h//oh, x*w//ow)
+    w, h = 4, 2
+    pixels = bytes(range(w * h * 3))  # byte p = p
+    raw = f"P6\n{w} {h}\n255\n".encode() + pixels
+    out = M.decode_resize_ppm(_df(spark, [raw]), "payload", "doc_id", target=2)
+    rows = {(r["y"], r["x"]): (r["r"], r["g"], r["b"]) for r in out.collect()}
+    # ow = max(1, round(4 * 0.5)) = 2, oh = max(1, round(2 * 0.5)) = 1
+    assert set(rows) == {(0, 0), (0, 1)}
+    # x=0 -> sx = 0*4//2 = 0 -> bytes 0..2 ; x=1 -> sx = 1*4//2 = 2 -> bytes 6..8
+    assert rows[(0, 0)] == (0, 1, 2)
+    assert rows[(0, 1)] == (6, 7, 8)
+
+
+def test_decode_resize_ppm_never_upscales(spark):
+    w, h = 2, 3
+    raw = f"P6\n{w} {h}\n255\n".encode() + bytes(w * h * 3)
+    out = M.decode_resize_ppm(_df(spark, [raw]), "payload", "doc_id", target=8)
+    rows = out.collect()
+    assert {(r["y"], r["x"]) for r in rows} == {
+        (y, x) for y in range(h) for x in range(w)
+    }
+
+
+def test_decode_resize_ppm_rejects_non_ppm(spark):
+    import pytest
+
+    out = M.decode_resize_ppm(_df(spark, [b"JUNK"]), "payload", "doc_id")
+    with pytest.raises(Exception):
+        out.collect()
