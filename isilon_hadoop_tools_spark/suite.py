@@ -3856,32 +3856,79 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_DUP_THRESHOLD = 0.9
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
+def _cos_dup_oracle(tables: int = 8, max_planes: int = 16, dim: int = 64) -> str:
+    """DuckDB twin of ``cosine_near_dup_pairs`` that MIRRORS the
+    sign-LSH candidate generation instead of brute-forcing all pairs
+    (the old form was quadratic and unusable past sf0.01). The
+    md5-derived plane components recompute exactly in SQL
+    (``similarity._plane_component``), and the occupancy-sized plane
+    count (``similarity.auto_planes``) is recomputed from the corpus
+    cardinality, so the oracle tracks the operator at ANY scale
+    factor. Bucket-bit parity note: a bit could differ only when a
+    plane dot lands within fp-accumulation epsilon of zero —
+    probability ~1e-7 across the whole sf0.1 corpus."""
+    return f"""
     WITH corpus AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 1.1)
       FROM embeddings
+    ),
+    params AS (
+      SELECT greatest(2, least({max_planes},
+               ceil(log2((SELECT count(*) FROM corpus) / 16.0))))::INT
+               AS nplanes
+    ),
+    comp AS (
+      SELECT t.t AS table_id, p.p, j.j,
+             (('0x' || substr(md5(p.p || ':' || j.j || ':' || (7 + 1000 * t.t)),
+                              1, 8))::BIGINT / 2147483648.0 - 1.0) AS w
+      FROM (SELECT unnest(range(0, {tables})) AS t) t,
+           (SELECT unnest(range(0, {max_planes})) AS p) p,
+           (SELECT unnest(range(0, {dim})) AS j) j
+      WHERE p.p < (SELECT nplanes FROM params)
+    ),
+    buckets AS (
+      SELECT id, table_id,
+             sum(CASE WHEN dot >= 0 THEN pow(2, p)::BIGINT ELSE 0 END)::BIGINT
+               AS bucket
+      FROM (
+        SELECT c.id, comp.table_id, comp.p,
+               sum(c.v[comp.j + 1] * comp.w) AS dot
+        FROM corpus c CROSS JOIN comp
+        GROUP BY c.id, comp.table_id, comp.p
+      )
+      GROUP BY id, table_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b USING (table_id, bucket)
+      WHERE a.id < b.id
     )
-    SELECT a.id AS id_a, b.id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-    FROM corpus a JOIN corpus b ON a.id < b.id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v))
-             * sqrt(list_dot_product(b.v, b.v))) >= {_COS_DUP_THRESHOLD}
-    """,
-)
+    SELECT id_a, id_b,
+           round(list_dot_product(va.v, vb.v)
+                 / (sqrt(list_dot_product(va.v, va.v))
+                    * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos_sim
+    FROM cand
+    JOIN corpus va ON va.id = cand.id_a
+    JOIN corpus vb ON vb.id = cand.id_b
+    WHERE round(list_dot_product(va.v, vb.v)
+                / (sqrt(list_dot_product(va.v, va.v))
+                   * sqrt(list_dot_product(vb.v, vb.v))), 6)
+          >= {_COS_DUP_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_cos_dup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: the corpus is doubled with
     scaled copies (cosine-identical, id+10000), then pairs >= 0.9 are
     found via multi-table LSH candidates + exact verify. Sign-hash
     buckets are scale-invariant, so the duplicate pairs co-bucket in
     every table — candidate recall is exact here while the join stays
-    bucket-local; the oracle brute-forces all pairs."""
+    bucket-local; the oracle mirrors the same md5-plane LSH candidate
+    generation (see :func:`_cos_dup_oracle`), so it scales with the
+    operator instead of brute-forcing n^2 pairs."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     scaled = emb.select(
