@@ -1,0 +1,301 @@
+"""Batch event-analytics & data-engineering operators (SURVEY §2.12 EA2+).
+
+Reference parity: the reference tool has no analytics surface (it
+provisions ~60 identity rows over REST, `identities.py`), so these are
+brief-mandated extensions — the batch complement of the streaming
+sessionizer plus the table-maintenance primitives (CDC apply, profile,
+merge-style fuzzy linkage) a 100 TB lakehouse pipeline needs.
+
+Scale notes are per-operator; the common theme is ONE keyed shuffle
+per operator, map-side partials wherever the agg allows, and explicit
+caps on anything quadratic (block sizes for pairwise comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    gap_minutes: int = 120,
+) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when the
+    time since the previous event of the same key exceeds
+    ``gap_minutes``. Returns one row per session with start/end,
+    event count, and summed ``value``.
+
+    Plan shape: ONE shuffle. The lag window hash-partitions on ``key``;
+    the per-(key, session) groupBy's ClusteredDistribution is already
+    satisfied by that partitioning (session rows never cross a key),
+    so Catalyst plans no second exchange. Per-key history must fit a
+    partition sort — true for bounded per-user event counts; a key
+    with billions of events needs time-bucketed pre-splitting, which
+    would change session semantics at bucket edges and is deliberately
+    not done here.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    gap_s = gap_minutes * 60
+    flagged = events.withColumn(
+        "_new_session",
+        F.when(
+            F.col(ts).cast("long") - F.lag(F.col(ts)).over(w).cast("long")
+            > F.lit(gap_s),
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "session_seq",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy(key, "session_seq")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.col("session_end").cast("long")
+            - F.col("session_start").cast("long"),
+        )
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    key: str,
+    col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation), exploded to
+    one (key, prob, quantile) row per probability.
+
+    Uses Spark's exact ``percentile`` aggregate, which buffers each
+    group's values — memory is O(group size), acceptable when groups
+    are bounded (here: per-event-type). At 100 TB with unbounded
+    groups, swap in ``approx_percentile`` (KLL-style mergeable sketch,
+    map-side partials) — same call shape, bounded memory; kept exact
+    here because the approximate sketch is engine-internal and not
+    oracle-verifiable bit-for-bit.
+    """
+    plist = F.array(*[F.lit(float(p)) for p in probs])
+    agged = df.groupBy(key).agg(
+        F.expr(
+            f"percentile({col}, array({', '.join(str(p) for p in probs)}))"
+        ).alias("_qs")
+    )
+    return agged.select(
+        key, F.posexplode(F.col("_qs")).alias("_pos", "_q")
+    ).select(
+        key,
+        F.element_at(plist, F.col("_pos") + 1).alias("prob"),
+        F.round(F.col("_q"), 6).alias("quantile"),
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Long-format data-profiling summary: one row per column with
+    row count, null count, exact distinct count, and numeric min/max
+    (null for non-numeric columns).
+
+    Single scan: all per-column aggregates run in one groupBy-less
+    aggregation (Catalyst's Expand handles the multiple DISTINCTs),
+    then the 1×(4·n_cols) row is unpivoted driver-free with
+    ``stack``. Exact distinct counts at 100 TB are a deliberate cost —
+    the HLL sketch operator (`operators/sketches.py`) is the cheap
+    alternative when ±2% error is acceptable.
+    """
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("integer", "long", "short", "byte", "double", "float", "decimal")
+    }
+    aggs = []
+    for c in columns:
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__n"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        if c in numeric:
+            aggs.append(
+                F.round(F.min(F.col(c)).cast("double"), 6).alias(f"{c}__min")
+            )
+            aggs.append(
+                F.round(F.max(F.col(c)).cast("double"), 6).alias(f"{c}__max")
+            )
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in columns:
+        mn = f"`{c}__min`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`{c}__max`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        stack_args.append(
+            f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, {mn}, {mx}"
+        )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {', '.join(stack_args)}) "
+        "AS (column_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
+    )
+
+
+def cdc_apply(
+    log: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    op_col: str,
+    delete_op: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Apply a change-data-capture log: the final state of each key is
+    its last operation's values; keys whose last operation is
+    ``delete_op`` are absent from the result.
+
+    Single ``max_by`` aggregation keyed on (ts, tiebreak) — one
+    shuffle with map-side partials (each mapper forwards only its
+    local latest row per key), no window and no per-key sort. This is
+    the upsert/compaction primitive of every CDC ingest (Delta/Hudi
+    MERGE reduce step).
+    """
+    payload = F.struct(
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    order = F.struct(F.col(ts).alias("_t"), F.col(tiebreak).alias("_tb"))
+    last = log.groupBy(key).agg(
+        F.max_by(payload, order).alias("_last"),
+        F.max(F.col(ts)).alias("last_ts"),
+    )
+    return last.filter(F.col("_last._op") != delete_op).select(
+        key,
+        *[F.col(f"_last.{c}").alias(c) for c in value_cols],
+        "last_ts",
+    )
+
+
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_expr: str,
+    max_dist: int = 1,
+    max_block: int = 200,
+) -> DataFrame:
+    """Record linkage via blocked edit distance: candidate pairs are
+    generated ONLY within a blocking key (never all-pairs), oversized
+    blocks are dropped (``max_block`` cap — the `max_df` idea from the
+    n-gram dedup inverted index), then ``levenshtein`` verifies.
+
+    Cost: one shuffle on the block key for each side plus the within-
+    block equi-join; with the cap, a block contributes at most
+    ``max_block²`` comparisons, so the total is linear in the number
+    of blocks — the standard record-linkage shape (Fellegi-Sunter
+    blocking) at any scale. Both engines compute the same DP
+    Levenshtein, so results hash-match.
+    """
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.expr(block_expr).alias("_blk"),
+    )
+    sizes = blocked.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+    small = blocked.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= max_block)), "_blk"
+    )
+    left = small.select("_blk", F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
+    right = small.select("_blk", F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+def basket_pairs(
+    lineitem: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    top_n: int = 20,
+) -> DataFrame:
+    """Market-basket co-occurrence: count item pairs appearing in the
+    same basket, return the top-N pairs with a deterministic
+    (count desc, item_a, item_b) tiebreak.
+
+    The self-join shuffles each side once on the basket key and joins
+    co-partitioned — pair fan-out is bounded by the per-basket item
+    count squared (TPC-H: ≤ 7·13/2 pairs per order), never a global
+    cross product. Items are deduped per basket first so a basket
+    containing an item twice doesn't double-count the pair. The final
+    top-N is a TakeOrderedAndProject (per-partition heaps, N rows to
+    the driver), not a global sort.
+    """
+    items = lineitem.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    a = items.select("_b", F.col("_i").alias("item_a"))
+    b = items.select("_b", F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    return pairs.orderBy(
+        F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b")
+    ).limit(top_n)
+
+
+def zscore_outliers(
+    events: DataFrame,
+    key: str = "event_type",
+    col: str = "value",
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group distribution stats + outlier counts: flags rows whose
+    value is more than ``threshold`` population standard deviations
+    from their group mean.
+
+    Two passes over the fact (stats agg, then re-scan + broadcast the
+    group-count-sized stats back) — NOT a per-group window, which at
+    100 TB would funnel each group's every row through one partition.
+    Both aggregations take map-side partials; the join is an explicit
+    broadcast.
+    """
+    stats = events.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(col).alias("_mu"),
+        F.stddev_pop(col).alias("_sigma"),
+    )
+    joined = events.join(F.broadcast(stats), key)
+    out = (
+        joined.withColumn(
+            "_z", (F.col(col) - F.col("_mu")) / F.col("_sigma")
+        )
+        .groupBy(key)
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("_mu"), 6).alias("mean_value"),
+            F.round(F.max("_sigma"), 6).alias("stddev_value"),
+            F.sum(
+                F.when(F.abs(F.col("_z")) > threshold, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return out

@@ -5097,6 +5097,247 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# batch analytics & table-maintenance operators (EA2-EA8,
+# operators/analytics.py) — the batch complement of the streaming
+# sessionizer plus the lakehouse primitives (CDC apply, profiling,
+# blocked fuzzy linkage, basket mining, outlier stats, exact grouped
+# quantiles)
+# =====================================================================
+
+
+@query(
+    "events_sessions_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN floor(epoch(ts))::BIGINT
+                       - floor(epoch(lag(ts) OVER w))::BIGINT > 7200
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS session_value,
+           floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
+             AS duration_sec
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def events_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (2h inactivity gap) — the batch
+    twin of `events_sessionized` (streaming session windows). ONE
+    shuffle: the lag window hash-partitions on user_id and the
+    per-(user, session) groupBy reuses that partitioning (Catalyst
+    plans no second exchange — ClusteredDistribution on a superset of
+    the partitioning keys)."""
+    from isilon_hadoop_tools_spark.operators.analytics import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=120)
+
+
+@query(
+    "events_value_quantiles",
+    oracle="""
+    SELECT event_type, 0.25::DOUBLE AS prob,
+           round(quantile_cont(value, 0.25), 6) AS quantile
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 0.5::DOUBLE, round(quantile_cont(value, 0.5), 6)
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 0.9::DOUBLE, round(quantile_cont(value, 0.9), 6)
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 0.99::DOUBLE, round(quantile_cont(value, 0.99), 6)
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p25/p50/p90/p99 of event value per
+    type), linear interpolation on both engines — exploded to scalar
+    rows for the gate. At unbounded group sizes the operator's
+    documented swap-in is approx_percentile (mergeable KLL sketch)."""
+    from isilon_hadoop_tools_spark.operators.analytics import grouped_quantiles
+
+    return grouped_quantiles(
+        _t(spark, sf_dir, "events"), "event_type", "value",
+        [0.25, 0.5, 0.9, 0.99],
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+_PROFILE_NUMERIC = {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c in _PROFILE_NUMERIC:
+            mn = f"round(min({c})::DOUBLE, 6)"
+            mx = f"round(max({c})::DOUBLE, 6)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("orders_profile", oracle=_profile_oracle())
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format data-profiling summary of the orders table: per
+    column row/null/exact-distinct counts and numeric min/max. One
+    scan — all aggregates (including the multiple DISTINCTs, via
+    Catalyst's Expand) in a single aggregation, unpivoted with stack,
+    never a per-column re-scan."""
+    from isilon_hadoop_tools_spark.operators.analytics import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@query(
+    "events_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             max(ts) OVER (PARTITION BY user_id) AS last_ts
+      FROM events
+    )
+    SELECT user_id, value, last_ts
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-log compaction: final state per key = last operation's
+    values; keys whose last op is the tombstone ('error' stands in for
+    DELETE in the synthetic log) are dropped. Spark side is a single
+    max_by aggregation — one shuffle WITH map-side partials (each
+    mapper forwards one candidate row per key), vs the oracle's
+    row_number window; same result, cheaper plan at 100 TB."""
+    from isilon_hadoop_tools_spark.operators.analytics import cdc_apply
+
+    return cdc_apply(
+        _t(spark, sf_dir, "events"),
+        key="user_id", ts="ts", tiebreak="event_id",
+        op_col="event_type", delete_op="error", value_cols=["value"],
+    )
+
+
+@query(
+    "customer_blocked_editdist",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey AS id, c_name AS txt,
+             substring(c_name, 10, 8) AS blk
+      FROM customer
+    ),
+    sizes AS (SELECT blk, count(*) AS bn FROM blocked GROUP BY blk),
+    small AS (
+      SELECT b.* FROM blocked b JOIN sizes s USING (blk)
+      WHERE s.bn <= 200
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.txt, b.txt)::BIGINT AS edit_dist
+    FROM small a JOIN small b USING (blk)
+    WHERE a.id < b.id AND levenshtein(a.txt, b.txt) <= 1
+    """,
+)
+def customer_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: within-block Levenshtein pairs (block = 8-digit
+    name prefix), never all-pairs — oversized blocks are dropped by the
+    max_block cap (the inverted-index max_df idea), bounding work at
+    max_block² per block at any corpus size."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        blocked_edit_distance_pairs,
+    )
+
+    out = blocked_edit_distance_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey", text_col="c_name",
+        block_expr="substring(c_name, 10, 8)",
+        max_dist=1, max_block=200,
+    )
+    return out.withColumn("edit_dist", F.col("edit_dist").cast("long"))
+
+
+@query(
+    "lineitem_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_baskets
+      FROM items a JOIN items b USING (bk)
+      WHERE a.it < b.it
+      GROUP BY a.it, b.it
+    )
+    SELECT item_a, item_b, n_baskets
+    FROM pairs
+    ORDER BY n_baskets DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def lineitem_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: top-20 part pairs co-occurring in the
+    same order. Pair fan-out is bounded by per-basket item counts
+    (co-partitioned self-join on the basket key), and the top-20 is a
+    TakeOrderedAndProject with a total-order tiebreak — no global
+    sort, deterministic under ties."""
+    from isilon_hadoop_tools_spark.operators.analytics import basket_pairs
+
+    return basket_pairs(_t(spark, sf_dir, "lineitem"), top_n=20)
+
+
+@query(
+    "events_type_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, count(*) AS n, avg(value) AS mu,
+             stddev_pop(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, max(s.n) AS n,
+           round(max(s.mu), 6) AS mean_value,
+           round(max(s.sigma), 6) AS stddev_value,
+           sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > 2.5
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_type_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: group stats aggregated
+    once, broadcast back onto the fact, |z| > 2.5 counted — two
+    map-side-partial aggregations and a broadcast join, never a
+    per-group window (which would funnel each group through one
+    partition at 100 TB)."""
+    from isilon_hadoop_tools_spark.operators.analytics import zscore_outliers
+
+    return zscore_outliers(
+        _t(spark, sf_dir, "events"), threshold=2.5
+    )
+
+
+# =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
 

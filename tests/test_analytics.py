@@ -1,0 +1,161 @@
+"""Unit tests for operators/analytics.py (EA2-EA8): batch
+sessionization, exact grouped quantiles, table profiling, CDC apply,
+blocked edit-distance linkage, basket pairs, z-score outliers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.operators.analytics import (
+    basket_pairs,
+    blocked_edit_distance_pairs,
+    cdc_apply,
+    grouped_quantiles,
+    profile_table,
+    sessionize,
+    zscore_outliers,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _m(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_sessionize_splits_on_gap(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _m(0), 7, 1.0),
+            (2, _m(30), 7, 2.0),  # same session (30m < 2h gap)
+            (3, _m(30 + 121), 7, 4.0),  # new session (121m > 120m)
+            (4, _m(0), 8, 8.0),  # other user: own session
+        ],
+    )
+    out = sessionize(ev, gap_minutes=120).orderBy("user_id", "session_seq")
+    rows = out.collect()
+    assert [(r.user_id, r.session_seq, r.n_events) for r in rows] == [
+        (7, 0, 2),
+        (7, 1, 1),
+        (8, 0, 1),
+    ]
+    first = rows[0]
+    assert first.session_value == 3.0
+    assert first.duration_sec == 30 * 60
+
+
+def test_sessionize_single_shuffle(spark):
+    ev = _events(spark, [(1, _m(0), 7, 1.0)])
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    # window partitioning satisfies the groupBy distribution: exactly
+    # one Exchange in the whole plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_grouped_quantiles_exact(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)], "k string, v double"
+    )
+    out = {
+        (r.prob): r.quantile
+        for r in grouped_quantiles(df, "k", "v", [0.5, 0.9]).collect()
+    }
+    assert out == {0.5: 50.5, 0.9: 90.1}
+
+
+def test_profile_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "a int, b string"
+    )
+    out = {r.column_name: r for r in profile_table(df, ["a", "b"]).collect()}
+    assert out["a"].n_rows == 3 and out["a"].n_nulls == 0
+    assert out["a"].n_distinct == 2
+    assert out["a"].min_num == 1.0 and out["a"].max_num == 2.0
+    assert out["b"].n_nulls == 1 and out["b"].n_distinct == 2
+    assert out["b"].min_num is None and out["b"].max_num is None
+
+
+def test_cdc_apply_last_op_wins_and_tombstone_drops(spark):
+    log = spark.createDataFrame(
+        [
+            # key 1: insert then update — update's value wins
+            (1, _m(0), 1, "I", 10.0),
+            (2, _m(5), 1, "U", 11.0),
+            # key 2: updated then deleted — absent from result
+            (3, _m(0), 2, "U", 20.0),
+            (4, _m(5), 2, "D", 0.0),
+            # key 3: ts tie broken by event_id (higher id wins)
+            (5, _m(0), 3, "U", 30.0),
+            (6, _m(0), 3, "U", 31.0),
+        ],
+        "event_id long, ts timestamp, user_id long, op string, value double",
+    )
+    out = {
+        r.user_id: r.value
+        for r in cdc_apply(
+            log, "user_id", "ts", "event_id", "op", "D", ["value"]
+        ).collect()
+    }
+    assert out == {1: 11.0, 3: 31.0}
+
+
+def test_blocked_editdist_cap_and_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abcd"), (2, "abce"),  # block 'ab': distance-1 pair
+            (3, "cdxx"), (7, "cdzz"),  # block 'cd': distance 2 -> excluded
+            (4, "zz01"), (5, "zz02"), (6, "zz03"),  # block 'zz': capped out
+        ],
+        "id long, name string",
+    )
+    out = blocked_edit_distance_pairs(
+        df, "id", "name", "substring(name, 1, 2)", max_dist=1, max_block=2
+    ).collect()
+    assert [(r.id_a, r.id_b, r.edit_dist) for r in out] == [(1, 2, 1)]
+
+
+def test_basket_pairs_dedups_and_orders(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 10), (1, 20), (1, 20),  # duplicate item: pair counts once
+            (2, 10), (2, 20),
+            (2, 30),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    out = basket_pairs(li, top_n=10).collect()
+    assert (out[0].item_a, out[0].item_b, out[0].n_baskets) == (10, 20, 2)
+    # remaining single-basket pairs tie-broken by (item_a, item_b)
+    assert [(r.item_a, r.item_b) for r in out[1:]] == [(10, 30), (20, 30)]
+
+
+def test_zscore_outliers_flags_extremes(spark):
+    rows = [(i, _m(i), "a", 10.0) for i in range(20)]
+    rows.append((99, _m(99), "a", 1000.0))  # the lone extreme value
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = zscore_outliers(ev, threshold=2.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 21 and r.n_outliers == 1
+
+
+def test_zscore_uses_broadcast_join(spark):
+    ev = spark.createDataFrame(
+        [(1, _m(0), "a", 1.0), (2, _m(1), "a", 2.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    plan = (
+        zscore_outliers(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
