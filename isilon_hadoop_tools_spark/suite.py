@@ -5337,6 +5337,133 @@ def events_type_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the Spark side
+    merges a pre-cutoff 'materialized' partial-state rollup with a
+    post-cutoff delta (counts/sums add; avg finalized from merged
+    states); the oracle recomputes flat over full history. Matching
+    hashes prove delta-merge == recompute — the contract that turns a
+    daily 100 TB re-aggregation into a delta-sized job."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        incremental_rollup,
+    )
+
+    return incremental_rollup(
+        _t(spark, sf_dir, "events"), cutoff="2024-01-16 00:00:00"
+    )
+
+
+@query(
+    "events_daily_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    )
+    SELECT g.user_id, g.day, coalesce(d.n, 0)::BIGINT AS n_events
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: one row per user per day of the user's
+    active span, zero-filled — the resample primitive. The day grid
+    is span-sized sequence+explode per key (distributed, never a
+    global calendar cross join)."""
+    from isilon_hadoop_tools_spark.operators.analytics import gapfill_daily
+
+    return gapfill_daily(_t(spark, sf_dir, "events"))
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+             AS click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+             AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+             AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+             AS signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+             AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long-format event types to wide per-user count columns —
+    explicit value list, so no distinct-collection pre-pass and a
+    static schema: ONE shuffle with map-side partial pivot
+    aggregation (the oracle is the equivalent conditional agg)."""
+    from isilon_hadoop_tools_spark.operators.analytics import pivot_counts
+
+    return pivot_counts(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", _PIVOT_TYPES
+    )
+
+
+@query(
+    "customer_priority_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT * FROM ordered
+      WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           row_number() OVER w2 AS version
+    FROM changes
+    WINDOW w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build: per-customer order-priority history with
+    valid_from/valid_to effectivity (null = current) and version
+    numbers. Change-detect (lag), close-out (lead) and versioning
+    (row_number) share one key partitioning — a single shuffle; the
+    post-filter window re-sorts but never re-exchanges."""
+    from isilon_hadoop_tools_spark.operators.analytics import scd2_history
+
+    return scd2_history(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey", attr="o_orderpriority",
+        ts="o_orderdate", tiebreak="o_orderkey",
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

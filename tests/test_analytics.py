@@ -159,3 +159,78 @@ def test_zscore_uses_broadcast_join(spark):
         zscore_outliers(ev)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_rollup_merges_to_full_recompute(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        incremental_rollup,
+    )
+
+    rows = [
+        (i, T0 + dt.timedelta(days=i % 4, minutes=i), "a", float(i))
+        for i in range(12)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    # cutoff mid-span: merged partials must equal the flat rollup
+    merged = incremental_rollup(ev, cutoff="2024-01-03 00:00:00")
+    flat = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+
+
+def test_gapfill_daily_zero_fills_gaps(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import gapfill_daily
+
+    ev = spark.createDataFrame(
+        [
+            (1, T0, 7, 1.0),
+            (2, T0 + dt.timedelta(days=3), 7, 1.0),  # days 1-2 are gaps
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    out = gapfill_daily(ev).orderBy("day").collect()
+    assert [r.n_events for r in out] == [1, 0, 0, 1]
+    assert len(out) == 4
+
+
+def test_scd2_history_runs_and_versions(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (7, "LOW", T0, 1),
+            (7, "LOW", T0 + dt.timedelta(days=1), 2),   # same run
+            (7, "HIGH", T0 + dt.timedelta(days=2), 3),  # change
+            (7, "LOW", T0 + dt.timedelta(days=3), 4),   # change back
+        ],
+        "k long, prio string, ts timestamp, ok long",
+    )
+    out = scd2_history(df, "k", "prio", "ts", "ok").orderBy("version").collect()
+    assert [(r.prio, r.version) for r in out] == [
+        ("LOW", 1), ("HIGH", 2), ("LOW", 3)
+    ]
+    assert out[0].valid_to == out[1].valid_from
+    assert out[2].valid_to is None
+
+
+def test_pivot_counts_static_schema_and_zero_fill(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import pivot_counts
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b")], "k long, t string"
+    )
+    out = {r.k: r for r in pivot_counts(df, "k", "t", ["a", "b", "c"]).collect()}
+    assert (out[1].a, out[1].b, out[1].c) == (2, 1, 0)
+    assert (out[2].a, out[2].b, out[2].c) == (0, 1, 0)
