@@ -1,0 +1,86 @@
+"""Iterative graph algorithms over edge DataFrames (SURVEY §2.12).
+
+The reference has no graph surface; this is the brief's "iterative
+algorithms" extension beyond k-means (`operators/similarity.py`):
+weighted PageRank as repeated sparse matrix-vector products expressed
+as join + aggregate — the canonical Pregel-style iteration mapped
+onto DataFrames.
+
+Scale shape: the EDGE table is the fact (billions of rows at 100 TB);
+the rank vector is vertex-sized and broadcast every iteration, so
+each iteration is one broadcast join + one aggregation over edges —
+no shuffle of the edge table after the initial normalization, and no
+driver-side state beyond the vertex count (a single scalar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_digits: int = 10,
+) -> DataFrame:
+    """Weighted PageRank over ``(src, dst, weight)`` edges.
+
+    Vertex set = nodes with at least one outgoing edge; edges into
+    nodes outside that set are dropped (their rank mass exits via the
+    teleport term), which guarantees no dangling nodes — the standard
+    closed-subgraph formulation. Each iteration computes
+
+        r[v] = (1 - d)/N + d * sum_{(u,v)} r[u] * w(u,v)/out_w(u)
+
+    with the rank vector ROUNDED to ``round_digits`` places per
+    iteration: rounding is the cross-engine determinism contract
+    (float summation order differs between engines; the per-iteration
+    round stops last-ULP drift from compounding), same scheme as the
+    integer-quantized k-means (`similarity.py` `kmeans_iterate`).
+
+    Per iteration: ONE broadcast join (vertex-sized rank vector onto
+    the edge fact) + ONE aggregation with map-side partials. The
+    lineage is truncated with ``localCheckpoint`` so the plan does not
+    grow exponentially with iterations.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    verts = e.select(F.col("_s").alias("v")).distinct().localCheckpoint()
+    # closed subgraph: drop edges whose dst has no out-edges
+    e = e.join(verts.withColumnRenamed("v", "_d"), "_d", "left_semi")
+    out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    norm = (
+        e.join(F.broadcast(out_w), "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p"))
+        .localCheckpoint(eager=False)
+    )
+    n = verts.count()  # vertex count: the single driver-side scalar
+    ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        acc = (
+            norm.join(F.broadcast(ranks), norm["_s"] == ranks["v"])
+            .select("_d", (F.col("r") * F.col("_p")).alias("_c"))
+            .groupBy("_d")
+            .agg(F.sum("_c").alias("_acc"))
+        )
+        ranks = (
+            verts.join(acc, verts["v"] == acc["_d"], "left")
+            .select(
+                "v",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("_acc"), F.lit(0.0)),
+                    round_digits,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("v"), F.col("r").alias("pagerank"))

@@ -13,6 +13,7 @@ from isilon_hadoop_tools_spark.streaming.events import (
     dedup_within_watermark,
     hourly_rollup_stream,
     sliding_rollup_stream,
+    static_enrich_rollup_stream,
     read_events_stream,
     run_available_now,
     sessionize,
@@ -24,6 +25,7 @@ __all__ = [
     "dedup_within_watermark",
     "hourly_rollup_stream",
     "sliding_rollup_stream",
+    "static_enrich_rollup_stream",
     "read_events_stream",
     "run_available_now",
     "sessionize",

@@ -110,6 +110,45 @@ def sliding_rollup_stream(
     )
 
 
+def static_enrich_rollup_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-static broadcast join + windowed rollup: each streaming
+    event is enriched with its user's nation from a STATIC dimension
+    (state-free — the static side is re-broadcast per micro-batch,
+    never buffered in the state store), then aggregated per
+    (hour, nation).
+
+    This is the dimension-enrichment shape of every streaming ETL: the
+    only stateful operator is the downstream windowed agg, whose state
+    is evicted by the watermark; the join itself adds none. ``dim``
+    must be broadcast-sized (a dimension, not a fact)."""
+    enriched = events.join(
+        F.broadcast(dim.select(F.col("c_custkey"), F.col("c_nationkey"))),
+        events["user_id"] == F.col("c_custkey"),
+        "inner",
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "nationkey",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_first_stream(
     events: DataFrame, watermark: str = DEFAULT_WATERMARK
 ) -> DataFrame:

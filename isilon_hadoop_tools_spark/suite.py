@@ -5464,6 +5464,164 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-iteration DuckDB twin of `operators/graph.py`
+    `pagerank` on the nation trade graph. Expressions (not rounded
+    constants) are mirrored — e.g. ``(1.0 - 0.85)`` on both engines —
+    so IEEE results agree bit-for-bit before the per-iteration
+    round(…, 10)."""
+    parts = [
+        """
+    WITH rev AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM rev),
+    fedges AS (
+      SELECT e.src, e.dst, e.w FROM rev e JOIN verts t ON e.dst = t.v
+    ),
+    norm AS (
+      SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+      FROM fedges
+    ),
+    cnt AS (SELECT count(*)::DOUBLE AS n FROM verts),
+    r0 AS (SELECT v.v, 1.0 / c.n AS r FROM verts v CROSS JOIN cnt c)
+    """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", r{i} AS (
+      SELECT v.v,
+             round((1.0 - 0.85) / c.n
+                   + 0.85 * coalesce(s.acc, 0.0), 10) AS r
+      FROM verts v CROSS JOIN cnt c
+      LEFT JOIN (
+        SELECT e.dst, sum(p.r * e.p) AS acc
+        FROM norm e JOIN r{i - 1} p ON e.src = p.v
+        GROUP BY e.dst
+      ) s ON s.dst = v.v
+    )
+    """
+        )
+    parts.append(
+        f"SELECT v AS nationkey, r AS pagerank FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+@query("nation_trade_pagerank", oracle=_pagerank_oracle(5))
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (supplier nation
+    → customer nation, edge weight = lineitem revenue): 5 Pregel-style
+    iterations, each ONE broadcast join of the vertex-sized rank
+    vector onto the edge fact + ONE map-side-partial aggregation —
+    the edge table never re-shuffles after normalization. Per-
+    iteration rounding (10 dp) is the cross-engine determinism
+    contract, as in the quantized k-means (L28)."""
+    from isilon_hadoop_tools_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    edges = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("w")
+        )
+    )
+    pr = pagerank(edges, "src", "dst", "w", iterations=5)
+    return pr.select(F.col("v").alias("nationkey"), "pagerank")
+
+
+@query(
+    "events_multigrain_rollup",
+    oracle="""
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts)::TIMESTAMP,
+           count(*), round(sum(value), 2)
+    FROM events GROUP BY date_trunc('day', ts)
+    UNION ALL
+    SELECT 'week', date_trunc('week', ts)::TIMESTAMP,
+           count(*), round(sum(value), 2)
+    FROM events GROUP BY date_trunc('week', ts)
+    """,
+)
+def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity continuous aggregate: one
+    fact scan aggregated at hour AND day AND week grains via GROUPING
+    SETS — Catalyst's Expand replicates each row once per grain before
+    the (partial-agg) shuffle, so the fact is read once, not three
+    times (the oracle's three-branch UNION is the semantic spec, not
+    the plan). This is the TimescaleDB/Druid rollup primitive for
+    time-series file skipping at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    grained = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("wk"),
+        "value",
+    )
+    gs = grained.groupingSets(
+        [["h"], ["d"], ["wk"]], "h", "d", "wk"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return gs.select(
+        F.when(F.col("h").isNotNull(), "hour")
+        .when(F.col("d").isNotNull(), "day")
+        .otherwise("week")
+        .alias("grain"),
+        F.coalesce("h", "d", "wk").alias("bucket"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "events_stream_static_join",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS hour,
+           c.c_nationkey AS nationkey,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (§2.9): streaming events
+    joined to the STATIC customer dimension (state-free join — the
+    static side never enters the state store), then a watermarked
+    hourly rollup per nation. Drained with trigger(availableNow);
+    must equal the batch join oracle."""
+    from isilon_hadoop_tools_spark import streaming
+
+    ev = streaming.read_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer")
+    return streaming.run_available_now(
+        streaming.static_enrich_rollup_stream(ev, dim)
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

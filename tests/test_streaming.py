@@ -133,3 +133,52 @@ def test_sliding_rollup_each_event_in_two_windows(spark, stream_dir):
     assert sum(r["n_events"] for r in rows) == 2 * batch.count()
     # window starts are 30m-aligned and 30m apart where overlapping
     assert all(r["w_start"].minute in (0, 30) for r in rows)
+
+
+def test_stream_static_join_enriches_and_matches_batch(spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from isilon_hadoop_tools_spark.streaming.events import (
+        static_enrich_rollup_stream,
+    )
+
+    d = str(tmp_path / "enrich")
+    os.makedirs(d)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, T0, 10, 1.0),
+        (2, T0 + 5 * m, 10, 2.0),
+        (3, T0 + 65 * m, 11, 3.0),
+        (4, T0, 99, 9.0),  # user 99 missing from the dim: dropped
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        os.path.join(d, "b1.parquet"),
+    )
+    dim = spark.createDataFrame(
+        [(10, 7), (11, 8)], "c_custkey long, c_nationkey long"
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+        ).parquet(d)
+    )
+    out = run_available_now(static_enrich_rollup_stream(stream, dim))
+    got = {
+        (r.hour, r.nationkey): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert got == {
+        (T0, 7): (2, 3.0),
+        (T0 + 60 * m, 8): (1, 3.0),
+    }
