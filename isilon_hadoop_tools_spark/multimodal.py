@@ -11,10 +11,12 @@ stages. Compressed-codec calls are STUBBED with deterministic fakes
 (this container ships no image/audio libraries): every stub marks the
 single line where ``PIL.Image.open`` / ``librosa.load`` would plug
 in, and everything around it — schema contract, Arrow batch shape,
-partitioning — is real and tested. One codec IS real:
-:func:`decode_resize_ppm` parses uncompressed P6 PPM images with
-pure numpy (header parse, frombuffer, nearest-neighbor resample) —
-no stub anywhere in that path.
+partitioning — is real and tested. Two codecs ARE real, one per
+modality: :func:`decode_resize_ppm` parses uncompressed P6 PPM
+images with pure numpy (header parse, frombuffer, nearest-neighbor
+resample), and :func:`decode_wav_features` walks RIFF/WAVE chunks
+and extracts PCM16 signal features — no stub anywhere in either
+path.
 
 Cross-engine note: payload hashing/sniffing goes through ``hex()``
 (identical in Spark and DuckDB) because the oracle's md5 only accepts
@@ -259,6 +261,78 @@ def decode_resize_ppm(
             ]
             yield pd.DataFrame(
                 rows, columns=[id_col, "y", "x", "r", "g", "b"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def decode_wav_features(
+    df: DataFrame, bin_col: str, id_col: str
+) -> DataFrame:
+    """REAL audio decoder (no stub): parse binary RIFF/WAVE PCM16
+    payloads and extract per-clip signal features.
+
+    A genuine chunk walk — verify the ``RIFF``/``WAVE`` magics, then
+    iterate ``<id, size, body>`` chunks (word-aligned, unknown chunks
+    skipped) to find ``fmt `` (sample rate, PCM check) and ``data``
+    (``np.frombuffer('<i2')``). Features: sample count, peak
+    amplitude, strict zero crossings (``s[i]*s[i+1] < 0``), and RMS
+    with SQL-compatible half-away rounding (``floor(x*1e4 + 0.5)``,
+    never Python's half-even ``round``).
+
+    Same Arrow ``mapInPandas`` contract as every codec stage: payload
+    bytes stay in the scan partition, one output row per clip,
+    nothing shuffles.
+    """
+    schema = (
+        f"{id_col} LONG, sample_rate INT, n_samples LONG, "
+        "peak LONG, n_cross LONG, rms DOUBLE"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        import numpy as np
+
+        def one(raw: bytes):
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, rate, data = 12, None, None
+            while pos + 8 <= len(raw):
+                cid = raw[pos : pos + 4]
+                (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                body = raw[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt, _nch, rate, _br, _ba, bits = struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                    if fmt != 1 or bits != 16:
+                        raise ValueError("only PCM16 supported")
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)  # chunks are word-aligned
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            rms = math.sqrt(float(np.mean(s * s)))
+            return (
+                int(rate),
+                len(s),
+                int(np.max(np.abs(s))),
+                int(np.sum(s[:-1] * s[1:] < 0)),
+                math.floor(rms * 10000 + 0.5) / 10000,
+            )
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_samples",
+                    "peak", "n_cross", "rms",
+                ],
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)

@@ -4980,6 +4980,122 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _le_hex(col, nbytes: int):
+    """Little-endian byte hex of an integer column (for binary
+    payload construction in pure Spark expressions)."""
+    return F.concat(
+        *[
+            F.lpad(
+                F.hex(F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))),
+                2,
+                "0",
+            )
+            for i in range(nbytes)
+        ]
+    )
+
+
+def _wav_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document RIFF/WAVE PCM16 payloads as REAL binary: a full
+    44-byte canonical header (RIFF size, fmt chunk with rate 8000,
+    mono, 16-bit, data chunk size) followed by n = doc_id%16+4
+    deterministic int16 samples ((doc_id*17 + i*13) % 65536, two's
+    complement) — built entirely with JVM expressions (hex/unhex),
+    no UDF."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = (F.pmod("doc_id", F.lit(16)) + F.lit(4)).cast("long")
+    ds = n * 2
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n - 1).cast("int")),
+            lambda p: F.concat(
+                F.lpad(
+                    F.hex(
+                        F.pmod(
+                            F.col("doc_id") * 17 + p.cast("long") * 13,
+                            F.lit(65536),
+                        ).bitwiseAND(F.lit(255))
+                    ),
+                    2,
+                    "0",
+                ),
+                F.lpad(
+                    F.hex(
+                        F.shiftright(
+                            F.pmod(
+                                F.col("doc_id") * 17 + p.cast("long") * 13,
+                                F.lit(65536),
+                            ),
+                            8,
+                        ).bitwiseAND(F.lit(255))
+                    ),
+                    2,
+                    "0",
+                ),
+            ),
+        ),
+        "",
+    )
+    ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "utf-8"))  # noqa: E731
+    header_hex = F.concat(
+        ascii_hex("RIFF"), _le_hex(ds + 36, 4), ascii_hex("WAVE"),
+        ascii_hex("fmt "), _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2),      # PCM
+        _le_hex(F.lit(1), 2),      # mono
+        _le_hex(F.lit(8000), 4),   # sample rate
+        _le_hex(F.lit(16000), 4),  # byte rate
+        _le_hex(F.lit(2), 2),      # block align
+        _le_hex(F.lit(16), 2),     # bits/sample
+        ascii_hex("data"), _le_hex(ds, 4),
+    )
+    payload = F.unhex(F.concat(header_hex, sample_hex))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+@query(
+    "multimodal_wav_features",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, (doc_id % 16 + 4)::BIGINT AS n FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM n
+    ),
+    vals AS (
+      SELECT doc_id, i,
+             (doc_id * 17 + i * 13) % 65536
+               - CASE WHEN (doc_id * 17 + i * 13) % 65536 >= 32768
+                      THEN 65536 ELSE 0 END AS s
+      FROM samp
+    ),
+    wl AS (
+      SELECT doc_id, s,
+             lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+      FROM vals
+    )
+    SELECT doc_id, 8000::INT AS sample_rate,
+           count(*) AS n_samples,
+           max(abs(s))::BIGINT AS peak,
+           sum(CASE WHEN s * s2 < 0 THEN 1 ELSE 0 END)::BIGINT AS n_cross,
+           floor(sqrt(avg(s * s)) * 10000 + 0.5) / 10000 AS rms
+    FROM wl GROUP BY doc_id
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL codec path (audio): canonical RIFF/WAVE PCM16
+    payloads built as actual bytes, then ``decode_wav_features`` does
+    a genuine chunk walk (magic check, fmt parse, word-aligned skip,
+    data frombuffer) and extracts peak / zero-crossing / RMS
+    features. The oracle recomputes every feature analytically from
+    the sample generator, so a wrong chunk offset, endianness, or
+    two's-complement decode hash-fails."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.decode_wav_features(
+        _wav_payload_df(spark, sf_dir), "payload", "doc_id"
+    )
+
+
 @query(
     "events_funnel_conversion",
     oracle="""

@@ -136,3 +136,57 @@ def test_decode_resize_ppm_rejects_non_ppm(spark):
     out = M.decode_resize_ppm(_df(spark, [b"JUNK"]), "payload", "doc_id")
     with pytest.raises(Exception):
         out.collect()
+
+
+def _wav_bytes(rate, samples, junk=b""):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if junk:
+        # odd-sized unknown chunk: the walker must skip the pad byte
+        chunks += b"LIST" + struct.pack("<I", len(junk)) + junk
+        if len(junk) % 2:
+            chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decoder_chunk_walk_and_features(spark):
+    from isilon_hadoop_tools_spark.multimodal import decode_wav_features
+
+    df = spark.createDataFrame(
+        [
+            (1, _wav_bytes(8000, [100, -200, 300, -400])),
+            # junk LIST chunk of odd size between fmt and data
+            (2, _wav_bytes(16000, [0, 5, -5], junk=b"junk!")),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r.doc_id: r
+        for r in decode_wav_features(df, "payload", "doc_id").collect()
+    }
+    r1 = out[1]
+    assert (r1.sample_rate, r1.n_samples, r1.peak, r1.n_cross) == (
+        8000, 4, 400, 3
+    )
+    r2 = out[2]
+    # zero sample: 0*5 and 5*-5 -> exactly one strict crossing
+    assert (r2.sample_rate, r2.n_samples, r2.peak, r2.n_cross) == (
+        16000, 3, 5, 1
+    )
+
+
+def test_wav_decoder_rejects_non_riff(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from isilon_hadoop_tools_spark.multimodal import decode_wav_features
+
+    df = spark.createDataFrame(
+        [(1, b"NOTAWAVFILE")], "doc_id long, payload binary"
+    )
+    with pytest.raises(PythonException, match="not a RIFF/WAVE payload"):
+        decode_wav_features(df, "payload", "doc_id").collect()
