@@ -60,6 +60,14 @@ HEADLINE = (
     "dedup_embedding_cosine",
     "ann_brute_force_cosine",
     "ann_ivf_probed",
+    # round-6 additions: analytics / lakehouse / graph / audio families
+    "events_sessions_batch",
+    "events_cdc_apply",
+    "events_multigrain_rollup",
+    "customer_blocked_editdist",
+    "lineitem_part_pairs",
+    "nation_trade_pagerank",
+    "multimodal_wav_features",
 )
 
 

@@ -48,11 +48,16 @@ def pagerank(
     lineage is truncated with ``localCheckpoint`` so the plan does not
     grow exponentially with iterations.
     """
+    # Materialize the aggregated edge table ONCE (it is the
+    # iteration-invariant and every downstream consumer — vertex set,
+    # out-weights, normalization, 5 iterations — would otherwise
+    # re-trigger the upstream build): bounded by vertex², stored on
+    # executor-local disk, never the driver.
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"),
         F.col(weight).cast("double").alias("_w"),
-    )
-    verts = e.select(F.col("_s").alias("v")).distinct().localCheckpoint()
+    ).localCheckpoint()
+    verts = e.select(F.col("_s").alias("v")).distinct()
     # closed subgraph: drop edges whose dst has no out-edges
     e = e.join(verts.withColumnRenamed("v", "_d"), "_d", "left_semi")
     out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
