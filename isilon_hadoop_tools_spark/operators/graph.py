@@ -31,11 +31,14 @@ def pagerank(
     """Weighted PageRank over ``(src, dst, weight)`` edges.
 
     Vertex set = nodes with at least one outgoing edge; edges into
-    nodes outside that set are dropped (their rank mass exits via the
-    teleport term), which guarantees no dangling nodes — the standard
-    closed-subgraph formulation. Each iteration computes
+    nodes outside that set are dropped. A vertex can still end up
+    dangling after that closure (every out-edge pointed outside), so
+    each iteration redistributes the dangling mass uniformly — the
+    standard formulation that conserves total rank mass at exactly 1
+    on any input graph (property-tested). Each iteration computes
 
-        r[v] = (1 - d)/N + d * sum_{(u,v)} r[u] * w(u,v)/out_w(u)
+        r[v] = (1 - d)/N + d * (sum_{(u,v)} r[u] * w(u,v)/out_w(u)
+                                + dangling_mass/N)
 
     with the rank vector ROUNDED to ``round_digits`` places per
     iteration: rounding is the cross-engine determinism contract
@@ -67,9 +70,15 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = verts.count()  # vertex count: the single driver-side scalar
+    out_srcs = norm.select(F.col("_s").alias("v")).distinct()
     ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
+        # mass sitting on post-closure dangling vertices (no surviving
+        # out-edges): redistributed uniformly — a 1-row aggregate
+        dangling = ranks.join(out_srcs, "v", "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")
+        )
         acc = (
             norm.join(F.broadcast(ranks), norm["_s"] == ranks["v"])
             .select("_d", (F.col("r") * F.col("_p")).alias("_c"))
@@ -78,11 +87,16 @@ def pagerank(
         )
         ranks = (
             verts.join(acc, verts["v"] == acc["_d"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "v",
                 F.round(
                     F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("_acc"), F.lit(0.0)),
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_acc"), F.lit(0.0))
+                        + F.col("_dm") / n
+                    ),
                     round_digits,
                 ).alias("r"),
             )

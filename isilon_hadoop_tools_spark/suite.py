@@ -5611,11 +5611,15 @@ def _pagerank_oracle(iterations: int = 5) -> str:
     ]
     for i in range(1, iterations + 1):
         parts.append(
-            f""", r{i} AS (
+            f""", d{i} AS (
+      SELECT coalesce(sum(p.r), 0.0) AS dm FROM r{i - 1} p
+      WHERE p.v NOT IN (SELECT src FROM norm)
+    ), r{i} AS (
       SELECT v.v,
              round((1.0 - 0.85) / c.n
-                   + 0.85 * coalesce(s.acc, 0.0), 10) AS r
-      FROM verts v CROSS JOIN cnt c
+                   + 0.85 * (coalesce(s.acc, 0.0) + dd.dm / c.n),
+                   10) AS r
+      FROM verts v CROSS JOIN cnt c CROSS JOIN d{i} dd
       LEFT JOIN (
         SELECT e.dst, sum(p.r * e.p) AS acc
         FROM norm e JOIN r{i - 1} p ON e.src = p.v
@@ -5636,8 +5640,8 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     → customer nation, edge weight = lineitem revenue): 5 Pregel-style
     iterations, each ONE broadcast join of the vertex-sized rank
     vector onto the edge fact + ONE map-side-partial aggregation —
-    the edge table never re-shuffles after normalization. Per-
-    iteration rounding (10 dp) is the cross-engine determinism
+    the edge table never re-shuffles after normalization; dangling
+    mass redistributes uniformly. Per-iteration rounding (10 dp) is the cross-engine determinism
     contract, as in the quantized k-means (L28)."""
     from isilon_hadoop_tools_spark.operators.graph import pagerank
 

@@ -150,3 +150,117 @@ def test_chunk_overlap_covers_every_token(spark, words):
     assert covered == set(range(n))
     starts = [r["start_tok"] for r in rows]
     assert starts == list(range(0, n, 12))
+
+
+@_SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=10_000), # minutes offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_sessionize_partitions_all_events(spark, events):
+    """Sessions partition the event set: per-user n_events sums to the
+    user's event count, and session time ranges never overlap within
+    a user (start of session k+1 is strictly after end of session k)."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), u, 1.0)
+        for i, (u, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = sessionize(df, gap_minutes=60).collect()
+    per_user_total: dict[int, int] = {}
+    for r in out:
+        per_user_total[r.user_id] = per_user_total.get(r.user_id, 0) + r.n_events
+    expect: dict[int, int] = {}
+    for u, _ in events:
+        expect[u] = expect.get(u, 0) + 1
+    assert per_user_total == expect
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r.session_seq)
+        for a, b in zip(sess, sess[1:]):
+            assert b.session_start > a.session_end
+
+
+@_SETTINGS
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(min_value=0, max_value=99),  # value
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cdc_apply_equals_sequential_replay(spark, ops):
+    """The distributed max_by compaction equals a sequential replay of
+    the log (driver-side reference implementation)."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import cdc_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), k, op, float(v))
+        for i, (k, op, v) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, k long, op string, value double"
+    )
+    got = {
+        r.k: r.value
+        for r in cdc_apply(df, "k", "ts", "event_id", "op", "D", ["value"]).collect()
+    }
+    state: dict[int, float] = {}
+    for _, (k, op, v) in enumerate(ops):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = float(v)
+    # replay semantics differ from last-op-wins ONLY when a delete is
+    # followed by nothing; both agree the key is absent. For keys whose
+    # last op is I/U both give that op's value.
+    assert got == state
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_pagerank_mass_conservation(spark, edges):
+    """Total rank mass is exactly 1 on ANY input graph: the dangling
+    term redistributes mass from vertices whose every out-edge was
+    dropped by the closure."""
+    from isilon_hadoop_tools_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(s, d, float(w)) for s, d, w in edges], "src long, dst long, w double"
+    )
+    out = pagerank(df, "src", "dst", "w", iterations=3).collect()
+    total = sum(r.pagerank for r in out)
+    # per-vertex rounding to 10 dp bounds the drift
+    assert abs(total - 1.0) < 1e-6
