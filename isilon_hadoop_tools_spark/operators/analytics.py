@@ -430,6 +430,74 @@ def pivot_counts(
     )
 
 
+def expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Declarative data-quality expectations (dbt-test / Deequ shape):
+    evaluate every rule in ONE pass and return a long-format report
+    ``(rule_name, n_violations, passed)``.
+
+    Rule forms: ``("name", "not_null", col)``,
+    ``("name", "unique", col)`` (violations = non-null rows minus
+    distinct values), ``("name", "accepted_values", col, [v, ...])``,
+    ``("name", "range", col, lo, hi)``.
+
+    All row-level rules are conditional sums in a single aggregation;
+    uniqueness rides the same aggregation as a DISTINCT count
+    (Catalyst Expand) — the table is scanned once no matter how many
+    rules, which is what makes a 100-rule contract affordable at
+    100 TB."""
+    aggs = []
+    for rule in rules:
+        name, kind = rule[0], rule[1]
+        col = F.col(rule[2])
+        if kind == "not_null":
+            viol = F.sum(F.when(col.isNull(), 1).otherwise(0))
+        elif kind == "unique":
+            viol = (
+                F.sum(F.when(col.isNotNull(), 1).otherwise(0))
+                - F.count_distinct(col)
+            )
+        elif kind == "accepted_values":
+            viol = F.sum(
+                F.when(col.isNull() | ~col.isin(rule[3]), 1).otherwise(0)
+            )
+        elif kind == "range":
+            lo, hi = rule[3], rule[4]
+            viol = F.sum(
+                F.when(
+                    col.isNull() | (col < lo) | (col > hi), 1
+                ).otherwise(0)
+            )
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+        aggs.append(viol.cast("long").alias(name))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{r[0]}', `{r[0]}`" for r in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule_name, n_violations)"
+    ).withColumn("passed", F.col("n_violations") == 0)
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent table checksum: per-row 60-bit fingerprint
+    over the canonical ``|``-joined column rendering, combined with
+    the XOR aggregate — the anti-entropy primitive for verifying two
+    replicas/engines hold the same rows without sorting or shuffling
+    anything (XOR is commutative, associative, overflow-free, and
+    maps to map-side partials).
+
+    Callers pass columns with engine-stable string renderings
+    (integers, strings); floats/timestamps should be pre-formatted.
+    Note the usual multiset caveat: XOR cancels even multiplicities,
+    so pair it with the row count (returned alongside)."""
+    from isilon_hadoop_tools_spark.functions.hashing import fingerprint64
+
+    row = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return df.select(fingerprint64(row).alias("_fp")).agg(
+        F.bit_xor("_fp").alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def zscore_outliers(
     events: DataFrame,
     key: str = "event_type",

@@ -5742,6 +5742,89 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_expectations",
+    oracle="""
+    SELECT 'custkey_not_null' AS rule_name,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_violations,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+             AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           (sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            - count(DISTINCT o_orderkey))::BIGINT,
+           sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'status_accepted',
+           sum(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'price_in_range',
+           sum(CASE WHEN o_totalprice IS NULL
+                      OR o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN o_totalprice IS NULL
+                      OR o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over orders: not-null,
+    uniqueness, accepted-values, and range rules — evaluated in ONE
+    scan (all conditional sums plus the DISTINCT count share a single
+    aggregation via Expand), reported long-format. The oracle is the
+    per-rule UNION spec."""
+    from isilon_hadoop_tools_spark.operators.analytics import expectations
+
+    return expectations(
+        _t(spark, sf_dir, "orders"),
+        [
+            ("custkey_not_null", "not_null", "o_custkey"),
+            ("orderkey_unique", "unique", "o_orderkey"),
+            ("status_accepted", "accepted_values", "o_orderstatus",
+             ["O", "F", "P"]),
+            ("price_in_range", "range", "o_totalprice", 0, 1_000_000),
+        ],
+    )
+
+
+@query(
+    "orders_table_checksum",
+    oracle=f"""
+    SELECT bit_xor(
+             {FINGERPRINT64_SQL.format(
+                 expr="o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR"
+                      " || '|' || o_orderstatus || '|' || o_orderpriority"
+             )}
+           ) AS checksum,
+           count(*) AS n_rows
+    FROM orders
+    """,
+)
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent anti-entropy checksum of the orders table
+    (key + status + priority columns): per-row md5 fingerprint XORed
+    into one 60-bit digest — map-side partials, no sort, no shuffle
+    beyond the single-row combine; two replicas (or two engines, as
+    the oracle proves) agree iff they hold the same rows."""
+    from isilon_hadoop_tools_spark.operators.analytics import table_checksum
+
+    return table_checksum(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

@@ -234,3 +234,64 @@ def test_pivot_counts_static_schema_and_zero_fill(spark):
     out = {r.k: r for r in pivot_counts(df, "k", "t", ["a", "b", "c"]).collect()}
     assert (out[1].a, out[1].b, out[1].c) == (2, 1, 0)
     assert (out[2].a, out[2].b, out[2].c) == (0, 1, 0)
+
+
+def test_expectations_counts_each_rule_kind(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0),
+            (1, "F", -5.0),   # duplicate key; negative price
+            (None, "X", 20.0),  # null key; bad status
+        ],
+        "k long, status string, price double",
+    )
+    out = {
+        r.rule_name: (r.n_violations, r.passed)
+        for r in expectations(
+            df,
+            [
+                ("k_not_null", "not_null", "k"),
+                ("k_unique", "unique", "k"),
+                ("status_ok", "accepted_values", "status", ["O", "F"]),
+                ("price_ok", "range", "price", 0, 100),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "k_not_null": (1, False),
+        "k_unique": (1, False),   # two non-null rows, one distinct value
+        "status_ok": (1, False),
+        "price_ok": (1, False),
+    }
+
+
+def test_expectations_single_scan(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import expectations
+
+    df = spark.range(10).selectExpr("id AS k")
+    plan = (
+        expectations(df, [("a", "not_null", "k"), ("b", "unique", "k")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("Range") <= 1
+
+
+def test_table_checksum_order_and_partition_independent(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import table_checksum
+
+    rows = [(i, f"s{i % 3}") for i in range(50)]
+    a = spark.createDataFrame(rows, "k long, s string").repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)), "k long, s string").coalesce(1)
+    ca = table_checksum(a, ["k", "s"]).collect()[0]
+    cb = table_checksum(b, ["k", "s"]).collect()[0]
+    assert (ca.checksum, ca.n_rows) == (cb.checksum, cb.n_rows)
+    # a single changed row changes the digest
+    mutated = spark.createDataFrame(
+        rows[:-1] + [(49, "CHANGED")], "k long, s string"
+    )
+    cm = table_checksum(mutated, ["k", "s"]).collect()[0]
+    assert cm.checksum != ca.checksum and cm.n_rows == ca.n_rows
