@@ -5825,6 +5825,43 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, total_spend,
+           ntile(10) OVER w AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM spend
+    WINDOW w AS (ORDER BY total_spend DESC, o_custkey)
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window completeness (W3): customer lifetime
+    spend bucketed with ntile(10) plus percent_rank/cume_dist, over a
+    TOTAL order (spend desc, key) so ties cannot make either engine's
+    bucketing ambiguous. The global window runs over the aggregated
+    customer-sized relation, never the order fact — the correct shape
+    when the fact is 100 TB but the dimension fits a sort."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

@@ -103,3 +103,50 @@ def test_zorder_layout_partitions_cover_all_rows(spark):
     width = (1 << 16) // 64
     for r in rows:
         assert r["range_id"] * width <= r["z_min"] <= r["z_max"] < (r["range_id"] + 1) * width
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join handling: a hot key whose partition
+    dwarfs the median gets split into multiple tasks (the final
+    adaptive SortMergeJoin is marked skew=true) — the engine's answer
+    to skew the salting operator handles manually."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # incompressible per-row padding: shuffle skew detection works
+        # on COMPRESSED shuffle-write sizes, so a constant pad would
+        # make every partition look tiny
+        pad = F.repeat(F.sha2(F.col("id").cast("string"), 256), 4)
+        left = spark.range(0, 20_000).select(
+            (F.col("id") % 1000).alias("k"), pad.alias("pad")
+        )
+        # hot key: 0 appears 20k more times -> its partition is far
+        # beyond the 64KB threshold while the median stays tiny
+        hot = spark.range(20_000, 40_000).select(
+            F.lit(0).cast("long").alias("k"), pad.alias("pad")
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("r").alias("tag")
+        )
+        joined = left.unionByName(hot).join(right, "k")
+        # execute THIS queryExecution (count() would plan a separate
+        # agg query and leave this one's adaptive plan non-final)
+        assert len(joined.collect()) == 40_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
