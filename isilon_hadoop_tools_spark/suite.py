@@ -5862,6 +5862,92 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quantity bands: a tiny dimension of [lo, hi] ranges joined non-equi
+_QTY_BANDS = [
+    ("tiny", 0, 9),
+    ("small", 10, 19),
+    ("medium", 20, 34),
+    ("large", 35, 44),
+    ("huge", 45, 100),
+]
+
+
+@query(
+    "lineitem_quantity_band_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _QTY_BANDS)}
+    )
+    SELECT b.band, count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM lineitem l JOIN bands b
+      ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+    GROUP BY b.band
+    """,
+)
+def lineitem_quantity_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True range/band join (J9): the fact joins a broadcast range
+    dimension on BETWEEN — a BroadcastNestedLoopJoin where the
+    streamed fact never shuffles and each row tests 5 band predicates
+    (vs `orders_price_bands`' CASE ladder, this is the join-shaped
+    form a user writes when bands live in a table). The post-join
+    aggregation takes map-side partials on the 5 band keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_QTY_BANDS, "band string, lo int, hi int")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li["l_quantity"] >= F.col("lo"))
+            & (li["l_quantity"] <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "events_week_from_day_rollup",
+    oracle="""
+    SELECT date_trunc('week', ts)::TIMESTAMP AS week, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY date_trunc('week', ts), event_type
+    """,
+)
+def events_week_from_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup reuse (the continuous-aggregate hierarchy): the weekly
+    answer is computed FROM the daily rollup's mergeable states
+    (counts and sums re-aggregate; week boundaries align with days),
+    while the oracle recomputes from raw events — matching hashes
+    prove the day→week re-aggregation is lossless. At 100 TB this is
+    the difference between scanning 365 daily-rollup rows per key and
+    re-scanning a year of raw facts."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("value").alias("_sum"),
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("week", "day").alias("week"), "event_type"
+        )
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.round(F.sum("_sum"), 4).alias("total_value"),
+        )
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
