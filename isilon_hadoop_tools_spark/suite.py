@@ -5948,6 +5948,63 @@ def events_week_from_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_first_last_orders",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderdate) OVER w AS first_order,
+           last_value(o_orderdate) OVER w AS last_order,
+           nth_value(o_orderdate, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def customer_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window completeness (W3): first_value / last_value /
+    nth_value over an explicit full frame (the default frame would
+    make last_value the current row — the classic trap) with a total
+    order, one row per customer. One shuffle; the DISTINCT needs no
+    second exchange on the same key partitioning."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderdate").over(w).alias("first_order"),
+            F.last("o_orderdate").over(w).alias("last_order"),
+            F.nth_value("o_orderdate", 2).over(w).alias("second_order"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "orders_priority_multiset_diff",
+    oracle="""
+    SELECT o_orderpriority FROM orders
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def orders_priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (SO2's bag-semantics sibling, the
+    documented Spark/DuckDB parity trap: DuckDB's plain EXCEPT is set
+    semantics, Spark's subtract() likewise — exceptAll is the bag
+    form on both). Result keeps one priority row per non-'F' order,
+    duplicates preserved."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderpriority").exceptAll(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
