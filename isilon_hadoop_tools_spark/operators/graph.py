@@ -71,35 +71,39 @@ def pagerank(
     )
     n = verts.count()  # vertex count: the single driver-side scalar
     out_srcs = norm.select(F.col("_s").alias("v")).distinct()
+    # a vertex is dangling when every out-edge fell to the closure;
+    # if none exist (the common dense case) the per-iteration dangling
+    # aggregate is a constant 0 — skip its 1-row job entirely
+    n_dangling = verts.join(out_srcs, "v", "left_anti").count()
     ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
-        # mass sitting on post-closure dangling vertices (no surviving
-        # out-edges): redistributed uniformly — a 1-row aggregate
-        dangling = ranks.join(out_srcs, "v", "left_anti").agg(
-            F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")
-        )
         acc = (
             norm.join(F.broadcast(ranks), norm["_s"] == ranks["v"])
             .select("_d", (F.col("r") * F.col("_p")).alias("_c"))
             .groupBy("_d")
             .agg(F.sum("_c").alias("_acc"))
         )
-        ranks = (
-            verts.join(acc, verts["v"] == acc["_d"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "v",
-                F.round(
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_acc"), F.lit(0.0))
-                        + F.col("_dm") / n
-                    ),
-                    round_digits,
-                ).alias("r"),
+        if n_dangling:
+            # mass sitting on dangling vertices: redistributed
+            # uniformly — a 1-row aggregate, broadcast
+            dangling = ranks.join(out_srcs, "v", "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")
             )
-            .localCheckpoint(eager=False)
-        )
+            dm_term = F.col("_dm") / n
+        else:
+            dangling = None
+            dm_term = F.lit(0.0)
+        merged = verts.join(acc, verts["v"] == acc["_d"], "left")
+        if dangling is not None:
+            merged = merged.crossJoin(F.broadcast(dangling))
+        ranks = merged.select(
+            "v",
+            F.round(
+                F.lit(teleport)
+                + F.lit(damping)
+                * (F.coalesce(F.col("_acc"), F.lit(0.0)) + dm_term),
+                round_digits,
+            ).alias("r"),
+        ).localCheckpoint(eager=False)
     return ranks.select(F.col("v"), F.col("r").alias("pagerank"))
