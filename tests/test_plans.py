@@ -233,3 +233,57 @@ def test_create_directories_entrypoint(spark, state):
         "directories", "path STRING, owner STRING, group STRING, mode INT"
     )
     assert paths.filter(~paths.path.startswith("/ifs/z1/")).count() == 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """S15 robustness: files written before a column existed merge
+    with later files (mergeSchema) — old rows surface NULL for the
+    new column, no rewrite of historical data."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "evolve")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([10.0, 20.0], pa.float64())}),
+        f"{d}/part1.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()),
+                  "v": pa.array([30.0], pa.float64()),
+                  "extra": pa.array(["x"], pa.string())}),
+        f"{d}/part2.parquet",
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"id", "v", "extra"}
+    rows = {r.id: r.extra for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "x"}
+
+
+def test_json_corrupt_records_quarantined_not_fatal(spark, tmp_path):
+    """P3/§2.11 at the source layer: PERMISSIVE JSON reads park
+    malformed lines in the corrupt-record column instead of failing
+    the scan — the quarantine-and-continue contract of a 100 TB
+    ingest where one bad line must not kill the job."""
+    import os
+
+    d = str(tmp_path / "json")
+    os.makedirs(d)
+    with open(f"{d}/data.json", "w") as f:
+        f.write('{"id": 1, "v": 10}\n')
+        f.write('{"id": 2, "v": NOT_JSON}\n')
+        f.write('{"id": 3, "v": 30}\n')
+    df = (
+        spark.read.schema("id LONG, v LONG, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(d)
+    )
+    rows = df.collect()
+    good = {r.id: r.v for r in rows if r._bad is None}
+    bad = [r._bad for r in rows if r._bad is not None]
+    assert good == {1: 10, 3: 30}
+    assert len(bad) == 1 and "NOT_JSON" in bad[0]
