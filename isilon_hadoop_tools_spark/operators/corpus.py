@@ -740,3 +740,71 @@ def mixture_plan(
             .alias("expected_tokens"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term query, top-k —
+    the IR scorer behind query-targeted corpus filtering (pull the
+    documents most relevant to a domain probe before expensive
+    curation), one notch past tf-idf (`tfidf_topk`) via saturation
+    (k1) and length normalization (b).
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)   (the Lucene form).
+
+    Output: ``id``, ``dl``, ``bm25`` (rounded, ties broken by id).
+
+    Shape: one (doc, term) partial-agg shuffle for tf; doc lengths
+    aggregate from the same token stream; the query-term slice of tf
+    is then tiny (|terms| x docs-containing-them), and N/avgdl/df ride
+    along as broadcast scalars. Top-k is a TakeOrderedAndProject. The
+    corpus-wide window trap (ranking every doc) is avoided — only the
+    k survivors leave the executors.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    qtf = tf.filter(F.col("term").isin(query_terms))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qtf.join(dl, "id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.max("dl").alias("dl"),
+        F.round(F.sum("_s"), 6).alias("bm25"),
+    )
+    return agg.orderBy(F.desc("bm25"), F.asc("id")).limit(k)

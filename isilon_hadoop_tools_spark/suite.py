@@ -6005,6 +6005,58 @@ def orders_priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_BM25_TERMS = ["stream", "join", "filter"]
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+    corpus AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    avg_dl AS (SELECT avg(dl) AS avgdl FROM dl),
+    qtf AS (
+      SELECT * FROM tf
+      WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+    ),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM qtf GROUP BY term),
+    scored AS (
+      SELECT q.id, d.dl,
+             ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (q.tf * (1.2 + 1.0))
+               / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / a.avgdl))
+               AS s
+      FROM qtf q
+      JOIN dl d USING (id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN corpus c CROSS JOIN avg_dl a
+    )
+    SELECT id, max(dl) AS dl, round(sum(s), 6) AS bm25
+    FROM scored GROUP BY id
+    ORDER BY bm25 DESC, id
+    LIMIT 10
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance top-10 for a fixed domain probe query — the IR
+    scorer for query-targeted corpus filtering, one notch past tf-idf
+    via term saturation (k1) and length normalization (b). Query-term
+    slice, df table, N, and avgdl all broadcast onto the tiny qtf
+    fact; top-k is a TakeOrderedAndProject, never a corpus-wide
+    ranking window."""
+    from isilon_hadoop_tools_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        _BM25_TERMS, k=10,
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

@@ -328,3 +328,23 @@ def test_new_operators_tolerate_empty_and_null_text(spark):
     assert char_entropy(docs, "text", "doc_id").filter("id != 3").count() == 0
     assert vocab_topk(docs, "text", "doc_id", 10).count() == 4
     assert unigram_surprisal(docs, "text", "doc_id").filter("id != 3").count() == 0
+
+
+def test_bm25_ranks_by_tf_and_length(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark noise noise"),  # tf=3, dl=5
+            (2, "spark noise noise noise noise"),  # tf=1, dl=5
+            (3, "spark"),                          # tf=1, dl=1 (short)
+            (4, "noise noise noise"),              # no query term
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, "text", "doc_id", ["spark"], k=10).collect()
+    ids = [r.id for r in out]
+    assert 4 not in ids  # docs without any query term never surface
+    scores = {r.id: r.bm25 for r in out}
+    assert scores[1] > scores[2]  # higher tf wins at equal length
+    assert scores[3] > scores[2]  # shorter doc wins at equal tf
