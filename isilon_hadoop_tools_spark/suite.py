@@ -6057,6 +6057,67 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_entity_resolution",
+    oracle="""
+    WITH RECURSIVE blocked AS (
+      SELECT c_custkey AS id, c_name AS txt,
+             substring(c_name, 10, 8) AS blk
+      FROM customer
+    ),
+    sizes AS (SELECT blk, count(*) AS bn FROM blocked GROUP BY blk),
+    small AS (
+      SELECT b.* FROM blocked b JOIN sizes s USING (blk)
+      WHERE s.bn <= 200
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM small a JOIN small b USING (blk)
+      WHERE a.id < b.id AND levenshtein(a.txt, b.txt) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    cc(id, keep_id) AS (
+      SELECT id, id FROM blocked
+      UNION
+      SELECT e.dst, c.keep_id FROM cc c JOIN edges e ON e.src = c.id
+    )
+    SELECT id AS c_custkey, min(keep_id) AS entity_id
+    FROM cc GROUP BY id
+    """,
+)
+def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (the MDM workload): blocked
+    Levenshtein candidate pairs (EA6) → min-label connected
+    components (L8's iterative propagation, no graph library) →
+    every customer labeled with its entity's canonical (min) id;
+    singletons resolve to themselves. Composes two oracle-checked
+    operators; the oracle replays the whole pipeline with a recursive
+    CTE closure."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        blocked_edit_distance_pairs,
+    )
+    from isilon_hadoop_tools_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = blocked_edit_distance_pairs(
+        cust, id_col="c_custkey", text_col="c_name",
+        block_expr="substring(c_name, 10, 8)", max_dist=1, max_block=200,
+    )
+    cc = connected_components(
+        cust.select(F.col("c_custkey").alias("id")), pairs,
+        id_col="id", a_col="id_a", b_col="id_b",
+    )
+    return cc.select(
+        F.col("id").alias("c_custkey"), F.col("keep_id").alias("entity_id")
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
