@@ -734,3 +734,56 @@ def semantic_dedup(
         assign.join(keep, "id")
         .select(F.col("id").alias("vec_id"), "list_id", "keep_id")
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` contiguous
+    subvectors and learn an independent k-means codebook per subspace
+    (`kmeans_iterate` — integer-quantized, so codebooks and code
+    assignments are bit-identical cross-engine). A vector compresses
+    to ``m`` small codes: with m=4, k=8 that is 4 x 3 bits per
+    64-float embedding — the memory layout behind billion-vector ANN
+    (IVF-PQ), two steps past the engine's scalar int8 quantization
+    (L27) and flat IVF (L12).
+
+    Output: one ``(vec_id, subspace, code)`` row per subvector (the
+    gate-comparable exploded form). Each subspace trains on a sliced
+    projection of the same scan — m independent codebook loops whose
+    centroid state is k x (dim/m) driver values each; the corpus is
+    never collected.
+    """
+    dim = len(
+        df.select(F.col(vec_col)).first()[0]
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    outs = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(vec, j * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        assign = kmeans_iterate(
+            sliced, "sub", "vec_id", k=k, iters=iters, scale=scale
+        )
+        outs.append(
+            assign.select(
+                "vec_id",
+                F.lit(j).alias("subspace"),
+                F.col("list_id").alias("code"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -15,6 +15,7 @@ source of truth, two engines.
 from __future__ import annotations
 
 import os
+import re as _re
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Optional
@@ -2416,13 +2417,17 @@ def doc_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncate_tokens(docs, "text", "doc_id", 32)
 
 
-def _kmeans_cte_chain(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_cte_chain(
+    k: int = 8, iters: int = 3, dim: int = 64, prefix: str = ""
+) -> str:
     """Hand-unrolled Lloyd iterations as a DuckDB CTE chain — possible
     only because the operator runs in integer-quantized space (exact
     bigint distance sums; one double division per mean), so every
     iteration is bit-identical across engines. Expects a
     ``qvecs(vec_id, qv)`` CTE to be defined by the caller; terminates
-    with an ``assign(vec_id, list_id, dist)`` CTE."""
+    with an ``assign(vec_id, list_id, dist)`` CTE. ``prefix`` renames
+    every chain-internal CTE (qvecs/assign/c{t}/a{t}/m{t}) so several
+    chains — one per PQ subspace — can coexist in one WITH clause."""
     idx = f"range(1, {dim + 1})"
     parts = [
         f"""
@@ -2473,7 +2478,12 @@ def _kmeans_cte_chain(k: int = 8, iters: int = 3, dim: int = 64) -> str:
       ) WHERE rn = 1
     )"""
     )
-    return ",".join(parts)
+    sql = ",".join(parts)
+    if prefix:
+        sql = _re.sub(
+            r"\b(qvecs|assign|[cam]\d+)\b", prefix + r"\1", sql
+        )
+    return sql
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
@@ -6115,6 +6125,51 @@ def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cc.select(
         F.col("id").alias("c_custkey"), F.col("keep_id").alias("entity_id")
+    )
+
+
+def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Product-quantization twin: one prefixed k-means CTE chain per
+    subspace over the sliced vectors, codes unioned."""
+    sub = dim // m
+    parts = [
+        """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )"""
+    ]
+    selects = []
+    for j in range(m):
+        p = f"s{j}_"
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f""",
+    {p}qvecs AS (
+      SELECT vec_id,
+             list_transform(v[{lo}:{hi}],
+                            x -> round(x * 1000)::BIGINT) AS qv
+      FROM base
+    ),{_kmeans_cte_chain(k, iters, sub, prefix=p)}"""
+        )
+        selects.append(
+            f"SELECT vec_id, {j} AS subspace, list_id AS code "
+            f"FROM {p}assign"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (IVF-PQ's compression half): 4 subspace
+    codebooks learned with the integer-quantized k-means, each vector
+    reduced to 4 codes — bit-identical cross-engine per subspace
+    (prefixed oracle chains), the layout behind billion-vector ANN
+    memory budgets. Two steps past int8 quantization (L27) and flat
+    IVF (L12)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(
+        emb, "embedding", "vec_id", m=4, k=8, iters=2
     )
 
 

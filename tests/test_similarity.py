@@ -229,3 +229,18 @@ def test_semantic_dedup_groups_scaled_copies(spark):
         assert a["keep_id"] == b["keep_id"]  # pair collapses to one keeper
         dup_count += int(b["keep_id"] != b["vec_id"])
     assert dup_count == 40  # every scaled copy is flagged a duplicate
+
+
+def test_pq_codes_shape_and_identical_vectors_share_codes(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import pq_encode
+
+    base = [[float(i + j) for j in range(8)] for i in range(12)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((99, base[0]))  # exact copy of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_encode(df, "embedding", "vec_id", m=2, k=2, iters=2).collect()
+    # one code per (vector, subspace)
+    assert len(out) == 13 * 2
+    codes = {(r.vec_id, r.subspace): r.code for r in out}
+    for s in (0, 1):
+        assert codes[(99, s)] == codes[(0, s)]  # identical vecs, same codes
