@@ -567,40 +567,62 @@ def kmeans_iterate(
     once per iteration with map-side partial sums, never collected.
     The quantized corpus is persisted across iterations.
     """
-    qv = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
-    )
-    vecs = df.select(F.col(id_col).alias("vid"), qv.alias("qv")).persist()
+    vecs = quantize_vectors(df, vec_col, id_col, scale).persist()
     try:
-        init = vecs.orderBy("vid").limit(k).collect()
-        cents = [(i, list(r["qv"])) for i, r in enumerate(init)]
-        dim = len(cents[0][1])
-        for _ in range(iters):
-            assign = kmeans_assign(vecs, cents)
-            # One wide agg: dim sum columns + count, map-side partials
-            # shuffle only k x (dim+1) partial rows per input partition
-            # (an earlier form posexploded every component — n x dim
-            # rows — before aggregating). The round(sum/count) mean is
-            # computed Spark-side so it stays bit-identical to the
-            # oracle's round(sum::DOUBLE / count).
-            upd = assign.groupBy("list_id").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.round(
-                        F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1))
-                    )
-                    .cast("long")
-                    .alias(f"c{p}")
-                    for p in range(dim)
-                ],
-            )
-            bylist = {r["list_id"]: [r[f"c{p}"] for p in range(dim)] for r in upd.collect()}
-            cents = [(lid, bylist.get(lid, c)) for lid, c in cents]
+        cents = kmeans_train(vecs, k, iters)
         return kmeans_assign(vecs, cents).select(
             F.col("vid").alias("vec_id"), "list_id", "dist"
         )
     finally:
         vecs.unpersist()
+
+
+def quantize_vectors(
+    df: DataFrame, vec_col: str, id_col: str, scale: int = 1000
+) -> DataFrame:
+    """(vid, qv) integer-quantized vector table — the shared input of
+    kmeans_train/kmeans_assign."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    return df.select(F.col(id_col).alias("vid"), qv.alias("qv"))
+
+
+def kmeans_train(
+    vecs: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[int]]]:
+    """Lloyd centroid training over a quantized (vid, qv) table;
+    returns the final codebook as driver-held ints (k x dim — a few
+    KB, the only driver state). Init: the k lowest-id vectors. See
+    ``kmeans_iterate`` for the determinism contract."""
+    init = vecs.orderBy("vid").limit(k).collect()
+    cents = [(i, list(r["qv"])) for i, r in enumerate(init)]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assign = kmeans_assign(vecs, cents)
+        # One wide agg: dim sum columns + count, map-side partials
+        # shuffle only k x (dim+1) partial rows per input partition
+        # (an earlier form posexploded every component — n x dim
+        # rows — before aggregating). The round(sum/count) mean is
+        # computed Spark-side so it stays bit-identical to the
+        # oracle's round(sum::DOUBLE / count).
+        upd = assign.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.round(
+                    F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias(f"c{p}")
+                for p in range(dim)
+            ],
+        )
+        bylist = {
+            r["list_id"]: [r[f"c{p}"] for p in range(dim)]
+            for r in upd.collect()
+        }
+        cents = [(lid, bylist.get(lid, c)) for lid, c in cents]
+    return cents
 
 
 def l2_normalize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -787,3 +809,82 @@ def pq_encode(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_queries: int = 5,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """PQ search via asymmetric distance computation (ADC): the
+    billion-vector ANN read path. The corpus lives ONLY as per-
+    subspace codes; each query precomputes a tiny lookup table of
+    exact integer distances to every codebook centroid, and a
+    vector's approximate distance is the sum of m table entries — no
+    vector arithmetic per corpus row at query time.
+
+    Queries are the first ``n_queries`` ids (broadcast-sized by
+    definition). LUT build is driver-side on k x m x n_queries ints
+    (a few hundred values); the per-row work is a broadcast join on
+    (subspace, code) + a (query, vector)-keyed integer sum, both
+    map-side-partial friendly. All distances are exact bigints over
+    the quantized space, so ranks are bit-identical cross-engine.
+
+    Output: ``query_id``, ``neighbor_id``, ``adist``, ``rank``
+    (rank over (adist, neighbor_id) — total order).
+    """
+    dim = len(df.select(F.col(vec_col)).first()[0])
+    sub_dim = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    code_parts = []
+    lut_rows = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col).alias("_id"),
+            F.slice(vec, j * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        vecs = quantize_vectors(sliced, "sub", "_id", scale)
+        cents = kmeans_train(vecs, k, iters)
+        codes = kmeans_assign(vecs, cents).select(
+            F.col("vid").alias("neighbor_id"),
+            F.lit(j).alias("subspace"),
+            F.col("list_id").alias("code"),
+        )
+        code_parts.append(codes)
+        qrows = (
+            vecs.filter(F.col("vid") < n_queries)
+            .orderBy("vid")
+            .collect()
+        )
+        for q in qrows:
+            for lid, c in cents:
+                pdist = sum(
+                    (int(a) - int(b)) ** 2 for a, b in zip(q["qv"], c)
+                )
+                lut_rows.append((int(q["vid"]), j, lid, pdist))
+    spark = df.sparkSession
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, subspace int, code int, pdist long"
+    )
+    all_codes = code_parts[0]
+    for c in code_parts[1:]:
+        all_codes = all_codes.unionByName(c)
+    scored = (
+        all_codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdist").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )

