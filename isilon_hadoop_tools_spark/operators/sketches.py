@@ -68,8 +68,27 @@ def hll_distinct_estimate(
     registers exist. Empty registers contribute ``2^0`` to the
     denominator via ``(m - count(nonempty))``.
     """
-    m = 1 << b
     regs = hll_registers(df, col, b)
+    return hll_estimate_from_registers(regs, b)
+
+
+def hll_merge(register_tables: list[DataFrame]) -> DataFrame:
+    """Merge HLL register tables (elementwise max) — the property
+    that makes the sketch usable at 100 TB: shards/days/partitions
+    build registers independently and the union merges losslessly
+    (max is associative/commutative/idempotent), so the merged
+    estimate equals the single-pass estimate over the union of the
+    inputs."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, b: int = 8) -> DataFrame:
+    """Estimate from a ``(bucket, rho)`` register table (see
+    ``hll_distinct_estimate`` for the formula)."""
+    m = 1 << b
     agg = regs.agg(
         F.count(F.lit(1)).alias("v_filled"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_filled"),

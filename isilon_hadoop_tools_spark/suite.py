@@ -6246,6 +6246,64 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_hll_merge_daily",
+    oracle=f"""
+    WITH {_HLL_REG_SQL},
+    agg AS (
+      SELECT count(*) AS v_filled,
+             sum(pow(2.0, -rho)) AS s_filled
+      FROM regs
+    )
+    SELECT {_HLL_M} AS m,
+           round(CASE
+             WHEN ({_alpha_sql()} * {_HLL_M * _HLL_M}) /
+                  (s_filled + ({_HLL_M} - v_filled)) <= {2.5 * _HLL_M}
+                  AND ({_HLL_M} - v_filled) > 0
+             THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - v_filled))
+             ELSE ({_alpha_sql()} * {_HLL_M * _HLL_M}) /
+                  (s_filled + ({_HLL_M} - v_filled))
+           END, 4) AS est_distinct
+    FROM agg
+    """,
+)
+def events_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability proof (L36's core scale property): the Spark
+    side builds an INDEPENDENT register table per calendar day and
+    merges them (elementwise max); the oracle estimates in one pass
+    over all events. Matching hashes prove merge == single-pass — the
+    contract that lets 100 TB shards sketch independently and combine
+    losslessly (max is associative, commutative, idempotent)."""
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    # per-day registers and the cross-day merge in ONE scan: a
+    # two-level max aggregation — (day, bucket) registers first (what
+    # each daily shard would persist), then the elementwise max across
+    # days. hll_merge() is the same fold over materialized shard
+    # tables (unit-tested); here the whole hierarchy stays in one job.
+    m = 1 << _HLL_B
+    h = stable_hash32(F.col("user_id").cast("string"))
+    w = F.floor(h / m)
+    rho = F.when(w == 0, F.lit(32 - _HLL_B + 1)).otherwise(
+        (32 - _HLL_B) - F.floor(F.log2(w))
+    )
+    per_day = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.pmod(h, F.lit(m)).alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("_rho").cast("long").alias("rho"))
+    )
+    merged = per_day.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    return hll_estimate_from_registers(merged, b=_HLL_B)
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

@@ -85,3 +85,21 @@ def test_bloom_decontaminate_equals_exact(spark):
     assert exact.exceptAll(bloom).count() == 0
     assert bloom.exceptAll(exact).count() == 0
     assert exact.count() > 0
+
+
+def test_hll_merge_of_shards_equals_single_pass(spark):
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        hll_distinct_estimate,
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 3000).selectExpr("CAST(id % 700 AS STRING) AS u")
+    shards = [
+        df.filter((F.col("u").cast("long") % 3) == i) for i in range(3)
+    ]
+    merged = hll_merge([hll_registers(s, "u") for s in shards])
+    est_merged = hll_estimate_from_registers(merged).collect()[0]
+    est_direct = hll_distinct_estimate(df, "u").collect()[0]
+    assert est_merged.est_distinct == est_direct.est_distinct
