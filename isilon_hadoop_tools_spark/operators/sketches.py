@@ -105,6 +105,27 @@ def hll_estimate_from_registers(regs: DataFrame, b: int = 8) -> DataFrame:
     )
 
 
+def kmv_sample(
+    df: DataFrame, key: Column | str, k: int = 512
+) -> DataFrame:
+    """Deterministic bottom-k uniform sample: the ``k`` rows whose
+    ``stable_hash32(key)`` is smallest (ties broken by the key) — the
+    KMV construction. The hash order is a fixed uniform permutation of
+    the rows, so this is a true uniform sample that is (a) the same on
+    any engine, (b) MERGEABLE (bottom-k of a union == bottom-k of the
+    per-shard bottom-k's), and (c) distributed as per-partition heaps
+    + a k-row driver merge (TakeOrderedAndProject), never a full sort.
+
+    This is the engine's verifiable stand-in for KLL/t-digest:
+    quantiles of the sample approximate population quantiles with
+    O(1/sqrt(k)) error, and unlike those sketches every byte of it is
+    oracle-checkable.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    h = stable_hash32(kc.cast("string"))
+    return df.withColumn("_h", h).orderBy("_h", kc).limit(k).drop("_h")
+
+
 def cms_table(
     df: DataFrame, col: Column | str, d: int = 4, w: int = 256, seed_base: int = 101
 ) -> DataFrame:

@@ -6304,6 +6304,68 @@ def events_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_from_registers(merged, b=_HLL_B)
 
 
+_KMV_K = 512
+
+
+@query(
+    "events_quantile_sketch",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT value FROM (
+        SELECT value,
+               row_number() OVER (
+                 ORDER BY {stable_hash32_sql("event_id::VARCHAR")},
+                          event_id) AS rn
+        FROM events
+      ) WHERE rn <= {_KMV_K}
+    )
+    SELECT 0.5::DOUBLE AS prob,
+           round(quantile_cont(value, 0.5), 6) AS q_est,
+           (SELECT round(quantile_cont(value, 0.5), 6) FROM events)
+             AS q_exact
+    FROM sampled
+    UNION ALL
+    SELECT 0.9::DOUBLE,
+           round(quantile_cont(value, 0.9), 6),
+           (SELECT round(quantile_cont(value, 0.9), 6) FROM events)
+    FROM sampled
+    """,
+)
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles via the deterministic KMV
+    bottom-k sample (the verifiable stand-in for KLL/t-digest): the
+    512 rows with the smallest row-key hash form a uniform sample —
+    distributed as per-partition heaps (TakeOrderedAndProject, never
+    a full sort), mergeable (bottom-k of shard bottom-k's), and
+    byte-checkable cross-engine, unlike engine-internal sketches.
+    Output compares the sample quantiles with the exact population
+    quantiles."""
+    from isilon_hadoop_tools_spark.operators.sketches import kmv_sample
+
+    ev = _t(spark, sf_dir, "events")
+    sample = kmv_sample(ev.select("event_id", "value"), "event_id", _KMV_K)
+    probs = [0.5, 0.9]
+    plist = ", ".join(str(p) for p in probs)
+    est = sample.agg(
+        F.expr(f"percentile(value, array({plist}))").alias("_qs")
+    )
+    exact = ev.agg(
+        F.expr(f"percentile(value, array({plist}))").alias("_ex")
+    )
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    return (
+        est.crossJoin(exact)
+        .select(
+            F.posexplode(F.arrays_zip("_qs", "_ex")).alias("_pos", "_z")
+        )
+        .select(
+            F.element_at(parr, F.col("_pos") + 1).alias("prob"),
+            F.round(F.col("_z._qs"), 6).alias("q_est"),
+            F.round(F.col("_z._ex"), 6).alias("q_exact"),
+        )
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

@@ -103,3 +103,20 @@ def test_hll_merge_of_shards_equals_single_pass(spark):
     est_merged = hll_estimate_from_registers(merged).collect()[0]
     est_direct = hll_distinct_estimate(df, "u").collect()[0]
     assert est_merged.est_distinct == est_direct.est_distinct
+
+
+def test_kmv_sample_deterministic_and_mergeable(spark):
+    from isilon_hadoop_tools_spark.operators.sketches import kmv_sample
+
+    df = spark.range(0, 2000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    a = sorted(r.id for r in kmv_sample(df, "id", 64).collect())
+    b = sorted(r.id for r in kmv_sample(df.repartition(13), "id", 64).collect())
+    assert a == b  # partitioning-independent
+    # mergeable: bottom-k of shard bottom-k's == global bottom-k
+    shards = [df.filter((F.col("id") % 3) == i) for i in range(3)]
+    shard_samples = [kmv_sample(s, "id", 64) for s in shards]
+    u = shard_samples[0]
+    for s in shard_samples[1:]:
+        u = u.unionByName(s)
+    merged = sorted(r.id for r in kmv_sample(u, "id", 64).collect())
+    assert merged == a
