@@ -7,6 +7,7 @@ while results stay correct."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark import suite
 
@@ -291,3 +292,69 @@ def test_funnel_single_events_scan(spark):
     assert n_scans == 1
     assert "In(event_type" in plan  # type filter reaches the scan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: a join's selective dim filter prunes
+    the partitioned fact's scan at RUNTIME (the plan carries a
+    dynamicpruning subquery on the partition column) — the optimizer
+    feature that turns a star join over a date-partitioned 100 TB
+    fact into a few-partition read."""
+    d = str(tmp_path / "fact")
+    fact = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 20 AS LONG) AS part_key", "id * 2 AS v"
+    )
+    fact.write.partitionBy("part_key").parquet(d)
+    dim = spark.range(0, 20).selectExpr(
+        "id AS part_key", "CASE WHEN id = 3 THEN 'pick' ELSE 'skip' END AS tag"
+    )
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        joined = (
+            spark.read.parquet(d)
+            .join(dim.filter(F.col("tag") == "pick").hint("broadcast"), "part_key")
+        )
+        rows = joined.collect()
+        assert len(rows) == 100  # only partition 3 survives
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", saved
+        )
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
+    """Runtime Bloom-filter join: a selective (filtered) build side
+    injects a bloom_filter_might_contain predicate into the probe
+    side's scan, cutting the shuffled probe volume — Spark's runtime
+    answer to semi-join reduction at 100 TB."""
+    d = str(tmp_path / "probe")
+    spark.range(0, 50_000).selectExpr("id AS k", "id * 3 AS v").write.parquet(d)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {c: spark.conf.get(c, None) for c in confs}
+    try:
+        for c, v in confs.items():
+            spark.conf.set(c, v)
+        probe = spark.read.parquet(d)
+        build = (
+            spark.range(0, 50_000)
+            .selectExpr("id AS k", "CAST(id % 997 AS LONG) AS sel")
+            .filter("sel = 7")  # selective: ~50 of 50k rows survive
+        )
+        joined = probe.join(build, "k")
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
