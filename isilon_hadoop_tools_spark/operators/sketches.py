@@ -159,6 +159,20 @@ def cms_table(
     )
 
 
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge CMS tables (elementwise sum) — like the HLL register
+    merge, this is what lets shards sketch independently at 100 TB:
+    counts add exactly, so the merged sketch is IDENTICAL (not just
+    approximately equal) to the sketch of the unioned input."""
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return (
+        out.groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,

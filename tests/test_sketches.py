@@ -120,3 +120,21 @@ def test_kmv_sample_deterministic_and_mergeable(spark):
         u = u.unionByName(s)
     merged = sorted(r.id for r in kmv_sample(u, "id", 64).collect())
     assert merged == a
+
+
+def test_cms_merge_of_shards_identical_to_single_pass(spark):
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        cms_merge,
+        cms_table,
+    )
+
+    df = spark.range(0, 5000).selectExpr("CAST(id % 300 AS STRING) AS u")
+    direct = {
+        (r.row_id, r.bucket): r.cnt for r in cms_table(df, "u").collect()
+    }
+    shards = [df.filter((F.col("u").cast("long") % 4) == i) for i in range(4)]
+    merged = {
+        (r.row_id, r.bucket): r.cnt
+        for r in cms_merge([cms_table(s, "u") for s in shards]).collect()
+    }
+    assert merged == direct  # exact, not approximate
