@@ -266,6 +266,43 @@ def run_available_now(
     return stream_df.sparkSession.table(name)
 
 
+def hll_stream_into_state(
+    events: DataFrame,
+    state: ParquetState,
+    key: str = "user_id",
+    b: int = 8,
+    table: str = "hll_registers",
+    checkpoint: str | None = None,
+) -> None:
+    """Incremental streaming sketch maintenance: each micro-batch
+    builds its own HLL register table and max-merges it into the
+    persisted registers (``foreachBatch``) — the streaming
+    distinct-count pattern where state is m registers, not the key
+    set. Because the register build is deterministic and max-merge is
+    idempotent/commutative/associative, batch replays cannot corrupt
+    the sketch, and the final registers equal a single batch pass
+    over all data (the oracle contract)."""
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    schema = "bucket LONG, rho LONG"
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        delta = hll_registers(batch, key, b)
+        current = state.read(table, schema)
+        state.write(table, hll_merge([current, delta]))
+
+    writer = events.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def merge_stream_into_state(
     events: DataFrame,
     state: ParquetState,

@@ -6366,6 +6366,34 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_hll_stream",
+    oracle=f"""
+    WITH {_HLL_REG_SQL}
+    SELECT bucket, rho FROM regs
+    """,
+)
+def events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance (§2.9 x L36): the event stream's
+    micro-batches each build an HLL register delta that foreachBatch
+    max-merges into parquet state; the stream is run TWICE without a
+    checkpoint and the replay cannot change the registers (max-merge
+    is idempotent). The final state must equal the oracle's batch
+    single-pass registers bit for bit — incremental == batch, the
+    streaming distinct-count contract where state is m registers, not
+    the key set."""
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.streaming.events import (
+        hll_stream_into_state,
+    )
+
+    state = _fresh_state(spark, "events_hll_stream")
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir)
+        hll_stream_into_state(ev, state, key="user_id", b=_HLL_B)
+    return state.read("hll_registers", "bucket LONG, rho LONG")
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
