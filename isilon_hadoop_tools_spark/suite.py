@@ -6394,6 +6394,56 @@ def events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.read("hll_registers", "bucket LONG, rho LONG")
 
 
+@query(
+    "customer_link_triangles",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey AS id, c_name AS txt,
+             substring(c_name, 10, 8) AS blk
+      FROM customer
+    ),
+    sizes AS (SELECT blk, count(*) AS bn FROM blocked GROUP BY blk),
+    small AS (
+      SELECT b.* FROM blocked b JOIN sizes s USING (blk)
+      WHERE s.bn <= 200
+    ),
+    e AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM small a JOIN small b USING (blk)
+      WHERE a.id < b.id AND levenshtein(a.txt, b.txt) <= 1
+    ),
+    tri AS (
+      SELECT xy.src AS x, xy.dst AS y, yz.dst AS z
+      FROM e xy
+      JOIN e yz ON yz.src = xy.dst
+      JOIN e xz ON xz.src = xy.src AND xz.dst = yz.dst
+    )
+    SELECT v, count(*) AS n_triangles FROM (
+      SELECT x AS v FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY v
+    """,
+)
+def customer_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (G2) over the record-linkage graph:
+    each x<y<z triangle enumerated once via the ordered two-join
+    closure (fan-out bounded by per-vertex degree, never a cross
+    product), corners exploded and counted — the local-clustering
+    signal that flags dense near-duplicate communities."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        blocked_edit_distance_pairs,
+    )
+    from isilon_hadoop_tools_spark.operators.graph import triangle_counts
+
+    pairs = blocked_edit_distance_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey", text_col="c_name",
+        block_expr="substring(c_name, 10, 8)", max_dist=1, max_block=200,
+    )
+    return triangle_counts(pairs)
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================

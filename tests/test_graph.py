@@ -59,3 +59,19 @@ def test_pagerank_iterations_converge(spark):
     }
     for v in (1, 2, 3):
         assert r20[v] == pytest.approx(1 / 3, abs=1e-4)
+
+
+def test_triangle_counts_known_graph(spark):
+    from isilon_hadoop_tools_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: 4 triangles, each vertex in C(3,2)=3 of them;
+    # vertex 9 hangs off vertex 1 and joins none. Duplicate and
+    # reversed edges must not double-count.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1),  # reversed duplicate
+        (1, 9),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.v: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
