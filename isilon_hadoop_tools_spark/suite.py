@@ -6444,6 +6444,85 @@ def customer_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs)
 
 
+@query(
+    "events_session_conversion",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN floor(epoch(ts))::BIGINT
+                       - floor(epoch(lag(ts) OVER w))::BIGINT > 7200
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS session_seq
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_seq,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS has_view,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT count(*) AS n_sessions,
+           sum(has_view)::BIGINT AS n_with_view,
+           sum(CASE WHEN has_view = 1 AND has_purchase = 1
+                    THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+           round(sum(CASE WHEN has_view = 1 AND has_purchase = 1
+                          THEN 1 ELSE 0 END)
+                 / nullif(sum(has_view), 0), 6) AS conv_rate
+    FROM per_session
+    """,
+)
+def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion funnel (EA1 x EA2): of the sessions
+    that contain a view, how many also contain a purchase — the
+    intra-session engagement metric, vs `events_funnel_conversion`'s
+    time-horizon form. Same single-shuffle session assignment (the
+    per-(user, session) aggregation reuses the lag window's hash
+    partitioning), then one global fold."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "_new",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            > 7200,
+            1,
+        ).otherwise(0).cast("long"),
+    ).withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = flagged.groupBy("user_id", "session_seq").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("has_view"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    converted = F.when(
+        (F.col("has_view") == 1) & (F.col("has_purchase") == 1), 1
+    ).otherwise(0)
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("n_with_view"),
+        F.sum(converted).cast("long").alias("n_converted"),
+        F.round(
+            F.sum(converted)
+            / F.nullif(F.sum("has_view"), F.lit(0)),
+            6,
+        ).alias("conv_rate"),
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
