@@ -6523,6 +6523,51 @@ def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_skew_report",
+    oracle="""
+    WITH keyed AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS total, count(*) AS n_keys,
+                   round(avg(n), 4) AS mean_n
+            FROM keyed)
+    SELECT k.user_id, k.n,
+           round(k.n / t.total, 6) AS share,
+           round(k.n / t.mean_n, 4) AS x_mean,
+           t.n_keys
+    FROM keyed k CROSS JOIN tot t
+    ORDER BY k.n DESC, k.user_id
+    LIMIT 10
+    """,
+)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic (SC1's pre-flight): the 10 hottest join/agg
+    keys with their share of total rows and multiple-of-mean — the
+    numbers that decide between a plain shuffle, salting, and AQE
+    skew handling BEFORE a 100 TB job runs. One keyed agg, a 1-row
+    scalar broadcast, and a TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = keyed.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("n"), 4).alias("mean_n"),
+    )
+    return (
+        keyed.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("x_mean"),
+            "n_keys",
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
