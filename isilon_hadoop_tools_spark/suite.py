@@ -6568,6 +6568,126 @@ def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_link_clustering",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey AS id, c_name AS txt,
+             substring(c_name, 10, 8) AS blk
+      FROM customer
+    ),
+    sizes AS (SELECT blk, count(*) AS bn FROM blocked GROUP BY blk),
+    small AS (
+      SELECT b.* FROM blocked b JOIN sizes s USING (blk)
+      WHERE s.bn <= 200
+    ),
+    e AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM small a JOIN small b USING (blk)
+      WHERE a.id < b.id AND levenshtein(a.txt, b.txt) <= 1
+    ),
+    und AS (
+      SELECT src AS v, dst AS u FROM e
+      UNION ALL SELECT dst, src FROM e
+    ),
+    deg AS (SELECT v, count(*) AS degree FROM und GROUP BY v),
+    tri AS (
+      SELECT xy.src AS x, xy.dst AS y, yz.dst AS z
+      FROM e xy
+      JOIN e yz ON yz.src = xy.dst
+      JOIN e xz ON xz.src = xy.src AND xz.dst = yz.dst
+    ),
+    tcnt AS (
+      SELECT v, count(*) AS n_triangles FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY v
+    )
+    SELECT d.v, d.degree, coalesce(t.n_triangles, 0)::BIGINT
+             AS n_triangles,
+           round(coalesce(t.n_triangles, 0)
+                 / nullif(d.degree * (d.degree - 1) / 2.0, 0), 6)
+             AS clustering
+    FROM deg d LEFT JOIN tcnt t ON t.v = d.v
+    WHERE d.degree >= 2
+    """,
+)
+def customer_link_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (G2's companion metric):
+    triangles through a vertex over its possible neighbor pairs
+    (deg choose 2) — 1.0 means the vertex's neighborhood is a clique
+    (a tightly-duplicated record community). Composes the degree agg
+    with triangle_counts; both ride the same canonical edge list."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        blocked_edit_distance_pairs,
+    )
+    from isilon_hadoop_tools_spark.operators.graph import triangle_counts
+
+    pairs = blocked_edit_distance_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey", text_col="c_name",
+        block_expr="substring(c_name, 10, 8)", max_dist=1, max_block=200,
+    ).localCheckpoint(eager=False)
+    und = pairs.select(
+        F.col("id_a").alias("v")
+    ).unionByName(pairs.select(F.col("id_b").alias("v")))
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangle_counts(pairs)
+    possible = F.col("degree") * (F.col("degree") - 1) / 2.0
+    return (
+        deg.join(tri, "v", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "v",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.round(
+                F.coalesce(F.col("n_triangles"), F.lit(0))
+                / F.nullif(possible, F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev AS from_type, event_type AS to_type,
+           count(*) AS n_transitions
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream transition matrix: counts of consecutive
+    event-type pairs per user (the Markov-chain estimate behind
+    next-action prediction and funnel drop-off analysis). The lag
+    window's user partitioning satisfies nothing downstream — the
+    transition groupBy re-keys on the 25 (from, to) pairs, map-side
+    partials first."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
