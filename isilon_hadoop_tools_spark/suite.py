@@ -6688,6 +6688,122 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_hll_by_type",
+    oracle=f"""
+    WITH regs AS (
+      SELECT event_type,
+             {stable_hash32_sql("user_id::VARCHAR")} % {_HLL_M} AS bucket,
+             max(CASE
+               WHEN {stable_hash32_sql("user_id::VARCHAR")} // {_HLL_M} = 0
+               THEN {32 - _HLL_B + 1}
+               ELSE {32 - _HLL_B}
+                    - floor(log2({stable_hash32_sql("user_id::VARCHAR")}
+                                 // {_HLL_M}))
+             END)::BIGINT AS rho
+      FROM events
+      GROUP BY event_type,
+               {stable_hash32_sql("user_id::VARCHAR")} % {_HLL_M}
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS v_filled,
+             sum(pow(2.0, -rho)) AS s_filled
+      FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           round(CASE
+             WHEN ({_alpha_sql()} * {_HLL_M * _HLL_M}) /
+                  (s_filled + ({_HLL_M} - v_filled)) <= {2.5 * _HLL_M}
+                  AND ({_HLL_M} - v_filled) > 0
+             THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - v_filled))
+             ELSE ({_alpha_sql()} * {_HLL_M * _HLL_M}) /
+                  (s_filled + ({_HLL_M} - v_filled))
+           END, 4) AS est_distinct
+    FROM agg
+    """,
+)
+def events_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED sketch usage: one HLL register set per event_type in a
+    single (type, bucket)-keyed aggregation — distinct users per
+    event type at sketch cost (m registers per group moving, never
+    the key set), the grouped form every 100 TB distinct-count
+    dashboard actually runs."""
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+    from isilon_hadoop_tools_spark.operators.sketches import _alpha
+
+    ev = _t(spark, sf_dir, "events")
+    m = _HLL_M
+    b = _HLL_B
+    h = stable_hash32(F.col("user_id").cast("string"))
+    w = F.floor(h / m)
+    rho = F.when(w == 0, F.lit(32 - b + 1)).otherwise(
+        (32 - b) - F.floor(F.log2(w))
+    )
+    regs = (
+        ev.select(
+            "event_type",
+            F.pmod(h, F.lit(m)).alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("_rho").cast("long").alias("rho"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("v_filled"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_filled"),
+    )
+    denom = F.col("s_filled") + (m - F.col("v_filled"))
+    raw = F.lit(_alpha(m) * m * m) / denom
+    v_empty = F.lit(m) - F.col("v_filled")
+    est = F.when(
+        (raw <= 2.5 * m) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    return agg.select(
+        "event_type", F.round(est, 4).alias("est_distinct")
+    )
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 100.0, 20
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT least(greatest(
+             floor((value - {_HIST_LO})
+                   / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})),
+             0), {_HIST_BINS - 1})::BIGINT AS bin,
+           count(*) AS n,
+           round(min(value), 6) AS bin_min,
+           round(max(value), 6) AS bin_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (the profiling/viz primitive): values
+    bucketed into fixed bins with clamped edges — one map-side-
+    partial aggregation on at most ``bins`` keys; the shape that
+    computes a 100 TB distribution for the cost of a count."""
+    ev = _t(spark, sf_dir, "events")
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("value") - _HIST_LO) / width), F.lit(0)
+        ),
+        F.lit(_HIST_BINS - 1),
+    ).cast("long")
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+    )
+
+
 # =====================================================================
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
