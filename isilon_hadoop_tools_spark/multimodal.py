@@ -302,6 +302,10 @@ def decode_wav_features(
             while pos + 8 <= len(raw):
                 cid = raw[pos : pos + 4]
                 (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                if pos + 8 + size > len(raw):
+                    raise ValueError(
+                        f"chunk {cid!r} declares {size} bytes past end of payload"
+                    )
                 body = raw[pos + 8 : pos + 8 + size]
                 if cid == b"fmt ":
                     fmt, _nch, rate, _br, _ba, bits = struct.unpack(
@@ -312,6 +316,8 @@ def decode_wav_features(
                 elif cid == b"data":
                     data = body
                 pos += 8 + size + (size & 1)  # chunks are word-aligned
+            if rate is None or data is None:
+                raise ValueError("missing fmt /data chunk")
             s = np.frombuffer(data, dtype="<i2").astype(np.int64)
             rms = math.sqrt(float(np.mean(s * s)))
             return (

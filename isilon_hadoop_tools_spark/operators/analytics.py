@@ -23,11 +23,13 @@ def sessionize(
     ts: str = "ts",
     tiebreak: str = "event_id",
     gap_minutes: int = 120,
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Gap-based batch sessionization: a new session starts when the
     time since the previous event of the same key exceeds
     ``gap_minutes``. Returns one row per session with start/end,
-    event count, and summed ``value``.
+    event count, and (when ``value_col`` is not None) the summed
+    ``value_col`` as ``session_value``.
 
     Plan shape: ONE shuffle. The lag window hash-partitions on ``key``;
     the per-(key, session) groupBy's ClusteredDistribution is already
@@ -55,14 +57,16 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    aggs = [
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("session_value"))
     return (
         flagged.groupBy(key, "session_seq")
-        .agg(
-            F.min(ts).alias("session_start"),
-            F.max(ts).alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
-        )
+        .agg(*aggs)
         .withColumn(
             "duration_sec",
             F.col("session_end").cast("long")
@@ -522,7 +526,13 @@ def zscore_outliers(
     joined = events.join(F.broadcast(stats), key)
     out = (
         joined.withColumn(
-            "_z", (F.col(col) - F.col("_mu")) / F.col("_sigma")
+            # nullif guard: a constant group has sigma=0; without it
+            # Spark yields null on div-by-zero while DuckDB yields
+            # inf/NaN under IEEE float ops, and the two engines could
+            # disagree on n_outliers. With nullif both produce null z
+            # -> the CASE/when counts 0 outliers for constant groups.
+            "_z",
+            (F.col(col) - F.col("_mu")) / F.nullif(F.col("_sigma"), F.lit(0.0)),
         )
         .groupBy(key)
         .agg(

@@ -27,6 +27,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     round_digits: int = 10,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Weighted PageRank over ``(src, dst, weight)`` edges.
 
@@ -46,10 +47,21 @@ def pagerank(
     round stops last-ULP drift from compounding), same scheme as the
     integer-quantized k-means (`similarity.py` `kmeans_iterate`).
 
-    Per iteration: ONE broadcast join (vertex-sized rank vector onto
-    the edge fact) + ONE aggregation with map-side partials. The
-    lineage is truncated with ``localCheckpoint`` so the plan does not
-    grow exponentially with iterations.
+    Per iteration: ONE join (vertex-sized rank vector onto the edge
+    fact) + ONE aggregation with map-side partials. The lineage is
+    truncated with ``localCheckpoint`` so the plan does not grow
+    exponentially with iterations.
+
+    Join-strategy switch (the 100 TB story): when the vertex count is
+    at most ``broadcast_threshold`` the rank vector is broadcast —
+    zero edge-table movement per iteration, the right plan for
+    dimension-sized graphs. Above the threshold (web/record-linkage
+    graphs whose vertex set is corpus-sized: a multi-GB broadcast per
+    iteration would OOM every executor) the normalized edge table is
+    hash-partitioned on ``_s`` ONCE before checkpointing and each
+    iteration runs a plain shuffle equi-join: only the vertex-sized
+    rank table moves, the edge fact stays put. Both modes are
+    plan-asserted (`tests/test_plan_quality.py`).
     """
     # Materialize the aggregated edge table ONCE (it is the
     # iteration-invariant and every downstream consumer — vertex set,
@@ -61,15 +73,20 @@ def pagerank(
         F.col(weight).cast("double").alias("_w"),
     ).localCheckpoint()
     verts = e.select(F.col("_s").alias("v")).distinct()
+    n = verts.count()  # vertex count: the single driver-side scalar
+    use_broadcast = n <= broadcast_threshold
     # closed subgraph: drop edges whose dst has no out-edges
     e = e.join(verts.withColumnRenamed("v", "_d"), "_d", "left_semi")
     out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
-    norm = (
-        e.join(F.broadcast(out_w), "_s")
-        .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p"))
-        .localCheckpoint(eager=False)
-    )
-    n = verts.count()  # vertex count: the single driver-side scalar
+    norm = e.join(
+        F.broadcast(out_w) if use_broadcast else out_w, "_s"
+    ).select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p"))
+    if not use_broadcast:
+        # pre-partition the edge fact on the join key so every
+        # iteration's shuffle join moves ONLY the rank vector
+        # (localCheckpoint preserves the physical partitioning)
+        norm = norm.repartition("_s")
+    norm = norm.localCheckpoint(eager=False)
     out_srcs = norm.select(F.col("_s").alias("v")).distinct()
     # a vertex is dangling when every out-edge fell to the closure;
     # if none exist (the common dense case) the per-iteration dangling
@@ -78,52 +95,78 @@ def pagerank(
     ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
-        acc = (
-            norm.join(F.broadcast(ranks), norm["_s"] == ranks["v"])
-            .select("_d", (F.col("r") * F.col("_p")).alias("_c"))
-            .groupBy("_d")
-            .agg(F.sum("_c").alias("_acc"))
-        )
-        if n_dangling:
-            # mass sitting on dangling vertices: redistributed
-            # uniformly — a 1-row aggregate, broadcast
-            dangling = ranks.join(out_srcs, "v", "left_anti").agg(
-                F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")
-            )
-            dm_term = F.col("_dm") / n
-        else:
-            dangling = None
-            dm_term = F.lit(0.0)
-        merged = verts.join(acc, verts["v"] == acc["_d"], "left")
-        if dangling is not None:
-            merged = merged.crossJoin(F.broadcast(dangling))
-        ranks = merged.select(
-            "v",
-            F.round(
-                F.lit(teleport)
-                + F.lit(damping)
-                * (F.coalesce(F.col("_acc"), F.lit(0.0)) + dm_term),
-                round_digits,
-            ).alias("r"),
+        ranks = _pagerank_step(
+            norm, ranks, verts, out_srcs, n, n_dangling,
+            teleport, damping, round_digits, use_broadcast,
         ).localCheckpoint(eager=False)
     return ranks.select(F.col("v"), F.col("r").alias("pagerank"))
 
 
-def triangle_counts(
+def _pagerank_step(
+    norm: DataFrame,
+    ranks: DataFrame,
+    verts: DataFrame,
+    out_srcs: DataFrame,
+    n: int,
+    n_dangling: int,
+    teleport: float,
+    damping: float,
+    round_digits: int,
+    use_broadcast: bool,
+) -> DataFrame:
+    """One PageRank iteration as an (un-checkpointed) DataFrame — the
+    per-iteration join plan, factored out so the broadcast/shuffle
+    strategy switch is directly plan-assertable (the checkpoint in the
+    driver loop hides it from the final plan)."""
+    rank_side = F.broadcast(ranks) if use_broadcast else ranks
+    acc = (
+        norm.join(rank_side, norm["_s"] == ranks["v"])
+        .select("_d", (F.col("r") * F.col("_p")).alias("_c"))
+        .groupBy("_d")
+        .agg(F.sum("_c").alias("_acc"))
+    )
+    if n_dangling:
+        # mass sitting on dangling vertices: redistributed
+        # uniformly — a 1-row aggregate, broadcast
+        dangling = ranks.join(out_srcs, "v", "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")
+        )
+        dm_term = F.col("_dm") / n
+    else:
+        dangling = None
+        dm_term = F.lit(0.0)
+    merged = verts.join(acc, verts["v"] == acc["_d"], "left")
+    if dangling is not None:
+        merged = merged.crossJoin(F.broadcast(dangling))
+    return merged.select(
+        "v",
+        F.round(
+            F.lit(teleport)
+            + F.lit(damping)
+            * (F.coalesce(F.col("_acc"), F.lit(0.0)) + dm_term),
+            round_digits,
+        ).alias("r"),
+    )
+
+
+def oriented_wedges(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
 ) -> DataFrame:
-    """Per-vertex triangle counts over an undirected pair list — the
-    classic distributed-graph benchmark and the local-clustering
-    signal (community density, link-spam detection).
+    """Degree-oriented wedge candidates for triangle counting — the
+    node-iterator++ orientation (Schank/Wagner; Suri/Vassilvitskii's
+    MapReduce formulation).
 
-    Edges are canonicalized to ``src < dst`` and deduped, so each
-    triangle x < y < z is enumerated EXACTLY once as the ordered path
-    e(x,y) + e(y,z) closed by e(x,z) — two equi-joins whose fan-out is
-    bounded by per-vertex degree (never a cross product), the standard
-    node-iterator++ shape. Per-vertex counts explode each triangle to
-    its three corners and aggregate.
+    Each undirected edge is oriented toward its higher endpoint in the
+    total order ``(degree, id)``. A vertex's out-degree in the
+    oriented graph is at most O(sqrt(m)), so the wedge self-join does
+    O(m^1.5) total work regardless of hubs — with naive id-ordering a
+    single hub of degree d contributes O(d²) wedges (on a star graph
+    this returns ZERO wedges where id-ordering returns C(d, 2); see
+    `tests/test_graph.py` hub-graph audit).
 
-    Output: ``v``, ``n_triangles`` (vertices in >= 1 triangle).
+    Output: ``x``, ``y``, ``z`` — wedges y←x→z with
+    rank(x) < rank(y) < rank(z); closing each with oriented edge
+    (y, z) yields every triangle exactly once.
     """
     e = (
         pairs.select(
@@ -133,10 +176,92 @@ def triangle_counts(
         .filter(F.col("src") < F.col("dst"))
         .distinct()
     )
-    xy = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    yz = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    xz = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
-    tri = xy.join(yz, "y").join(xz, ["x", "z"])
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge toward its higher-(degree, id) endpoint
+    ed = (
+        e.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("_ds")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("_dd")), "dst")
+        .select(
+            F.when(
+                (F.col("_ds") < F.col("_dd"))
+                | ((F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(
+                    F.col("src").alias("lo"), F.col("dst").alias("hi"),
+                    F.col("_ds").alias("lo_deg"), F.col("_dd").alias("hi_deg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("dst").alias("lo"), F.col("src").alias("hi"),
+                    F.col("_dd").alias("lo_deg"), F.col("_ds").alias("hi_deg"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.lo", "o.hi", "o.hi_deg")
+    )
+    xy = ed.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y"),
+        F.col("hi_deg").alias("_dy"),
+    )
+    xz = ed.select(
+        F.col("lo").alias("x"), F.col("hi").alias("z"),
+        F.col("hi_deg").alias("_dz"),
+    )
+    return (
+        xy.join(xz, "x")
+        .filter(
+            (F.col("_dy") < F.col("_dz"))
+            | ((F.col("_dy") == F.col("_dz")) & (F.col("y") < F.col("z")))
+        )
+        .select("x", "y", "z")
+    )
+
+
+def triangle_counts(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected pair list — the
+    classic distributed-graph benchmark and the local-clustering
+    signal (community density, link-spam detection).
+
+    Degree-oriented node-iterator++ (see :func:`oriented_wedges`):
+    edges are oriented toward their higher-(degree, id) endpoint,
+    bounding the wedge join's fan-out by the oriented out-degree
+    O(sqrt(m)) — total work O(m^1.5) even on hub-heavy graphs, where
+    the naive id-ordering is O(sum deg²). Each triangle is enumerated
+    exactly once as a wedge y←x→z (rank x < y < z) closed by the
+    oriented edge (y, z). Per-vertex counts explode each triangle to
+    its three corners and aggregate — identical output to the
+    id-oriented formulation, so existing oracles are unchanged.
+
+    Output: ``v``, ``n_triangles`` (vertices in >= 1 triangle).
+    """
+    wedges = oriented_wedges(pairs, a_col, b_col)
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    # close the wedge with the undirected edge {y, z}; the wedge
+    # filter already fixed rank(y) < rank(z) but the canonical edge
+    # table is keyed (min-id, max-id), so match either id order
+    closing = e.select(
+        F.least("src", "dst").alias("_cy"), F.greatest("src", "dst").alias("_cz")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("y", "z") == F.col("_cy"))
+        & (F.greatest("y", "z") == F.col("_cz")),
+    )
     corners = tri.select(
         F.explode(F.array("x", "y", "z")).alias("v")
     )

@@ -840,6 +840,8 @@ def pq_adc_topk(
     (rank over (adist, neighbor_id) — total order).
     """
     dim = len(df.select(F.col(vec_col)).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
     vec = F.col(vec_col).cast("array<double>")
     code_parts = []

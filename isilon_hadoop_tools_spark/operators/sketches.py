@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+from isilon_hadoop_tools_spark.functions.hashing import fingerprint64, stable_hash32
 
 
 def _alpha(m: int) -> float:
@@ -120,10 +120,24 @@ def kmv_sample(
     quantiles of the sample approximate population quantiles with
     O(1/sqrt(k)) error, and unlike those sketches every byte of it is
     oracle-checkable.
+
+    Determinism: rows first tie on ``(hash, key)``; with duplicate
+    keys the remaining tie is broken by a fingerprint of the full row
+    (json-serialized struct of all columns), so which duplicate rows
+    survive the ``limit(k)`` cut is engine- and partition-independent.
+    Rows identical in every column are interchangeable, so the sample
+    *content* is deterministic even then.
     """
     kc = F.col(key) if isinstance(key, str) else key
     h = stable_hash32(kc.cast("string"))
-    return df.withColumn("_h", h).orderBy("_h", kc).limit(k).drop("_h")
+    row_fp = fingerprint64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rfp", row_fp)
+        .orderBy("_h", kc, "_rfp")
+        .limit(k)
+        .drop("_h", "_rfp")
+    )
 
 
 def cms_table(

@@ -5444,7 +5444,7 @@ def lineitem_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type, max(s.n) AS n,
            round(max(s.mu), 6) AS mean_value,
            round(max(s.sigma), 6) AS stddev_value,
-           sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > 2.5
+           sum(CASE WHEN abs((e.value - s.mu) / nullif(s.sigma, 0)) > 2.5
                     THEN 1 ELSE 0 END)::BIGINT AS n_outliers
     FROM events e JOIN stats s USING (event_type)
     GROUP BY e.event_type

@@ -61,6 +61,120 @@ def test_pagerank_iterations_converge(spark):
         assert r20[v] == pytest.approx(1 / 3, abs=1e-4)
 
 
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pagerank_shuffle_mode_matches_broadcast(spark):
+    # broadcast_threshold=0 forces the shuffle-join path; per-iteration
+    # rounding makes the two modes bit-identical
+    e = _edges(
+        spark, [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0), (3, 9, 2.0)]
+    )
+    bc = {r.v: r.pagerank for r in pagerank(e, "src", "dst", "w").collect()}
+    sh = {
+        r.v: r.pagerank
+        for r in pagerank(
+            e, "src", "dst", "w", broadcast_threshold=0
+        ).collect()
+    }
+    assert bc == sh
+
+
+def test_pagerank_step_broadcast_plan(spark):
+    # dimension-sized graph: the rank join must be a broadcast join
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.graph import _pagerank_step
+
+    verts = spark.createDataFrame([(i,) for i in range(5)], "v long")
+    norm = spark.createDataFrame(
+        [(i, (i + 1) % 5, 1.0) for i in range(5)], "_s long, _d long, _p double"
+    )
+    ranks = verts.select("v", F.lit(0.2).alias("r"))
+    step = _pagerank_step(
+        norm, ranks, verts, verts.limit(0), 5, 0, 0.03, 0.85, 10, True
+    )
+    assert "BroadcastHashJoin" in _plan(step)
+
+
+def test_pagerank_step_shuffle_plan_on_million_vertex_graph(spark):
+    # corpus-sized vertex set (2M): the rank vector must NOT be
+    # broadcast — the static plan is a shuffle equi-join (SortMergeJoin
+    # / ShuffledHashJoin); AQE may still re-plan small cases at runtime
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.graph import _pagerank_step
+
+    n_v = 2_000_000
+    verts = spark.range(n_v).select(F.col("id").alias("v"))
+    norm = spark.range(n_v).select(
+        F.col("id").alias("_s"),
+        ((F.col("id") + 1) % n_v).alias("_d"),
+        F.lit(1.0).alias("_p"),
+    )
+    ranks = verts.select("v", F.lit(1.0 / n_v).alias("r"))
+    step = _pagerank_step(
+        norm, ranks, verts, verts.limit(0), n_v, 0,
+        0.15 / n_v, 0.85, 10, False,
+    )
+    plan = _plan(step)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_pagerank_shuffle_mode_million_vertex_executes(spark):
+    # end-to-end shuffle mode on a 1M-vertex ring: one iteration runs
+    # and conserves total mass without any vertex-sized broadcast
+    from pyspark.sql import functions as F
+
+    n_v = 1_000_000
+    e = spark.range(n_v).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % n_v).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    out = pagerank(
+        e, "src", "dst", "w", iterations=1, broadcast_threshold=100
+    )
+    total = out.agg(F.sum("pagerank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-3)
+
+
+def test_oriented_wedges_star_graph_is_empty(spark):
+    # hub-killer audit: a star (hub 0, 200 leaves) has C(200,2)=19900
+    # wedges under id-orientation but ZERO under degree-orientation —
+    # every edge points leaf->hub, so no vertex has out-degree >= 2
+    from isilon_hadoop_tools_spark.operators.graph import (
+        oriented_wedges,
+        triangle_counts,
+    )
+
+    edges = [(0, i) for i in range(1, 201)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    assert oriented_wedges(df).count() == 0
+    assert triangle_counts(df).count() == 0
+
+
+def test_oriented_wedges_bounded_on_hub_with_triangles(spark):
+    # hub 0 touches 100 leaves plus a triangle {0,1,2}; candidate
+    # wedges stay O(m), not O(d_hub^2)
+    from isilon_hadoop_tools_spark.operators.graph import (
+        oriented_wedges,
+        triangle_counts,
+    )
+
+    edges = [(0, i) for i in range(1, 101)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # exactly one wedge (1<-?->2 through the orientation) closes the
+    # single triangle; nothing quadratic in the hub degree
+    assert oriented_wedges(df).count() <= 101
+    out = {r.v: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
 def test_triangle_counts_known_graph(spark):
     from isilon_hadoop_tools_spark.operators.graph import triangle_counts
 
