@@ -315,26 +315,47 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "auto",
+    label_budget: int = 8,
 ) -> DataFrame:
     """Keep-one clustering: label every node with the min id reachable
-    through the near-dup pair graph (iterative min-label propagation —
-    no graph library needed).
+    through the near-dup pair graph (no graph library needed).
 
     Output: ``id``, ``keep_id`` (singletons keep themselves; a doc is
-    a duplicate iff ``keep_id != id``). Each iteration is one
-    edges⋈labels join + min-aggregation; the label front advances one
-    hop per iteration, so iterations ~ component diameter (near-dup
-    components are shallow in practice). ``localCheckpoint`` truncates
-    the growing lineage each round. At extreme scale swap in the
-    large-star/small-star iteration — same driver-loop shape.
+    a duplicate iff ``keep_id != id``).
+
+    Algorithms (property-tested equivalent, `tests/test_dedup.py`):
+
+    - ``min_label``: iterative min-label propagation. One edges⋈labels
+      join + min-aggregation per round; the label front advances one
+      hop per round, so rounds ~ component DIAMETER. The cheap path
+      for shallow near-dup components (the common corpus case).
+    - ``star``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14). Each
+      round re-wires the edge graph toward per-neighborhood minima and
+      converges in O(log²) rounds on ANY topology — the 100 TB path
+      for high-diameter graphs (entity-resolution chains, web graphs)
+      where diameter-many min-label rounds would never finish.
+    - ``auto`` (default): min-label up to ``label_budget`` rounds;
+      if still unconverged (deep component detected at runtime),
+      switch to star rounds seeded with the partial labels — already
+      propagated progress is kept as extra (id, keep_id) edges.
+
+    Every round truncates lineage with ``localCheckpoint`` and drives
+    convergence off a bounded driver-side scalar.
     """
+    if algorithm not in ("auto", "min_label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("keep_id"))
-    for _ in range(max_iter):
+    if algorithm == "star":
+        return _cc_star(labels, edges, max_iter)
+    budget = max_iter if algorithm == "min_label" else min(label_budget, max_iter)
+    for it in range(budget):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
@@ -356,8 +377,103 @@ def connected_components(
         changed = stepped.filter("_changed").limit(1).count()
         labels = stepped.drop("_changed")
         if changed == 0:
+            return labels
+    # auto + unconverged: the graph is deeper than the label budget —
+    # finish with the O(log²)-round star iteration, keeping propagated
+    # progress as extra edges (keep_id is reachable from id, so the
+    # augmented graph has the same components)
+    label_edges = labels.filter(F.col("keep_id") != F.col("id")).select(
+        F.col("id").alias("src"), F.col("keep_id").alias("dst")
+    )
+    aug = edges.unionByName(label_edges).unionByName(
+        label_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return _cc_star(labels.select("id").select("id", F.col("id").alias("keep_id")),
+                    aug, max_iter)
+
+
+def _cc_star(labels: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star rounds to convergence; ``edges`` must
+    contain both directions of every undirected pair. Returns the same
+    ``(id, keep_id)`` contract as min-label propagation.
+
+    Per round (2 shuffled aggregations + 2 joins over the shrinking
+    edge set): large-star hangs every strictly-larger neighbor of u
+    onto m = min(N(u) ∪ {u}); small-star (keyed on each edge's larger
+    endpoint) hangs the smaller neighbors and u itself onto the
+    neighborhood min. Edges monotonically re-wire into stars centered
+    at component minima; converged when the canonical edge multiset
+    stops changing — checked with a (count, xor-of-fingerprints)
+    scalar, one tiny driver row per round, never an edge-set compare.
+    """
+    # canonical undirected, no self-loops
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        both = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # large-star: (v, m) for v in N(u), v > u
+        large = (
+            both.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        )
+        lcan = (
+            large.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+        )
+        # small-star over the large-star output: key every edge on its
+        # larger endpoint u (neighbors all < u), hang them + u on min
+        sboth = lcan.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smins = sboth.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            sboth.join(smins, "u")
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                smins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+            )
+        )
+        und = (
+            small.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig_row = und.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                fingerprint64(F.concat_ws(":", F.col("a"), F.col("b")))
+            ).alias("x"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["x"])
+        if sig == prev_sig:
             break
-    return labels
+        prev_sig = sig
+    # converged edge set is a union of stars centered at component
+    # minima: every non-min node has exactly one (min, node) edge
+    comp = und.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("_m"))
+    return (
+        labels.join(comp, "id", "left")
+        .select("id", F.coalesce("_m", F.col("id")).alias("keep_id"))
+    )
 
 
 def winnow_fingerprints(

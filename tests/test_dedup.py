@@ -110,6 +110,86 @@ def test_connected_components_chain_and_singletons(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def _cc_dict(spark, n_ids, pair_rows, **kw):
+    nodes = spark.createDataFrame([(i,) for i in n_ids], "id LONG")
+    pairs = spark.createDataFrame(pair_rows, "id_a LONG, id_b LONG")
+    return {
+        r["id"]: r["keep_id"]
+        for r in dedup.connected_components(nodes, pairs, **kw).collect()
+    }
+
+
+def test_connected_components_star_matches_min_label_on_chain(spark):
+    # 200-node chain: diameter 199 — the star iteration must converge
+    # in O(log^2) rounds (max_iter=15 would be nowhere near enough for
+    # min-label) and agree with the min-label result exactly
+    ids = list(range(200))
+    chain = [(i, i + 1) for i in range(199)]
+    star = _cc_dict(spark, ids, chain, algorithm="star", max_iter=15)
+    assert star == {i: 0 for i in range(200)}
+
+
+def test_connected_components_star_matches_min_label_random(spark):
+    # deterministic pseudo-random multi-component graphs: both
+    # algorithms must produce identical labelings
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(60))
+    pair_rows = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+    ]
+    pair_rows = [(a, b) for a, b in pair_rows if a != b]
+    ml = _cc_dict(spark, ids, pair_rows, algorithm="min_label")
+    star = _cc_dict(spark, ids, pair_rows, algorithm="star")
+    assert star == ml
+
+
+def test_connected_components_auto_switches_on_deep_graph(spark):
+    # auto with a tiny label budget on a 64-chain: min-label alone
+    # cannot converge in 2 rounds, so the star fallback must finish
+    # the job (and keep the partially-propagated labels correct)
+    ids = list(range(64))
+    chain = [(i, i + 1) for i in range(63)]
+    out = _cc_dict(
+        spark, ids, chain, algorithm="auto", label_budget=2, max_iter=20
+    )
+    assert out == {i: 0 for i in range(64)}
+
+
+def test_connected_components_star_empty_and_singletons(spark):
+    out = _cc_dict(spark, [5, 7], [], algorithm="star")
+    assert out == {5: 5, 7: 7}
+
+
+def test_star_path_matches_min_label_on_suite_dedup_input(spark):
+    # the dedup_keep_one pipeline's real near-dup graph (smoke-scale
+    # documents -> Jaccard pairs): the star path must reproduce the
+    # oracle-checked min-label labeling exactly
+    from conftest import SMOKE_SF_DIR
+
+    from isilon_hadoop_tools_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", SMOKE_SF_DIR)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.2, max_df=50
+    ).localCheckpoint()
+    ml = {
+        r["id"]: r["keep_id"]
+        for r in dedup.connected_components(
+            nodes, pairs, algorithm="min_label"
+        ).collect()
+    }
+    star = {
+        r["id"]: r["keep_id"]
+        for r in dedup.connected_components(
+            nodes, pairs, algorithm="star"
+        ).collect()
+    }
+    assert star == ml
+
+
 def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     # every doc shares the same 3 leading tokens -> that shingle is hot
     rows = [(i, f"common lead phrase unique{i} tail{i} words{i}") for i in range(5)]
