@@ -68,6 +68,13 @@ HEADLINE = (
     "lineitem_part_pairs",
     "nation_trade_pagerank",
     "multimodal_wav_features",
+    # round-7 additions: close the r6 bench blind spots (PQ-ADC
+    # search, entity resolution, SemDeDup, skew report, HLL merge)
+    "ann_pq_adc",
+    "customer_entity_resolution",
+    "semantic_dedup_keep",
+    "events_skew_report",
+    "events_hll_merge_daily",
 )
 
 

@@ -107,6 +107,63 @@ def grouped_quantiles(
     )
 
 
+def grouped_quantiles_approx(
+    df: DataFrame,
+    key: str,
+    col: str,
+    probs: list[float],
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Approximate per-group quantiles — the unbounded-group swap-in
+    for :func:`grouped_quantiles` (exact ``percentile`` buffers every
+    group value; a million-member group hits that memory wall first).
+
+    Uses ``percentile_approx`` (Greenwald-Khanna mergeable sketch:
+    map-side partials, O(accuracy·log n) memory per group regardless
+    of group size — the 100 TB path). The sketch is engine-internal,
+    so instead of value equality the result is SELF-CERTIFYING: each
+    approximate quantile's TRUE rank within its group is measured with
+    one broadcast join back onto the fact, and the output states
+    whether GK's guarantee |rank - p·n| <= n/accuracy held (with +1
+    slack for rank-definition boundaries). The DuckDB oracle asserts
+    TRUE per (key, prob) — a hash match certifies the error bound,
+    which is exactly the operator's contract.
+
+    Output: ``key``, ``prob``, ``n``, ``rank_err_ok``.
+    """
+    prob_arr = F.array(*[F.lit(float(p)) for p in probs])
+    agged = df.groupBy(key).agg(
+        F.percentile_approx(col, prob_arr, F.lit(accuracy)).alias("_qs"),
+        F.count(col).alias("_n"),
+    )
+    q = agged.select(
+        key, "_n", F.posexplode("_qs").alias("_pos", "_aq")
+    ).select(
+        key,
+        "_n",
+        F.element_at(prob_arr, F.col("_pos") + 1).alias("prob"),
+        "_aq",
+    )
+    ranked = (
+        df.select(key, F.col(col).alias("_v"))
+        .join(F.broadcast(q), key)
+        .groupBy(key, "prob", "_n", "_aq")
+        .agg(
+            F.sum(F.when(F.col("_v") <= F.col("_aq"), 1).otherwise(0)).alias("_le"),
+            F.sum(F.when(F.col("_v") < F.col("_aq"), 1).otherwise(0)).alias("_lt"),
+        )
+    )
+    target = F.col("prob") * F.col("_n")
+    tol = F.col("_n") / F.lit(float(accuracy)) + F.lit(1.0)
+    ok = (F.col("_le") >= target - tol) & (F.col("_lt") <= target + tol)
+    return ranked.select(
+        key,
+        "prob",
+        F.col("_n").alias("n"),
+        ok.alias("rank_err_ok"),
+    )
+
+
 def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
     """Long-format data-profiling summary: one row per column with
     row count, null count, exact distinct count, and numeric min/max

@@ -5300,6 +5300,32 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_value_quantiles_approx",
+    oracle="""
+    SELECT event_type, unnest([0.25, 0.5, 0.9])::DOUBLE AS prob,
+           count(*)::BIGINT AS n, TRUE AS rank_err_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles via percentile_approx (EA3's
+    unbounded-group swap-in: GK mergeable sketch, map-side partials,
+    bounded memory at any group size). Self-certifying gate: the
+    output states whether each approximate quantile's measured rank
+    error is within the GK bound n/accuracy; the oracle asserts TRUE
+    per (event_type, prob), so a hash match certifies the bound —
+    the operator's actual contract, since DuckDB has no KLL twin."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        grouped_quantiles_approx,
+    )
+
+    return grouped_quantiles_approx(
+        _t(spark, sf_dir, "events"), "event_type", "value",
+        [0.25, 0.5, 0.9], accuracy=1000,
+    )
+
+
 _PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",

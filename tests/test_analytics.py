@@ -72,6 +72,39 @@ def test_grouped_quantiles_exact(spark):
     assert out == {0.5: 50.5, 0.9: 90.1}
 
 
+def test_grouped_quantiles_approx_bound_holds(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        grouped_quantiles_approx,
+    )
+
+    # skewed group (exponential-ish spacing) + uniform group: the
+    # GK rank-error certificate must come back TRUE for every prob
+    rows = [("skew", float(2**i % 9973)) for i in range(2000)]
+    rows += [("uni", float(v)) for v in range(500)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = grouped_quantiles_approx(
+        df, "k", "v", [0.1, 0.5, 0.99], accuracy=100
+    ).collect()
+    assert len(out) == 6
+    assert all(r.rank_err_ok for r in out)
+    ns = {r.k: r.n for r in out}
+    assert ns == {"skew": 2000, "uni": 500}
+
+
+def test_grouped_quantiles_approx_tracks_exact_on_uniform(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        grouped_quantiles_approx,
+    )
+
+    # high accuracy on a small group: certificate trivially TRUE and
+    # group sizes correct even with duplicate values
+    df = spark.createDataFrame(
+        [("a", float(v % 10)) for v in range(100)], "k string, v double"
+    )
+    out = grouped_quantiles_approx(df, "k", "v", [0.5], accuracy=10000).collect()
+    assert len(out) == 1 and out[0].rank_err_ok
+
+
 def test_profile_table_counts(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, None), (2, "y")], "a int, b string"

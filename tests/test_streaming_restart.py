@@ -1,0 +1,177 @@
+"""Restart matrix: every stateful streaming suite transform is cycled
+through stop/restart against the SAME checkpoint + file sink, with the
+input revealed in stages, then restarted once more with no new data.
+
+Exactly-once contract under test:
+  * staged restarts produce the same committed output multiset as a
+    single uninterrupted run over all the data (state + watermark are
+    recovered from the checkpoint, the file-source log skips processed
+    files, the file-sink metadata log commits each batch once);
+  * an idle restart (no new input) appends nothing.
+
+The per-query streaming tests in test_streaming.py check semantics;
+this file checks the recovery story across the whole matrix.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.errors import AnalysisException
+
+from conftest import T0
+from isilon_hadoop_tools_spark.streaming.events import (
+    dedup_within_watermark,
+    hourly_rollup_stream,
+    sessionize,
+    sliding_rollup_stream,
+    static_enrich_rollup_stream,
+    view_purchase_interval_join,
+)
+
+SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, "
+    "event_type STRING, value DOUBLE"
+)
+
+_M = dt.timedelta(minutes=1)
+
+# four micro-batches (one file each under maxFilesPerTrigger=1):
+# two users, view/click/purchase mix, one duplicate event_id (2),
+# ~3.5 hours of event time so the 10-minute watermark closes windows.
+# No row falls behind the previous batch's max-ts − 10 minutes: a
+# restart recovers the committed watermark and is ALLOWED to drop
+# more late data than the uninterrupted run did (SPARK-40925's
+# previous-batch-start filter), so a fixture with cross-batch
+# backsliding would make staged vs single-run outputs legitimately
+# diverge — that semantic is covered by the late-row test in
+# test_streaming.py, not this matrix.
+BATCHES = [
+    [
+        (1, T0, 1, "view", 0.0),
+        (2, T0 + 5 * _M, 1, "click", 2.0),
+        (3, T0 + 55 * _M, 2, "view", 3.0),
+    ],
+    [
+        (2, T0 + 50 * _M, 1, "click", 2.0),  # duplicate id 2
+        (4, T0 + 60 * _M, 1, "purchase", 9.5),
+        (5, T0 + 70 * _M, 2, "click", 1.5),
+    ],
+    [
+        (6, T0 + 130 * _M, 1, "purchase", 1.0),
+        (7, T0 + 140 * _M, 2, "view", 2.0),
+    ],
+    [
+        (8, T0 + 210 * _M, 1, "click", 4.0),
+    ],
+]
+
+
+def _write_batch(dirpath: str, name: str, rows) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            }
+        ),
+        os.path.join(dirpath, name),
+    )
+    time.sleep(0.05)  # keep mod-time (= micro-batch) order stable
+
+
+def _drain(spark, build, in_dir: str, ckpt: str, out_dir: str) -> None:
+    ev = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        build(ev)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _committed(spark, out_dir: str) -> list[tuple]:
+    """Committed sink rows as a sorted multiset (reads through the
+    file-sink metadata log, so uncommitted files don't count)."""
+    try:
+        rows = spark.read.parquet(out_dir).collect()
+    except AnalysisException:
+        return []
+    return sorted(tuple(str(v) for v in r) for r in rows)
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(1, 7), (2, 8)], "c_custkey long, c_nationkey long"
+    )
+
+
+MATRIX = [
+    ("hourly_rollup", lambda ev, spark: hourly_rollup_stream(ev, "10 minutes")),
+    ("sliding_rollup", lambda ev, spark: sliding_rollup_stream(ev, "10 minutes")),
+    (
+        "sessionize",
+        lambda ev, spark: sessionize(ev, gap="10 minutes", watermark="10 minutes"),
+    ),
+    ("dedup_wm", lambda ev, spark: dedup_within_watermark(ev, "1 day")),
+    (
+        "interval_join",
+        lambda ev, spark: view_purchase_interval_join(
+            ev, watermark="1 day", horizon_sec=3600
+        ),
+    ),
+    (
+        "static_enrich",
+        lambda ev, spark: static_enrich_rollup_stream(
+            ev, _dim(spark), "10 minutes"
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,build", MATRIX, ids=[m[0] for m in MATRIX])
+def test_restart_matrix_exactly_once(spark, tmp_path, name, build):
+    # --- staged run: reveal batches across 3 restarts of one ckpt ---
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    stages = [[0], [1, 2], [3]]
+    for stage in stages:
+        for i in stage:
+            _write_batch(in_dir, f"b{i}.parquet", BATCHES[i])
+        _drain(spark, lambda ev: build(ev, spark), in_dir, ckpt, out_dir)
+    staged = _committed(spark, out_dir)
+
+    # --- idle restart: no new input may append nothing ---
+    _drain(spark, lambda ev: build(ev, spark), in_dir, ckpt, out_dir)
+    assert _committed(spark, out_dir) == staged, f"{name}: idle restart changed output"
+
+    # --- reference: one uninterrupted run over all files ---
+    ref_in = str(tmp_path / "ref_in")
+    os.makedirs(ref_in)
+    for i in range(len(BATCHES)):
+        _write_batch(ref_in, f"b{i}.parquet", BATCHES[i])
+    ref_ckpt = str(tmp_path / "ref_ckpt")
+    ref_out = str(tmp_path / "ref_out")
+    _drain(spark, lambda ev: build(ev, spark), ref_in, ref_ckpt, ref_out)
+    reference = _committed(spark, ref_out)
+
+    assert staged == reference, f"{name}: staged-restart output != single-run output"
+    assert staged, f"{name}: matrix case emitted no rows (vacuous)"

@@ -12,10 +12,22 @@ taken, warmup at sf0.001 first.
 Usage::
 
     python tools/scale_probe.py [query ...]   # default: round-6 set
+    python tools/scale_probe.py --curvature   # 1x..10x of sf0.1 on the
+                                              # two riskiest operators
+
+The curvature mode answers "would this still be linear at 100x?" with
+data, not extrapolation: it materializes id-offset copies of the sf0.1
+corpus (text tokens salted per copy / embeddings shifted per copy, the
+iid-growth model — more data of the same distribution, near-dup
+structure per shard unchanged) and times ``dedup_ngram_jaccard`` and
+``semantic_dedup`` at 1x, 2x, 4x, 8x, 10x. ``semantic_dedup`` scales
+its cluster count with the corpus (k = 8·c), the published SemDeDup
+recipe — holding k fixed while n grows is the known quadratic trap.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -57,7 +69,132 @@ def timed(fn, spark, sf_dir: str, reps: int = 2) -> float:
     return best
 
 
+MULTIPLES = (1, 2, 4, 8, 10)
+_STRIDE = 1_000_000
+
+
+def _build_copies(spark, scratch: Path, cmax: int) -> None:
+    """Materialize cmax id-offset copies of the sf0.1 documents and
+    embeddings tables, partitioned by copy so a c-multiple read prunes
+    to the first c partitions. Copy k's text tokens carry a ``~k``
+    salt (disjoint shingle space across copies) and its embeddings are
+    shifted +50k in dim 0 (disjoint cluster space) — the iid-growth
+    model: each copy is a fresh shard of the same distribution."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.1").select(
+        "doc_id", "text"
+    )
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.1").select(
+        "vec_id", "embedding"
+    )
+    d_parts = []
+    e_parts = []
+    for k in range(cmax):
+        salted = (
+            F.regexp_replace("text", r"(\S+)", f"$1~{k}") if k else F.col("text")
+        )
+        d_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * _STRIDE)).alias("doc_id"),
+                salted.alias("text"),
+                F.lit(k).alias("copy"),
+            )
+        )
+        shifted = F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x + F.when(i == F.lit(0), F.lit(k * 50.0)).otherwise(0.0),
+        )
+        e_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * _STRIDE)).alias("vec_id"),
+                shifted.alias("embedding"),
+                F.lit(k).alias("copy"),
+            )
+        )
+    d_all = d_parts[0]
+    for p in d_parts[1:]:
+        d_all = d_all.unionByName(p)
+    e_all = e_parts[0]
+    for p in e_parts[1:]:
+        e_all = e_all.unionByName(p)
+    d_all.write.partitionBy("copy").mode("overwrite").parquet(
+        str(scratch / "documents")
+    )
+    e_all.write.partitionBy("copy").mode("overwrite").parquet(
+        str(scratch / "embeddings")
+    )
+
+
+def curvature() -> int:
+    """Time-vs-rows curves for the two riskiest operators at 1x..10x
+    of sf0.1. Exits nonzero if either curve bends above linear
+    (t(c)/t(1) > 1.3·c after subtracting nothing — fixed overhead
+    makes real ratios sit BELOW c, so the slack only catches genuine
+    superlinear blowups)."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators import dedup
+    from isilon_hadoop_tools_spark.operators.similarity import semantic_dedup
+
+    spark = get_session("curvature_probe")
+    scratch = Path(__file__).resolve().parent.parent / ".scratch" / "curvature"
+    cmax = max(MULTIPLES)
+    _build_copies(spark, scratch, cmax)
+
+    def run_ngram(c: int) -> float:
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.2, max_df=1000
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_semdedup(c: int) -> float:
+        e = spark.read.parquet(str(scratch / "embeddings")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        semantic_dedup(
+            e, "embedding", "vec_id", k=8 * c, iters=3, threshold=0.9
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    bad = 0
+    results: dict[str, dict[str, float]] = {}
+    for name, runner in (
+        ("dedup_ngram_jaccard", run_ngram),
+        ("semantic_dedup", run_semdedup),
+    ):
+        runner(1)  # warm plan/codegen before the measured sweep
+        curve = {}
+        for c in MULTIPLES:
+            t = min(runner(c) for _ in range(2))
+            curve[str(c)] = round(t, 2)
+        t1 = curve["1"]
+        superlinear = any(
+            curve[str(c)] > 1.3 * c * t1 for c in MULTIPLES if c > 1
+        )
+        if superlinear:
+            bad = 1
+        results[name] = curve
+        pretty = "  ".join(
+            f"{c}x={curve[str(c)]:.2f}s({curve[str(c)] / t1:.1f}r)"
+            for c in MULTIPLES
+        )
+        flag = "  <== SUPERLINEAR" if superlinear else ""
+        print(f"{name}: {pretty}{flag}")
+    print(json.dumps({"metric": "curvature_sf0.1_multiples", "curves": results}))
+    return bad
+
+
 def main() -> int:
+    if "--curvature" in sys.argv[1:]:
+        return curvature()
     names = sys.argv[1:] or list(DEFAULT)
     spark = get_session("scale_probe")
     bad = 0
