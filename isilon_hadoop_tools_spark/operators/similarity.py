@@ -718,8 +718,16 @@ def semantic_dedup(
         .otherwise(F.transform(raw, lambda x: x / nrm))
         .alias(vec_col),
     )
-    assign = kmeans_iterate(unit, vec_col, id_col, k=k, iters=iters).select(
-        F.col("vec_id").alias("id"), "list_id"
+    # assign is consumed by THREE downstream branches (the pair join,
+    # the component node list, and the final label join) and pairs is
+    # re-joined every connected-components iteration — without lineage
+    # truncation each consumer re-runs the k-means scan and the n²/k
+    # cosine join per CC round. Both are bounded intermediates (n id
+    # rows / near-dup id pairs), so checkpoint them once.
+    assign = (
+        kmeans_iterate(unit, vec_col, id_col, k=k, iters=iters)
+        .select(F.col("vec_id").alias("id"), "list_id")
+        .localCheckpoint(eager=False)
     )
     vec = F.col(vec_col).cast("array<double>")
     vecs = df.select(F.col(id_col).alias("id"), vec.alias("v")).withColumn(
@@ -750,6 +758,7 @@ def semantic_dedup(
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     keep = connected_components(assign.select("id"), pairs)
     return (
