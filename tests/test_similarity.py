@@ -167,6 +167,32 @@ def test_kmeans_converges_to_obvious_clusters(spark):
     assert blobs[1] == set(range(10, 16))
 
 
+def test_kmeans_assign_join_path_matches_literal(spark):
+    # the large-k broadcast-join assignment must be row-identical to
+    # the literal-baked form, including (dist, list_id) tie-breaks
+    import random
+
+    from isilon_hadoop_tools_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(11)
+    vecs = spark.createDataFrame(
+        [(i, [rng.randrange(-50, 50) for _ in range(8)]) for i in range(60)],
+        "vid BIGINT, qv ARRAY<BIGINT>",
+    )
+    cents = [(j, [rng.randrange(-50, 50) for _ in range(8)]) for j in range(5)]
+    # duplicate centroid forces a distance tie -> lowest list_id wins
+    cents.append((5, list(cents[0][1])))
+    lit = {
+        r["vid"]: (r["list_id"], r["dist"])
+        for r in kmeans_assign(vecs, cents).collect()
+    }
+    joined = {
+        r["vid"]: (r["list_id"], r["dist"])
+        for r in kmeans_assign(vecs, cents, literal_threshold=0).collect()
+    }
+    assert lit == joined
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     from isilon_hadoop_tools_spark.operators.similarity import kmeans_iterate
 
