@@ -601,3 +601,61 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         )
         fingerprint = term if fingerprint is None else fingerprint + term
     return sums.select("id", fingerprint.alias("simhash"))
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 1000,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate-generation quality evaluation: recall of the banded
+    MinHash-LSH candidate pairs against exact shingle-Jaccard truth —
+    the acceptance gate for swapping the quadratic exact pair search
+    out for LSH on a production corpus (the dedup twin of
+    `similarity.ann_recall`).
+
+    Both sides are the engine's own deterministic operators, so the
+    whole report is exact and cross-engine reproducible. One row:
+    ``n_true`` (exact Jaccard pairs >= threshold), ``n_candidates``
+    (LSH band-collision pairs), ``n_hit`` (true pairs the LSH path
+    surfaced), ``recall`` (hit share, 6 dp; 1.0 on an empty truth
+    set). Truth and candidate tables are bounded intermediates,
+    checkpointed once and consumed by count + semi-join.
+    """
+    truth = (
+        ngram_jaccard_pairs(
+            df, text_col, id_col, k=k, threshold=threshold, max_df=max_df
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        minhash_lsh_pairs(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    agg_t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    agg_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    agg_h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        agg_t.crossJoin(agg_c)
+        .crossJoin(agg_h)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.when(F.col("n_true") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(F.col("n_hit") / F.col("n_true"), 6)
+            )
+            .alias("recall"),
+        )
+    )

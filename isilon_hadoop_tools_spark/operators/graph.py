@@ -268,3 +268,62 @@ def triangle_counts(
     return corners.groupBy("v").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core decomposition by fixed-round peeling: repeatedly drop
+    vertices of degree < ``k`` (and their edges) for ``rounds``
+    rounds — the dense-substructure filter (community kernels,
+    link-spam nuclei, the "everything here is heavily cross-linked"
+    signal over a near-dup/linkage graph).
+
+    Runs EXACTLY ``rounds`` peels semantically, with an early exit
+    when the edge count stops changing (filtering only removes edges,
+    so an unchanged count IS the fixed point and further rounds are
+    no-ops — the early exit never changes the result). When the peel
+    converges within the budget the output is the exact k-core;
+    deep chain-peeling graphs need ``rounds`` ~ their peel depth.
+
+    Per round: one degree aggregation + two semi-joins, lineage
+    truncated per round; convergence state is one driver-side scalar.
+    Output: ``v``, ``core_degree`` for surviving vertices.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(rounds):
+        both = e.select(F.col("src").alias("v")).unionByName(
+            e.select(F.col("dst").alias("v"))
+        )
+        keep = (
+            both.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("v")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    both = e.select(F.col("src").alias("v")).unionByName(
+        e.select(F.col("dst").alias("v"))
+    )
+    return both.groupBy("v").agg(F.count(F.lit(1)).alias("core_degree"))

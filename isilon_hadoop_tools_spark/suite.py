@@ -6834,6 +6834,138 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public accessors (consumed by __spark_entry__.py)
 # =====================================================================
 
+def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    """Unrolled k-core peel over the record-linkage graph: exactly
+    ``rounds`` degree-filter rounds. The Spark operator's early exit
+    fires only at the fixed point (peeling is monotone), so the
+    fixed-round unroll is result-identical."""
+    parts = [
+        """
+    WITH blocked AS (
+      SELECT c_custkey AS id, c_name AS txt,
+             substring(c_name, 10, 8) AS blk
+      FROM customer
+    ),
+    sizes AS (SELECT blk, count(*) AS bn FROM blocked GROUP BY blk),
+    small AS (
+      SELECT b.* FROM blocked b JOIN sizes s USING (blk)
+      WHERE s.bn <= 200
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM small a JOIN small b USING (blk)
+      WHERE a.id < b.id AND levenshtein(a.txt, b.txt) <= 1
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    k{r} AS MATERIALIZED (
+      SELECT v FROM (SELECT src AS v FROM e{r}
+                     UNION ALL SELECT dst FROM e{r})
+      GROUP BY v HAVING count(*) >= {k}
+    ),
+    e{r + 1} AS MATERIALIZED (
+      SELECT src, dst FROM e{r}
+      WHERE src IN (SELECT v FROM k{r}) AND dst IN (SELECT v FROM k{r})
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v AS c_custkey, count(*)::BIGINT AS core_degree
+    FROM (SELECT src AS v FROM e{rounds}
+          UNION ALL SELECT dst FROM e{rounds})
+    GROUP BY v"""
+    )
+    return "".join(parts)
+
+
+@query("customer_link_kcore", oracle=_kcore_oracle(2, 6))
+def customer_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the record-linkage graph (G3): iterative peeling of
+    degree<2 vertices isolates the cyclically-linked duplicate
+    communities from mere pairwise matches — per round one degree agg
+    + two semi-joins with per-round lineage truncation, early-exited
+    at the fixed point (result equals the oracle's fixed 6-round
+    unroll because peeling is monotone)."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        blocked_edit_distance_pairs,
+    )
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    pairs = blocked_edit_distance_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey", text_col="c_name",
+        block_expr="substring(c_name, 10, 8)", max_dist=1, max_block=200,
+    )
+    return kcore(pairs, k=2, rounds=6).select(
+        F.col("v").alias("c_custkey"), "core_degree"
+    )
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    kept AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s
+      JOIN (SELECT shingle FROM shingled
+            GROUP BY shingle HAVING count(*) <= {_NGRAM_MAX_DF}) ok
+      USING (shingle)
+    ),
+    ssizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM kept a JOIN kept b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN ssizes sa ON sa.doc_id = id_a
+      JOIN ssizes sb ON sb.doc_id = id_b
+      WHERE n_inter::DOUBLE / (sa.set_size + sb.set_size - n_inter) >= 0.2
+    ),
+    {_MINHASH_SIGS_SQL},
+    banded AS (
+      SELECT id, (seed // 2) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY id, (seed // 2)
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.id < b.id
+      GROUP BY 1, 2
+    ),
+    hit AS (SELECT t.* FROM truth t JOIN cand c USING (id_a, id_b))
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                ELSE round((SELECT count(*) FROM hit)::DOUBLE
+                           / (SELECT count(*) FROM truth), 6)
+           END AS recall
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-recall evaluation (L45): exact shingle-Jaccard
+    truth pairs vs banded MinHash-LSH candidates, with the recall
+    share — the acceptance gate for replacing the quadratic exact
+    pair search with LSH at corpus scale. Both sides are the engine's
+    own deterministic operators (same parameters as their standalone
+    suite queries), so every count is exact and cross-engine
+    reproducible."""
+    from isilon_hadoop_tools_spark.operators.dedup import lsh_recall_eval
+
+    return lsh_recall_eval(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, threshold=0.2, max_df=_NGRAM_MAX_DF, num_hashes=8, bands=4,
+    )
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

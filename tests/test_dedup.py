@@ -256,3 +256,24 @@ def test_winnow_arrow_and_hof_impls_identical(spark):
     assert arrow.exceptAll(hof).count() == 0
     assert hof.exceptAll(arrow).count() == 0
     assert arrow.count() > 0
+
+
+def test_lsh_recall_eval_identical_docs_full_recall(spark):
+    # three identical docs + one unrelated: every truth pair shares
+    # all minhashes, so LSH surfaces all of them -> recall 1.0
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(3)]
+    rows.append((9, "one two three four five six seven"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = dedup.lsh_recall_eval(
+        df, "text", "doc_id", k=3, threshold=0.5, max_df=None
+    ).collect()[0]
+    assert out["n_true"] == 3 and out["n_hit"] == 3
+    assert out["recall"] == 1.0
+
+
+def test_lsh_recall_eval_empty_truth(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "ee ff gg hh")], "doc_id LONG, text STRING"
+    )
+    out = dedup.lsh_recall_eval(df, "text", "doc_id", threshold=0.9).collect()[0]
+    assert out["n_true"] == 0 and out["recall"] == 1.0

@@ -189,3 +189,36 @@ def test_triangle_counts_known_graph(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     out = {r.v: r.n_triangles for r in triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_triangle_with_pendant(spark):
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    # triangle {1,2,3} + pendant 3-9: the 2-core is the triangle
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 9)], "id_a long, id_b long"
+    )
+    out = {r.v: r.core_degree for r in kcore(df, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_peels_to_empty(spark):
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    # a 10-chain has no 2-core; peeling strips one leaf layer per
+    # round (5 rounds needed — exercises multiple iterations)
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    assert kcore(df, k=2, rounds=10).count() == 0
+
+
+def test_kcore_k3_keeps_k4_drops_triangle(spark):
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    # K4 on {1..4} plus a triangle {10,11,12} bridged in: 3-core = K4
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (10, 11), (10, 12), (11, 12), (4, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.v: r.core_degree for r in kcore(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
