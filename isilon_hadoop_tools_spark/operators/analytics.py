@@ -604,3 +604,49 @@ def zscore_outliers(
         )
     )
     return out
+
+
+def mad_outliers(
+    events: DataFrame,
+    key: str = "event_type",
+    col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier stats via median absolute deviation — the
+    heavy-tail-safe twin of :func:`zscore_outliers` (mean/stddev are
+    themselves dragged by the outliers they're supposed to flag;
+    median/MAD have a 50% breakdown point). Flags rows whose modified
+    z-score ``0.6745·(x - median)/MAD`` exceeds ``threshold``
+    (Iglewicz–Hoaglin's 3.5 default).
+
+    Three passes over the fact (median agg → broadcast back for the
+    deviation median → broadcast back for the count), each a
+    map-side-partial aggregation plus an explicit broadcast of the
+    group-count-sized stats — never a per-group window. Exact medians
+    buffer each group (the oracle-checkable form); at unbounded group
+    sizes swap ``percentile`` for ``percentile_approx`` exactly as
+    :func:`grouped_quantiles_approx` does. Constant groups (MAD=0)
+    yield 0 outliers on both engines via the nullif guard.
+    """
+    med = events.groupBy(key).agg(
+        F.expr(f"percentile({col}, 0.5)").alias("_med"),
+    )
+    dev = events.join(F.broadcast(med), key)
+    stats = dev.groupBy(key).agg(
+        F.first("_med").alias("_med"),
+        F.expr(f"percentile(abs({col} - _med), 0.5)").alias("_mad"),
+    )
+    scored = events.join(F.broadcast(stats), key).withColumn(
+        "_rz",
+        F.lit(0.6745)
+        * (F.col(col) - F.col("_med"))
+        / F.nullif(F.col("_mad"), F.lit(0.0)),
+    )
+    return scored.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("_med"), 6).alias("median_value"),
+        F.round(F.max("_mad"), 6).alias("mad_value"),
+        F.sum(F.when(F.abs(F.col("_rz")) > threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+    )

@@ -808,3 +808,27 @@ def bm25_topk(
         F.round(F.sum("_s"), 6).alias("bm25"),
     )
     return agg.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Canonical text normalization pre-pass for dedup/token stats:
+    lowercase → strip non-alphanumerics (to spaces) → collapse runs of
+    whitespace → trim. Exact dedup over ``norm_text`` then collapses
+    case/punctuation/spacing variants that byte-level fingerprints
+    treat as distinct documents.
+
+    Stateless scan-bound projection (zero shuffles); both engines run
+    the identical regex chain, so the output is oracle-exact. Output:
+    ``id``, ``norm_text``, ``n_chars_raw``, ``n_chars_norm``.
+    """
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, " +", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        collapsed.alias("norm_text"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
+        F.length(collapsed).cast("long").alias("n_chars_norm"),
+    )

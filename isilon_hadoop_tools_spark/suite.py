@@ -6966,6 +6966,67 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_type_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS m
+      FROM events GROUP BY event_type
+    ),
+    mads AS (
+      SELECT e.event_type, any_value(m.m) AS m,
+             median(abs(e.value - m.m)) AS md
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           round(any_value(s.m), 6) AS median_value,
+           round(any_value(s.md), 6) AS mad_value,
+           sum(CASE WHEN abs(0.6745 * (e.value - s.m) / nullif(s.md, 0))
+                        > 3.5
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM events e JOIN mads s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_type_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier stats per event type (EA8b) — the
+    heavy-tail-safe twin of events_type_outliers: modified z-score
+    0.6745·(x−med)/MAD > 3.5 (Iglewicz–Hoaglin). Three map-side-
+    partial aggregations + broadcast stat joins, never a per-group
+    window; constant groups guard MAD=0 with nullif on both engines."""
+    from isilon_hadoop_tools_spark.operators.analytics import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value", threshold=3.5
+    )
+
+
+@query(
+    "doc_normalize_text",
+    oracle="""
+    SELECT doc_id AS id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text,
+           length(text)::BIGINT AS n_chars_raw,
+           length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')))::BIGINT AS n_chars_norm
+    FROM documents
+    """,
+)
+def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (L46): lowercase → strip
+    non-alphanumerics → collapse whitespace → trim, with before/after
+    char counts — the pre-pass that lets exact dedup collapse case/
+    punctuation/spacing variants. Stateless scan-bound projection,
+    zero shuffles; identical regex chain on both engines."""
+    from isilon_hadoop_tools_spark.operators.corpus import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

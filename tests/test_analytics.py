@@ -328,3 +328,16 @@ def test_table_checksum_order_and_partition_independent(spark):
     )
     cm = table_checksum(mutated, ["k", "s"]).collect()[0]
     assert cm.checksum != ca.checksum and cm.n_rows == ca.n_rows
+
+
+def test_mad_outliers_flags_extreme_robustly(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import mad_outliers
+
+    # 20 values near 10 plus one at 1000: median/MAD flags exactly the
+    # extreme (a mean/stddev z-score at 2.5 would be dragged by it)
+    rows = [("a", 10.0 + (i % 5) * 0.1) for i in range(20)] + [("a", 1000.0)]
+    rows += [("const", 7.0)] * 5  # constant group: MAD=0 -> 0 outliers
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.k: r for r in mad_outliers(df, "k", "v").collect()}
+    assert out["a"].n_outliers == 1 and out["a"].n == 21
+    assert out["const"].n_outliers == 0 and out["const"].mad_value == 0.0

@@ -348,3 +348,20 @@ def test_bm25_ranks_by_tf_and_length(spark):
     scores = {r.id: r.bm25 for r in out}
     assert scores[1] > scores[2]  # higher tf wins at equal length
     assert scores[3] > scores[2]  # shorter doc wins at equal tf
+
+
+def test_normalize_text_canonicalizes_variants(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "  HELLO--WORLD  "),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.id: r for r in normalize_text(df, "text", "doc_id").collect()}
+    # all three variants collapse to the same canonical form
+    assert out[1].norm_text == out[2].norm_text == out[3].norm_text == "hello world"
+    assert out[1].n_chars_raw == 15 and out[1].n_chars_norm == 11
