@@ -379,3 +379,80 @@ def extract_features_stub(
             yield pd.DataFrame({id_col: ids, "pos": poss, "fval": vals})
 
     return df.select(id_col, bin_col).mapInPandas(extract, schema)
+
+
+def decode_bmp_features(
+    df: DataFrame, bin_col: str, id_col: str
+) -> DataFrame:
+    """Third REAL codec (image, container-format flavor): genuine BMP
+    parsing — BITMAPFILEHEADER magic + data offset, BITMAPINFOHEADER
+    geometry (24-bit BI_RGB only), then the pixel array honoring the
+    two details every naive reader gets wrong: rows are stored
+    BOTTOM-UP and padded to 4-byte boundaries, pixels are BGR.
+
+    Output per image (all exact ints, oracle-checkable):
+    ``id, width, height, n_pixels, sum_r, sum_g, sum_b, top_left``
+    where ``top_left`` encodes the top-left pixel as r·65536 + g·256
+    + b — a wrong row flip or channel order flips it immediately.
+
+    Same Arrow ``mapInPandas`` contract as every codec stage: payload
+    bytes stay in the scan partition, one output row per image,
+    nothing shuffles. Malformed payloads (bad magic, non-24-bit,
+    compressed, truncated pixel array) raise instead of yielding
+    silent garbage.
+    """
+    schema = (
+        f"{id_col} LONG, width INT, height INT, n_pixels LONG, "
+        "sum_r LONG, sum_g LONG, sum_b LONG, top_left LONG"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def one(raw: bytes):
+            if raw[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            if len(raw) < 54:
+                raise ValueError("truncated BMP header")
+            (data_off,) = struct.unpack("<I", raw[10:14])
+            width, height = struct.unpack("<ii", raw[18:26])
+            (bpp,) = struct.unpack("<H", raw[28:30])
+            (comp,) = struct.unpack("<I", raw[30:34])
+            if bpp != 24 or comp != 0:
+                raise ValueError("only 24-bit BI_RGB supported")
+            if width <= 0 or height <= 0:
+                raise ValueError("top-down/degenerate BMP not supported")
+            stride = (width * 3 + 3) // 4 * 4
+            end = data_off + stride * height
+            if end > len(raw):
+                raise ValueError("pixel array exceeds payload")
+            arr = np.frombuffer(raw[data_off:end], dtype=np.uint8).reshape(
+                height, stride
+            )
+            # strip row padding, split BGR, flip bottom-up -> top-down
+            pix = arr[:, : width * 3].reshape(height, width, 3)[::-1]
+            b = pix[..., 0].astype(np.int64)
+            g = pix[..., 1].astype(np.int64)
+            r = pix[..., 2].astype(np.int64)
+            top_left = int(r[0, 0]) * 65536 + int(g[0, 0]) * 256 + int(b[0, 0])
+            return (
+                width, height, width * height,
+                int(r.sum()), int(g.sum()), int(b.sum()), top_left,
+            )
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "top_left",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

@@ -221,3 +221,33 @@ def cms_estimate(
         .groupBy(*key_cols)
         .agg(F.min("cnt").alias("est_n"))
     )
+
+
+def approx_distinct_certificate(
+    df: DataFrame, key: Column | str, col: Column | str, rsd: float = 0.05
+) -> DataFrame:
+    """Self-certifying gate for Spark's engine-internal HLL++
+    (``approx_count_distinct``): computes the estimate AND the exact
+    distinct count per group in one aggregation and states whether the
+    estimate landed within 4·rsd·n + 1 of truth (HLL++ standard error
+    is rsd·n; 4 sigma + 1 makes the certificate deterministic-stable).
+    The oracle asserts TRUE per group — the same contract-not-value
+    pattern as ``grouped_quantiles_approx``: DuckDB has no HLL++ twin
+    to value-match, but the error bound IS the operator's contract.
+
+    The deterministic md5-register HLL (`hll_registers`) remains the
+    cross-engine-exact sketch; this certifies the built-in one a
+    Spark-only deployment would reach for first.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    cc = F.col(col) if isinstance(col, str) else col
+    agg = df.groupBy(kc).agg(
+        F.approx_count_distinct(cc, rsd).alias("_a"),
+        F.count_distinct(cc).alias("n_exact"),
+    )
+    tol = F.lit(4.0 * rsd) * F.col("n_exact") + F.lit(1.0)
+    return agg.select(
+        key if isinstance(key, str) else kc,
+        "n_exact",
+        (F.abs(F.col("_a") - F.col("n_exact")) <= tol).alias("within_bound"),
+    )

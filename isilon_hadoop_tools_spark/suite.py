@@ -7027,6 +7027,133 @@ def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def _bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 24-bit BI_RGB BMP payloads as REAL binary: full
+    BITMAPFILEHEADER + BITMAPINFOHEADER, then the pixel array with the
+    format's two traps intact — bottom-up row order and 4-byte row
+    padding — and BGR channel order. Dimensions w = doc_id%5+2,
+    h = doc_id%3+2; channel formulas are linear in (doc_id, x, y) so
+    the oracle recomputes every feature analytically. Built entirely
+    with JVM expressions (hex/unhex), no UDF."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.pmod("doc_id", F.lit(5)) + F.lit(2)).cast("long")
+    h = (F.pmod("doc_id", F.lit(3)) + F.lit(2)).cast("long")
+    pad = F.pmod(F.lit(4) - F.pmod(w * 3, F.lit(4)), F.lit(4))
+    stride = w * 3 + pad
+    file_size = stride * h + F.lit(54)
+    ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "utf-8"))  # noqa: E731
+
+    def chan(val):
+        return F.lpad(F.hex(val), 2, "0")
+
+    def px_hex(x, y):
+        # stored BGR
+        return F.concat(
+            chan(F.pmod(F.col("doc_id") * 3 + x * 13 + y * 17, F.lit(256))),
+            chan(F.pmod(F.col("doc_id") * 2 + x * 5 + y * 11, F.lit(256))),
+            chan(F.pmod(F.col("doc_id") + x * 3 + y * 7, F.lit(256))),
+        )
+
+    pad_hex = F.lit("000000").substr(F.lit(1), (pad * 2).cast("int"))
+    body_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (h - 1).cast("int")),
+            lambda ystore: F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), (w - 1).cast("int")),
+                        lambda x: px_hex(
+                            x.cast("long"), h - 1 - ystore.cast("long")
+                        ),
+                    ),
+                    "",
+                ),
+                pad_hex,
+            ),
+        ),
+        "",
+    )
+    header_hex = F.concat(
+        ascii_hex("BM"), _le_hex(file_size, 4),
+        F.lit("00000000"),          # reserved
+        _le_hex(F.lit(54), 4),      # pixel data offset
+        _le_hex(F.lit(40), 4),      # BITMAPINFOHEADER size
+        _le_hex(w, 4), _le_hex(h, 4),
+        _le_hex(F.lit(1), 2),       # planes
+        _le_hex(F.lit(24), 2),      # bpp
+        _le_hex(F.lit(0), 4),       # BI_RGB
+        _le_hex(stride * h, 4),     # image size
+        _le_hex(F.lit(2835), 4), _le_hex(F.lit(2835), 4),  # ppm
+        _le_hex(F.lit(0), 4), _le_hex(F.lit(0), 4),  # colors used/important
+    )
+    payload = F.unhex(F.concat(header_hex, body_hex))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+@query(
+    "multimodal_bmp_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 5 + 2) AS w, (doc_id % 3 + 2) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM px
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           (w * h)::BIGINT AS n_pixels,
+           sum((doc_id + 3 * x + 7 * y) % 256)::BIGINT AS sum_r,
+           sum((doc_id * 2 + 5 * x + 11 * y) % 256)::BIGINT AS sum_g,
+           sum((doc_id * 3 + 13 * x + 17 * y) % 256)::BIGINT AS sum_b,
+           ((doc_id % 256) * 65536 + (doc_id * 2 % 256) * 256
+             + (doc_id * 3 % 256))::BIGINT AS top_left
+    FROM pxy GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL codec path (image container): canonical 24-bit
+    BI_RGB BMP payloads built as actual bytes, then
+    ``decode_bmp_features`` parses both headers and reads the pixel
+    array honoring bottom-up row order, 4-byte row padding, and BGR —
+    the oracle recomputes widths, per-channel sums, and the top-left
+    pixel analytically, so a wrong stride, row flip, or channel order
+    hash-fails immediately."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.decode_bmp_features(
+        _bmp_payload_df(spark, sf_dir), "payload", "doc_id"
+    )
+
+
+@query(
+    "events_approx_distinct_bound",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def events_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-certifying gate for the engine-internal HLL++
+    (approx_count_distinct, rsd=0.05): estimate and exact distinct
+    computed in one aggregation, certificate = |est − exact| within
+    4·rsd·n + 1. Same contract-not-value pattern as the approx
+    quantiles gate; the deterministic md5-register HLL remains the
+    cross-engine-exact sketch alongside it."""
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        approx_distinct_certificate,
+    )
+
+    return approx_distinct_certificate(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", rsd=0.05
+    )
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

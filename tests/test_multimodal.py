@@ -190,3 +190,61 @@ def test_wav_decoder_rejects_non_riff(spark):
     )
     with pytest.raises(PythonException, match="not a RIFF/WAVE payload"):
         decode_wav_features(df, "payload", "doc_id").collect()
+
+
+def _bmp_bytes(width, height, px):
+    """Hand-build a 24-bit BI_RGB BMP: px(x, y_top) -> (r, g, b)."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    body = b""
+    for ystore in range(height):
+        y = height - 1 - ystore
+        row = b""
+        for x in range(width):
+            r, g, b = px(x, y)
+            row += bytes([b, g, r])
+        body += row + b"\x00" * (stride - width * 3)
+    header = (
+        b"BM"
+        + struct.pack("<I", 54 + len(body))
+        + b"\x00" * 4
+        + struct.pack("<I", 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def test_decode_bmp_features_known_image(spark):
+    from isilon_hadoop_tools_spark.multimodal import decode_bmp_features
+
+    # 3x2, px value = 10*x + y per channel with distinct offsets:
+    # padding (3*3=9 -> stride 12) and the bottom-up flip both active
+    payload = _bmp_bytes(3, 2, lambda x, y: (10 * x + y, 100 + x, 200 + y))
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id LONG, payload BINARY")
+    r = decode_bmp_features(df, "payload", "doc_id").collect()[0]
+    assert (r.width, r.height, r.n_pixels) == (3, 2, 6)
+    assert r.sum_r == sum(10 * x + y for x in range(3) for y in range(2))
+    assert r.sum_g == sum(100 + x for x in range(3) for y in range(2))
+    assert r.sum_b == sum(200 + y for x in range(3) for y in range(2))
+    # top-left = (x=0, y_top=0): r=0, g=100, b=200 — proves the
+    # bottom-up flip and BGR channel order both happened
+    assert r.top_left == 0 * 65536 + 100 * 256 + 200
+
+
+def test_decode_bmp_features_rejects_malformed(spark):
+    import pytest
+    from pyspark.errors import PythonException
+
+    from isilon_hadoop_tools_spark.multimodal import decode_bmp_features
+
+    good = _bmp_bytes(2, 2, lambda x, y: (1, 2, 3))
+    bad_magic = b"XX" + good[2:]
+    truncated = good[:-4]  # pixel array shorter than stride*height
+    for payload in (bad_magic, truncated):
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id LONG, payload BINARY"
+        )
+        with pytest.raises(PythonException):
+            decode_bmp_features(df, "payload", "doc_id").collect()

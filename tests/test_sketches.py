@@ -138,3 +138,15 @@ def test_cms_merge_of_shards_identical_to_single_pass(spark):
         for r in cms_merge([cms_table(s, "u") for s in shards]).collect()
     }
     assert merged == direct  # exact, not approximate
+
+
+def test_approx_distinct_certificate_holds(spark):
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        approx_distinct_certificate,
+    )
+
+    rows = [("a", i % 137) for i in range(2000)] + [("b", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, u long")
+    out = {r.k: r for r in approx_distinct_certificate(df, "k", "u").collect()}
+    assert out["a"].n_exact == 137 and out["a"].within_bound
+    assert out["b"].n_exact == 50 and out["b"].within_bound
