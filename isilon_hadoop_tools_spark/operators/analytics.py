@@ -650,3 +650,87 @@ def mad_outliers(
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average for irregularly-sampled series: each
+    reading holds until the next one, so it is weighted by its holding
+    duration (the sensor/metrics semantics a plain AVG silently gets
+    wrong — a value held for an hour counts no more than one held a
+    second). The final reading has no successor and carries no weight.
+
+    One shuffle: the lead window hash-partitions on ``key`` and the
+    per-key aggregation reuses that partitioning (no second exchange).
+    Output: ``key``, ``n_intervals``, ``total_sec``, ``twa`` (null for
+    single-reading keys, via the nullif guard on both engines).
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    s = F.col(ts).cast("long")
+    stepped = events.select(
+        key,
+        s.alias("_s"),
+        F.col(col).alias("_v"),
+        F.lead(s).over(w).alias("_nxt"),
+    )
+    dt = F.col("_nxt") - F.col("_s")
+    return stepped.groupBy(key).agg(
+        F.count("_nxt").alias("n_intervals"),
+        F.sum(dt).alias("total_sec"),
+        F.round(
+            F.sum(F.col("_v") * dt) / F.nullif(F.sum(dt), F.lit(0)), 6
+        ).alias("twa"),
+    )
+
+
+def interval_union_length(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union length of (possibly overlapping) integer intervals per
+    key — the sweep-line classic behind "total active time",
+    SLA-uptime merging, and coverage measurement, where summing raw
+    durations double-counts every overlap.
+
+    Islands form where an interval starts after the running max of
+    all previous ends (touching intervals merge); island length =
+    max(end) − min(start). Everything runs on ONE key partitioning:
+    the window, the per-(key, island) rollup, and the per-key final
+    agg introduce no second exchange. Output: ``key``,
+    ``n_intervals``, ``n_islands``, ``union_len``.
+    """
+    w = Window.partitionBy(key).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.select(
+        key,
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.when(prev_max.isNull() | (F.col(start_col) > prev_max), 1)
+        .otherwise(0)
+        .alias("_new"),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            Window.partitionBy(key)
+            .orderBy("_s", "_e")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy(key, "_island").agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.max("_e") - F.min("_s")).alias("_len"),
+    )
+    return islands.groupBy(key).agg(
+        F.sum("_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("_len").cast("long").alias("union_len"),
+    )

@@ -7154,6 +7154,93 @@ def events_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_time_weighted_value",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT AS s, value,
+             lead(floor(epoch(ts))::BIGINT)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id, count(nxt) AS n_intervals,
+           sum(nxt - s)::BIGINT AS total_sec,
+           round(sum(value * (nxt - s)) / nullif(sum(nxt - s), 0), 6)
+             AS twa
+    FROM t GROUP BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (EA21): each reading holds
+    until the next, weighted by its holding duration — the
+    irregular-sampling semantics a plain AVG gets wrong. One shuffle
+    (the lead window's key partitioning is reused by the aggregation);
+    single-reading users yield null via the nullif guard on both
+    engines."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id"
+    )
+
+
+@query(
+    "events_active_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT AS s,
+             floor(epoch(ts))::BIGINT + floor(value * 10)::BIGINT AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id
+                      ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islanded AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ),
+    islands AS (
+      SELECT user_id, island, count(*) AS n, max(e) - min(s) AS len
+      FROM islanded GROUP BY user_id, island
+    )
+    SELECT user_id, sum(n)::BIGINT AS n_intervals,
+           count(*) AS n_islands, sum(len)::BIGINT AS union_len
+    FROM islands GROUP BY user_id
+    """,
+)
+def events_active_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union length of overlapping activity intervals (EA22,
+    sweep-line island merge): each event opens a value-scaled window
+    [ts, ts + 10·value sec]; summing raw durations double-counts
+    overlaps, the island rollup doesn't. Window + both rollups share
+    one key partitioning — a single exchange end-to-end."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        interval_union_length,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    iv = ev.select(
+        "user_id",
+        s.alias("start_s"),
+        (s + (F.col("value") * 10).cast("long")).alias("end_s"),
+    )
+    return interval_union_length(iv, "user_id", "start_s", "end_s")
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

@@ -341,3 +341,58 @@ def test_mad_outliers_flags_extreme_robustly(spark):
     out = {r.k: r for r in mad_outliers(df, "k", "v").collect()}
     assert out["a"].n_outliers == 1 and out["a"].n == 21
     assert out["const"].n_outliers == 0 and out["const"].mad_value == 0.0
+
+
+def test_time_weighted_avg_holds_until_next(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+
+    # value 10 held 30s, value 20 held 10s, last reading weightless:
+    # twa = (10*30 + 20*10) / 40 = 12.5
+    ev = _events(
+        spark,
+        [
+            (1, T0, 7, 10.0),
+            (2, T0 + dt.timedelta(seconds=30), 7, 20.0),
+            (3, T0 + dt.timedelta(seconds=40), 7, 999.0),
+            (4, T0, 8, 5.0),  # single reading: null twa
+        ],
+    )
+    out = {r.user_id: r for r in time_weighted_avg(ev).collect()}
+    assert out[7].n_intervals == 2 and out[7].total_sec == 40
+    assert out[7].twa == 12.5
+    assert out[8].n_intervals == 0 and out[8].twa is None
+
+
+def test_interval_union_merges_overlaps(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        interval_union_length,
+    )
+
+    rows = [
+        # key 1: [0,10] + [5,20] overlap -> one island len 20;
+        # [30,40] separate -> union 30, 2 islands
+        (1, 0, 10), (1, 5, 20), (1, 30, 40),
+        # key 2: touching intervals [0,10] + [10,15] merge
+        (2, 0, 10), (2, 10, 15),
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    out = {r.k: r for r in interval_union_length(df, "k", "s", "e").collect()}
+    assert (out[1].n_intervals, out[1].n_islands, out[1].union_len) == (3, 2, 30)
+    assert (out[2].n_intervals, out[2].n_islands, out[2].union_len) == (2, 1, 15)
+
+
+def test_interval_union_single_exchange(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        interval_union_length,
+    )
+
+    df = spark.createDataFrame([(1, 0, 10)], "k long, s long, e long")
+    plan = (
+        interval_union_length(df, "k", "s", "e")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
