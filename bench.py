@@ -75,6 +75,11 @@ HEADLINE = (
     "semantic_dedup_keep",
     "events_skew_report",
     "events_hll_merge_daily",
+    # round-7 new operator families
+    "customer_link_kcore",
+    "dedup_lsh_recall",
+    "multimodal_bmp_features",
+    "events_type_mad_outliers",
 )
 
 
