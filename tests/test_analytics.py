@@ -396,3 +396,29 @@ def test_interval_union_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_mad_outliers_broadcasts_stats(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import mad_outliers
+
+    ev = spark.createDataFrame(
+        [(1, _m(0), "a", 1.0), (2, _m(1), "a", 2.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    plan = mad_outliers(ev)._jdf.queryExecution().executedPlan().toString()
+    # both stat joins (median back onto the fact, then med+mad) must
+    # be explicit broadcasts — never a shuffle of the fact per pass
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+
+    ev = _events(spark, [(1, _m(0), 7, 1.0), (2, _m(1), 7, 2.0)])
+    plan = (
+        time_weighted_avg(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the lead window's key partitioning satisfies the groupBy
+    assert plan.count("Exchange") == 1, plan

@@ -248,3 +248,38 @@ def test_decode_bmp_features_rejects_malformed(spark):
         )
         with pytest.raises(PythonException):
             decode_bmp_features(df, "payload", "doc_id").collect()
+
+
+def test_binary_file_source_to_bmp_pipeline(spark, tmp_path):
+    """Multimodal ingest path: raw image files on disk read through
+    Spark's `binaryFile` source (path/length/content columns, the
+    100 TB object-store ingest shape) and decoded by the real BMP
+    codec — proves the source's binary `content` column feeds the
+    Arrow decode stage unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.multimodal import decode_bmp_features
+
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    for i in (3, 5):
+        payload = _bmp_bytes(i, 2, lambda x, y: (x + i, y, 7))
+        with open(os.path.join(d, f"img{i}.bmp"), "wb") as f:
+            f.write(payload)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"img(\d+)\.bmp", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+            "length",
+        )
+    )
+    out = {r.doc_id: r for r in decode_bmp_features(files, "payload", "doc_id").collect()}
+    assert out[3].width == 3 and out[5].width == 5
+    assert out[3].top_left == 3 * 65536 + 0 * 256 + 7  # px(0,0) = (3,0,7)
