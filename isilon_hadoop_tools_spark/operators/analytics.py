@@ -734,3 +734,44 @@ def interval_union_length(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("_len").cast("long").alias("union_len"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, buckets: int = 10
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: bucket edges at the
+    1/b .. (b-1)/b exact quantiles, each bucket holding ~n/b rows —
+    the skew-revealing complement of the fixed-edge equi-width form
+    (which collapses to one hot bin on heavy-tailed data).
+
+    Two scans, never a global sort: one aggregation computes all
+    b−1 edges (exact ``percentile``; swap ``percentile_approx`` for
+    unbounded inputs), the edges come back as b−1 driver-held doubles
+    baked into a literal comparison chain, and the second scan is a
+    map-side-partial aggregation on ≤ b keys — the global-``ntile``
+    formulation would funnel the entire table through one partition.
+    Edges are pre-rounded to 6 dp so the bucket function is identical
+    cross-engine. Rows equal to an edge go to the lower bucket
+    (``value > edge`` comparisons).
+
+    Output: ``bucket``, ``n``, ``lo``, ``hi`` (observed per-bucket
+    min/max, rounded).
+    """
+    probs = [i / buckets for i in range(1, buckets)]
+    edge_row = df.agg(
+        F.expr(
+            f"percentile({col}, array({', '.join(str(p) for p in probs)}))"
+        ).alias("_qs")
+    ).first()
+    edges = [round(float(v), 6) for v in edge_row["_qs"]]
+    bucket = F.lit(0).cast("long")
+    for e in edges:
+        bucket = bucket + F.when(F.col(col) > F.lit(e), 1).otherwise(0)
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(col), 6).alias("lo"),
+            F.round(F.max(col), 6).alias("hi"),
+        )
+    )

@@ -7241,6 +7241,39 @@ def events_active_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_union_length(iv, "user_id", "start_s", "end_s")
 
 
+@query(
+    "events_value_equidepth_hist",
+    oracle="""
+    WITH ed AS MATERIALIZED (
+      SELECT list_transform(
+               quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]),
+               q -> round(q, 6)) AS edges
+      FROM events
+    )
+    SELECT list_sum(list_transform(ed.edges,
+             e -> CASE WHEN value > e THEN 1 ELSE 0 END))::BIGINT
+             AS bucket,
+           count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM events, ed
+    GROUP BY 1
+    """,
+)
+def events_value_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (EA19b): decile edges from one exact-
+    quantile aggregation, baked back as a literal comparison chain for
+    a second map-side-partial scan on <= 10 keys — the skew-revealing
+    complement of the fixed-edge equi-width histogram, with no global
+    sort/ntile anywhere. Edges pre-rounded to 6 dp on both engines."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        equidepth_histogram,
+    )
+
+    return equidepth_histogram(_t(spark, sf_dir, "events"), "value", 10)
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

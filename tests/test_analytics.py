@@ -422,3 +422,23 @@ def test_time_weighted_avg_single_exchange(spark):
     )
     # the lead window's key partitioning satisfies the groupBy
     assert plan.count("Exchange") == 1, plan
+
+
+def test_equidepth_histogram_balanced_buckets(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        equidepth_histogram,
+    )
+
+    # heavy-tailed data: 900 small values + 100 huge ones — equi-depth
+    # buckets stay ~equal-sized where equi-width would collapse
+    rows = [(float(i % 90),) for i in range(900)]
+    rows += [(float(100000 + i),) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double")
+    out = equidepth_histogram(df, "v", 10).collect()
+    assert len(out) == 10
+    sizes = sorted(r.n for r in out)
+    assert sizes[0] >= 50 and sizes[-1] <= 200  # no collapsed/hot bucket
+    # buckets are ordered, non-overlapping ranges
+    by_b = sorted(out, key=lambda r: r.bucket)
+    for a, b in zip(by_b, by_b[1:]):
+        assert a.hi <= b.lo
