@@ -832,3 +832,50 @@ def normalize_text(
         F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
         F.length(collapsed).cast("long").alias("n_chars_norm"),
     )
+
+
+def temperature_mixture_plan(
+    df: DataFrame, text_col: str, source_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the mT5/XLM-R multilingual
+    recipe): sampling probability per source ∝ (token share)^alpha —
+    ``alpha`` < 1 flattens the distribution, upweighting low-resource
+    sources without collapsing to the uniform mix that equal-share
+    rebalancing (:func:`mixture_plan`) enforces; alpha = 1 reproduces
+    the raw corpus mix, alpha = 0 the uniform one.
+
+    Output per source: ``n_docs``, ``n_tokens``, ``p_raw`` (raw token
+    share), ``p_alpha`` (temperature-scaled probability), ``boost``
+    (p_alpha/p_raw — > 1 means the source is upweighted). Everything
+    rounded to 6 dp for cross-engine stability.
+
+    Same scale shape as the equal-share plan: one partial-aggregated
+    shuffle keyed by source; the normalization fold runs on the
+    source-count-sized table, broadcast back — never a second corpus
+    pass.
+    """
+    sized = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+    )
+    powed = sized.withColumn(
+        "_pw", F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    totals = powed.agg(
+        F.sum("n_tokens").alias("_tt"), F.sum("_pw").alias("_pt")
+    )
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tt"), 6).alias("p_raw"),
+            F.round(F.col("_pw") / F.col("_pt"), 6).alias("p_alpha"),
+            F.round(
+                (F.col("_pw") / F.col("_pt"))
+                / (F.col("n_tokens") / F.col("_tt")),
+                6,
+            ).alias("boost"),
+        )
+    )

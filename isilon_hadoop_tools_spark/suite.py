@@ -7274,6 +7274,104 @@ def events_value_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equidepth_histogram(_t(spark, sf_dir, "events"), "value", 10)
 
 
+@query(
+    "corpus_temperature_mixture",
+    oracle=r"""
+    WITH sized AS (
+      SELECT source, count(*) AS n_docs,
+             sum(length(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    powed AS (
+      SELECT *, pow(n_tokens::DOUBLE, 0.3) AS pw FROM sized
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS tt, sum(pw) AS pt FROM powed)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / tt, 6) AS p_raw,
+           round(pw / pt, 6) AS p_alpha,
+           round((pw / pt) / (n_tokens / tt), 6) AS boost
+    FROM powed CROSS JOIN tot
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan (L48, alpha=0.3 — the mT5/
+    XLM-R multilingual recipe): sampling probability ∝ token-share^α,
+    flattening the source distribution so low-resource sources are
+    upweighted without forcing the uniform mix; one source-keyed
+    partial agg + a broadcast normalization fold."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        temperature_mixture_plan,
+    )
+
+    return temperature_mixture_plan(
+        _t(spark, sf_dir, "documents"), "text", "source", alpha=0.3
+    )
+
+
+@query(
+    "dedup_component_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    kept AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s
+      JOIN (SELECT shingle FROM shingled
+            GROUP BY shingle HAVING count(*) <= {_NGRAM_MAX_DF}) ok
+      USING (shingle)
+    ),
+    csizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM kept a JOIN kept b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN csizes sa ON sa.doc_id = id_a
+      JOIN csizes sb ON sb.doc_id = id_b
+      WHERE n_inter::DOUBLE / (sa.set_size + sb.set_size - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc(id, keep_id) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, c.keep_id FROM cc c JOIN edges e ON e.src = c.id
+    ),
+    labels AS (SELECT id, min(keep_id) AS keep_id FROM cc GROUP BY id),
+    comps AS (SELECT keep_id, count(*) AS component_size
+              FROM labels GROUP BY keep_id)
+    SELECT component_size, count(*) AS n_components
+    FROM comps GROUP BY component_size
+    """,
+)
+def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component-size histogram: the dedup QA view that
+    answers "is the corpus mostly singletons, or did one giant
+    boilerplate component swallow it?" — composes the Jaccard pair
+    graph, connected components, and two tiny follow-up aggs (both on
+    already-bounded label tables)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.2, max_df=_NGRAM_MAX_DF
+    )
+    labels = dedup.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    comps = labels.groupBy("keep_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return comps.groupBy("component_size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

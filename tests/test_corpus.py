@@ -365,3 +365,36 @@ def test_normalize_text_canonicalizes_variants(spark):
     # all three variants collapse to the same canonical form
     assert out[1].norm_text == out[2].norm_text == out[3].norm_text == "hello world"
     assert out[1].n_chars_raw == 15 and out[1].n_chars_norm == 11
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        temperature_mixture_plan,
+    )
+
+    # 90/10 token split at alpha=0.3: the small source's sampling
+    # probability must rise above its raw share, the big one's fall
+    rows = [(i, "w " * 10, "big") for i in range(90)]
+    rows += [(100 + i, "w " * 10, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = {r.source: r for r in
+           temperature_mixture_plan(df, "text", "source", 0.3).collect()}
+    assert out["small"].p_alpha > out["small"].p_raw
+    assert out["big"].p_alpha < out["big"].p_raw
+    assert out["small"].boost > 1.0 > out["big"].boost
+    total = out["small"].p_alpha + out["big"].p_alpha
+    assert abs(total - 1.0) < 1e-5
+
+
+def test_temperature_mixture_alpha_one_is_raw_mix(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        temperature_mixture_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e", "y")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = temperature_mixture_plan(df, "text", "source", 1.0).collect()
+    for r in out:
+        assert r.p_alpha == r.p_raw and r.boost == 1.0
