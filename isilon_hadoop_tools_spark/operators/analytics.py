@@ -775,3 +775,60 @@ def equidepth_histogram(
             F.round(F.max(col), 6).alias("hi"),
         )
     )
+
+
+def ols_trend(
+    events: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    col: str = "value",
+) -> DataFrame:
+    """Per-key linear trend (OLS of value vs event time, in days):
+    slope / intercept / r² straight from the built-in regression
+    aggregates — the "is this metric drifting?" primitive. Time is
+    rescaled to days (epoch/86400) so the slope is value-units/day,
+    a well-conditioned magnitude for cross-engine rounding.
+
+    One map-side-partial aggregation per key; regression aggregates
+    are algebraic (sum/sum-of-products state), so they partial-merge
+    exactly like count/sum at 100 TB. Rounding (8/4/6 dp) absorbs the
+    last-ULP accumulation-order drift between engines.
+    Output: ``key``, ``n``, ``slope_per_day``, ``intercept``, ``r2``.
+    """
+    x = F.floor(F.col(ts).cast("long")) / F.lit(86400.0)
+    y = F.col(col)
+    return events.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(y, x), 8).alias("slope_per_day"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE scan —
+    the profiling companion to :func:`profile_table` (collinearity /
+    leakage screening before feature selection). All C(n,2)
+    correlations are computed in a single groupBy-less aggregation
+    (each an algebraic sum-of-products state with map-side partials)
+    and unpivoted driver-free with ``stack``.
+
+    Output: ``col_a``, ``col_b``, ``corr`` (6 dp, lexicographic
+    pairs).
+    """
+    pairs = [
+        (a, b)
+        for i, a in enumerate(columns)
+        for b in columns[i + 1 :]
+    ]
+    aggs = [
+        F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"{a}__{b}")
+        for a, b in pairs
+    ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, corr)"
+    )

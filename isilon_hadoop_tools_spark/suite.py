@@ -7372,6 +7372,61 @@ def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_value_trend",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(regr_slope(value, floor(epoch(ts)) / 86400.0), 8)
+             AS slope_per_day,
+           round(regr_intercept(value, floor(epoch(ts)) / 86400.0), 4)
+             AS intercept,
+           round(regr_r2(value, floor(epoch(ts)) / 86400.0), 6) AS r2
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS value trend (EA23): slope/intercept/r² from the
+    built-in regression aggregates (algebraic state, map-side
+    partials), time rescaled to days for well-conditioned rounding —
+    the metric-drift primitive."""
+    from isilon_hadoop_tools_spark.operators.analytics import ols_trend
+
+    return ols_trend(_t(spark, sf_dir, "events"), "event_type", "ts", "value")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "lineitem_corr_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT round(corr(l_quantity, l_extendedprice), 6) AS c01,
+             round(corr(l_quantity, l_discount), 6) AS c02,
+             round(corr(l_quantity, l_tax), 6) AS c03,
+             round(corr(l_extendedprice, l_discount), 6) AS c12,
+             round(corr(l_extendedprice, l_tax), 6) AS c13,
+             round(corr(l_discount, l_tax), 6) AS c23
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c01 AS corr FROM w
+    UNION ALL SELECT 'l_quantity', 'l_discount', c02 FROM w
+    UNION ALL SELECT 'l_quantity', 'l_tax', c03 FROM w
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', c12 FROM w
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', c13 FROM w
+    UNION ALL SELECT 'l_discount', 'l_tax', c23 FROM w
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numerics in ONE
+    scan (EA24): six algebraic corr states in a single groupBy-less
+    aggregation, stack-unpivoted to long format — the collinearity /
+    leakage screen before feature selection."""
+    from isilon_hadoop_tools_spark.operators.analytics import corr_matrix
+
+    return corr_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

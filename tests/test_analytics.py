@@ -442,3 +442,31 @@ def test_equidepth_histogram_balanced_buckets(spark):
     by_b = sorted(out, key=lambda r: r.bucket)
     for a, b in zip(by_b, by_b[1:]):
         assert a.hi <= b.lo
+
+
+def test_ols_trend_recovers_planted_slope(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import ols_trend
+
+    # perfect line: value = 2*day + 5 -> slope 2/day, r2 = 1
+    rows = [
+        (i, T0 + dt.timedelta(days=i), "a", 2.0 * i + 5.0) for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ols_trend(ev).collect()[0]
+    assert r.n == 10 and r.r2 == 1.0
+    assert abs(r.slope_per_day - 2.0) < 1e-6
+
+
+def test_corr_matrix_perfect_and_anti_correlation(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import corr_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i, -3.0 * i) for i in range(20)],
+        "a double, b double, c double",
+    )
+    out = {(r.col_a, r.col_b): r.corr for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
