@@ -456,3 +456,72 @@ def decode_bmp_features(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def bmp_ahash(
+    df: DataFrame, bin_col: str, id_col: str, grid: int = 6
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over REAL decoded
+    BMP pixels — the image near-dup primitive: nearest-neighbor
+    downsample to a ``grid``×``grid`` luminance mosaic, one bit per
+    cell = "brighter than the image mean", giving a ``grid²``-bit
+    fingerprint whose hamming distance survives resizing and small
+    edits. Feed the output to the same banded hamming-pair join the
+    SimHash path uses (`operators/dedup.py` `simhash_near_pairs`
+    shape) for image dedup at corpus scale.
+
+    Integer-exact cross-engine contract: cell luminance is the raw
+    channel sum r+g+b (no /3) at the sampled pixel
+    (gx·w // grid, gy·h // grid), and the mean threshold is the
+    division-free comparison ``grid²·gray > Σgray`` — no floats
+    anywhere, so the oracle reproduces every bit. Default grid=6
+    (36 bits) keeps the hash far from BIGINT's sign bit.
+
+    Output: ``id``, ``width``, ``height``, ``ahash``.
+    """
+    if grid * grid >= 63:
+        raise ValueError(f"grid {grid} overflows a signed-64 hash")
+    schema = f"{id_col} LONG, width INT, height INT, ahash LONG"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def one(raw: bytes):
+            if raw[:2] != b"BM" or len(raw) < 54:
+                raise ValueError("not a BMP payload")
+            (data_off,) = struct.unpack("<I", raw[10:14])
+            width, height = struct.unpack("<ii", raw[18:26])
+            (bpp,) = struct.unpack("<H", raw[28:30])
+            (comp,) = struct.unpack("<I", raw[30:34])
+            if bpp != 24 or comp != 0 or width <= 0 or height <= 0:
+                raise ValueError("only bottom-up 24-bit BI_RGB supported")
+            stride = (width * 3 + 3) // 4 * 4
+            if data_off + stride * height > len(raw):
+                raise ValueError("pixel array exceeds payload")
+            arr = np.frombuffer(
+                raw[data_off : data_off + stride * height], dtype=np.uint8
+            ).reshape(height, stride)
+            pix = arr[:, : width * 3].reshape(height, width, 3)[::-1]
+            gray = pix.astype(np.int64).sum(axis=2)  # r+g+b per pixel
+            gx = np.arange(grid) * width // grid
+            gy = np.arange(grid) * height // grid
+            cells = gray[np.ix_(gy, gx)]  # grid x grid mosaic
+            total = int(cells.sum())
+            bits = (grid * grid * cells > total).astype(np.int64)
+            weights = 1 << np.arange(
+                grid * grid, dtype=np.int64
+            ).reshape(grid, grid)
+            return width, height, int((bits * weights).sum())
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "ahash"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

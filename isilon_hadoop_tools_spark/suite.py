@@ -7427,6 +7427,53 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
 
 
+@query(
+    "multimodal_bmp_ahash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 5 + 2) AS w, (doc_id % 3 + 2) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, 35)) AS i
+      FROM dims
+    ),
+    sampled AS (
+      SELECT doc_id, w, h, i,
+             ((i % 6) * w) // 6 AS sx, ((i // 6) * h) // 6 AS sy
+      FROM cells
+    ),
+    gray AS (
+      SELECT doc_id, w, h, i,
+             (doc_id + 3 * sx + 7 * sy) % 256
+               + (doc_id * 2 + 5 * sx + 11 * sy) % 256
+               + (doc_id * 3 + 13 * sx + 17 * sy) % 256 AS gv
+      FROM sampled
+    ),
+    tot AS (
+      SELECT doc_id, sum(gv) AS total FROM gray GROUP BY doc_id
+    )
+    SELECT g.doc_id, any_value(g.w)::INT AS width,
+           any_value(g.h)::INT AS height,
+           sum(CASE WHEN 36 * g.gv > t.total
+                    THEN (1::BIGINT << g.i) ELSE 0 END)::BIGINT AS ahash
+    FROM gray g JOIN tot t USING (doc_id)
+    GROUP BY g.doc_id
+    """,
+)
+def multimodal_bmp_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprint (aHash) over the REAL BMP decode
+    path: 6x6 nearest-neighbor luminance mosaic, division-free mean
+    threshold (36·gray > Σgray keeps every bit integer-exact
+    cross-engine) — the image near-dup primitive whose hamming
+    distance feeds the same banded pair join the SimHash text path
+    uses. The oracle recomputes all 36 bits analytically from the
+    pixel generator."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.bmp_ahash(_bmp_payload_df(spark, sf_dir), "payload", "doc_id")
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

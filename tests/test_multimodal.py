@@ -283,3 +283,35 @@ def test_binary_file_source_to_bmp_pipeline(spark, tmp_path):
     out = {r.doc_id: r for r in decode_bmp_features(files, "payload", "doc_id").collect()}
     assert out[3].width == 3 and out[5].width == 5
     assert out[3].top_left == 3 * 65536 + 0 * 256 + 7  # px(0,0) = (3,0,7)
+
+
+def test_bmp_ahash_identical_images_same_hash(spark):
+    from isilon_hadoop_tools_spark.multimodal import bmp_ahash
+
+    # identical images share the hash; a brightness-inverted image
+    # flips (most of) it; a uniform image has hash 0 (no cell above
+    # the mean)
+    img = _bmp_bytes(8, 8, lambda x, y: (30 * ((x + y) % 2),) * 3)
+    inv = _bmp_bytes(8, 8, lambda x, y: (30 * ((x + y + 1) % 2),) * 3)
+    flat = _bmp_bytes(8, 8, lambda x, y: (50, 50, 50))
+    df = spark.createDataFrame(
+        [(1, bytearray(img)), (2, bytearray(img)),
+         (3, bytearray(inv)), (4, bytearray(flat))],
+        "doc_id LONG, payload BINARY",
+    )
+    out = {r.doc_id: r.ahash for r in bmp_ahash(df, "payload", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert out[4] == 0
+    # checkerboard vs inverted checkerboard: every sampled bit flips
+    assert out[1] ^ out[3] == (1 << 36) - 1
+
+
+def test_bmp_ahash_rejects_grid_overflow(spark):
+    import pytest
+
+    from isilon_hadoop_tools_spark.multimodal import bmp_ahash
+
+    df = spark.createDataFrame([(1, bytearray(b"BM"))], "doc_id LONG, payload BINARY")
+    with pytest.raises(ValueError):
+        bmp_ahash(df, "payload", "doc_id", grid=8)
