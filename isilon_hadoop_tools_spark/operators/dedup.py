@@ -268,31 +268,55 @@ def simhash_near_pairs(
     construction*, and the full cross product never materializes.
     Output: ``id_a``, ``id_b``, ``hamming``.
     """
-    if max_hamming >= bands:
-        raise ValueError("completeness requires max_hamming < bands")
-    band_bits = bits // bands
     # lazy localCheckpoint: the fingerprint table feeds both sides of
     # the band self-join, whose per-side pushdowns defeat
     # ReusedExchange — without it the whole token-vote aggregation runs
     # twice. One (id, simhash) row per document — corpus-key sized.
     sims = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
+    return hamming_band_pairs(
+        sims, "simhash", "id", bits=bits, max_hamming=max_hamming, bands=bands
+    )
+
+
+def hamming_band_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Generic pigeonhole band join over ANY precomputed bit-hash
+    column (SimHash text fingerprints, aHash image fingerprints, …):
+    <= ``max_hamming`` flipped bits dirty at most ``max_hamming`` of
+    the ``bands`` equal bit-slices, so any qualifying pair agrees on
+    >= 1 slice whenever ``max_hamming < bands`` — candidate generation
+    is an equi-join on (band_idx, band_val), complete by construction,
+    no cross product. Output: ``id_a``, ``id_b``, ``hamming``.
+    """
+    if max_hamming >= bands:
+        raise ValueError("completeness requires max_hamming < bands")
+    band_bits = bits // bands
+    src = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("_hash")
+    )
     slices = F.array(
         *[
             (
-                F.floor(F.col("simhash") / F.lit(2 ** (band_bits * j)))
+                F.floor(F.col("_hash") / F.lit(2 ** (band_bits * j)))
                 % F.lit(2**band_bits)
             ).cast("long")
             for j in range(bands)
         ]
     )
-    banded = sims.select(
-        "id", "simhash", F.posexplode(slices).alias("band_idx", "band_val")
+    banded = src.select(
+        "id", "_hash", F.posexplode(slices).alias("band_idx", "band_val")
     )
     a = banded.select(
-        "band_idx", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("ha")
+        "band_idx", "band_val", F.col("id").alias("id_a"), F.col("_hash").alias("ha")
     )
     b = banded.select(
-        "band_idx", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("hb")
+        "band_idx", "band_val", F.col("id").alias("id_b"), F.col("_hash").alias("hb")
     )
     return (
         a.join(b, ["band_idx", "band_val"])

@@ -7027,17 +7027,25 @@ def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bmp_payload_df(
+    spark: SparkSession, sf_dir: str, base_mod: int | None = None
+) -> DataFrame:
     """Per-document 24-bit BI_RGB BMP payloads as REAL binary: full
     BITMAPFILEHEADER + BITMAPINFOHEADER, then the pixel array with the
     format's two traps intact — bottom-up row order and 4-byte row
-    padding — and BGR channel order. Dimensions w = doc_id%5+2,
-    h = doc_id%3+2; channel formulas are linear in (doc_id, x, y) so
-    the oracle recomputes every feature analytically. Built entirely
-    with JVM expressions (hex/unhex), no UDF."""
+    padding — and BGR channel order. Dimensions w = base%5+2,
+    h = base%3+2; channel formulas are linear in (base, x, y) so the
+    oracle recomputes every feature analytically. ``base`` is doc_id,
+    or doc_id % base_mod when set — the duplicate-image knob: docs
+    sharing a base get BYTE-IDENTICAL images (the image-dedup
+    fixture). Built entirely with JVM expressions (hex/unhex), no
+    UDF."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    w = (F.pmod("doc_id", F.lit(5)) + F.lit(2)).cast("long")
-    h = (F.pmod("doc_id", F.lit(3)) + F.lit(2)).cast("long")
+    base = (
+        F.pmod("doc_id", F.lit(base_mod)) if base_mod else F.col("doc_id")
+    ).cast("long")
+    w = (F.pmod(base, F.lit(5)) + F.lit(2)).cast("long")
+    h = (F.pmod(base, F.lit(3)) + F.lit(2)).cast("long")
     pad = F.pmod(F.lit(4) - F.pmod(w * 3, F.lit(4)), F.lit(4))
     stride = w * 3 + pad
     file_size = stride * h + F.lit(54)
@@ -7049,9 +7057,9 @@ def _bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     def px_hex(x, y):
         # stored BGR
         return F.concat(
-            chan(F.pmod(F.col("doc_id") * 3 + x * 13 + y * 17, F.lit(256))),
-            chan(F.pmod(F.col("doc_id") * 2 + x * 5 + y * 11, F.lit(256))),
-            chan(F.pmod(F.col("doc_id") + x * 3 + y * 7, F.lit(256))),
+            chan(F.pmod(base * 3 + x * 13 + y * 17, F.lit(256))),
+            chan(F.pmod(base * 2 + x * 5 + y * 11, F.lit(256))),
+            chan(F.pmod(base + x * 3 + y * 7, F.lit(256))),
         )
 
     pad_hex = F.lit("000000").substr(F.lit(1), (pad * 2).cast("int"))
@@ -7472,6 +7480,63 @@ def multimodal_bmp_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark import multimodal as M
 
     return M.bmp_ahash(_bmp_payload_df(spark, sf_dir), "payload", "doc_id")
+
+
+@query(
+    "multimodal_image_near_dups",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 200 AS base,
+             (doc_id % 200 % 5 + 2) AS w, (doc_id % 200 % 3 + 2) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, base, w, h, unnest(generate_series(0, 35)) AS i
+      FROM dims
+    ),
+    sampled AS (
+      SELECT doc_id, base, i,
+             ((i % 6) * w) // 6 AS sx, ((i // 6) * h) // 6 AS sy
+      FROM cells
+    ),
+    gray AS (
+      SELECT doc_id, i,
+             (base + 3 * sx + 7 * sy) % 256
+               + (base * 2 + 5 * sx + 11 * sy) % 256
+               + (base * 3 + 13 * sx + 17 * sy) % 256 AS gv
+      FROM sampled
+    ),
+    tot AS (SELECT doc_id, sum(gv) AS total FROM gray GROUP BY doc_id),
+    hashes AS (
+      SELECT g.doc_id,
+             sum(CASE WHEN 36 * g.gv > t.total
+                      THEN (1::BIGINT << g.i) ELSE 0 END)::BIGINT AS ahash
+      FROM gray g JOIN tot t USING (doc_id) GROUP BY g.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+    """,
+)
+def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image dedup (the image twin of the SimHash text
+    path): byte-real BMP payloads (doc_id % 200 base — duplicate
+    images planted by construction) → real decode + aHash → generic
+    pigeonhole band join (36 bits, 6 bands, hamming <= 4 < bands so
+    candidate generation is complete). The oracle brute-forces ALL
+    <= 4-hamming pairs, so a single pair missed by the banding — or a
+    single wrong fingerprint bit — hash-fails."""
+    from isilon_hadoop_tools_spark import multimodal as M
+    from isilon_hadoop_tools_spark.operators.dedup import hamming_band_pairs
+
+    hashes = M.bmp_ahash(
+        _bmp_payload_df(spark, sf_dir, base_mod=200), "payload", "doc_id"
+    )
+    return hamming_band_pairs(
+        hashes.select("doc_id", "ahash"), "ahash", "doc_id",
+        bits=36, max_hamming=4, bands=6,
+    )
 
 
 # Historical driver-green sets, kept only as the ordering fallback for

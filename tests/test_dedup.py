@@ -277,3 +277,23 @@ def test_lsh_recall_eval_empty_truth(spark):
     )
     out = dedup.lsh_recall_eval(df, "text", "doc_id", threshold=0.9).collect()[0]
     assert out["n_true"] == 0 and out["recall"] == 1.0
+
+
+def test_hamming_band_pairs_generic_hash_column(spark):
+    # generic band join over a precomputed hash column: 0b0001 vs
+    # 0b0011 differ by 1 bit -> pair; 0xFF0 is far from both
+    df = spark.createDataFrame(
+        [(1, 0b0001), (2, 0b0011), (3, 0xFF0)], "id LONG, h LONG"
+    )
+    out = dedup.hamming_band_pairs(
+        df, "h", "id", bits=12, max_hamming=2, bands=4
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 1)]
+
+
+def test_hamming_band_pairs_rejects_incomplete_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 0)], "id LONG, h LONG")
+    with pytest.raises(ValueError):
+        dedup.hamming_band_pairs(df, "h", "id", bits=12, max_hamming=4, bands=4)
