@@ -7539,6 +7539,52 @@ def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_bmp_dhash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 5 + 2) AS w, (doc_id % 3 + 2) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, 35)) AS i
+      FROM dims
+    ),
+    sampled AS (
+      SELECT doc_id, i,
+             ((i % 6) * w) // 7 AS sxl, (((i % 6) + 1) * w) // 7 AS sxr,
+             ((i // 6) * h) // 6 AS sy
+      FROM cells
+    ),
+    grays AS (
+      SELECT doc_id, i,
+             (doc_id + 3 * sxl + 7 * sy) % 256
+               + (doc_id * 2 + 5 * sxl + 11 * sy) % 256
+               + (doc_id * 3 + 13 * sxl + 17 * sy) % 256 AS gl,
+             (doc_id + 3 * sxr + 7 * sy) % 256
+               + (doc_id * 2 + 5 * sxr + 11 * sy) % 256
+               + (doc_id * 3 + 13 * sxr + 17 * sy) % 256 AS gr
+      FROM sampled
+    )
+    SELECT g.doc_id, any_value(d.w)::INT AS width,
+           any_value(d.h)::INT AS height,
+           sum(CASE WHEN g.gr > g.gl
+                    THEN (1::BIGINT << g.i) ELSE 0 END)::BIGINT AS dhash
+    FROM grays g JOIN dims d USING (doc_id)
+    GROUP BY g.doc_id
+    """,
+)
+def multimodal_bmp_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash perceptual fingerprint (L16b's gradient
+    sibling) over the REAL BMP decode: bit = right-neighbor mosaic
+    cell strictly brighter — edge structure instead of absolute
+    brightness, so global exposure shifts don't flip the hash. All 36
+    bits recomputed analytically by the oracle."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.bmp_dhash(_bmp_payload_df(spark, sf_dir), "payload", "doc_id")
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

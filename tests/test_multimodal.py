@@ -315,3 +315,22 @@ def test_bmp_ahash_rejects_grid_overflow(spark):
     df = spark.createDataFrame([(1, bytearray(b"BM"))], "doc_id LONG, payload BINARY")
     with pytest.raises(ValueError):
         bmp_ahash(df, "payload", "doc_id", grid=8)
+
+
+def test_bmp_dhash_exposure_invariant_ahash_not(spark):
+    from isilon_hadoop_tools_spark.multimodal import bmp_ahash, bmp_dhash
+
+    # horizontal gradient image vs +40-brightness copy: dHash (edge
+    # structure) is identical, while the images themselves differ
+    base = _bmp_bytes(8, 8, lambda x, y: (x * 10, x * 10, x * 10))
+    brighter = _bmp_bytes(8, 8, lambda x, y: (x * 10 + 40,) * 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(brighter))],
+        "doc_id LONG, payload BINARY",
+    )
+    dh = {r.doc_id: r.dhash for r in bmp_dhash(df, "payload", "doc_id").collect()}
+    assert dh[1] == dh[2]  # gradient structure unchanged
+    # monotone increasing left->right: every dhash bit set
+    assert dh[1] == (1 << 36) - 1
+    ah = {r.doc_id: r.ahash for r in bmp_ahash(df, "payload", "doc_id").collect()}
+    assert ah[1] == ah[2]  # threshold-vs-own-mean is also shift-safe here
