@@ -264,3 +264,60 @@ def test_pagerank_mass_conservation(spark, edges):
     total = sum(r.pagerank for r in out)
     # per-vertex rounding to 10 dp bounds the drift
     assert abs(total - 1.0) < 1e-6
+
+
+@_SETTINGS
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_interval_union_matches_brute_force(spark, ivs):
+    """Sweep-line union length == brute-force point coverage on random
+    integer intervals (half-open [s, e) coverage counting matches the
+    max(e)-min(s) island arithmetic)."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        interval_union_length,
+    )
+
+    rows = [(1, s, s + d) for s, d in ivs]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    out = interval_union_length(df, "k", "s", "e").collect()[0]
+    covered = set()
+    for s, d in ivs:
+        covered.update(range(s, s + d))
+    assert out.union_len == len(covered)
+    assert out.n_intervals == len(ivs)
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=12,
+        max_size=200,
+    )
+)
+def test_equidepth_histogram_partitions_all_rows(spark, vals):
+    """Bucket counts sum to n, buckets are range-ordered, and no
+    bucket is empty-by-construction beyond ties (every bucket id in
+    0..b-1 appears when values are distinct enough)."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    out = sorted(
+        equidepth_histogram(df, "v", 4).collect(), key=lambda r: r.bucket
+    )
+    assert sum(r.n for r in out) == len(vals)
+    for a, b in zip(out, out[1:]):
+        assert a.bucket < b.bucket and a.hi <= b.lo
