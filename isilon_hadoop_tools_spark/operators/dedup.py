@@ -216,6 +216,14 @@ def minhash_lsh_pairs(
     ``num_hashes // bands`` rows; documents agreeing on all rows of
     any band become a candidate pair. Output: ``id_a``, ``id_b``,
     ``n_bands`` (number of agreeing bands).
+
+    PRECONDITION: run :func:`exact_dedup` upstream (as
+    ``curation_funnel`` sequences). Byte-identical documents produce
+    identical signatures, so every band of an N-copy group is an
+    N-row bucket and the self-join emits all C(N,2) pairs x bands —
+    exact duplicates must be collapsed to one representative before
+    LSH, which exists to find the NEAR duplicates exact hashing
+    cannot.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
@@ -285,6 +293,7 @@ def hamming_band_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    expand_duplicates: bool = True,
 ) -> DataFrame:
     """Generic pigeonhole band join over ANY precomputed bit-hash
     column (SimHash text fingerprints, aHash image fingerprints, …):
@@ -292,13 +301,42 @@ def hamming_band_pairs(
     the ``bands`` equal bit-slices, so any qualifying pair agrees on
     >= 1 slice whenever ``max_hamming < bands`` — candidate generation
     is an equi-join on (band_idx, band_val), complete by construction,
-    no cross product. Output: ``id_a``, ``id_b``, ``hamming``.
+    no cross product.
+
+    Identical fingerprints are collapsed BEFORE the band self-join:
+    the join runs over one min-id representative per DISTINCT hash
+    value, so a boilerplate doc/image duplicated 10^6 times
+    contributes ONE row to every band bucket instead of 10^6 — the
+    band join stays O(distinct²) per bucket regardless of the
+    duplicate multiplicity (the former data-dependent quadratic).
+
+    - ``expand_duplicates=True`` (default): pairs are re-expanded to
+      member ids after the (cheap) representative join — same output
+      contract as always: ``id_a``, ``id_b``, ``hamming`` with
+      ``id_a < id_b``, one row per qualifying id pair. Intra-group
+      (hamming 0) pairs are emitted by a direct equi-join on the hash
+      value, never through the band buckets. Output size is the
+      answer size; nothing upstream of it is quadratic in n.
+    - ``expand_duplicates=False``: the scale form — one row per
+      qualifying DISTINCT-hash pair ``(id_a, id_b, hamming, n_a,
+      n_b)`` where ids are the group representatives and ``n_*`` the
+      group sizes, plus one ``(rep, rep, 0, n, n)`` row per hash with
+      >= 2 members. O(distinct²) rows total even when the full pair
+      expansion would be O(n²).
     """
     if max_hamming >= bands:
         raise ValueError("completeness requires max_hamming < bands")
     band_bits = bits // bands
+    # lazy localCheckpoint: the (id, hash) projection feeds the group
+    # table plus up to three expansion joins; hash columns are often
+    # mapInPandas-computed (image hashes) and must not recompute
     src = hashes.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("_hash")
+    ).localCheckpoint(eager=False)
+    groups = (
+        src.groupBy("_hash")
+        .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("n_ids"))
+        .localCheckpoint(eager=False)
     )
     slices = F.array(
         *[
@@ -309,27 +347,86 @@ def hamming_band_pairs(
             for j in range(bands)
         ]
     )
-    banded = src.select(
-        "id", "_hash", F.posexplode(slices).alias("band_idx", "band_val")
+    banded = groups.select(
+        "rep", "_hash", F.posexplode(slices).alias("band_idx", "band_val")
     )
     a = banded.select(
-        "band_idx", "band_val", F.col("id").alias("id_a"), F.col("_hash").alias("ha")
+        "band_idx",
+        "band_val",
+        F.col("rep").alias("rep_a"),
+        F.col("_hash").alias("ha"),
     )
     b = banded.select(
-        "band_idx", "band_val", F.col("id").alias("id_b"), F.col("_hash").alias("hb")
+        "band_idx",
+        "band_val",
+        F.col("rep").alias("rep_b"),
+        F.col("_hash").alias("hb"),
     )
-    return (
+    rep_pairs = (
         a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .groupBy("rep_a", "rep_b")
         .agg(F.first("ha").alias("ha"), F.first("hb").alias("hb"))
         .select(
-            "id_a",
-            "id_b",
+            "rep_a",
+            "rep_b",
+            "ha",
+            "hb",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    if not expand_duplicates:
+        sizes = groups.select("rep", "n_ids")
+        cross = (
+            rep_pairs.join(
+                sizes.select(F.col("rep").alias("rep_a"), F.col("n_ids").alias("n_a")),
+                "rep_a",
+            )
+            .join(
+                sizes.select(F.col("rep").alias("rep_b"), F.col("n_ids").alias("n_b")),
+                "rep_b",
+            )
+            .select(
+                F.col("rep_a").alias("id_a"),
+                F.col("rep_b").alias("id_b"),
+                "hamming",
+                "n_a",
+                "n_b",
+            )
+        )
+        intra = groups.filter(F.col("n_ids") >= 2).select(
+            F.col("rep").alias("id_a"),
+            F.col("rep").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+            F.col("n_ids").alias("n_a"),
+            F.col("n_ids").alias("n_b"),
+        )
+        return cross.unionByName(intra)
+    # expand representative pairs back to member ids: each unordered
+    # hash pair appears exactly once in rep_pairs and each id has
+    # exactly one hash, so the expansion needs no pair dedup
+    cross = (
+        rep_pairs.join(
+            src.select(F.col("_hash").alias("ha"), F.col("id").alias("_ida")), "ha"
+        )
+        .join(src.select(F.col("_hash").alias("hb"), F.col("id").alias("_idb")), "hb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    # intra-group (identical-hash) pairs: straight equi-join on the
+    # hash value — output-bound, never multiplied through the bands
+    ga = src.select("_hash", F.col("id").alias("id_a"))
+    gb = src.select("_hash", F.col("id").alias("id_b"))
+    intra = (
+        ga.join(gb, "_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 def connected_components(

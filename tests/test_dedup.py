@@ -297,3 +297,68 @@ def test_hamming_band_pairs_rejects_incomplete_params(spark):
     df = spark.createDataFrame([(1, 0)], "id LONG, h LONG")
     with pytest.raises(ValueError):
         dedup.hamming_band_pairs(df, "h", "id", bits=12, max_hamming=4, bands=4)
+
+
+def test_hamming_band_pairs_expansion_matches_bruteforce(spark):
+    # duplicates + near hashes + far hashes: the rep-collapsed band
+    # join re-expanded to member ids must equal the brute-force answer
+    rows = [
+        (1, 0b0001),
+        (2, 0b0001),  # dup of 1
+        (7, 0b0001),  # second dup, non-adjacent id
+        (3, 0b0011),  # hamming 1 from the dup group
+        (4, 0b0111),  # hamming 1 from 3, 2 from the group
+        (5, 0xFF0),   # far
+        (6, 0xFF0),   # dup of 5, far from everything else
+    ]
+    df = spark.createDataFrame(rows, "id LONG, h LONG")
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.hamming_band_pairs(
+            df, "h", "id", bits=12, max_hamming=2, bands=4
+        ).collect()
+    }
+    want = {}
+    for i, (ia, ha) in enumerate(rows):
+        for ib, hb in rows[i + 1:]:
+            d = bin(ha ^ hb).count("1")
+            if d <= 2:
+                want[(min(ia, ib), max(ia, ib))] = d
+    assert out == want
+    assert out[(1, 2)] == 0 and out[(1, 7)] == 0 and out[(2, 7)] == 0
+    assert out[(5, 6)] == 0 and (1, 3) in out
+
+
+def test_hamming_band_pairs_planted_dup_stays_distinct_quadratic(spark):
+    # one hash duplicated 10k x plus 50 distinct hashes: the scale
+    # (non-expanded) form must stay O(distinct^2) — the band join runs
+    # over 51 representative rows, never the 10k members
+    n_dups, hot = 10_000, 0b1010_1010
+    rows = [(i, hot) for i in range(n_dups)]
+    rows += [(100_000 + j, 0x10000 + (j << 5)) for j in range(50)]
+    df = spark.createDataFrame(rows, "id LONG, h LONG")
+    out = dedup.hamming_band_pairs(
+        df, "h", "id", bits=32, max_hamming=3, bands=4, expand_duplicates=False
+    ).collect()
+    # 51 distinct hashes -> at most C(51,2) cross rows + 1 intra row
+    assert len(out) <= 51 * 50 // 2 + 1
+    intra = [r for r in out if r.id_a == r.id_b]
+    assert len(intra) == 1
+    assert intra[0].id_a == 0  # min-id representative of the hot group
+    assert intra[0].hamming == 0
+    assert intra[0].n_a == n_dups and intra[0].n_b == n_dups
+
+
+def test_hamming_band_pairs_expanded_dup_group_complete(spark):
+    # expanded mode on a 200-copy group + 1 near hash: all C(200,2)
+    # intra pairs plus 200 cross pairs, each exactly once
+    n = 200
+    rows = [(i, 0b0001) for i in range(n)] + [(999, 0b0011)]
+    df = spark.createDataFrame(rows, "id LONG, h LONG")
+    out = dedup.hamming_band_pairs(df, "h", "id", bits=12, max_hamming=2, bands=4)
+    agg = out.groupBy("hamming").count().collect()
+    by_h = {r["hamming"]: r["count"] for r in agg}
+    assert by_h[0] == n * (n - 1) // 2
+    assert by_h[1] == n
+    # no pair appears twice
+    assert out.count() == out.select("id_a", "id_b").distinct().count()
