@@ -168,7 +168,14 @@ def oriented_wedges(
     rank(x) < rank(y) < rank(z); closing each with oriented edge
     (y, z) yields every triangle exactly once.
     """
-    e = (
+    e = _canonical_edges(pairs, a_col, b_col)
+    return _oriented_wedges_from_edges(e)
+
+
+def _canonical_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Canonical undirected edge table (min-id ``src``, max-id
+    ``dst``), self-loops dropped, deduped."""
+    return (
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("src"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
@@ -176,6 +183,13 @@ def oriented_wedges(
         .filter(F.col("src") < F.col("dst"))
         .distinct()
     )
+
+
+def _oriented_wedges_from_edges(e: DataFrame) -> DataFrame:
+    """Wedge enumeration over a pre-canonicalized edge table — lets
+    ``triangle_counts`` canonicalize (and checkpoint) ONCE and close
+    wedges against the same table instead of re-scanning + re-deduping
+    the raw pair input per consumer."""
     deg = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
@@ -242,15 +256,11 @@ def triangle_counts(
 
     Output: ``v``, ``n_triangles`` (vertices in >= 1 triangle).
     """
-    wedges = oriented_wedges(pairs, a_col, b_col)
-    e = (
-        pairs.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("src"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
-        )
-        .filter(F.col("src") < F.col("dst"))
-        .distinct()
-    )
+    # canonicalize once; the lazy localCheckpoint keeps the deduped
+    # edge table from being rebuilt by each of its two consumers
+    # (the wedge builder and the closing join)
+    e = _canonical_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    wedges = _oriented_wedges_from_edges(e)
     # close the wedge with the undirected edge {y, z}; the wedge
     # filter already fixed rank(y) < rank(z) but the canonical edge
     # table is keyed (min-id, max-id), so match either id order
@@ -275,25 +285,39 @@ def kcore(
     k: int = 2,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    rounds: int = 6,
+    rounds: int | str = 6,
+    max_rounds: int = 64,
 ) -> DataFrame:
-    """k-core decomposition by fixed-round peeling: repeatedly drop
-    vertices of degree < ``k`` (and their edges) for ``rounds``
-    rounds — the dense-substructure filter (community kernels,
-    link-spam nuclei, the "everything here is heavily cross-linked"
-    signal over a near-dup/linkage graph).
+    """k-core decomposition by peeling: repeatedly drop vertices of
+    degree < ``k`` (and their edges) — the dense-substructure filter
+    (community kernels, link-spam nuclei, the "everything here is
+    heavily cross-linked" signal over a near-dup/linkage graph).
 
-    Runs EXACTLY ``rounds`` peels semantically, with an early exit
-    when the edge count stops changing (filtering only removes edges,
-    so an unchanged count IS the fixed point and further rounds are
-    no-ops — the early exit never changes the result). When the peel
-    converges within the budget the output is the exact k-core;
-    deep chain-peeling graphs need ``rounds`` ~ their peel depth.
+    - ``rounds=N`` (int): EXACTLY ``N`` peels semantically, with an
+      early exit when the edge count stops changing (filtering only
+      removes edges, so an unchanged count IS the fixed point and
+      further rounds are no-ops — the early exit never changes the
+      result). When the peel converges within the budget the output
+      is the exact k-core; deep chain-peeling graphs need ``rounds``
+      ~ their peel depth, and an exhausted budget returns the
+      budgeted (super)graph by DESIGN — this is the SQL-oracle form.
+    - ``rounds="auto"``: peel to the fixed point (the true k-core)
+      under the ``max_rounds`` hard cap, and raise ``RuntimeError``
+      if the cap is exhausted before convergence instead of silently
+      returning a supergraph — mirrors ``connected_components``'s
+      ``auto`` design. Chains peel one layer per round, so linkage
+      graphs with long tendrils need this form.
 
     Per round: one degree aggregation + two semi-joins, lineage
     truncated per round; convergence state is one driver-side scalar.
     Output: ``v``, ``core_degree`` for surviving vertices.
     """
+    if rounds == "auto":
+        budget = max_rounds
+    elif isinstance(rounds, int):
+        budget = rounds
+    else:
+        raise ValueError(f"rounds must be an int or 'auto', got {rounds!r}")
     e = (
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("src"),
@@ -304,7 +328,8 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
-    for _ in range(rounds):
+    converged = False
+    for _ in range(budget):
         both = e.select(F.col("src").alias("v")).unionByName(
             e.select(F.col("dst").alias("v"))
         )
@@ -321,8 +346,17 @@ def kcore(
         )
         n_now = e.count()
         if n_now == n_edges:
+            converged = True
             break
         n_edges = n_now
+    if n_edges == 0:
+        converged = True  # empty edge set is trivially the fixed point
+    if rounds == "auto" and not converged:
+        raise RuntimeError(
+            f"kcore(rounds='auto') did not reach the peel fixed point in "
+            f"max_rounds={max_rounds} rounds ({n_edges} edges still "
+            f"changing); raise max_rounds"
+        )
     both = e.select(F.col("src").alias("v")).unionByName(
         e.select(F.col("dst").alias("v"))
     )

@@ -213,6 +213,42 @@ def test_kcore_chain_peels_to_empty(spark):
     assert kcore(df, k=2, rounds=10).count() == 0
 
 
+def test_kcore_auto_peels_deeper_than_fixed_budget(spark):
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    # a 21-vertex chain peels one leaf layer per round: its true
+    # 2-core is EMPTY, but the default 6-round budget provably stops
+    # early (20 - 2*6 = 8 edges survive). rounds="auto" must peel to
+    # the fixed point.
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    assert kcore(df, k=2, rounds=6).count() > 0  # budgeted supergraph
+    assert kcore(df, k=2, rounds="auto").count() == 0  # true 2-core
+
+
+def test_kcore_auto_raises_when_cap_exhausted(spark):
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        kcore(df, k=2, rounds="auto", max_rounds=3)
+
+
+def test_kcore_rejects_bad_rounds(spark):
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="rounds"):
+        kcore(df, k=2, rounds="fast")
+
+
 def test_kcore_k3_keeps_k4_drops_triangle(spark):
     from isilon_hadoop_tools_spark.operators.graph import kcore
 
