@@ -837,10 +837,18 @@ def pq_encode(
     (L27) and flat IVF (L12).
 
     Output: one ``(vec_id, subspace, code)`` row per subvector (the
-    gate-comparable exploded form). Each subspace trains on a sliced
-    projection of the same scan — m independent codebook loops whose
-    centroid state is k x (dim/m) driver values each; the corpus is
-    never collected.
+    gate-comparable exploded form).
+
+    The m subspace codebooks are INDEPENDENT but train FUSED: every
+    vector explodes once into m ``(vid, subspace, qv)`` subvector
+    rows, and each Lloyd round is ONE broadcast-join assignment +
+    ONE centroid-update aggregation over ``(subspace, code)`` — m×
+    fewer sequential job barriers than per-subspace loops (the
+    earlier form ran m separate trainings, each iters × (agg job +
+    driver collect) back to back; on the bench that was job-count-,
+    not data-bound). Centroid state on the driver is m·k subvectors;
+    results are bit-identical to the sequential form (exact integer
+    distances, (dist, list_id) tie-break, round(sum/count) update).
     """
     dim = len(
         df.select(F.col(vec_col)).first()[0]
@@ -848,27 +856,124 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
-    vec = F.col(vec_col).cast("array<double>")
-    outs = []
-    for j in range(m):
-        sliced = df.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(vec, j * sub_dim + 1, sub_dim).alias("sub"),
+    vecs = _pq_subvectors(df, vec_col, id_col, m, sub_dim, scale).persist()
+    try:
+        books = _pq_train(vecs, k, iters, sub_dim)
+        return _pq_assign(vecs, books).select(
+            F.col("vid").alias("vec_id"),
+            "subspace",
+            F.col("list_id").alias("code"),
         )
-        assign = kmeans_iterate(
-            sliced, "sub", "vec_id", k=k, iters=iters, scale=scale
-        )
-        outs.append(
-            assign.select(
-                "vec_id",
-                F.lit(j).alias("subspace"),
-                F.col("list_id").alias("code"),
+    finally:
+        vecs.unpersist()
+
+
+def _pq_subvectors(
+    df: DataFrame, vec_col: str, id_col: str, m: int, sub_dim: int, scale: int
+) -> DataFrame:
+    """One ``(vid, subspace, qv)`` row per (vector, subspace):
+    quantize the full vector once (same ``round(x * scale)`` contract
+    as :func:`quantize_vectors` — slicing commutes with per-component
+    quantization) and inline-explode the m contiguous slices."""
+    qv_full = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("subspace"),
+                F.slice(F.col("_qv"), j * sub_dim + 1, sub_dim).alias("qv"),
             )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias("vid"), qv_full.alias("_qv")).select(
+        "vid", F.inline(subs)
+    )
+
+
+def _pq_train(
+    vecs: DataFrame, k: int, iters: int, sub_dim: int
+) -> dict[tuple[int, int], list[int]]:
+    """Fused Lloyd training over all subspaces at once. ``vecs`` is
+    the persisted (vid, subspace, qv) table; returns the codebooks as
+    {(subspace, list_id): centroid ints}. Init: per subspace, the k
+    lowest-vid subvectors (list_id = vid rank − 1 — identical to the
+    sequential per-slice ``orderBy(vid).limit(k)`` init). Per
+    iteration: one broadcast-join assignment + one wide aggregation
+    over (subspace, list_id); one driver collect of m·k rows. Empty
+    clusters keep their previous centroid."""
+    w = Window.partitionBy("subspace").orderBy("vid")
+    init_rows = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .collect()
+    )
+    books = {
+        (int(r["subspace"]), int(r["_rn"]) - 1): [int(v) for v in r["qv"]]
+        for r in init_rows
+    }
+    for _ in range(iters):
+        assign = _pq_assign(vecs, books)
+        upd = assign.groupBy("subspace", "list_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.round(
+                    F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias(f"c{p}")
+                for p in range(sub_dim)
+            ],
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        got = {
+            (int(r["subspace"]), int(r["list_id"])): [
+                int(r[f"c{p}"]) for p in range(sub_dim)
+            ]
+            for r in upd.collect()
+        }
+        books = {key: got.get(key, c) for key, c in books.items()}
+    return books
+
+
+def _pq_assign(
+    vecs: DataFrame, books: dict[tuple[int, int], list[int]]
+) -> DataFrame:
+    """All-subspace nearest-centroid assignment in one job: broadcast
+    the m·k codebook rows, equi-join on ``subspace`` (k candidates per
+    subvector row), exact integer distance, struct-min argmin with the
+    (dist, list_id) tie-break and map-side partial aggregation — the
+    multi-subspace twin of ``_kmeans_assign_join``."""
+    spark = vecs.sparkSession
+    cdf = spark.createDataFrame(
+        [
+            (s, lid, [int(v) for v in c])
+            for (s, lid), c in sorted(books.items())
+        ],
+        "subspace int, list_id int, c array<bigint>",
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.join(F.broadcast(cdf), "subspace").select(
+        "subspace",
+        "vid",
+        "qv",
+        F.struct(dist.alias("dist"), F.col("list_id").alias("list_id")).alias("_s"),
+    )
+    return (
+        scored.groupBy("subspace", "vid")
+        .agg(F.min("_s").alias("_b"), F.first("qv").alias("qv"))
+        .select(
+            "subspace",
+            "vid",
+            "qv",
+            F.col("_b.list_id").alias("list_id"),
+            F.col("_b.dist").alias("dist"),
+        )
+    )
 
 
 def pq_adc_topk(
@@ -903,40 +1008,38 @@ def pq_adc_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
-    vec = F.col(vec_col).cast("array<double>")
-    code_parts = []
-    lut_rows = []
-    for j in range(m):
-        sliced = df.select(
-            F.col(id_col).alias("_id"),
-            F.slice(vec, j * sub_dim + 1, sub_dim).alias("sub"),
-        )
-        vecs = quantize_vectors(sliced, "sub", "_id", scale)
-        cents = kmeans_train(vecs, k, iters)
-        codes = kmeans_assign(vecs, cents).select(
+    vecs = _pq_subvectors(df, vec_col, id_col, m, sub_dim, scale).persist()
+    try:
+        books = _pq_train(vecs, k, iters, sub_dim)
+        all_codes = _pq_assign(vecs, books).select(
             F.col("vid").alias("neighbor_id"),
-            F.lit(j).alias("subspace"),
+            "subspace",
             F.col("list_id").alias("code"),
         )
-        code_parts.append(codes)
-        qrows = (
-            vecs.filter(F.col("vid") < n_queries)
-            .orderBy("vid")
-            .collect()
-        )
-        for q in qrows:
-            for lid, c in cents:
-                pdist = sum(
-                    (int(a) - int(b)) ** 2 for a, b in zip(q["qv"], c)
-                )
-                lut_rows.append((int(q["vid"]), j, lid, pdist))
-    spark = df.sparkSession
+        # LUT: one collect of the query subvectors (n_queries x m
+        # rows), exact integer distances to every codebook entry
+        # computed driver-side — k x m x n_queries ints
+        qrows = vecs.filter(F.col("vid") < n_queries).collect()
+        lut_rows = [
+            (
+                int(q["vid"]),
+                s,
+                lid,
+                sum((int(a) - int(b)) ** 2 for a, b in zip(q["qv"], c)),
+            )
+            for q in qrows
+            for (s, lid), c in books.items()
+            if s == int(q["subspace"])
+        ]
+        return _pq_adc_rank(df.sparkSession, all_codes, lut_rows, topk)
+    finally:
+        vecs.unpersist()
+
+
+def _pq_adc_rank(spark, all_codes, lut_rows, topk: int) -> DataFrame:
     lut = spark.createDataFrame(
         lut_rows, "query_id long, subspace int, code int, pdist long"
     )
-    all_codes = code_parts[0]
-    for c in code_parts[1:]:
-        all_codes = all_codes.unionByName(c)
     scored = (
         all_codes.join(F.broadcast(lut), ["subspace", "code"])
         .groupBy("query_id", "neighbor_id")
