@@ -13,6 +13,8 @@ caps on anything quadratic (block sizes for pairwise comparison).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -129,7 +131,10 @@ def grouped_quantiles_approx(
     TRUE per (key, prob) — a hash match certifies the error bound,
     which is exactly the operator's contract.
 
-    Output: ``key``, ``prob``, ``n``, ``rank_err_ok``.
+    Output: ``key``, ``prob``, ``n``, ``rank_err_ok``. ``n`` is the
+    NON-NULL value count (``count(col)``, matching the rank
+    measurement below, which compares only non-null values — the
+    oracle twin must use ``count(value_col)``, not ``count(*)``).
     """
     prob_arr = F.array(*[F.lit(float(p)) for p in probs])
     agged = df.groupBy(key).agg(
@@ -763,7 +768,20 @@ def equidepth_histogram(
             f"percentile({col}, array({', '.join(str(p) for p in probs)}))"
         ).alias("_qs")
     ).first()
-    edges = [round(float(v), 6) for v in edge_row["_qs"]]
+    if edge_row["_qs"] is None:
+        # empty (or all-NULL) input: percentile yields NULL — return
+        # an empty result with the output schema instead of crashing
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "bucket long, n long, lo double, hi double"
+        )
+    # half-AWAY-from-zero edge rounding (Spark/DuckDB round()
+    # semantics) — Python round() is half-to-even and would diverge
+    # from the SQL twin on exact .5 ties
+    edges = [
+        math.copysign(math.floor(abs(float(v)) * 1e6 + 0.5), float(v)) / 1e6
+        for v in edge_row["_qs"]
+    ]
     bucket = F.lit(0).cast("long")
     for e in edges:
         bucket = bucket + F.when(F.col(col) > F.lit(e), 1).otherwise(0)

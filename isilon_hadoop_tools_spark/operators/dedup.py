@@ -451,6 +451,9 @@ def connected_components(
       join + min-aggregation per round; the label front advances one
       hop per round, so rounds ~ component DIAMETER. The cheap path
       for shallow near-dup components (the common corpus case).
+      Raises ``RuntimeError`` if ``max_iter`` rounds are exhausted
+      unconverged — never a silent star fallback (the caller chose
+      the algorithm) or silent partial labels.
     - ``star``: alternating large-star/small-star (Kiveris et al.,
       "Connected Components in MapReduce and Beyond", SoCC'14). Each
       round re-wires the edge graph toward per-neighborhood minima and
@@ -499,6 +502,17 @@ def connected_components(
         labels = stepped.drop("_changed")
         if changed == 0:
             return labels
+    if algorithm == "min_label":
+        # explicit min_label exhausted max_iter without converging:
+        # honor the caller's algorithm choice — no silent star
+        # fallback — and surface the truncation instead of returning
+        # partial labels as if they were components
+        raise RuntimeError(
+            f"connected_components(algorithm='min_label') did not "
+            f"converge in max_iter={max_iter} rounds (component "
+            f"diameter exceeds the budget); raise max_iter or use "
+            f"algorithm='star'/'auto'"
+        )
     # auto + unconverged: the graph is deeper than the label budget —
     # finish with the O(log²)-round star iteration, keeping propagated
     # progress as extra edges (keep_id is reachable from id, so the
@@ -537,6 +551,7 @@ def _cc_star(labels: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         both = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
             und.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -586,8 +601,19 @@ def _cc_star(labels: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
         ).collect()[0]
         sig = (sig_row["n"], sig_row["x"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged and prev_sig is not None and prev_sig[0] != 0:
+        # the final label extraction below ASSUMES the edge set
+        # converged to stars; an exhausted budget would silently
+        # return wrong keep_ids — surface it instead (star converges
+        # in O(log² n) rounds, so hitting the default 50 means
+        # something is deeply wrong, not merely slow)
+        raise RuntimeError(
+            f"star connected-components did not converge in "
+            f"max_iter={max_iter} rounds; raise max_iter"
+        )
     # converged edge set is a union of stars centered at component
     # minima: every non-min node has exactly one (min, node) edge
     comp = und.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("_m"))

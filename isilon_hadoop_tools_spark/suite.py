@@ -5304,7 +5304,7 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_quantiles_approx",
     oracle="""
     SELECT event_type, unnest([0.25, 0.5, 0.9])::DOUBLE AS prob,
-           count(*)::BIGINT AS n, TRUE AS rank_err_ok
+           count(value)::BIGINT AS n, TRUE AS rank_err_ok
     FROM events GROUP BY event_type
     """,
 )

@@ -105,6 +105,35 @@ def test_grouped_quantiles_approx_tracks_exact_on_uniform(spark):
     assert len(out) == 1 and out[0].rank_err_ok
 
 
+def test_grouped_quantiles_approx_null_values_counted_nonnull(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        grouped_quantiles_approx,
+    )
+
+    # n is the NON-NULL count (the rank measurement ignores NULLs) —
+    # a group with NULL values must not inflate n or the tolerance
+    rows = [("a", float(v)) for v in range(1, 51)] + [("a", None)] * 5
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = grouped_quantiles_approx(df, "k", "v", [0.5], accuracy=1000).collect()
+    assert len(out) == 1
+    assert out[0].n == 50
+    assert out[0].rank_err_ok
+
+
+def test_equidepth_histogram_empty_input_returns_empty(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        equidepth_histogram,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    out = equidepth_histogram(empty, "v", 4)
+    assert out.count() == 0
+    assert out.columns == ["bucket", "n", "lo", "hi"]
+    # all-NULL input hits the same NULL-edges path
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert equidepth_histogram(nulls, "v", 4).count() == 0
+
+
 def test_profile_table_counts(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, None), (2, "y")], "a int, b string"

@@ -157,6 +157,27 @@ def test_connected_components_auto_switches_on_deep_graph(spark):
     assert out == {i: 0 for i in range(64)}
 
 
+def test_connected_components_min_label_raises_unconverged(spark):
+    import pytest
+
+    # explicit min_label on a deep chain with a too-small budget must
+    # raise — never silently fall back to star or return partial
+    # labels as if they were components
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="min_label"):
+        dedup.connected_components(
+            nodes, pairs, algorithm="min_label", max_iter=2
+        )
+    # the same budget under auto finishes via the star path
+    out = dedup.connected_components(
+        nodes, pairs, algorithm="auto", label_budget=2
+    ).collect()
+    assert all(r.keep_id == 0 for r in out)
+
+
 def test_connected_components_star_empty_and_singletons(spark):
     out = _cc_dict(spark, [5, 7], [], algorithm="star")
     assert out == {5: 5, 7: 7}
