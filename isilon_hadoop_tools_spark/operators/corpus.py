@@ -456,6 +456,61 @@ def dup_spans(
     return hashed.join(multi, "gram_hash").select("id", "pos", "gram_hash")
 
 
+def dup_span_merge(
+    df: DataFrame, text_col: str, id_col: str, n: int = 10
+) -> DataFrame:
+    """Maximal duplicated-span merge: collapse :func:`dup_spans`'s
+    per-gram hits into per-document MAXIMAL token spans — the form a
+    cut-or-drop pass actually consumes (RefinedWeb cuts whole
+    duplicated regions, not individual overlapping n-grams).
+
+    A hit at token ``pos`` covers ``[pos, pos + n)``; overlapping or
+    touching hit intervals merge into islands via the same
+    running-max sweep as ``interval_union_length``
+    (`operators/analytics.py`): a hit opens a new island iff its
+    start exceeds the running max end of all earlier hits in the
+    document. Island boundaries are maximal by construction —
+    consecutive islands are separated by >= 1 never-duplicated token.
+
+    Output: ``id``, ``start_tok``, ``end_tok`` (exclusive),
+    ``span_len``, ``n_grams`` (merged hits) — one row per maximal
+    span. Everything after the hit table runs on ONE per-document
+    partitioning (two windows + one groupBy, no extra exchange);
+    within a document each pos occurs once, so the sweep order is
+    total and deterministic.
+    """
+    hits = dup_spans(df, text_col, id_col, n)
+    iv = hits.select(
+        "id",
+        F.col("pos").cast("long").alias("_s"),
+        (F.col("pos") + n).cast("long").alias("_e"),
+    )
+    w = Window.partitionBy("id").orderBy("_s", "_e")
+    prev_max = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("id", "_island")
+        .agg(
+            F.min("_s").alias("start_tok"),
+            F.max("_e").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "id",
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).alias("span_len"),
+            "n_grams",
+        )
+    )
+
+
 def chunk_overlap(
     df: DataFrame, text_col: str, id_col: str, size: int = 64, stride: int = 48
 ) -> DataFrame:

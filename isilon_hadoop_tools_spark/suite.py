@@ -4388,6 +4388,65 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans(_t(spark, sf_dir, "documents"), "text", "doc_id", n=_DUP_SPAN_N)
 
 
+@query(
+    "doc_dup_span_merged",
+    oracle=f"""
+    WITH spans AS (
+      SELECT id, tk, unnest(generate_series(0, len(tk) - {_DUP_SPAN_N})) AS pos
+      FROM (SELECT doc_id AS id,
+                   regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents)
+    ),
+    hashed AS (
+      SELECT id, pos,
+             {FINGERPRINT64_SQL.format(expr=f"array_to_string(tk[pos+1:pos+{_DUP_SPAN_N}], ' ')")}
+               AS gram_hash
+      FROM spans
+    ),
+    multi AS (
+      SELECT gram_hash FROM (
+        SELECT gram_hash, count(DISTINCT id) AS nd FROM hashed GROUP BY gram_hash
+      ) WHERE nd > 1
+    ),
+    iv AS (
+      SELECT id, pos AS s, pos + {_DUP_SPAN_N} AS e
+      FROM hashed JOIN multi USING (gram_hash)
+    ),
+    flagged AS (
+      SELECT id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > max(e) OVER (PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT id, s, e,
+             sum(new_island) OVER (PARTITION BY id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT id, min(s)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok,
+           (max(e) - min(s))::BIGINT AS span_len,
+           count(*)::BIGINT AS n_grams
+    FROM islands GROUP BY id, island
+    """,
+)
+def doc_dup_span_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span merge (the cut-or-drop form of
+    doc_dup_spans): per-gram hits collapse into per-document maximal
+    token spans via the interval_union_length running-max sweep —
+    one per-document partitioning end to end. The DuckDB twin merges
+    the same gram hits with the identical window-based sweep."""
+    from isilon_hadoop_tools_spark.operators.corpus import dup_span_merge
+
+    return dup_span_merge(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=_DUP_SPAN_N
+    )
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 16, 12
 
 

@@ -224,6 +224,54 @@ def test_dup_spans_detects_shared_10gram(spark):
     assert all(i != 3 for i, _ in got)
 
 
+def test_dup_span_merge_islands_cover_hit_union(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        dup_span_merge,
+        dup_spans,
+    )
+
+    # two shared regions in doc 1 separated by unique filler, one
+    # overlapping-hit region in doc 2 — merged spans must cover
+    # EXACTLY the union of the [pos, pos+10) hit intervals, be
+    # disjoint, and be maximal (gap >= 1 between islands)
+    shared_a = "one two three four five six seven eight nine ten"
+    shared_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, shared_a + " u1 u2 u3 " + shared_b),
+        (2, shared_a + " more " + shared_a),
+        (3, shared_b + " unrelated trailing words here now"),
+        (4, "totally disjoint text with nothing shared anywhere at all kept"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = dup_spans(docs, "text", "doc_id", n=10).collect()
+    merged = dup_span_merge(docs, "text", "doc_id", n=10).collect()
+
+    union_by_doc: dict[int, set[int]] = {}
+    for r in hits:
+        union_by_doc.setdefault(r["id"], set()).update(
+            range(r["pos"], r["pos"] + 10)
+        )
+    covered_by_doc: dict[int, set[int]] = {}
+    for r in merged:
+        cov = covered_by_doc.setdefault(r["id"], set())
+        span = set(range(r["start_tok"], r["end_tok"]))
+        assert not cov & span  # islands are disjoint
+        cov.update(span)
+        assert r["span_len"] == r["end_tok"] - r["start_tok"]
+        assert r["n_grams"] >= 1
+    assert covered_by_doc == union_by_doc
+    # maximality: islands within a doc are separated by >= 1 token
+    for doc in {r["id"] for r in merged}:
+        spans = sorted(
+            (r["start_tok"], r["end_tok"]) for r in merged if r["id"] == doc
+        )
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1
+    # doc 1 carries two distinct islands (shared_a then shared_b)
+    assert len([r for r in merged if r["id"] == 1]) == 2
+    assert not [r for r in merged if r["id"] == 4]
+
+
 def test_chunk_overlap_boundaries(spark):
     from isilon_hadoop_tools_spark.operators.corpus import chunk_overlap
 
