@@ -775,9 +775,13 @@ def equidepth_histogram(
         return spark.createDataFrame(
             [], "bucket long, n long, lo double, hi double"
         )
-    # half-AWAY-from-zero edge rounding (Spark/DuckDB round()
-    # semantics) — Python round() is half-to-even and would diverge
-    # from the SQL twin on exact .5 ties
+    # half-AWAY-from-zero edge rounding, matching the DuckDB oracle's
+    # round() on DOUBLE (the engine the twin runs on) — Python round()
+    # is half-to-even and would diverge on exact .5 ties. NOTE: this
+    # is DuckDB parity only; Spark's own round() is decimal-string
+    # HALF_UP and can differ on values whose shortest decimal rendering
+    # crosses a representability boundary (e.g. the double printed as
+    # 2.675)
     edges = [
         math.copysign(math.floor(abs(float(v)) * 1e6 + 0.5), float(v)) / 1e6
         for v in edge_row["_qs"]

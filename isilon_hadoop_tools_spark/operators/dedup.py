@@ -209,6 +209,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    expand_duplicates: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -217,13 +218,28 @@ def minhash_lsh_pairs(
     any band become a candidate pair. Output: ``id_a``, ``id_b``,
     ``n_bands`` (number of agreeing bands).
 
-    PRECONDITION: run :func:`exact_dedup` upstream (as
-    ``curation_funnel`` sequences). Byte-identical documents produce
-    identical signatures, so every band of an N-copy group is an
-    N-row bucket and the self-join emits all C(N,2) pairs x bands —
-    exact duplicates must be collapsed to one representative before
-    LSH, which exists to find the NEAR duplicates exact hashing
-    cannot.
+    Identical signatures are collapsed BEFORE the band self-join
+    (same construction as :func:`hamming_band_pairs`): ids group by
+    their full seed-ordered signature, the band join runs over one
+    min-id representative per DISTINCT signature, and pairs re-expand
+    to member ids afterward. Byte-identical documents — and the
+    byte-DIFFERENT ones with identical shingle sets (whitespace
+    variants, boilerplate with non-shingled diffs) that
+    ``exact_dedup`` cannot collapse — therefore contribute ONE row
+    per band bucket regardless of multiplicity: the join stays
+    O(distinct²) per bucket by construction, not by docstring
+    precondition.
+
+    - ``expand_duplicates=True`` (default): the historical contract —
+      one ``id_a``, ``id_b``, ``n_bands`` row per qualifying member
+      pair (identical-signature pairs agree on every band, so their
+      ``n_bands`` == ``bands``). Output size is the answer size;
+      nothing upstream of it is quadratic in n.
+    - ``expand_duplicates=False``: the scale form — one row per
+      qualifying DISTINCT-signature pair ``(id_a, id_b, n_bands,
+      n_a, n_b)`` with representative ids and group sizes, plus one
+      ``(rep, rep, bands, n, n)`` row per signature with >= 2
+      members. O(distinct²) rows even when the expansion is O(n²).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
@@ -243,19 +259,115 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
         .select("id", "band", "band_key")
-        # lazy localCheckpoint: both self-join sides consume this —
-        # without it the shingle + minhash aggregation runs twice
-        # (ReusedExchange is defeated by per-side pushdowns)
+    )
+    # full signature per id: band-ordered concat of the band keys
+    # ("|" cannot occur inside a band_key, so the concat is injective)
+    full = (
+        banded.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("band", "band_key"))),
+                    lambda s: s["band_key"],
+                ),
+                "|",
+            ).alias("sig_key")
+        )
+        # lazy localCheckpoint: feeds the group table plus up to two
+        # expansion joins — without it the shingle + minhash
+        # aggregation recomputes per consumer (per-side pushdowns
+        # defeat ReusedExchange)
         .localCheckpoint(eager=False)
     )
-    a = banded.select("band", "band_key", F.col("id").alias("id_a"))
-    b = banded.select("band", "band_key", F.col("id").alias("id_b"))
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+    groups = (
+        full.groupBy("sig_key")
+        .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("n_ids"))
+        .localCheckpoint(eager=False)
     )
+    rep_banded = groups.select(
+        "rep",
+        "sig_key",
+        F.posexplode(F.split("sig_key", r"\|")).alias("band", "band_key"),
+    )
+    a = rep_banded.select(
+        "band",
+        "band_key",
+        F.col("rep").alias("rep_a"),
+        F.col("sig_key").alias("sig_a"),
+    )
+    b = rep_banded.select(
+        "band",
+        "band_key",
+        F.col("rep").alias("rep_b"),
+        F.col("sig_key").alias("sig_b"),
+    )
+    rep_pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .groupBy("rep_a", "rep_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.first("sig_a").alias("sig_a"),
+            F.first("sig_b").alias("sig_b"),
+        )
+    )
+    if not expand_duplicates:
+        sizes = groups.select("rep", "n_ids")
+        cross = (
+            rep_pairs.join(
+                sizes.select(F.col("rep").alias("rep_a"), F.col("n_ids").alias("n_a")),
+                "rep_a",
+            )
+            .join(
+                sizes.select(F.col("rep").alias("rep_b"), F.col("n_ids").alias("n_b")),
+                "rep_b",
+            )
+            .select(
+                F.col("rep_a").alias("id_a"),
+                F.col("rep_b").alias("id_b"),
+                "n_bands",
+                "n_a",
+                "n_b",
+            )
+        )
+        intra = groups.filter(F.col("n_ids") >= 2).select(
+            F.col("rep").alias("id_a"),
+            F.col("rep").alias("id_b"),
+            F.lit(bands).cast("long").alias("n_bands"),
+            F.col("n_ids").alias("n_a"),
+            F.col("n_ids").alias("n_b"),
+        )
+        return cross.unionByName(intra)
+    # expand representative pairs back to member ids: each unordered
+    # signature pair appears exactly once in rep_pairs and each id has
+    # exactly one signature, so the expansion needs no pair dedup
+    cross = (
+        rep_pairs.join(
+            full.select(F.col("sig_key").alias("sig_a"), F.col("id").alias("_ida")),
+            "sig_a",
+        )
+        .join(
+            full.select(F.col("sig_key").alias("sig_b"), F.col("id").alias("_idb")),
+            "sig_b",
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "n_bands",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    # intra-group (identical-signature) pairs agree on every band:
+    # straight equi-join on the signature — output-bound, never
+    # multiplied through the band buckets
+    ga = full.select("sig_key", F.col("id").alias("id_a"))
+    gb = full.select("sig_key", F.col("id").alias("id_b"))
+    intra = (
+        ga.join(gb, "sig_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(bands).cast("long").alias("n_bands"))
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_near_pairs(
@@ -416,6 +528,9 @@ def hamming_band_pairs(
             F.greatest("_ida", "_idb").alias("id_b"),
             "hamming",
         )
+        # guard against dirty input (same id under two different
+        # hashes): a (id, id, hamming>0) self-pair must not leak out
+        .filter(F.col("id_a") < F.col("id_b"))
     )
     # intra-group (identical-hash) pairs: straight equi-join on the
     # hash value — output-bound, never multiplied through the bands
@@ -550,7 +665,20 @@ def _cc_star(labels: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
+    def _edge_sig(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                fingerprint64(F.concat_ws(":", F.col("a"), F.col("b")))
+            ).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    # seed the convergence check with the INPUT edge set's signature:
+    # an already-star-shaped graph is then recognized as converged in
+    # round 1 (without this, max_iter=1 on any non-empty graph raised
+    # unconditionally — confirming convergence needed a second round)
+    prev_sig = _edge_sig(und)
     converged = False
     for _ in range(max_iter):
         both = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -593,18 +721,12 @@ def _cc_star(labels: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        sig_row = und.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(
-                fingerprint64(F.concat_ws(":", F.col("a"), F.col("b")))
-            ).alias("x"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["x"])
+        sig = _edge_sig(und)
         if sig == prev_sig:
             converged = True
             break
         prev_sig = sig
-    if not converged and prev_sig is not None and prev_sig[0] != 0:
+    if not converged and prev_sig[0] != 0:
         # the final label extraction below ASSUMES the edge set
         # converged to stars; an exhausted budget would silently
         # return wrong keep_ids — surface it instead (star converges

@@ -313,8 +313,12 @@ def kcore(
     Output: ``v``, ``core_degree`` for surviving vertices.
     """
     if rounds == "auto":
-        budget = max_rounds
-    elif isinstance(rounds, int):
+        # +1: a peel that reaches its (non-empty) fixed point exactly
+        # on round max_rounds still needs one confirming no-change
+        # round — without the extra iteration a correct result would
+        # be rejected as unconverged
+        budget = max_rounds + 1
+    elif isinstance(rounds, int) and not isinstance(rounds, bool):
         budget = rounds
     else:
         raise ValueError(f"rounds must be an int or 'auto', got {rounds!r}")

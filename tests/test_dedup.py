@@ -72,6 +72,95 @@ def test_lsh_pairs_band_counts_bounded(spark):
     assert all(1 <= r["n_bands"] <= 8 for r in out)
 
 
+def test_lsh_pairs_match_per_id_band_agreement(spark):
+    # the signature-collapse rewrite must reproduce the per-member-id
+    # contract exactly: recompute band agreements brute-force from the
+    # collected signatures and compare
+    docs = _docs(spark)
+    num_hashes, bands, rpb = 16, 8, 2
+    sigs = {}
+    for r in dedup.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=num_hashes
+    ).collect():
+        sigs.setdefault(r["id"], {})[r["seed"]] = r["minhash"]
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = sum(
+                1
+                for band in range(bands)
+                if all(
+                    sigs[a][band * rpb + j] == sigs[b][band * rpb + j]
+                    for j in range(rpb)
+                )
+            )
+            if n:
+                want[(a, b)] = n
+    got = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=num_hashes, bands=bands
+        ).collect()
+    }
+    assert got == want
+
+
+def test_minhash_lsh_planted_identical_shingle_sets_stay_distinct_quadratic(spark):
+    # 2000 byte-DIFFERENT docs (trailing-whitespace variants) with
+    # IDENTICAL shingle sets — exact_dedup cannot collapse these, so
+    # the former per-id band join would bucket all 2000 in every band.
+    # The scale (non-expanded) form must stay O(distinct²): the band
+    # join runs over one representative per distinct signature.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    n_dups = 2000
+    rows = [(i, base + " " * (i + 1)) for i in range(n_dups)]
+    rows += [
+        (100_000 + j, f"unique document number {j} about topic{j} entirely")
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=8, bands=4, expand_duplicates=False
+    ).collect()
+    # <= 21 distinct signatures -> at most C(21,2) cross rows + intra rows
+    assert len(out) <= 21 * 20 // 2 + 21
+    intra = [r for r in out if r.id_a == r.id_b]
+    hot = [r for r in intra if r.n_a == n_dups]
+    assert len(hot) == 1
+    assert hot[0].id_a == 0  # min-id representative of the planted group
+    assert hot[0].n_bands == 4  # identical signatures agree on every band
+
+
+def test_minhash_lsh_expanded_planted_group_complete(spark):
+    # expanded mode on a 60-copy identical-shingle-set group: all
+    # C(60,2) pairs present exactly once, each agreeing on every band
+    base = "one two three four five six seven eight nine ten"
+    n = 60
+    rows = [(i, base + " " * (i + 1)) for i in range(n)]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=8, bands=4)
+    rows_out = out.collect()
+    assert len(rows_out) == n * (n - 1) // 2
+    assert all(r["n_bands"] == 4 for r in rows_out)
+    assert len({(r["id_a"], r["id_b"]) for r in rows_out}) == len(rows_out)
+
+
+def test_cc_star_already_converged_single_round(spark):
+    # a star-shaped edge set is its own fixed point: the initial
+    # signature is seeded before the loop, so max_iter=1 must
+    # recognize convergence instead of raising
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], "id LONG")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a LONG, id_b LONG")
+    out = {
+        r["id"]: r["keep_id"]
+        for r in dedup.connected_components(
+            nodes, pairs, algorithm="star", max_iter=1
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
 def test_simhash_near_dups_close_in_hamming(spark):
     out = {r["id"]: r["simhash"] for r in dedup.simhash(_docs(spark), "text", "doc_id").collect()}
     assert out[1] == out[2]

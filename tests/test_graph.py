@@ -258,3 +258,29 @@ def test_kcore_k3_keeps_k4_drops_triangle(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     out = {r.v: r.core_degree for r in kcore(df, k=3).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_auto_fixed_point_exactly_at_cap(spark):
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    # 3-vertex pendant chain feeding a triangle: peeling removes one
+    # chain vertex per round and reaches the NON-empty fixed point
+    # (the triangle) exactly on round 3 — max_rounds=3 must accept it
+    # (the confirming no-change round runs beyond the cap)
+    edges = [(10, 11), (11, 12), (12, 1), (1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {
+        r.v: r.core_degree
+        for r in kcore(df, k=2, rounds="auto", max_rounds=3).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_rejects_bool_rounds(spark):
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="rounds"):
+        kcore(df, k=2, rounds=True)
