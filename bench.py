@@ -80,6 +80,12 @@ HEADLINE = (
     "dedup_lsh_recall",
     "multimodal_bmp_features",
     "events_type_mad_outliers",
+    # round-9 additions: regression tripwires for the band-join,
+    # sweep-line, wedge, and span-merge paths (r7 ask 8 / r8 ask 2)
+    "multimodal_image_near_dups",
+    "events_active_interval_union",
+    "customer_link_triangles",
+    "doc_dup_span_merged",
 )
 
 

@@ -3863,6 +3863,56 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "simhash_rep_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    planted AS (
+      SELECT id, simhash FROM sims
+      UNION ALL
+      SELECT id + 1000000 AS id, simhash FROM sims
+    ),
+    grp AS (
+      SELECT simhash, min(id) AS rep, count(*) AS n_ids
+      FROM planted GROUP BY simhash
+    )
+    SELECT a.rep AS id_a, b.rep AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming,
+           a.n_ids AS n_a, b.n_ids AS n_b
+    FROM grp a JOIN grp b ON a.rep < b.rep
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    UNION ALL
+    SELECT rep AS id_a, rep AS id_b, 0 AS hamming,
+           n_ids AS n_a, n_ids AS n_b
+    FROM grp WHERE n_ids >= 2
+    """,
+)
+def simhash_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``expand_duplicates=False`` SCALE form of the hamming band
+    join, oracle-locked: every document's fingerprint is planted twice
+    (ids offset by 1e6), so every hash group has >= 2 members and the
+    representative-pair contract — one ``(id_a, id_b, hamming, n_a,
+    n_b)`` row per qualifying DISTINCT-hash pair plus one ``(rep, rep,
+    0, n, n)`` intra row per multi-member group — is checked
+    cross-engine against a brute-force DuckDB twin. O(distinct²)
+    output even where the expanded form would be O(n²)."""
+    sims = dedup.simhash(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", bits=32
+    ).localCheckpoint(eager=False)
+    planted = sims.unionByName(
+        sims.select((F.col("id") + 1_000_000).alias("id"), "simhash")
+    )
+    return dedup.hamming_band_pairs(
+        planted,
+        "simhash",
+        "id",
+        bits=32,
+        max_hamming=3,
+        bands=4,
+        expand_duplicates=False,
+    )
+
+
 _COS_DUP_THRESHOLD = 0.9
 
 

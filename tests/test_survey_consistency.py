@@ -37,6 +37,35 @@ def test_survey_2_12_query_names_exist():
     assert not missing, f"SURVEY.md cites nonexistent queries: {sorted(missing)}"
 
 
+def test_every_query_is_cited_in_survey_section_2():
+    # the REVERSE direction of the anti-vaporware guard: §2 is the
+    # coverage contract, so an operator landing with a suite query but
+    # no SURVEY row is invisible staleness (caught the round-8
+    # `dup_span_merge` gap). Citation forms allowed: exact backticked
+    # name, TPC-H short prefix (`q14` covers q14_promo_revenue), and
+    # star glob (`multimodal_*`).
+    text = (REPO / "SURVEY.md").read_text()
+    sec = text.split("## 2. Operator inventory")[1].split("\n## 3.")[0]
+    cited = set()
+    for span in re.findall(r"`([a-z0-9_,]+)`", sec):
+        cited.update(n for n in span.split(",") if n)
+    globs = {g[:-1] for g in re.findall(r"`([a-z0-9_]+\*)`", sec)}
+
+    def covered(q: str) -> bool:
+        if q in cited:
+            return True
+        if any(q.startswith(g) for g in globs):
+            return True
+        # short-prefix cites: `q14` covers `q14_promo_revenue`
+        return any(q.startswith(c + "_") for c in cited)
+
+    missing = sorted(q for q in entry.queries() if not covered(q))
+    assert not missing, (
+        f"{len(missing)} registered queries have no SURVEY §2 citation: "
+        f"{missing}"
+    )
+
+
 def test_survey_2_13_coverage_map_names_exist():
     text = (REPO / "SURVEY.md").read_text()
     qs = set(entry.queries())
