@@ -398,6 +398,23 @@ def simhash_near_pairs(
     )
 
 
+def band_slice_array(hash_col, bits: int, bands: int):
+    """``bands`` equal bit-slices of a bit-hash column as an array —
+    the pigeonhole band key shared by the batch band joins and the
+    streaming band-index maintenance. Pure integer arithmetic
+    (floor-div + mod), codegen'd, with an exact SQL twin."""
+    band_bits = bits // bands
+    return F.array(
+        *[
+            (
+                F.floor(hash_col / F.lit(2 ** (band_bits * j)))
+                % F.lit(2**band_bits)
+            ).cast("long")
+            for j in range(bands)
+        ]
+    )
+
+
 def hamming_band_pairs(
     hashes: DataFrame,
     hash_col: str,
@@ -438,7 +455,6 @@ def hamming_band_pairs(
     """
     if max_hamming >= bands:
         raise ValueError("completeness requires max_hamming < bands")
-    band_bits = bits // bands
     # lazy localCheckpoint: the (id, hash) projection feeds the group
     # table plus up to three expansion joins; hash columns are often
     # mapInPandas-computed (image hashes) and must not recompute
@@ -450,17 +466,12 @@ def hamming_band_pairs(
         .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("n_ids"))
         .localCheckpoint(eager=False)
     )
-    slices = F.array(
-        *[
-            (
-                F.floor(F.col("_hash") / F.lit(2 ** (band_bits * j)))
-                % F.lit(2**band_bits)
-            ).cast("long")
-            for j in range(bands)
-        ]
-    )
     banded = groups.select(
-        "rep", "_hash", F.posexplode(slices).alias("band_idx", "band_val")
+        "rep",
+        "_hash",
+        F.posexplode(band_slice_array(F.col("_hash"), bits, bands)).alias(
+            "band_idx", "band_val"
+        ),
     )
     a = banded.select(
         "band_idx",

@@ -8,6 +8,10 @@ watermark, retention == watermark-driven state eviction — and the
 reference's idempotent sinks (S9) onto ``foreachBatch`` merges.
 """
 
+from isilon_hadoop_tools_spark.streaming.neardup import (
+    simhash_index_apply_batch,
+    simhash_stream_into_state,
+)
 from isilon_hadoop_tools_spark.streaming.events import (
     dedup_first_stream,
     dedup_within_watermark,
@@ -29,5 +33,7 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "sessionize",
+    "simhash_index_apply_batch",
+    "simhash_stream_into_state",
     "view_purchase_interval_join",
 ]

@@ -6530,6 +6530,64 @@ def events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_index_stream",
+    oracle=f"""
+    WITH {_SIMHASH_SQL}
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup maintenance (§2.9 x L6): the documents
+    table arrives as THREE micro-batches (doc_id mod 3 slices,
+    maxFilesPerTrigger=1); each batch is fingerprinted, anti-joined
+    against the persisted members, band-matched against the
+    distinct-fingerprint postings index, and the newly-created pairs
+    merge into state — never a corpus-wide self-join. The stream is
+    drained TWICE without a checkpoint (replayed batches are no-ops
+    by the members anti-join), and the final pair state must equal
+    the batch ``simhash_near_pairs`` answer — the oracle brute-forces
+    all pairs at hamming <= 3, so one missed or phantom incremental
+    pair hash-fails."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = f"{_SCRATCH}/simhash_index_stream_src_{tag}"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for i in range(3):
+        tmp = f"{stream_dir}.slice{i}"
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp)
+    state = _fresh_state(spark, "simhash_index_stream")
+    schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/b*.parquet")
+        )
+        streaming.simhash_stream_into_state(
+            stream, state, text_col="text", id_col="doc_id"
+        )
+    return state.read("near_pairs", "id_a LONG, id_b LONG, hamming INT")
+
+
+@query(
     "customer_link_triangles",
     oracle="""
     WITH blocked AS (

@@ -1,0 +1,138 @@
+"""Streaming SimHash band-index maintenance: incremental pair
+detection across micro-batches must equal the batch answer, survive
+restarts (checkpointed or not), and treat replays as no-ops."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from isilon_hadoop_tools_spark.operators import dedup
+from isilon_hadoop_tools_spark.plans.state import ParquetState
+from isilon_hadoop_tools_spark.streaming.neardup import (
+    PAIRS_SCHEMA,
+    simhash_index_apply_batch,
+    simhash_stream_into_state,
+)
+
+DOCS_SCHEMA = "doc_id LONG, text STRING"
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+# three micro-batches: an exact-dup pair split ACROSS batches (1, 4),
+# a near-dup in the same batch as its twin (2), unrelated docs, and a
+# second cross-batch exact dup of doc 1 in the last batch (6)
+BATCHES = [
+    [(1, BASE), (2, BASE + " extra")],
+    [(3, "completely different text about spark engines and shuffles"), (4, BASE)],
+    [(5, "another unrelated document mentioning parquet files only"), (6, BASE)],
+]
+
+
+def _write_doc_batch(dirpath: str, name: str, rows) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(dirpath, name),
+    )
+    time.sleep(0.05)  # stable mod-time (= micro-batch) order
+
+
+def _all_docs(spark):
+    rows = [r for b in BATCHES for r in b]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def _batch_truth(spark):
+    return {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(
+            _all_docs(spark), "text", "doc_id", max_hamming=3
+        ).collect()
+    }
+
+
+def _pairs(state: ParquetState):
+    return {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in state.read("near_pairs", PAIRS_SCHEMA).collect()
+    }
+
+
+def _drain(spark, in_dir: str, state: ParquetState, ckpt: str | None = None):
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    simhash_stream_into_state(
+        stream, state, text_col="text", id_col="doc_id", checkpoint=ckpt
+    )
+
+
+def test_apply_batch_incremental_equals_batch(spark, tmp_path):
+    # fold the batches in one by one as plain DataFrames: after each
+    # fold the pair state equals the batch answer over the prefix
+    state = ParquetState(spark, str(tmp_path / "state"))
+    seen = []
+    for rows in BATCHES:
+        seen.extend(rows)
+        simhash_index_apply_batch(
+            spark.createDataFrame(rows, DOCS_SCHEMA), state
+        )
+        want = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_near_pairs(
+                spark.createDataFrame(seen, DOCS_SCHEMA),
+                "text",
+                "doc_id",
+                max_hamming=3,
+            ).collect()
+        }
+        assert _pairs(state) == want
+    # cross-batch exact dups must be present with hamming 0
+    got = _pairs(state)
+    assert got[(1, 4)] == 0 and got[(1, 6)] == 0 and got[(4, 6)] == 0
+
+
+def test_apply_batch_replay_is_noop(spark, tmp_path):
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for rows in BATCHES:
+        simhash_index_apply_batch(
+            spark.createDataFrame(rows, DOCS_SCHEMA), state
+        )
+    before = _pairs(state)
+    # replay every batch (simulates an uncheckpointed second drain or
+    # a crash-recovery re-delivery): state must not change
+    for rows in BATCHES:
+        simhash_index_apply_batch(
+            spark.createDataFrame(rows, DOCS_SCHEMA), state
+        )
+    assert _pairs(state) == before == _batch_truth(spark)
+
+
+def test_stream_drain_equals_batch_and_restarts(spark, tmp_path):
+    # staged reveal across three checkpointed restarts, then an idle
+    # restart, then a full uncheckpointed replay: every stage of the
+    # recovery story converges to the batch answer
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "ckpt")
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for stage, rows in enumerate(BATCHES):
+        _write_doc_batch(in_dir, f"b{stage}.parquet", rows)
+        _drain(spark, in_dir, state, ckpt)
+    truth = _batch_truth(spark)
+    assert _pairs(state) == truth
+    # idle restart: no new files, no state change
+    _drain(spark, in_dir, state, ckpt)
+    assert _pairs(state) == truth
+    # uncheckpointed replay over ALL files: anti-join makes it a no-op
+    _drain(spark, in_dir, state, ckpt=None)
+    assert _pairs(state) == truth
