@@ -588,3 +588,226 @@ def bmp_dhash(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def _paeth(left: int, up: int, ul: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbor closest to
+    left + up - ul, ties broken left, up, upper-left."""
+    p = left + up - ul
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    if pa <= pb and pa <= pc:
+        return left
+    if pb <= pc:
+        return up
+    return ul
+
+
+def png_encode_rgb(pix, row_filters=None) -> bytes:
+    """REAL PNG writer for an 8-bit RGB array (h, w, 3): signature,
+    CRC-correct IHDR/IDAT/IEND chunks, zlib-compressed scanlines with
+    a caller-chosen filter type per row (default 0/None). The filter
+    bytes are computed from the recon bytes exactly per spec, so any
+    of the five filter types round-trips through the decoder.
+
+    Fixture/generator AND a legitimate sink primitive (raw tensor →
+    compressed image payload). Pure stdlib ``zlib`` + ``struct``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pix = np.asarray(pix, dtype=np.int64)
+    h, w, ch = pix.shape
+    if ch != 3:
+        raise ValueError("png_encode_rgb expects (h, w, 3)")
+    stride = w * 3
+    flat = pix.reshape(h, stride)
+    if row_filters is None:
+        row_filters = [0] * h
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        recon = flat[y] % 256
+        f = int(row_filters[y % len(row_filters)])
+        if f == 0:
+            raw = recon
+        elif f == 2:
+            raw = (recon - prev) % 256
+        elif f in (1, 3, 4):
+            raw = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = int(recon[i - 3]) if i >= 3 else 0
+                up = int(prev[i])
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[i - 3]) if i >= 3 else 0
+                    pred = _paeth(left, up, ul)
+                raw[i] = (int(recon[i]) - pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        lines.append(f)
+        lines.extend(int(v) for v in raw)
+        prev = recon
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_rgb(raw: bytes):
+    """REAL PNG decoder (8-bit truecolor RGB, non-interlaced): PNG
+    signature, critical-chunk walk with per-chunk CRC32 verification,
+    multi-IDAT concatenation, stdlib ``zlib`` inflate (adler32
+    checked by zlib itself), then per-scanline unfiltering of all
+    five filter types (None/Sub/Up/Average/Paeth) with bpp=3.
+    Returns an (h, w, 3) uint8 numpy array in row-major top-down
+    order. Malformed payloads — bad signature, truncated or
+    CRC-corrupt chunks, IDAT before IHDR, missing IEND, unsupported
+    depth/color/interlace, short or oversized pixel stream, unknown
+    filter type — raise ``ValueError`` instead of yielding garbage,
+    the same typed-reject contract as the WAV/BMP codecs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 12 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        if pos + 12 + length > len(raw):
+            raise ValueError("truncated PNG chunk")
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", raw[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            if width is not None:
+                raise ValueError("duplicate IHDR")
+            if length != 13:
+                raise ValueError("bad IHDR length")
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if width <= 0 or height <= 0:
+                raise ValueError("degenerate PNG dimensions")
+            if depth != 8 or color != 2:
+                raise ValueError("only 8-bit truecolor RGB supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("unknown compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            if width is None:
+                raise ValueError("IDAT before IHDR")
+            idat.extend(data)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped
+        pos += 12 + length
+    if width is None or not saw_iend:
+        raise ValueError("missing IHDR or IEND")
+    decomp = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(decomp) != (stride + 1) * height:
+        raise ValueError("decompressed pixel stream size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        line = decomp[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = line[0]
+        raw_row = np.frombuffer(line, dtype=np.uint8)[1:].astype(np.int64)
+        if ftype == 0:
+            recon = raw_row
+        elif ftype == 2:
+            recon = (raw_row + prev) % 256
+        elif ftype in (1, 3, 4):
+            recon = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = int(recon[i - 3]) if i >= 3 else 0
+                up = int(prev[i])
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[i - 3]) if i >= 3 else 0
+                    pred = _paeth(left, up, ul)
+                recon[i] = (raw_row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    return out.reshape(height, width, 3)
+
+
+def decode_png_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Fourth REAL codec — the compressed-image path that was the last
+    stub-backed claim: :func:`png_decode_rgb` per payload (chunk walk
+    + CRC + zlib inflate + all five scanline unfilters), emitting the
+    same exact-integer feature contract as the BMP codec so the
+    oracle checks every decoded byte analytically:
+    ``id, width, height, n_pixels, sum_r, sum_g, sum_b, top_left``
+    (``top_left`` = r·65536 + g·256 + b of pixel (0, 0) — one wrong
+    filter prediction or channel order flips it).
+
+    Same Arrow ``mapInPandas`` shape as every codec stage: payload
+    bytes stay in the scan partition, one output row per image,
+    nothing shuffles."""
+    schema = (
+        f"{id_col} LONG, width INT, height INT, n_pixels LONG, "
+        "sum_r LONG, sum_g LONG, sum_b LONG, top_left LONG"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(raw: bytes):
+            pix = png_decode_rgb(raw)
+            h, w, _ = pix.shape
+            r = pix[..., 0].astype(np.int64)
+            g = pix[..., 1].astype(np.int64)
+            b = pix[..., 2].astype(np.int64)
+            top_left = int(r[0, 0]) * 65536 + int(g[0, 0]) * 256 + int(b[0, 0])
+            return (
+                w, h, w * h,
+                int(r.sum()), int(g.sum()), int(b.sum()), top_left,
+            )
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "top_left",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
