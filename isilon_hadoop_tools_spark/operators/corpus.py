@@ -511,6 +511,77 @@ def dup_span_merge(
     )
 
 
+def dup_span_cut(
+    df: DataFrame, text_col: str, id_col: str, n: int = 10
+) -> DataFrame:
+    """The RefinedWeb REMOVE step — consume :func:`dup_span_merge`'s
+    maximal spans and emit the cleaned corpus: tokens outside every
+    duplicated span, rejoined in order, plus per-document removal
+    accounting. ``n_removed + len(tokens(clean_text)) == n_tokens``
+    by construction (property-tested).
+
+    Output: ``id``, ``n_tokens`` (original), ``n_removed``,
+    ``clean_text``. Documents with no duplicated span pass through
+    whole; a document that is one giant duplicated region comes back
+    with ``clean_text = ''``.
+
+    Shape: the token explode and the span table share the
+    per-document hash partitioning, so the membership join (equi on
+    id + range on pos — spans are disjoint, at most one match per
+    token) and the rebuild aggregation add no extra exchange beyond
+    the span build itself; the collect_list is per-document bounded.
+    """
+    spans = dup_span_merge(df, text_col, id_col, n).select(
+        "id", "start_tok", "end_tok"
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    marked = (
+        toks.alias("t")
+        .join(
+            spans.alias("s"),
+            (F.col("t.id") == F.col("s.id"))
+            & (F.col("t.pos") >= F.col("s.start_tok"))
+            & (F.col("t.pos") < F.col("s.end_tok")),
+            "left",
+        )
+        .select(
+            F.col("t.id").alias("id"),
+            "pos",
+            "tok",
+            F.col("s.start_tok").isNotNull().alias("_removed"),
+        )
+    )
+    rebuilt = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("_removed").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_removed"), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    # empty-text documents produce no token rows — keep them in the
+    # output with zero counts rather than dropping them
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def chunk_overlap(
     df: DataFrame, text_col: str, id_col: str, size: int = 64, stride: int = 48
 ) -> DataFrame:

@@ -939,3 +939,101 @@ def lsh_recall_eval(
             .alias("recall"),
         )
     )
+
+
+def hamming_recall_eval(
+    hashes: DataFrame,
+    id_col: str,
+    hash_cols: list[str],
+    bits: int,
+    max_hamming: int,
+    bands: int,
+) -> DataFrame:
+    """Recall of banded candidate generation in the INCOMPLETE regime
+    (``max_hamming >= bands``): with that many flipped bits no band
+    need survive intact, so the pigeonhole guarantee is gone and
+    banding becomes a recall/cost trade — this eval measures it, and
+    measures how much OR-ing candidates across several hashes (aHash
+    + dHash in the image path) buys back. The acceptance gate for the
+    "candidate on either hash" production claim.
+
+    - truth: brute-force pairs with ``hamming(hash_cols[0]) <=
+      max_hamming``. Quadratic BY DESIGN (it is ground truth) — run
+      the eval on a sample/partition of a production corpus, exactly
+      like :func:`lsh_recall_eval` and ``similarity.ann_recall``.
+    - candidates of hash c: pairs agreeing on >= 1 of the ``bands``
+      bit-slices of c (the band join's candidate set, no hamming
+      filter — what the generator alone would surface).
+
+    One deterministic row: ``n_true``, ``n_candidates`` (union over
+    hashes), ``n_hit_first``/``recall_first`` (first hash only),
+    ``n_hit_union``/``recall_union`` (candidate on ANY hash; >=
+    recall_first by construction). Recalls are 6 dp, 1.0 on empty
+    truth.
+    """
+    src = hashes.select(
+        F.col(id_col).alias("id"), *[F.col(c) for c in hash_cols]
+    ).localCheckpoint(eager=False)
+    primary = hash_cols[0]
+    a = src.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"_{c}_a") for c in hash_cols],
+    )
+    b = src.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"_{c}_b") for c in hash_cols],
+    )
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(
+                F.col(f"_{primary}_a").bitwiseXOR(F.col(f"_{primary}_b"))
+            )
+            <= max_hamming
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+
+    def band_cand(c: str) -> DataFrame:
+        banded = src.select(
+            "id",
+            F.posexplode(band_slice_array(F.col(c), bits, bands)).alias(
+                "band_idx", "band_val"
+            ),
+        )
+        ca = banded.select("band_idx", "band_val", F.col("id").alias("id_a"))
+        cb = banded.select("band_idx", "band_val", F.col("id").alias("id_b"))
+        return (
+            ca.join(cb, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    cand_first = band_cand(primary).localCheckpoint(eager=False)
+    cand_union = cand_first
+    for c in hash_cols[1:]:
+        cand_union = cand_union.unionByName(band_cand(c))
+    cand_union = cand_union.distinct().localCheckpoint(eager=False)
+    hit_first = truth.join(cand_first, ["id_a", "id_b"], "left_semi")
+    hit_union = truth.join(cand_union, ["id_a", "id_b"], "left_semi")
+    recall = lambda n: (  # noqa: E731
+        F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+            F.round(F.col(n) / F.col("n_true"), 6)
+        )
+    )
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand_union.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit_first.agg(F.count(F.lit(1)).alias("n_hit_first")))
+        .crossJoin(hit_union.agg(F.count(F.lit(1)).alias("n_hit_union")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit_first",
+            recall("n_hit_first").alias("recall_first"),
+            "n_hit_union",
+            recall("n_hit_union").alias("recall_union"),
+        )
+    )

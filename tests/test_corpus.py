@@ -446,3 +446,49 @@ def test_temperature_mixture_alpha_one_is_raw_mix(spark):
     out = temperature_mixture_plan(df, "text", "source", 1.0).collect()
     for r in out:
         assert r.p_alpha == r.p_raw and r.boost == 1.0
+
+
+def test_dup_span_cut_accounting_and_rebuild(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import dup_span_cut
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, "alpha " + shared + " omega"),
+        (2, shared + " entirely different tail text here"),
+        (3, "no duplication in this one at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["id"]: r
+        for r in dup_span_cut(df, "text", "doc_id", n=10).collect()
+    }
+    # conservation property: kept + removed == original, per doc
+    for did, r in out.items():
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept + r["n_removed"] == r["n_tokens"], did
+    # doc 1: shared grams at pos 1..3 merge to span [1, 13) — the 12
+    # shared tokens go, the unique frame stays, in order
+    assert out[1]["n_removed"] == 12
+    assert out[1]["clean_text"] == "alpha omega"
+    # doc 2: span [0, 12) — clean text is the unique tail
+    assert out[2]["n_removed"] == 12
+    assert out[2]["clean_text"] == "entirely different tail text here"
+    # doc 3: untouched
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+
+
+def test_dup_span_cut_whole_doc_removed(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import dup_span_cut
+
+    text = " ".join(f"t{i}" for i in range(10))  # exactly one 10-gram
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id LONG, text STRING"
+    )
+    out = {
+        r["id"]: r for r in dup_span_cut(df, "text", "doc_id", n=10).collect()
+    }
+    for did in (1, 2):
+        assert out[did]["n_tokens"] == 10
+        assert out[did]["n_removed"] == 10
+        assert out[did]["clean_text"] == ""

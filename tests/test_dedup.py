@@ -472,3 +472,28 @@ def test_hamming_band_pairs_expanded_dup_group_complete(spark):
     assert by_h[1] == n
     # no pair appears twice
     assert out.count() == out.select("id_a", "id_b").distinct().count()
+
+
+def test_hamming_recall_eval_union_catches_band_miss(spark):
+    # incomplete regime (max_hamming == bands): ids 1-2 differ in both
+    # 4-bit slices of the primary hash (banding misses them) but share
+    # the secondary hash — recall_first 0, recall_union 1
+    rows = [(1, 0b00000001, 7), (2, 0b00010000, 7), (3, 0b11100111, 99)]
+    df = spark.createDataFrame(rows, "id LONG, ha LONG, hb LONG")
+    out = dedup.hamming_recall_eval(
+        df, "id", ["ha", "hb"], bits=8, max_hamming=2, bands=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_true"] == 1  # only (1,2) is within hamming 2
+    assert r["n_hit_first"] == 0 and r["recall_first"] == 0.0
+    assert r["n_hit_union"] == 1 and r["recall_union"] == 1.0
+
+
+def test_hamming_recall_eval_empty_truth_is_perfect(spark):
+    rows = [(1, 0b00000000, 1), (2, 0b11111111, 2)]
+    df = spark.createDataFrame(rows, "id LONG, ha LONG, hb LONG")
+    r = dedup.hamming_recall_eval(
+        df, "id", ["ha"], bits=8, max_hamming=4, bands=4
+    ).collect()[0]
+    assert r["n_true"] == 0 and r["recall_first"] == 1.0
