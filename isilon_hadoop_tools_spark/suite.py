@@ -4497,6 +4497,94 @@ def doc_dup_span_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_dup_span_cut",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    spans AS (
+      SELECT id, tk, unnest(generate_series(0, len(tk) - {_DUP_SPAN_N})) AS pos
+      FROM tk
+    ),
+    hashed AS (
+      SELECT id, pos,
+             {{gram_hash}} AS gram_hash
+      FROM spans
+    ),
+    multi AS (
+      SELECT gram_hash FROM (
+        SELECT gram_hash, count(DISTINCT id) AS nd FROM hashed GROUP BY gram_hash
+      ) WHERE nd > 1
+    ),
+    iv AS (
+      SELECT id, pos AS s, pos + {_DUP_SPAN_N} AS e
+      FROM hashed JOIN multi USING (gram_hash)
+    ),
+    flagged AS (
+      SELECT id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > max(e) OVER (PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT id, s, e,
+             sum(new_island) OVER (PARTITION BY id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT id, min(s) AS st, max(e) AS en FROM islands GROUP BY id, island
+    ),
+    toks AS (
+      SELECT id, p1 - 1 AS pos, tk[p1] AS tok
+      FROM (SELECT id, tk, unnest(generate_series(1, len(tk))) AS p1 FROM tk)
+    ),
+    marked AS (
+      SELECT t.id, t.pos, t.tok,
+             EXISTS(SELECT 1 FROM merged m
+                    WHERE m.id = t.id AND t.pos >= m.st AND t.pos < m.en)
+               AS removed
+      FROM toks t
+    ),
+    agg AS (
+      SELECT id, count(*) AS n_tokens,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed,
+             string_agg(CASE WHEN NOT removed THEN tok END, ' '
+                        ORDER BY pos) AS clean_text
+      FROM marked GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+    """.format(
+        gram_hash=FINGERPRINT64_SQL.format(
+            expr=f"array_to_string(tk[pos+1:pos+{_DUP_SPAN_N}], ' ')"
+        )
+    ),
+)
+def doc_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb remove step over the merged duplicated spans
+    (L29c): tokens inside any maximal span are cut, the survivors
+    rejoin in order, and the removal accounting is exact —
+    ``n_removed + tokens(clean_text) == n_tokens`` (property-tested).
+    The DuckDB twin recomputes the cut from the identically-merged
+    spans, so a off-by-one span boundary or wrong join-back order
+    hash-fails."""
+    from isilon_hadoop_tools_spark.operators.corpus import dup_span_cut
+
+    return dup_span_cut(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=_DUP_SPAN_N
+    )
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 16, 12
 
 
@@ -7265,6 +7353,93 @@ def _bmp_payload_df(
     return docs.select("doc_id", payload.alias("payload"))
 
 
+def _png_payload_df(
+    spark: SparkSession, sf_dir: str, base_mod: int | None = None
+) -> DataFrame:
+    """Per-document REAL PNG payloads: signature + CRC-correct
+    IHDR/IDAT/IEND with zlib-compressed scanlines, written by
+    ``multimodal.png_encode_rgb`` in an Arrow ``mapInPandas`` stage
+    (compression is not expressible as JVM column expressions, unlike
+    the BMP fixture). Dimensions w = base%6+2, h = base%4+2; channel
+    formulas are the SAME linear-in-(base, x, y) family as the BMP
+    fixture, so the oracle recomputes every decoded feature
+    analytically; each row y is filtered with type (base + y) % 5,
+    which exercises all five unfilter paths across the corpus.
+    ``base`` is doc_id, or doc_id % base_mod when set (the
+    duplicate-image knob)."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mod = base_mod
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                base = int(doc_id) % mod if mod else int(doc_id)
+                w, h = base % 6 + 2, base % 4 + 2
+                y, x = np.mgrid[0:h, 0:w]
+                pix = np.stack(
+                    [
+                        (base + 3 * x + 7 * y) % 256,
+                        (base * 2 + 5 * x + 11 * y) % 256,
+                        (base * 3 + 13 * x + 17 * y) % 256,
+                    ],
+                    axis=-1,
+                )
+                filters = [(base + yy) % 5 for yy in range(h)]
+                payloads.append(M.png_encode_rgb(pix, filters))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(gen, "doc_id LONG, payload BINARY")
+
+
+@query(
+    "multimodal_png_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 6 + 2) AS w, (doc_id % 4 + 2) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM px
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           (w * h)::BIGINT AS n_pixels,
+           sum((doc_id + 3 * x + 7 * y) % 256)::BIGINT AS sum_r,
+           sum((doc_id * 2 + 5 * x + 11 * y) % 256)::BIGINT AS sum_g,
+           sum((doc_id * 3 + 13 * x + 17 * y) % 256)::BIGINT AS sum_b,
+           ((doc_id % 256) * 65536 + (doc_id * 2 % 256) * 256
+             + (doc_id * 3 % 256))::BIGINT AS top_left
+    FROM pxy GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL codec — compressed images, the path that was
+    stub-backed until round 9: real PNG payloads (CRC-correct chunks,
+    zlib-deflated scanlines, per-row filter types cycling through all
+    five) are decoded by ``decode_png_features`` — chunk walk + CRC32
+    verification + inflate + Sub/Up/Average/Paeth unfiltering — and
+    the oracle recomputes widths, per-channel sums, and the top-left
+    pixel analytically, so one wrong filter prediction, CRC skip, or
+    channel order hash-fails."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.decode_png_features(
+        _png_payload_df(spark, sf_dir), "payload", "doc_id"
+    )
+
+
 @query(
     "multimodal_bmp_features",
     oracle="""
@@ -7750,6 +7925,126 @@ def multimodal_bmp_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark import multimodal as M
 
     return M.bmp_dhash(_bmp_payload_df(spark, sf_dir), "payload", "doc_id")
+
+
+@query(
+    "multimodal_hash_recall",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 5 + 2) AS w, (doc_id % 3 + 2) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, 35)) AS i
+      FROM dims
+    ),
+    asamp AS (
+      SELECT doc_id, i,
+             ((i % 6) * w) // 6 AS sx, ((i // 6) * h) // 6 AS sy
+      FROM cells
+    ),
+    agray AS (
+      SELECT doc_id, i,
+             (doc_id + 3 * sx + 7 * sy) % 256
+               + (doc_id * 2 + 5 * sx + 11 * sy) % 256
+               + (doc_id * 3 + 13 * sx + 17 * sy) % 256 AS gv
+      FROM asamp
+    ),
+    atot AS (SELECT doc_id, sum(gv) AS total FROM agray GROUP BY doc_id),
+    ah AS (
+      SELECT g.doc_id,
+             sum(CASE WHEN 36 * g.gv > t.total
+                      THEN (1::BIGINT << g.i) ELSE 0 END)::BIGINT AS ahash
+      FROM agray g JOIN atot t USING (doc_id) GROUP BY g.doc_id
+    ),
+    dsamp AS (
+      SELECT doc_id, i,
+             ((i % 6) * w) // 7 AS sxl, (((i % 6) + 1) * w) // 7 AS sxr,
+             ((i // 6) * h) // 6 AS sy
+      FROM cells
+    ),
+    dgrays AS (
+      SELECT doc_id, i,
+             (doc_id + 3 * sxl + 7 * sy) % 256
+               + (doc_id * 2 + 5 * sxl + 11 * sy) % 256
+               + (doc_id * 3 + 13 * sxl + 17 * sy) % 256 AS gl,
+             (doc_id + 3 * sxr + 7 * sy) % 256
+               + (doc_id * 2 + 5 * sxr + 11 * sy) % 256
+               + (doc_id * 3 + 13 * sxr + 17 * sy) % 256 AS gr
+      FROM dsamp
+    ),
+    dh AS (
+      SELECT doc_id,
+             sum(CASE WHEN gr > gl
+                      THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS dhash
+      FROM dgrays GROUP BY doc_id
+    ),
+    hh AS (
+      SELECT a.doc_id, a.ahash, d.dhash FROM ah a JOIN dh d USING (doc_id)
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
+    ),
+    canda AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hh a JOIN hh b ON a.doc_id < b.doc_id, range(0, 6) r(j)
+      WHERE ((a.ahash >> (6 * r.j)::INT) & 63)
+              = ((b.ahash >> (6 * r.j)::INT) & 63)
+    ),
+    candd AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hh a JOIN hh b ON a.doc_id < b.doc_id, range(0, 6) r(j)
+      WHERE ((a.dhash >> (6 * r.j)::INT) & 63)
+              = ((b.dhash >> (6 * r.j)::INT) & 63)
+    ),
+    candu AS (SELECT * FROM canda UNION SELECT * FROM candd),
+    hitf AS (SELECT t.* FROM truth t JOIN canda USING (id_a, id_b)),
+    hitu AS (SELECT t.* FROM truth t JOIN candu USING (id_a, id_b))
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM candu) AS n_candidates,
+           (SELECT count(*) FROM hitf) AS n_hit_first,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                ELSE round((SELECT count(*) FROM hitf)::DOUBLE
+                             / (SELECT count(*) FROM truth), 6)
+           END AS recall_first,
+           (SELECT count(*) FROM hitu) AS n_hit_union,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                ELSE round((SELECT count(*) FROM hitu)::DOUBLE
+                             / (SELECT count(*) FROM truth), 6)
+           END AS recall_union
+    """,
+)
+def multimodal_hash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-hash banding recall eval (the L16d acceptance gate): at
+    hamming <= 8 over 36-bit hashes with 6 bands the pigeonhole
+    guarantee is GONE (8 flips can dirty every band), so banding is a
+    recall trade — this measures it, and measures what OR-ing aHash
+    and dHash candidate sets buys back, brute-force truth vs banded
+    candidates, everything integer-deterministic so the oracle
+    reproduces the exact counts. ``recall_union >= recall_first`` by
+    construction — the quantified basis for the "candidate on either
+    hash" production stacking claim."""
+    from isilon_hadoop_tools_spark import multimodal as M
+    from isilon_hadoop_tools_spark.operators.dedup import (
+        hamming_recall_eval,
+    )
+
+    payloads = _bmp_payload_df(spark, sf_dir).localCheckpoint(eager=False)
+    hashes = (
+        M.bmp_ahash(payloads, "payload", "doc_id")
+        .select("doc_id", "ahash")
+        .join(
+            M.bmp_dhash(payloads, "payload", "doc_id").select(
+                "doc_id", "dhash"
+            ),
+            "doc_id",
+        )
+    )
+    return hamming_recall_eval(
+        hashes, "doc_id", ["ahash", "dhash"], bits=36, max_hamming=8, bands=6
+    )
 
 
 # Historical driver-green sets, kept only as the ordering fallback for
