@@ -59,6 +59,13 @@ def main() -> int:
         "ann_brute_force_cosine",
         "doc_tfidf_topk",
         "nation_trade_pagerank",
+        # 1-row aggregate broadcast onto the keyed table (total/mean
+        # scalars for the share and x-mean columns)
+        "events_skew_report",
+        # recall evals: the one-row report row is assembled by
+        # crossJoining four 1-row count aggregates
+        "dedup_lsh_recall",
+        "multimodal_hash_recall",
     }
     for name in names:
         c = audit(spark, name, sf_dir)
