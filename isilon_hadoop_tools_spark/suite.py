@@ -8047,6 +8047,65 @@ def multimodal_hash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_png_near_dups",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 200 AS base,
+             (doc_id % 200 % 6 + 2) AS w, (doc_id % 200 % 4 + 2) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, base, w, h, unnest(generate_series(0, 35)) AS i
+      FROM dims
+    ),
+    sampled AS (
+      SELECT doc_id, base, i,
+             ((i % 6) * w) // 6 AS sx, ((i // 6) * h) // 6 AS sy
+      FROM cells
+    ),
+    gray AS (
+      SELECT doc_id, i,
+             (base + 3 * sx + 7 * sy) % 256
+               + (base * 2 + 5 * sx + 11 * sy) % 256
+               + (base * 3 + 13 * sx + 17 * sy) % 256 AS gv
+      FROM sampled
+    ),
+    tot AS (SELECT doc_id, sum(gv) AS total FROM gray GROUP BY doc_id),
+    hashes AS (
+      SELECT g.doc_id,
+             sum(CASE WHEN 36 * g.gv > t.total
+                      THEN (1::BIGINT << g.i) ELSE 0 END)::BIGINT AS ahash
+      FROM gray g JOIN tot t USING (doc_id) GROUP BY g.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+    """,
+)
+def multimodal_png_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end COMPRESSED-image dedup — the full production path
+    for a crawled image corpus: real PNG payloads with planted
+    duplicates (doc_id % 200 base) → real decode (CRC + inflate +
+    unfilter) → aHash → the shared pigeonhole band join (36 bits, 6
+    bands, hamming <= 4 complete). The oracle brute-forces all
+    qualifying pairs from the analytic pixel model, so a single
+    decode defect or missed band candidate hash-fails. With
+    ``png_ahash`` sharing ``bmp_ahash``'s mosaic contract, one band
+    index serves a mixed BMP/PNG corpus."""
+    from isilon_hadoop_tools_spark import multimodal as M
+    from isilon_hadoop_tools_spark.operators.dedup import hamming_band_pairs
+
+    hashes = M.png_ahash(
+        _png_payload_df(spark, sf_dir, base_mod=200), "payload", "doc_id"
+    )
+    return hamming_band_pairs(
+        hashes.select("doc_id", "ahash"), "ahash", "doc_id",
+        bits=36, max_hamming=4, bands=6,
+    )
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

@@ -509,3 +509,56 @@ def test_decode_png_features_matches_bmp_contract(spark):
         assert r["sum_g"] == int(pix[..., 1].sum())
         assert r["sum_b"] == int(pix[..., 2].sum())
         assert r["top_left"] == 0 * 65536 + 1 * 256 + 2
+
+
+def test_png_ahash_matches_bmp_ahash_on_identical_pixels(spark):
+    # the cross-container contract: identical pixels produce identical
+    # fingerprints whether they arrive as BMP or PNG, so one band
+    # index serves a mixed corpus
+    import struct
+
+    import numpy as np
+
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, (5, 7, 3))  # top-down RGB
+
+    def bmp_bytes(p):
+        h, w, _ = p.shape
+        stride = (w * 3 + 3) // 4 * 4
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up rows
+            row = bytearray()
+            for x in range(w):
+                r, g, b = (int(v) for v in p[y, x])
+                row += bytes([b, g, r])  # BGR
+            row += bytes(stride - 3 * w)
+            body += row
+        header = (
+            b"BM"
+            + struct.pack("<I", 54 + len(body))
+            + b"\x00\x00\x00\x00"
+            + struct.pack("<I", 54)
+            + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h)
+            + struct.pack("<H", 1)
+            + struct.pack("<H", 24)
+            + struct.pack("<I", 0)
+            + struct.pack("<I", len(body))
+            + struct.pack("<ii", 2835, 2835)
+            + struct.pack("<II", 0, 0)
+        )
+        return bytes(header + body)
+
+    bdf = spark.createDataFrame(
+        [(1, bmp_bytes(pix))], "doc_id LONG, payload BINARY"
+    )
+    pdf = spark.createDataFrame(
+        [(1, M.png_encode_rgb(pix, [0, 1, 2, 3, 4]))],
+        "doc_id LONG, payload BINARY",
+    )
+    bh = M.bmp_ahash(bdf, "payload", "doc_id").collect()[0]
+    ph = M.png_ahash(pdf, "payload", "doc_id").collect()[0]
+    assert (bh["width"], bh["height"]) == (ph["width"], ph["height"]) == (7, 5)
+    assert bh["ahash"] == ph["ahash"]
