@@ -202,6 +202,61 @@ def minhash_signatures(
     )
 
 
+def minhash_sig_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """One ``(id, sig_key)`` row per document: the full seed-ordered
+    MinHash signature rendered as ``bands`` comma-joined band keys
+    concatenated with ``"|"``. Equality on ``sig_key`` == equality on
+    the whole signature; splitting on ``"|"`` recovers the per-band
+    join keys ("|" cannot occur inside a band key, so the concat is
+    injective) — the shared signature encoding of the batch LSH join
+    and the streaming band-index maintenance.
+
+    The returned frame is lazily localCheckpointed: every consumer
+    uses it at least twice (group table + expansion joins), and the
+    per-side pushdowns would otherwise defeat ReusedExchange and
+    recompute the shingle + minhash aggregation per consumer.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            # seed-ordered minhash vector rendered as a join key —
+            # equality on the string == equality on the band vector,
+            # and (unlike md5(to_json)) it has an exact SQL twin
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+        .select("id", "band", "band_key")
+    )
+    return (
+        banded.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("band", "band_key"))),
+                    lambda s: s["band_key"],
+                ),
+                "|",
+            ).alias("sig_key")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -241,44 +296,7 @@ def minhash_lsh_pairs(
       ``(rep, rep, bands, n, n)`` row per signature with >= 2
       members. O(distinct²) rows even when the expansion is O(n²).
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    banded = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            # seed-ordered minhash vector rendered as a join key —
-            # equality on the string == equality on the band vector,
-            # and (unlike md5(to_json)) it has an exact SQL twin
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
-        .select("id", "band", "band_key")
-    )
-    # full signature per id: band-ordered concat of the band keys
-    # ("|" cannot occur inside a band_key, so the concat is injective)
-    full = (
-        banded.groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("band", "band_key"))),
-                    lambda s: s["band_key"],
-                ),
-                "|",
-            ).alias("sig_key")
-        )
-        # lazy localCheckpoint: feeds the group table plus up to two
-        # expansion joins — without it the shingle + minhash
-        # aggregation recomputes per consumer (per-side pushdowns
-        # defeat ReusedExchange)
-        .localCheckpoint(eager=False)
-    )
+    full = minhash_sig_keys(df, text_col, id_col, num_hashes, bands, k)
     groups = (
         full.groupBy("sig_key")
         .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("n_ids"))

@@ -9,6 +9,8 @@ reference's idempotent sinks (S9) onto ``foreachBatch`` merges.
 """
 
 from isilon_hadoop_tools_spark.streaming.neardup import (
+    minhash_index_apply_batch,
+    minhash_stream_into_state,
     simhash_index_apply_batch,
     simhash_stream_into_state,
 )
@@ -32,6 +34,8 @@ __all__ = [
     "static_enrich_rollup_stream",
     "read_events_stream",
     "run_available_now",
+    "minhash_index_apply_batch",
+    "minhash_stream_into_state",
     "sessionize",
     "simhash_index_apply_batch",
     "simhash_stream_into_state",

@@ -1,9 +1,13 @@
-"""Streaming SimHash near-dup maintenance (§2.9 x L6).
+"""Streaming near-dup maintenance (§2.9 x L4/L6): SimHash hamming
+pairs and MinHash-LSH candidates over a continuously-crawled corpus.
 
-The production shape for continuously-crawled corpora: each
-micro-batch of new documents is fingerprinted, matched against a
-persisted band index, and the newly-created near-dup pairs are
-appended — without ever re-running the corpus-wide band self-join.
+The production shape: each micro-batch of new documents is
+fingerprinted, matched against a persisted band index, and the
+newly-created near-dup pairs are appended — without ever re-running
+the corpus-wide band self-join. Two instances of one design:
+:func:`simhash_index_apply_batch` (integer fingerprints, bit-slice
+bands, hamming filter) and :func:`minhash_index_apply_batch`
+(signature strings, band-key equality, agreeing-band counts).
 
 State (``ParquetState`` tables; Delta/Iceberg MERGE on a real
 deployment):
@@ -44,12 +48,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from isilon_hadoop_tools_spark.operators.dedup import band_slice_array, simhash
+from isilon_hadoop_tools_spark.operators.dedup import (
+    band_slice_array,
+    minhash_sig_keys,
+    simhash,
+)
 from isilon_hadoop_tools_spark.plans.state import ParquetState
 
 MEMBERS_SCHEMA = "id LONG, fp LONG"
 POSTINGS_SCHEMA = "band_idx INT, band_val LONG, fp LONG"
 PAIRS_SCHEMA = "id_a LONG, id_b LONG, hamming INT"
+
+SIG_MEMBERS_SCHEMA = "id LONG, sig_key STRING"
+SIG_POSTINGS_SCHEMA = "band INT, band_key STRING, sig_key STRING"
+SIG_PAIRS_SCHEMA = "id_a LONG, id_b LONG, n_bands LONG"
 
 
 def simhash_index_apply_batch(
@@ -167,6 +179,133 @@ def simhash_stream_into_state(
             bits=bits,
             max_hamming=max_hamming,
             bands=bands,
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def minhash_index_apply_batch(
+    batch: DataFrame,
+    state: ParquetState,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> None:
+    """The MinHash-LSH twin of :func:`simhash_index_apply_batch`:
+    fold one micro-batch into a persisted band-key index and append
+    the newly-created LSH candidate pairs ``(id_a, id_b, n_bands)``.
+
+    Identical state design, with the signature string standing in for
+    the integer fingerprint: ``sig_members`` (id, sig_key),
+    ``sig_postings`` (band, band_key, sig_key — DISTINCT signatures
+    only, the rep-collapse as persisted state), ``lsh_pairs``. The
+    members anti-join makes replays no-ops; the pairs→postings→
+    members write order makes a mid-batch crash replayable; after any
+    prefix the pair state equals the batch
+    :func:`~isilon_hadoop_tools_spark.operators.dedup.minhash_lsh_pairs`
+    over that prefix (candidate (x, y) is found when the later of
+    x, y arrives — the earlier signature is in the postings by then,
+    and agreeing bands join key-for-key).
+    """
+    delta = minhash_sig_keys(batch, text_col, id_col, num_hashes, bands, k)
+    members = state.read("sig_members", SIG_MEMBERS_SCHEMA)
+    new_members = delta.join(
+        members.select("id"), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    if not new_members.take(1):
+        return  # replayed or empty batch
+    postings = state.read("sig_postings", SIG_POSTINGS_SCHEMA)
+    delta_sigs = new_members.select("sig_key").distinct().localCheckpoint(
+        eager=True
+    )
+    new_sigs = delta_sigs.join(
+        postings.filter(F.col("band") == 0).select("sig_key"),
+        "sig_key",
+        "left_anti",
+    )
+    new_postings = new_sigs.select(
+        F.posexplode(F.split("sig_key", r"\|")).alias("band", "band_key"),
+        "sig_key",
+    ).select(F.col("band").cast("int"), "band_key", "sig_key")
+    all_postings = postings.unionByName(new_postings).localCheckpoint(
+        eager=True
+    )
+    delta_banded = delta_sigs.select(
+        F.col("sig_key").alias("sig_d"),
+        F.posexplode(F.split("sig_key", r"\|")).alias("band", "band_key"),
+    )
+    # candidate signature pairs; the collision count IS the number of
+    # agreeing bands (band keys join key-for-key), including the
+    # sig==sig case where every band agrees
+    cand = (
+        delta_banded.join(all_postings, ["band", "band_key"])
+        .groupBy("sig_d", F.col("sig_key").alias("sig_o"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    merged_members = members.unionByName(new_members)
+    pairs = (
+        cand.join(
+            new_members.select(
+                F.col("sig_key").alias("sig_d"), F.col("id").alias("_ida")
+            ),
+            "sig_d",
+        )
+        .join(
+            merged_members.select(
+                F.col("sig_key").alias("sig_o"), F.col("id").alias("_idb")
+            ),
+            "sig_o",
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "n_bands",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()  # both-new pairs arrive once per direction
+    )
+    current = state.read("lsh_pairs", SIG_PAIRS_SCHEMA)
+    state.write(
+        "lsh_pairs",
+        current.unionByName(pairs)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("n_bands").alias("n_bands")),
+    )
+    state.write("sig_postings", all_postings)
+    state.write("sig_members", merged_members)
+
+
+def minhash_stream_into_state(
+    docs: DataFrame,
+    state: ParquetState,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a document stream through
+    :func:`minhash_index_apply_batch` via ``foreachBatch`` with
+    ``trigger(availableNow)`` — replay-proof with or without a
+    checkpoint, the streaming twin of the batch LSH candidate
+    generation."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        minhash_index_apply_batch(
+            batch,
+            state,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
         )
 
     writer = docs.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)

@@ -8048,6 +8048,69 @@ def multimodal_hash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_index_stream",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_MINHASH_SIGS_SQL},
+    banded AS (
+      SELECT id, (seed // 2) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY id, (seed // 2)
+    )
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+    FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.id < b.id
+    GROUP BY 1, 2
+    """,
+)
+def minhash_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH maintenance (§2.9 x L4): the documents
+    table arrives as three micro-batches; each is signed, anti-joined
+    against persisted members, band-key-matched against the
+    DISTINCT-signature postings index, and the newly-created
+    candidate pairs (with their agreeing-band counts) merge into
+    state. Drained twice without a checkpoint (replays are no-ops),
+    and the final pair state must hash-match the batch LSH candidate
+    answer — the same oracle as ``dedup_minhash_lsh_candidates``, so
+    one missed cross-batch collision or wrong n_bands fails."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = f"{_SCRATCH}/minhash_index_stream_src_{tag}"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for i in range(3):
+        tmp = f"{stream_dir}.slice{i}"
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp)
+    state = _fresh_state(spark, "minhash_index_stream")
+    schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/b*.parquet")
+        )
+        streaming.minhash_stream_into_state(
+            stream, state, text_col="text", id_col="doc_id",
+            num_hashes=8, bands=4,
+        )
+    return state.read("lsh_pairs", "id_a LONG, id_b LONG, n_bands LONG")
+
+
+@query(
     "multimodal_png_near_dups",
     oracle="""
     WITH dims AS (

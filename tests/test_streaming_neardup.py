@@ -136,3 +136,98 @@ def test_stream_drain_equals_batch_and_restarts(spark, tmp_path):
     # uncheckpointed replay over ALL files: anti-join makes it a no-op
     _drain(spark, in_dir, state, ckpt=None)
     assert _pairs(state) == truth
+
+
+# ---- MinHash-LSH streaming maintenance (the L4 twin) ----
+
+
+def _lsh_pairs(state: ParquetState):
+    from isilon_hadoop_tools_spark.streaming.neardup import SIG_PAIRS_SCHEMA
+
+    return {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in state.read("lsh_pairs", SIG_PAIRS_SCHEMA).collect()
+    }
+
+
+def _lsh_batch_truth(spark, rows):
+    return {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in dedup.minhash_lsh_pairs(
+            spark.createDataFrame(rows, DOCS_SCHEMA),
+            "text",
+            "doc_id",
+            num_hashes=8,
+            bands=4,
+        ).collect()
+    }
+
+
+def test_minhash_apply_batch_incremental_equals_batch(spark, tmp_path):
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        minhash_index_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    seen = []
+    for rows in BATCHES:
+        seen.extend(rows)
+        minhash_index_apply_batch(
+            spark.createDataFrame(rows, DOCS_SCHEMA),
+            state,
+            num_hashes=8,
+            bands=4,
+        )
+        assert _lsh_pairs(state) == _lsh_batch_truth(spark, seen)
+    # cross-batch exact dups agree on every band
+    got = _lsh_pairs(state)
+    assert got[(1, 4)] == 4 and got[(1, 6)] == 4 and got[(4, 6)] == 4
+
+
+def test_minhash_apply_batch_replay_is_noop(spark, tmp_path):
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        minhash_index_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for _ in range(2):  # second sweep replays every batch
+        for rows in BATCHES:
+            minhash_index_apply_batch(
+                spark.createDataFrame(rows, DOCS_SCHEMA),
+                state,
+                num_hashes=8,
+                bands=4,
+            )
+    all_rows = [r for b in BATCHES for r in b]
+    assert _lsh_pairs(state) == _lsh_batch_truth(spark, all_rows)
+
+
+def test_minhash_stream_drain_equals_batch_and_restarts(spark, tmp_path):
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        minhash_stream_into_state,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "ckpt")
+    state = ParquetState(spark, str(tmp_path / "state"))
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        minhash_stream_into_state(
+            stream, state, num_hashes=8, bands=4, checkpoint=ck
+        )
+
+    for stage, rows in enumerate(BATCHES):
+        _write_doc_batch(in_dir, f"b{stage}.parquet", rows)
+        drain(ckpt)
+    truth = _lsh_batch_truth(spark, [r for b in BATCHES for r in b])
+    assert _lsh_pairs(state) == truth
+    drain(ckpt)  # idle restart
+    assert _lsh_pairs(state) == truth
+    drain(None)  # uncheckpointed full replay
+    assert _lsh_pairs(state) == truth
