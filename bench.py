@@ -86,6 +86,15 @@ HEADLINE = (
     "events_active_interval_union",
     "customer_link_triangles",
     "doc_dup_span_merged",
+    # round-9 new operator families: compressed-image decode + hash +
+    # band join end-to-end, the signature-collapsed LSH scale form,
+    # and the RefinedWeb span cut. (The streaming index queries and
+    # the brute-force recall evals are deliberately NOT benched: the
+    # former measure state-store setup, the latter are O(n²) ground
+    # truth by design — neither is a throughput path.)
+    "multimodal_png_near_dups",
+    "simhash_rep_pairs",
+    "doc_dup_span_cut",
 )
 
 

@@ -670,17 +670,21 @@ def png_encode_rgb(pix, row_filters=None) -> bytes:
 
 
 def png_decode_rgb(raw: bytes):
-    """REAL PNG decoder (8-bit truecolor RGB, non-interlaced): PNG
-    signature, critical-chunk walk with per-chunk CRC32 verification,
-    multi-IDAT concatenation, stdlib ``zlib`` inflate (adler32
-    checked by zlib itself), then per-scanline unfiltering of all
-    five filter types (None/Sub/Up/Average/Paeth) with bpp=3.
+    """REAL PNG decoder (8-bit truecolor RGB and 8-bit grayscale,
+    non-interlaced): PNG signature, critical-chunk walk with
+    per-chunk CRC32 verification, multi-IDAT concatenation, stdlib
+    ``zlib`` inflate (adler32 checked by zlib itself), then
+    per-scanline unfiltering of all five filter types
+    (None/Sub/Up/Average/Paeth) with the color type's bpp (3 or 1 —
+    the Sub/Paeth "left" neighbor is one PIXEL back, not one byte).
     Returns an (h, w, 3) uint8 numpy array in row-major top-down
-    order. Malformed payloads — bad signature, truncated or
-    CRC-corrupt chunks, IDAT before IHDR, missing IEND, unsupported
-    depth/color/interlace, short or oversized pixel stream, unknown
-    filter type — raise ``ValueError`` instead of yielding garbage,
-    the same typed-reject contract as the WAV/BMP codecs."""
+    order; grayscale replicates into the three channels so every
+    downstream feature/hash stage sees one shape. Malformed payloads
+    — bad signature, truncated or CRC-corrupt chunks, IDAT before
+    IHDR, missing IEND, unsupported depth/color/interlace, short or
+    oversized pixel stream, unknown filter type — raise
+    ``ValueError`` instead of yielding garbage, the same typed-reject
+    contract as the WAV/BMP codecs."""
     import struct
     import zlib
 
@@ -713,8 +717,10 @@ def png_decode_rgb(raw: bytes):
             )
             if width <= 0 or height <= 0:
                 raise ValueError("degenerate PNG dimensions")
-            if depth != 8 or color != 2:
-                raise ValueError("only 8-bit truecolor RGB supported")
+            if depth != 8 or color not in (0, 2):
+                raise ValueError(
+                    "only 8-bit truecolor RGB or grayscale supported"
+                )
             if comp != 0 or filt != 0:
                 raise ValueError("unknown compression/filter method")
             if interlace != 0:
@@ -731,7 +737,8 @@ def png_decode_rgb(raw: bytes):
     if width is None or not saw_iend:
         raise ValueError("missing IHDR or IEND")
     decomp = zlib.decompress(bytes(idat))
-    stride = width * 3
+    bpp = 3 if color == 2 else 1  # filter "left" distance: one pixel
+    stride = width * bpp
     if len(decomp) != (stride + 1) * height:
         raise ValueError("decompressed pixel stream size mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -747,21 +754,24 @@ def png_decode_rgb(raw: bytes):
         elif ftype in (1, 3, 4):
             recon = np.zeros(stride, dtype=np.int64)
             for i in range(stride):
-                left = int(recon[i - 3]) if i >= 3 else 0
+                left = int(recon[i - bpp]) if i >= bpp else 0
                 up = int(prev[i])
                 if ftype == 1:
                     pred = left
                 elif ftype == 3:
                     pred = (left + up) // 2
                 else:
-                    ul = int(prev[i - 3]) if i >= 3 else 0
+                    ul = int(prev[i - bpp]) if i >= bpp else 0
                     pred = _paeth(left, up, ul)
                 recon[i] = (raw_row[i] + pred) % 256
         else:
             raise ValueError(f"unknown filter type {ftype}")
         out[y] = recon
         prev = recon
-    return out.reshape(height, width, 3)
+    pix = out.reshape(height, width, bpp)
+    if bpp == 1:
+        pix = np.repeat(pix, 3, axis=2)
+    return pix
 
 
 def decode_png_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:

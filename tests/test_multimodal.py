@@ -562,3 +562,52 @@ def test_png_ahash_matches_bmp_ahash_on_identical_pixels(spark):
     ph = M.png_ahash(pdf, "payload", "doc_id").collect()[0]
     assert (bh["width"], bh["height"]) == (ph["width"], ph["height"]) == (7, 5)
     assert bh["ahash"] == ph["ahash"]
+
+
+def test_png_grayscale_decode_hand_vectors():
+    # 8-bit grayscale (color type 0): bpp=1, so Sub's "left" is the
+    # previous BYTE. Hand-derived per RFC 2083: row0 Sub over
+    # [10, 20, 30] -> raw [10, 10, 10]; row1 Paeth over [5, 25, 24]
+    # with prev=[10,20,30]: i=0 pred=up=10 -> 251; i=1 left=5, up=20,
+    # ul=10 -> p=15, pa=10, pb=5 -> up=20 -> 5; i=2 left=25, up=30,
+    # ul=20 -> p=35, pa=10, pb=5 -> up=30 -> 250
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from isilon_hadoop_tools_spark.multimodal import png_decode_rgb
+
+    scan = bytes([1, 10, 10, 10]) + bytes([4, 251, 5, 250])
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = png_decode_rgb(payload)
+    want = np.array([[10, 20, 30], [5, 25, 24]], dtype=np.uint8)
+    assert out.shape == (2, 3, 3)
+    # grayscale replicates into all three channels
+    for ch in range(3):
+        assert (out[..., ch] == want).all()
+
+
+def test_png_rejects_palette_color_type():
+    import struct
+    import zlib
+
+    import pytest
+
+    from isilon_hadoop_tools_spark.multimodal import png_decode_rgb
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # palette
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truecolor RGB or grayscale"):
+        png_decode_rgb(payload)
