@@ -358,3 +358,41 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_minhash_lsh_signature_pipeline_materialized_once(spark):
+    # the signature collapse consumes (id, sig_key) from up to four
+    # branches (group table, band explode, two expansion joins): the
+    # lazy localCheckpoint must keep the shingle + minhash aggregation
+    # to ONE parquet read of documents in the executed plan
+    plan = _executed_plan(spark, "dedup_minhash_lsh_candidates")
+    n_doc_scans = plan.count("Scan parquet") + plan.count(
+        "InMemoryTableScan"
+    )
+    assert n_doc_scans <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_rep_pairs_no_cartesian_bounded_scans(spark):
+    plan = _executed_plan(spark, "simhash_rep_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_span_cut_membership_join_is_keyed(spark):
+    # the token-in-span membership test must plan as an id-keyed join
+    # with the range condition as residual — never a nested-loop over
+    # tokens x spans
+    plan = _plan(spark, "doc_dup_span_cut")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_png_feature_chain_two_arrow_stages(spark):
+    # payload generation + decode are each one Arrow stage; nothing
+    # else may fall back to Python
+    plan = _plan(spark, "multimodal_png_features")
+    # "NodeName (" counts tree nodes, not the detail section
+    n_py = plan.count("ArrowEvalPython (") + plan.count("MapInPandas (")
+    assert n_py == 2, plan
