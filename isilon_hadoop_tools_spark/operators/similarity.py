@@ -1053,3 +1053,70 @@ def _pq_adc_rank(spark, all_codes, lut_rows, topk: int) -> DataFrame:
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def label_centroid_probe(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """Nearest-centroid linear probe over a labeled embedding table —
+    the standard embedding-quality diagnostic (how linearly separable
+    are the classes in this representation?), run entirely in the
+    same integer-quantized space as ``kmeans_iterate`` so every
+    prediction is bit-identical cross-engine.
+
+    One pass builds per-label centroids (exact bigint component sums,
+    one ``round(sum/count)`` double division each — the
+    ``kmeans_train`` contract); the class count is tiny, so the
+    centroid table collects to the driver and classification is the
+    shuffle-free :func:`kmeans_assign` literal-argmin projection
+    (ties broken by lowest label). Output: the confusion table
+    ``label, pred_label, n`` — per-class accuracy and the global
+    probe score derive from it with one aggregation.
+
+    Scale: centroid build is one map-side-partial wide aggregation
+    (C x (dim+1) partial rows per partition); classification scans
+    the corpus once with zero shuffles; output is <= C² rows.
+    """
+    labeled = df.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("label")
+    )
+    vecs = quantize_vectors(df, vec_col, id_col, scale).localCheckpoint(
+        eager=False
+    )
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "label INT, pred_label INT, n LONG"
+        )
+    dim = len(first[0])
+    upd = (
+        vecs.join(labeled, "vid")
+        .groupBy("label")
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias(f"c{p}")
+                for p in range(dim)
+            ]
+        )
+    )
+    cents = sorted(
+        (int(r["label"]), [r[f"c{p}"] for p in range(dim)])
+        for r in upd.collect()
+    )
+    assign = kmeans_assign(vecs, cents)
+    return (
+        assign.join(labeled, "vid")
+        .groupBy(
+            F.col("label").cast("int").alias("label"),
+            F.col("list_id").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

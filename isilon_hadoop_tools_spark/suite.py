@@ -2512,6 +2512,53 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_label_probe",
+    oracle="""
+    WITH qvecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS qv
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, i,
+             round(sum(qv[i])::DOUBLE / count(*))::BIGINT AS cval
+      FROM qvecs, (SELECT unnest(range(1, 65)) AS i) _idx
+      GROUP BY label, i
+    ),
+    cvec AS (
+      SELECT clabel, list(cval ORDER BY i) AS c FROM cent GROUP BY clabel
+    ),
+    assign AS (
+      SELECT vec_id, label, clabel AS pred_label,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> (qv[i] - c[i]) * (qv[i] - c[i]))), clabel) AS rn
+      FROM qvecs CROSS JOIN cvec
+    )
+    SELECT label::INT AS label, pred_label::INT AS pred_label,
+           count(*) AS n
+    FROM assign WHERE rn = 1 GROUP BY label, pred_label
+    """,
+)
+def embedding_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid linear probe on the labeled embeddings (the
+    first consumer of the ``label`` column): per-label centroids in
+    integer-quantized space, shuffle-free literal-argmin
+    classification, confusion-table output — the standard "how good
+    is this representation" diagnostic, bit-identical to the DuckDB
+    twin (exact integer distances; ties to the lowest label)."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        label_centroid_probe,
+    )
+
+    return label_centroid_probe(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", "label"
+    )
+
+
+@query(
     "embedding_quantize_int8",
     oracle="""
     WITH q AS (

@@ -295,3 +295,44 @@ def test_pq_adc_self_is_nearest(spark):
         # a query's own codes reconstruct to distance <= anyone else's
         assert rows_q[0].adist <= rows_q[-1].adist
         assert any(r.neighbor_id == q for r in rows_q) or rows_q[0].adist >= 0
+
+
+def test_label_centroid_probe_separable_and_mislabeled(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        label_centroid_probe,
+    )
+
+    # two well-separated clusters; id 5 carries cluster-1 coordinates
+    # but label 0 — the probe must classify it as 1 (an off-diagonal
+    # confusion cell), everything else on the diagonal
+    rows = [
+        (1, [0.0, 0.0, 0.1], 0),
+        (2, [0.1, 0.0, 0.0], 0),
+        (3, [5.0, 5.0, 5.0], 1),
+        (4, [5.1, 5.0, 4.9], 1),
+        (5, [5.0, 5.1, 5.0], 0),  # mislabeled
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = {
+        (r["label"], r["pred_label"]): r["n"]
+        for r in label_centroid_probe(df).collect()
+    }
+    # centroid of label 0 is dragged toward cluster 1 by the
+    # mislabeled point, but ids 1-2 stay closest to it
+    assert out[(0, 0)] == 2
+    assert out[(0, 1)] == 1  # the mislabeled point crosses over
+    assert out[(1, 1)] == 2
+    assert (1, 0) not in out
+
+
+def test_label_centroid_probe_empty_input(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        label_centroid_probe,
+    )
+
+    df = spark.createDataFrame(
+        [], "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    assert label_centroid_probe(df).count() == 0
