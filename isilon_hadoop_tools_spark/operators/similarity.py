@@ -1120,3 +1120,107 @@ def label_centroid_probe(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def label_separation_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """Class cohesion/separation report — the silhouette-lite
+    companion of :func:`label_centroid_probe` that stays LINEAR in
+    the corpus: per label, the mean squared quantized distance of
+    members to their own centroid (cohesion) and the squared
+    distance from the centroid to its nearest OTHER centroid
+    (separation, computed driver-side over the C x C centroid table).
+    A representation separates its classes when cohesion is well
+    under separation.
+
+    Output: ``label``, ``n``, ``mean_intra_sq`` (round 6),
+    ``nearest_other_label``, ``inter_sq``. Everything is exact
+    bigint arithmetic except the one rounded mean division, so the
+    report is bit-identical cross-engine. One corpus scan with a
+    broadcast centroid join; no pairwise member distances anywhere.
+    """
+    labeled = df.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("label")
+    )
+    vecs = quantize_vectors(df, vec_col, id_col, scale).localCheckpoint(
+        eager=False
+    )
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            "label INT, n LONG, mean_intra_sq DOUBLE, "
+            "nearest_other_label INT, inter_sq LONG",
+        )
+    dim = len(first[0])
+    upd = (
+        vecs.join(labeled, "vid")
+        .groupBy("label")
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias(f"c{p}")
+                for p in range(dim)
+            ]
+        )
+    )
+    cents = sorted(
+        (int(r["label"]), [r[f"c{p}"] for p in range(dim)])
+        for r in upd.collect()
+    )
+    # separation: exact integer centroid-to-centroid distances over
+    # the tiny driver-held table; ties to the lowest other label
+    near = {}
+    for lab, c in cents:
+        best = None
+        for lab2, c2 in cents:
+            if lab2 == lab:
+                continue
+            d = sum((a - b) * (a - b) for a, b in zip(c, c2))
+            if best is None or d < best[1]:
+                best = (lab2, d)
+        near[lab] = best  # None when only one class exists
+    spark = df.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(lab, c) for lab, c in cents], "label INT, c ARRAY<BIGINT>"
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    intra = (
+        vecs.join(labeled, "vid")
+        .join(cent_df, "label")
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(dist).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_intra_sq"),
+        )
+    )
+    near_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    lab,
+                    near[lab][0] if near[lab] else None,
+                    near[lab][1] if near[lab] else None,
+                )
+                for lab, _ in cents
+            ],
+            "label INT, nearest_other_label INT, inter_sq LONG",
+        )
+    )
+    return intra.join(near_df, "label")

@@ -2559,6 +2559,64 @@ def embedding_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_label_separation",
+    oracle="""
+    WITH qvecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS qv
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, i,
+             round(sum(qv[i])::DOUBLE / count(*))::BIGINT AS cval
+      FROM qvecs, (SELECT unnest(range(1, 65)) AS i) _idx
+      GROUP BY label, i
+    ),
+    cvec AS (
+      SELECT clabel, list(cval ORDER BY i) AS c FROM cent GROUP BY clabel
+    ),
+    intra AS (
+      SELECT q.label, count(*) AS n,
+             round(sum(list_sum(list_transform(range(1, 65),
+               i -> (qv[i] - c[i]) * (qv[i] - c[i]))))::DOUBLE
+               / count(*), 6) AS mean_intra_sq
+      FROM qvecs q JOIN cvec v ON v.clabel = q.label
+      GROUP BY q.label
+    ),
+    pairs AS (
+      SELECT a.clabel AS label, b.clabel AS other,
+             list_sum(list_transform(range(1, 65),
+               i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i]))) AS d
+      FROM cvec a JOIN cvec b ON a.clabel <> b.clabel
+    ),
+    nearest AS (
+      SELECT label, other, d,
+             row_number() OVER (PARTITION BY label ORDER BY d, other) AS rn
+      FROM pairs
+    )
+    SELECT i.label::INT AS label, i.n, i.mean_intra_sq,
+           n.other::INT AS nearest_other_label, n.d::BIGINT AS inter_sq
+    FROM intra i LEFT JOIN nearest n ON n.label = i.label AND n.rn = 1
+    """,
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class cohesion/separation report (the silhouette-lite that
+    stays LINEAR): per-label mean squared distance to own centroid vs
+    the centroid's exact distance to its nearest other centroid —
+    one corpus scan + a broadcast centroid join, no pairwise member
+    distances; the C x C separation matrix is driver-side integer
+    math. Bit-identical to the DuckDB twin."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        label_separation_stats,
+    )
+
+    return label_separation_stats(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", "label"
+    )
+
+
+@query(
     "embedding_quantize_int8",
     oracle="""
     WITH q AS (

@@ -336,3 +336,48 @@ def test_label_centroid_probe_empty_input(spark):
         [], "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
     )
     assert label_centroid_probe(df).count() == 0
+
+
+def test_label_separation_stats_planted_clusters(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        label_separation_stats,
+    )
+
+    # tight cluster at origin (label 0), tight cluster at (5,5,5)
+    # (label 1), and a looser third at (0,0,20) (label 2)
+    rows = [
+        (1, [0.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.002], 0),
+        (3, [5.0, 5.0, 5.0], 1),
+        (4, [5.0, 5.0, 5.002], 1),
+        (5, [0.0, 0.0, 19.0], 2),
+        (6, [0.0, 0.0, 21.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = {r["label"]: r for r in label_separation_stats(df).collect()}
+    assert set(out) == {0, 1, 2}
+    for lab in (0, 1, 2):
+        assert out[lab]["n"] == 2
+        # cohesion far under separation in this fixture
+        assert out[lab]["mean_intra_sq"] < out[lab]["inter_sq"]
+    # label 2's centroid (0,0,20k): d² to 1's (5k,5k,5k) is
+    # 2·25e6 + 14999² ≈ 2.75e8, vs 19999² ≈ 4.0e8 to 0's origin
+    assert out[2]["nearest_other_label"] == 1
+    # quantized scale=1000: members at z +/- 1000 of the centroid
+    assert out[2]["mean_intra_sq"] == 1000.0 * 1000.0
+
+
+def test_label_separation_single_class_has_null_separation(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        label_separation_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [1.0, 2.0], 7)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    r = label_separation_stats(df).collect()[0]
+    assert r["label"] == 7 and r["n"] == 2
+    assert r["nearest_other_label"] is None and r["inter_sq"] is None
