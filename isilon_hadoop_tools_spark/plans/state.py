@@ -77,6 +77,28 @@ class ParquetState:
             shutil.rmtree(old)
         return n
 
+    def append(self, table: str, df: DataFrame) -> None:
+        """Append ``df``'s rows to ``table`` without rewriting the
+        existing data — the monotone-index write path (streaming band
+        postings / member tables), where swap-on-write's O(table)
+        rewrite per batch would make total work quadratic in the
+        stream length. Per-batch cost is O(delta) instead.
+
+        Atomicity caveat (documented, tested): Spark's append commits
+        per file, so a crash mid-append can leave a SUBSET of the
+        delta's rows. Consumers of appended tables must therefore be
+        (a) keyed-idempotent — re-deriving the delta with an
+        anti-join against the table re-adds only the missing rows —
+        and (b) duplicate-tolerant where a partially-landed group
+        could be re-added under a different file split (the streaming
+        index counts DISTINCT bands, never raw posting rows). The
+        production analog is a Delta/Iceberg append commit, which
+        closes the partial-visibility window entirely.
+        """
+        df.coalesce(self.write_partitions).write.mode("append").parquet(
+            self._path(table)
+        )
+
     @staticmethod
     def _footer_count(path: str) -> int:
         """Row count from parquet footer metadata — no Spark job.

@@ -32,9 +32,17 @@ Per batch (all bounded joins, no corpus self-join):
    and merge them into ``near_pairs``.
 
 Write order is crash-safe: pairs, then postings, then members — a
-batch is "committed" only once ``fp_members`` lands, so a crash
-between writes replays the batch and the anti-join/merge steps
-re-converge to the same state.
+batch is "committed" only once the members land, so a crash between
+writes replays the batch and the anti-join/merge steps re-converge
+to the same state. The pair table merges via read-modify-swap (the
+dedup in the merge is the idempotence backstop); the two INDEX
+tables append only their delta, so per-batch write work is O(batch)
+— with swap-on-write the total write volume over a stream of B
+batches would be O(corpus · B), quadratic in stream length. A crash
+mid-append can leave a partial delta; the anti-joins re-add exactly
+the missing rows on replay, and candidate generation counts DISTINCT
+fingerprint pairs / bands so a re-added posting row can never
+double-count (partial-append simulation in the tests).
 
 Batch-equivalence contract (the oracle): after draining any prefix of
 the stream, ``near_pairs`` equals the batch
@@ -150,8 +158,15 @@ def simhash_index_apply_batch(
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").cast("int").alias("hamming")),
     )
-    state.write("band_postings", all_postings)
-    state.write("fp_members", merged_members)
+    # index tables APPEND their delta — O(batch) writes per batch,
+    # not an O(corpus) rewrite (swap-on-write would make total write
+    # work quadratic in the stream length). Partial-append crash
+    # windows are covered: the members anti-join re-adds only missing
+    # ids, the postings anti-join re-adds only fps missing band 0,
+    # and candidate generation dedups (fp_d, fp_o) before the
+    # hamming filter so re-added posting rows cannot double-count.
+    state.append("band_postings", new_postings)
+    state.append("fp_members", new_members)
 
 
 def simhash_stream_into_state(
@@ -245,8 +260,12 @@ def minhash_index_apply_batch(
     # sig==sig case where every band agrees
     cand = (
         delta_banded.join(all_postings, ["band", "band_key"])
-        .groupBy("sig_d", F.col("sig_key").alias("sig_o"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .select("sig_d", F.col("sig_key").alias("sig_o"), "band")
+        .groupBy("sig_d", "sig_o")
+        # DISTINCT bands, not raw join rows: a partial-append crash
+        # can leave duplicate posting rows for a signature, and raw
+        # counting would inflate n_bands
+        .agg(F.countDistinct("band").alias("n_bands"))
     )
     merged_members = members.unionByName(new_members)
     pairs = (
@@ -277,8 +296,9 @@ def minhash_index_apply_batch(
         .groupBy("id_a", "id_b")
         .agg(F.max("n_bands").alias("n_bands")),
     )
-    state.write("sig_postings", all_postings)
-    state.write("sig_members", merged_members)
+    # O(delta) index appends — see simhash_index_apply_batch
+    state.append("sig_postings", new_postings)
+    state.append("sig_members", new_members)
 
 
 def minhash_stream_into_state(

@@ -231,3 +231,79 @@ def test_minhash_stream_drain_equals_batch_and_restarts(spark, tmp_path):
     assert _lsh_pairs(state) == truth
     drain(None)  # uncheckpointed full replay
     assert _lsh_pairs(state) == truth
+
+
+# ---- partial-append crash windows (the O(delta) index writes) ----
+
+
+def test_simhash_partial_posting_append_does_not_corrupt(spark, tmp_path):
+    # simulate a crash mid-postings-append: bands 1..3 of doc 1's
+    # fingerprint landed but band 0 did not — the replay re-adds ALL
+    # bands (anti-join keys on band 0), leaving duplicate posting
+    # rows for bands 1..3, and the pair state must still equal the
+    # batch answer (candidates dedup before the hamming filter)
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.dedup import (
+        band_slice_array,
+        simhash,
+    )
+    from isilon_hadoop_tools_spark.streaming.neardup import POSTINGS_SCHEMA
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    first = spark.createDataFrame(BATCHES[0], DOCS_SCHEMA)
+    partial = (
+        simhash(first, "text", "doc_id", 32)
+        .select(
+            F.posexplode(band_slice_array(F.col("simhash"), 32, 4)).alias(
+                "band_idx", "band_val"
+            ),
+            F.col("simhash").alias("fp"),
+        )
+        .filter(F.col("band_idx") > 0)
+        .select(F.col("band_idx").cast("int"), "band_val", "fp")
+    )
+    state.append("band_postings", partial)
+    for rows in BATCHES:
+        simhash_index_apply_batch(
+            spark.createDataFrame(rows, DOCS_SCHEMA), state
+        )
+    assert _pairs(state) == _batch_truth(spark)
+    # the re-add left duplicates for bands 1..3; distinct rows match
+    # a clean run's posting set
+    posts = state.read("band_postings", POSTINGS_SCHEMA)
+    assert posts.distinct().count() < posts.count()
+
+
+def test_minhash_partial_posting_append_does_not_inflate_bands(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.dedup import minhash_sig_keys
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        minhash_index_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    first = spark.createDataFrame(BATCHES[0], DOCS_SCHEMA)
+    partial = (
+        minhash_sig_keys(first, "text", "doc_id", 8, 4)
+        .select(
+            F.posexplode(F.split("sig_key", r"\|")).alias("band", "band_key"),
+            "sig_key",
+        )
+        .filter(F.col("band") > 0)
+        .select(F.col("band").cast("int"), "band_key", "sig_key")
+    )
+    state.append("sig_postings", partial)
+    for rows in BATCHES:
+        minhash_index_apply_batch(
+            spark.createDataFrame(rows, DOCS_SCHEMA),
+            state,
+            num_hashes=8,
+            bands=4,
+        )
+    # duplicate posting rows exist, but n_bands counts stay exact
+    all_rows = [r for b in BATCHES for r in b]
+    assert _lsh_pairs(state) == _lsh_batch_truth(spark, all_rows)
