@@ -1224,3 +1224,90 @@ def label_separation_stats(
         )
     )
     return intra.join(near_df, "label")
+
+
+def knn_label_probe(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+    n_queries: int = 50,
+    scale: int = 1000,
+) -> DataFrame:
+    """Leave-one-out k-NN label probe — the non-parametric companion
+    of :func:`label_centroid_probe` (k-NN accuracy is the standard
+    second axis of embedding-quality evals: it sees local structure
+    the linear probe cannot). Evaluated over the ``n_queries``
+    lowest-id vectors against the FULL corpus, so cost is
+    O(n_queries · n) with a broadcast query table — never the n²
+    all-pairs eval.
+
+    Fully deterministic: exact integer squared distances in the
+    quantized space, neighbor ties to the lowest id, majority vote
+    with ties to the lowest label. Output per true label:
+    ``label, n_eval, n_correct, accuracy`` (round 6).
+    """
+    labeled = df.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("label")
+    )
+    vecs = quantize_vectors(df, vec_col, id_col, scale).localCheckpoint(
+        eager=False
+    )
+    q = (
+        vecs.orderBy("vid")
+        .limit(n_queries)
+        .join(labeled, "vid")
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q_qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        vecs.join(F.broadcast(q))
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vid").alias("nid"),
+            dist.alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "nid")
+    top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .join(labeled.select(F.col("vid").alias("nid"), F.col("label").alias("n_label")), "nid")
+    )
+    votes = top.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_eval"), 6).alias("accuracy"),
+        )
+    )

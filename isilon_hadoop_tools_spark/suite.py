@@ -2617,6 +2617,64 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_knn_probe",
+    oracle="""
+    WITH qvecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS qv
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, qv AS q_qv, label AS true_label
+      FROM qvecs ORDER BY vec_id LIMIT 50
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, c.vec_id AS nid, c.label AS n_label,
+             list_sum(list_transform(range(1, 65),
+               i -> (c.qv[i] - q.q_qv[i]) * (c.qv[i] - q.q_qv[i]))) AS dist
+      FROM qvecs c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ),
+    top AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, nid) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, n_label, count(*) AS c
+      FROM top WHERE rk <= 5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, n_label AS pred_label,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY c DESC, n_label) AS rn
+      FROM votes
+    )
+    SELECT true_label::INT AS label, count(*) AS n_eval,
+           sum(CASE WHEN pred_label = true_label
+                    THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           round(sum(CASE WHEN pred_label = true_label
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS accuracy
+    FROM pred WHERE rn = 1 GROUP BY true_label
+    """,
+)
+def embedding_knn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label probe over the 50 lowest-id vectors
+    vs the full corpus (O(n_queries · n) with a broadcast query
+    table — the eval that sees local structure the linear centroid
+    probe cannot). Exact integer distances, ties to lowest id /
+    lowest label — bit-identical to the DuckDB twin."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        knn_label_probe,
+    )
+
+    return knn_label_probe(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", "label"
+    )
+
+
+@query(
     "embedding_quantize_int8",
     oracle="""
     WITH q AS (

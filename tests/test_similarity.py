@@ -381,3 +381,42 @@ def test_label_separation_single_class_has_null_separation(spark):
     r = label_separation_stats(df).collect()[0]
     assert r["label"] == 7 and r["n"] == 2
     assert r["nearest_other_label"] is None and r["inter_sq"] is None
+
+
+def test_knn_label_probe_majority_and_ties(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        knn_label_probe,
+    )
+
+    # query id 1 (label 0) sits between: 3 near neighbors labeled 0,
+    # 2 labeled 1 -> majority 0, correct. query id 2 (label 1) has
+    # its k=5 split 2/2 between labels 0 and 1 plus one far label 0
+    # -> tie at 2 within the top... construct simpler: exact counts.
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [10.0, 0.0], 1),
+        # cluster around id 1
+        (3, [0.1, 0.0], 0),
+        (4, [0.0, 0.1], 0),
+        (5, [0.1, 0.1], 0),
+        (6, [0.2, 0.0], 1),
+        (7, [0.0, 0.2], 1),
+        # cluster around id 2
+        (8, [10.1, 0.0], 1),
+        (9, [10.0, 0.1], 1),
+        (10, [10.1, 0.1], 0),
+        (11, [10.2, 0.0], 0),
+        (12, [9.9, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = {
+        r["label"]: r
+        for r in knn_label_probe(df, k=5, n_queries=2).collect()
+    }
+    # query 1: neighbors 3,4,5 (label 0) + 6,7 (label 1) -> pred 0
+    assert out[0]["n_eval"] == 1 and out[0]["n_correct"] == 1
+    assert out[0]["accuracy"] == 1.0
+    # query 2: neighbors 8,9,12 (label 1) + 10,11 (label 0) -> pred 1
+    assert out[1]["n_eval"] == 1 and out[1]["n_correct"] == 1
