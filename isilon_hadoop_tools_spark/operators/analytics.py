@@ -854,3 +854,92 @@ def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, corr)"
     )
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """All overlapping interval pairs per key WITHOUT the per-key
+    quadratic self-join — the interval-join shape behind genomic
+    region intersection, concurrent-session detection, and
+    meeting-conflict queries.
+
+    Intervals are half-open ``[s, e)`` (touching intervals do not
+    overlap; empty ones are dropped). Each interval bands into the
+    fixed-width time buckets it crosses, so any overlapping pair
+    shares >= 1 bucket — candidate generation is an equi-join on
+    (key, bucket), complete by construction. Each qualifying pair is
+    emitted from exactly ONE bucket — the bucket containing
+    ``max(s_a, s_b)`` — the classic grid-join dedup that removes the
+    post-join ``distinct`` entirely, keeping the plan output-bound.
+
+    ``bucket_width=None`` sizes the grid to the mean interval length
+    (one tiny pre-aggregation, driver scalar — the binning heuristic
+    that bounds both the per-interval bucket fan-out and the
+    per-bucket occupancy for typical data). Long outlier intervals
+    fan into more buckets but are emitted once regardless.
+
+    Output: ``key``, ``id_a``, ``id_b`` (id_a < id_b),
+    ``overlap`` = min(e)−max(s) > 0.
+    """
+    iv = df.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("_id"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    ).filter(F.col("_e") > F.col("_s"))
+    if bucket_width is None:
+        row = iv.agg(
+            F.ceil(F.avg(F.col("_e") - F.col("_s"))).alias("w")
+        ).first()
+        bucket_width = int(max(1, row["w"] or 1))
+    w = int(bucket_width)
+    banded = iv.select(
+        "_k",
+        "_id",
+        "_s",
+        "_e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_s") / w).cast("long"),
+                F.floor((F.col("_e") - 1) / w).cast("long"),
+            )
+        ).alias("_b"),
+    )
+    a = banded.select(
+        "_k",
+        "_b",
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_e").alias("_ea"),
+    )
+    b = banded.select(
+        "_k",
+        "_b",
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_e").alias("_eb"),
+    )
+    return (
+        a.join(b, ["_k", "_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("_sa") < F.col("_eb")) & (F.col("_sb") < F.col("_ea")))
+        # one canonical bucket per pair: the one holding max(s_a, s_b)
+        .filter(
+            F.col("_b")
+            == F.floor(F.greatest("_sa", "_sb") / w).cast("long")
+        )
+        .select(
+            F.col("_k").alias(key),
+            "id_a",
+            "id_b",
+            (
+                F.least("_ea", "_eb") - F.greatest("_sa", "_sb")
+            ).alias("overlap"),
+        )
+    )

@@ -7755,6 +7755,47 @@ def events_active_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_interval_overlap_pairs",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS s,
+             floor(epoch(ts))::BIGINT + floor(value * 10)::BIGINT AS e
+      FROM events
+    ),
+    iv2 AS (SELECT * FROM iv WHERE e > s)
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           (least(a.e, b.e) - greatest(a.s, b.s))::BIGINT AS overlap
+    FROM iv2 a JOIN iv2 b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+    WHERE a.s < b.e AND b.s < a.e
+    """,
+)
+def events_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (EA22b — concurrent-session /
+    region-intersection shape): every pair of value-scaled activity
+    windows [ts, ts+10·value) that overlap, per user. The grid-bucket
+    band join makes candidate generation an equi-join on (user,
+    bucket) with each pair emitted from exactly ONE canonical bucket
+    — complete and duplicate-free by construction, never the per-user
+    quadratic self-join the oracle brute-forces."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("start_s"),
+        (s + (F.col("value") * 10).cast("long")).alias("end_s"),
+    )
+    return interval_overlap_join(
+        iv, "user_id", "event_id", "start_s", "end_s"
+    )
+
+
+@query(
     "events_value_equidepth_hist",
     oracle="""
     WITH ed AS MATERIALIZED (

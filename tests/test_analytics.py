@@ -499,3 +499,47 @@ def test_corr_matrix_perfect_and_anti_correlation(spark):
     assert out[("a", "b")] == 1.0
     assert out[("a", "c")] == -1.0
     assert out[("b", "c")] == -1.0
+
+
+def test_interval_overlap_join_brute_force_equivalence(spark):
+    from itertools import combinations
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        interval_overlap_join,
+    )
+
+    # mixed shapes: nested, touching (no overlap), disjoint, long
+    # outlier spanning many buckets, zero-length (dropped), and a
+    # second key
+    rows = [
+        (1, 10, 0, 10),
+        (1, 11, 5, 15),     # overlaps 10
+        (1, 12, 10, 20),    # touches 10 (no), overlaps 11
+        (1, 13, 2, 4),      # nested in 10
+        (1, 14, 30, 31),    # disjoint
+        (1, 15, 0, 100),    # long outlier: overlaps 10-13 and 14
+        (1, 16, 50, 50),    # zero-length: dropped
+        (2, 20, 0, 10),
+        (2, 21, 9, 12),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, id LONG, s LONG, e LONG")
+    for width in (None, 1, 3, 1000):
+        got = {
+            (r["k"], r["id_a"], r["id_b"]): r["overlap"]
+            for r in interval_overlap_join(
+                df, "k", "id", "s", "e", bucket_width=width
+            ).collect()
+        }
+        want = {}
+        by_k = {}
+        for k, i, s, e in rows:
+            if e > s:
+                by_k.setdefault(k, []).append((i, s, e))
+        for k, items in by_k.items():
+            for (i1, s1, e1), (i2, s2, e2) in combinations(items, 2):
+                if s1 < e2 and s2 < e1:
+                    a, b = min(i1, i2), max(i1, i2)
+                    want[(k, a, b)] = min(e1, e2) - max(s1, s2)
+        assert got == want, f"width={width}"
+    # sanity on the fixture itself: touching pair absent, nesting in
+    assert (1, 10, 12) not in got and (1, 10, 13) in got
