@@ -943,3 +943,42 @@ def interval_overlap_join(
             ).alias("overlap"),
         )
     )
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time lookup against a type-2 SCD history (the
+    temporal star-join every warehouse fact load needs): each fact
+    row left-joins the dimension version effective AT its timestamp —
+    ``valid_from <= ts < valid_to`` with a NULL ``valid_to`` meaning
+    "current". SCD2 effectivity intervals are disjoint per key, so at
+    most one version matches; facts before the key's first version
+    (or with no history at all) keep NULL attributes.
+
+    Plan shape: an equi-join on ``key`` with the effectivity range as
+    a residual predicate — shuffles hash on the key like any fact-dim
+    join (broadcast when the history is small), never a
+    nested-loop over fact x versions.
+    """
+    f = facts.alias("_f")
+    d = dim.alias("_d")
+    cond = (
+        (F.col(f"_f.{key}") == F.col(f"_d.{key}"))
+        & (F.col(f"_d.{valid_from}") <= F.col(f"_f.{ts}"))
+        & (
+            F.col(f"_d.{valid_to}").isNull()
+            | (F.col(f"_f.{ts}") < F.col(f"_d.{valid_to}"))
+        )
+    )
+    dim_cols = [
+        c for c in dim.columns if c not in (key, valid_from, valid_to)
+    ]
+    return f.join(d, cond, "left").select(
+        "_f.*", *[F.col(f"_d.{c}").alias(c) for c in dim_cols]
+    )

@@ -5976,6 +5976,68 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_priority_at_ship",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT * FROM ordered
+      WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    hist AS (
+      SELECT o_custkey, o_orderpriority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER w2 AS valid_to,
+             row_number() OVER w2 AS version
+      FROM changes
+      WINDOW w2 AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey)
+    ),
+    f AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+           h.o_orderpriority AS priority_at_ship, h.version
+    FROM f LEFT JOIN hist h
+      ON h.o_custkey = f.o_custkey
+     AND h.valid_from <= f.l_shipdate
+     AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+    """,
+)
+def lineitem_priority_at_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (EA13b — the temporal star join):
+    each shipped line item picks up the order-priority version that
+    was EFFECTIVE on its ship date from the customer's type-2
+    history. Equi-join on the customer key with the effectivity range
+    as residual — disjoint versions guarantee at most one match;
+    ships before the first version keep NULLs."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        scd2_history,
+        scd2_point_in_time_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = scd2_history(
+        orders, key="o_custkey", attr="o_orderpriority",
+        ts="o_orderdate", tiebreak="o_orderkey",
+    ).withColumnRenamed("o_orderpriority", "priority_at_ship")
+    facts = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+    return scd2_point_in_time_join(
+        facts, dim, key="o_custkey", ts="l_shipdate"
+    )
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-iteration DuckDB twin of `operators/graph.py`
     `pagerank` on the nation trade graph. Expressions (not rounded

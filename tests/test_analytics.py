@@ -287,6 +287,42 @@ def test_scd2_history_runs_and_versions(spark):
     assert out[2].valid_to is None
 
 
+def test_scd2_point_in_time_join_picks_effective_version(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        scd2_point_in_time_join,
+    )
+
+    day = dt.timedelta(days=1)
+    dim = spark.createDataFrame(
+        [
+            (7, "LOW", T0, T0 + 2 * day, 1),
+            (7, "HIGH", T0 + 2 * day, None, 2),
+        ],
+        "k long, prio string, valid_from timestamp, "
+        "valid_to timestamp, version long",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 7, T0 - day),       # before first version -> NULLs
+            (101, 7, T0),             # inclusive lower bound -> LOW
+            (102, 7, T0 + 2 * day),   # exclusive upper bound -> HIGH
+            (103, 7, T0 + 9 * day),   # open-ended current -> HIGH
+            (104, 8, T0),             # no history at all -> NULLs
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    out = {
+        r.fid: r
+        for r in scd2_point_in_time_join(facts, dim, "k", "ts").collect()
+    }
+    assert len(out) == 5  # disjoint versions: no fact row duplicated
+    assert (out[100].prio, out[100].version) == (None, None)
+    assert (out[101].prio, out[101].version) == ("LOW", 1)
+    assert (out[102].prio, out[102].version) == ("HIGH", 2)
+    assert (out[103].prio, out[103].version) == ("HIGH", 2)
+    assert (out[104].prio, out[104].version) == (None, None)
+
+
 def test_pivot_counts_static_schema_and_zero_fill(spark):
     from isilon_hadoop_tools_spark.operators.analytics import pivot_counts
 
