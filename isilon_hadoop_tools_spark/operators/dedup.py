@@ -1055,3 +1055,106 @@ def hamming_recall_eval(
             recall("n_hit_union").alias("recall_union"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-threshold set-similarity join via PREFIX
+    FILTERING (AllPairs/PPJoin, Xiao et al., WWW'08) — the scale
+    alternative to :func:`ngram_jaccard_pairs`'s ``max_df`` cap that
+    stays EXACT: no shingle is dropped, yet hot shingles never become
+    quadratic join keys.
+
+    The filter: order every document's shingles by global document
+    frequency (rarest first; ties on the shingle string so the order
+    is total and engine-independent). Two sets with
+    ``jaccard >= t`` must overlap in at least ``ceil(t*s)`` elements,
+    so each doc only needs to index its first
+    ``s - ceil(t*s) + 1`` shingles — any qualifying pair is
+    guaranteed to collide on one of those prefix tokens. Candidates
+    additionally pass the length filter
+    (``t*max(sa,sb) <= min(sa,sb)``), then exact Jaccard is verified
+    over the FULL sets.
+
+    Why it scales where the df-cap doesn't have to: prefixes select
+    each doc's globally rarest shingles, so prefix posting lists are
+    short by construction (a stopword shingle lands in a prefix only
+    for near-stopword-only docs), and the candidate join's key
+    distribution self-balances as the corpus grows — without
+    sacrificing exactness the way ``max_df`` does.
+
+    Output: ``id_a``, ``id_b``, ``jaccard`` (id_a < id_b, jaccard >=
+    ``threshold``) — identical to an uncapped
+    :func:`ngram_jaccard_pairs`.
+
+    Shape: posting build (one id-partitioned window chain) → df join
+    (shuffle on shingle) → per-doc rank window (re-uses the id hash
+    partitioning) → prefix self-join (shuffle on shingle, short
+    lists) → verification joins keyed on id_a / (id_b, shingle) —
+    every stage a hash join on a bounded-skew key.
+    """
+    posts = shingle_posting_list(df, text_col, id_col, k, max_df=None)
+    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sized = posts.withColumn(
+        "set_size", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    ranked = sized.join(dfreq, "shingle").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "shingle")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size"))
+        + F.lit(1)
+    ).select("id", "set_size", "shingle")
+    a = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("set_size").alias("size_a"),
+        "shingle",
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("set_size").alias("size_b"),
+        "shingle",
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter — pruning only (exact verify follows), so the
+        # float comparison's edge behavior cannot affect the output
+        .filter(
+            (F.lit(threshold) * F.col("size_a") <= F.col("size_b"))
+            & (F.lit(threshold) * F.col("size_b") <= F.col("size_a"))
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    pa = posts.select(F.col("id").alias("id_a"), "shingle")
+    pb = posts.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(pa, "id_a")
+        .join(pb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -3821,6 +3821,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_prefix_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingled
+              GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / (sa.set_size + sb.set_size - n_inter), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter::DOUBLE / (sa.set_size + sb.set_size - n_inter) >= 0.1
+    """,
+)
+def doc_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.1 pairs via prefix filtering (AllPairs /
+    PPJoin) — no ``max_df`` shingle drops, so the oracle is the
+    uncapped brute-force self-join; the prefix filter must produce
+    every qualifying pair or the hash mismatches."""
+    return dedup.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.1,
+    )
+
+
 def _minhash_params_sql(num_hashes: int = 8) -> str:
     """The universal-hash family's (seed, a, b) constants as a VALUES
     CTE — same md5-derived numbers ``affine_params`` computes."""

@@ -497,3 +497,49 @@ def test_hamming_recall_eval_empty_truth_is_perfect(spark):
         df, "id", ["ha"], bits=8, max_hamming=4, bands=4
     ).collect()[0]
     assert r["n_true"] == 0 and r["recall_first"] == 1.0
+
+
+def test_prefix_filter_matches_uncapped_brute_force(spark):
+    docs = _docs(spark)
+    for t in (0.1, 0.5):
+        exact = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", k=3, threshold=t, max_df=None
+            ).collect()
+        }
+        pf = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, "text", "doc_id", k=3, threshold=t
+            ).collect()
+        }
+        assert pf == exact
+        assert pf  # fixture has planted dups at both thresholds
+
+
+def test_prefix_filter_keeps_hot_shingle_pairs_max_df_drops(spark):
+    # 12 docs all sharing one stopword shingle; two of them are
+    # near-identical. A df-cap of 10 drops the hot shingle (changing
+    # the reported jaccard); prefix filtering must stay exact.
+    hot = "of the and"
+    rows = [(i, f"{hot} filler{i} alpha{i} beta{i} gamma{i}") for i in range(10)]
+    rows += [
+        (100, hot + " shared body common tail words here"),
+        (101, hot + " shared body common tail words here too"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    }
+    assert (100, 101) in out
+    # exact jaccard INCLUDING the hot shingle: |A|=7, |B|=8, inter=7
+    assert abs(out[(100, 101)] - 7 / 8) < 1e-6
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.5, max_df=10
+    ).collect()
+    capped_j = {(r.id_a, r.id_b): r.jaccard for r in capped}
+    assert capped_j[(100, 101)] != out[(100, 101)]  # cap distorts, prefix doesn't
