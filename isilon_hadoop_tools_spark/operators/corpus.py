@@ -18,7 +18,7 @@ exact-dedup shuffle it already needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark.functions.hashing import (
@@ -1004,4 +1004,77 @@ def temperature_mixture_plan(
                 6,
             ).alias("boost"),
         )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    k: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.,
+    NeurIPS'23) with unigram bag-of-words models: score every raw
+    document by the log-likelihood RATIO between a target-domain
+    unigram LM and the background (whole-corpus) unigram LM, then
+    keep the top-``k`` — the standard trick for skimming
+    in-domain-looking data off a huge crawl.
+
+    ``target`` is a boolean Column marking the in-domain example set
+    (e.g. ``F.col("lang") == "zh"``). Both LMs use add-one smoothing
+    over the SAME whole-corpus vocabulary ``V``, so out-of-target
+    tokens get a finite penalty instead of -inf:
+    ``score(d) = mean_w [ log2((ct(w)+1)/(Nt+V))
+    - log2((cb(w)+1)/(Nb+V)) ]``.
+
+    Output: ``id``, ``n_tokens``, ``logratio_bits``, ``rank`` —
+    the ``k`` highest-ratio docs (ties on the 6-decimal score break
+    to the lower id, so the cut is engine-independent).
+
+    Shape: both LMs are ONE (term) aggregation over the exploded
+    corpus (the target counts ride the same shuffle as a conditional
+    sum — no second pass over the data); the vocab-sized ratio table
+    broadcasts back onto the (doc, term) fact like tf-idf; the top-k
+    is TakeOrderedAndProject (per-partition heaps, never a global
+    sort). The per-token ratio is pre-rounded to 9 decimals and the
+    doc mean to 6, the cross-engine float recipe every LM-score op
+    here uses.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target.cast("int").alias("is_target"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cb"),
+        F.sum("is_target").alias("ct"),
+    )
+    totals = freq.agg(
+        F.sum("cb").alias("nb"),
+        F.sum("ct").alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    logratio = F.round(
+        F.log2((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
+        - F.log2((F.col("cb") + 1.0) / (F.col("nb") + F.col("v"))),
+        9,
+    )
+    scored = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logratio), 6).alias("logratio_bits"),
+        )
+        .orderBy(F.desc("logratio_bits"), "id")
+        .limit(k)
+    )
+    # rank over the k survivors only (bounded), not the corpus
+    return scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("logratio_bits"), "id")
+        ),
     )

@@ -4983,6 +4983,55 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@query(
+    "doc_dsir_importance",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS is_target,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    freq AS (
+      SELECT term, count(*) AS cb, sum(is_target)::BIGINT AS ct
+      FROM toks GROUP BY term
+    ),
+    totals AS (
+      SELECT sum(cb)::BIGINT AS nb, sum(ct)::BIGINT AS nt,
+             count(*) AS v
+      FROM freq
+    ),
+    scored AS (
+      SELECT id, count(*) AS n_tokens,
+             round(avg(round(log2((ct + 1.0) / (nt + v))
+                             - log2((cb + 1.0) / (nb + v)), 9)),
+                   6) AS logratio_bits
+      FROM toks JOIN freq USING (term) CROSS JOIN totals
+      GROUP BY id
+      ORDER BY logratio_bits DESC, id
+      LIMIT 100
+    )
+    SELECT id, n_tokens, logratio_bits,
+           row_number() OVER (ORDER BY logratio_bits DESC, id)
+             AS sel_rank
+    FROM scored
+    """,
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (L50): top-100 docs by unigram
+    log-likelihood ratio against the ``lang='zh'`` target domain —
+    the in-domain-data skimmer for raw-crawl curation."""
+    from isilon_hadoop_tools_spark.operators.corpus import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        target=F.col("lang") == "zh",
+        k=100,
+    ).withColumnRenamed("rank", "sel_rank")
+
+
 _HLL_B = 8
 _HLL_M = 1 << _HLL_B
 

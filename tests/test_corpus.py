@@ -492,3 +492,43 @@ def test_dup_span_cut_whole_doc_removed(spark):
         assert out[did]["n_tokens"] == 10
         assert out[did]["n_removed"] == 10
         assert out[did]["clean_text"] == ""
+
+
+def test_dsir_importance_ranks_in_domain_docs_first(spark):
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import dsir_importance
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "t"),    # target domain
+        (2, "alpha gamma beta beta alpha", "t"),    # target domain
+        (3, "delta epsilon zeta eta theta", "b"),   # background-only
+        (4, "delta zeta eta theta epsilon", "b"),
+        (5, "alpha beta gamma delta zeta", "b"),    # mixed vocab
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING, dom STRING")
+    out = dsir_importance(
+        df, "text", "id", target=F.col("dom") == "t", k=5
+    ).collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    # target-vocab docs outscore background-vocab docs; mixed in between
+    order = [r.id for r in out]
+    assert set(order[:2]) == {1, 2}
+    assert order[2] == 5
+    assert set(order[3:]) == {3, 4}
+    top = out[0]
+    assert top.n_tokens == 5
+    assert out[0].logratio_bits > 0 > out[-1].logratio_bits
+
+
+def test_dsir_importance_k_cut_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import dsir_importance
+
+    # identical docs -> identical scores; the k-cut must break ties
+    # on the lower id, not on partition order
+    rows = [(i, "same text every time", "t" if i == 0 else "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING, dom STRING")
+    out = dsir_importance(df, "text", "id", target=F.col("dom") == "t", k=4).collect()
+    assert [r.id for r in out] == [0, 1, 2, 3]
