@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -981,4 +981,40 @@ def scd2_point_in_time_join(
     ]
     return f.join(d, cond, "left").select(
         "_f.*", *[F.col(f"_d.{c}").alias(c) for c in dim_cols]
+    )
+
+
+def locf_fill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: Column,
+    tiebreak: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Last-observation-carried-forward: every row gets the most
+    recent non-null observation of ``value`` at-or-before its
+    timestamp within its key — the state-as-of-event-time fill that
+    turns sparse observations (sensor readings, price ticks, the last
+    purchase amount) into a dense per-event feature.
+
+    ``value`` is a Column so callers pass the observation expression
+    directly (e.g. ``F.when(type == 'purchase', F.col('value'))`` —
+    NULL rows are the ones to fill). Rows before a key's first
+    observation stay NULL (no back-fill; LOCF never leaks the
+    future).
+
+    Shape: one ``last(ignorenulls)`` running window on the (key)
+    partitioning — a single hash shuffle and per-key sort, the same
+    exchange any downstream per-key feature reuses. The running ROWS
+    frame is computed incrementally per partition (no per-row
+    re-scan), so cost is O(rows), not O(rows x history).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col, F.last(value, ignorenulls=True).over(w)
     )

@@ -6122,6 +6122,35 @@ def lineitem_priority_at_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_last_purchase_locf",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def events_last_purchase_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF state-as-of-event-time fill (EA10b): every event carries
+    the user's most recent purchase amount at that moment — NULL
+    until the first purchase, never back-filled from the future."""
+    from isilon_hadoop_tools_spark.operators.analytics import locf_fill
+
+    ev = _t(spark, sf_dir, "events")
+    return locf_fill(
+        ev,
+        key="user_id",
+        ts="ts",
+        value=F.when(F.col("event_type") == "purchase", F.col("value")),
+        tiebreak="event_id",
+        out_col="last_purchase_value",
+    ).select("event_id", "user_id", "event_type", "last_purchase_value")
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-iteration DuckDB twin of `operators/graph.py`
     `pagerank` on the nation trade graph. Expressions (not rounded

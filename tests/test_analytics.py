@@ -579,3 +579,25 @@ def test_interval_overlap_join_brute_force_equivalence(spark):
         assert got == want, f"width={width}"
     # sanity on the fixture itself: touching pair absent, nesting in
     assert (1, 10, 12) not in got and (1, 10, 13) in got
+
+
+def test_locf_fill_carries_forward_never_backward(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import locf_fill
+
+    day = dt.timedelta(days=1)
+    df = spark.createDataFrame(
+        [
+            (1, 7, T0, None),            # before first obs -> stays NULL
+            (2, 7, T0 + day, 10.0),      # observation
+            (3, 7, T0 + 2 * day, None),  # -> 10.0
+            (4, 7, T0 + 3 * day, 20.0),  # new observation
+            (5, 7, T0 + 4 * day, None),  # -> 20.0
+            (6, 8, T0 + 5 * day, None),  # other key: no bleed -> NULL
+        ],
+        "eid long, k long, ts timestamp, obs double",
+    )
+    out = {
+        r.eid: r.filled
+        for r in locf_fill(df, "k", "ts", F.col("obs"), "eid").collect()
+    }
+    assert out == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0, 6: None}
