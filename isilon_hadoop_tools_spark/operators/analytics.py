@@ -1018,3 +1018,52 @@ def locf_fill(
     return df.withColumn(
         out_col, F.last(value, ignorenulls=True).over(w)
     )
+
+
+def ab_lift_zscore(
+    df: DataFrame,
+    unit_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-variant experiment readout: deterministic 50/50 hash
+    assignment of experiment units (never a random() — re-running the
+    report can't reshuffle users between arms) and a per-group Welch
+    z-score on the metric mean, the standard "did B move the metric"
+    gate of an online A/B system.
+
+    Assignment: ``stable_hash32(unit) % 2`` — the same md5-derived
+    bucketing `hash_split` uses for train/test, so arm membership is
+    reproducible across engines, runs, and data orderings.
+
+    Output per group: ``n_a``/``n_b``, ``mean_a``/``mean_b``,
+    ``lift`` (B - A), ``z`` = lift / sqrt(var_a/n_a + var_b/n_b)
+    (Welch — no equal-variance assumption; sample variances).
+
+    Shape: the two arms are CONDITIONAL aggregates in one
+    ``groupBy(group)`` — one scan, one map-side-partial shuffle, no
+    self-join of per-arm aggregates.
+    """
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+    arm_a = stable_hash32(F.col(unit_col).cast("string")) % 2 == 0
+    va = F.when(arm_a, F.col(value_col))
+    vb = F.when(~arm_a, F.col(value_col))
+    g = df.groupBy(group_col).agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("_ma"),
+        F.avg(vb).alias("_mb"),
+        F.var_samp(va).alias("_va"),
+        F.var_samp(vb).alias("_vb"),
+    )
+    se = F.sqrt(F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b"))
+    return g.select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(F.col("_mb") - F.col("_ma"), 6).alias("lift"),
+        F.round((F.col("_mb") - F.col("_ma")) / se, 6).alias("z"),
+    )

@@ -6151,6 +6151,43 @@ def events_last_purchase_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "last_purchase_value")
 
 
+@query(
+    "events_ab_lift",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT) % 2 = 0
+               AS arm_a
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             count(value) FILTER (arm_a) AS n_a,
+             count(value) FILTER (NOT arm_a) AS n_b,
+             avg(value) FILTER (arm_a) AS ma,
+             avg(value) FILTER (NOT arm_a) AS mb,
+             var_samp(value) FILTER (arm_a) AS va,
+             var_samp(value) FILTER (NOT arm_a) AS vb
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(mb - ma, 6) AS lift,
+           round((mb - ma) / sqrt(va / n_a + vb / n_b), 6) AS z
+    FROM g
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (EA25): deterministic md5 50/50 arm
+    assignment of users, Welch z-score on the per-event-type metric
+    mean — rerun-stable arms, one conditional-aggregate scan."""
+    from isilon_hadoop_tools_spark.operators.analytics import ab_lift_zscore
+
+    return ab_lift_zscore(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", "value"
+    )
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-iteration DuckDB twin of `operators/graph.py`
     `pagerank` on the nation trade graph. Expressions (not rounded

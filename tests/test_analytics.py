@@ -601,3 +601,36 @@ def test_locf_fill_carries_forward_never_backward(spark):
         for r in locf_fill(df, "k", "ts", F.col("obs"), "eid").collect()
     }
     assert out == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0, 6: None}
+
+
+def test_ab_lift_zscore_detects_planted_effect(spark):
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+    from isilon_hadoop_tools_spark.operators.analytics import ab_lift_zscore
+
+    # plant a +10 effect on arm B by computing each unit's arm with
+    # the operator's own hash, then check the readout recovers it
+    units = spark.range(200).select(F.col("id").alias("u"))
+    arm_a = stable_hash32(F.col("u").cast("string")) % 2 == 0
+    df = units.select(
+        "u",
+        F.lit("m").alias("g"),
+        F.when(arm_a, F.lit(5.0)).otherwise(F.lit(15.0)).alias("v"),
+    )
+    # tiny per-unit jitter so variances are nonzero (deterministic)
+    df = df.withColumn("v", F.col("v") + (F.col("u") % 7) * 0.01)
+    r = ab_lift_zscore(df, "u", "g", "v").collect()[0]
+    assert r.n_a + r.n_b == 200 and min(r.n_a, r.n_b) > 50
+    assert abs(r.lift - 10.0) < 0.05
+    assert r.z > 50  # overwhelming significance for a planted effect
+
+
+def test_ab_lift_assignment_is_rerun_stable(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import ab_lift_zscore
+
+    df = spark.range(100).select(
+        F.col("id").alias("u"), F.lit("g").alias("g"),
+        (F.col("id") % 5).cast("double").alias("v"),
+    )
+    a = ab_lift_zscore(df, "u", "g", "v").collect()[0]
+    b = ab_lift_zscore(df.repartition(7), "u", "g", "v").collect()[0]
+    assert a == b  # partitioning/order cannot move units between arms
