@@ -1311,3 +1311,74 @@ def knn_label_probe(
             F.round(F.col("n_correct") / F.col("n_eval"), 6).alias("accuracy"),
         )
     )
+
+
+def _round_div(p: int, q: int) -> int:
+    """Exact half-away-from-zero integer division (q > 0) — the pure-
+    integer twin of round(p/q) that both engines reproduce bit-for-bit
+    without touching floats."""
+    return (2 * p + q) // (2 * q) if p >= 0 else -((-2 * p + q) // (2 * q))
+
+
+def power_iteration_top_pc(
+    vecs: DataFrame, dim: int = 64, iters: int = 6, scale: int = 1000
+) -> DataFrame:
+    """Top principal direction of the (uncentered) second-moment
+    matrix ``S = Xq'Xq`` by power iteration — the dimensionality-
+    reduction primitive (top PCA axis, embedding-drift tracking,
+    spectral initialization) over a quantized ``(vid, qv)`` vector
+    table, matrix-free: ``S`` (dim x dim) is NEVER materialized.
+
+    Deterministic to the bit on any engine because every round is
+    EXACT integer arithmetic: ``w = Xq'(Xq v)`` via one scan (per-row
+    long dot product + one wide dim-column sum aggregation with
+    map-side partials), then L-infinity normalization
+    ``v <- round(scale * w / max|w|)`` using half-away integer
+    division — no float sum, sqrt, or division anywhere (an L2 norm
+    would need a float sqrt whose last bit could differ across
+    engines; any norm works for power iteration, so the integer-exact
+    one wins). The final sign is canonicalized so the first nonzero
+    loading is positive.
+
+    Output: ``(dim, loading)`` — ``iters``-round loadings at
+    ``scale`` (v ~ unit under L-inf). Driver state per round is one
+    dim-long integer vector (the ``kmeans_train`` contract); each
+    round is ONE job over the fact table, so the 100 TB cost is
+    ``iters`` scans of an (id, vector) projection.
+    """
+    import math
+
+    v = [scale // math.isqrt(dim)] * dim
+    frozen = vecs.localCheckpoint(eager=False)
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        score = F.aggregate(
+            F.zip_with(F.col("qv"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        row = (
+            frozen.select(F.col("qv"), score.alias("score"))
+            .agg(
+                *[
+                    F.sum(F.col("qv")[p] * F.col("score")).alias(f"w{p}")
+                    for p in range(dim)
+                ]
+            )
+            .collect()[0]
+        )
+        w = [int(row[f"w{p}"] or 0) for p in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:  # all-zero input: zero vector is the sentinel
+            v = [0] * dim
+            break
+        v = [_round_div(scale * x, m) for x in w]
+    for x in v:
+        if x != 0:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    spark = vecs.sparkSession
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(v)], "dim INT, loading LONG"
+    )

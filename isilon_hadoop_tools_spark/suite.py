@@ -2498,6 +2498,79 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     """
 
 
+def _power_iter_oracle(
+    dim: int = 64, iters: int = 6, scale: int = 1000
+) -> str:
+    """Hand-unrolled power-iteration rounds as a DuckDB CTE chain —
+    bit-identical to `power_iteration_top_pc` because every round is
+    exact integer arithmetic (long dot products, one wide sum, and
+    half-away integer division for the L-inf normalization)."""
+    import math
+
+    idx = f"range(1, {dim + 1})"
+    v0 = scale // math.isqrt(dim)
+    parts = [
+        f"""
+    v0 AS (SELECT list_transform({idx},
+                  i -> CAST({v0} AS BIGINT)) AS v)"""
+    ]
+    for t in range(1, iters + 1):
+        p = f"{2 * scale}*w"
+        parts.append(
+            f"""
+    s{t} AS (
+      SELECT qv, list_sum(list_transform({idx},
+               i -> qv[i] * v[i])) AS score
+      FROM qvecs CROSS JOIN v{t - 1}
+    ),
+    w{t} AS (
+      SELECT i, sum(qv[i] * score)::BIGINT AS w
+      FROM s{t}, (SELECT unnest({idx}) AS i) _i
+      GROUP BY i
+    ),
+    m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),
+    v{t} AS (
+      SELECT list(CASE WHEN m = 0 THEN 0
+                       WHEN w >= 0 THEN ({p} + m) // (2*m)
+                       ELSE -((-{p} + m) // (2*m)) END
+                  ORDER BY i) AS v
+      FROM w{t} CROSS JOIN m{t}
+    )"""
+        )
+    chain = ",".join(parts)
+    return f"""
+    WITH qvecs AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> round(x::DOUBLE * {scale})::BIGINT) AS qv
+      FROM embeddings
+    ),{chain},
+    sgn AS (
+      SELECT CASE WHEN (
+        SELECT v[i] FROM v{iters}
+        CROSS JOIN (SELECT unnest({idx}) AS i) _i
+        WHERE v[i] != 0 ORDER BY i LIMIT 1
+      ) < 0 THEN -1 ELSE 1 END AS s
+    )
+    SELECT i - 1 AS dim, v[i] * s AS loading
+    FROM v{iters} CROSS JOIN sgn
+    CROSS JOIN (SELECT unnest({idx}) AS i) _i
+    """
+
+
+@query("embedding_top_pc", oracle=_power_iter_oracle())
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by matrix-free power iteration (L51):
+    6 exact-integer rounds over the quantized embeddings — w = X'(Xv)
+    in one wide-agg job per round, L-inf normalized with half-away
+    integer division, sign-canonicalized. Bit-identical cross-engine
+    with NO float tolerance anywhere."""
+    vecs = similarity.quantize_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )
+    return similarity.power_iteration_top_pc(vecs, dim=64, iters=6)
+
+
 @query("embedding_kmeans_assign", oracle=_kmeans_oracle())
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 3 iterations) in integer-quantized space:

@@ -420,3 +420,54 @@ def test_knn_label_probe_majority_and_ties(spark):
     assert out[0]["accuracy"] == 1.0
     # query 2: neighbors 8,9,12 (label 1) + 10,11 (label 0) -> pred 1
     assert out[1]["n_eval"] == 1 and out[1]["n_correct"] == 1
+
+
+def test_power_iteration_recovers_dominant_direction(spark):
+    import math
+
+    import numpy as np
+
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        power_iteration_top_pc,
+        quantize_vectors,
+    )
+
+    # planted dominant direction u with small deterministic noise
+    rng = np.random.RandomState(7)
+    d = 8
+    u = np.ones(d) / math.sqrt(d)
+    x = np.outer(rng.randn(100) * 5.0, u) + rng.randn(100, d) * 0.1
+    rows = [(i, [float(v) for v in x[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = power_iteration_top_pc(
+        quantize_vectors(df, "embedding", "vec_id"), dim=d, iters=8
+    ).collect()
+    v = np.zeros(d)
+    for r in out:
+        v[r["dim"]] = r["loading"]
+    v = v / np.linalg.norm(v)
+    # numpy ground truth: top right-singular vector of the raw matrix
+    truth = np.linalg.svd(x, full_matrices=False)[2][0]
+    assert abs(float(np.dot(v, truth))) > 0.999
+    # canonical sign: first nonzero loading positive
+    nz = [r["loading"] for r in sorted(out, key=lambda r: r["dim"]) if r["loading"]]
+    assert nz[0] > 0
+
+
+def test_power_iteration_partitioning_invariant(spark):
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        power_iteration_top_pc,
+        quantize_vectors,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) / 10.0 for j in range(4)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    a = power_iteration_top_pc(
+        quantize_vectors(df, "embedding", "vec_id"), dim=4, iters=5
+    ).collect()
+    b = power_iteration_top_pc(
+        quantize_vectors(df.repartition(13), "embedding", "vec_id"),
+        dim=4, iters=5,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
