@@ -1078,3 +1078,53 @@ def dsir_importance(
             Window.orderBy(F.desc("logratio_bits"), "id")
         ),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two
+    ranked retrieval lists — the standard hybrid-retrieval combiner
+    (BM25 lexical + embedding cosine being the canonical pair):
+    ``rrf(d) = sum over lists of 1/(k0 + rank(d))``, with documents
+    missing from a list simply contributing nothing. Rank-based
+    fusion needs no score calibration between retrievers — the reason
+    it is the default in RAG stacks.
+
+    Output: ``id``, ``rank_a``, ``rank_b`` (NULL when absent from
+    that list), ``rrf`` (rounded to 6), ``fused_rank`` — top ``k`` by
+    (rrf desc, id).
+
+    Shape: both inputs are already top-N lists (a few hundred rows),
+    so the full-outer join and the final ranking window run on
+    bounded data regardless of corpus size — the heavy lifting
+    happened inside each retriever. The fused rank window partitions
+    nothing but covers only the k0-bounded candidate union, never
+    the corpus.
+    """
+    a = ranked_a.select(
+        F.col(id_col).alias("id"), F.col(rank_col).alias("rank_a")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("id"), F.col(rank_col).alias("rank_b")
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        1.0 / (F.lit(k0) + F.col(c)), F.lit(0.0)
+    )
+    fused = (
+        a.join(b, "id", "full_outer")
+        .withColumn(
+            "rrf", F.round(contrib("rank_a") + contrib("rank_b"), 6)
+        )
+        .orderBy(F.desc("rrf"), "id")
+        .limit(k)
+    )
+    return fused.withColumn(
+        "fused_rank",
+        F.row_number().over(Window.orderBy(F.desc("rrf"), "id")),
+    )

@@ -6739,6 +6739,86 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_hybrid_rrf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+    corpus AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    avg_dl AS (SELECT avg(dl) AS avgdl FROM dl),
+    qtf AS (
+      SELECT * FROM tf
+      WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+    ),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM qtf GROUP BY term),
+    bscored AS (
+      SELECT q.id,
+             ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (q.tf * (1.2 + 1.0))
+               / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / a.avgdl))
+               AS s
+      FROM qtf q
+      JOIN dl d USING (id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN corpus c CROSS JOIN avg_dl a
+    ),
+    lex AS (
+      SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rank_a
+      FROM (SELECT id, round(sum(s), 6) AS bm25 FROM bscored GROUP BY id
+            ORDER BY bm25 DESC, id LIMIT 20)
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    cscored AS (
+      SELECT c.vec_id AS id,
+             round(list_dot_product(q.v, c.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]))),
+                   6) AS cos_sim
+      FROM embeddings c CROSS JOIN qv q
+      WHERE c.vec_id != 0
+    ),
+    dense AS (
+      SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS rank_b
+      FROM (SELECT * FROM cscored ORDER BY cos_sim DESC, id LIMIT 20)
+    ),
+    fused AS (
+      SELECT coalesce(lex.id, dense.id) AS id, rank_a, rank_b,
+             round(coalesce(1.0 / (60 + rank_a), 0.0)
+                   + coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf
+      FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+      ORDER BY rrf DESC, id LIMIT 10
+    )
+    SELECT id, rank_a, rank_b, rrf,
+           row_number() OVER (ORDER BY rrf DESC, id) AS fused_rank
+    FROM fused
+    """,
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (L52): reciprocal-rank fusion of the BM25
+    lexical top-20 (domain-probe query) with the cosine dense top-20
+    (query vector 0) — rank-based, calibration-free combination, the
+    RAG-stack default."""
+    from isilon_hadoop_tools_spark.operators.corpus import bm25_topk, rrf_fuse
+
+    lex = bm25_topk(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", _BM25_TERMS, k=20
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "id")),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("id"), "rank")
+    return rrf_fuse(lex, dense, k0=60, k=10)
+
+
+@query(
     "customer_entity_resolution",
     oracle="""
     WITH RECURSIVE blocked AS (

@@ -532,3 +532,34 @@ def test_dsir_importance_k_cut_is_deterministic(spark):
     df = spark.createDataFrame(rows, "id BIGINT, text STRING, dom STRING")
     out = dsir_importance(df, "text", "id", target=F.col("dom") == "t", k=4).collect()
     assert [r.id for r in out] == [0, 1, 2, 3]
+
+
+def test_rrf_fuse_full_outer_and_missing_contributes_zero(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id LONG, rank LONG"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "id LONG, rank LONG"
+    )
+    out = {r.id: r for r in rrf_fuse(a, b, k0=60, k=10).collect()}
+    # doc 2 is in both lists -> highest fused score
+    assert out[2].fused_rank == 1
+    assert abs(out[2].rrf - (1 / 62 + 1 / 61)) < 1e-6
+    # docs only in one list still appear with NULL other-rank
+    assert out[1].rank_b is None and abs(out[1].rrf - 1 / 61) < 1e-6
+    assert out[4].rank_a is None and abs(out[4].rrf - 1 / 62) < 1e-6
+    assert len(out) == 4
+
+
+def test_rrf_fuse_k_cut_ties_to_lowest_id(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, 1) for i in range(5)], "id LONG, rank LONG"
+    )
+    empty = spark.createDataFrame([], "id LONG, rank LONG")
+    out = rrf_fuse(a, empty, k0=60, k=3).collect()
+    assert [r.id for r in out] == [0, 1, 2]  # equal scores: id breaks
+    assert [r.fused_rank for r in out] == [1, 2, 3]
