@@ -1067,3 +1067,60 @@ def ab_lift_zscore(
         F.round(F.col("_mb") - F.col("_ma"), 6).alias("lift"),
         F.round((F.col("_mb") - F.col("_ma")) / se, 6).alias("z"),
     )
+
+
+def median_of_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    buckets: int = 9,
+) -> DataFrame:
+    """Median-of-means robust mean estimator: hash rows into
+    ``buckets`` deterministic sub-samples, average each, and take the
+    LOWER MEDIAN of the bucket means — the estimator whose error
+    concentrates even under heavy-tailed metrics where the plain mean
+    is ruined by a single outlier (the classic trade behind every
+    robust-metrics pipeline; see Lugosi & Mendelson, 2019 survey).
+
+    Bucketing uses ``stable_hash32(id) % buckets`` — reproducible
+    across runs/engines and independent of row order, unlike a
+    round-robin or random() split. The lower median (element at index
+    ``(n_buckets-1)//2`` of the sorted means, ties on bucket id) is
+    used instead of an interpolated median so the selection is exact
+    on both engines.
+
+    Output per group: ``n``, ``n_buckets``, ``mean`` (plain, for
+    contrast), ``mom_mean``.
+
+    Shape: one (group, bucket) partial-agg shuffle; the median
+    selection window runs over <= ``buckets`` rows per group; the
+    plain mean is an algebraic merge of the SAME bucket aggregates
+    (sum/count), so the fact table is scanned exactly once.
+    """
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+    b = df.withColumn(
+        "_b", stable_hash32(F.col(id_col).cast("string")) % buckets
+    )
+    bm = b.groupBy(group_col, "_b").agg(
+        F.sum(value_col).alias("_s"), F.count(value_col).alias("_n")
+    ).withColumn("_m", F.col("_s") / F.col("_n"))
+    w = Window.partitionBy(group_col)
+    ordered = (
+        bm.withColumn(
+            "_rn", F.row_number().over(w.orderBy("_m", "_b"))
+        )
+        .withColumn("_nb", F.count(F.lit(1)).over(w))
+        .withColumn("_tn", F.sum("_n").over(w))
+        .withColumn("_ts", F.sum("_s").over(w))
+    )
+    return ordered.filter(
+        F.col("_rn") == F.floor((F.col("_nb") - 1) / 2) + 1
+    ).select(
+        group_col,
+        F.col("_tn").alias("n"),
+        F.col("_nb").alias("n_buckets"),
+        F.round(F.col("_ts") / F.col("_tn"), 6).alias("mean"),
+        F.round("_m", 6).alias("mom_mean"),
+    )

@@ -6261,6 +6261,47 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_mom_mean",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT) % 9
+               AS bk
+      FROM events
+    ),
+    bm AS (
+      SELECT event_type, bk, sum(value) AS s, count(value) AS n,
+             sum(value) / count(value) AS m
+      FROM b GROUP BY event_type, bk
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type ORDER BY m, bk)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nb,
+             sum(n) OVER (PARTITION BY event_type) AS tn,
+             sum(s) OVER (PARTITION BY event_type) AS ts
+      FROM bm
+    )
+    SELECT event_type, tn AS n, nb AS n_buckets,
+           round(ts / tn, 6) AS mean, round(m, 6) AS mom_mean
+    FROM ranked WHERE rn = (nb - 1) // 2 + 1
+    """,
+)
+def events_mom_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean per event type (EA26):
+    deterministic md5 sub-sample bucketing, lower median of bucket
+    means — heavy-tail-proof where the plain mean is not; one scan,
+    one (group, bucket) shuffle."""
+    from isilon_hadoop_tools_spark.operators.analytics import median_of_means
+
+    return median_of_means(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id",
+        buckets=9,
+    )
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-iteration DuckDB twin of `operators/graph.py`
     `pagerank` on the nation trade graph. Expressions (not rounded

@@ -634,3 +634,28 @@ def test_ab_lift_assignment_is_rerun_stable(spark):
     a = ab_lift_zscore(df, "u", "g", "v").collect()[0]
     b = ab_lift_zscore(df.repartition(7), "u", "g", "v").collect()[0]
     assert a == b  # partitioning/order cannot move units between arms
+
+
+def test_median_of_means_resists_outlier(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import median_of_means
+
+    rows = [(i, "a", 10.0) for i in range(90)]
+    rows.append((90, "a", 1_000_000.0))  # one catastrophic outlier
+    df = spark.createDataFrame(rows, "id LONG, g STRING, v DOUBLE")
+    r = median_of_means(df, "g", "v", "id", buckets=9).collect()[0]
+    assert r.n == 91 and r.n_buckets == 9
+    assert r.mean > 10000  # plain mean is ruined
+    assert abs(r.mom_mean - 10.0) < 1.0  # MoM is not
+
+
+def test_median_of_means_even_bucket_count_lower_median(spark):
+    from isilon_hadoop_tools_spark.operators.analytics import median_of_means
+
+    # ids chosen so only SOME hash buckets are hit (tiny group) —
+    # the lower-median rule must still return exactly one row
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(6)], "id LONG, g STRING, v DOUBLE"
+    )
+    out = median_of_means(df, "g", "v", "id", buckets=9).collect()
+    assert len(out) == 1
+    assert out[0].n == 6
