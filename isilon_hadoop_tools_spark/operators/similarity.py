@@ -386,8 +386,21 @@ def lsh_ann_topk(
     planes: int = 4,
     tables: int = 8,
     dim: int | None = None,
+    probes: int = 0,
 ) -> DataFrame:
-    """Approximate top-k via **multi-table** random-hyperplane LSH.
+    """Approximate top-k via **multi-table** random-hyperplane LSH,
+    optionally **multi-probe** (Lv et al., VLDB'07): with
+    ``probes = p > 0`` each QUERY additionally probes the ``p``
+    buckets at Hamming distance 1 (one plane bit flipped) in every
+    table. A near neighbor that lands one bit away — the most likely
+    miss mode, since each bit flips with the small probability that
+    one hyperplane separates the pair — is then still found. The
+    scale trade: probing multiplies only the query-side hash rows
+    (queries x tables x (p+1) — the tiny side of the broadcast
+    join), while matching recall by adding TABLES would multiply the
+    corpus-side index itself; at 100 TB the corpus index is the cost
+    that matters, so multi-probe buys the same recall for a
+    fraction of the index footprint.
 
     ``tables`` independent hash tables of ``planes`` hyperplanes each;
     a corpus row is a candidate for a query if they share a bucket in
@@ -429,7 +442,24 @@ def lsh_ann_topk(
             F.posexplode(bucketer(vec)).alias("table_id", "bucket"),
         )
 
+    if probes > planes:
+        raise ValueError(f"probes={probes} exceeds planes={planes}")
     q = _hashed(queries, "query_id")
+    if probes:
+        # original bucket first, then each 1-bit-flipped neighbor
+        q = q.select(
+            "query_id",
+            "table_id",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(probes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
     c = _hashed(corpus, "neighbor_id")
     candidates = (
         c.join(F.broadcast(q), ["table_id", "bucket"])

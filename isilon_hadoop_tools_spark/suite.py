@@ -4660,6 +4660,50 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_multiprobe_oracle(
+    planes: int = 4, tables: int = 4, dim: int = 64, probes: int = 4
+) -> str:
+    """DuckDB twin of ``lsh_ann_topk(probes=...)``: query buckets are
+    expanded to the original plus each 1-bit-flipped neighbor before
+    the candidate join — same plane constants as `_lsh_cand_cte`."""
+    base = _lsh_cand_cte(planes, tables, dim)
+    # drop the single-probe cand CTE; rebuild with the probe fan-out
+    base = base[: base.rfind(",\n    cand AS")]
+    flips = ", ".join(str(1 << p) for p in range(probes))
+    return f"""
+    WITH {base},
+    qprobe AS (
+      SELECT vec_id, table_id, xor(bucket, f) AS bucket
+      FROM hashed, (SELECT unnest([0, {flips}]) AS f) _f
+      WHERE vec_id < {_ANN_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM hashed c JOIN qprobe q USING (table_id, bucket)
+      WHERE c.vec_id != q.vec_id
+    ),
+    {_ANN_SCORE_RANK_SQL}
+    """
+
+
+@query("ann_lsh_multiprobe", oracle=_lsh_multiprobe_oracle())
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (L11b): HALF the hash tables of
+    `ann_lsh_bucketed` (4 vs 8 — half the corpus-side index
+    footprint, the cost that matters at 100 TB) with each query also
+    probing every Hamming-1 bucket; recall-vs-baseline asserted in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _ANN_QUERIES),
+        k=_ANN_K,
+        planes=4,
+        tables=4,
+        probes=4,
+    )
+
+
 @query("ann_ivf_probed", oracle=_ivf_ann_oracle())
 def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale-path ANN: corpus partitioned into inverted lists by

@@ -471,3 +471,42 @@ def test_power_iteration_partitioning_invariant(spark):
         dim=4, iters=5,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_multiprobe_recall_dominates_single_probe_same_tables(spark, embeddings):
+    """With equal index size (tables=4), Hamming-1 probing must
+    strictly widen the candidate set — recall can only go up — and
+    should roughly buy back the recall of the 8-table single-probe
+    index at half the corpus-side footprint."""
+    queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    exact = _topk_sets(
+        similarity.brute_force_topk(embeddings, queries, k=K).collect()
+    )
+
+    def recall(rows):
+        got = _topk_sets(rows)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / (len(exact) * K)
+
+    single = recall(
+        similarity.lsh_ann_topk(
+            embeddings, queries, k=K, planes=4, tables=4
+        ).collect()
+    )
+    multi = recall(
+        similarity.lsh_ann_topk(
+            embeddings, queries, k=K, planes=4, tables=4, probes=4
+        ).collect()
+    )
+    assert multi >= single
+    assert multi >= 0.5  # the 8-table baseline's floor, at half the index
+
+
+def test_multiprobe_rejects_probes_beyond_planes(spark, embeddings):
+    import pytest as _pytest
+
+    queries = embeddings.filter(F.col("vec_id") < 1)
+    with _pytest.raises(ValueError, match="probes"):
+        similarity.lsh_ann_topk(
+            embeddings, queries, k=1, planes=4, probes=5
+        ).collect()
