@@ -5310,6 +5310,38 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MG_K = 30
+
+
+@query(
+    "corpus_mg_heavy_tokens",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT item, count(*)::BIGINT AS cnt
+    FROM toks, tot
+    GROUP BY item, n_total
+    HAVING count(*) * {_MG_K} > n_total
+    """,
+)
+def corpus_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy-hitter tokens (count > n/30) found through a
+    bounded-state Misra-Gries candidate pass + exact recount: the
+    per-partition summaries hold at most 29 counters each no matter
+    how long the token tail gets, and the recount makes the output
+    exactly the true heavy-hitter set — so the oracle is the plain
+    GROUP BY / HAVING the sketch avoids running over the full corpus."""
+    from isilon_hadoop_tools_spark.operators.corpus import tokens
+    from isilon_hadoop_tools_spark.operators.sketches import mg_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    return mg_heavy_hitters(toks, "term", k=_MG_K)
+
+
 @query(
     "doc_weighted_sample",
     oracle=r"""

@@ -150,3 +150,32 @@ def test_approx_distinct_certificate_holds(spark):
     out = {r.k: r for r in approx_distinct_certificate(df, "k", "u").collect()}
     assert out["a"].n_exact == 137 and out["a"].within_bound
     assert out["b"].n_exact == 50 and out["b"].within_bound
+
+
+def test_mg_heavy_hitters_exact_on_planted_skew(spark):
+    # 3 heavy items among a 500-item tail, spread over 8 partitions;
+    # k=20 → threshold n/20. The MG pass must surface exactly the
+    # true heavy-hitter set with exact counts.
+    from isilon_hadoop_tools_spark.operators.sketches import mg_heavy_hitters
+
+    heavy = [("alpha",)] * 400 + [("beta",)] * 300 + [("gamma",)] * 200
+    tail = [(f"t{i}",) for i in range(500)]
+    df = spark.createDataFrame(heavy + tail, ["item"]).repartition(8)
+    got = {
+        (r["item"], r["cnt"]) for r in mg_heavy_hitters(df, "item", k=20).collect()
+    }
+    n = len(heavy) + len(tail)  # 1400, threshold 70
+    truth = {("alpha", 400), ("beta", 300), ("gamma", 200)}
+    assert all(c * 20 > n for _, c in truth)
+    assert got == truth
+
+
+def test_mg_compress_bounds_state_and_preserves_heavy(spark):
+    from isilon_hadoop_tools_spark.operators.sketches import _mg_compress
+
+    counts = {f"t{i}": 1 for i in range(1000)}
+    counts["heavy"] = 500
+    out = _mg_compress(dict(counts), k=10)
+    assert len(out) < 10
+    # heavy item's undercount is bounded by the decrement applied
+    assert out["heavy"] == 500 - 1
