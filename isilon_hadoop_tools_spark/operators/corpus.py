@@ -1128,3 +1128,46 @@ def rrf_fuse(
         "fused_rank",
         F.row_number().over(Window.orderBy(F.desc("rrf"), "id")),
     )
+
+
+def good_turing_counts(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table — the classical LM
+    smoothing primitive (Katz backoff, Kneser-Ney's discount
+    estimation, vocabulary-growth / unseen-mass diagnostics over a
+    training corpus): for each observed token frequency ``r``, how
+    many distinct terms occur exactly ``r`` times (``n_r``), and the
+    Turing-discounted count ``r* = (r+1) · n_{r+1} / n_r`` (NULL at
+    the frequency ceiling where ``n_{r+1} = 0`` — the standard
+    raw-GT gap that Simple Good-Turing smooths over).
+
+    ``n_1 / N`` (read off the ``r = 1`` row against the corpus total)
+    is the Good-Turing estimate of the unseen-token mass — the "how
+    much vocabulary is this corpus still missing" number that decides
+    whether to keep crawling a source.
+
+    Shape: one (term) count shuffle with map-side partials, then a
+    count-of-counts aggregation whose key space is the number of
+    DISTINCT frequencies (≤ a few thousand at any corpus size — the
+    frequency spectrum is long-tailed but its support is tiny), and a
+    lead window over that bounded spectrum table. Corpus-scale work
+    is exactly the vocabulary count; everything after is
+    spectrum-sized.
+
+    Output: ``r``, ``n_r``, ``r_star`` (6 dp), ascending ``r``.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("r"))
+    nr = freq.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    w = Window.orderBy("r")
+    nxt = F.when(
+        F.lead("r").over(w) == F.col("r") + 1, F.lead("n_r").over(w)
+    )
+    return nr.select(
+        "r",
+        "n_r",
+        F.round(
+            (F.col("r") + 1).cast("double") * nxt / F.col("n_r"), 6
+        ).alias("r_star"),
+    ).orderBy("r")

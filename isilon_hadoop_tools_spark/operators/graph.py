@@ -365,3 +365,72 @@ def kcore(
         e.select(F.col("dst").alias("v"))
     )
     return both.groupBy("v").agg(F.count(F.lit(1)).alias("core_degree"))
+
+
+def label_propagation(
+    pairs: DataFrame,
+    rounds: int = 4,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) with a deterministic vote: each round every vertex
+    adopts the most frequent label among its neighbors PLUS itself
+    (the self-vote damps the 2-coloring oscillation of pure
+    synchronous LPA on bipartite-ish structures), ties broken to the
+    LOWEST label — so the unrolled rounds are engine-independent and
+    SQL-expressible, unlike the randomized-order original.
+
+    Complements the graph family: connected components (L8) answer
+    "reachable at all?", k-core (G3) "densely embedded?", LPA answers
+    "which dense region claims this vertex?" — the near-dup /
+    linkage-graph community readout.
+
+    Per round: ONE join of the vertex-sized label table onto the
+    (undirected) edge fact + one (vertex, label) count + one
+    struct-max argmax — all map-side-partial aggs keyed by vertex;
+    lineage truncated per round, edges checkpointed once. ``rounds``
+    is fixed (not run-to-convergence): synchronous LPA need not
+    converge, and a bounded unroll is the oracle-checkable contract —
+    labels after round R depend only on the R-hop neighborhood.
+
+    Output: ``v``, ``community`` (the round-``rounds`` label).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nbr_votes = und.join(
+            labels.withColumnRenamed("v", "dst"), "dst"
+        ).select(F.col("src").alias("v"), "community")
+        votes = nbr_votes.unionByName(labels)
+        best = (
+            votes.groupBy("v", "community")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_n").alias("n"),
+                        (-F.col("community")).alias("neg"),
+                    )
+                ).alias("_b")
+            )
+            .select("v", (-F.col("_b.neg")).alias("community"))
+        )
+        labels = best.localCheckpoint(eager=True)
+    return labels

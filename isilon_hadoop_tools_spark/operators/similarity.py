@@ -1412,3 +1412,142 @@ def power_iteration_top_pc(
     return spark.createDataFrame(
         [(i, int(c)) for i, c in enumerate(v)], "dim INT, loading LONG"
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 5,
+    topk: int = 10,
+    n_lists: int = 4,
+    n_probe: int = 2,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 8,
+    pq_iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN index (FAISS's
+    ``IndexIVFPQ``), composing the engine's coarse quantizer (L12/L28)
+    with residual product quantization (L43) and ADC search (L44) into
+    the real read path: a query touches only ``n_probe / n_lists`` of
+    the corpus, and the touched rows are m small codes each — never a
+    stored vector.
+
+    Build (all in the integer-quantized space, so every stage is
+    bit-identical cross-engine):
+
+    1. coarse codebook: ``kmeans_train`` over the full quantized
+       vectors (``n_lists`` centroids, driver-held);
+    2. coarse assignment: one broadcast argmin scan — each vector's
+       inverted list;
+    3. RESIDUAL encoding: ``r = qv - coarse_centroid`` (exact bigint
+       — this is what separates IVF-PQ from flat PQ: residuals have
+       ~1/n_lists the variance, so the same k buys finer cells);
+    4. per-subspace PQ codebooks over the residual slices via the
+       fused ``_pq_train`` (one broadcast join + one agg per Lloyd
+       round for all m subspaces).
+
+    Search: each query ranks the coarse centroids driver-side and
+    probes its ``n_probe`` nearest lists; per (query, probed list)
+    the query residual yields an m x k integer LUT (n_queries x
+    n_probe x m x k rows — a few hundred ints, broadcast). ADC is
+    then ONE broadcast equi-join of the code table against the LUT on
+    (coarse list, subspace, code) — corpus rows in unprobed lists
+    drop out of the join — plus one (query, neighbor)-keyed bigint
+    sum with map-side partials and a per-query top-k window over
+    (adist, neighbor_id). No vector arithmetic per corpus row at
+    query time; 100 TB state is codes + one bigint list id per
+    vector (~m bytes/vector at k<=256).
+
+    Output: ``query_id``, ``neighbor_id``, ``adist``, ``rank``.
+    """
+    dim = len(df.select(F.col(vec_col)).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    spark = df.sparkSession
+    vecs = quantize_vectors(df, vec_col, id_col, scale).persist()
+    try:
+        coarse = kmeans_train(vecs, n_lists, coarse_iters)
+        cdf = spark.createDataFrame(
+            [(int(lid), [int(v) for v in c]) for lid, c in coarse],
+            "clist int, c array<bigint>",
+        )
+        # residual table: (vid, clist, rv) — one broadcast join; rv
+        # stays exact bigint so the PQ stage below shares kmeans'
+        # cross-engine determinism contract
+        cassign = kmeans_assign(vecs, coarse).withColumnRenamed(
+            "list_id", "clist"
+        )
+        res = cassign.join(F.broadcast(cdf), "clist").select(
+            "vid",
+            "clist",
+            F.zip_with("qv", "c", lambda a, b: a - b).alias("rv"),
+        )
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("subspace"),
+                    F.slice(F.col("rv"), j * sub_dim + 1, sub_dim).alias("qv"),
+                )
+                for j in range(m)
+            ]
+        )
+        rvecs = res.select("vid", F.inline(subs)).persist()
+        clists = res.select("vid", "clist")
+        try:
+            books = _pq_train(rvecs, k, pq_iters, sub_dim)
+            codes = _pq_assign(rvecs, books).select(
+                "vid", "subspace", F.col("list_id").alias("code")
+            )
+            # ---- query side: probe + LUT, all driver-side on
+            # n_queries quantized vectors + the tiny codebooks ----
+            qrows = sorted(
+                (int(r["vid"]), [int(x) for x in r["qv"]])
+                for r in vecs.filter(F.col("vid") < n_queries).collect()
+            )
+            lut_rows = []
+            for qid, qv in qrows:
+                ranked = sorted(
+                    (
+                        sum((a - b) ** 2 for a, b in zip(qv, c)),
+                        lid,
+                        c,
+                    )
+                    for lid, c in coarse
+                )
+                for _, clist, cc in ranked[:n_probe]:
+                    rq = [a - b for a, b in zip(qv, cc)]
+                    for (s, code), pc in books.items():
+                        sl = rq[s * sub_dim : (s + 1) * sub_dim]
+                        pdist = sum(
+                            (a - b) ** 2 for a, b in zip(sl, pc)
+                        )
+                        lut_rows.append((qid, clist, s, code, pdist))
+            lut = spark.createDataFrame(
+                lut_rows,
+                "query_id long, clist int, subspace int, code int,"
+                " pdist long",
+            )
+            scored = (
+                codes.join(clists, "vid")
+                .join(F.broadcast(lut), ["clist", "subspace", "code"])
+                .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+                .agg(F.sum("pdist").alias("adist"))
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.asc("adist"), F.asc("neighbor_id")
+            )
+            out = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= topk)
+                .select("query_id", "neighbor_id", "adist", "rank")
+            )
+            out = out.localCheckpoint(eager=True)
+            return out
+        finally:
+            rvecs.unpersist()
+    finally:
+        vecs.unpersist()

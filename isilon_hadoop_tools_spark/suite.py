@@ -5073,6 +5073,36 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_good_turing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS r FROM toks GROUP BY term),
+    nr AS (SELECT r, count(*) AS n_r FROM freq GROUP BY r)
+    SELECT r, n_r,
+           round((r + 1.0) * (CASE WHEN lead(r) OVER w = r + 1
+                                   THEN lead(n_r) OVER w END) / n_r,
+                 6) AS r_star
+    FROM nr WINDOW w AS (ORDER BY r)
+    """,
+)
+def corpus_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency spectrum (L53): count-of-counts ``n_r``
+    per observed token frequency plus the Turing-discounted ``r*`` —
+    the LM-smoothing / unseen-mass primitive (``n_1/N`` estimates how
+    much vocabulary the corpus is still missing). Corpus-scale work
+    is one term-count shuffle; the spectrum table the window runs on
+    is support-sized (distinct frequencies), never corpus-sized."""
+    from isilon_hadoop_tools_spark.operators.corpus import good_turing_counts
+
+    return good_turing_counts(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@query(
     "doc_unigram_surprisal",
     oracle=r"""
     WITH toks AS (
@@ -6360,7 +6390,7 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(s) OVER (PARTITION BY event_type) AS ts
       FROM bm
     )
-    SELECT event_type, tn AS n, nb AS n_buckets,
+    SELECT event_type, tn::BIGINT AS n, nb AS n_buckets,
            round(ts / tn, 6) AS mean, round(m, 6) AS mom_mean
     FROM ranked WHERE rn = (nb - 1) // 2 + 1
     """,
@@ -7097,6 +7127,113 @@ def _pq_adc_oracle(
     return "".join(parts)
 
 
+def _ivf_pq_oracle(
+    n_lists: int = 4, n_probe: int = 2, coarse_iters: int = 2,
+    m: int = 4, k: int = 8, pq_iters: int = 2, dim: int = 64,
+    n_queries: int = 5, topk: int = 10,
+) -> str:
+    """IVF-PQ twin: the coarse k-means chain (prefix ``cq_``) feeds a
+    residual CTE (``qv - coarse_centroid`` — exact bigints), each
+    residual slice trains its own prefixed chain, and the probe / LUT
+    / ADC stages are pure integer SQL — every stage bit-identical to
+    the engine's."""
+    sub = dim // m
+    fidx = f"range(1, {dim + 1})"
+    sidx = f"range(1, {sub + 1})"
+    parts = [
+        f"""
+    WITH cq_qvecs AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS qv
+      FROM embeddings
+    ),{_kmeans_cte_chain(n_lists, coarse_iters, dim, prefix="cq_")},
+    res AS (
+      SELECT q.vec_id, a.list_id AS clist,
+             list_transform({fidx}, i -> q.qv[i] - c.c[i]) AS rv
+      FROM cq_qvecs q
+      JOIN cq_assign a USING (vec_id)
+      JOIN cq_c{coarse_iters} c ON a.list_id = c.list_id
+    )"""
+    ]
+    branches = []
+    for j in range(m):
+        p = f"s{j}_"
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f""",
+    {p}qvecs AS (
+      SELECT vec_id, rv[{lo}:{hi}] AS qv FROM res
+    ),{_kmeans_cte_chain(k, pq_iters, sub, prefix=p)}"""
+        )
+        branches.append(
+            f"""SELECT l.query_id, a.vec_id AS neighbor_id, l.pdist
+      FROM {p}assign a
+      JOIN res r ON a.vec_id = r.vec_id
+      JOIN (
+        SELECT qr.query_id, qr.clist, cb.list_id AS code,
+               list_sum(list_transform({sidx},
+                 i -> (qr.rv[{lo - 1} + i] - cb.c[i])
+                    * (qr.rv[{lo - 1} + i] - cb.c[i]))) AS pdist
+        FROM qres qr CROSS JOIN {p}c{pq_iters} cb
+      ) l ON l.clist = r.clist AND l.code = a.list_id"""
+        )
+    parts.append(
+        f""",
+    probes AS (
+      SELECT query_id, clist FROM (
+        SELECT q.vec_id AS query_id, c.list_id AS clist,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform({fidx},
+                   i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))),
+                   c.list_id) AS rn
+        FROM (SELECT * FROM cq_qvecs WHERE vec_id < {n_queries}) q
+        CROSS JOIN cq_c{coarse_iters} c
+      ) WHERE rn <= {n_probe}
+    ),
+    qres AS (
+      SELECT p.query_id, p.clist,
+             list_transform({fidx}, i -> q.qv[i] - c.c[i]) AS rv
+      FROM probes p
+      JOIN cq_qvecs q ON q.vec_id = p.query_id
+      JOIN cq_c{coarse_iters} c ON c.list_id = p.clist
+    ),
+    parts AS (
+      {" UNION ALL ".join(branches)}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, sum(pdist)::BIGINT AS adist
+      FROM parts GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}"""
+    )
+    return "".join(parts)
+
+
+@query("ann_ivf_pq", oracle=_ivf_pq_oracle())
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined index (FAISS ``IndexIVFPQ``) — the production
+    billion-vector ANN shape, joining the engine's coarse quantizer
+    (L12/L28), RESIDUAL product quantization (L43), and ADC search
+    (L44) into one read path: a query probes its 2 nearest of 4
+    inverted lists and ranks only those lists' rows, each stored as 4
+    codes — no vector math per corpus row, corpus state ~m bytes per
+    vector. Residual encoding (``qv - coarse_centroid``) is what
+    separates this from flat PQ. Exact bigint arithmetic end to end,
+    so codes, probes, and ranks are all bit-identical to the oracle's
+    unrolled chain."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, "embedding", "vec_id", n_queries=5, topk=10,
+        n_lists=4, n_probe=2, coarse_iters=2, m=4, k=8, pq_iters=2,
+    )
+
+
 @query("ann_pq_adc", oracle=_pq_adc_oracle())
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search via asymmetric distance computation — the billion-
@@ -7800,6 +7937,83 @@ def customer_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kcore(pairs, k=2, rounds=6).select(
         F.col("v").alias("c_custkey"), "core_degree"
+    )
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous LPA rounds over the record-linkage graph:
+    per round each vertex adopts the most frequent label among its
+    neighbors plus itself, ties to the lowest label — the exact
+    deterministic vote of ``graph.label_propagation``."""
+    parts = [
+        """
+    WITH blocked AS (
+      SELECT c_custkey AS id, c_name AS txt,
+             substring(c_name, 10, 8) AS blk
+      FROM customer
+    ),
+    sizes AS (SELECT blk, count(*) AS bn FROM blocked GROUP BY blk),
+    small AS (
+      SELECT b.* FROM blocked b JOIN sizes s USING (blk)
+      WHERE s.bn <= 200
+    ),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM small a JOIN small b USING (blk)
+      WHERE a.id < b.id AND levenshtein(a.txt, b.txt) <= 1
+    ),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e
+      UNION ALL SELECT dst AS src, src AS dst FROM e
+    ),
+    l0 AS (SELECT DISTINCT src AS v, src AS community FROM und)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    l{t} AS MATERIALIZED (
+      SELECT v, community FROM (
+        SELECT v, community,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY n DESC, community) AS rn
+        FROM (
+          SELECT v, community, count(*) AS n FROM (
+            SELECT u.src AS v, l.community
+            FROM und u JOIN l{t - 1} l ON l.v = u.dst
+            UNION ALL SELECT v, community FROM l{t - 1}
+          ) GROUP BY v, community
+        )
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v AS c_custkey, community FROM l{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query("customer_link_communities", oracle=_lpa_oracle(4))
+def customer_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (G4) over the record-linkage
+    graph: 4 synchronous rounds of the deterministic
+    most-frequent-neighbor-label vote (self-vote included, ties to
+    the lowest label) — the "which dense region claims this vertex?"
+    readout complementing components (reachability) and k-core
+    (density). One vertex-sized label join + two keyed aggs per
+    round, lineage truncated per round."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        blocked_edit_distance_pairs,
+    )
+    from isilon_hadoop_tools_spark.operators.graph import label_propagation
+
+    pairs = blocked_edit_distance_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey", text_col="c_name",
+        block_expr="substring(c_name, 10, 8)", max_dist=1, max_block=200,
+    )
+    return label_propagation(pairs, rounds=4).select(
+        F.col("v").alias("c_custkey"), "community"
     )
 
 

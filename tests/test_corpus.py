@@ -563,3 +563,32 @@ def test_rrf_fuse_k_cut_ties_to_lowest_id(spark):
     out = rrf_fuse(a, empty, k0=60, k=3).collect()
     assert [r.id for r in out] == [0, 1, 2]  # equal scores: id breaks
     assert [r.fused_rank for r in out] == [1, 2, 3]
+
+
+def test_good_turing_hand_computed_spectrum(spark):
+    """'a a a b b c d e' -> freq(a)=3, freq(b)=2, c/d/e=1:
+    n_1=3, n_2=1, n_3=1; r*(1)=2*1/3, r*(2)=3*1/1, r*(3)=NULL."""
+    from isilon_hadoop_tools_spark.operators.corpus import good_turing_counts
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c d e")], "doc_id long, text string"
+    )
+    rows = {r["r"]: r for r in good_turing_counts(df, "text", "doc_id").collect()}
+    assert {r: rows[r]["n_r"] for r in rows} == {1: 3, 2: 1, 3: 1}
+    assert rows[1]["r_star"] == round(2 * 1 / 3, 6)
+    assert rows[2]["r_star"] == 3.0
+    assert rows[3]["r_star"] is None
+
+
+def test_good_turing_spectrum_gap_yields_null(spark):
+    """Frequencies {1, 3} with no n_2: r*(1) must be NULL (the lead
+    row exists but is not r+1), not n_3-based."""
+    from isilon_hadoop_tools_spark.operators.corpus import good_turing_counts
+
+    df = spark.createDataFrame(
+        [(1, "x y y y")], "doc_id long, text string"
+    )
+    rows = {r["r"]: r for r in good_turing_counts(df, "text", "doc_id").collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["r_star"] is None
+    assert rows[3]["r_star"] is None

@@ -284,3 +284,51 @@ def test_kcore_rejects_bool_rounds(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="rounds"):
         kcore(df, k=2, rounds=True)
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 3-cliques joined by one bridge edge: LPA assigns each
+    clique its min-id label; the bridge does not merge them (each
+    endpoint has 2 same-clique votes + self vs 1 cross vote)."""
+    from isilon_hadoop_tools_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["v"]: r["community"]
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    # round 1 pulls v4 to the bridge label 3; round 2 its clique
+    # majority (5, 6 voting 4) wins it back — the cliques stay apart
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_lpa_self_vote_prevents_pair_oscillation(spark):
+    """A single edge (a, b): pure synchronous LPA swaps labels every
+    round (period-2 oscillation); the self-vote makes the tie resolve
+    to min(label) on BOTH endpoints immediately and stay fixed."""
+    from isilon_hadoop_tools_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(7, 9)], "id_a long, id_b long")
+    for rounds in (1, 2, 3):
+        got = {
+            r["v"]: r["community"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == {7: 7, 9: 7}
+
+
+def test_lpa_star_converges_to_hub_min(spark):
+    """Star graph: leaves adopt the hub's label round 1 (neighbor
+    vote 1 + self 1, tie -> min) when hub id is the minimum; the hub
+    keeps its own (self + any leaf tie -> min = hub)."""
+    from isilon_hadoop_tools_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [(1, x) for x in range(2, 8)], "id_a long, id_b long"
+    )
+    got = {
+        r["v"]: r["community"]
+        for r in label_propagation(df, rounds=2).collect()
+    }
+    assert got == {v: 1 for v in range(1, 8)}

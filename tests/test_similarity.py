@@ -510,3 +510,59 @@ def test_multiprobe_rejects_probes_beyond_planes(spark, embeddings):
         similarity.lsh_ann_topk(
             embeddings, queries, k=1, planes=4, probes=5
         ).collect()
+
+
+def test_ivf_pq_rank_contract_and_probe_pruning(spark, embeddings):
+    """IVF-PQ over the real embeddings: ranks are dense 1..n per
+    query, ordered by (adist, neighbor_id), and probing 2 of 4 lists
+    prunes — each query's candidate pool is a strict subset of the
+    corpus (checked via topk=corpus-size returning fewer rows than
+    the corpus for at least one query)."""
+    n = embeddings.count()
+    out = similarity.ivf_pq_topk(
+        embeddings, "embedding", "vec_id",
+        n_queries=4, topk=n, n_lists=4, n_probe=2,
+        coarse_iters=1, m=4, k=4, pq_iters=1,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    pruned = 0
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # own list is always probe #1 (same argmin + tie-break as the
+        # assignment), so the query itself is always a candidate
+        assert any(r["neighbor_id"] == qid for r in rows)
+        assert all(r["adist"] >= 0 for r in rows)
+        for a, b in zip(rows, rows[1:]):
+            assert (a["adist"], a["neighbor_id"]) < (
+                b["adist"], b["neighbor_id"])
+        if len(rows) < n:
+            pruned += 1
+    assert pruned >= 1  # unprobed lists really drop out of the join
+
+
+def test_ivf_pq_single_list_is_flat_pq_with_self_min(spark):
+    """With n_lists == n_probe == 1, IVF-PQ degenerates to flat PQ
+    over one shared residual: every corpus row is a candidate and
+    each query's own adist is the global minimum (its codes are the
+    per-subspace argmin of its own LUT)."""
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivf_pq_topk(
+        df, "embedding", "vec_id", n_queries=2, topk=24,
+        n_lists=1, n_probe=1, coarse_iters=1, m=2, k=4, pq_iters=1,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["adist"]
+    assert set(by_q) == {0, 1}
+    for qid, cand in by_q.items():
+        # single probed list => the whole corpus is ranked
+        assert len(cand) == 24
+        assert cand[qid] == min(cand.values())
