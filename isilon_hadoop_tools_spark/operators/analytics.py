@@ -1124,3 +1124,98 @@ def median_of_means(
         F.round(F.col("_ts") / F.col("_tn"), 6).alias("mean"),
         F.round("_m", 6).alias("mom_mean"),
     )
+
+
+def poisson_thresholds(max_w: int = 6) -> list[int]:
+    """Integer CDF thresholds for a deterministic Poisson(1) draw
+    from a 32-bit hash: ``w = #{k < max_w : h >= T_k}`` where
+    ``T_k = floor(P(X <= k) * 2^32)``. Comparing integer literals
+    against the integer hash makes every draw exact on any engine —
+    no float arithmetic touches the sample path. The tail past
+    ``max_w - 1`` lumps into ``w = max_w`` (P ~ 6e-4 for max_w=6)."""
+    import math
+
+    e = math.exp(-1.0)
+    cdf, term, acc = [], e, e
+    for k in range(max_w):
+        cdf.append(acc)
+        term = term / (k + 1)
+        acc += term
+    return [int(c * 2**32) for c in cdf]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    replicates: int = 20,
+    alpha: float = 0.05,
+    seed_base: int = 7100,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the metric mean via
+    the POISSON bootstrap (Chamandy et al., "Estimating uncertainty
+    for massive data streams", Google 2012) — the only bootstrap that
+    works on a distributed scan: classical resampling needs n draws
+    WITH replacement (a shuffle per replicate), while Poisson(1)
+    weights are an independent per-row decision, so ALL ``replicates``
+    resamples ride ONE scan as conditional sums.
+
+    Every weight is a deterministic function of ``(seed_base + b,
+    id)`` through the md5 hash and INTEGER thresholds
+    (:func:`poisson_thresholds`) — reruns, row order, and engines all
+    agree on every draw (a ``rand()`` bootstrap is unreproducible and
+    un-oracle-checkable).
+
+    CI: empirical order statistics of the B replicate means — lower
+    = ``floor(alpha*B) + 1``-th smallest, upper = ``B - floor(
+    alpha*B)``-th (means pre-rounded to 6 dp; index selection, never
+    interpolation). B=20, alpha=0.05 -> the 2nd and 19th of 20.
+
+    Output per group: ``n``, ``mean``, ``ci_lo``, ``ci_hi``,
+    ``n_replicates``.
+
+    Shape: ONE groupBy(group) aggregation with 2·B conditional-sum
+    columns (map-side partials; the per-replicate weight exprs are
+    stateless projections) — the fact table is scanned once no matter
+    how many replicates; the sort/selection runs on a B-length array
+    per group row.
+    """
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+    ts = poisson_thresholds()
+    sid = F.col(id_col).cast("string")
+    aggs = [
+        F.count(value_col).alias("_n"),
+        F.sum(value_col).alias("_s"),
+    ]
+    for b in range(replicates):
+        h = stable_hash32(sid, seed=seed_base + b)
+        w = sum(
+            (h >= F.lit(t)).cast("int") for t in ts
+        )
+        aggs.append(F.sum(w * F.col(value_col)).alias(f"_ws{b}"))
+        aggs.append(F.sum(w).alias(f"_wn{b}"))
+    g = df.groupBy(group_col).agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.round(
+                    F.col(f"_ws{b}")
+                    / F.nullif(F.col(f"_wn{b}"), F.lit(0)),
+                    6,
+                )
+                for b in range(replicates)
+            ]
+        )
+    )
+    lo = int(alpha * replicates) + 1
+    hi = replicates - int(alpha * replicates)
+    return g.select(
+        group_col,
+        F.col("_n").alias("n"),
+        F.round(F.col("_s") / F.col("_n"), 6).alias("mean"),
+        F.element_at(means, lo).alias("ci_lo"),
+        F.element_at(means, hi).alias("ci_hi"),
+        F.lit(replicates).alias("n_replicates"),
+    )

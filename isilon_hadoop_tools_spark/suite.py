@@ -6408,6 +6408,61 @@ def events_mom_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pboot_oracle(
+    replicates: int = 20, alpha: float = 0.05, seed_base: int = 7100
+) -> str:
+    """Poisson-bootstrap twin: the same integer Poisson(1) CDF
+    thresholds baked as literals into both plans, one conditional-sum
+    pair per replicate, list_sort + 1-based order-statistic pick."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        poisson_thresholds,
+    )
+
+    ts = poisson_thresholds()
+    cols, means = [], []
+    for b in range(replicates):
+        h = stable_hash32_sql("event_id::VARCHAR", seed=seed_base + b)
+        w = "(" + " + ".join(f"({h} >= {t})::INT" for t in ts) + ")"
+        cols.append(f"sum({w} * value) AS ws{b}")
+        cols.append(f"sum({w})::BIGINT AS wn{b}")
+        means.append(f"round(ws{b} / nullif(wn{b}, 0), 6)")
+    lo = int(alpha * replicates) + 1
+    hi = replicates - int(alpha * replicates)
+    return f"""
+    WITH g AS (
+      SELECT event_type, count(value) AS n, sum(value) AS s,
+             {", ".join(cols)}
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, round(s / n, 6) AS mean,
+             list_sort(list_value({", ".join(means)})) AS ms
+      FROM g
+    )
+    SELECT event_type, n, mean, ms[{lo}] AS ci_lo, ms[{hi}] AS ci_hi,
+           {replicates} AS n_replicates
+    FROM m
+    """
+
+
+@query("events_value_bootstrap_ci", oracle=_pboot_oracle())
+def events_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the per-type mean (EA27, Chamandy et
+    al. 2012): 20 resamples as deterministic integer-threshold
+    Poisson(1) weights riding ONE scan as conditional sums — the only
+    bootstrap shape that works on a distributed fact table (classical
+    resampling would shuffle per replicate); CI from exact order
+    statistics of the replicate means."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    return poisson_bootstrap_ci(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id",
+        replicates=20, alpha=0.05,
+    )
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-iteration DuckDB twin of `operators/graph.py`
     `pagerank` on the nation trade graph. Expressions (not rounded

@@ -659,3 +659,45 @@ def test_median_of_means_even_bucket_count_lower_median(spark):
     out = median_of_means(df, "g", "v", "id", buckets=9).collect()
     assert len(out) == 1
     assert out[0].n == 6
+
+
+def test_poisson_thresholds_match_cdf(spark):
+    """Thresholds are floor(P(X<=k) * 2^32) for Poisson(1), strictly
+    increasing, and the implied weight probabilities sum to ~1."""
+    import math
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        poisson_thresholds,
+    )
+
+    ts = poisson_thresholds()
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    e = math.exp(-1.0)
+    acc, term = e, e
+    for k, t in enumerate(ts):
+        assert t == int(acc * 2**32)
+        term /= k + 1
+        acc += term
+    # tail mass lumped into w = max_w is tiny
+    assert (2**32 - ts[-1]) / 2**32 < 1e-3
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """On a well-behaved sample the CI brackets the point mean; two
+    runs (and a repartitioned run) give identical intervals — the
+    draws are content-addressed, not rand()."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(i, "g", float((i * 37) % 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    a = poisson_bootstrap_ci(df, "grp", "v", "id").collect()[0]
+    b = poisson_bootstrap_ci(
+        df.repartition(7), "grp", "v", "id"
+    ).collect()[0]
+    assert a["n"] == 400 and a["n_replicates"] == 20
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    assert a["ci_lo"] < a["ci_hi"]
+    assert (a["ci_lo"], a["ci_hi"], a["mean"]) == (
+        b["ci_lo"], b["ci_hi"], b["mean"])
