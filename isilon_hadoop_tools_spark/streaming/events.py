@@ -325,3 +325,67 @@ def merge_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+def cms_stream_into_state(
+    events: DataFrame,
+    state: ParquetState,
+    key: str = "user_id",
+    d: int = 4,
+    w: int = 256,
+    table: str = "cms_sketch",
+    checkpoint: str | None = None,
+) -> None:
+    """Incremental count-min sketch maintenance over a stream — the
+    streaming heavy-hitters pattern (L37 x §2.9): each micro-batch
+    builds its own CMS delta and elementwise-ADDS it into the
+    persisted sketch via ``foreachBatch``.
+
+    Unlike HLL's max-merge, the CMS sum-merge is NOT idempotent, so a
+    replayed batch would double-count. Exactly-once here is the
+    transaction-marker discipline a Delta/Iceberg sink would give
+    you, expressed on ``ParquetState``'s single-table atomic swap:
+    every committed micro-batch writes a marker row (``row_id = -1,
+    bucket = batch_id``) INTO THE SAME TABLE as the merged counts, so
+    sketch+marker commit in ONE atomic swap — a crash can never
+    persist one without the other — and ``apply_batch`` skips any
+    batch id it has already committed. Replays (restart with a
+    checkpoint, or a full no-checkpoint re-drain, whose availableNow
+    file-source batch ids are deterministic) are no-ops.
+
+    State is d·w counters + one marker row per batch — never the key
+    set. Final counts equal a single batch ``cms_table`` pass over
+    all data (the incremental == batch oracle contract).
+    """
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        cms_merge,
+        cms_table,
+    )
+
+    schema = "row_id LONG, bucket LONG, cnt LONG"
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        current = state.read(table, schema)
+        markers = current.filter(F.col("row_id") == -1)
+        done = {int(r["bucket"]) for r in markers.collect()}
+        if int(batch_id) in done:
+            return
+        counts = current.filter(F.col("row_id") >= 0)
+        delta = cms_table(batch, key, d, w)
+        new_marker = batch.sparkSession.createDataFrame(
+            [(-1, int(batch_id), 1)], schema
+        )
+        state.write(
+            table,
+            cms_merge([counts, delta])
+            .unionByName(markers)
+            .unionByName(new_marker),
+        )
+
+    writer = events.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

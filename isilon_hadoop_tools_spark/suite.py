@@ -7427,6 +7427,46 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cms_stream",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT r AS row_id,
+             (('0x' || substr(md5((({_CMS_SEED} + r)::VARCHAR || ':')
+                               || user_id::VARCHAR), 1, 8))::BIGINT)
+               % {_CMS_W} AS bucket
+      FROM events, range(0, {_CMS_D}) t(r)
+    )
+    SELECT row_id, bucket, count(*)::BIGINT AS cnt
+    FROM hashed GROUP BY row_id, bucket
+    """,
+)
+def events_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS maintenance (§2.9 x L37): micro-batch count-min
+    deltas sum-merged into parquet state by foreachBatch. Sum-merge
+    is NOT replay-idempotent (unlike HLL's max), so exactly-once
+    comes from per-batch marker rows committed in the SAME atomic
+    table swap as the counts — the stream is drained TWICE and the
+    replayed batch ids are skipped; the final sketch must equal the
+    oracle's one-pass batch CMS exactly (integer counts, md5 hash
+    family — no tolerance)."""
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.streaming.events import (
+        cms_stream_into_state,
+    )
+
+    state = _fresh_state(spark, "events_cms_stream")
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir)
+        cms_stream_into_state(
+            ev, state, key="user_id", d=_CMS_D, w=_CMS_W
+        )
+    return (
+        state.read("cms_sketch", "row_id LONG, bucket LONG, cnt LONG")
+        .filter(F.col("row_id") >= 0)
+    )
+
+
+@query(
     "events_hll_stream",
     oracle=f"""
     WITH {_HLL_REG_SQL}

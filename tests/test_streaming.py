@@ -182,3 +182,100 @@ def test_stream_static_join_enriches_and_matches_batch(spark, tmp_path):
         (T0, 7): (2, 3.0),
         (T0 + 60 * m, 8): (1, 3.0),
     }
+
+
+# ---------------------------------------------------------------------
+# streaming CMS maintenance (L37 x 2.9): sum-merge + marker exactly-once
+# ---------------------------------------------------------------------
+
+
+def _write_kv_batch(dirpath, name, ids):
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"user_id": pa.array(ids, pa.int64())}),
+        os.path.join(dirpath, name),
+    )
+    time.sleep(0.05)
+
+
+def _cms_counts(state):
+    return {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in state.read(
+            "cms_sketch", "row_id LONG, bucket LONG, cnt LONG"
+        ).collect()
+        if r["row_id"] >= 0
+    }
+
+
+def _batch_cms(spark, all_ids):
+    from isilon_hadoop_tools_spark.operators.sketches import cms_table
+
+    df = spark.createDataFrame([(i,) for i in all_ids], "user_id long")
+    return {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in cms_table(df, "user_id", 4, 256).collect()
+    }
+
+
+def _drain_cms(spark, in_dir, state, ckpt=None):
+    from isilon_hadoop_tools_spark.streaming.events import (
+        cms_stream_into_state,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    cms_stream_into_state(stream, state, key="user_id", checkpoint=ckpt)
+
+
+def test_cms_stream_multibatch_equals_batch_and_replay_noop(spark, tmp_path):
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    batches = [[1, 2, 2, 3], [2, 3, 3, 9], [9, 9, 1, 7]]
+    for i, ids in enumerate(batches):
+        _write_kv_batch(in_dir, f"b{i}.parquet", ids)
+    state = ParquetState(spark, str(tmp_path / "state"))
+    _drain_cms(spark, in_dir, state)
+    truth = _batch_cms(spark, [i for b in batches for i in b])
+    assert _cms_counts(state) == truth
+    # full no-checkpoint re-drain: deterministic batch ids 0..2 are
+    # all marked committed, so the sum-merge must NOT double-count
+    _drain_cms(spark, in_dir, state)
+    assert _cms_counts(state) == truth
+    # markers: one per committed micro-batch, same atomic table
+    markers = {
+        r["bucket"]
+        for r in state.read(
+            "cms_sketch", "row_id LONG, bucket LONG, cnt LONG"
+        ).collect()
+        if r["row_id"] == -1
+    }
+    assert markers == {0, 1, 2}
+
+
+def test_cms_stream_checkpointed_restart_resumes_exactly_once(
+    spark, tmp_path
+):
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = ParquetState(spark, str(tmp_path / "state"))
+    _write_kv_batch(in_dir, "b0.parquet", [5, 5, 6])
+    _drain_cms(spark, in_dir, state, ckpt)
+    # new files arrive; restart from the checkpoint picks up ONLY them
+    _write_kv_batch(in_dir, "b1.parquet", [6, 7])
+    _write_kv_batch(in_dir, "b2.parquet", [5])
+    _drain_cms(spark, in_dir, state, ckpt)
+    assert _cms_counts(state) == _batch_cms(spark, [5, 5, 6, 6, 7, 5])
