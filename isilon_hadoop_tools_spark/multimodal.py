@@ -864,3 +864,281 @@ def png_ahash(df: DataFrame, bin_col: str, id_col: str, grid: int = 6) -> DataFr
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW compressor (LSB-first variable-width codes,
+    clear/end codes, width growth to 12 bits, dictionary reset at
+    4096) — the encoder half of the fifth real codec. Pure stdlib;
+    emitted streams round-trip exactly through
+    :func:`_lzw_decompress` and decode in external readers (the
+    non-early-change width rule: grow when ``next_code`` passes
+    ``2^width``)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(
+    data: bytes, min_code_size: int, expected: int | None = None
+) -> list:
+    """GIF-variant LZW decompressor: variable-width LSB-first codes,
+    KwKwK (``code == next_code``) case, width growth when the table
+    reaches ``2^width`` (to 12), full reset on clear. Stops at the
+    end-of-information code OR once ``expected`` symbols are out —
+    historic encoders (e.g. the canonical 1x1 GIF) end the data
+    sub-blocks without a complete EOI code, and readers are expected
+    to tolerate that. Raises ``ValueError`` on out-of-range codes or
+    a stream that exhausts before ``expected`` symbols."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[int, tuple] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out: list = []
+    prev: tuple | None = None
+    buf = 0
+    nbits = 0
+    pos = 0
+    while True:
+        if expected is not None and len(out) >= expected:
+            return out
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before end code")
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW first code not a literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+
+
+def gif_encode(indices, palette) -> bytes:
+    """Minimal REAL GIF87a writer: logical screen descriptor, global
+    256-entry color table, one image descriptor, LZW-compressed index
+    stream in 255-byte sub-blocks, trailer. ``indices`` is an (h, w)
+    array of palette indices; ``palette`` an (n, 3) uint8 array
+    (padded to 256 entries)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.int64)
+    h, w = idx.shape
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(palette)] = np.asarray(palette, dtype=np.uint8)
+    out = bytearray(b"GIF87a")
+    # global color table: flag set, 8 bits/pixel => size field 7
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x07, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_compress(idx.ravel().tolist(), 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_decode_rgb(raw: bytes):
+    """REAL GIF decoder (87a/89a, global color table, single
+    non-interlaced image): header + logical-screen walk, extension
+    blocks skipped by sub-block structure, LZW decompression of the
+    index stream (variable-width codes, KwKwK, dictionary resets),
+    palette lookup to an (h, w, 3) uint8 array. The compression
+    family is genuinely different from PNG's DEFLATE — dictionary
+    codes, not Huffman+LZ77 — so the two codecs share no machinery.
+    Malformed payloads (bad signature, truncated descriptors or
+    sub-blocks, missing global palette, local palette, interlaced
+    image, LZW stream errors, pixel-count mismatch, missing image)
+    raise ``ValueError`` — the typed-reject contract of the
+    WAV/BMP/PNG codecs."""
+    import struct
+
+    import numpy as np
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(raw) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", raw[6:13])
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * gct_n > len(raw):
+        raise ValueError("truncated global color table")
+    pal = np.frombuffer(raw[pos : pos + 3 * gct_n], dtype=np.uint8)
+    pal = pal.reshape(gct_n, 3)
+    pos += 3 * gct_n
+    while pos < len(raw):
+        introducer = raw[pos]
+        pos += 1
+        if introducer == 0x3B:  # trailer
+            raise ValueError("GIF contains no image")
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(raw):
+                    raise ValueError("truncated extension block")
+                n = raw[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if introducer != 0x2C:
+            raise ValueError(f"unknown block introducer {introducer:#x}")
+        if pos + 9 > len(raw):
+            raise ValueError("truncated image descriptor")
+        _left, _top, w, h, ipacked = struct.unpack(
+            "<HHHHB", raw[pos : pos + 9]
+        )
+        pos += 9
+        if ipacked & 0x80:
+            raise ValueError("local color table not supported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if w <= 0 or h <= 0:
+            raise ValueError("degenerate GIF dimensions")
+        if pos >= len(raw):
+            raise ValueError("missing LZW minimum code size")
+        min_code = raw[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"bad LZW minimum code size {min_code}")
+        data = bytearray()
+        while True:
+            if pos >= len(raw):
+                raise ValueError("truncated image sub-blocks")
+            n = raw[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(raw):
+                raise ValueError("truncated image sub-blocks")
+            data += raw[pos : pos + n]
+            pos += n
+        idx = _lzw_decompress(bytes(data), min_code, expected=w * h)
+        if len(idx) != w * h:
+            raise ValueError(
+                f"LZW index stream has {len(idx)} pixels, expected {w * h}"
+            )
+        arr = np.asarray(idx, dtype=np.int64)
+        if arr.max() >= gct_n:
+            raise ValueError("palette index out of range")
+        return pal[arr].reshape(h, w, 3)
+    raise ValueError("GIF ended without trailer or image")
+
+
+def decode_gif_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Fifth REAL codec — the palette/LZW compression family:
+    :func:`gif_decode_rgb` per payload, emitting the SAME
+    exact-integer feature contract as the BMP/PNG codecs (``id,
+    width, height, n_pixels, sum_r, sum_g, sum_b, top_left``) so the
+    oracle recomputes every decoded byte analytically through the
+    palette indirection — one wrong LZW code, palette entry, or
+    sub-block stitch flips a sum. Arrow ``mapInPandas``; payloads
+    stay in the scan partition, one row per image, nothing
+    shuffles."""
+    schema = (
+        f"{id_col} LONG, width INT, height INT, n_pixels LONG, "
+        "sum_r LONG, sum_g LONG, sum_b LONG, top_left LONG"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(raw: bytes):
+            pix = gif_decode_rgb(raw)
+            h, w, _ = pix.shape
+            r = pix[..., 0].astype(np.int64)
+            g = pix[..., 1].astype(np.int64)
+            b = pix[..., 2].astype(np.int64)
+            top_left = int(r[0, 0]) * 65536 + int(g[0, 0]) * 256 + int(b[0, 0])
+            return (
+                w, h, w * h,
+                int(r.sum()), int(g.sum()), int(b.sum()), top_left,
+            )
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "top_left",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

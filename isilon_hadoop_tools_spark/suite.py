@@ -8307,6 +8307,86 @@ def _bmp_payload_df(
     return docs.select("doc_id", payload.alias("payload"))
 
 
+def _gif_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document REAL GIF87a payloads: logical screen descriptor +
+    global 256-color palette + LZW-compressed index stream written by
+    ``multimodal.gif_encode`` in an Arrow ``mapInPandas`` stage.
+    Pixel index at (x, y) is ``(base + 3x + 7y) % 256`` and the
+    palette maps index i to ``(i, 255 - i, (7i + 13) % 256)`` — both
+    analytic, so the oracle recomputes every decoded byte THROUGH the
+    palette indirection without ever seeing the payload."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(256)
+        pal = np.stack([i, 255 - i, (7 * i + 13) % 256], axis=-1)
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                base = int(doc_id)
+                w, h = base % 6 + 2, base % 4 + 2
+                y, x = np.mgrid[0:h, 0:w]
+                idx = (base + 3 * x + 7 * y) % 256
+                payloads.append(M.gif_encode(idx, pal))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(gen, "doc_id LONG, payload BINARY")
+
+
+@query(
+    "multimodal_gif_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 6 + 2) AS w, (doc_id % 4 + 2) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM px
+    ),
+    idx AS (
+      SELECT doc_id, w, h, (doc_id + 3 * x + 7 * y) % 256 AS i
+      FROM pxy
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           (w * h)::BIGINT AS n_pixels,
+           sum(i)::BIGINT AS sum_r,
+           sum(255 - i)::BIGINT AS sum_g,
+           sum((7 * i + 13) % 256)::BIGINT AS sum_b,
+           ((doc_id % 256) * 65536 + (255 - doc_id % 256) * 256
+             + (7 * (doc_id % 256) + 13) % 256)::BIGINT AS top_left
+    FROM idx GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL codec — the palette/LZW compression family (L16e):
+    real GIF87a payloads (global color table, variable-width LSB
+    LZW with clear/end codes and sub-block framing) decoded by
+    ``decode_gif_features`` — header walk, extension skip, LZW
+    decompression, palette lookup — with the oracle recomputing
+    per-channel sums and the top-left pixel analytically through the
+    palette indirection; one wrong LZW code, width transition,
+    palette entry, or sub-block stitch hash-fails. A genuinely
+    different compression family from PNG's DEFLATE: dictionary
+    codes, not Huffman+LZ77."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.decode_gif_features(
+        _gif_payload_df(spark, sf_dir), "payload", "doc_id"
+    )
+
+
 def _png_payload_df(
     spark: SparkSession, sf_dir: str, base_mod: int | None = None
 ) -> DataFrame:

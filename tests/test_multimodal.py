@@ -611,3 +611,115 @@ def test_png_rejects_palette_color_type():
     )
     with pytest.raises(ValueError, match="truecolor RGB or grayscale"):
         png_decode_rgb(payload)
+
+
+# ---------------------------------------------------------------------
+# GIF codec (L16e): LZW + palette — the fifth real codec
+# ---------------------------------------------------------------------
+
+
+def _gif_pal():
+    import numpy as np
+
+    i = np.arange(256)
+    return np.stack([i, 255 - i, (7 * i + 13) % 256], axis=-1)
+
+
+def test_gif_roundtrip_exact_across_width_growth_and_reset(spark):
+    """Encode/decode roundtrips bit-exact across sizes that stay at
+    9-bit codes, grow through 10/11/12 bits, and force a 4096-entry
+    dictionary reset (80x90 of near-random indices)."""
+    import numpy as np
+
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    for h, w, mod in [(1, 1, 256), (5, 7, 256), (64, 64, 256), (80, 90, 7)]:
+        y, x = np.mgrid[0:h, 0:w]
+        idx = (3 * x + 7 * y + x * y) % mod
+        pix = M.gif_decode_rgb(M.gif_encode(idx, _gif_pal()))
+        assert pix.shape == (h, w, 3)
+        assert (pix[..., 0] == idx % 256).all()
+        assert (pix[..., 1] == (255 - idx) % 256).all()
+        assert (pix[..., 2] == (idx * 7 + 13) % 256).all()
+
+
+def test_gif_decodes_external_canonical_1x1(spark):
+    """The canonical 1x1 transparent GIF (89a, graphics-control
+    extension, 2-color table, 2-bit LZW, and NO complete end code in
+    the data stream — historic encoders stop at the sub-block
+    terminator): exercises the extension skip, a non-8 minimum code
+    size, and the expected-pixel-count stop."""
+    import base64
+
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    one = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    pix = M.gif_decode_rgb(one)
+    assert pix.shape == (1, 1, 3)
+    assert pix[0, 0].tolist() == [0, 0, 0]
+
+
+def test_gif_typed_rejects(spark):
+    """Malformed payloads raise ValueError with a reason — never
+    garbage pixels: bad signature, truncation, interlace flag, local
+    color table, missing image, pixel-count mismatch."""
+    import numpy as np
+    import pytest
+
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    good = bytearray(M.gif_encode(np.zeros((2, 2), dtype=np.int64), _gif_pal()))
+    with pytest.raises(ValueError, match="not a GIF"):
+        M.gif_decode_rgb(b"PNG..nope")
+    with pytest.raises(ValueError, match="truncated"):
+        M.gif_decode_rgb(bytes(good[:10]))
+    interlaced = bytearray(good)
+    img_at = 13 + 3 * 256  # header+LSD then the full global palette
+    assert good[img_at] == 0x2C
+    interlaced[img_at + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        M.gif_decode_rgb(bytes(interlaced))
+    local = bytearray(good)
+    local[img_at + 9] |= 0x80
+    with pytest.raises(ValueError, match="local color table"):
+        M.gif_decode_rgb(bytes(local))
+    no_image = good[:6] + good[6:13] + good[13 : 13 + 768] + b"\x3b"
+    with pytest.raises(ValueError, match="no image"):
+        M.gif_decode_rgb(bytes(no_image))
+    wrong_dims = bytearray(good)
+    wrong_dims[img_at + 5] = 3  # claim w=3 for a 2x2 index stream
+    with pytest.raises(ValueError, match="pixels|range|code"):
+        M.gif_decode_rgb(bytes(wrong_dims))
+
+
+def test_gif_features_stage_matches_by_hand(spark):
+    """decode_gif_features over a two-image DataFrame: sums and
+    top_left recomputed by hand from the index/palette formulas."""
+    import numpy as np
+
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    rows = []
+    for doc_id in (3, 10):
+        w, h = doc_id % 6 + 2, doc_id % 4 + 2
+        y, x = np.mgrid[0:h, 0:w]
+        idx = (doc_id + 3 * x + 7 * y) % 256
+        rows.append((doc_id, bytearray(M.gif_encode(idx, _gif_pal()))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in M.decode_gif_features(df, "payload", "doc_id").collect()
+    }
+    for doc_id in (3, 10):
+        w, h = doc_id % 6 + 2, doc_id % 4 + 2
+        y, x = np.mgrid[0:h, 0:w]
+        idx = (doc_id + 3 * x + 7 * y) % 256
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == int(idx.sum())
+        assert r["sum_g"] == int((255 - idx).sum())
+        assert r["sum_b"] == int(((idx * 7 + 13) % 256).sum())
+        i0 = doc_id % 256
+        assert r["top_left"] == i0 * 65536 + (255 - i0) * 256 + (7 * i0 + 13) % 256
