@@ -1142,3 +1142,44 @@ def decode_gif_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def gif_ahash(df: DataFrame, bin_col: str, id_col: str, grid: int = 6) -> DataFrame:
+    """aHash over the REAL GIF decode path — same integer-exact
+    mosaic contract as :func:`bmp_ahash`/:func:`png_ahash` (cell
+    luminance = r+g+b at (gx·w // grid, gy·h // grid); bit =
+    ``grid²·gray > Σgray``): identical pixels produce IDENTICAL
+    fingerprints regardless of container, so ONE banded hamming index
+    serves a mixed BMP/PNG/GIF corpus. Output: ``id``, ``width``,
+    ``height``, ``ahash``."""
+    if grid * grid >= 63:
+        raise ValueError(f"grid {grid} overflows a signed-64 hash")
+    schema = f"{id_col} LONG, width INT, height INT, ahash LONG"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(raw: bytes):
+            pix = gif_decode_rgb(raw)
+            height, width, _ = pix.shape
+            gray = pix.astype(np.int64).sum(axis=2)
+            gx = np.arange(grid) * width // grid
+            gy = np.arange(grid) * height // grid
+            cells = gray[np.ix_(gy, gx)]
+            total = int(cells.sum())
+            bits = (grid * grid * cells > total).astype(np.int64)
+            weights = 1 << np.arange(
+                grid * grid, dtype=np.int64
+            ).reshape(grid, grid)
+            return width, height, int((bits * weights).sum())
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "ahash"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

@@ -8387,6 +8387,118 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gif_bmp_twin_payload_df(
+    spark: SparkSession, sf_dir: str, base_mod: int = 200
+) -> DataFrame:
+    """GIF payloads carrying EXACTLY the BMP fixture's pixel model
+    (dims ``w = base%5+2, h = base%3+2``, the same linear channel
+    formulas): each tiny image's distinct colors become its palette
+    (≤ 24 ≤ 256 entries, sorted for determinism), so a GIF and a BMP
+    of the same ``base`` decode to byte-identical pixel arrays from
+    byte-DIFFERENT containers — the mixed-corpus dedup fixture."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                base = int(doc_id) % base_mod
+                w, h = base % 5 + 2, base % 3 + 2
+                y, x = np.mgrid[0:h, 0:w]
+                pix = np.stack(
+                    [
+                        (base + 3 * x + 7 * y) % 256,
+                        (base * 2 + 5 * x + 11 * y) % 256,
+                        (base * 3 + 13 * x + 17 * y) % 256,
+                    ],
+                    axis=-1,
+                )
+                flat = pix.reshape(-1, 3)
+                pal = np.unique(flat, axis=0)  # sorted lexicographically
+                lut = {tuple(c): i for i, c in enumerate(pal)}
+                idx = np.array(
+                    [lut[tuple(c)] for c in flat], dtype=np.int64
+                ).reshape(h, w)
+                payloads.append(M.gif_encode(idx, pal))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(gen, "doc_id LONG, payload BINARY")
+
+
+@query(
+    "multimodal_mixed_near_dups",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 200 AS base,
+             (doc_id % 200 % 5 + 2) AS w, (doc_id % 200 % 3 + 2) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, base, w, h, unnest(generate_series(0, 35)) AS i
+      FROM dims
+    ),
+    sampled AS (
+      SELECT doc_id, base, i,
+             ((i % 6) * w) // 6 AS sx, ((i // 6) * h) // 6 AS sy
+      FROM cells
+    ),
+    gray AS (
+      SELECT doc_id, i,
+             (base + 3 * sx + 7 * sy) % 256
+               + (base * 2 + 5 * sx + 11 * sy) % 256
+               + (base * 3 + 13 * sx + 17 * sy) % 256 AS gv
+      FROM sampled
+    ),
+    tot AS (SELECT doc_id, sum(gv) AS total FROM gray GROUP BY doc_id),
+    hashes AS (
+      SELECT g.doc_id,
+             sum(CASE WHEN 36 * g.gv > t.total
+                      THEN (1::BIGINT << g.i) ELSE 0 END)::BIGINT AS ahash
+      FROM gray g JOIN tot t USING (doc_id) GROUP BY g.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+    """,
+)
+def multimodal_mixed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-container image dedup — the production crawl reality
+    (one corpus, many formats): alternating 200-doc blocks are stored
+    as real BMP vs real GIF (byte-different containers, LZW vs raw
+    BGR), both decoded by their REAL codecs into the same pixel
+    model, hashed by the shared integer mosaic (``bmp_ahash`` /
+    ``gif_ahash``), and fed into ONE pigeonhole band join. The
+    container-agnostic oracle brute-forces all qualifying pairs from
+    the analytic pixel model: a single cross-codec decode divergence
+    or missed cross-container candidate pair hash-fails."""
+    from isilon_hadoop_tools_spark import multimodal as M
+    from isilon_hadoop_tools_spark.operators.dedup import hamming_band_pairs
+
+    block = (F.col("doc_id") / 200).cast("long") % 2
+    bmp = M.bmp_ahash(
+        _bmp_payload_df(spark, sf_dir, base_mod=200).filter(block == 0),
+        "payload", "doc_id",
+    )
+    gif = M.gif_ahash(
+        _gif_bmp_twin_payload_df(spark, sf_dir).filter(block == 1),
+        "payload", "doc_id",
+    )
+    hashes = bmp.select("doc_id", "ahash").unionByName(
+        gif.select("doc_id", "ahash")
+    )
+    return hamming_band_pairs(
+        hashes, "ahash", "doc_id", bits=36, max_hamming=4, bands=6
+    )
+
+
 def _png_payload_df(
     spark: SparkSession, sf_dir: str, base_mod: int | None = None
 ) -> DataFrame:

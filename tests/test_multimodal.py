@@ -723,3 +723,42 @@ def test_gif_features_stage_matches_by_hand(spark):
         assert r["sum_b"] == int(((idx * 7 + 13) % 256).sum())
         i0 = doc_id % 256
         assert r["top_left"] == i0 * 65536 + (255 - i0) * 256 + (7 * i0 + 13) % 256
+
+
+def test_gif_ahash_matches_bmp_ahash_on_identical_pixels(spark):
+    """The mosaic contract across a THIRD container: a GIF and a BMP
+    holding the same pixels produce the same ahash, so one band index
+    serves a mixed BMP/PNG/GIF corpus."""
+    import numpy as np
+
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    base = 9
+    w, h = base % 5 + 2, base % 3 + 2
+    y, x = np.mgrid[0:h, 0:w]
+    pix = np.stack(
+        [
+            (base + 3 * x + 7 * y) % 256,
+            (base * 2 + 5 * x + 11 * y) % 256,
+            (base * 3 + 13 * x + 17 * y) % 256,
+        ],
+        axis=-1,
+    )
+    flat = pix.reshape(-1, 3)
+    pal = np.unique(flat, axis=0)
+    lut = {tuple(c): i for i, c in enumerate(pal)}
+    idx = np.array([lut[tuple(c)] for c in flat]).reshape(h, w)
+    gif_raw = M.gif_encode(idx, pal)
+    assert (M.gif_decode_rgb(gif_raw) == pix).all()
+    gdf = spark.createDataFrame(
+        [(1, bytearray(gif_raw))], "doc_id long, payload binary"
+    )
+    got = M.gif_ahash(gdf, "payload", "doc_id").collect()[0]
+    # analytic mosaic twin (the oracle formula)
+    gray = pix.sum(axis=-1)
+    gx = np.arange(6) * w // 6
+    gy = np.arange(6) * h // 6
+    cells = gray[np.ix_(gy, gx)]
+    bits = (36 * cells > cells.sum()).astype(np.int64)
+    expect = int((bits * (1 << np.arange(36).reshape(6, 6))).sum())
+    assert got["ahash"] == expect
