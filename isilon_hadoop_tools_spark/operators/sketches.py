@@ -321,3 +321,77 @@ def mg_heavy_hitters(
         .filter(F.col("cnt") * k > F.col("n_total"))
         .select("item", "cnt")
     )
+
+
+def cms_join_size_estimate(
+    df_a: DataFrame,
+    col_a: Column | str,
+    df_b: DataFrame,
+    col_b: Column | str,
+    d: int = 4,
+    w: int = 256,
+    seed_base: int = 101,
+) -> DataFrame:
+    """Equi-join cardinality estimation from two count-min sketches
+    (the AGMS/CMS inner-product estimator, Cormode & Muthukrishnan
+    2005): ``est = min over rows d of sum_w a[d][w] * b[d][w]``. The
+    estimate NEVER under-counts — every true join pair lands in the
+    same bucket of every row, so each row's inner product >= the
+    exact size, and the certificate below is a hard guarantee (not
+    probabilistic); hash collisions only add (expected extra
+    ``(n_a * n_b - exact) / w`` per row, the min over d rows tames
+    the tail).
+
+    This is the pre-flight a join planner runs at 100 TB: both
+    sketches are d·w integers built in one scan each (mergeable
+    across shards — `cms_merge`), so "how big is this join" costs two
+    sketch scans instead of executing the join. The exact size is
+    also computed (one keyed count-agg per side + a vocabulary-sized
+    equi-join of the two count tables — never the row-level join) to
+    report the realized error and certify the overestimate
+    invariant.
+
+    Output (one row): ``n_a``, ``n_b``, ``exact_pairs``,
+    ``est_pairs``, ``overestimate_ok``.
+    """
+    ca = F.col(col_a).cast("string") if isinstance(col_a, str) else col_a
+    cb = F.col(col_b).cast("string") if isinstance(col_b, str) else col_b
+    sk_a = cms_table(df_a, col_a, d, w, seed_base)
+    sk_b = cms_table(df_b, col_b, d, w, seed_base)
+    est = (
+        sk_a.withColumnRenamed("cnt", "cnt_a")
+        .join(
+            sk_b.withColumnRenamed("cnt", "cnt_b"),
+            ["row_id", "bucket"],
+        )
+        .groupBy("row_id")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+        .agg(F.min("ip").alias("est_pairs"))
+    )
+    ka = df_a.select(ca.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    kb = df_b.select(cb.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    exact = ka.join(kb, "k").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
+            "exact_pairs"
+        )
+    )
+    counts = df_a.agg(F.count(F.lit(1)).alias("n_a")).crossJoin(
+        df_b.agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        counts.crossJoin(exact)
+        .crossJoin(est)
+        .select(
+            "n_a",
+            "n_b",
+            "exact_pairs",
+            "est_pairs",
+            (F.col("est_pairs") >= F.col("exact_pairs")).alias(
+                "overestimate_ok"
+            ),
+        )
+    )

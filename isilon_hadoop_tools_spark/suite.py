@@ -7427,6 +7427,69 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_orders_join_size_cms",
+    oracle=f"""
+    WITH ha AS (
+      SELECT r AS row_id,
+             (('0x' || substr(md5((({_CMS_SEED} + r)::VARCHAR || ':')
+                               || l_orderkey::VARCHAR), 1, 8))::BIGINT)
+               % {_CMS_W} AS bucket
+      FROM lineitem, range(0, {_CMS_D}) t(r)
+    ),
+    ska AS (SELECT row_id, bucket, count(*) AS cnt
+            FROM ha GROUP BY row_id, bucket),
+    hb AS (
+      SELECT r AS row_id,
+             (('0x' || substr(md5((({_CMS_SEED} + r)::VARCHAR || ':')
+                               || o_orderkey::VARCHAR), 1, 8))::BIGINT)
+               % {_CMS_W} AS bucket
+      FROM orders, range(0, {_CMS_D}) t(r)
+    ),
+    skb AS (SELECT row_id, bucket, count(*) AS cnt
+            FROM hb GROUP BY row_id, bucket),
+    ip AS (
+      SELECT a.row_id, sum(a.cnt * b.cnt) AS p
+      FROM ska a JOIN skb b USING (row_id, bucket)
+      GROUP BY a.row_id
+    ),
+    exact AS (
+      SELECT coalesce(sum(na * nb), 0)::BIGINT AS exact_pairs FROM
+        (SELECT l_orderkey AS k, count(*) AS na
+         FROM lineitem GROUP BY k) a
+        JOIN
+        (SELECT o_orderkey AS k, count(*) AS nb
+         FROM orders GROUP BY k) b
+        USING (k)
+    )
+    SELECT (SELECT count(*) FROM lineitem) AS n_a,
+           (SELECT count(*) FROM orders) AS n_b,
+           exact_pairs,
+           (SELECT min(p)::BIGINT FROM ip) AS est_pairs,
+           (SELECT min(p)::BIGINT FROM ip) >= exact_pairs
+             AS overestimate_ok
+    FROM exact
+    """,
+)
+def lineitem_orders_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches (L37d, Cormode &
+    Muthukrishnan 2005): the lineitem-orders equi-join cardinality
+    estimated as the min row-wise inner product of the two count-min
+    sketches — a hard overestimate (certified in-query), computed
+    from 2·d·w integers instead of executing the join. The exact size
+    rides along via vocabulary-sized count tables, never a row-level
+    join."""
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    return cms_join_size_estimate(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey",
+        _t(spark, sf_dir, "orders"), "o_orderkey",
+        d=_CMS_D, w=_CMS_W, seed_base=_CMS_SEED,
+    )
+
+
+@query(
     "events_cms_stream",
     oracle=f"""
     WITH hashed AS (

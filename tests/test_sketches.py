@@ -179,3 +179,43 @@ def test_mg_compress_bounds_state_and_preserves_heavy(spark):
     assert len(out) < 10
     # heavy item's undercount is bounded by the decrement applied
     assert out["heavy"] == 500 - 1
+
+
+def test_cms_join_size_hard_overestimate_and_exact_on_skew(spark):
+    """Planted skew: key 1 appears 50x30 across the sides, so exact =
+    1500 + singles; the CMS estimate must never under-count, and with
+    few distinct keys (no collisions expected at w=256) it lands
+    exactly on the true size."""
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [(1,)] * 50 + [(2,)] * 3 + [(7,)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(1,)] * 30 + [(2,)] * 2 + [(9,)] * 4, "k long"
+    )
+    r = cms_join_size_estimate(a, "k", b, "k").collect()[0]
+    exact = 50 * 30 + 3 * 2
+    assert (r["n_a"], r["n_b"]) == (54, 36)
+    assert r["exact_pairs"] == exact
+    assert r["overestimate_ok"]
+    assert r["est_pairs"] >= exact
+    # 3 distinct keys per side in 256 buckets: no collisions, so the
+    # inner product is exact in every row
+    assert r["est_pairs"] == exact
+
+
+def test_cms_join_size_disjoint_keys(spark):
+    """Disjoint key sets: exact 0; the estimate stays a (possibly
+    zero) overestimate and the certificate holds."""
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(100, 110)], "k long")
+    r = cms_join_size_estimate(a, "k", b, "k").collect()[0]
+    assert r["exact_pairs"] == 0
+    assert r["overestimate_ok"]
