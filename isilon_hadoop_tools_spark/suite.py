@@ -5072,6 +5072,88 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), "text", "doc_id", k=1000)
 
 
+def _bpe_oracle(rounds: int = 6) -> str:
+    """Unrolled BPE merge-training rounds: per round a weighted pair
+    count, the (cnt DESC, lhs, rhs) top-1, and the greedy
+    left-to-right non-overlapping merge expressed with window
+    functions — island detection over consecutive matched positions
+    (runs only occur for self-pairs) with alternate selection, lag
+    for the consumed flag, ordered list rebuild."""
+    parts = [
+        r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    v0 AS (
+      SELECT w, count(*) AS n, string_split(w, '') AS syms
+      FROM toks GROUP BY w
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"v{t - 1}"
+        parts.append(f""",
+    p{t} AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(n)::BIGINT AS cnt
+      FROM {prev}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      GROUP BY lhs, rhs
+    ),
+    b{t} AS (SELECT lhs, rhs, cnt FROM p{t}
+             ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    pos{t} AS (
+      SELECT w, n, i, syms[i] AS s, b.lhs AS bl, b.rhs AS br,
+             CASE WHEN i < len(syms) AND syms[i] = b.lhs
+                       AND syms[i + 1] = b.rhs
+                  THEN 1 ELSE 0 END AS m
+      FROM {prev} CROSS JOIN b{t} b,
+           unnest(generate_series(1, len(syms))) AS u(i)
+    ),
+    isl{t} AS (
+      SELECT *, CASE WHEN m = 1
+                     THEN i - row_number() OVER (PARTITION BY w, m
+                                                 ORDER BY i) END AS isl
+      FROM pos{t}
+    ),
+    sel{t} AS (
+      SELECT *, m = 1 AND (i - min(i) OVER (PARTITION BY w, isl)) % 2 = 0
+               AS selected
+      FROM isl{t}
+    ),
+    fin{t} AS (
+      SELECT *, coalesce(lag(selected) OVER (PARTITION BY w ORDER BY i),
+                         false) AS consumed
+      FROM sel{t}
+    ),
+    v{t} AS (
+      SELECT w, any_value(n) AS n,
+             list(CASE WHEN selected THEN bl || br ELSE s END
+                  ORDER BY i) FILTER (WHERE NOT consumed) AS syms
+      FROM fin{t} GROUP BY w
+    )""")
+    sels = [
+        f"SELECT {t} AS merge_round, lhs, rhs, cnt AS pair_count FROM b{t}"
+        for t in range(1, rounds + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(sels))
+    return "".join(parts)
+
+
+@query("corpus_bpe_merges", oracle=_bpe_oracle(6))
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (L54, Sennrich et al. 2016) — the actual
+    tokenizer-training step past the vocabulary build: the first 6
+    merge rules learned over the documents corpus. The corpus is
+    scanned ONCE (word counts); every round then runs on the
+    vocabulary table with a shuffle-free zip_with pair count, a
+    total-order top-1, and a pure-JVM F.aggregate greedy merge — no
+    UDF anywhere. The oracle unrolls all 6 rounds including the
+    window-based greedy non-overlapping merge, so one wrong tie-break
+    or overlap decision diverges every later round."""
+    from isilon_hadoop_tools_spark.operators.corpus import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), "text", "doc_id", rounds=6)
+
+
 @query(
     "corpus_good_turing",
     oracle=r"""

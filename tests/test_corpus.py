@@ -592,3 +592,64 @@ def test_good_turing_spectrum_gap_yields_null(spark):
     assert set(rows) == {1, 3}
     assert rows[1]["r_star"] is None
     assert rows[3]["r_star"] is None
+
+
+def test_bpe_train_canonical_sennrich_example(spark):
+    """The classic low/lower/newest/widest corpus (no end-of-word
+    marker): merges must be es(8), est(8), ew(5), ewest(5), lo(5) —
+    frequency then lexicographic tie-break, exactly as worked through
+    in Sennrich et al. 2016 sec. 3.2."""
+    from isilon_hadoop_tools_spark.operators.corpus import bpe_train
+
+    text = " ".join(["low"] * 3 + ["lower"] * 2 + ["newest"] * 5 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["merge_round"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(df, "text", "doc_id", rounds=5)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == [
+        (1, "e", "s", 8),
+        (2, "es", "t", 8),
+        (3, "e", "w", 5),
+        (4, "ew", "est", 5),
+        (5, "l", "o", 5),
+    ]
+
+
+def test_bpe_merge_expr_greedy_non_overlapping(spark):
+    """Self-pair runs merge greedily left-to-right without overlap:
+    aaa -> [aa, a], aaaa -> [aa, aa]; a fresh merge never re-merges
+    with the following symbol in the same round."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import _bpe_merge_expr
+
+    df = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("aab",), ("baa",), ("aba",), ("b",)],
+        "w string",
+    )
+    got = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", _bpe_merge_expr(F.split("w", ""), "a", "a").alias("m")
+        ).collect()
+    }
+    assert got == {
+        "aaa": ["aa", "a"],
+        "aaaa": ["aa", "aa"],
+        "aab": ["aa", "b"],
+        "baa": ["b", "aa"],
+        "aba": ["a", "b", "a"],
+        "b": ["b"],
+    }
+
+
+def test_bpe_train_stops_when_no_pairs_remain(spark):
+    """A corpus of single-char words has no pairs: zero merge rows,
+    not an error."""
+    from isilon_hadoop_tools_spark.operators.corpus import bpe_train
+
+    df = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    assert bpe_train(df, "text", "doc_id", rounds=3).count() == 0
