@@ -356,32 +356,64 @@ def cms_join_size_estimate(
     """
     ca = F.col(col_a).cast("string") if isinstance(col_a, str) else col_a
     cb = F.col(col_b).cast("string") if isinstance(col_b, str) else col_b
-    sk_a = cms_table(df_a, col_a, d, w, seed_base)
-    sk_b = cms_table(df_b, col_b, d, w, seed_base)
+
+    def keyed(df: DataFrame, c) -> DataFrame:
+        # ONE fact scan per side: the keyed count table feeds the
+        # sketch (bucket count = sum of key counts), the total row
+        # count, AND the exact join size — without this the fact is
+        # scanned three times (sketch + total + exact)
+        return (
+            df.select(c.cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("kn"))
+            .localCheckpoint(eager=False)
+        )
+
+    def sketch_of(kt: DataFrame) -> DataFrame:
+        entries = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        F.pmod(
+                            stable_hash32(F.col("k"), seed_base + i),
+                            F.lit(w),
+                        ).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        )
+        return (
+            kt.select(entries.alias("e"), "kn")
+            .select("e.row_id", "e.bucket", "kn")
+            .groupBy("row_id", "bucket")
+            .agg(F.sum("kn").cast("long").alias("cnt"))
+        )
+
+    ka = keyed(df_a, ca)
+    kb = keyed(df_b, cb)
     est = (
-        sk_a.withColumnRenamed("cnt", "cnt_a")
+        sketch_of(ka)
+        .withColumnRenamed("cnt", "cnt_a")
         .join(
-            sk_b.withColumnRenamed("cnt", "cnt_b"),
+            sketch_of(kb).withColumnRenamed("cnt", "cnt_b"),
             ["row_id", "bucket"],
         )
         .groupBy("row_id")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
         .agg(F.min("ip").alias("est_pairs"))
     )
-    ka = df_a.select(ca.alias("k")).groupBy("k").agg(
-        F.count(F.lit(1)).alias("na")
-    )
-    kb = df_b.select(cb.alias("k")).groupBy("k").agg(
-        F.count(F.lit(1)).alias("nb")
-    )
-    exact = ka.join(kb, "k").agg(
+    exact = ka.withColumnRenamed("kn", "na").join(
+        kb.withColumnRenamed("kn", "nb"), "k"
+    ).agg(
         F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
             "exact_pairs"
         )
     )
-    counts = df_a.agg(F.count(F.lit(1)).alias("n_a")).crossJoin(
-        df_b.agg(F.count(F.lit(1)).alias("n_b"))
-    )
+    counts = ka.agg(
+        F.coalesce(F.sum("kn"), F.lit(0)).alias("n_a")
+    ).crossJoin(kb.agg(F.coalesce(F.sum("kn"), F.lit(0)).alias("n_b")))
     return (
         counts.crossJoin(exact)
         .crossJoin(est)
