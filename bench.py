@@ -95,6 +95,16 @@ HEADLINE = (
     "multimodal_png_near_dups",
     "simhash_rep_pairs",
     "doc_dup_span_cut",
+    # round-9 session additions: the IVF-PQ combined read path, LPA
+    # label-join rounds, the BPE vocab-round loop, the 40-column
+    # conditional-sum bootstrap agg, and GIF decode + mixed-container
+    # band join. (events_cms_stream measures state-store setup and
+    # the Good-Turing spectrum is a cheap scan — not benched.)
+    "ann_ivf_pq",
+    "customer_link_communities",
+    "corpus_bpe_merges",
+    "events_value_bootstrap_ci",
+    "multimodal_mixed_near_dups",
 )
 
 

@@ -1158,3 +1158,95 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def minhash_jaccard_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Estimated-vs-exact Jaccard on the LSH candidate pairs — the
+    accuracy readout for the production decision "skip the exact
+    shingle verify and trust the signature estimate": the MinHash
+    estimator ``Ĵ = (agreeing seeds) / num_hashes`` (an unbiased
+    Bernoulli mean, sd = sqrt(J(1-J)/H)) next to the true shingle
+    Jaccard, per candidate pair.
+
+    Shape: candidates come from the collapsed band join (bounded by
+    the answer size); the signature agreement is two broadcast-able
+    joins of the candidate list onto the (id, seed, minhash) table
+    keyed by id+seed; the exact side computes |A∩B| ONLY for
+    candidate ids — the posting list is left-semi-filtered to ids
+    that appear in any pair before the shingle equi-join, so the
+    quadratic exact verify never touches non-candidate documents.
+
+    Output: ``id_a``, ``id_b``, ``n_agree``, ``est_jaccard``,
+    ``exact_jaccard``, ``abs_err`` (all 6 dp).
+    """
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, k
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    est = (
+        cands.join(
+            sigs.select(
+                F.col("id").alias("id_a"), "seed",
+                F.col("minhash").alias("mh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("id").alias("id_b"), "seed",
+                F.col("minhash").alias("mh_b"),
+            ),
+            ["id_b", "seed"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (F.col("mh_a") == F.col("mh_b")).cast("long")
+            ).alias("n_agree")
+        )
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    posts = shingle_posting_list(df, text_col, id_col, k).join(
+        cand_ids, "id", "left_semi"
+    )
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cands.join(
+            posts.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            posts.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "sa"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+                   .withColumnRenamed("sz", "sb"), "id_b")
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    exact = ni.cast("double") / (F.col("sa") + F.col("sb") - ni)
+    est_j = F.col("n_agree").cast("double") / num_hashes
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        F.round(est_j, 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(est_j - exact), 6).alias("abs_err"),
+    )

@@ -8258,6 +8258,67 @@ def customer_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_jaccard_est",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_MINHASH_SIGS_SQL},
+    banded AS (
+      SELECT id, (seed // 2) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY id, (seed // 2)
+    ),
+    cands AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.id < b.id
+      GROUP BY 1, 2
+    ),
+    agree AS (
+      SELECT c.id_a, c.id_b,
+             sum((sa.minhash = sb.minhash)::INT)::BIGINT AS n_agree
+      FROM cands c
+      JOIN sigs sa ON sa.id = c.id_a
+      JOIN sigs sb ON sb.id = c.id_b AND sb.seed = sa.seed
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cands c
+      JOIN shingled x ON x.doc_id = c.id_a
+      JOIN shingled y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT a.id_a, a.id_b, n_agree,
+           round(n_agree / 8.0, 6) AS est_jaccard,
+           round(coalesce(n_inter, 0)::DOUBLE
+                 / (sa.sz + sb.sz - coalesce(n_inter, 0)), 6)
+             AS exact_jaccard,
+           round(abs(n_agree / 8.0
+                 - coalesce(n_inter, 0)::DOUBLE
+                   / (sa.sz + sb.sz - coalesce(n_inter, 0))), 6)
+             AS abs_err
+    FROM agree a
+    LEFT JOIN inter USING (id_a, id_b)
+    JOIN sizes sa ON sa.doc_id = a.id_a
+    JOIN sizes sb ON sb.doc_id = a.id_b
+    """,
+)
+def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimation accuracy on the LSH candidates
+    (L55): Ĵ = agreeing-seeds/8 vs the true shingle Jaccard per
+    candidate pair — the readout behind "trust the signature, skip
+    the exact verify". The exact side is left-semi-restricted to
+    candidate ids before any shingle join, so ground truth never goes
+    quadratic in the corpus."""
+    return dedup.minhash_jaccard_eval(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=8, bands=4,
+    )
+
+
+@query(
     "dedup_lsh_recall",
     oracle=f"""
     WITH {_SHINGLE_SQL},

@@ -543,3 +543,35 @@ def test_prefix_filter_keeps_hot_shingle_pairs_max_df_drops(spark):
     ).collect()
     capped_j = {(r.id_a, r.id_b): r.jaccard for r in capped}
     assert capped_j[(100, 101)] != out[(100, 101)]  # cap distorts, prefix doesn't
+
+
+def test_minhash_jaccard_eval_exact_dup_and_error_bounds(spark):
+    """A planted exact duplicate estimates Ĵ = 1 with exact J = 1 and
+    zero error; all estimates are k/H fractions; |Ĵ - J| <= 1."""
+    from isilon_hadoop_tools_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra tail words here"),  # near dup
+        (4, "completely different content about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in D.minhash_jaccard_eval(
+            df, "text", "doc_id", num_hashes=8, bands=4
+        ).collect()
+    }
+    assert (1, 2) in rows
+    r12 = rows[(1, 2)]
+    assert r12["n_agree"] == 8
+    assert r12["est_jaccard"] == 1.0
+    assert r12["exact_jaccard"] == 1.0
+    assert r12["abs_err"] == 0.0
+    for r in rows.values():
+        assert 0 <= r["n_agree"] <= 8
+        assert abs(r["est_jaccard"] - r["n_agree"] / 8) < 1e-9
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert r["abs_err"] <= 1.0
