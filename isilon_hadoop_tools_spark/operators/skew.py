@@ -93,3 +93,61 @@ def zorder_layout(
             F.max("z").alias("z_max"),
         )
     )
+
+
+def zone_prune_report(
+    df: DataFrame,
+    zone_col,
+    value_col,
+    lo,
+    hi,
+) -> DataFrame:
+    """Zone-map (small-materialized-aggregates / Parquet-footer)
+    data-skipping readout — the read-side complement of
+    :func:`zorder_layout`'s write-side planning: per zone the min /
+    max / row count of ``value_col`` plus, in the SAME aggregation,
+    the count of rows matching ``lo <= value <= hi``; a zone is
+    scanned iff its [min, max] intersects [lo, hi]. Reports how much
+    of the table a predicate on a clustered-but-not-partitioned
+    column skips (insert-ordered ids, timestamps riding a date
+    layout, Z-ordered dimensions) — the number a 100 TB layout
+    decision is made on.
+
+    Self-certifying: ``certificate_ok`` asserts that zero matching
+    rows live in skipped zones — the min/max containment invariant
+    that makes skipping SOUND, verified against the same scan rather
+    than assumed.
+
+    ONE scan, one zone-keyed partial aggregation (zone cardinality
+    keys), one zone-table fold. Output (one row): ``n_zones``,
+    ``zones_scanned``, ``rows_total``, ``rows_scanned``,
+    ``rows_matching``, ``skip_fraction`` (6 dp), ``certificate_ok``.
+    """
+    z = F.col(zone_col) if isinstance(zone_col, str) else zone_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    match = v.between(F.lit(lo), F.lit(hi))
+    zones = df.groupBy(z.alias("_z")).agg(
+        F.min(v).alias("_mn"),
+        F.max(v).alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(match.cast("long")).alias("_nm"),
+    )
+    scan = (F.col("_mx") >= F.lit(lo)) & (F.col("_mn") <= F.lit(hi))
+    return zones.agg(
+        F.count(F.lit(1)).alias("n_zones"),
+        F.sum(scan.cast("long")).alias("zones_scanned"),
+        F.sum("_n").alias("rows_total"),
+        F.sum(F.when(scan, F.col("_n")).otherwise(F.lit(0))).alias(
+            "rows_scanned"
+        ),
+        F.sum("_nm").alias("rows_matching"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.when(scan, F.col("_n")).otherwise(F.lit(0)))
+            / F.sum("_n"),
+            6,
+        ).alias("skip_fraction"),
+        (
+            F.sum(F.when(~scan, F.col("_nm")).otherwise(F.lit(0))) == 0
+        ).alias("certificate_ok"),
+    )

@@ -7572,6 +7572,47 @@ def lineitem_orders_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "events_zone_skipping",
+    oracle="""
+    WITH zones AS (
+      SELECT date_trunc('day', ts) AS z,
+             min(event_id) AS mn, max(event_id) AS mx,
+             count(*) AS n,
+             sum(CASE WHEN event_id BETWEEN 1000 AND 2000
+                      THEN 1 ELSE 0 END) AS nm
+      FROM events GROUP BY z
+    )
+    SELECT count(*) AS n_zones,
+           sum(CASE WHEN mx >= 1000 AND mn <= 2000 THEN 1 ELSE 0 END)
+             ::BIGINT AS zones_scanned,
+           sum(n)::BIGINT AS rows_total,
+           sum(CASE WHEN mx >= 1000 AND mn <= 2000 THEN n ELSE 0 END)
+             ::BIGINT AS rows_scanned,
+           sum(nm)::BIGINT AS rows_matching,
+           round(1.0 - sum(CASE WHEN mx >= 1000 AND mn <= 2000
+                                THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+             AS skip_fraction,
+           sum(CASE WHEN NOT (mx >= 1000 AND mn <= 2000)
+                    THEN nm ELSE 0 END) = 0 AS certificate_ok
+    FROM zones
+    """,
+)
+def events_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping (SC8): day zones over the events table,
+    predicate ``event_id BETWEEN 1000 AND 2000`` — event ids are
+    insert-ordered, so min/max footer stats on a date layout prune
+    almost every zone (the clustered-but-not-partitioned case
+    partition pruning can't touch). One scan; the in-query
+    certificate proves zero matching rows live in skipped zones."""
+    from isilon_hadoop_tools_spark.operators.skew import zone_prune_report
+
+    ev = _t(spark, sf_dir, "events")
+    return zone_prune_report(
+        ev, F.date_trunc("day", F.col("ts")), "event_id", 1000, 2000
+    )
+
+
+@query(
     "events_cms_stream",
     oracle=f"""
     WITH hashed AS (

@@ -150,3 +150,46 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zone_prune_report_clustered_vs_shuffled(spark):
+    """On a perfectly clustered id the predicate scans exactly the
+    covering zones; on a decorrelated column every zone intersects
+    and skip_fraction is 0 — both with a sound certificate."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.skew import zone_prune_report
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") / 100).cast("long").alias("zone"),
+        (F.col("id") * 37 % 1000).alias("shuffled"),
+    )
+    r = zone_prune_report(df, "zone", "id", 250, 449).collect()[0]
+    assert r["n_zones"] == 10
+    assert r["zones_scanned"] == 3  # zones 2, 3, 4
+    assert r["rows_scanned"] == 300
+    assert r["rows_matching"] == 200
+    assert r["skip_fraction"] == 0.7
+    assert r["certificate_ok"]
+    r2 = zone_prune_report(df, "zone", "shuffled", 250, 449).collect()[0]
+    assert r2["zones_scanned"] == 10  # decorrelated: nothing skips
+    assert r2["skip_fraction"] == 0.0
+    assert r2["certificate_ok"]
+
+
+def test_zone_prune_report_no_matches_outside_range(spark):
+    """A predicate range beyond the data scans zero zones and skips
+    everything."""
+    from isilon_hadoop_tools_spark.operators.skew import zone_prune_report
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") / 10).cast("long").alias("zone")
+    )
+    r = zone_prune_report(df, "zone", "id", 5000, 6000).collect()[0]
+    assert r["zones_scanned"] == 0
+    assert r["rows_matching"] == 0
+    assert r["skip_fraction"] == 1.0
+    assert r["certificate_ok"]
