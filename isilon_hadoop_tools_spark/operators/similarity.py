@@ -1551,3 +1551,146 @@ def ivf_pq_topk(
             rvecs.unpersist()
     finally:
         vecs.unpersist()
+
+
+def _rademacher_sign(j: int, i: int) -> int:
+    """±1 sign for projection row ``j``, input dim ``i`` — md5 parity,
+    so any engine regenerates the exact matrix (the LSH-plane /
+    affine-params recipe)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a Rademacher (±1)
+    matrix (Achlioptas 2003: database-friendly random projections) —
+    the dimensionality cut applied BEFORE ANN/clustering at 100 TB
+    (1536-d embeddings → 256-d at 6x less memory/bandwidth, distances
+    preserved within 1±ε w.h.p.).
+
+    The sign matrix is md5-derived (deterministic, regenerable on any
+    engine) and the input is integer-quantized, so every projected
+    component is an EXACT bigint sum — the projection is
+    bit-reproducible, unlike a gaussian-matrix projection whose float
+    accumulation drifts. Unnormalized (true JL divides by
+    ``sqrt(out_dim)``): every downstream distance comparison is
+    scale-invariant, and keeping integers beats keeping the constant.
+
+    A stateless per-row projection — zero shuffles; ``out_dim``
+    zip_with dot products inside whole-stage codegen.
+
+    Output: ``vec_id``, ``dim``, ``val`` (exploded scalar rows).
+    """
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    outs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("dim"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qv"),
+                        F.array(
+                            *[
+                                F.lit(_rademacher_sign(j, i)).cast("long")
+                                for i in range(in_dim)
+                            ]
+                        ),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("val"),
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("vec_id"), qv.alias("_qv"))
+        .select("vec_id", F.inline(outs))
+    )
+
+
+def jl_distortion_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_queries: int = 10,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Distance-preservation readout for :func:`random_project`: all
+    pairs among the ``n_queries`` lowest-id vectors, exact squared
+    distance in the original quantized space vs the projected space,
+    and the normalized ratio ``d_out² / (out_dim · d_in²)`` whose
+    expectation is exactly 1 for a Rademacher projection — the
+    acceptance gate before swapping full vectors for projections in
+    an ANN/clustering pipeline. Pair work is n_queries², never
+    corpus-quadratic; the projection side reuses the corpus operator
+    and Catalyst pushes the id filter into the scan.
+
+    Output: ``id_a``, ``id_b``, ``d_in2``, ``d_out2``,
+    ``norm_ratio`` (6 dp).
+    """
+    sub = df.filter(F.col(id_col) < n_queries)
+    # both distance tables share one shape: component rows equi-joined
+    # on the position key, filtered to ordered pairs, summed — a hash
+    # join either way (no theta/nested-loop pair join)
+    comp = quantize_vectors(sub, vec_col, id_col, scale).select(
+        "vid", F.posexplode("qv").alias("i", "q")
+    )
+    din = (
+        comp.select(F.col("vid").alias("id_a"), "i", F.col("q").alias("qa"))
+        .join(
+            comp.select(
+                F.col("vid").alias("id_b"), "i", F.col("q").alias("qb")
+            ),
+            "i",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+            ).alias("d_in2")
+        )
+    )
+    proj = random_project(sub, vec_col, id_col, out_dim, in_dim, scale)
+    dout = (
+        proj.select(F.col("vec_id").alias("id_a"), "dim", F.col("val").alias("va"))
+        .join(
+            proj.select(
+                F.col("vec_id").alias("id_b"), "dim", F.col("val").alias("vb")
+            ),
+            "dim",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
+            ).alias("d_out2")
+        )
+    )
+    return din.join(dout, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "d_in2",
+        "d_out2",
+        F.round(
+            F.col("d_out2").cast("double")
+            / (F.lit(out_dim) * F.col("d_in2")),
+            6,
+        ).alias("norm_ratio"),
+    )

@@ -7194,6 +7194,61 @@ def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
     return "".join(parts)
 
 
+@query(
+    "embedding_jl_distortion",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    signs AS (
+      SELECT j, i,
+             CASE WHEN (('0x' || substr(md5('rp:' || j::VARCHAR || ':'
+                                        || i::VARCHAR), 1, 8))::BIGINT
+                        % 2) = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range(0, 16) t(j), range(0, 64) u(i)
+    ),
+    proj AS (
+      SELECT vec_id, j, sum(s * qv[i + 1])::BIGINT AS pv
+      FROM qv, signs GROUP BY vec_id, j
+    ),
+    din AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+               i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))::BIGINT
+               AS d_in2
+      FROM qv a JOIN qv b ON a.vec_id < b.vec_id
+    ),
+    dout AS (
+      SELECT pa.vec_id AS id_a, pb.vec_id AS id_b,
+             sum((pa.pv - pb.pv) * (pa.pv - pb.pv))::BIGINT AS d_out2
+      FROM proj pa JOIN proj pb
+        ON pa.j = pb.j AND pa.vec_id < pb.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, d_in2, d_out2,
+           round(d_out2::DOUBLE / (16 * d_in2), 6) AS norm_ratio
+    FROM din JOIN dout USING (id_a, id_b)
+    """,
+)
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection distortion eval (L56,
+    Achlioptas 2003): 64-d embeddings projected to 16-d by an
+    md5-derived Rademacher matrix — integer-exact, bit-reproducible
+    on any engine — with all query-pair distances compared exactly;
+    ``norm_ratio`` = d_out²/(16·d_in²) has expectation 1, and the
+    projection itself is a shuffle-free whole-stage-codegen
+    projection. The acceptance gate before swapping full vectors for
+    projections in ANN/clustering at 100 TB."""
+    return similarity.jl_distortion_eval(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        n_queries=10, out_dim=16, in_dim=64,
+    )
+
+
 @query("embedding_pq_codes", oracle=_pq_oracle())
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (IVF-PQ's compression half): 4 subspace

@@ -566,3 +566,48 @@ def test_ivf_pq_single_list_is_flat_pq_with_self_min(spark):
         # single probed list => the whole corpus is ranked
         assert len(cand) == 24
         assert cand[qid] == min(cand.values())
+
+
+def test_random_project_exact_hand_vector(spark):
+    """One-hot input e_i projects to exactly the i-th sign column
+    (times scale); a two-hot input is the sign sum — the projection
+    is a pure integer matrix multiply."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        _rademacher_sign,
+        random_project,
+    )
+
+    dim = 8
+    rows = [
+        (0, [1.0 if i == 3 else 0.0 for i in range(dim)]),
+        (1, [1.0 if i in (2, 5) else 0.0 for i in range(dim)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id"], r["dim"]): r["val"]
+        for r in random_project(
+            df, "embedding", "vec_id", out_dim=4, in_dim=dim
+        ).collect()
+    }
+    for j in range(4):
+        assert got[(0, j)] == 1000 * _rademacher_sign(j, 3)
+        assert got[(1, j)] == 1000 * (
+            _rademacher_sign(j, 2) + _rademacher_sign(j, 5)
+        )
+
+
+def test_jl_distortion_mean_ratio_near_one(spark, embeddings):
+    """Across the 45 query pairs the normalized ratio averages near
+    its expectation 1 (Rademacher JL), and every ratio is positive."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        jl_distortion_eval,
+    )
+
+    rows = jl_distortion_eval(
+        embeddings, "embedding", "vec_id", n_queries=10
+    ).collect()
+    assert len(rows) == 45
+    ratios = [r["norm_ratio"] for r in rows]
+    assert all(r > 0 for r in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.6  # 16 output dims: sd/sqrt(45) ~ 0.05-ish
