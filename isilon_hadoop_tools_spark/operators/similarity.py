@@ -1481,10 +1481,18 @@ def ivf_pq_topk(
         cassign = kmeans_assign(vecs, coarse).withColumnRenamed(
             "list_id", "clist"
         )
-        res = cassign.join(F.broadcast(cdf), "clist").select(
-            "vid",
-            "clist",
-            F.zip_with("qv", "c", lambda a, b: a - b).alias("rv"),
+        # res feeds BOTH the PQ subvector explode and the clist lookup
+        # below: without materialization the coarse assignment scan
+        # recomputes per consumer (the ReusedExchange defeat the
+        # verify notes warn about)
+        res = (
+            cassign.join(F.broadcast(cdf), "clist")
+            .select(
+                "vid",
+                "clist",
+                F.zip_with("qv", "c", lambda a, b: a - b).alias("rv"),
+            )
+            .localCheckpoint(eager=False)
         )
         subs = F.array(
             *[

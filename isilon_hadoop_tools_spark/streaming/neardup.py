@@ -333,3 +333,76 @@ def minhash_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+IVF_MEMBERS_SCHEMA = "vid LONG"
+IVF_POSTINGS_SCHEMA = "list_id INT, vid LONG, dist LONG"
+
+
+def ivf_index_apply_batch(
+    batch: DataFrame,
+    state: ParquetState,
+    centroids: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> None:
+    """Fold one micro-batch of vectors into the IVF inverted lists —
+    the streaming half of the L12/L44b index for a continuously
+    embedded corpus: the coarse codebook is PRE-TRAINED offline (the
+    production reality — codebooks retrain on samples, the index
+    ingests continuously) and each batch's new vectors are assigned
+    by the same exact-integer argmin as the batch operator, so the
+    final postings equal a one-pass batch assignment.
+
+    Same crash/replay discipline as the near-dup indexes: members
+    anti-join makes a replayed batch a no-op; postings append is
+    guarded by its own vid anti-join so a crash between the postings
+    and members appends cannot duplicate rows; appends are O(batch),
+    never an index rewrite."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        kmeans_assign,
+        quantize_vectors,
+    )
+
+    members = state.read("ivf_members", IVF_MEMBERS_SCHEMA)
+    qv = quantize_vectors(batch, vec_col, id_col, scale)
+    new = qv.join(members, "vid", "left_anti").localCheckpoint(eager=True)
+    if not new.take(1):
+        return  # replayed or empty batch
+    assign = kmeans_assign(new, centroids).select(
+        F.col("list_id").cast("int"), "vid", "dist"
+    )
+    postings = state.read("ivf_postings", IVF_POSTINGS_SCHEMA)
+    new_postings = assign.join(
+        postings.select("vid"), "vid", "left_anti"
+    )
+    state.append("ivf_postings", new_postings)
+    state.append("ivf_members", new.select("vid"))
+
+
+def ivf_stream_into_state(
+    vecs: DataFrame,
+    state: ParquetState,
+    centroids: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a vector stream into the IVF inverted-list state with
+    ``foreachBatch`` + ``availableNow`` (see
+    :func:`ivf_index_apply_batch`)."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        ivf_index_apply_batch(
+            batch, state, centroids, vec_col, id_col, scale
+        )
+
+    writer = vecs.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -2571,6 +2571,52 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.power_iteration_top_pc(vecs, dim=64, iters=6)
 
 
+@query("embedding_ivf_index_stream", oracle=f"""
+    WITH qvecs AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS qv
+      FROM embeddings
+    ),{_kmeans_cte_chain(4, 2, 64)}
+    SELECT list_id, vec_id, dist FROM assign
+    """)
+def embedding_ivf_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance (§2.9 x L12): the coarse
+    codebook is trained offline (the batch `kmeans_train`, k=4,
+    2 Lloyd rounds) and the embeddings STREAM is folded into the
+    inverted lists micro-batch by micro-batch — members anti-join
+    makes the second full drain a no-op, the postings append is
+    vid-guarded against partial-append crashes, and the final
+    postings must equal the oracle's one-pass batch assignment
+    bit-for-bit (exact-integer argmin, (dist, list_id) ties)."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        kmeans_train,
+        quantize_vectors,
+    )
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        IVF_POSTINGS_SCHEMA,
+        ivf_stream_into_state,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = quantize_vectors(emb, "embedding", "vec_id").persist()
+    try:
+        cents = kmeans_train(vecs, 4, 2)
+    finally:
+        vecs.unpersist()
+    state = _fresh_state(spark, "embedding_ivf_index_stream")
+    schema = emb.schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/embeddings.*")  # file source needs a glob
+        )
+        ivf_stream_into_state(stream, state, cents)
+    return state.read("ivf_postings", IVF_POSTINGS_SCHEMA).select(
+        "list_id", F.col("vid").alias("vec_id"), "dist"
+    )
+
+
 @query("embedding_kmeans_assign", oracle=_kmeans_oracle())
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 3 iterations) in integer-quantized space:

@@ -307,3 +307,75 @@ def test_minhash_partial_posting_append_does_not_inflate_bands(
     # duplicate posting rows exist, but n_bands counts stay exact
     all_rows = [r for b in BATCHES for r in b]
     assert _lsh_pairs(state) == _lsh_batch_truth(spark, all_rows)
+
+
+# ---------------------------------------------------------------------
+# streaming IVF index maintenance (2.9 x L12)
+# ---------------------------------------------------------------------
+
+
+def _write_vec_batch(dirpath: str, name: str, rows) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(dirpath, name),
+    )
+    time.sleep(0.05)
+
+
+def test_ivf_stream_matches_batch_assignment_and_replay_noop(
+    spark, tmp_path
+):
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_train,
+        quantize_vectors,
+    )
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        IVF_POSTINGS_SCHEMA,
+        ivf_stream_into_state,
+    )
+
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    batches = [
+        [(i, [float(10 + i % 3), 10.0]) for i in range(0, 4)],
+        [(i, [float(-10 - i % 3), -10.0]) for i in range(10, 14)],
+        [(20, [10.5, 10.0]), (21, [-10.5, -10.0])],
+    ]
+    for bi, rows in enumerate(batches):
+        _write_vec_batch(in_dir, f"b{bi}.parquet", rows)
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(
+        all_rows, "vec_id long, embedding array<float>"
+    )
+    vecs = quantize_vectors(batch_df, "embedding", "vec_id")
+    cents = kmeans_train(vecs, k=2, iters=2)
+    truth = {
+        r["vid"]: (r["list_id"], r["dist"])
+        for r in kmeans_assign(vecs, cents).collect()
+    }
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for _ in range(2):  # second drain must be a replay no-op
+        stream = (
+            spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        ivf_stream_into_state(stream, state, cents)
+    got = {
+        r["vid"]: (r["list_id"], r["dist"])
+        for r in state.read("ivf_postings", IVF_POSTINGS_SCHEMA).collect()
+    }
+    assert got == truth
+    # one posting row per vector — the replay added nothing
+    assert state.read("ivf_postings", IVF_POSTINGS_SCHEMA).count() == len(
+        all_rows
+    )
