@@ -1219,3 +1219,46 @@ def poisson_bootstrap_ci(
         F.element_at(means, hi).alias("ci_hi"),
         F.lit(replicates).alias("n_replicates"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns
+    (Sweeney 2002) — the privacy gate a training-data release runs
+    after PII redaction (L24 removes direct identifiers; this
+    measures whether COMBINATIONS of innocuous attributes still
+    isolate individuals): every row must share its quasi-identifier
+    tuple with at least ``k - 1`` others.
+
+    Output (one row): ``n_rows``, ``n_groups``, ``min_group_size``,
+    ``groups_below_k``, ``rows_below_k``, ``frac_rows_below_k``
+    (6 dp), ``k_anonymous`` (true iff no group is smaller than k).
+
+    Shape: ONE scan — a quasi-tuple-keyed count with map-side
+    partials (group cardinality keys), then a group-table fold; the
+    fact table never moves twice.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    groups = df.groupBy(*[c.alias(f"_q{i}") for i, c in enumerate(cols)]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    below = F.col("_n") < k
+    return groups.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_n").alias("min_group_size"),
+        F.sum(below.cast("long")).alias("groups_below_k"),
+        F.sum(F.when(below, F.col("_n")).otherwise(F.lit(0))).alias(
+            "rows_below_k"
+        ),
+        F.round(
+            F.sum(F.when(below, F.col("_n")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("_n"),
+            6,
+        ).alias("frac_rows_below_k"),
+        (F.min("_n") >= k).alias("k_anonymous"),
+    )

@@ -427,3 +427,72 @@ def cms_join_size_estimate(
             ),
         )
     )
+
+
+def hll_intersection_estimate(
+    df: DataFrame,
+    key,
+    in_a,
+    in_b,
+    b: int = 8,
+) -> DataFrame:
+    """Set-overlap estimation from HLL sketches via
+    inclusion-exclusion: ``|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)``,
+    where the union sketch is the REGISTER MAX-MERGE (exact union
+    semantics — the property that makes HLL set algebra work; there
+    is no intersection-merge, which is why the estimate subtracts).
+    The standard audience/cohort-overlap readout when the key sets
+    are too large to materialize — at 100 TB each side is m registers.
+
+    The exact intersection rides along (distinct keys of each side
+    are audience-sized, not fact-sized) so the realized error is
+    reported, and the estimate is clamped at 0 (inclusion-exclusion
+    on sketches can go slightly negative for tiny overlaps).
+
+    ``in_a`` / ``in_b`` are boolean Column predicates selecting each
+    set's rows. Output (one row): ``est_a``, ``est_b``,
+    ``est_union``, ``est_inter``, ``exact_a``, ``exact_b``,
+    ``exact_inter``.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    regs_a = hll_registers(df.filter(in_a).select(kc.alias("k")), "k", b)
+    regs_b = hll_registers(df.filter(in_b).select(kc.alias("k")), "k", b)
+    regs_u = hll_merge([regs_a, regs_b])
+
+    def est_as(regs: DataFrame, name: str) -> DataFrame:
+        return hll_estimate_from_registers(regs, b).select(
+            F.col("est_distinct").alias(name)
+        )
+
+    ka = df.filter(in_a).select(kc.alias("k")).distinct()
+    kb = df.filter(in_b).select(kc.alias("k")).distinct()
+    exact = (
+        ka.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(kb.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            ka.join(kb, "k", "left_semi").agg(
+                F.count(F.lit(1)).alias("exact_inter")
+            )
+        )
+    )
+    out = (
+        est_as(regs_a, "est_a")
+        .crossJoin(est_as(regs_b, "est_b"))
+        .crossJoin(est_as(regs_u, "est_union"))
+        .crossJoin(exact)
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("est_inter"),
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+    )

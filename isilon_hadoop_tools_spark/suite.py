@@ -7489,6 +7489,98 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_overlap_oracle() -> str:
+    """Inclusion-exclusion overlap twin: per-set register CTEs, the
+    max-merge union, and the same smallrange-branch estimate formula
+    as the merge-daily oracle — every est rounded to 4 before the
+    subtraction, mirroring the Spark side exactly."""
+    sets = {
+        "a": "event_type = 'click' AND value >= 700",
+        "b": "event_type = 'view' AND value >= 700",
+    }
+    parts = ["\n    WITH "]
+    reg_ctes = []
+    for p, pred in sets.items():
+        reg_ctes.append(f"""{p}h AS (
+      SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT) AS h
+      FROM events WHERE {pred}
+    ),
+    {p}rho AS (
+      SELECT h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN {32 - _HLL_B + 1}
+                  ELSE {32 - _HLL_B} - floor(log2(h // {_HLL_M}))::BIGINT
+             END AS rho
+      FROM {p}h
+    ),
+    {p}regs AS (SELECT bucket, max(rho)::BIGINT AS rho
+                FROM {p}rho GROUP BY bucket)""")
+    parts.append(",\n    ".join(reg_ctes))
+    parts.append(f""",
+    uregs AS (
+      SELECT bucket, max(rho) AS rho FROM
+        (SELECT * FROM aregs UNION ALL SELECT * FROM bregs)
+      GROUP BY bucket
+    )""")
+
+    def est_cte(name: str, regs: str) -> str:
+        return f""",
+    {name} AS (
+      SELECT round(CASE
+               WHEN ({_alpha_sql()} * {_HLL_M * _HLL_M})
+                    / (s_filled + ({_HLL_M} - v_filled)) <= {2.5 * _HLL_M}
+                    AND ({_HLL_M} - v_filled) > 0
+               THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - v_filled))
+               ELSE ({_alpha_sql()} * {_HLL_M * _HLL_M})
+                    / (s_filled + ({_HLL_M} - v_filled))
+             END, 4) AS est
+      FROM (SELECT count(*) AS v_filled, sum(pow(2.0, -rho)) AS s_filled
+            FROM {regs})
+    )"""
+
+    for name, regs in (("ea", "aregs"), ("eb", "bregs"), ("eu", "uregs")):
+        parts.append(est_cte(name, regs))
+    parts.append(f""",
+    exact AS (
+      SELECT
+        (SELECT count(DISTINCT user_id) FROM events WHERE {sets['a']})
+          AS exact_a,
+        (SELECT count(DISTINCT user_id) FROM events WHERE {sets['b']})
+          AS exact_b,
+        (SELECT count(*) FROM
+           (SELECT DISTINCT user_id FROM events WHERE {sets['a']})
+           WHERE user_id IN
+             (SELECT user_id FROM events WHERE {sets['b']}))
+          AS exact_inter
+    )
+    SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           round(greatest(ea.est + eb.est - eu.est, 0.0), 4) AS est_inter,
+           exact_a, exact_b, exact_inter
+    FROM ea, eb, eu, exact""")
+    return "".join(parts)
+
+
+@query("events_hll_overlap", oracle=_hll_overlap_oracle())
+def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (L36b): audience overlap between high-value
+    clickers and high-value viewers by inclusion-exclusion —
+    est(A) + est(B) − est(A ∪ B) with the union as the exact
+    register max-merge; exact counts ride along to report the
+    realized error. The cohort-overlap readout when key sets are too
+    large to materialize; each side is m registers at any scale."""
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_intersection_estimate(
+        ev,
+        "user_id",
+        (F.col("event_type") == "click") & (F.col("value") >= 700),
+        (F.col("event_type") == "view") & (F.col("value") >= 700),
+        b=_HLL_B,
+    )
+
+
 @query(
     "events_hll_merge_daily",
     oracle=f"""
@@ -7669,6 +7761,52 @@ def lineitem_orders_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame
         _t(spark, sf_dir, "lineitem"), "l_orderkey",
         _t(spark, sf_dir, "orders"), "o_orderkey",
         d=_CMS_D, w=_CMS_W, seed_base=_CMS_SEED,
+    )
+
+
+@query(
+    "customer_k_anonymity",
+    oracle="""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             floor(c_acctbal / 1000)::BIGINT AS bal_band,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT sum(n)::BIGINT AS n_rows,
+           count(*) AS n_groups,
+           min(n)::BIGINT AS min_group_size,
+           sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS groups_below_k,
+           sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+             AS rows_below_k,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
+                 / sum(n), 6) AS frac_rows_below_k,
+           min(n) >= 5 AS k_anonymous
+    FROM groups
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (EA28, Sweeney 2002) on the customer table
+    with quasi-identifiers (nation, market segment, account-balance
+    band): the release gate after PII redaction — combinations of
+    innocuous attributes can still isolate individuals; reports the
+    minimum equivalence-class size and how many rows sit in classes
+    below k=5. One quasi-tuple-keyed aggregation + a group-table
+    fold."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        k_anonymity_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        ],
+        k=5,
     )
 
 

@@ -701,3 +701,33 @@ def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert a["ci_lo"] < a["ci_hi"]
     assert (a["ci_lo"], a["ci_hi"], a["mean"]) == (
         b["ci_lo"], b["ci_hi"], b["mean"])
+
+
+def test_k_anonymity_planted_small_groups(spark):
+    """90 rows in k>=5 classes plus one 2-row class and one
+    singleton: the audit reports min 1, 2 groups / 3 rows below
+    k=5, and k_anonymous false; coarsening the quasi set makes it
+    pass."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        k_anonymity_report,
+    )
+
+    rows = [(i, i % 3, "x") for i in range(90)]
+    rows += [(90, 7, "y"), (91, 7, "y"), (92, 9, "z")]
+    df = spark.createDataFrame(rows, "id long, qa long, qb string")
+    r = k_anonymity_report(df, ["qa", "qb"], k=5).collect()[0]
+    assert r["n_rows"] == 93
+    assert r["n_groups"] == 5
+    assert r["min_group_size"] == 1
+    assert r["groups_below_k"] == 2
+    assert r["rows_below_k"] == 3
+    assert not r["k_anonymous"]
+    # coarser quasi set (drop qb, band qa mod 3 merges the outliers
+    # into the big classes) => all classes >= 5
+    r2 = k_anonymity_report(
+        df, [(F.col("qa") % 3).alias("qa_band")], k=5
+    ).collect()[0]
+    assert r2["min_group_size"] >= 5
+    assert r2["k_anonymous"]

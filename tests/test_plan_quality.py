@@ -396,3 +396,32 @@ def test_png_feature_chain_two_arrow_stages(spark):
     # "NodeName (" counts tree nodes, not the detail section
     n_py = plan.count("ArrowEvalPython (") + plan.count("MapInPandas (")
     assert n_py == 2, plan
+
+
+def _tree_scans(plan: str) -> int:
+    return plan.count("+- Scan parquet") + plan.count(":- Scan parquet")
+
+
+def test_zone_skipping_single_scan_single_exchange(spark):
+    """The zone-map report is one scan + one zone-keyed partial agg +
+    one fold: at most two exchanges (zone agg + global fold), one
+    events scan."""
+    plan = _plan(spark, "events_zone_skipping")
+    assert _tree_scans(plan) == 1
+    assert plan.count("Exchange (") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_ci_single_scan_one_aggregation(spark):
+    """All 20 bootstrap replicates ride ONE scan: one events scan,
+    one group-keyed exchange, no joins at all."""
+    plan = _plan(spark, "events_value_bootstrap_ci")
+    assert _tree_scans(plan) == 1
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan
+
+
+def test_k_anonymity_single_scan(spark):
+    plan = _plan(spark, "customer_k_anonymity")
+    assert _tree_scans(plan) == 1
+    assert "Join" not in plan

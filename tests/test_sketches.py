@@ -219,3 +219,30 @@ def test_cms_join_size_disjoint_keys(spark):
     r = cms_join_size_estimate(a, "k", b, "k").collect()[0]
     assert r["exact_pairs"] == 0
     assert r["overestimate_ok"]
+
+
+def test_hll_overlap_identical_and_disjoint_sets(spark):
+    """A == B: est_inter == est_a (union adds nothing) and exact
+    matches; disjoint sets: exact_inter 0 and the clamped estimate
+    stays small (within HLL error of 0)."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 200 else "b") for i in range(400)],
+        "uid long, tag string",
+    )
+    same = hll_intersection_estimate(
+        df, "uid", F.col("tag") == "a", F.col("tag") == "a"
+    ).collect()[0]
+    assert same["exact_a"] == same["exact_b"] == same["exact_inter"] == 200
+    assert same["est_union"] == same["est_a"]
+    assert abs(same["est_inter"] - same["est_a"]) < 1e-9
+    dis = hll_intersection_estimate(
+        df, "uid", F.col("tag") == "a", F.col("tag") == "b"
+    ).collect()[0]
+    assert dis["exact_inter"] == 0
+    assert dis["est_inter"] <= 0.15 * 400  # within sketch error of 0
