@@ -1262,3 +1262,47 @@ def k_anonymity_report(
         ).alias("frac_rows_below_k"),
         (F.min("_n") >= k).alias("k_anonymous"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim: float = 0.05,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest ``trim``
+    quantile tails and average the middle — the third member of the
+    robust-location family (EA8b's median/MAD flags outliers, EA26's
+    median-of-means survives them, the trimmed mean REMOVES them —
+    the form metric pipelines usually publish, e.g. trimmed-mean
+    latency).
+
+    Exact interpolated percentiles (same cross-engine ``percentile``
+    semantics as EA3) computed in one grouped aggregation, broadcast
+    back onto the fact (the EA8 stat-join shape — never a per-group
+    window), then one conditional aggregation: two fact scans total,
+    both map-side-partial.
+
+    Output per group: ``n``, ``n_kept``, ``mean``,
+    ``trimmed_mean`` (both 6 dp).
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {trim})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {1 - trim})").alias("_hi"),
+    )
+    keep = (F.col(value_col) >= F.col("_lo")) & (
+        F.col(value_col) <= F.col("_hi")
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(value_col).alias("n"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.round(F.avg(value_col), 6).alias("mean"),
+            F.round(
+                F.avg(F.when(keep, F.col(value_col))), 6
+            ).alias("trimmed_mean"),
+        )
+    )

@@ -6496,6 +6496,40 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_trimmed_mean",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(e.value) AS n,
+           sum(CASE WHEN e.value >= lo AND e.value <= hi
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           round(avg(e.value), 6) AS mean,
+           round(avg(CASE WHEN e.value >= lo AND e.value <= hi
+                          THEN e.value END), 6) AS trimmed_mean
+    FROM events e JOIN bounds USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean per event type (EA26b) — the robust
+    location estimate metric pipelines publish: exact interpolated
+    percentile bounds in one grouped agg, broadcast back onto the
+    fact, one conditional aggregation; two map-side-partial scans,
+    never a per-group sort/window."""
+    from isilon_hadoop_tools_spark.operators.analytics import trimmed_mean
+
+    return trimmed_mean(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id",
+        trim=0.05,
+    )
+
+
+@query(
     "events_mom_mean",
     oracle="""
     WITH b AS (

@@ -731,3 +731,19 @@ def test_k_anonymity_planted_small_groups(spark):
     ).collect()[0]
     assert r2["min_group_size"] >= 5
     assert r2["k_anonymous"]
+
+
+def test_trimmed_mean_removes_planted_outliers(spark):
+    """99 well-behaved values + one huge outlier per group: the plain
+    mean is dragged, the 5% trimmed mean stays at the clean center
+    and drops exactly the tail rows."""
+    from isilon_hadoop_tools_spark.operators.analytics import trimmed_mean
+
+    rows = [(i, "g", float(100 + i % 11)) for i in range(99)]
+    rows.append((99, "g", 1_000_000.0))
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    r = trimmed_mean(df, "grp", "v", "id", trim=0.05).collect()[0]
+    assert r["n"] == 100
+    assert r["n_kept"] < 100
+    assert r["mean"] > 10000  # outlier dominates the plain mean
+    assert 100 <= r["trimmed_mean"] <= 111  # clean center survives
