@@ -1306,3 +1306,60 @@ def trimmed_mean(
             ).alias("trimmed_mean"),
         )
     )
+
+
+def ordered_funnel(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list,
+) -> DataFrame:
+    """Strictly ORDERED multi-step funnel: a user converts through
+    step i only with an event of type ``steps[i]`` at a time STRICTLY
+    AFTER their step i-1 conversion time (earliest-qualifying-event
+    semantics, the standard product-analytics "did they view, THEN
+    click, THEN purchase" — EA1's horizon funnel counts co-occurrence;
+    this one enforces sequence, so a purchase before the first view
+    does not count).
+
+    Shape: one hash partitioning by user carries ALL steps — step
+    i's time is a conditional-min window over the user partition
+    referencing step i-1's column, so the chain is ``len(steps)``
+    window passes over ONE Exchange (window partitioning reused, no
+    join-backs); the final fold is a user-table aggregation.
+
+    Output (one row): ``n_users``, then ``n_stepK`` for each step
+    (users whose ordered chain reaches step K) and ``rate_stepK``
+    (vs n_users, 6 dp).
+    """
+    w = Window.partitionBy(user_col)
+    cur = df.select(user_col, type_col, ts_col)
+    prev_t = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_t))
+        cur = cur.withColumn(
+            f"_t{i}",
+            F.min(F.when(cond, F.col(ts_col))).over(w),
+        )
+        prev_t = f"_t{i}"
+    users = cur.groupBy(user_col).agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for i in range(len(steps)):
+        aggs.append(
+            F.sum(F.col(f"_t{i}").isNotNull().cast("long")).alias(
+                f"n_step{i + 1}"
+            )
+        )
+    out = users.agg(*aggs)
+    rates = [
+        F.round(
+            F.col(f"n_step{i + 1}").cast("double") / F.col("n_users"), 6
+        ).alias(f"rate_step{i + 1}")
+        for i in range(len(steps))
+    ]
+    return out.select("n_users", *[f"n_step{i + 1}" for i in range(len(steps))], *rates)

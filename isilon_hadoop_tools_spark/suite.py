@@ -6496,6 +6496,55 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_ordered_funnel",
+    oracle="""
+    WITH base AS (SELECT user_id, event_type, ts FROM events),
+    w1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t0
+      FROM base
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w2
+    ),
+    u AS (
+      SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+      FROM w3 GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t0) AS n_step1, count(t1) AS n_step2,
+           count(t2) AS n_step3,
+           round(count(t0)::DOUBLE / count(*), 6) AS rate_step1,
+           round(count(t1)::DOUBLE / count(*), 6) AS rate_step2,
+           round(count(t2)::DOUBLE / count(*), 6) AS rate_step3
+    FROM u
+    """,
+)
+def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly ordered view → click → purchase funnel (EA1c): each
+    step must occur AFTER the previous step's earliest qualifying
+    event (greedy-earliest chaining, provably maximal) — the
+    sequence-enforcing form EA1's horizon funnel cannot express. All
+    three steps ride ONE user-hash partitioning as chained
+    conditional-min windows; no join-backs."""
+    from isilon_hadoop_tools_spark.operators.analytics import ordered_funnel
+
+    return ordered_funnel(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", "ts",
+        ["view", "click", "purchase"],
+    )
+
+
+@query(
     "events_trimmed_mean",
     oracle="""
     WITH bounds AS (

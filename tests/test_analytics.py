@@ -747,3 +747,40 @@ def test_trimmed_mean_removes_planted_outliers(spark):
     assert r["n_kept"] < 100
     assert r["mean"] > 10000  # outlier dominates the plain mean
     assert 100 <= r["trimmed_mean"] <= 111  # clean center survives
+
+
+def test_ordered_funnel_enforces_sequence(spark):
+    """User 1 does view->click->purchase in order (full chain); user
+    2 purchases BEFORE viewing (chain stops after view); user 3 only
+    clicks (never starts). The horizon/co-occurrence funnel would
+    count user 2's purchase; the ordered funnel must not."""
+    from isilon_hadoop_tools_spark.operators.analytics import ordered_funnel
+
+    rows = [
+        (1, "view", _m(0)), (1, "click", _m(5)), (1, "purchase", _m(9)),
+        (2, "purchase", _m(0)), (2, "view", _m(5)),
+        (3, "click", _m(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = ordered_funnel(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ).collect()[0]
+    assert r["n_users"] == 3
+    assert r["n_step1"] == 2  # users 1 and 2 viewed
+    assert r["n_step2"] == 1  # only user 1 clicked after viewing
+    assert r["n_step3"] == 1  # only user 1 purchased after clicking
+    assert r["rate_step3"] == round(1 / 3, 6)
+
+
+def test_ordered_funnel_greedy_earliest_is_maximal(spark):
+    """view at t0 and t10, click only at t5: greedy anchors on the
+    EARLIEST view so the t5 click still converts (anchoring on the
+    last view would miss it)."""
+    from isilon_hadoop_tools_spark.operators.analytics import ordered_funnel
+
+    rows = [(1, "view", _m(0)), (1, "view", _m(10)), (1, "click", _m(5))]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = ordered_funnel(
+        df, "user_id", "event_type", "ts", ["view", "click"]
+    ).collect()[0]
+    assert (r["n_step1"], r["n_step2"]) == (1, 1)
