@@ -6496,6 +6496,46 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, date_trunc('day', ts) AS d, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.g, a.d AS da, b.d AS db,
+             (b.c - a.c)::DOUBLE / date_diff('day', a.d, b.d) AS slope
+      FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY slope, da, db) AS rn,
+             count(*) OVER (PARTITION BY g) AS np
+      FROM pairs
+    ),
+    nd AS (SELECT g, count(*) AS n_days FROM daily GROUP BY g)
+    SELECT r.g AS event_type, n_days, np AS n_pairs,
+           round(slope, 6) AS ts_slope
+    FROM ranked r JOIN nd ON nd.g = r.g
+    WHERE rn = (np - 1) // 2 + 1
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust volume trend per event type (EA23b): median
+    of all pairwise day-slopes over the daily counts — one anomalous
+    day drags EA23's OLS slope but not this one (29% breakdown). The
+    pair table is bounded by the time grain (C(days,2) per type),
+    never the corpus; integer day counts make every slope an exact
+    division, so the median selection is index-exact cross-engine."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        theil_sen_trend,
+    )
+
+    return theil_sen_trend(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+@query(
     "events_ordered_funnel",
     oracle="""
     WITH base AS (SELECT user_id, event_type, ts FROM events),

@@ -784,3 +784,24 @@ def test_ordered_funnel_greedy_earliest_is_maximal(spark):
         df, "user_id", "event_type", "ts", ["view", "click"]
     ).collect()[0]
     assert (r["n_step1"], r["n_step2"]) == (1, 1)
+
+
+def test_theil_sen_ignores_anomalous_day(spark):
+    """Daily counts 10, 12, 14, 16, 18 (+2/day) with day 3 spiked to
+    200: OLS would be dragged, the pairwise-median slope stays 2."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        theil_sen_trend,
+    )
+
+    rows = []
+    counts = [10, 12, 200, 16, 18]
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, "a", _m(day * 24 * 60)))
+            eid += 1
+    df = spark.createDataFrame(rows, "id long, event_type string, ts timestamp")
+    r = theil_sen_trend(df, "event_type", "ts").collect()[0]
+    assert r["n_days"] == 5
+    assert r["n_pairs"] == 10
+    assert r["ts_slope"] == 2.0
