@@ -389,3 +389,57 @@ def cms_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+CDC_STATE_SCHEMA = (
+    "user_id LONG, ts TIMESTAMP, event_id LONG, "
+    "event_type STRING, value DOUBLE"
+)
+
+
+def cdc_stream_into_state(
+    events: DataFrame,
+    state: ParquetState,
+    table: str = "cdc_state",
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming CDC upsert maintenance (§2.9 x EA5) — the continuous
+    form of the Delta/Hudi MERGE reduce: each micro-batch collapses
+    to its per-key latest row (``max_by`` on (ts, event_id) — the
+    same order contract as the batch ``cdc_apply``) and merges into
+    the persisted key state by the same maximum. State keeps
+    TOMBSTONE rows too (a later out-of-order non-delete must still
+    lose to them), so consumers filter the delete op at read time.
+
+    Exactly-once falls out of the ALGEBRA, like the HLL stream: the
+    per-key (ts, tiebreak) max is idempotent and commutative, so
+    replayed batches, out-of-order arrival ACROSS batches, and
+    no-checkpoint re-drains all converge to the same state — no
+    markers or anti-joins needed. State is one row per key ever
+    seen (the compaction contract), never the log.
+    """
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        order = F.struct(
+            F.col("ts").alias("_t"), F.col("event_id").alias("_tb")
+        )
+        payload = F.struct("ts", "event_id", "event_type", "value")
+        delta = batch.groupBy("user_id").agg(
+            F.max_by(payload, order).alias("_p")
+        ).select("user_id", "_p.*")
+        current = state.read(table, CDC_STATE_SCHEMA)
+        merged = (
+            current.unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.max_by(payload, order).alias("_p"))
+            .select("user_id", "_p.*")
+        )
+        state.write(table, merged)
+
+    writer = events.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -7975,6 +7975,46 @@ def events_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cdc_stream",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             max(ts) OVER (PARTITION BY user_id) AS last_ts
+      FROM events
+    )
+    SELECT user_id, value, last_ts
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert maintenance (§2.9 x EA5): micro-batches
+    collapse to per-key latest rows and merge into parquet state by
+    the same (ts, event_id) maximum — idempotent/commutative algebra,
+    so replays and out-of-order arrival converge without markers. The
+    stream is drained TWICE and the final state must equal the batch
+    ``events_cdc_apply`` oracle exactly (tombstones kept in state,
+    filtered at read)."""
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.streaming.events import (
+        CDC_STATE_SCHEMA,
+        cdc_stream_into_state,
+    )
+
+    state = _fresh_state(spark, "events_cdc_stream")
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        cdc_stream_into_state(ev, state)
+    st = state.read("cdc_state", CDC_STATE_SCHEMA)
+    return st.filter(F.col("event_type") != "error").select(
+        "user_id", "value", F.col("ts").alias("last_ts")
+    )
+
+
+@query(
     "events_cms_stream",
     oracle=f"""
     WITH hashed AS (

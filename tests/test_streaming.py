@@ -279,3 +279,63 @@ def test_cms_stream_checkpointed_restart_resumes_exactly_once(
     _write_kv_batch(in_dir, "b2.parquet", [5])
     _drain_cms(spark, in_dir, state, ckpt)
     assert _cms_counts(state) == _batch_cms(spark, [5, 5, 6, 6, 7, 5])
+
+
+def test_cdc_stream_out_of_order_batches_and_replay(spark, tmp_path):
+    """Key 7's newest row arrives in the FIRST batch, older updates
+    and a tombstone for key 8 arrive later: the (ts, id) max algebra
+    must keep key 7's first-arrived newest value, tombstone key 8,
+    and be unchanged by a full re-drain."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.events import (
+        CDC_STATE_SCHEMA,
+        cdc_stream_into_state,
+    )
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 12, m)
+
+    batches = [
+        [(7, ts(30), 100, "update", 7.3), (8, ts(0), 101, "update", 8.0)],
+        [(7, ts(10), 102, "update", 7.1), (8, ts(20), 103, "error", 0.0)],
+        [(7, ts(30), 99, "update", 7.9)],  # same ts, LOWER id: loses
+    ]
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    import os
+    import time
+
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "event_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows]),
+                    "value": pa.array([r[4] for r in rows], pa.float64()),
+                }
+            ),
+            os.path.join(in_dir, f"b{i}.parquet"),
+        )
+        time.sleep(0.05)
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(CDC_STATE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        cdc_stream_into_state(stream, state)
+    rows = {
+        r["user_id"]: r
+        for r in state.read("cdc_state", CDC_STATE_SCHEMA).collect()
+    }
+    assert rows[7]["value"] == 7.3 and rows[7]["event_id"] == 100
+    assert rows[8]["event_type"] == "error"  # tombstone retained
+    assert len(rows) == 2  # one state row per key, log never kept
