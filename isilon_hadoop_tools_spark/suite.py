@@ -5565,6 +5565,70 @@ def _zorder_terms(a_expr: str, b_expr: str, bits: int = 8) -> str:
     return " + ".join(terms)
 
 
+def _zone_stats_sql(key_expr: str, layout: str) -> str:
+    """One layout's zone-map stats on the user-bucket predicate
+    (zones = 64 contiguous 1024-wide ranges of the layout key)."""
+    return f"""
+      SELECT '{layout}' AS layout, count(*) AS n_zones,
+             sum(CASE WHEN mx >= 32 AND mn <= 63 THEN 1 ELSE 0 END)
+               ::BIGINT AS zones_scanned,
+             sum(n)::BIGINT AS rows_total,
+             sum(CASE WHEN mx >= 32 AND mn <= 63 THEN n ELSE 0 END)
+               ::BIGINT AS rows_scanned,
+             sum(nm)::BIGINT AS rows_matching,
+             round(1.0 - sum(CASE WHEN mx >= 32 AND mn <= 63
+                                  THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+               AS skip_fraction,
+             sum(CASE WHEN NOT (mx >= 32 AND mn <= 63)
+                      THEN nm ELSE 0 END) = 0 AS certificate_ok
+      FROM (
+        SELECT ({key_expr}) // 1024 AS z,
+               min(user_id % 256) AS mn, max(user_id % 256) AS mx,
+               count(*) AS n,
+               sum(CASE WHEN user_id % 256 BETWEEN 32 AND 63
+                        THEN 1 ELSE 0 END) AS nm
+        FROM events GROUP BY z
+      )"""
+
+
+@query(
+    "events_zorder_skipping",
+    oracle=f"""
+    {_zone_stats_sql("hour(ts) * 256 + user_id % 256", "linear_time")}
+    UNION ALL
+    {_zone_stats_sql(_zorder_terms("user_id % 256", "hour(ts)"), "zorder")}
+    """,
+)
+def events_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order × zone maps — WHY you Z-order (SC7 meets SC8): the
+    same user-bucket predicate measured against min/max zone stats
+    under two physical layouts of the same table. Time-major linear
+    layout: every 1024-wide key zone spans the full user range, so a
+    user predicate skips NOTHING; Morton-interleaved layout: zones
+    are (user, hour) sub-squares, so the predicate prunes most zones
+    on the NON-leading dimension — the file-skipping selectivity a
+    single-column sort can never give. Both layouts' reports carry
+    the soundness certificate."""
+    from isilon_hadoop_tools_spark.operators.skew import (
+        zone_prune_report,
+        zorder_key,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ubucket = F.pmod(F.col("user_id"), F.lit(256))
+    linear_key = F.hour("ts").cast("long") * 256 + ubucket
+    z_key = zorder_key([ubucket, F.hour("ts")], bits=8)
+
+    def report(key, layout):
+        return zone_prune_report(
+            ev, F.floor(key / 1024), ubucket, 32, 63
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    return report(linear_key, "linear_time").unionByName(
+        report(z_key, "zorder")
+    )
+
+
 @query(
     "events_zorder_layout",
     oracle=f"""
