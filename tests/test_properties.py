@@ -321,3 +321,120 @@ def test_equidepth_histogram_partitions_all_rows(spark, vals):
     assert sum(r.n for r in out) == len(vals)
     for a, b in zip(out, out[1:]):
         assert a.bucket < b.bucket and a.hi <= b.lo
+
+
+@_SETTINGS
+@given(
+    indices=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1, max_size=400
+    ),
+    min_code=st.integers(min_value=2, max_value=8),
+)
+def test_lzw_roundtrip_property(spark, indices, min_code):
+    """GIF-variant LZW: any symbol sequence (symbols < 2^min_code)
+    round-trips exactly through compress/decompress at any minimum
+    code size — covers width growth, KwKwK runs, and repeated
+    symbols the example tests only pin pointwise."""
+    from isilon_hadoop_tools_spark.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    syms = [i % (1 << min_code) for i in indices]
+    assert _lzw_decompress(_lzw_compress(syms, min_code), min_code) == syms
+
+
+def _ref_greedy_merge(syms, left, right):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@_SETTINGS
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=24),
+    pair=st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]),
+)
+def test_bpe_merge_expr_matches_reference_greedy(spark, word, pair):
+    """The F.aggregate merge equals the straightforward sequential
+    greedy scan on arbitrary {a,b}* words for every pair — including
+    self-pair runs where the non-overlap rule bites."""
+    from isilon_hadoop_tools_spark.operators.corpus import _bpe_merge_expr
+
+    df = spark.createDataFrame([(word,)], "w string")
+    got = df.select(
+        _bpe_merge_expr(F.split("w", ""), pair[0], pair[1]).alias("m")
+    ).collect()[0]["m"]
+    assert got == _ref_greedy_merge(list(word), pair[0], pair[1])
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    zones=st.integers(min_value=1, max_value=6),
+    lo=st.integers(min_value=-500, max_value=500),
+    width=st.integers(min_value=0, max_value=400),
+)
+def test_zone_prune_report_matches_brute_force(spark, vals, zones, lo, width):
+    """Zone-map skipping vs a brute-force recount on random data:
+    scanned-zone row totals, matching counts, and the soundness
+    certificate all agree with first principles."""
+    from isilon_hadoop_tools_spark.operators.skew import zone_prune_report
+
+    hi = lo + width
+    rows = [(i, i % zones, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, z long, v double")
+    r = zone_prune_report(df, "z", "v", float(lo), float(hi)).collect()[0]
+    by_zone = {}
+    for _, z, v in rows:
+        by_zone.setdefault(z, []).append(v)
+    scanned = {
+        z for z, vs in by_zone.items() if max(vs) >= lo and min(vs) <= hi
+    }
+    assert r["n_zones"] == len(by_zone)
+    assert r["zones_scanned"] == len(scanned)
+    assert r["rows_scanned"] == sum(len(by_zone[z]) for z in scanned)
+    assert r["rows_matching"] == sum(
+        1 for _, _, v in rows if lo <= v <= hi
+    )
+    assert r["certificate_ok"]
+
+
+@_SETTINGS
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=2, max_size=8
+    )
+)
+def test_theil_sen_pure_trend_recovers_slope(spark, counts):
+    """On consecutive days the pairwise-slope multiset is symmetric:
+    feeding an exact arithmetic progression c_i = 5 + 3*i recovers
+    slope 3 no matter the group size."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        theil_sen_trend,
+    )
+    import datetime as dt
+
+    n_days = len(counts)
+    rows = []
+    eid = 0
+    for day in range(n_days):
+        for _ in range(5 + 3 * day):
+            rows.append(
+                (eid, "g", dt.datetime(2024, 1, 1 + day, 12, 0))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "id long, event_type string, ts timestamp"
+    )
+    r = theil_sen_trend(df, "event_type", "ts").collect()[0]
+    assert r["n_days"] == n_days
+    assert r["ts_slope"] == 3.0
