@@ -393,6 +393,10 @@ def cms_join_size_estimate(
 
     ka = keyed(df_a, ca)
     kb = keyed(df_b, cb)
+    # a hash row with NO shared buckets has inner product 0 — the true
+    # minimum — but an inner join simply omits it, so min-over-present
+    # rows would overstate (or go NULL when no row shares anything);
+    # detect the omission by row count and floor the estimate at 0
     est = (
         sketch_of(ka)
         .withColumnRenamed("cnt", "cnt_a")
@@ -402,7 +406,14 @@ def cms_join_size_estimate(
         )
         .groupBy("row_id")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
-        .agg(F.min("ip").alias("est_pairs"))
+        .agg(
+            F.min("ip").alias("_mn"), F.count(F.lit(1)).alias("_nr")
+        )
+        .select(
+            F.when(F.col("_nr") < d, F.lit(0))
+            .otherwise(F.col("_mn"))
+            .alias("est_pairs")
+        )
     )
     exact = ka.withColumnRenamed("kn", "na").join(
         kb.withColumnRenamed("kn", "nb"), "k"

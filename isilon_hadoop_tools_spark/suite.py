@@ -7926,8 +7926,10 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT count(*) FROM lineitem) AS n_a,
            (SELECT count(*) FROM orders) AS n_b,
            exact_pairs,
-           (SELECT min(p)::BIGINT FROM ip) AS est_pairs,
-           (SELECT min(p)::BIGINT FROM ip) >= exact_pairs
+           (SELECT CASE WHEN count(*) < {_CMS_D} THEN 0
+                        ELSE min(p) END::BIGINT FROM ip) AS est_pairs,
+           (SELECT CASE WHEN count(*) < {_CMS_D} THEN 0
+                        ELSE min(p) END::BIGINT FROM ip) >= exact_pairs
              AS overestimate_ok
     FROM exact
     """,

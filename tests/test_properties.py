@@ -438,3 +438,147 @@ def test_theil_sen_pure_trend_recovers_slope(spark, counts):
     r = theil_sen_trend(df, "event_type", "ts").collect()[0]
     assert r["n_days"] == n_days
     assert r["ts_slope"] == 3.0
+
+
+def _ref_lpa(edges, rounds):
+    und = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    labels = {v: v for v in und}
+    for _ in range(rounds):
+        nxt = {}
+        for v in und:
+            votes = {}
+            for u in und[v]:
+                votes[labels[u]] = votes.get(labels[u], 0) + 1
+            votes[labels[v]] = votes.get(labels[v], 0) + 1  # self-vote
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+def test_lpa_matches_reference_on_random_graphs(spark, edges, rounds):
+    """Synchronous self-vote LPA equals a direct Python simulation on
+    arbitrary small multigraphs (self-loops dropped, duplicates
+    collapsed) for any round count."""
+    from isilon_hadoop_tools_spark.operators.graph import label_propagation
+
+    clean = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not clean:
+        return
+    df = spark.createDataFrame(sorted(clean), "id_a long, id_b long")
+    got = {
+        r["v"]: r["community"]
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == _ref_lpa(clean, rounds)
+
+
+def _ref_ordered_funnel(rows, steps):
+    # rows: (user, type, minute)
+    users = {}
+    for u, t, m in rows:
+        users.setdefault(u, []).append((t, m))
+    reach = [0] * len(steps)
+    for evs in users.values():
+        prev = None
+        for i, step in enumerate(steps):
+            cand = [
+                m for t, m in evs
+                if t == step and (prev is None or m > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            reach[i] += 1
+    return len(users), reach
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ordered_funnel_matches_reference(spark, rows):
+    """The chained-window funnel equals a per-user sequential greedy
+    simulation on arbitrary event soups (duplicate timestamps, steps
+    out of order, missing steps)."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import ordered_funnel
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [
+            (u, t, dt.datetime(2024, 1, 1, 12, 0) + dt.timedelta(minutes=m))
+            for u, t, m in rows
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    r = ordered_funnel(df, "user_id", "event_type", "ts", steps).collect()[0]
+    n_users, reach = _ref_ordered_funnel(rows, steps)
+    assert r["n_users"] == n_users
+    assert [r["n_step1"], r["n_step2"], r["n_step3"]] == reach
+
+
+@_SETTINGS
+@given(
+    words=st.lists(_WORD, min_size=1, max_size=40),
+)
+def test_good_turing_mass_identity(spark, words):
+    """Sum of r * n_r over the spectrum equals the total token count,
+    and sum of n_r equals the vocabulary size — the two invariants
+    any count-of-counts table must satisfy."""
+    from isilon_hadoop_tools_spark.operators.corpus import good_turing_counts
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = good_turing_counts(df, "text", "doc_id").collect()
+    assert sum(r["r"] * r["n_r"] for r in rows) == len(words)
+    assert sum(r["n_r"] for r in rows) == len(set(words))
+
+
+@_SETTINGS
+@given(
+    ka=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40),
+    kb=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40),
+)
+def test_cms_join_size_never_undercounts(spark, ka, kb):
+    """The hard-overestimate guarantee on arbitrary key multisets:
+    est >= exact always, and the in-query certificate agrees."""
+    from collections import Counter
+
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(k,) for k in ka], "k long")
+    b = spark.createDataFrame([(k,) for k in kb], "k long")
+    r = cms_join_size_estimate(a, "k", b, "k").collect()[0]
+    ca, cb = Counter(ka), Counter(kb)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    assert r["exact_pairs"] == exact
+    assert r["est_pairs"] >= exact
+    assert r["overestimate_ok"]
