@@ -1211,12 +1211,20 @@ def poisson_bootstrap_ci(
     )
     lo = int(alpha * replicates) + 1
     hi = replicates - int(alpha * replicates)
+    # a replicate whose Poisson weights are all zero (possible only
+    # on tiny groups) has a NULL mean; Spark sorts NULLs last but
+    # DuckDB's list_sort sorts them first, so index selection over
+    # the raw array would diverge cross-engine — and a CI over
+    # missing resamples is meaningless anyway. Both bounds go NULL
+    # unless every replicate drew at least one row.
+    valid = F.filter(means, lambda m: m.isNotNull())
+    full = F.size(valid) == replicates
     return g.select(
         group_col,
         F.col("_n").alias("n"),
         F.round(F.col("_s") / F.col("_n"), 6).alias("mean"),
-        F.element_at(means, lo).alias("ci_lo"),
-        F.element_at(means, hi).alias("ci_hi"),
+        F.when(full, F.element_at(valid, lo)).alias("ci_lo"),
+        F.when(full, F.element_at(valid, hi)).alias("ci_hi"),
         F.lit(replicates).alias("n_replicates"),
     )
 

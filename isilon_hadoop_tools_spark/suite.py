@@ -6754,7 +6754,15 @@ def _pboot_oracle(
              list_sort(list_value({", ".join(means)})) AS ms
       FROM g
     )
-    SELECT event_type, n, mean, ms[{lo}] AS ci_lo, ms[{hi}] AS ci_hi,
+    SELECT event_type, n, mean,
+           CASE WHEN len(list_filter(ms, x -> x IS NOT NULL))
+                     = {replicates}
+                THEN list_filter(ms, x -> x IS NOT NULL)[{lo}] END
+             AS ci_lo,
+           CASE WHEN len(list_filter(ms, x -> x IS NOT NULL))
+                     = {replicates}
+                THEN list_filter(ms, x -> x IS NOT NULL)[{hi}] END
+             AS ci_hi,
            {replicates} AS n_replicates
     FROM m
     """

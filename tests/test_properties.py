@@ -582,3 +582,114 @@ def test_cms_join_size_never_undercounts(spark, ka, kb):
     assert r["exact_pairs"] == exact
     assert r["est_pairs"] >= exact
     assert r["overestimate_ok"]
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=3, max_size=50
+    )
+)
+def test_poisson_bootstrap_matches_hashlib_reference(spark, vals):
+    """Every replicate weight is a pure function of (seed, id): a
+    driver-side hashlib recomputation of all 20 replicate means must
+    reproduce the engine's CI bounds exactly."""
+    import hashlib
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+        poisson_thresholds,
+    )
+
+    rows = [(i, "g", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    r = poisson_bootstrap_ci(df, "grp", "v", "id").collect()[0]
+    ts = poisson_thresholds()
+    means = []
+    for b in range(20):
+        ws = wx = 0
+        for i, v in enumerate(vals):
+            h = int(
+                hashlib.md5(f"{7100 + b}:{i}".encode()).hexdigest()[:8], 16
+            )
+            w = sum(1 for t in ts if h >= t)
+            ws += w
+            wx += w * float(v)
+        means.append(round(wx / ws, 6) if ws else None)
+    present = sorted(m for m in means if m is not None)
+    if len(present) == 20:
+        assert r["ci_lo"] == present[1]
+        assert r["ci_hi"] == present[18]
+        assert r["ci_lo"] <= r["ci_hi"]
+    else:
+        # any empty replicate voids the interval entirely — never a
+        # one-sided or order-dependent bound
+        assert r["ci_lo"] is None and r["ci_hi"] is None
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=5,
+        max_size=60,
+    )
+)
+def test_trimmed_mean_matches_reference(spark, vals):
+    """Spark percentile (linear interpolation) bounds + conditional
+    mean equal a direct numpy-free reference on arbitrary ints."""
+    from isilon_hadoop_tools_spark.operators.analytics import trimmed_mean
+
+    rows = [(i, "g", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    r = trimmed_mean(df, "grp", "v", "id", trim=0.05).collect()[0]
+
+    def pct(sorted_vals, p):
+        n = len(sorted_vals)
+        pos = p * (n - 1)
+        lo_i = int(pos)
+        frac = pos - lo_i
+        hi_i = min(lo_i + 1, n - 1)
+        return sorted_vals[lo_i] + frac * (
+            sorted_vals[hi_i] - sorted_vals[lo_i]
+        )
+
+    s = sorted(float(v) for v in vals)
+    lo, hi = pct(s, 0.05), pct(s, 0.95)
+    kept = [v for v in s if lo <= v <= hi]
+    assert r["n"] == len(vals)
+    assert r["n_kept"] == len(kept)
+    assert r["trimmed_mean"] == round(sum(kept) / len(kept), 6)
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=2, max_value=6),
+)
+def test_k_anonymity_matches_brute_force(spark, rows, k):
+    from collections import Counter
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "id long, qa long, qb long",
+    )
+    r = k_anonymity_report(df, ["qa", "qb"], k=k).collect()[0]
+    sizes = Counter(rows)
+    assert r["n_rows"] == len(rows)
+    assert r["n_groups"] == len(sizes)
+    assert r["min_group_size"] == min(sizes.values())
+    assert r["groups_below_k"] == sum(1 for n in sizes.values() if n < k)
+    assert r["rows_below_k"] == sum(n for n in sizes.values() if n < k)
+    assert r["k_anonymous"] == (min(sizes.values()) >= k)
