@@ -693,3 +693,116 @@ def test_k_anonymity_matches_brute_force(spark, rows, k):
     assert r["groups_below_k"] == sum(1 for n in sizes.values() if n < k)
     assert r["rows_below_k"] == sum(n for n in sizes.values() if n < k)
     assert r["k_anonymous"] == (min(sizes.values()) >= k)
+
+
+@_SETTINGS
+@given(
+    na=st.integers(min_value=1, max_value=60),
+    nb=st.integers(min_value=1, max_value=60),
+    overlap=st.integers(min_value=0, max_value=30),
+)
+def test_hll_overlap_exact_fields_and_union_monotonicity(
+    spark, na, nb, overlap
+):
+    """exact_a/b/inter equal set arithmetic on constructed overlaps,
+    and the union estimate is never below either side's (register
+    max-merge is monotone)."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+
+    ov = min(overlap, na, nb)
+    a_ids = list(range(na))
+    b_ids = list(range(na - ov, na - ov + nb))
+    rows = [(i, "a") for i in a_ids] + [(i, "b") for i in b_ids]
+    df = spark.createDataFrame(rows, "uid long, tag string")
+    r = hll_intersection_estimate(
+        df, "uid", F.col("tag") == "a", F.col("tag") == "b"
+    ).collect()[0]
+    assert r["exact_a"] == na and r["exact_b"] == nb
+    assert r["exact_inter"] == len(set(a_ids) & set(b_ids))
+    assert r["est_union"] >= r["est_a"] - 1e-9
+    assert r["est_union"] >= r["est_b"] - 1e-9
+    assert r["est_inter"] >= 0.0
+
+
+@_SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-50, max_value=50),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=6,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_jl_distortion_matches_reference(spark, vecs):
+    """Projected pair distances recomputed driver-side from the same
+    md5 sign matrix match the engine exactly (both exact integers)."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        _rademacher_sign,
+        jl_distortion_eval,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in jl_distortion_eval(
+            df, "embedding", "vec_id", n_queries=len(vecs),
+            out_dim=4, in_dim=8,
+        ).collect()
+    }
+    q = [[x * 1000 for x in v] for v in vecs]
+    proj = [
+        [
+            sum(_rademacher_sign(j, i) * qv[i] for i in range(8))
+            for j in range(4)
+        ]
+        for qv in q
+    ]
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            r = out[(a, b)]
+            d_in = sum((x - y) ** 2 for x, y in zip(q[a], q[b]))
+            d_out = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            assert r["d_in2"] == d_in
+            assert r["d_out2"] == d_out
+            if d_in:
+                assert r["norm_ratio"] == round(d_out / (4 * d_in), 6)
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(_WORD, min_size=4, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_minhash_jaccard_eval_exact_side_matches_sets(spark, docs):
+    """For every reported candidate pair the exact_jaccard equals the
+    true 3-shingle set Jaccard computed in Python."""
+    from isilon_hadoop_tools_spark.operators import dedup as D
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.minhash_jaccard_eval(
+        df, "text", "doc_id", num_hashes=8, bands=4
+    ).collect()
+
+    def shingles(ws):
+        return {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+
+    for r in out:
+        sa, sb = shingles(docs[r["id_a"]]), shingles(docs[r["id_b"]])
+        truth = len(sa & sb) / len(sa | sb)
+        assert r["exact_jaccard"] == round(truth, 6)
+        assert 0 <= r["n_agree"] <= 8
