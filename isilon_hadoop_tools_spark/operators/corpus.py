@@ -1280,3 +1280,57 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_round int, lhs string, rhs string, pair_count long"
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list,
+) -> DataFrame:
+    """Apply learned BPE merge rules (:func:`bpe_train`'s output
+    order) to the corpus and report per-document tokenization stats —
+    the round trip that makes the trainer useful: train once, then
+    measure what the ruleset buys on real documents.
+
+    THE SCALE SHAPE mirrors training: merges are applied to the
+    DISTINCT-WORD table only (each rule one stateless
+    :func:`_bpe_merge_expr` projection, chained in learning order —
+    language-bounded work), and documents join their words against
+    the finished vocabulary — ONE corpus-sized equi-join on the word;
+    no per-document symbol processing ever happens.
+
+    Output per document: ``id``, ``n_words``, ``n_chars`` (initial
+    symbols), ``n_tokens`` (post-merge symbols), ``compression``
+    (n_chars / n_tokens, 6 dp).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w")
+    )
+    vocab = words.select("w").distinct()
+    syms = F.split("w", "")
+    for lhs, rhs in merges:
+        syms = _bpe_merge_expr(syms, lhs, rhs)
+    sized = vocab.select(
+        "w",
+        F.length("w").alias("_chars"),
+        F.size(syms).alias("_toks"),
+    )
+    return (
+        words.join(sized, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_chars").alias("n_chars"),
+            F.sum("_toks").alias("n_tokens"),
+        )
+        .select(
+            "id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("compression"),
+        )
+    )

@@ -5118,13 +5118,14 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), "text", "doc_id", k=1000)
 
 
-def _bpe_oracle(rounds: int = 6) -> str:
+def _bpe_cte_chain(rounds: int = 6) -> str:
     """Unrolled BPE merge-training rounds: per round a weighted pair
     count, the (cnt DESC, lhs, rhs) top-1, and the greedy
     left-to-right non-overlapping merge expressed with window
     functions — island detection over consecutive matched positions
     (runs only occur for self-pairs) with alternate selection, lag
-    for the consumed flag, ordered list rebuild."""
+    for the consumed flag, ordered list rebuild. Ends at ``v{rounds}``
+    (word, n, syms) with ``b{t}`` rule CTEs along the way."""
     parts = [
         r"""
     WITH toks AS (
@@ -5176,12 +5177,61 @@ def _bpe_oracle(rounds: int = 6) -> str:
                   ORDER BY i) FILTER (WHERE NOT consumed) AS syms
       FROM fin{t} GROUP BY w
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int = 6) -> str:
     sels = [
         f"SELECT {t} AS merge_round, lhs, rhs, cnt AS pair_count FROM b{t}"
         for t in range(1, rounds + 1)
     ]
-    parts.append("\n    " + "\n    UNION ALL ".join(sels))
-    return "".join(parts)
+    return (
+        _bpe_cte_chain(rounds) + "\n    " + "\n    UNION ALL ".join(sels)
+    )
+
+
+def _bpe_apply_oracle(rounds: int = 6) -> str:
+    """Tokenization twin: the training chain's final ``v{rounds}``
+    vocabulary joined back onto every document's words."""
+    return (
+        _bpe_cte_chain(rounds)
+        + f""",
+    doc_words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    )
+    SELECT doc_id AS id, count(*) AS n_words,
+           sum(length(w))::BIGINT AS n_chars,
+           sum(len(v{rounds}.syms))::BIGINT AS n_tokens,
+           round(sum(length(w))::DOUBLE / sum(len(v{rounds}.syms)), 6)
+             AS compression
+    FROM doc_words JOIN v{rounds} USING (w)
+    GROUP BY doc_id"""
+    )
+
+
+@query("corpus_bpe_tokenize", oracle=_bpe_apply_oracle(6))
+def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round trip (L54b): the 6 learned merge rules applied back
+    to the corpus — per-document character vs post-merge token counts
+    and the realized compression ratio. Merges run on the
+    DISTINCT-WORD table only (language-bounded), documents join the
+    finished vocabulary in one corpus-sized equi-join; the oracle
+    re-derives the rules AND the tokenization from the same unrolled
+    chain, so a divergence in either phase fails."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, "text", "doc_id", rounds=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_apply(docs, "text", "doc_id", rules)
 
 
 @query("corpus_bpe_merges", oracle=_bpe_oracle(6))

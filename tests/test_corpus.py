@@ -653,3 +653,31 @@ def test_bpe_train_stops_when_no_pairs_remain(spark):
 
     df = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
     assert bpe_train(df, "text", "doc_id", rounds=3).count() == 0
+
+
+def test_bpe_apply_compression_accounting(spark):
+    """Applying the trained rules: token counts drop by exactly the
+    number of merge occurrences, chars are conserved, and a corpus
+    with no learned rules tokenizes to characters."""
+    from isilon_hadoop_tools_spark.operators.corpus import bpe_apply, bpe_train
+
+    text = " ".join(["low"] * 3 + ["newest"] * 5)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(df, "text", "doc_id", rounds=2)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    # round 2 ties at count 5 resolve to the lexicographically
+    # smallest lhs: ("e", "w") beats ("es", "t")
+    assert rules == [("e", "s"), ("e", "w")]
+    r = bpe_apply(df, "text", "doc_id", rules).collect()[0]
+    assert r["n_words"] == 8
+    assert r["n_chars"] == 3 * 3 + 5 * 6  # chars conserved
+    # 'low' stays 3 symbols; 'newest' = n ew es t -> 4 symbols
+    assert r["n_tokens"] == 3 * 3 + 5 * 4
+    assert r["compression"] == round(39 / 29, 6)
+    # no rules: tokens == chars
+    r0 = bpe_apply(df, "text", "doc_id", []).collect()[0]
+    assert r0["n_tokens"] == r0["n_chars"]
