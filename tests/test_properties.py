@@ -806,3 +806,81 @@ def test_minhash_jaccard_eval_exact_side_matches_sets(spark, docs):
         truth = len(sa & sb) / len(sa | sb)
         assert r["exact_jaccard"] == round(truth, 6)
         assert 0 <= r["n_agree"] <= 8
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=18,
+    ),
+    k=st.integers(min_value=2, max_value=3),
+)
+def test_kcore_auto_matches_reference_peel(spark, edges, k):
+    """kcore(rounds='auto') equals a sequential Python peel to the
+    fixed point on arbitrary small graphs."""
+    from isilon_hadoop_tools_spark.operators.graph import kcore
+
+    clean = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not clean:
+        return
+    df = spark.createDataFrame(sorted(clean), "id_a long, id_b long")
+    got = {
+        r["v"]: r["core_degree"] for r in kcore(df, k=k, rounds="auto").collect()
+    }
+    e = set(clean)
+    while True:
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        ne = {(a, b) for a, b in e if a in keep and b in keep}
+        if ne == e:
+            break
+        e = ne
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert got == deg
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_triangle_counts_match_brute_force(spark, edges):
+    """Degree-oriented triangle enumeration equals the O(n^3) brute
+    force per vertex on arbitrary small graphs."""
+    from itertools import combinations
+
+    from isilon_hadoop_tools_spark.operators.graph import triangle_counts
+
+    clean = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not clean:
+        return
+    df = spark.createDataFrame(sorted(clean), "id_a long, id_b long")
+    got = {
+        r["v"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    verts = sorted({v for e in clean for v in e})
+    expect = {}
+    for x, y, z in combinations(verts, 3):
+        if (
+            (x, y) in clean and (x, z) in clean and (y, z) in clean
+        ):
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    assert got == expect
