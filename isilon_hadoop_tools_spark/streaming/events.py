@@ -443,3 +443,59 @@ def cdc_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+KMV_STATE_SCHEMA = "h LONG, event_id LONG, value DOUBLE"
+
+
+def kmv_stream_into_state(
+    events: DataFrame,
+    state: ParquetState,
+    k: int = 512,
+    table: str = "kmv_sample",
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming KMV bottom-k maintenance — the continuously-updated
+    uniform sample (and with it distinct counts and quantile
+    estimates) over an unbounded key stream: per micro-batch take the
+    batch's ``k`` smallest ``stable_hash32(key)`` rows and merge with
+    the persisted sample by keeping the ``k`` smallest of the union.
+
+    Exactly-once from the ALGEBRA, the third flavor after HLL's max
+    and CDC's max_by: bottom-k-of-union is idempotent (a replayed
+    batch re-offers rows the distinct pass collapses), commutative,
+    and associative — ``bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪
+    bottom_k(B))``, the KMV merge property. State is k rows forever;
+    keys are unique per event (event_id), so the distinct collapse
+    is exact.
+    """
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        h = F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        delta = (
+            batch.select(
+                h.alias("h"), "event_id", "value"
+            )
+            .orderBy("h", "event_id")
+            .limit(k)
+        )
+        current = state.read(table, KMV_STATE_SCHEMA)
+        merged = (
+            current.unionByName(delta)
+            .distinct()
+            .orderBy("h", "event_id")
+            .limit(k)
+        )
+        state.write(table, merged)
+
+    writer = events.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -8099,6 +8099,41 @@ def events_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_kmv_stream",
+    oracle=f"""
+    SELECT event_id, value FROM (
+      SELECT event_id, value,
+             (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT) AS h
+      FROM events
+    ) ORDER BY h, event_id LIMIT 512
+    """,
+)
+def events_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV bottom-k maintenance (§2.9 x KMV): the
+    continuously-updated uniform sample — per batch the k smallest
+    hash rows merge into k-row state by bottom-k-of-union, the KMV
+    merge property; exactly-once from the algebra (idempotent +
+    commutative + associative), the third flavor after HLL's max and
+    CDC's max_by. Drained TWICE; final sample must equal the batch
+    bottom-k exactly."""
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.streaming.events import (
+        KMV_STATE_SCHEMA,
+        kmv_stream_into_state,
+    )
+
+    state = _fresh_state(spark, "events_kmv_stream")
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir).select(
+            "event_id", "value"
+        )
+        kmv_stream_into_state(ev, state, k=512)
+    return state.read("kmv_sample", KMV_STATE_SCHEMA).select(
+        "event_id", "value"
+    )
+
+
+@query(
     "events_cdc_stream",
     oracle="""
     WITH ranked AS (

@@ -339,3 +339,60 @@ def test_cdc_stream_out_of_order_batches_and_replay(spark, tmp_path):
     assert rows[7]["value"] == 7.3 and rows[7]["event_id"] == 100
     assert rows[8]["event_type"] == "error"  # tombstone retained
     assert len(rows) == 2  # one state row per key, log never kept
+
+
+def test_kmv_stream_multibatch_merge_property_and_replay(spark, tmp_path):
+    """Three micro-batches then a full re-drain: the final k-row
+    sample equals the batch bottom-k of all ids, proving both the
+    bottom-k-of-union merge property and replay idempotence."""
+    import hashlib
+
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.events import (
+        KMV_STATE_SCHEMA,
+        kmv_stream_into_state,
+    )
+
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    batches = [list(range(0, 40)), list(range(40, 70)), list(range(70, 90))]
+    for i, ids in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "value": pa.array([float(x) for x in ids], pa.float64()),
+                }
+            ),
+            os.path.join(in_dir, f"b{i}.parquet"),
+        )
+        time.sleep(0.05)
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema("event_id LONG, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        kmv_stream_into_state(stream, state, k=16)
+    got = sorted(
+        r["event_id"]
+        for r in state.read("kmv_sample", KMV_STATE_SCHEMA).collect()
+    )
+    all_ids = [i for b in batches for i in b]
+    expect = sorted(
+        sorted(
+            all_ids,
+            key=lambda i: (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16),
+                i,
+            ),
+        )[:16]
+    )
+    assert got == expect
