@@ -1306,3 +1306,162 @@ def wav_goertzel_hash(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def y4m_encode(frames) -> bytes:
+    """Minimal REAL YUV4MPEG2 writer: plain-text stream header
+    (width, height, frame rate, interlace, aspect, C420), then per
+    frame a ``FRAME\\n`` marker + planar YUV420 data (full-res Y,
+    quarter-res U and V fixed at neutral 128). ``frames`` is a
+    (n, h, w) uint8 luminance array."""
+    import numpy as np
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w = fr.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even dimensions")
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode())
+    uv = bytes([128] * ((w // 2) * (h // 2)))
+    for f in range(n):
+        out += b"FRAME\n"
+        out += fr[f].tobytes()
+        out += uv + uv
+    return bytes(out)
+
+
+def y4m_decode(raw: bytes):
+    """REAL YUV4MPEG2 decoder (C420 planar): parse the stream header
+    tags (W/H required; C must be a 420 variant when present), walk
+    ``FRAME`` markers (parameters after FRAME are legal and skipped),
+    slice each frame's Y plane (U/V skipped — luminance drives every
+    downstream hash/feature), return an (n, h, w) uint8 array. The
+    FOURTH modality container, and like the others every malformation
+    — bad magic, missing W/H, odd dims, non-420 colorspace, bad frame
+    marker, truncated planes, zero frames — raises a typed
+    ValueError rather than yielding garbage."""
+    import numpy as np
+
+    nl = raw.find(b"\n")
+    if nl < 0 or not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tag in raw[9:nl].split():
+        t = tag.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C") and not t[1:].startswith("420"):
+            raise ValueError(f"unsupported colorspace {t}")
+    if not w or not h:
+        raise ValueError("missing W/H header tags")
+    if w % 2 or h % 2:
+        raise ValueError("C420 needs even dimensions")
+    ysize = w * h
+    csize = (w // 2) * (h // 2)
+    pos = nl + 1
+    frames = []
+    while pos < len(raw):
+        fnl = raw.find(b"\n", pos)
+        if fnl < 0 or raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        if pos + ysize + 2 * csize > len(raw):
+            raise ValueError("truncated frame planes")
+        frames.append(
+            np.frombuffer(raw[pos : pos + ysize], dtype=np.uint8).reshape(
+                h, w
+            )
+        )
+        pos += ysize + 2 * csize
+    if not frames:
+        raise ValueError("stream contains no frames")
+    import numpy as np
+
+    return np.stack(frames)
+
+
+def y4m_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Video feature extraction over the REAL Y4M decode: per clip
+    the dimensions, frame count, total luminance sum, and the
+    top-left Y of the first and last frames — the same exact-integer
+    contract as the image codecs, so the oracle checks every decoded
+    byte analytically. Output: ``id, width, height, n_frames,
+    sum_y, first_tl, last_tl``."""
+    schema = (
+        f"{id_col} LONG, width INT, height INT, n_frames INT, "
+        "sum_y LONG, first_tl INT, last_tl INT"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(raw: bytes):
+            fr = y4m_decode(raw)
+            n, h, w = fr.shape
+            return (
+                w, h, n,
+                int(fr.astype(np.int64).sum()),
+                int(fr[0, 0, 0]),
+                int(fr[-1, 0, 0]),
+            )
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_frames",
+                    "sum_y", "first_tl", "last_tl",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def y4m_video_hash(
+    df: DataFrame, bin_col: str, id_col: str, grid: int = 2
+) -> DataFrame:
+    """Temporal video fingerprint over the REAL Y4M decode: each
+    frame contributes a ``grid²``-bit luminance mosaic (the
+    bmp/png/gif aHash contract per frame — cell at
+    (gx·w // grid, gy·h // grid), bit = grid²·cell > Σcells), frames
+    concatenated in time order into one integer — 32 bits at 8
+    frames × grid 2, feeding the SAME banded hamming join as text /
+    image / audio fingerprints: one index design, four modalities.
+    Output: ``id``, ``n_frames``, ``vhash``."""
+    schema = f"{id_col} LONG, n_frames INT, vhash LONG"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(raw: bytes):
+            fr = y4m_decode(raw).astype(np.int64)
+            n, h, w = fr.shape
+            if n * grid * grid >= 63:
+                raise ValueError("video hash overflows a signed-64 int")
+            gx = np.arange(grid) * w // grid
+            gy = np.arange(grid) * h // grid
+            cells = fr[np.ix_(range(n), gy, gx)]  # (n, grid, grid)
+            tot = cells.reshape(n, -1).sum(axis=1)  # per-frame sum
+            bits = (
+                grid * grid * cells > tot[:, None, None]
+            ).astype(np.int64)
+            idx = np.arange(n * grid * grid, dtype=np.int64).reshape(
+                n, grid, grid
+            )
+            return n, int((bits << idx).sum())
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_frames", "vhash"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

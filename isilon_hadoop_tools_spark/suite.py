@@ -5927,6 +5927,130 @@ def _wav_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", payload.alias("payload"))
 
 
+def _y4m_payload_df(
+    spark: SparkSession, sf_dir: str, base_mod: int | None = None
+) -> DataFrame:
+    """Per-document REAL YUV4MPEG2 payloads (8x4, 8 frames, C420,
+    neutral chroma) written by ``multimodal.y4m_encode``; luminance
+    ``Y(f, x, y) = (base + 3x + 7y + 11f) % 256`` so the oracle
+    recomputes every decoded byte analytically. ``base = doc_id %
+    base_mod`` is the duplicate-video knob."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mod = base_mod
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        y, x = np.mgrid[0:4, 0:8]
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                base = int(doc_id) % mod if mod else int(doc_id)
+                frames = np.stack(
+                    [(base + 3 * x + 7 * y + 11 * f) % 256 for f in range(8)]
+                ).astype(np.uint8)
+                payloads.append(M.y4m_encode(frames))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(gen, "doc_id LONG, payload BINARY")
+
+
+@query(
+    "multimodal_y4m_features",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, f, x, unnest(generate_series(0, 3)) AS y
+      FROM (
+        SELECT doc_id, f, unnest(generate_series(0, 7)) AS x
+        FROM (
+          SELECT doc_id, unnest(generate_series(0, 7)) AS f
+          FROM documents
+        )
+      )
+    )
+    SELECT doc_id, 8::INT AS width, 4::INT AS height, 8::INT AS n_frames,
+           sum((doc_id + 3 * x + 7 * y + 11 * f) % 256)::BIGINT AS sum_y,
+           (doc_id % 256)::INT AS first_tl,
+           ((doc_id + 77) % 256)::INT AS last_tl
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_y4m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth REAL codec and the FOURTH modality (video): YUV4MPEG2
+    payloads — text stream header, FRAME markers, planar C420 —
+    decoded by ``y4m_features`` (header tag parse, frame walk, Y
+    plane slice), with dimensions, frame count, total luminance, and
+    first/last top-left pixels recomputed analytically by the oracle;
+    a wrong plane offset, frame split, or header parse hash-fails."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.y4m_features(
+        _y4m_payload_df(spark, sf_dir), "payload", "doc_id"
+    )
+
+
+@query(
+    "multimodal_video_near_dups",
+    oracle="""
+    WITH cells AS (
+      SELECT doc_id, b, f, gy, unnest(generate_series(0, 1)) AS gx
+      FROM (
+        SELECT doc_id, b, f, unnest(generate_series(0, 1)) AS gy
+        FROM (
+          SELECT doc_id, doc_id % 200 AS b,
+                 unnest(generate_series(0, 7)) AS f
+          FROM documents
+        )
+      )
+    ),
+    vals AS (
+      SELECT doc_id, f, gy, gx,
+             (b + 3 * (gx * 4) + 7 * (gy * 2) + 11 * f) % 256 AS cy
+      FROM cells
+    ),
+    tot AS (
+      SELECT doc_id, f, sum(cy) AS t FROM vals GROUP BY doc_id, f
+    ),
+    hashes AS (
+      SELECT v.doc_id,
+             sum(CASE WHEN 4 * v.cy > t.t THEN
+                   (1::BIGINT << (v.f * 4 + v.gy * 2 + v.gx))
+                 ELSE 0 END)::BIGINT AS vhash
+      FROM vals v JOIN tot t ON t.doc_id = v.doc_id AND t.f = v.f
+      GROUP BY v.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.vhash, b.vhash))::BIGINT AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
+    """,
+)
+def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end VIDEO dedup (L16h) — the fourth modality through
+    the shared banded hamming machinery: real Y4M payloads with
+    planted duplicates → real decode → temporal mosaic fingerprint
+    (per-frame 2x2 luminance aHash bits concatenated in time order,
+    32 bits) → ``hamming_band_pairs`` (4 bands, hamming <= 3
+    pigeonhole-complete). One index design now serves text, images,
+    audio, and video; the oracle brute-forces all qualifying pairs
+    from the analytic luminance model."""
+    from isilon_hadoop_tools_spark import multimodal as M
+    from isilon_hadoop_tools_spark.operators.dedup import hamming_band_pairs
+
+    hashes = M.y4m_video_hash(
+        _y4m_payload_df(spark, sf_dir, base_mod=200), "payload", "doc_id"
+    )
+    return hamming_band_pairs(
+        hashes.select("doc_id", "vhash"), "vhash", "doc_id",
+        bits=32, max_hamming=3, bands=4,
+    )
+
+
 def _wav_long_payload_df(
     spark: SparkSession, sf_dir: str, base_mod: int = 200, n_samples: int = 144
 ) -> DataFrame:

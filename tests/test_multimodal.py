@@ -825,3 +825,91 @@ def test_wav_goertzel_detects_pure_tone(spark):
     # band 2 (k=2) bit positions: idx = (f-1)*4 + 1 for f=1..8
     for f in range(1, 9):
         assert (h >> ((f - 1) * 4 + 1)) & 1 == 1
+
+
+# ---------------------------------------------------------------------
+# Y4M video codec (L16h): the fourth modality
+# ---------------------------------------------------------------------
+
+
+def _y4m_frames(base, n=8, w=8, h=4):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(base + 3 * x + 7 * y + 11 * f) % 256 for f in range(n)]
+    ).astype(np.uint8)
+
+
+def test_y4m_roundtrip_and_frame_walk(spark):
+    import numpy as np
+
+    fr = _y4m_frames(5)
+    raw = M.y4m_encode(fr)
+    back = M.y4m_decode(raw)
+    assert back.shape == (8, 4, 8)
+    assert (back == fr).all()
+    # FRAME parameters after the marker are legal and skipped
+    patched = raw.replace(b"FRAME\n", b"FRAME Xparam\n", 1)
+    assert (M.y4m_decode(patched) == fr).all()
+
+
+def test_y4m_typed_rejects(spark):
+    import numpy as np
+    import pytest
+
+    fr = _y4m_frames(1)
+    raw = M.y4m_encode(fr)
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        M.y4m_decode(b"RIFF....")
+    with pytest.raises(ValueError, match="colorspace"):
+        M.y4m_decode(raw.replace(b"C420", b"C444"))
+    with pytest.raises(ValueError, match="truncated"):
+        M.y4m_decode(raw[:-5])
+    with pytest.raises(ValueError, match="FRAME"):
+        M.y4m_decode(raw.replace(b"FRAME\n", b"FRAMX\n", 1))
+    hdr_only = raw[: raw.index(b"\n") + 1]
+    with pytest.raises(ValueError, match="no frames"):
+        M.y4m_decode(hdr_only)
+    with pytest.raises(ValueError, match="even"):
+        M.y4m_encode(np.zeros((1, 3, 8), dtype=np.uint8))
+
+
+def test_y4m_video_hash_temporal_order_sensitivity(spark):
+    """Reversing the frame order changes the fingerprint (temporal
+    structure is part of the code), while identical videos collide;
+    per-frame bits recomputed by hand from the mosaic rule."""
+    import numpy as np
+
+    import numpy as np
+
+    # content must vary NON-uniformly per frame (the additive-in-f
+    # fixture shifts all cells equally, which the mean-threshold bits
+    # are invariant to): scale x by the frame index instead
+    y, x = np.mgrid[0:4, 0:8]
+    fr = np.stack(
+        [(9 + 3 * x * (f + 1) + 7 * y) % 256 for f in range(8)]
+    ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(M.y4m_encode(fr))),
+            (2, bytearray(M.y4m_encode(fr))),
+            (3, bytearray(M.y4m_encode(fr[::-1].copy()))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["vhash"]
+        for r in M.y4m_video_hash(df, "payload", "doc_id").collect()
+    }
+    assert got[1] == got[2]
+    expect = 0
+    for f in range(8):
+        cells = [int(fr[f, gy * 2, gx * 4]) for gy in (0, 1) for gx in (0, 1)]
+        tot = sum(cells)
+        for ci, cv in enumerate(cells):
+            if 4 * cv > tot:
+                expect |= 1 << (f * 4 + ci)
+    assert got[1] == expect
+    # reversed clip differs: temporal order is part of the code
+    assert got[3] != got[1]
