@@ -396,3 +396,65 @@ def test_kmv_stream_multibatch_merge_property_and_replay(spark, tmp_path):
         )[:16]
     )
     assert got == expect
+
+
+def test_kmv_stream_checkpointed_restart(spark, tmp_path):
+    """Checkpointed restart ingests only the new file; the merged
+    sample still equals the batch bottom-k over everything."""
+    import hashlib
+
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.events import (
+        KMV_STATE_SCHEMA,
+        kmv_stream_into_state,
+    )
+
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = ParquetState(spark, str(tmp_path / "state"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("event_id LONG, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        kmv_stream_into_state(stream, state, k=8, checkpoint=ckpt)
+
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(name, ids):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "value": pa.array([float(x) for x in ids], pa.float64()),
+                }
+            ),
+            os.path.join(in_dir, name),
+        )
+        time.sleep(0.05)
+
+    write("b0.parquet", list(range(0, 30)))
+    drain()
+    write("b1.parquet", list(range(30, 55)))
+    drain()
+    got = sorted(
+        r["event_id"]
+        for r in state.read("kmv_sample", KMV_STATE_SCHEMA).collect()
+    )
+    expect = sorted(
+        sorted(
+            range(55),
+            key=lambda i: (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16),
+                i,
+            ),
+        )[:8]
+    )
+    assert got == expect

@@ -379,3 +379,57 @@ def test_ivf_stream_matches_batch_assignment_and_replay_noop(
     assert state.read("ivf_postings", IVF_POSTINGS_SCHEMA).count() == len(
         all_rows
     )
+
+
+def test_ivf_stream_checkpointed_restart_ingests_only_new(spark, tmp_path):
+    """Checkpointed restart: the second drain sees only the files
+    that arrived after the first; final postings equal the batch
+    assignment over everything."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_train,
+        quantize_vectors,
+    )
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        IVF_POSTINGS_SCHEMA,
+        ivf_stream_into_state,
+    )
+
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    b0 = [(i, [float(10 + i % 2), 10.0]) for i in range(4)]
+    b1 = [(i, [float(-10 - i % 2), -10.0]) for i in range(10, 14)]
+    all_rows = b0 + b1
+    batch_df = spark.createDataFrame(
+        all_rows, "vec_id long, embedding array<float>"
+    )
+    cents = kmeans_train(
+        quantize_vectors(batch_df, "embedding", "vec_id"), k=2, iters=1
+    )
+    state = ParquetState(spark, str(tmp_path / "state"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        ivf_stream_into_state(stream, state, cents, checkpoint=ckpt)
+
+    _write_vec_batch(in_dir, "b0.parquet", b0)
+    drain()
+    _write_vec_batch(in_dir, "b1.parquet", b1)
+    drain()
+    truth = {
+        r["vid"]: (r["list_id"], r["dist"])
+        for r in kmeans_assign(
+            quantize_vectors(batch_df, "embedding", "vec_id"), cents
+        ).collect()
+    }
+    got = {
+        r["vid"]: (r["list_id"], r["dist"])
+        for r in state.read("ivf_postings", IVF_POSTINGS_SCHEMA).collect()
+    }
+    assert got == truth
