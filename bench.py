@@ -105,6 +105,13 @@ HEADLINE = (
     "corpus_bpe_merges",
     "events_value_bootstrap_ci",
     "multimodal_mixed_near_dups",
+    # the audio/video fingerprint chains (decode + integer filterbank
+    # or temporal mosaic + band join), the Theil-Sen pair table, and
+    # the BPE apply join — the remaining round-9 throughput paths
+    "multimodal_audio_near_dups",
+    "multimodal_video_near_dups",
+    "events_theil_sen_trend",
+    "corpus_bpe_tokenize",
 )
 
 
