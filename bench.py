@@ -5,7 +5,8 @@ Runs each headline query from the oracle-checked suite against
 ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line::
 
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...},
+     "reps": {"q1_pricing_summary": [sec, sec, sec], ...}, "sf": 0.1}
 
 Each query is forced end-to-end with a ``noop`` write (full plan
 execution, no driver-side collect cost). Before timing, every query
@@ -13,6 +14,13 @@ runs once against the sf0.001 smoke data: that compiles the plan and
 generates its codegen classes, so the timed sf0.1 run measures
 steady-state execution (what a resident cluster job sees), not
 one-time JIT/compile overhead.
+
+Each query is timed ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and
+``queries`` reports the MIN; ``reps`` keeps every observation. On a
+shared sandbox, single-rep walls swing with machine noise far more
+than the effects being measured (observed up to 1.6x on identical
+code/data); min-of-N is the standard noise floor estimator for
+round-over-round regression detection.
 """
 
 from __future__ import annotations
@@ -30,6 +38,7 @@ from isilon_hadoop_tools_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Headline set: one per major subsystem (scan+agg, joins, windows,
 # events, text, dedup family, similarity).
@@ -112,6 +121,14 @@ HEADLINE = (
     "multimodal_video_near_dups",
     "events_theil_sen_trend",
     "corpus_bpe_tokenize",
+    # round-10 additions: the prefix-filtered exact-Jaccard join (a
+    # scale flagship, unbenched until now), the IVF-PQ + exact-rerank
+    # read path, unigram-LM tokenizer EM training, and the unified
+    # four-modality near-dup band join
+    "doc_prefix_jaccard_pairs",
+    "ann_ivf_pq_rerank",
+    "corpus_unigram_lm",
+    "multimodal_unified_near_dups",
 )
 
 
@@ -157,15 +174,22 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        timings[name] = round(run_query(registry[name], spark, SF_DIR), 3)
+    # Min-of-N: rep r of every query runs before rep r+1 of any query,
+    # so a transient machine-load spike hits at most one rep per query
+    # instead of all reps of the unlucky queries.
+    reps: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(BENCH_REPS):
+        for name in names:
+            reps[name].append(round(run_query(registry[name], spark, SF_DIR), 3))
+
+    timings = {name: min(times) for name, times in reps.items()}
 
     result = {
         "metric": "suite_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
         "sf": _sf_from_dir(SF_DIR),
     }
     print(json.dumps(result), flush=True)

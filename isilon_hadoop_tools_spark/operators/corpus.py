@@ -1334,3 +1334,230 @@ def bpe_apply(
             ).alias("compression"),
         )
     )
+
+
+def _pow2_long(j) -> Column:
+    """2^j as BIGINT for a column ``j`` ≤ 52 (exact in the double
+    intermediate; the unigram-LM mask encoding below caps word length
+    at 52 chars for exactly this reason)."""
+    return F.pow(F.lit(2.0), j.cast("double")).cast("long")
+
+
+def _viterbi_segment(
+    w: Column, costs: dict[str, int], max_piece_len: int, big: int
+) -> Column:
+    """Viterbi segmentation of one word under an integer piece-cost
+    table — the unigram-LM E-step kernel, pure JVM (no UDF).
+
+    ``dp[i]`` over prefix length ``i`` is a ``(cost, mask)`` struct:
+    total cost of the best segmentation of ``w[0:i]`` plus the
+    boundary bitmask (bit ``j`` set ⇔ a piece starts at offset
+    ``j``). ``F.least`` over the ≤ ``max_piece_len`` candidate
+    extensions is tuple-min, so ties on cost break to the smallest
+    mask — a total order both engines can reproduce (extending two
+    paths that end at the same ``j`` by the same piece adds the same
+    cost and the same bit, so tuple-min has optimal substructure).
+    Out-of-vocab pieces cost ``big`` (never chosen while any
+    all-in-vocab path exists; single chars are always in vocab).
+
+    Returns the piece ARRAY decoded from the final mask — the mask IS
+    the segmentation, so no backpointer pass is needed.
+    """
+    cmap = F.create_map(
+        *[
+            x
+            for p, c in sorted(costs.items())
+            for x in (F.lit(p), F.lit(c).cast("long"))
+        ]
+    )
+    wl = F.length(w)
+    bigc = F.lit(big).cast("long")
+
+    def step(acc, i):
+        cands = []
+        for d in range(1, max_piece_len + 1):
+            j = i - F.lit(d)
+            piece = F.substring(w, j + F.lit(1), F.lit(d))
+            prev = F.element_at(acc, (j + F.lit(1)).cast("int"))
+            cand = F.struct(
+                (
+                    prev["cost"] + F.coalesce(F.try_element_at(cmap, piece), bigc)
+                ).alias("cost"),
+                (prev["mask"] + _pow2_long(j)).alias("mask"),
+            )
+            cands.append(
+                F.when(j >= 0, cand).otherwise(
+                    F.struct(bigc.alias("cost"), bigc.alias("mask"))
+                )
+            )
+        best = F.least(*cands) if len(cands) > 1 else cands[0]
+        return F.concat(acc, F.array(best))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), wl),
+        F.array(
+            F.struct(
+                F.lit(0).cast("long").alias("cost"),
+                F.lit(0).cast("long").alias("mask"),
+            )
+        ),
+        step,
+    )
+    mask = F.element_at(dp, (wl + F.lit(1)).cast("int"))["mask"]
+    starts = F.filter(
+        F.sequence(F.lit(0), wl - F.lit(1)),
+        lambda j: mask.bitwiseAND(_pow2_long(j)) != 0,
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.substring(
+            w,
+            s + F.lit(1),
+            F.coalesce(F.try_element_at(starts, (i + F.lit(2)).cast("int")), wl)
+            - s,
+        ),
+    )
+
+
+def _unigram_costs(counts: dict[str, int], scale: int) -> dict[str, int]:
+    """Integer piece costs ``floor(-ln(count/total)·scale + 0.5)`` —
+    fixed-point negative log-probs (half-up, the engine's quantized-
+    transcendental convention; exact .5 ties require ln of a rational
+    to be a half-integer multiple of 1/scale, which never happens for
+    count < total and is 0 at count == total)."""
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: int(math.floor(-math.log(c / total) * scale + 0.5))
+        for p, c in counts.items()
+    }
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_piece_len: int = 4,
+    n_seed_multi: int = 16,
+    em_rounds: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018; SentencePiece's
+    default algorithm) — the OTHER production tokenizer family next to
+    BPE (:func:`bpe_train`): instead of learning merges bottom-up,
+    seed a big candidate-piece vocabulary, then EM — E-step: Viterbi-
+    segment every word under current piece probabilities; M-step:
+    re-estimate piece probabilities from the segmentation counts —
+    pruning pieces the model stops using.
+
+    Deterministic, oracle-checkable form of the recipe:
+
+    1. SEED: candidate pieces are all word substrings of length ≤
+       ``max_piece_len``, counted with word-frequency weights
+       (overlapping occurrences counted); the vocabulary is every
+       single char plus the top ``n_seed_multi`` multi-char pieces by
+       (count DESC, piece ASC). Costs = fixed-point −ln p (see
+       :func:`_unigram_costs`).
+    2. E-STEP: :func:`_viterbi_segment` on the DISTINCT-WORD table —
+       integer min-cost DP with a boundary-bitmask tie-break (a total
+       order, so every engine picks the identical segmentation).
+    3. M-STEP: piece counts = segmentation counts weighted by word
+       frequency. Multi-char pieces with zero count are PRUNED; single
+       chars are floored at count 1 (SentencePiece never prunes
+       single characters — character coverage must stay 1.0, or a
+       later E-step can hit an unsegmentable word).
+    4. repeat 2–3 ``em_rounds`` times; output the final model.
+
+    THE SCALE DESIGN (same as :func:`bpe_train`): the corpus is
+    scanned ONCE (word counts); every EM round is one stateless JVM
+    projection + one vocabulary-sized aggregation over the DISTINCT-
+    WORD table (language-bounded: ~10⁷ rows at any corpus scale vs
+    10¹² corpus tokens). Driver state per round is the piece-cost
+    table (vocab-sized — the same thing SentencePiece holds in RAM).
+    Words longer than 52 chars are excluded from training (documented
+    coverage cut: the boundary mask must stay exact in a BIGINT via a
+    double 2^j; 52+-char whitespace tokens are URL/DNA-style outliers
+    a tokenizer trainer should not fit to anyway).
+
+    Output: ``piece``, ``count`` (final M-step count), ``prob``
+    (count/total, 6 dp), ``rank`` (by count DESC, piece ASC).
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") <= 52)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("wl", F.length("w"))
+        .localCheckpoint(eager=True)
+    )
+    # seed counts: one explode over (start, len) on the distinct-word
+    # table — bounded by vocab size x word length x max_piece_len
+    subs = (
+        words.select(
+            "w",
+            "n",
+            "wl",
+            F.explode(F.sequence(F.lit(0), F.col("wl") - 1)).alias("j"),
+        )
+        .select(
+            "w",
+            "n",
+            "j",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.col("wl") - F.col("j")),
+                )
+            ).alias("l"),
+        )
+        .select(
+            F.substring("w", F.col("j") + 1, F.col("l")).alias("piece"), "n"
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    singles = {
+        r["piece"]: int(r["cnt"])
+        for r in subs.filter(F.length("piece") == 1).collect()
+    }
+    multis = {
+        r["piece"]: int(r["cnt"])
+        for r in subs.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(n_seed_multi)
+        .collect()
+    }
+    counts = {**singles, **multis}
+    big = scale * 64  # > any real path cost (52 pieces x ln-range)
+    for _ in range(em_rounds):
+        costs = _unigram_costs(counts, scale)
+        seg = words.select(
+            "n",
+            F.explode(
+                _viterbi_segment(F.col("w"), costs, max_piece_len, big)
+            ).alias("piece"),
+        )
+        observed = {
+            r["piece"]: int(r["cnt"])
+            for r in seg.groupBy("piece")
+            .agg(F.sum("n").alias("cnt"))
+            .collect()
+        }
+        # M-step: prune unused multi-char pieces; floor singles at 1
+        counts = {p: max(observed.get(p, 0), 1) for p in singles}
+        counts.update(
+            {p: observed[p] for p in multis if observed.get(p, 0) > 0}
+        )
+    total = sum(counts.values())
+    out = spark.createDataFrame(
+        sorted(counts.items()), "piece string, count long"
+    )
+    w_rank = Window.orderBy(F.col("count").desc(), "piece")
+    return out.select(
+        "piece",
+        "count",
+        F.round(F.col("count") / F.lit(total).cast("double"), 6).alias("prob"),
+        F.row_number().over(w_rank).alias("rank"),
+    )

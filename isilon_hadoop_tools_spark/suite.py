@@ -5250,6 +5250,122 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), "text", "doc_id", rounds=6)
 
 
+def _unigram_lm_oracle(
+    max_piece_len: int = 4, n_seed_multi: int = 16,
+    em_rounds: int = 2, scale: int = 1_000_000,
+) -> str:
+    """Unigram-LM EM twin via a DIFFERENT algorithm: where the engine
+    runs integer Viterbi DP per distinct word, the oracle brute-force
+    ENUMERATES every segmentation with a recursive CTE (sound at
+    oracle scale: words ≤ 8 chars here, ≤ tetranacci(len) paths each)
+    and picks the (cost, mask) minimum — the same total order the
+    engine's ``F.least`` tuple-min realizes, reached independently.
+    One wrong E-step segmentation re-weights the M-step counts and
+    diverges every later round."""
+    L = max_piece_len
+    parts = [rf"""
+    WITH RECURSIVE toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    words AS (
+      SELECT w, count(*)::BIGINT AS n, length(w) AS wl FROM toks
+      WHERE length(w) <= 52 GROUP BY w
+    ),
+    subs AS (
+      SELECT substr(w, j + 1, l) AS piece, sum(n)::BIGINT AS cnt
+      FROM words,
+           unnest(generate_series(0, wl - 1)) AS sj(j),
+           unnest(generate_series(1, {L})) AS sl(l)
+      WHERE j + l <= wl
+      GROUP BY piece
+    ),
+    singles AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+    multis AS (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM subs WHERE length(piece) > 1) WHERE rn <= {n_seed_multi}
+    ),
+    v0 AS (SELECT piece, cnt FROM singles UNION ALL SELECT piece, cnt FROM multis),
+    c0 AS (
+      SELECT piece, floor(-ln(cnt / t.tot) * {scale} + 0.5)::BIGINT AS cost
+      FROM v0, (SELECT sum(cnt)::DOUBLE AS tot FROM v0) t
+    )"""]
+    for t in range(1, em_rounds + 1):
+        p = t - 1
+        parts.append(f""",
+    e{t} AS (
+      SELECT w, wl, 0 AS pos, 0::BIGINT AS cost, 0::BIGINT AS mask FROM words
+      UNION ALL
+      SELECT e.w, e.wl, e.pos + lu.l, e.cost + c.cost,
+             e.mask + (1::BIGINT << e.pos)
+      FROM e{t} e,
+           unnest(generate_series(1, {L})) AS lu(l),
+           c{p} c
+      WHERE e.pos < e.wl AND e.pos + lu.l <= e.wl
+        AND c.piece = substr(e.w, e.pos + 1, lu.l)
+    ),
+    best{t} AS (
+      SELECT w, n, wl, mask FROM (
+        SELECT e.w, e.mask,
+               row_number() OVER (PARTITION BY e.w
+                                  ORDER BY e.cost, e.mask) AS rn
+        FROM e{t} e WHERE e.pos = e.wl
+      ) b JOIN words USING (w) WHERE rn = 1
+    ),
+    st{t} AS (
+      SELECT w, n, wl,
+             unnest(list_filter(range(0, wl),
+                                j -> ((mask >> j) & 1) = 1)) AS s
+      FROM best{t}
+    ),
+    pc{t} AS (
+      SELECT n, substr(w, s + 1,
+             coalesce(lead(s) OVER (PARTITION BY w ORDER BY s), wl) - s)
+               AS piece
+      FROM st{t}
+    ),
+    o{t} AS (SELECT piece, sum(n)::BIGINT AS cnt FROM pc{t} GROUP BY piece),
+    v{t} AS (
+      SELECT s.piece, greatest(coalesce(o.cnt, 0), 1) AS cnt
+      FROM singles s LEFT JOIN o{t} o USING (piece)
+      UNION ALL
+      SELECT m.piece, o.cnt FROM multis m JOIN o{t} o USING (piece)
+    ),
+    c{t} AS (
+      SELECT piece, floor(-ln(cnt / t.tot) * {scale} + 0.5)::BIGINT AS cost
+      FROM v{t}, (SELECT sum(cnt)::DOUBLE AS tot FROM v{t}) t
+    )""")
+    parts.append(f"""
+    SELECT piece, cnt AS count, round(cnt / t.tot, 6) AS prob,
+           row_number() OVER (ORDER BY cnt DESC, piece) AS rank
+    FROM v{em_rounds}, (SELECT sum(cnt)::DOUBLE AS tot FROM v{em_rounds}) t
+    """)
+    return "".join(parts)
+
+
+@query("corpus_unigram_lm", oracle=_unigram_lm_oracle())
+def corpus_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018; SentencePiece's
+    default) — the OTHER production tokenizer family next to BPE:
+    seed a substring candidate vocabulary, then 2 EM rounds — E-step
+    Viterbi segmentation of every DISTINCT word under fixed-point
+    integer −ln p piece costs (pure-JVM ``F.aggregate`` DP with a
+    boundary-bitmask tie-break; no UDF), M-step count re-estimation
+    with zero-count multi-char pruning and single-char coverage
+    floors. Corpus scanned ONCE; every round is vocabulary-sized.
+    The oracle reaches the same model by brute-force ENUMERATING all
+    segmentations per word (recursive CTE) under the identical
+    (cost, mask) total order — a different algorithm agreeing on
+    every E-step makes the DP itself the thing being checked."""
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_lm_train
+
+    return unigram_lm_train(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_piece_len=4, n_seed_multi=16, em_rounds=2,
+    )
+
+
 @query(
     "corpus_good_turing",
     oracle=r"""
