@@ -1427,6 +1427,7 @@ def ivf_pq_topk(
     k: int = 8,
     pq_iters: int = 2,
     scale: int = 1000,
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production billion-vector ANN index (FAISS's
     ``IndexIVFPQ``), composing the engine's coarse quantizer (L12/L28)
@@ -1461,7 +1462,21 @@ def ivf_pq_topk(
     query time; 100 TB state is codes + one bigint list id per
     vector (~m bytes/vector at k<=256).
 
-    Output: ``query_id``, ``neighbor_id``, ``adist``, ``rank``.
+    With ``rerank_k`` set, the FAISS refine step runs after ADC: the
+    ADC ranking keeps the top ``rerank_k`` CANDIDATES per query (so
+    pick ``rerank_k`` ≈ 4·topk), those candidate ids equi-join back
+    to the stored quantized vectors — a join whose left side is
+    ``n_queries · rerank_k`` rows, never the corpus — and the final
+    top-k is by EXACT integer squared L2 distance. This trades one
+    bounded join + ``rerank_k`` exact distance evaluations per query
+    for the PQ approximation error on the final ranking — the
+    standard production accuracy knob (ADC recall is bounded by code
+    granularity; refine recovers it at the same probe cost). Output
+    then ranks on ``edist`` instead of ``adist``.
+
+    Output: ``query_id``, ``neighbor_id``, ``adist``, ``rank`` — or
+    ``query_id``, ``neighbor_id``, ``edist``, ``rank`` when
+    reranking.
     """
     dim = len(df.select(F.col(vec_col)).first()[0])
     if dim % m != 0:
@@ -1548,11 +1563,53 @@ def ivf_pq_topk(
             w = Window.partitionBy("query_id").orderBy(
                 F.asc("adist"), F.asc("neighbor_id")
             )
-            out = (
-                scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= topk)
-                .select("query_id", "neighbor_id", "adist", "rank")
-            )
+            if rerank_k is None:
+                out = (
+                    scored.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= topk)
+                    .select("query_id", "neighbor_id", "adist", "rank")
+                )
+            else:
+                # refine: ADC keeps rerank_k candidates; exact integer
+                # L2 against the stored quantized vectors decides the
+                # final top-k. The join's left side is n_queries x
+                # rerank_k rows — corpus-sized state is touched only
+                # via the id equi-join (at 100 TB: a point-lookup-
+                # shaped join against the vector store, not a scan).
+                cands = (
+                    scored.withColumn("arank", F.row_number().over(w))
+                    .filter(F.col("arank") <= rerank_k)
+                    .select("query_id", "neighbor_id")
+                )
+                qdf = spark.createDataFrame(
+                    qrows, "query_id long, qqv array<bigint>"
+                )
+                exact = (
+                    cands.join(
+                        vecs.withColumnRenamed("vid", "neighbor_id"),
+                        "neighbor_id",
+                    )
+                    .join(F.broadcast(qdf), "query_id")
+                    .select(
+                        "query_id",
+                        "neighbor_id",
+                        F.aggregate(
+                            F.zip_with(
+                                "qv", "qqv", lambda a, b: (a - b) * (a - b)
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        ).alias("edist"),
+                    )
+                )
+                we = Window.partitionBy("query_id").orderBy(
+                    F.asc("edist"), F.asc("neighbor_id")
+                )
+                out = (
+                    exact.withColumn("rank", F.row_number().over(we))
+                    .filter(F.col("rank") <= topk)
+                    .select("query_id", "neighbor_id", "edist", "rank")
+                )
             out = out.localCheckpoint(eager=True)
             return out
         finally:

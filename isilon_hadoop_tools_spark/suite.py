@@ -7969,7 +7969,7 @@ def _pq_adc_oracle(
 def _ivf_pq_oracle(
     n_lists: int = 4, n_probe: int = 2, coarse_iters: int = 2,
     m: int = 4, k: int = 8, pq_iters: int = 2, dim: int = 64,
-    n_queries: int = 5, topk: int = 10,
+    n_queries: int = 5, topk: int = 10, rerank_k: int | None = None,
 ) -> str:
     """IVF-PQ twin: the coarse k-means chain (prefix ``cq_``) feeds a
     residual CTE (``qv - coarse_centroid`` — exact bigints), each
@@ -8044,13 +8044,42 @@ def _ivf_pq_oracle(
     scored AS (
       SELECT query_id, neighbor_id, sum(pdist)::BIGINT AS adist
       FROM parts GROUP BY query_id, neighbor_id
+    )"""
     )
+    if rerank_k is None:
+        parts.append(
+            f"""
     SELECT query_id, neighbor_id, adist, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adist, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {topk}"""
+        )
+    else:
+        parts.append(
+            f""",
+    cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS arank
+        FROM scored
+      ) WHERE arank <= {rerank_k}
+    ),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform({fidx},
+               i -> (q.qv[i] - v.qv[i]) * (q.qv[i] - v.qv[i])))::BIGINT
+               AS edist
+      FROM cands c
+      JOIN cq_qvecs q ON q.vec_id = c.query_id
+      JOIN cq_qvecs v ON v.vec_id = c.neighbor_id
     )
+    SELECT query_id, neighbor_id, edist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY edist, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= {topk}"""
+        )
     return "".join(parts)
 
 
@@ -8070,6 +8099,25 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(
         emb, "embedding", "vec_id", n_queries=5, topk=10,
         n_lists=4, n_probe=2, coarse_iters=2, m=4, k=8, pq_iters=2,
+    )
+
+
+@query("ann_ivf_pq_rerank", oracle=_ivf_pq_oracle(rerank_k=40))
+def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank (the FAISS refine step) — the full
+    production ANN read path: ADC keeps the top-40 candidates per
+    query (4x the final k), those ids equi-join BACK to the stored
+    quantized vectors (a 5x40-row-driven point-lookup join, never a
+    corpus scan), and the final top-10 ranks on EXACT integer squared
+    L2 — recovering the recall the m=4 codes gave up while still
+    touching only probed-list rows. Same bigint determinism contract
+    end to end; the oracle replays ADC and the refine join from the
+    unrolled k-means chains."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, "embedding", "vec_id", n_queries=5, topk=10,
+        n_lists=4, n_probe=2, coarse_iters=2, m=4, k=8, pq_iters=2,
+        rerank_k=40,
     )
 
 

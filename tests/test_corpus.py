@@ -681,3 +681,127 @@ def test_bpe_apply_compression_accounting(spark):
     # no rules: tokens == chars
     r0 = bpe_apply(df, "text", "doc_id", []).collect()[0]
     assert r0["n_tokens"] == r0["n_chars"]
+
+
+def _unigram_reference(texts, max_piece_len=4, n_seed_multi=16,
+                       em_rounds=2, scale=1_000_000):
+    """In-test reference: the full unigram-LM recipe with the E-step
+    done by brute-force ENUMERATION of every segmentation (min
+    (cost, boundary-mask) tuple) — independent of the engine's
+    Viterbi DP."""
+    import math
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split() if len(w) <= 52)
+    seed = Counter()
+    for w, n in words.items():
+        for j in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - j) + 1):
+                seed[w[j:j + l]] += n
+    singles = {p: c for p, c in seed.items() if len(p) == 1}
+    multis = dict(
+        sorted(
+            ((p, c) for p, c in seed.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:n_seed_multi]
+    )
+    counts = {**singles, **multis}
+
+    def costs_of(cnt):
+        tot = sum(cnt.values())
+        return {
+            p: math.floor(-math.log(c / tot) * scale + 0.5)
+            for p, c in cnt.items()
+        }
+
+    def enumerate_segs(w, costs):
+        out = []
+
+        def rec(pos, cost, mask, pieces):
+            if pos == len(w):
+                out.append((cost, mask, list(pieces)))
+                return
+            for l in range(1, min(max_piece_len, len(w) - pos) + 1):
+                piece = w[pos:pos + l]
+                if piece in costs:
+                    pieces.append(piece)
+                    rec(pos + l, cost + costs[piece], mask + (1 << pos),
+                        pieces)
+                    pieces.pop()
+
+        rec(0, 0, 0, [])
+        return min(out)[2]
+
+    for _ in range(em_rounds):
+        costs = costs_of(counts)
+        observed = Counter()
+        for w, n in words.items():
+            for piece in enumerate_segs(w, costs):
+                observed[piece] += n
+        counts = {p: max(observed.get(p, 0), 1) for p in singles}
+        counts.update(
+            {p: observed[p] for p in multis if observed.get(p, 0) > 0}
+        )
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        (p, c, round(c / total, 6), i + 1)
+        for i, (p, c) in enumerate(ranked)
+    ]
+
+
+def test_unigram_lm_canonical_example(spark):
+    """Hand-checkable corpus: 'abab' dominates, so the seed picks
+    'ab'/'abab'/'ba'-family multis and EM must concentrate mass on
+    'abab' as ONE piece (the whole-word segmentation is cheapest),
+    flooring the now-unused single chars at count 1."""
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_lm_train
+
+    texts = ["abab abab abab ab", "abab cd cd ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["piece"], r["count"], r["prob"], r["rank"])
+        for r in unigram_lm_train(df, "text", "doc_id")
+        .orderBy("rank")
+        .collect()
+    ]
+    expect = _unigram_reference(texts)
+    assert got == [
+        (p, c, round(pr, 6), rk) for p, c, pr, rk in expect
+    ]
+    by_piece = {p: c for p, c, _, _ in got}
+    # the whole word won: every 'abab' occurrence is one piece
+    assert by_piece["abab"] == 4
+    assert by_piece["ab"] == 2
+    assert by_piece["cd"] == 2
+    # singles are floored, never pruned (coverage stays 1.0)
+    for ch in "abcd":
+        assert by_piece[ch] == 1
+
+
+def test_unigram_lm_matches_enumeration_reference(spark):
+    """Viterbi DP vs brute-force enumeration on a messier corpus
+    (shared prefixes/suffixes force real tie-breaks), plus the
+    >52-char word-exclusion contract."""
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_lm_train
+
+    texts = [
+        "lower lowest newest newer low new west estes",
+        "lower lower newest newest lowest " + "x" * 60,
+        "es t lo w ne est lowes newes",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["piece"], r["count"], r["prob"], r["rank"])
+        for r in unigram_lm_train(df, "text", "doc_id")
+        .orderBy("rank")
+        .collect()
+    ]
+    expect = _unigram_reference(texts)
+    assert got == expect
+    # the 60-char token was excluded: 'x' never entered the vocab
+    assert all(p != "x" for p, _, _, _ in got)

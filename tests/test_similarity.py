@@ -611,3 +611,59 @@ def test_jl_distortion_mean_ratio_near_one(spark, embeddings):
     assert all(r > 0 for r in ratios)
     mean = sum(ratios) / len(ratios)
     assert 0.6 < mean < 1.6  # 16 output dims: sd/sqrt(45) ~ 0.05-ish
+
+
+def test_ivf_pq_rerank_recall_dominates_adc(spark, embeddings):
+    """The FAISS refine step: with ADC keeping 4x-topk candidates and
+    the final ranking by EXACT integer L2, recall@10 vs the true
+    (quantized-space) L2 top-10 must dominate plain ADC recall@10 at
+    identical index parameters, every reported edist must equal the
+    true integer distance, and ranks stay dense/ordered."""
+    qvs = {
+        r["vid"]: list(r["qv"])
+        for r in similarity.quantize_vectors(
+            embeddings, "embedding", "vec_id"
+        ).collect()
+    }
+    nq = 5
+
+    def exact_topk(qid, k=K):
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qvs[qid], v)), vid)
+            for vid, v in qvs.items()
+        )
+        return {vid for _, vid in dists[:k]}
+
+    truth = {q: exact_topk(q) for q in range(nq)}
+    params = dict(
+        n_queries=nq, topk=K, n_lists=4, n_probe=2,
+        coarse_iters=2, m=4, k=8, pq_iters=2,
+    )
+    adc = similarity.ivf_pq_topk(
+        embeddings, "embedding", "vec_id", **params
+    ).collect()
+    rer = similarity.ivf_pq_topk(
+        embeddings, "embedding", "vec_id", rerank_k=4 * K, **params
+    ).collect()
+
+    def recall(rows):
+        got = _topk_sets(rows)
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / (
+            nq * K
+        )
+
+    assert recall(rer) >= recall(adc)
+    by_q = {}
+    for r in rer:
+        by_q.setdefault(r["query_id"], []).append(r)
+        # reported edist IS the true integer distance
+        assert r["edist"] == sum(
+            (a - b) ** 2
+            for a, b in zip(qvs[r["query_id"]], qvs[r["neighbor_id"]])
+        )
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a["edist"], a["neighbor_id"]) < (
+                b["edist"], b["neighbor_id"])
