@@ -573,6 +573,138 @@ def hamming_band_pairs(
     return cross.unionByName(intra)
 
 
+def tagged_hamming_band_pairs(
+    df: DataFrame,
+    params: dict[str, tuple[int, int, int]],
+    modality_col: str = "modality",
+    hash_col: str = "fhash",
+    id_col: str = "id",
+) -> DataFrame:
+    """ONE banded hamming join over fingerprints from MANY modalities
+    — the unified dedup index: text SimHash, image aHash, audio
+    Goertzel, and video mosaic rows live in the same tagged
+    ``(modality, id, fhash)`` table, each modality keeps its OWN
+    ``(bits, max_hamming, bands)`` parameters via ``params``, and
+    candidate generation is a single self-equi-join keyed on
+    ``(modality, band_idx, band_val)`` — the modality in the bucket
+    key both prevents cross-modality collisions and lets every
+    modality use a different band split inside the one shuffle.
+
+    Same safety construction as :func:`hamming_band_pairs` (this is
+    the SURVEY §7.8 "one index design, four modalities" claim made
+    executable): identical fingerprints collapse to a min-id
+    representative per DISTINCT ``(modality, hash)`` before banding,
+    the band join is pigeonhole-complete per modality
+    (``max_hamming < bands`` enforced for each), intra-group pairs
+    come from a direct equi-join on the hash value, and output size
+    is the answer size. At 100 TB this means ONE index table and ONE
+    maintenance pipeline for the whole multimodal corpus instead of
+    four.
+
+    Output: ``modality``, ``id_a``, ``id_b``, ``hamming`` with
+    ``id_a < id_b``, one row per qualifying same-modality pair.
+    """
+    for m, (bits, max_h, bands) in params.items():
+        if max_h >= bands:
+            raise ValueError(
+                f"completeness requires max_hamming < bands for {m!r}"
+            )
+
+    def per_modality(expr_of):
+        out = None
+        for m, p in sorted(params.items()):
+            e = expr_of(p)
+            out = F.when(F.col("modality") == m, e) if out is None else out.when(
+                F.col("modality") == m, e
+            )
+        return out
+
+    src = df.select(
+        F.col(modality_col).alias("modality"),
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("_hash"),
+    ).localCheckpoint(eager=False)
+    groups = (
+        src.groupBy("modality", "_hash")
+        .agg(F.min("id").alias("rep"))
+        .localCheckpoint(eager=False)
+    )
+    band_arr = per_modality(
+        lambda p: band_slice_array(F.col("_hash"), p[0], p[2])
+    )
+    banded = groups.select(
+        "modality",
+        "rep",
+        "_hash",
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        "modality",
+        "band_idx",
+        "band_val",
+        F.col("rep").alias("rep_a"),
+        F.col("_hash").alias("ha"),
+    )
+    b = banded.select(
+        "modality",
+        "band_idx",
+        "band_val",
+        F.col("rep").alias("rep_b"),
+        F.col("_hash").alias("hb"),
+    )
+    max_h_expr = per_modality(lambda p: F.lit(p[1]))
+    rep_pairs = (
+        a.join(b, ["modality", "band_idx", "band_val"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .groupBy("modality", "rep_a", "rep_b")
+        .agg(F.first("ha").alias("ha"), F.first("hb").alias("hb"))
+        .select(
+            "modality",
+            "rep_a",
+            "rep_b",
+            "ha",
+            "hb",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_h_expr)
+    )
+    cross = (
+        rep_pairs.join(
+            src.select(
+                "modality",
+                F.col("_hash").alias("ha"),
+                F.col("id").alias("_ida"),
+            ),
+            ["modality", "ha"],
+        )
+        .join(
+            src.select(
+                "modality",
+                F.col("_hash").alias("hb"),
+                F.col("id").alias("_idb"),
+            ),
+            ["modality", "hb"],
+        )
+        .select(
+            "modality",
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    ga = src.select("modality", "_hash", F.col("id").alias("id_a"))
+    gb = src.select("modality", "_hash", F.col("id").alias("id_b"))
+    intra = (
+        ga.join(gb, ["modality", "_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "modality", "id_a", "id_b", F.lit(0).cast("int").alias("hamming")
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -10568,6 +10568,80 @@ def multimodal_png_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unified_near_dups_oracle() -> str:
+    """Cross-modality twin: the unified output must equal the UNION
+    of the four per-modality analytic oracles (each already proven
+    against its own engine path), tagged by modality — composed from
+    the registered oracle strings themselves so the two contracts can
+    never drift apart."""
+    subs = [
+        f"SELECT '{tag}' AS modality, t.id_a, t.id_b,"
+        f" t.hamming::INT AS hamming FROM ({REGISTRY[name].oracle}) t"
+        for tag, name in (
+            ("audio", "multimodal_audio_near_dups"),
+            ("image", "multimodal_image_near_dups"),
+            ("text", "simhash_hamming_pairs"),
+            ("video", "multimodal_video_near_dups"),
+        )
+    ]
+    return "\n    UNION ALL\n    ".join(subs)
+
+
+@query("multimodal_unified_near_dups", oracle=_unified_near_dups_oracle())
+def multimodal_unified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVEY §7.8 claim — "one banded-hamming index design serves
+    text, images, audio, and video" — made EXECUTABLE: SimHash text
+    fingerprints, BMP aHash, WAV Goertzel, and Y4M temporal-mosaic
+    hashes all land in ONE tagged ``(modality, id, fhash)`` table and
+    ONE ``tagged_hamming_band_pairs`` call finds every qualifying
+    same-modality pair — each modality keeping its own (bits,
+    max_hamming, bands) parameters inside the single band-bucket
+    shuffle (modality is part of the bucket key, so buckets never mix
+    and per-modality completeness holds by the same pigeonhole
+    argument). At 100 TB: one index table, one maintenance pipeline,
+    four modalities. Oracle = the union of the four per-modality
+    brute-force oracles, composed from their registered strings."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    text = dedup.simhash(docs, "text", "doc_id", bits=32).select(
+        F.lit("text").alias("modality"),
+        "id",
+        F.col("simhash").alias("fhash"),
+    )
+    image = M.bmp_ahash(
+        _bmp_payload_df(spark, sf_dir, base_mod=200), "payload", "doc_id"
+    ).select(
+        F.lit("image").alias("modality"),
+        F.col("doc_id").alias("id"),
+        F.col("ahash").alias("fhash"),
+    )
+    audio = M.wav_goertzel_hash(
+        _wav_long_payload_df(spark, sf_dir), "payload", "doc_id"
+    ).select(
+        F.lit("audio").alias("modality"),
+        F.col("doc_id").alias("id"),
+        F.col("ahash").alias("fhash"),
+    )
+    video = M.y4m_video_hash(
+        _y4m_payload_df(spark, sf_dir, base_mod=200), "payload", "doc_id"
+    ).select(
+        F.lit("video").alias("modality"),
+        F.col("doc_id").alias("id"),
+        F.col("vhash").alias("fhash"),
+    )
+    tagged = text.unionByName(image).unionByName(audio).unionByName(video)
+    return dedup.tagged_hamming_band_pairs(
+        tagged,
+        {
+            "text": (32, 3, 4),
+            "image": (36, 4, 6),
+            "audio": (32, 3, 4),
+            "video": (32, 3, 4),
+        },
+    )
+
+
 # Historical driver-green sets, kept only as the ordering fallback for
 # checkouts without CORRECTNESS_r*.json files (fresh clones, CI): the
 # live ordering below parses the driver's own per-round results.

@@ -575,3 +575,51 @@ def test_minhash_jaccard_eval_exact_dup_and_error_bounds(spark):
         assert abs(r["est_jaccard"] - r["n_agree"] / 8) < 1e-9
         assert 0.0 <= r["exact_jaccard"] <= 1.0
         assert r["abs_err"] <= 1.0
+
+
+def test_tagged_hamming_band_pairs_modality_isolation_and_params(spark):
+    """One tagged band join, three modalities: identical hash VALUES
+    in different modalities must never pair (modality is in the
+    bucket key), each modality applies its OWN max_hamming, and the
+    per-modality answers equal an in-test brute force."""
+    rows = [
+        # modality 'a' (12 bits, max_h=2, bands=4)
+        ("a", 1, 0b0001), ("a", 2, 0b0001), ("a", 3, 0b0011),
+        ("a", 4, 0b0111), ("a", 5, 0xFF0),
+        # modality 'b' (8 bits, max_h=1, bands=4): same VALUES as some
+        # of a's hashes — must not pair across
+        ("b", 1, 0b0001), ("b", 6, 0b0011), ("b", 7, 0b0111),
+        # modality 'c': a lone row — no pairs at all
+        ("c", 9, 0b0001),
+    ]
+    df = spark.createDataFrame(rows, "modality STRING, id LONG, fhash LONG")
+    params = {"a": (12, 2, 4), "b": (8, 1, 4), "c": (8, 1, 4)}
+    got = {
+        (r.modality, r.id_a, r.id_b): r.hamming
+        for r in dedup.tagged_hamming_band_pairs(df, params).collect()
+    }
+    want = {}
+    for i, (ma, ia, ha) in enumerate(rows):
+        for mb, ib, hb in rows[i + 1:]:
+            if ma != mb:
+                continue
+            d = bin(ha ^ hb).count("1")
+            if d <= params[ma][1]:
+                want[(ma, min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    # modality isolation: (a,1)/(b,1) share id AND hash, never pair
+    assert all(m != "c" for m, _, _ in got)
+    # per-modality thresholds really differ: hamming-2 pair survives
+    # in 'a' but the same-distance pair is cut in 'b'
+    assert got[("a", 1, 4)] == 2 or ("a", 3, 4) in got
+    assert ("b", 1, 7) not in got and ("b", 1, 6) in got
+
+
+def test_tagged_hamming_band_pairs_rejects_incomplete_modality(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, 1)], "modality STRING, id LONG, fhash LONG"
+    )
+    with _pytest.raises(ValueError, match="'a'"):
+        dedup.tagged_hamming_band_pairs(df, {"a": (8, 4, 4)})
