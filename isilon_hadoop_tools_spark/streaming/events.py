@@ -345,17 +345,30 @@ def cms_stream_into_state(
     replayed batch would double-count. Exactly-once here is the
     transaction-marker discipline a Delta/Iceberg sink would give
     you, expressed on ``ParquetState``'s single-table atomic swap:
-    every committed micro-batch writes a marker row (``row_id = -1,
-    bucket = batch_id``) INTO THE SAME TABLE as the merged counts, so
-    sketch+marker commit in ONE atomic swap — a crash can never
-    persist one without the other — and ``apply_batch`` skips any
-    batch id it has already committed. Replays (restart with a
-    checkpoint, or a full no-checkpoint re-drain, whose availableNow
-    file-source batch ids are deterministic) are no-ops.
+    every committed micro-batch's marker commits INTO THE SAME TABLE
+    as the merged counts, so sketch+marker commit in ONE atomic swap
+    — a crash can never persist one without the other — and
+    ``apply_batch`` skips any batch id it has already committed.
+    Replays (restart with a checkpoint, or a full no-checkpoint
+    re-drain, whose availableNow file-source batch ids are
+    deterministic) are no-ops.
 
-    State is d·w counters + one marker row per batch — never the key
-    set. Final counts equal a single batch ``cms_table`` pass over
-    all data (the incremental == batch oracle contract).
+    The marker set is COMPACTED in the same swap so state does not
+    grow with stream age: one HORIZON row (``row_id = -2, bucket =
+    H``) records "every batch id <= H is committed", and individual
+    ``row_id = -1`` marker rows exist only for committed ids above a
+    gap. After each commit the horizon advances through the now-
+    contiguous prefix and absorbed markers are dropped — with
+    in-order micro-batch delivery (Structured Streaming's contract)
+    the steady state is exactly ONE horizon row, so both the marker
+    scan and the driver-side committed-set stay O(1) over an
+    unbounded stream lifetime instead of O(batches). States persisted
+    by the pre-compaction format (only ``-1`` markers) are absorbed
+    into the horizon on the first new commit.
+
+    State is d·w counters + O(1) marker rows — never the key set.
+    Final counts equal a single batch ``cms_table`` pass over all
+    data (the incremental == batch oracle contract).
     """
     from isilon_hadoop_tools_spark.operators.sketches import (
         cms_merge,
@@ -366,20 +379,32 @@ def cms_stream_into_state(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         current = state.read(table, schema)
-        markers = current.filter(F.col("row_id") == -1)
-        done = {int(r["bucket"]) for r in markers.collect()}
-        if int(batch_id) in done:
+        marker_rows = current.filter(F.col("row_id") <= -1).collect()
+        horizon = max(
+            (int(r["bucket"]) for r in marker_rows if r["row_id"] == -2),
+            default=-1,
+        )
+        sparse = {
+            int(r["bucket"])
+            for r in marker_rows
+            if r["row_id"] == -1 and int(r["bucket"]) > horizon
+        }
+        bid = int(batch_id)
+        if bid <= horizon or bid in sparse:
             return
+        sparse.add(bid)
+        while horizon + 1 in sparse:
+            horizon += 1
+            sparse.discard(horizon)
         counts = current.filter(F.col("row_id") >= 0)
         delta = cms_table(batch, key, d, w)
-        new_marker = batch.sparkSession.createDataFrame(
-            [(-1, int(batch_id), 1)], schema
+        markers = batch.sparkSession.createDataFrame(
+            [(-2, horizon, 1)] + [(-1, b, 1) for b in sorted(sparse)],
+            schema,
         )
         state.write(
             table,
-            cms_merge([counts, delta])
-            .unionByName(markers)
-            .unionByName(new_marker),
+            cms_merge([counts, delta]).unionByName(markers),
         )
 
     writer = events.writeStream.foreachBatch(apply_batch).trigger(

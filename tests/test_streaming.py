@@ -252,15 +252,18 @@ def test_cms_stream_multibatch_equals_batch_and_replay_noop(spark, tmp_path):
     # all marked committed, so the sum-merge must NOT double-count
     _drain_cms(spark, in_dir, state)
     assert _cms_counts(state) == truth
-    # markers: one per committed micro-batch, same atomic table
-    markers = {
-        r["bucket"]
+    # markers are COMPACTED in the same atomic table: the contiguous
+    # committed prefix 0..2 collapses to ONE horizon row (row_id=-2,
+    # bucket=2) and no sparse -1 rows remain — O(1) marker state over
+    # an unbounded stream lifetime
+    marker_rows = [
+        (r["row_id"], r["bucket"])
         for r in state.read(
             "cms_sketch", "row_id LONG, bucket LONG, cnt LONG"
         ).collect()
-        if r["row_id"] == -1
-    }
-    assert markers == {0, 1, 2}
+        if r["row_id"] <= -1
+    ]
+    assert marker_rows == [(-2, 2)]
 
 
 def test_cms_stream_checkpointed_restart_resumes_exactly_once(
@@ -279,6 +282,64 @@ def test_cms_stream_checkpointed_restart_resumes_exactly_once(
     _write_kv_batch(in_dir, "b2.parquet", [5])
     _drain_cms(spark, in_dir, state, ckpt)
     assert _cms_counts(state) == _batch_cms(spark, [5, 5, 6, 6, 7, 5])
+    # compaction survives the checkpointed restart: batches 0..2 are
+    # one horizon row, and a further full no-checkpoint re-drain
+    # (replaying ids 0..2 below the horizon) is a no-op
+    schema = "row_id LONG, bucket LONG, cnt LONG"
+    assert [
+        (r["row_id"], r["bucket"])
+        for r in state.read("cms_sketch", schema).collect()
+        if r["row_id"] <= -1
+    ] == [(-2, 2)]
+    truth = _cms_counts(state)
+    _drain_cms(spark, in_dir, state)
+    assert _cms_counts(state) == truth
+
+
+def test_cms_stream_legacy_sparse_markers_absorbed_into_horizon(
+    spark, tmp_path
+):
+    """A state persisted by the pre-compaction format (individual
+    row_id=-1 markers only, no horizon row) must (a) still be
+    replay-proof and (b) compact to one horizon row on the first new
+    commit — the upgrade path for long-lived streams."""
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.operators.sketches import cms_table
+
+    schema = "row_id LONG, bucket LONG, cnt LONG"
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    batches = [[1, 2, 2, 3], [2, 3, 3, 9]]
+    for i, ids in enumerate(batches):
+        _write_kv_batch(in_dir, f"b{i}.parquet", ids)
+    state = ParquetState(spark, str(tmp_path / "state"))
+    # hand-write the LEGACY layout: counts for batches 0-1 plus two
+    # old-style sparse markers
+    legacy_counts = cms_table(
+        spark.createDataFrame(
+            [(i,) for b in batches for i in b], "user_id long"
+        ),
+        "user_id", 4, 256,
+    )
+    legacy_markers = spark.createDataFrame(
+        [(-1, 0, 1), (-1, 1, 1)], schema
+    )
+    state.write("cms_sketch", legacy_counts.unionByName(legacy_markers))
+    truth01 = _cms_counts(state)
+    # replaying batches 0-1 must be a no-op against legacy markers
+    _drain_cms(spark, in_dir, state)
+    assert _cms_counts(state) == truth01
+    # a NEW batch arrives: commit + compaction in one swap
+    _write_kv_batch(in_dir, "b2.parquet", [9, 9, 1, 7])
+    _drain_cms(spark, in_dir, state)
+    assert _cms_counts(state) == _batch_cms(
+        spark, [i for b in batches for i in b] + [9, 9, 1, 7]
+    )
+    assert [
+        (r["row_id"], r["bucket"])
+        for r in state.read("cms_sketch", schema).collect()
+        if r["row_id"] <= -1
+    ] == [(-2, 2)]
 
 
 def test_cdc_stream_out_of_order_batches_and_replay(spark, tmp_path):
