@@ -1223,11 +1223,15 @@ def goertzel_tables(
 ) -> list:
     """Integer-quantized cos/sin tables for the Goertzel filterbank:
     one (band k, position i, c, s) row per tap, ``c = ⌊cos(2πki/frame)
-    ·scale + 0.5⌋`` (half-away, the engine rounding contract). The
-    SAME function feeds the Arrow kernel and the oracle's literal
-    VALUES list, so the constants cannot diverge. ``scale`` = 1000
-    keeps the worst-case energy (16 taps · 32768 amplitude · scale)²
-    · 2 ≈ 5.5e17 inside int64."""
+    ·scale + 0.5⌋`` — HALF-UP rounding (an exact −.5 fraction rounds
+    toward +∞, not away from zero; at frame=16/scale=1000 no tap
+    lands on an exact .5 so the distinction is unobservable, but
+    other frame/scale choices CAN hit ties on negative cosines —
+    this documented contract is what both engines must then follow,
+    and the oracle inherits it automatically because the SAME
+    function feeds the Arrow kernel and the oracle's literal VALUES
+    list). ``scale`` = 1000 keeps the worst-case energy (16 taps ·
+    32768 amplitude · scale)² · 2 ≈ 5.5e17 inside int64."""
     import math
 
     out = []

@@ -1272,6 +1272,64 @@ def k_anonymity_report(
     )
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — EA28's
+    necessary companion: k-anonymity bounds equivalence-class SIZE,
+    but a class of 1000 rows that all share one sensitive value still
+    leaks it (the homogeneity attack); distinct-l-diversity requires
+    every quasi-identifier class to contain at least ``l`` DISTINCT
+    sensitive values.
+
+    Output (one row): ``n_rows``, ``n_groups``, ``min_l`` (smallest
+    per-class distinct-sensitive count), ``groups_below_l``,
+    ``rows_below_l``, ``frac_rows_below_l`` (6 dp), ``l_diverse``
+    (true iff no class has fewer than ``l`` distinct values).
+
+    Shape: the same ONE-scan discipline as
+    :func:`k_anonymity_report`, one key wider — a (quasi-tuple,
+    sensitive)-keyed count with map-side partials, re-aggregated to
+    the quasi tuple (rows = Σ cell counts, l = cell count — the
+    distinct count falls out of the first aggregation for free, no
+    expand), then a group-table fold. The fact table never moves
+    twice.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    s = (
+        F.col(sensitive_col)
+        if isinstance(sensitive_col, str)
+        else sensitive_col
+    )
+    qnames = [f"_q{i}" for i in range(len(cols))]
+    cells = df.groupBy(
+        *[c.alias(n) for c, n in zip(cols, qnames)], s.alias("_s")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    groups = cells.groupBy(*qnames).agg(
+        F.sum("_n").alias("_rows"), F.count(F.lit(1)).alias("_l")
+    )
+    below = F.col("_l") < l
+    return groups.agg(
+        F.sum("_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_l").alias("min_l"),
+        F.sum(below.cast("long")).alias("groups_below_l"),
+        F.sum(F.when(below, F.col("_rows")).otherwise(F.lit(0))).alias(
+            "rows_below_l"
+        ),
+        F.round(
+            F.sum(F.when(below, F.col("_rows")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("_rows"),
+            6,
+        ).alias("frac_rows_below_l"),
+        (F.min("_l") >= l).alias("l_diverse"),
+    )
+
+
 def trimmed_mean(
     df: DataFrame,
     group_col: str,
@@ -1393,7 +1451,12 @@ def theil_sen_trend(
     ties by day pair) is index-exact like EA26's.
 
     Output per group: ``n_days``, ``n_pairs``, ``ts_slope`` (6 dp,
-    events/day per day).
+    events/day per day). A group active on exactly ONE day has no
+    slope pairs; it is still REPORTED — ``(group, n_days=1,
+    n_pairs=0, ts_slope=NULL)`` — so callers diffing group lists
+    against :func:`ols_trend` never see rows vanish (the output is
+    driven from the day table via a left join, not from the ranked
+    pair table).
     """
     daily = df.groupBy(
         F.col(group_col).alias("g"),
@@ -1420,13 +1483,15 @@ def theil_sen_trend(
         .withColumn("_np", F.count(F.lit(1)).over(w))
     )
     ndays = daily.groupBy("g").agg(F.count(F.lit(1)).alias("n_days"))
-    return (
-        ranked.filter(F.col("_rn") == F.floor((F.col("_np") - 1) / 2) + 1)
-        .join(F.broadcast(ndays), "g")
-        .select(
-            F.col("g").alias(group_col),
-            "n_days",
-            F.col("_np").alias("n_pairs"),
-            F.round("slope", 6).alias("ts_slope"),
-        )
+    medians = ranked.filter(
+        F.col("_rn") == F.floor((F.col("_np") - 1) / 2) + 1
+    ).select("g", "_np", "slope")
+    # drive the output from the day table: single-day groups have no
+    # ranked-pair row and must surface as (n_days=1, n_pairs=0, NULL)
+    # instead of silently vanishing
+    return ndays.join(medians, "g", "left").select(
+        F.col("g").alias(group_col),
+        "n_days",
+        F.coalesce(F.col("_np"), F.lit(0)).alias("n_pairs"),
+        F.round("slope", 6).alias("ts_slope"),
     )

@@ -446,6 +446,7 @@ def hll_intersection_estimate(
     in_a,
     in_b,
     b: int = 8,
+    include_exact: bool = False,
 ) -> DataFrame:
     """Set-overlap estimation from HLL sketches via
     inclusion-exclusion: ``|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)``,
@@ -455,15 +456,21 @@ def hll_intersection_estimate(
     The standard audience/cohort-overlap readout when the key sets
     are too large to materialize — at 100 TB each side is m registers.
 
-    The exact intersection rides along (distinct keys of each side
-    are audience-sized, not fact-sized) so the realized error is
-    reported, and the estimate is clamped at 0 (inclusion-exclusion
-    on sketches can go slightly negative for tiny overlaps).
+    The estimate is clamped at 0 (inclusion-exclusion on sketches can
+    go slightly negative for tiny overlaps).
+
+    ``include_exact=False`` (the default, the SCALE path): output is
+    sketch-only — the whole point of HLL overlap at 100 TB is that
+    the distinct key sets are never materialized. Pass
+    ``include_exact=True`` as a DIAGNOSTIC to also materialize both
+    distinct key sets and their semi-join intersection so the
+    realized error is reported alongside — audience-sized work, for
+    evaluation runs only.
 
     ``in_a`` / ``in_b`` are boolean Column predicates selecting each
     set's rows. Output (one row): ``est_a``, ``est_b``,
-    ``est_union``, ``est_inter``, ``exact_a``, ``exact_b``,
-    ``exact_inter``.
+    ``est_union``, ``est_inter`` — plus ``exact_a``, ``exact_b``,
+    ``exact_inter`` when ``include_exact``.
     """
     kc = F.col(key) if isinstance(key, str) else key
     regs_a = hll_registers(df.filter(in_a).select(kc.alias("k")), "k", b)
@@ -475,23 +482,26 @@ def hll_intersection_estimate(
             F.col("est_distinct").alias(name)
         )
 
-    ka = df.filter(in_a).select(kc.alias("k")).distinct()
-    kb = df.filter(in_b).select(kc.alias("k")).distinct()
-    exact = (
-        ka.agg(F.count(F.lit(1)).alias("exact_a"))
-        .crossJoin(kb.agg(F.count(F.lit(1)).alias("exact_b")))
-        .crossJoin(
-            ka.join(kb, "k", "left_semi").agg(
-                F.count(F.lit(1)).alias("exact_inter")
-            )
-        )
-    )
     out = (
         est_as(regs_a, "est_a")
         .crossJoin(est_as(regs_b, "est_b"))
         .crossJoin(est_as(regs_u, "est_union"))
-        .crossJoin(exact)
     )
+    exact_cols = []
+    if include_exact:
+        ka = df.filter(in_a).select(kc.alias("k")).distinct()
+        kb = df.filter(in_b).select(kc.alias("k")).distinct()
+        exact = (
+            ka.agg(F.count(F.lit(1)).alias("exact_a"))
+            .crossJoin(kb.agg(F.count(F.lit(1)).alias("exact_b")))
+            .crossJoin(
+                ka.join(kb, "k", "left_semi").agg(
+                    F.count(F.lit(1)).alias("exact_inter")
+                )
+            )
+        )
+        out = out.crossJoin(exact)
+        exact_cols = ["exact_a", "exact_b", "exact_inter"]
     return out.select(
         "est_a",
         "est_b",
@@ -503,7 +513,5 @@ def hll_intersection_estimate(
             ),
             4,
         ).alias("est_inter"),
-        "exact_a",
-        "exact_b",
-        "exact_inter",
+        *exact_cols,
     )

@@ -6984,11 +6984,12 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY g) AS np
       FROM pairs
     ),
+    med AS (SELECT g, np, slope FROM ranked WHERE rn = (np - 1) // 2 + 1),
     nd AS (SELECT g, count(*) AS n_days FROM daily GROUP BY g)
-    SELECT r.g AS event_type, n_days, np AS n_pairs,
+    SELECT nd.g AS event_type, n_days,
+           coalesce(np, 0) AS n_pairs,
            round(slope, 6) AS ts_slope
-    FROM ranked r JOIN nd ON nd.g = r.g
-    WHERE rn = (np - 1) // 2 + 1
+    FROM nd LEFT JOIN med ON med.g = nd.g
     """,
 )
 def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6997,7 +6998,10 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     day drags EA23's OLS slope but not this one (29% breakdown). The
     pair table is bounded by the time grain (C(days,2) per type),
     never the corpus; integer day counts make every slope an exact
-    division, so the median selection is index-exact cross-engine."""
+    division, so the median selection is index-exact cross-engine.
+    Single-day groups are REPORTED as (n_days=1, n_pairs=0, NULL)
+    rather than dropped — both sides drive the output from the day
+    table via a left join."""
     from isilon_hadoop_tools_spark.operators.analytics import (
         theil_sen_trend,
     )
@@ -8213,9 +8217,11 @@ def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (L36b): audience overlap between high-value
     clickers and high-value viewers by inclusion-exclusion —
     est(A) + est(B) − est(A ∪ B) with the union as the exact
-    register max-merge; exact counts ride along to report the
-    realized error. The cohort-overlap readout when key sets are too
-    large to materialize; each side is m registers at any scale."""
+    register max-merge. The cohort-overlap readout when key sets are
+    too large to materialize; each side is m registers at any scale.
+    This query runs the DIAGNOSTIC mode (include_exact=True) so the
+    realized error is part of the checked contract — production
+    default is sketch-only."""
     from isilon_hadoop_tools_spark.operators.sketches import (
         hll_intersection_estimate,
     )
@@ -8227,6 +8233,7 @@ def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "click") & (F.col("value") >= 700),
         (F.col("event_type") == "view") & (F.col("value") >= 700),
         b=_HLL_B,
+        include_exact=True,
     )
 
 
@@ -8458,6 +8465,59 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
         ],
         k=5,
+    )
+
+
+@query(
+    "customer_l_diversity",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey,
+             floor(c_acctbal / 1000)::BIGINT AS bal_band,
+             c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    groups AS (
+      SELECT c_nationkey, bal_band,
+             sum(n)::BIGINT AS rows_n, count(*) AS l
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT sum(rows_n)::BIGINT AS n_rows,
+           count(*) AS n_groups,
+           min(l)::BIGINT AS min_l,
+           sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT
+             AS groups_below_l,
+           sum(CASE WHEN l < 3 THEN rows_n ELSE 0 END)::BIGINT
+             AS rows_below_l,
+           round(sum(CASE WHEN l < 3 THEN rows_n ELSE 0 END)::DOUBLE
+                 / sum(rows_n), 6) AS frac_rows_below_l,
+           min(l) >= 3 AS l_diverse
+    FROM groups
+    """,
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (EA28b, Machanavajjhala et al. 2007) — the
+    release gate k-anonymity alone can't close: a large equivalence
+    class whose rows all share one sensitive value still leaks it
+    (the homogeneity attack). Quasi-identifiers (nation,
+    account-balance band), sensitive attribute = market segment,
+    l=3: every class must span >= 3 distinct segments. Same one-scan
+    shape as the k-anonymity gate, one key wider — the distinct
+    count falls out of the (quasi, sensitive) cell aggregation for
+    free."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        l_diversity_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return l_diversity_report(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        ],
+        "c_mktsegment",
+        l=3,
     )
 
 

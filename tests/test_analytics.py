@@ -733,6 +733,35 @@ def test_k_anonymity_planted_small_groups(spark):
     assert r2["k_anonymous"]
 
 
+def test_l_diversity_homogeneity_attack_caught(spark):
+    """The case k-anonymity waves through and l-diversity must catch:
+    a 50-row class (k-anonymous at any reasonable k) whose rows ALL
+    share one sensitive value is 1-diverse; a small 3-row class with
+    3 distinct values passes l=3."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        k_anonymity_report,
+        l_diversity_report,
+    )
+
+    rows = [(i, 1, "flu") for i in range(50)]  # big, homogeneous
+    rows += [(100, 2, "flu"), (101, 2, "cold"), (102, 2, "ok")]
+    df = spark.createDataFrame(rows, "id long, qa long, s string")
+    k = k_anonymity_report(df, ["qa"], k=3).collect()[0]
+    assert k["k_anonymous"]  # both classes have >= 3 rows
+    r = l_diversity_report(df, ["qa"], "s", l=3).collect()[0]
+    assert r["n_rows"] == 53
+    assert r["n_groups"] == 2
+    assert r["min_l"] == 1  # the homogeneous class
+    assert r["groups_below_l"] == 1
+    assert r["rows_below_l"] == 50
+    assert r["frac_rows_below_l"] == round(50 / 53, 6)
+    assert not r["l_diverse"]
+    # l=1 always passes on non-empty classes
+    assert l_diversity_report(df, ["qa"], "s", l=1).collect()[0][
+        "l_diverse"
+    ]
+
+
 def test_trimmed_mean_removes_planted_outliers(spark):
     """99 well-behaved values + one huge outlier per group: the plain
     mean is dragged, the 5% trimmed mean stays at the clean center
@@ -805,3 +834,26 @@ def test_theil_sen_ignores_anomalous_day(spark):
     assert r["n_days"] == 5
     assert r["n_pairs"] == 10
     assert r["ts_slope"] == 2.0
+
+
+def test_theil_sen_single_day_group_reported_not_dropped(spark):
+    """A group active on exactly one day has zero slope pairs: it
+    must still appear — (n_days=1, n_pairs=0, NULL slope) — so group
+    lists diff cleanly against ols_trend."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        theil_sen_trend,
+    )
+
+    rows = [(0, "multi", _m(0)), (1, "multi", _m(24 * 60))]
+    rows += [(2, "single", _m(10)), (3, "single", _m(20))]
+    df = spark.createDataFrame(
+        rows, "id long, event_type string, ts timestamp"
+    )
+    got = {r["event_type"]: r for r in theil_sen_trend(
+        df, "event_type", "ts"
+    ).collect()}
+    assert set(got) == {"multi", "single"}
+    s = got["single"]
+    assert (s["n_days"], s["n_pairs"], s["ts_slope"]) == (1, 0, None)
+    m = got["multi"]
+    assert (m["n_days"], m["n_pairs"], m["ts_slope"]) == (2, 1, 0.0)

@@ -719,7 +719,8 @@ def test_hll_overlap_exact_fields_and_union_monotonicity(
     rows = [(i, "a") for i in a_ids] + [(i, "b") for i in b_ids]
     df = spark.createDataFrame(rows, "uid long, tag string")
     r = hll_intersection_estimate(
-        df, "uid", F.col("tag") == "a", F.col("tag") == "b"
+        df, "uid", F.col("tag") == "a", F.col("tag") == "b",
+        include_exact=True,
     ).collect()[0]
     assert r["exact_a"] == na and r["exact_b"] == nb
     assert r["exact_inter"] == len(set(a_ids) & set(b_ids))

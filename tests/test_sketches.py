@@ -235,14 +235,20 @@ def test_hll_overlap_identical_and_disjoint_sets(spark):
         [(i, "a" if i < 200 else "b") for i in range(400)],
         "uid long, tag string",
     )
-    same = hll_intersection_estimate(
+    # the default is sketch-only: no exact columns materialized
+    assert hll_intersection_estimate(
         df, "uid", F.col("tag") == "a", F.col("tag") == "a"
+    ).columns == ["est_a", "est_b", "est_union", "est_inter"]
+    same = hll_intersection_estimate(
+        df, "uid", F.col("tag") == "a", F.col("tag") == "a",
+        include_exact=True,
     ).collect()[0]
     assert same["exact_a"] == same["exact_b"] == same["exact_inter"] == 200
     assert same["est_union"] == same["est_a"]
     assert abs(same["est_inter"] - same["est_a"]) < 1e-9
     dis = hll_intersection_estimate(
-        df, "uid", F.col("tag") == "a", F.col("tag") == "b"
+        df, "uid", F.col("tag") == "a", F.col("tag") == "b",
+        include_exact=True,
     ).collect()[0]
     assert dis["exact_inter"] == 0
     assert dis["est_inter"] <= 0.15 * 400  # within sketch error of 0
