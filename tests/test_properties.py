@@ -885,3 +885,181 @@ def test_triangle_counts_match_brute_force(spark, edges):
             for v in (x, y, z):
                 expect[v] = expect.get(v, 0) + 1
     assert got == expect
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.6, 0.75, 0.9]),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_prefix_jaccard_join_matches_bruteforce_property(
+    spark, docs, threshold, k
+):
+    """The AllPairs/PPJoin prefix filter is EXACT by contract: across
+    thresholds and shingle widths the output must equal a brute-force
+    Jaccard over every pair of distinct-shingle sets — a dropped
+    prefix token, a wrong ceil boundary, or an over-eager length
+    filter all surface as a missing pair. Small-alphabet docs force
+    heavy shingle sharing (the adversarial case for the filter)."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, "text", "id", k=k, threshold=threshold
+        ).collect()
+    }
+    sets = {
+        i: {
+            " ".join(toks[j : j + k])
+            for j in range(len(toks) - k + 1)
+        }
+        for i, toks in enumerate(docs)
+    }
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            sa, sb = sets[ids[x]], sets[ids[y]]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                want[(ids[x], ids[y])] = round(j, 6)
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.large_base_example,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(
+    data=st.data(),
+    n_vecs=st.integers(min_value=1, max_value=12),
+)
+def test_streaming_ivf_adversarial_splits_match_batch(spark, data, n_vecs):
+    """Streaming IVF ingestion vs the batch assignment under
+    ADVERSARIAL batch splits: hypothesis chooses the split points,
+    re-offers arbitrary earlier vectors inside later batches
+    (at-least-once delivery), and inserts empty batches — the final
+    postings must still equal one batch kmeans_assign over the
+    distinct vectors, with exactly one posting row per vector."""
+    import tempfile
+
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_train,
+        quantize_vectors,
+    )
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        IVF_POSTINGS_SCHEMA,
+        ivf_index_apply_batch,
+    )
+
+    vecs = [
+        (
+            vid,
+            [
+                float(data.draw(st.integers(min_value=-20, max_value=20)))
+                for _ in range(2)
+            ],
+        )
+        for vid in range(n_vecs)
+    ]
+    # adversarial split: each batch takes a prefix of the remaining
+    # rows plus a hypothesis-chosen set of already-delivered rows
+    batches = []
+    pos = 0
+    while pos < len(vecs):
+        take = data.draw(st.integers(min_value=0, max_value=4))
+        replay = (
+            [vecs[i] for i in data.draw(
+                st.sets(st.integers(min_value=0, max_value=pos - 1))
+            )]
+            if pos
+            else []
+        )
+        batches.append(vecs[pos : pos + take] + replay)
+        pos += take
+    batch_df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    cents = kmeans_train(
+        quantize_vectors(batch_df, "embedding", "vec_id"), k=2, iters=1
+    )
+    truth = {
+        r["vid"]: (r["list_id"], r["dist"])
+        for r in kmeans_assign(
+            quantize_vectors(batch_df, "embedding", "vec_id"), cents
+        ).collect()
+    }
+    state = ParquetState(spark, tempfile.mkdtemp(prefix="ivf_prop_"))
+    for rows in batches:
+        ivf_index_apply_batch(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ),
+            state,
+            cents,
+        )
+    postings = state.read("ivf_postings", IVF_POSTINGS_SCHEMA).collect()
+    got = {r["vid"]: (r["list_id"], r["dist"]) for r in postings}
+    assert got == truth
+    assert len(postings) == len(truth)
+
+
+@_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=5),
+    h=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+def test_gif_png_cross_codec_pixel_equivalence(w, h, data):
+    """The two compression families share no machinery (LZW dictionary
+    codes vs DEFLATE Huffman+LZ77): encoding the SAME random
+    palette image through both writers and decoding through both
+    readers must reproduce identical pixels — including all five PNG
+    row filters chosen per row by hypothesis."""
+    import numpy as np
+
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    n_colors = data.draw(st.integers(min_value=1, max_value=8))
+    palette = np.array(
+        [
+            [data.draw(st.integers(min_value=0, max_value=255)) for _ in range(3)]
+            for _ in range(n_colors)
+        ],
+        dtype=np.uint8,
+    )
+    idx = np.array(
+        [
+            [data.draw(st.integers(min_value=0, max_value=n_colors - 1)) for _ in range(w)]
+            for _ in range(h)
+        ],
+        dtype=np.int64,
+    )
+    pix = palette[idx]  # (h, w, 3) uint8
+    filters = [
+        data.draw(st.integers(min_value=0, max_value=4)) for _ in range(h)
+    ]
+    png_pix = M.png_decode_rgb(M.png_encode_rgb(pix, filters))
+    gif_pix = M.gif_decode_rgb(M.gif_encode(idx, palette))
+    assert (png_pix == pix).all()
+    assert (gif_pix == pix).all()
+    assert (png_pix == gif_pix).all()
