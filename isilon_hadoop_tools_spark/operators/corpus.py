@@ -1561,3 +1561,118 @@ def unigram_lm_train(
         F.round(F.col("count") / F.lit(total).cast("double"), 6).alias("prob"),
         F.row_number().over(w_rank).alias("rank"),
     )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rounds: int = 5,
+    scale: int = 10**9,
+) -> DataFrame:
+    """WordPiece merge training (Schuster & Nakajima 2012; BERT's
+    tokenizer) — the third production tokenizer family, completing
+    the trio with BPE (:func:`bpe_train`) and unigram-LM
+    (:func:`unigram_lm_train`): greedy merges like BPE, but the round
+    winner maximizes the LIKELIHOOD gain ``count(pair) /
+    (count(left) · count(right))`` instead of the raw pair count —
+    merging symbols that co-occur far more than their independent
+    frequencies predict, so rare-but-tight pairs beat frequent-but-
+    incidental ones.
+
+    Determinism contract: the score is quantized to ``score_q =
+    ⌊count(pair) · scale / (count(left) · count(right))⌋`` computed in
+    DECIMAL(38,0) / HUGEINT arithmetic (exact at any corpus scale —
+    the numerator stays under 10³⁸ even at 10¹³ tokens), ties on
+    (score_q, lhs, rhs) — a total order every engine reproduces.
+    Pairs whose true scores differ by < 1/scale collapse into the
+    lexicographic tie-break, the same documented quantized-
+    transcendental convention as the Goertzel taps. Merged symbols
+    are plain concatenations (no ``##`` continuation markers — the
+    same simplification as :func:`bpe_train`'s missing end-of-word
+    marker, documented).
+
+    THE SCALE SHAPE is :func:`bpe_train`'s: corpus scanned ONCE (word
+    counts); each round needs one pair count AND one symbol count —
+    both vocabulary-table aggregations (the symbol count is a second
+    explode over the same checkpointed table, still language-bounded)
+    — one broadcast score join, one total-order top-1, one stateless
+    JVM merge projection. Driver state per round is one rule.
+
+    Output: ``merge_round``, ``lhs``, ``rhs``, ``pair_count``,
+    ``score_q`` — one row per learned rule, in learning order.
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = vocab.select(
+        "w", "n", F.split("w", "").alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int, int]] = []
+    for t in range(1, rounds + 1):
+        sz = F.size("syms")
+        pair_structs = F.when(
+            sz >= 2,
+            F.zip_with(
+                F.slice("syms", 1, sz - 1),
+                F.slice("syms", 2, sz - 1),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            ),
+        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        pairs = (
+            cur.select(F.explode(pair_structs).alias("p"), "n")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        syms_cnt = (
+            cur.select(F.explode("syms").alias("s"), "n")
+            .groupBy("s")
+            .agg(F.sum("n").alias("sc"))
+        )
+        best = (
+            pairs.join(
+                F.broadcast(
+                    syms_cnt.select(
+                        F.col("s").alias("lhs"), F.col("sc").alias("lc")
+                    )
+                ),
+                "lhs",
+            )
+            .join(
+                F.broadcast(
+                    syms_cnt.select(
+                        F.col("s").alias("rhs"), F.col("sc").alias("rc")
+                    )
+                ),
+                "rhs",
+            )
+            .select(
+                "lhs",
+                "rhs",
+                "cnt",
+                F.expr(
+                    f"CAST(cnt AS DECIMAL(38,0)) * {scale} div "
+                    "(CAST(lc AS DECIMAL(38,0)) * rc)"
+                ).alias("score_q"),
+            )
+            .orderBy(F.col("score_q").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs = best[0]["lhs"], best[0]["rhs"]
+        merges.append(
+            (t, lhs, rhs, int(best[0]["cnt"]), int(best[0]["score_q"]))
+        )
+        cur = cur.select(
+            "w", "n", _bpe_merge_expr(F.col("syms"), lhs, rhs).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, lhs string, rhs string, pair_count long,"
+        " score_q long",
+    )

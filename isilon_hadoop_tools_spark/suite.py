@@ -5118,9 +5118,12 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), "text", "doc_id", k=1000)
 
 
-def _bpe_cte_chain(rounds: int = 6) -> str:
-    """Unrolled BPE merge-training rounds: per round a weighted pair
-    count, the (cnt DESC, lhs, rhs) top-1, and the greedy
+def _bpe_cte_chain(rounds: int = 6, mode: str = "bpe", scale: int = 10**9) -> str:
+    """Unrolled BPE/WordPiece merge-training rounds: per round a
+    weighted pair count, the round-winner top-1 — ``mode='bpe'``:
+    (cnt DESC, lhs, rhs); ``mode='wordpiece'``: the quantized
+    likelihood score ``cnt·scale // (sym_cnt(lhs)·sym_cnt(rhs))``
+    in HUGEINT, then (score_q DESC, lhs, rhs) — and the greedy
     left-to-right non-overlapping merge expressed with window
     functions — island detection over consecutive matched positions
     (runs only occur for self-pairs) with alternate selection, lag
@@ -5139,14 +5142,30 @@ def _bpe_cte_chain(rounds: int = 6) -> str:
     ]
     for t in range(1, rounds + 1):
         prev = f"v{t - 1}"
+        if mode == "bpe":
+            selector = f"""b{t} AS (SELECT lhs, rhs, cnt FROM p{t}
+             ORDER BY cnt DESC, lhs, rhs LIMIT 1),"""
+        else:
+            selector = f"""s{t} AS (
+      SELECT s, sum(cnt)::BIGINT AS sc FROM (
+        SELECT unnest(syms) AS s, n AS cnt FROM {prev}
+      ) GROUP BY s
+    ),
+    b{t} AS (
+      SELECT p.lhs, p.rhs, p.cnt,
+             (p.cnt::HUGEINT * {scale}
+              // (sl.sc::HUGEINT * sr.sc))::BIGINT AS score_q
+      FROM p{t} p
+      JOIN s{t} sl ON sl.s = p.lhs
+      JOIN s{t} sr ON sr.s = p.rhs
+      ORDER BY score_q DESC, p.lhs, p.rhs LIMIT 1),"""
         parts.append(f""",
     p{t} AS (
       SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(n)::BIGINT AS cnt
       FROM {prev}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
       GROUP BY lhs, rhs
     ),
-    b{t} AS (SELECT lhs, rhs, cnt FROM p{t}
-             ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    {selector}
     pos{t} AS (
       SELECT w, n, i, syms[i] AS s, b.lhs AS bl, b.rhs AS br,
              CASE WHEN i < len(syms) AND syms[i] = b.lhs
@@ -5187,6 +5206,39 @@ def _bpe_oracle(rounds: int = 6) -> str:
     ]
     return (
         _bpe_cte_chain(rounds) + "\n    " + "\n    UNION ALL ".join(sels)
+    )
+
+
+def _wordpiece_oracle(rounds: int = 5) -> str:
+    sels = [
+        f"SELECT {t} AS merge_round, lhs, rhs, cnt AS pair_count,"
+        f" score_q FROM b{t}"
+        for t in range(1, rounds + 1)
+    ]
+    return (
+        _bpe_cte_chain(rounds, mode="wordpiece")
+        + "\n    "
+        + "\n    UNION ALL ".join(sels)
+    )
+
+
+@query("corpus_wordpiece_merges", oracle=_wordpiece_oracle(5))
+def corpus_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge training (L54d, Schuster & Nakajima 2012 —
+    BERT's tokenizer), completing the production tokenizer trio with
+    BPE and unigram-LM: greedy merges where the round winner
+    maximizes the LIKELIHOOD gain count(pair)/(count(l)·count(r))
+    rather than the raw pair count — quantized to an exact
+    DECIMAL(38,0)/HUGEINT integer score (ties lexicographic) so every
+    engine learns the identical rule table at any corpus scale. Same
+    vocabulary-bounded round shape as BPE plus one symbol-count
+    aggregation; the oracle unrolls all 5 rounds including the score
+    join and the window-based greedy merge — one wrong symbol count
+    or tie-break diverges every later round."""
+    from isilon_hadoop_tools_spark.operators.corpus import wordpiece_train
+
+    return wordpiece_train(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", rounds=5
     )
 
 

@@ -805,3 +805,35 @@ def test_unigram_lm_matches_enumeration_reference(spark):
     assert got == expect
     # the 60-char token was excluded: 'x' never entered the vocab
     assert all(p != "x" for p, _, _, _ in got)
+
+
+def test_wordpiece_likelihood_beats_raw_count(spark):
+    """The defining WordPiece-vs-BPE divergence: pair (a,b) occurs
+    10x but both symbols are everywhere (score 10/(30*30)); pair
+    (c,d) occurs twice and its symbols occur ONLY there (score
+    2/(2*2) = 0.5). BPE merges (a,b) first; WordPiece must merge
+    (c,d) — with the exact quantized score."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        bpe_train,
+        wordpiece_train,
+    )
+
+    text = " ".join(["ab"] * 10 + ["cd"] * 2 + ["a"] * 20 + ["b"] * 20)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    wp = wordpiece_train(df, "text", "doc_id", rounds=1).collect()[0]
+    assert (wp["lhs"], wp["rhs"]) == ("c", "d")
+    assert wp["pair_count"] == 2
+    assert wp["score_q"] == 2 * 10**9 // (2 * 2)
+    bp = bpe_train(df, "text", "doc_id", rounds=1).collect()[0]
+    assert (bp["lhs"], bp["rhs"]) == ("a", "b")
+
+
+def test_wordpiece_stops_when_no_pairs_remain(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import wordpiece_train
+
+    df = spark.createDataFrame(
+        [(1, "ab ab")], "doc_id long, text string"
+    )
+    rules = wordpiece_train(df, "text", "doc_id", rounds=5).collect()
+    # one merge exhausts every multi-symbol word
+    assert [(r["lhs"], r["rhs"]) for r in rules] == [("a", "b")]
