@@ -1495,3 +1495,62 @@ def theil_sen_trend(
         F.coalesce(F.col("_np"), F.lit(0)).alias("n_pairs"),
         F.round("slope", 6).alias("ts_slope"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Offline CUSUM changepoint estimate over the DAILY VOLUME per
+    group (Page 1954's cumulative-sum statistic, the batch "where did
+    the level shift?" readout behind deploy/incident forensics —
+    completing the trend family: EA23 fits a slope, EA23b a robust
+    slope, this finds the BREAK).
+
+    The statistic: with daily counts ``x_1..x_n`` and mean ``m``, the
+    cumulative deviation ``S_i = Σ_{j<=i}(x_j − m)`` peaks in absolute
+    value at the most likely changepoint. Exactness: ``S_i`` needs
+    the rational mean, so both engines compare the INTEGER rescaling
+    ``T_i = n·cumsum_i − i·total`` (= n·S_i, exact bigints) — argmax
+    ``|T_i|``, ties to the earliest day; ``S`` is reported as
+    ``T/n`` at 6 dp. The shift direction falls out of the sign: a
+    negative trough means pre-break days sat below the mean, i.e.
+    the level stepped UP after ``cp_day`` (and symmetrically down).
+
+    Shape: one fact scan to daily counts, then three window passes
+    over the day table sharing ONE partitioning (cumsum, totals,
+    argmax rank) — all time-grain-bounded, never corpus-sized.
+
+    Output per group: ``n_days``, ``cp_day``, ``cusum_abs``
+    (|S| at the peak, 6 dp), ``direction`` ('up' / 'down' / 'none').
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"),
+        F.date_trunc("day", F.col(ts_col)).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("g")
+    wcum = wp.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    scored = daily.select(
+        "g",
+        "d",
+        (
+            F.count(F.lit(1)).over(wp) * F.sum("c").over(wcum)
+            - F.row_number().over(wp.orderBy("d")) * F.sum("c").over(wp)
+        ).alias("t"),
+        F.count(F.lit(1)).over(wp).alias("n_days"),
+    )
+    ranked = scored.withColumn(
+        "_rn",
+        F.row_number().over(wp.orderBy(F.abs("t").desc(), "d")),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        F.col("g").alias(group_col),
+        "n_days",
+        F.col("d").alias("cp_day"),
+        F.round(F.abs("t") / F.col("n_days"), 6).alias("cusum_abs"),
+        F.when(F.col("t") < 0, F.lit("up"))
+        .when(F.col("t") > 0, F.lit("down"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+    )

@@ -434,3 +434,73 @@ def label_propagation(
         )
         labels = best.localCheckpoint(eager=True)
     return labels
+
+
+def neighbor_jaccard_pairs(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    min_jaccard: float = 0.0,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Structural node similarity: Jaccard overlap of NEIGHBORHOODS
+    — ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` for every node pair sharing
+    at least one neighbor (G5; the link-prediction / role-equivalence
+    primitive: two customers whose near-dup graphs touch the same
+    records, two pages cited by the same pages).
+
+    Candidate generation is the wedge join (two adjacency rows
+    through a shared neighbor — a pair with NO common neighbor has
+    Jaccard 0 and is correctly absent), then the Jaccard is computed
+    EXACTLY from full degrees: common counts come from the wedge
+    aggregation, union sizes from ``deg(u) + deg(v) − common``. No
+    neighbor-set materialization per pair, no cross product.
+
+    Scale: wedge fan-out is Σ_w deg(w)² — dominated by hub neighbors
+    (every pair of a hub's neighbors forms a candidate). At 100 TB
+    pass ``max_degree`` to exclude wedges THROUGH nodes above the
+    cap: emitted pairs keep exact Jaccard values (degrees and common
+    counts still use the full graph), but pairs whose ONLY common
+    neighbors are capped hubs are missed — the same documented
+    recall-for-scale trade as ``ngram_jaccard_pairs``'s ``max_df``
+    (a hub's neighborhood is near-everyone, so pairs it alone
+    witnesses have near-zero Jaccard anyway). Default ``None`` is
+    exact.
+
+    Output: ``id_a``, ``id_b`` (a < b), ``n_common``, ``jaccard``
+    (6 dp), pairs with ``jaccard >= min_jaccard``.
+    """
+    e = _canonical_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    adj = e.select(
+        F.col("src").alias("w"), F.col("dst").alias("v")
+    ).unionByName(e.select(F.col("dst").alias("w"), F.col("src").alias("v")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    hubs = adj
+    if max_degree is not None:
+        wdeg = deg.select(F.col("v").alias("w"), F.col("deg").alias("_wd"))
+        hubs = adj.join(wdeg, "w").filter(
+            F.col("_wd") <= max_degree
+        ).select("w", "v")
+    wa = hubs.select("w", F.col("v").alias("id_a"))
+    wb = hubs.select("w", F.col("v").alias("id_b"))
+    common = (
+        wa.join(wb, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("v").alias("id_a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("v").alias("id_b"), F.col("deg").alias("_db"))
+    return (
+        common.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("_da") + F.col("_db") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+        )
+    )

@@ -7062,6 +7062,49 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, date_trunc('day', ts) AS d, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT g, d,
+             count(*) OVER (PARTITION BY g)
+               * sum(c) OVER (PARTITION BY g ORDER BY d
+                              ROWS UNBOUNDED PRECEDING)
+             - row_number() OVER (PARTITION BY g ORDER BY d)
+               * sum(c) OVER (PARTITION BY g) AS t,
+             count(*) OVER (PARTITION BY g) AS n_days
+      FROM daily
+    )
+    SELECT g AS event_type, n_days, d::TIMESTAMP AS cp_day,
+           round(abs(t)::DOUBLE / n_days, 6) AS cusum_abs,
+           CASE WHEN t < 0 THEN 'up' WHEN t > 0 THEN 'down'
+                ELSE 'none' END AS direction
+    FROM (SELECT *, row_number() OVER (PARTITION BY g
+                                       ORDER BY abs(t) DESC, d) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate per event type (EA23c, Page 1954)
+    — completing the trend family: EA23 fits a slope, EA23b a robust
+    slope, this finds the BREAK. The cumulative-deviation statistic
+    is compared as the exact integer rescaling n·cumsum − i·total
+    (= n·S_i — no rational mean ever materializes), argmax |T| with
+    earliest-day ties; direction from the sign (a trough means the
+    level stepped UP after cp_day). Three window passes over the
+    time-grain-bounded day table sharing one partitioning."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+@query(
     "events_ordered_funnel",
     oracle="""
     WITH base AS (SELECT user_id, event_type, ts FROM events),
@@ -8863,6 +8906,67 @@ def customer_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_expr="substring(c_name, 10, 8)", max_dist=1, max_block=200,
     )
     return triangle_counts(pairs)
+
+
+@query(
+    "customer_link_neighbor_jaccard",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey AS id, c_name AS txt,
+             substring(c_name, 10, 8) AS blk
+      FROM customer
+    ),
+    sizes AS (SELECT blk, count(*) AS bn FROM blocked GROUP BY blk),
+    small AS (
+      SELECT b.* FROM blocked b JOIN sizes s USING (blk)
+      WHERE s.bn <= 200
+    ),
+    e AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM small a JOIN small b USING (blk)
+      WHERE a.id < b.id AND levenshtein(a.txt, b.txt) <= 1
+    ),
+    adj AS (
+      SELECT src AS w, dst AS v FROM e
+      UNION ALL SELECT dst AS w, src AS v FROM e
+    ),
+    deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+    common AS (
+      SELECT a.v AS id_a, b.v AS id_b, count(*) AS n_common
+      FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common::DOUBLE / (da.deg + db.deg - n_common), 6)
+             AS jaccard
+    FROM common
+    JOIN deg da ON da.v = id_a
+    JOIN deg db ON db.v = id_b
+    """,
+)
+def customer_link_neighbor_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structural node similarity over the record-linkage graph (G5):
+    neighborhood Jaccard |N(u)∩N(v)|/|N(u)∪N(v)| for every pair
+    sharing a neighbor — the link-prediction / role-equivalence
+    readout (two customer records whose near-dup edges touch the same
+    records are probably the same entity even without a direct
+    edge). Candidates from the wedge join, Jaccard exact from full
+    degrees; no neighbor-set materialization, no cross product."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        blocked_edit_distance_pairs,
+    )
+    from isilon_hadoop_tools_spark.operators.graph import (
+        neighbor_jaccard_pairs,
+    )
+
+    pairs = blocked_edit_distance_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey", text_col="c_name",
+        block_expr="substring(c_name, 10, 8)", max_dist=1, max_block=200,
+    )
+    return neighbor_jaccard_pairs(pairs)
 
 
 @query(

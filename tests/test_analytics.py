@@ -857,3 +857,44 @@ def test_theil_sen_single_day_group_reported_not_dropped(spark):
     assert (s["n_days"], s["n_pairs"], s["ts_slope"]) == (1, 0, None)
     m = got["multi"]
     assert (m["n_days"], m["n_pairs"], m["ts_slope"]) == (2, 1, 0.0)
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """Daily counts 10x7 then 30x7: the cumulative deviation |T|
+    peaks at the last pre-shift day, direction 'up'; reversing the
+    shift flips the direction; a flat series reports direction
+    'none' at the earliest-day tie."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(14):
+        for _ in range(10 if day < 7 else 30):
+            rows.append((eid, "up", _m(day * 24 * 60)))
+            eid += 1
+        for _ in range(30 if day < 7 else 10):
+            rows.append((eid, "down", _m(day * 24 * 60)))
+            eid += 1
+        rows.append((eid, "flat", _m(day * 24 * 60)))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "id long, event_type string, ts timestamp"
+    )
+    got = {r["event_type"]: r for r in cusum_changepoint(
+        df, "event_type", "ts"
+    ).collect()}
+    up = got["up"]
+    assert up["n_days"] == 14
+    assert up["cp_day"].day == 7  # days 1..14; shift after day 7
+    assert up["direction"] == "up"
+    # |S| at the peak: 7 days each 10 below the mean of 20 => 70
+    assert up["cusum_abs"] == 70.0
+    down = got["down"]
+    assert down["cp_day"].day == 7 and down["direction"] == "down"
+    assert down["cusum_abs"] == 70.0
+    flat = got["flat"]
+    assert flat["direction"] == "none"
+    assert flat["cusum_abs"] == 0.0
+    assert flat["cp_day"].day == 1  # earliest-day tie-break

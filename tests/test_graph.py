@@ -332,3 +332,48 @@ def test_lpa_star_converges_to_hub_min(spark):
         for r in label_propagation(df, rounds=2).collect()
     }
     assert got == {v: 1 for v in range(1, 8)}
+
+
+def test_neighbor_jaccard_matches_bruteforce_and_hub_cap(spark):
+    """Exact neighborhood Jaccard on a hand graph vs brute force;
+    with max_degree the hub's wedges vanish but every emitted pair
+    keeps its EXACT full-graph Jaccard."""
+    from isilon_hadoop_tools_spark.operators.graph import (
+        neighbor_jaccard_pairs,
+    )
+
+    # hub 0 touches 1..4; chain 1-2, 3-4; plus 5-6 isolated pair
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            common = len(adj[u] & adj[v])
+            if common:
+                want[(u, v)] = (
+                    common,
+                    round(common / len(adj[u] | adj[v]), 6),
+                )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in neighbor_jaccard_pairs(df).collect()
+    }
+    assert got == want
+    assert (5, 6) not in got  # no common neighbor, correctly absent
+    # cap at 3: wedges through hub 0 (degree 4) are excluded; the
+    # surviving pairs came through low-degree neighbors and keep
+    # exact full-graph values
+    capped = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in neighbor_jaccard_pairs(df, max_degree=3).collect()
+    }
+    assert set(capped) < set(got)
+    assert all(capped[k] == want[k] for k in capped)
+    # (1,2) share hub 0 AND each other... common neighbors of 1 and
+    # 2 = {0}; hub-only witness, so the capped run loses it
+    assert (1, 2) in got and (1, 2) not in capped
