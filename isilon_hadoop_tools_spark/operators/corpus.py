@@ -1484,6 +1484,34 @@ def unigram_lm_train(
     (count/total, 6 dp), ``rank`` (by count DESC, piece ASC).
     """
     spark = df.sparkSession
+    _, counts = _unigram_em(
+        df, text_col, max_piece_len, n_seed_multi, em_rounds, scale
+    )
+    total = sum(counts.values())
+    out = spark.createDataFrame(
+        sorted(counts.items()), "piece string, count long"
+    )
+    w_rank = Window.orderBy(F.col("count").desc(), "piece")
+    return out.select(
+        "piece",
+        "count",
+        F.round(F.col("count") / F.lit(total).cast("double"), 6).alias("prob"),
+        F.row_number().over(w_rank).alias("rank"),
+    )
+
+
+def _unigram_em(
+    df: DataFrame,
+    text_col: str,
+    max_piece_len: int,
+    n_seed_multi: int,
+    em_rounds: int,
+    scale: int,
+):
+    """Shared seed + EM loop behind :func:`unigram_lm_train` and
+    :func:`unigram_lm_apply`: returns the checkpointed DISTINCT-WORD
+    table ``(w, n, wl)`` and the final piece-count dict (singles
+    floored at 1, zero-count multis pruned)."""
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.length("w") <= 52)
@@ -1550,16 +1578,62 @@ def unigram_lm_train(
         counts.update(
             {p: observed[p] for p in multis if observed.get(p, 0) > 0}
         )
-    total = sum(counts.values())
-    out = spark.createDataFrame(
-        sorted(counts.items()), "piece string, count long"
+    return words, counts
+
+
+def unigram_lm_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_piece_len: int = 4,
+    n_seed_multi: int = 16,
+    em_rounds: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Unigram-LM round trip (the :func:`bpe_apply` twin for the
+    L54c family): train the model with :func:`_unigram_em`, Viterbi-
+    segment the DISTINCT-WORD table once more under the FINAL piece
+    costs, and join documents against the finished per-word token
+    counts — ONE corpus-sized equi-join; no per-document DP ever
+    runs. Words over 52 chars are excluded from both training and
+    accounting (the trainer's documented coverage cut).
+
+    Output per document: ``id``, ``n_words``, ``n_chars``,
+    ``n_tokens`` (Viterbi pieces), ``compression``
+    (n_chars / n_tokens, 6 dp).
+    """
+    words, counts = _unigram_em(
+        df, text_col, max_piece_len, n_seed_multi, em_rounds, scale
     )
-    w_rank = Window.orderBy(F.col("count").desc(), "piece")
-    return out.select(
-        "piece",
-        "count",
-        F.round(F.col("count") / F.lit(total).cast("double"), 6).alias("prob"),
-        F.row_number().over(w_rank).alias("rank"),
+    costs = _unigram_costs(counts, scale)
+    big = scale * 64
+    sized = words.select(
+        "w",
+        F.col("wl").alias("_chars"),
+        F.size(
+            _viterbi_segment(F.col("w"), costs, max_piece_len, big)
+        ).alias("_toks"),
+    )
+    doc_words = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.length("w") <= 52)
+    return (
+        doc_words.join(sized, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_chars").alias("n_chars"),
+            F.sum("_toks").alias("n_tokens"),
+        )
+        .select(
+            "id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("compression"),
+        )
     )
 
 

@@ -5304,7 +5304,7 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _unigram_lm_oracle(
     max_piece_len: int = 4, n_seed_multi: int = 16,
-    em_rounds: int = 2, scale: int = 1_000_000,
+    em_rounds: int = 2, scale: int = 1_000_000, mode: str = "train",
 ) -> str:
     """Unigram-LM EM twin via a DIFFERENT algorithm: where the engine
     runs integer Viterbi DP per distinct word, the oracle brute-force
@@ -5388,12 +5388,67 @@ def _unigram_lm_oracle(
       SELECT piece, floor(-ln(cnt / t.tot) * {scale} + 0.5)::BIGINT AS cost
       FROM v{t}, (SELECT sum(cnt)::DOUBLE AS tot FROM v{t}) t
     )""")
-    parts.append(f"""
+    if mode == "train":
+        parts.append(f"""
     SELECT piece, cnt AS count, round(cnt / t.tot, 6) AS prob,
            row_number() OVER (ORDER BY cnt DESC, piece) AS rank
     FROM v{em_rounds}, (SELECT sum(cnt)::DOUBLE AS tot FROM v{em_rounds}) t
     """)
+    else:
+        # apply: one more enumeration round under the FINAL costs —
+        # tokens per word = popcount of the boundary mask — then one
+        # doc join; mirrors unigram_lm_apply
+        t, p = em_rounds + 1, em_rounds
+        parts.append(f""",
+    e{t} AS (
+      SELECT w, wl, 0 AS pos, 0::BIGINT AS cost, 0::BIGINT AS mask FROM words
+      UNION ALL
+      SELECT e.w, e.wl, e.pos + lu.l, e.cost + c.cost,
+             e.mask + (1::BIGINT << e.pos)
+      FROM e{t} e,
+           unnest(generate_series(1, {max_piece_len})) AS lu(l),
+           c{p} c
+      WHERE e.pos < e.wl AND e.pos + lu.l <= e.wl
+        AND c.piece = substr(e.w, e.pos + 1, lu.l)
+    ),
+    wtok AS (
+      SELECT w, wl, bit_count(mask)::BIGINT AS nt FROM (
+        SELECT e.w, e.wl, e.mask,
+               row_number() OVER (PARTITION BY e.w
+                                  ORDER BY e.cost, e.mask) AS rn
+        FROM e{t} e WHERE e.pos = e.wl
+      ) WHERE rn = 1
+    ),
+    doc_words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    )
+    SELECT doc_id AS id, count(*) AS n_words,
+           sum(wl)::BIGINT AS n_chars,
+           sum(nt)::BIGINT AS n_tokens,
+           round(sum(wl)::DOUBLE / sum(nt), 6) AS compression
+    FROM doc_words JOIN wtok USING (w)
+    GROUP BY doc_id
+    """)
     return "".join(parts)
+
+
+@query("corpus_unigram_tokenize", oracle=_unigram_lm_oracle(mode="apply"))
+def corpus_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM round trip (the bpe_tokenize twin): the trained
+    model Viterbi-segments the DISTINCT-WORD table once more under
+    the final piece costs and documents join the finished per-word
+    token counts in ONE corpus-sized equi-join — per-doc chars vs
+    Viterbi tokens and the realized compression. The oracle re-runs
+    the whole EM chain AND the final segmentation (tokens per word =
+    popcount of the boundary mask), so a divergence in either phase
+    fails."""
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_lm_apply
+
+    return unigram_lm_apply(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_piece_len=4, n_seed_multi=16, em_rounds=2,
+    )
 
 
 @query("corpus_unigram_lm", oracle=_unigram_lm_oracle())

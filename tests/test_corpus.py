@@ -837,3 +837,23 @@ def test_wordpiece_stops_when_no_pairs_remain(spark):
     rules = wordpiece_train(df, "text", "doc_id", rounds=5).collect()
     # one merge exhausts every multi-symbol word
     assert [(r["lhs"], r["rhs"]) for r in rules] == [("a", "b")]
+
+
+def test_unigram_lm_apply_compression_accounting(spark):
+    """Round trip on the canonical corpus: the trained model keeps
+    'abab'/'ab'/'cd' as whole pieces, so every word is ONE token and
+    compression = chars/words exactly; token/char sums are per-doc."""
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_lm_apply
+
+    texts = ["abab abab abab ab", "abab cd cd ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in unigram_lm_apply(
+        df, "text", "doc_id"
+    ).collect()}
+    d0, d1 = got[0], got[1]
+    assert (d0["n_words"], d0["n_chars"], d0["n_tokens"]) == (4, 14, 4)
+    assert d0["compression"] == 3.5
+    assert (d1["n_words"], d1["n_chars"], d1["n_tokens"]) == (4, 10, 4)
+    assert d1["compression"] == 2.5
