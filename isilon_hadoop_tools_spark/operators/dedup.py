@@ -573,6 +573,20 @@ def hamming_band_pairs(
     return cross.unionByName(intra)
 
 
+def tagged_band_slice_array(hash_col, modality_col, params: dict):
+    """Per-modality band slicing as ONE expression: a ``CASE`` chain
+    over the modality tag dispatching to :func:`band_slice_array`
+    with that modality's (bits, _, bands) — shared by the batch
+    unified band join and the streaming unified index so the two can
+    never slice differently."""
+    out = None
+    for m, (bits, _max_h, bands) in sorted(params.items()):
+        e = band_slice_array(hash_col, bits, bands)
+        cond = modality_col == m
+        out = F.when(cond, e) if out is None else out.when(cond, e)
+    return out
+
+
 def tagged_hamming_band_pairs(
     df: DataFrame,
     params: dict[str, tuple[int, int, int]],
@@ -629,8 +643,8 @@ def tagged_hamming_band_pairs(
         .agg(F.min("id").alias("rep"))
         .localCheckpoint(eager=False)
     )
-    band_arr = per_modality(
-        lambda p: band_slice_array(F.col("_hash"), p[0], p[2])
+    band_arr = tagged_band_slice_array(
+        F.col("_hash"), F.col("modality"), params
     )
     banded = groups.select(
         "modality",

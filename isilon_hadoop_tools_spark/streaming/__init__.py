@@ -13,6 +13,8 @@ from isilon_hadoop_tools_spark.streaming.neardup import (
     minhash_stream_into_state,
     simhash_index_apply_batch,
     simhash_stream_into_state,
+    tagged_index_apply_batch,
+    tagged_stream_into_state,
 )
 from isilon_hadoop_tools_spark.streaming.events import (
     dedup_first_stream,
@@ -39,5 +41,7 @@ __all__ = [
     "sessionize",
     "simhash_index_apply_batch",
     "simhash_stream_into_state",
+    "tagged_index_apply_batch",
+    "tagged_stream_into_state",
     "view_purchase_interval_join",
 ]

@@ -406,3 +406,158 @@ def ivf_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+TAGGED_MEMBERS_SCHEMA = "modality STRING, id LONG, fp LONG"
+TAGGED_POSTINGS_SCHEMA = (
+    "modality STRING, band_idx INT, band_val LONG, fp LONG"
+)
+TAGGED_PAIRS_SCHEMA = "modality STRING, id_a LONG, id_b LONG, hamming INT"
+
+
+def tagged_index_apply_batch(
+    fps: DataFrame,
+    state: ParquetState,
+    params: dict,
+) -> None:
+    """Fold one micro-batch of TAGGED fingerprints — ``(modality, id,
+    fhash)`` rows from any mix of text/image/audio/video — into ONE
+    unified band index (the streaming twin of the batch
+    ``tagged_hamming_band_pairs``, completing L16u for the
+    continuous-crawl case): one postings table, one members table,
+    one pairs table, with the modality inside every key so buckets
+    never mix and each modality keeps its own ``params[(bits,
+    max_hamming, bands)]`` inside the shared maintenance pipeline.
+
+    Same crash/replay discipline as the per-modality indexes
+    (members anti-join ⇒ replayed batches are no-ops; pairs →
+    postings → members write order; appends are O(batch), never an
+    index rewrite) — one discipline now maintains the whole
+    multimodal corpus instead of four copies of it.
+    """
+    from isilon_hadoop_tools_spark.operators.dedup import (
+        tagged_band_slice_array,
+    )
+
+    for m, (_bits, max_h, bands) in params.items():
+        if max_h >= bands:
+            raise ValueError(
+                f"completeness requires max_hamming < bands for {m!r}"
+            )
+    max_h_expr = None
+    for m, (_bits, max_h, _bands) in sorted(params.items()):
+        cond = F.col("modality") == m
+        max_h_expr = (
+            F.when(cond, F.lit(max_h))
+            if max_h_expr is None
+            else max_h_expr.when(cond, F.lit(max_h))
+        )
+    delta = fps.select(
+        "modality", "id", F.col("fhash").alias("fp")
+    )
+    members = state.read("tfp_members", TAGGED_MEMBERS_SCHEMA)
+    new_members = delta.join(
+        members.select("modality", "id"), ["modality", "id"], "left_anti"
+    ).localCheckpoint(eager=True)
+    if not new_members.take(1):
+        return  # replayed or empty batch
+    postings = state.read("tband_postings", TAGGED_POSTINGS_SCHEMA)
+    delta_fps = (
+        new_members.select("modality", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    new_fps = delta_fps.join(
+        postings.filter(F.col("band_idx") == 0).select("modality", "fp"),
+        ["modality", "fp"],
+        "left_anti",
+    )
+    band_arr = tagged_band_slice_array(
+        F.col("fp"), F.col("modality"), params
+    )
+    new_postings = new_fps.select(
+        "modality",
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+        "fp",
+    ).select(
+        "modality", F.col("band_idx").cast("int"), "band_val", "fp"
+    )
+    all_postings = postings.unionByName(new_postings).localCheckpoint(
+        eager=True
+    )
+    delta_banded = delta_fps.select(
+        "modality",
+        F.col("fp").alias("fp_d"),
+        F.posexplode(
+            tagged_band_slice_array(F.col("fp"), F.col("modality"), params)
+        ).alias("band_idx", "band_val"),
+    )
+    cand = (
+        delta_banded.join(all_postings, ["modality", "band_idx", "band_val"])
+        .select("modality", "fp_d", F.col("fp").alias("fp_o"))
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_d").bitwiseXOR(F.col("fp_o"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_h_expr)
+    )
+    merged_members = members.unionByName(new_members)
+    pairs = (
+        cand.join(
+            new_members.select(
+                "modality", F.col("fp").alias("fp_d"), F.col("id").alias("_ida")
+            ),
+            ["modality", "fp_d"],
+        )
+        .join(
+            merged_members.select(
+                "modality", F.col("fp").alias("fp_o"), F.col("id").alias("_idb")
+            ),
+            ["modality", "fp_o"],
+        )
+        .select(
+            "modality",
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    current = state.read("tnear_pairs", TAGGED_PAIRS_SCHEMA)
+    state.write(
+        "tnear_pairs",
+        current.unionByName(pairs)
+        .groupBy("modality", "id_a", "id_b")
+        .agg(F.min("hamming").cast("int").alias("hamming")),
+    )
+    state.append("tband_postings", new_postings)
+    state.append("tfp_members", new_members)
+
+
+def tagged_stream_into_state(
+    docs: DataFrame,
+    state: ParquetState,
+    params: dict,
+    fingerprint_fn,
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a document stream into the unified multimodal band index:
+    each micro-batch is fingerprinted by ``fingerprint_fn`` (a
+    ``DataFrame -> DataFrame`` producing ``(modality, id, fhash)`` —
+    the modality-specific decode/hash work stays outside the shared
+    maintenance machinery, mirroring the batch split between the
+    fingerprint operators and ``tagged_hamming_band_pairs``) and
+    folded in by :func:`tagged_index_apply_batch`."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        tagged_index_apply_batch(fingerprint_fn(batch), state, params)
+
+    writer = docs.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -9722,6 +9722,16 @@ def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bmp_payload_df(
     spark: SparkSession, sf_dir: str, base_mod: int | None = None
 ) -> DataFrame:
+    """BMP payloads for the sf documents table — see
+    :func:`_bmp_payload_from`."""
+    return _bmp_payload_from(
+        _t(spark, sf_dir, "documents").select("doc_id"), base_mod
+    )
+
+
+def _bmp_payload_from(
+    docs: DataFrame, base_mod: int | None = None
+) -> DataFrame:
     """Per-document 24-bit BI_RGB BMP payloads as REAL binary: full
     BITMAPFILEHEADER + BITMAPINFOHEADER, then the pixel array with the
     format's two traps intact — bottom-up row order and 4-byte row
@@ -9731,8 +9741,8 @@ def _bmp_payload_df(
     or doc_id % base_mod when set — the duplicate-image knob: docs
     sharing a base get BYTE-IDENTICAL images (the image-dedup
     fixture). Built entirely with JVM expressions (hex/unhex), no
-    UDF."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    UDF. Takes the (doc_id) DataFrame directly so streaming
+    micro-batches can reuse the generator."""
     base = (
         F.pmod("doc_id", F.lit(base_mod)) if base_mod else F.col("doc_id")
     ).cast("long")
@@ -10839,21 +10849,26 @@ def multimodal_png_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unified_near_dups_oracle() -> str:
+_MODALITY_ORACLES = (
+    ("audio", "multimodal_audio_near_dups"),
+    ("image", "multimodal_image_near_dups"),
+    ("text", "simhash_hamming_pairs"),
+    ("video", "multimodal_video_near_dups"),
+)
+
+
+def _unified_near_dups_oracle(tags: tuple = None) -> str:
     """Cross-modality twin: the unified output must equal the UNION
-    of the four per-modality analytic oracles (each already proven
-    against its own engine path), tagged by modality — composed from
-    the registered oracle strings themselves so the two contracts can
-    never drift apart."""
+    of the per-modality analytic oracles (each already proven against
+    its own engine path), tagged by modality — composed from the
+    registered oracle strings themselves so the two contracts can
+    never drift apart. ``tags`` restricts to a subset (the streaming
+    fixture fingerprints two modalities)."""
     subs = [
         f"SELECT '{tag}' AS modality, t.id_a, t.id_b,"
         f" t.hamming::INT AS hamming FROM ({REGISTRY[name].oracle}) t"
-        for tag, name in (
-            ("audio", "multimodal_audio_near_dups"),
-            ("image", "multimodal_image_near_dups"),
-            ("text", "simhash_hamming_pairs"),
-            ("video", "multimodal_video_near_dups"),
-        )
+        for tag, name in _MODALITY_ORACLES
+        if tags is None or tag in tags
     ]
     return "\n    UNION ALL\n    ".join(subs)
 
@@ -10910,6 +10925,82 @@ def multimodal_unified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "audio": (32, 3, 4),
             "video": (32, 3, 4),
         },
+    )
+
+
+@query(
+    "multimodal_unified_index_stream",
+    oracle=_unified_near_dups_oracle(tags=("text", "image")),
+)
+def multimodal_unified_index_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming maintenance of the UNIFIED multimodal index (L16u x
+    §2.9, the continuous-crawl twin of `multimodal_unified_near_dups`):
+    the documents table arrives as three micro-batches; each batch is
+    fingerprinted for TWO modalities (SimHash text + real-BMP-decode
+    aHash image) and folded into ONE tagged band index — one postings
+    table, one members table, one maintenance discipline for the whole
+    multimodal corpus. Drained TWICE without a checkpoint (the tagged
+    members anti-join makes replays no-ops); the final pair state must
+    equal the union of the two batch per-modality answers — composed
+    from their registered oracle strings."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import multimodal as M
+    from isilon_hadoop_tools_spark import streaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = f"{_SCRATCH}/unified_index_stream_src_{tag}"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for i in range(3):
+        tmp = f"{stream_dir}.slice{i}"
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp)
+
+    def fingerprint(batch: DataFrame) -> DataFrame:
+        text = dedup.simhash(batch, "text", "doc_id", bits=32).select(
+            F.lit("text").alias("modality"),
+            "id",
+            F.col("simhash").alias("fhash"),
+        )
+        image = M.bmp_ahash(
+            _bmp_payload_from(batch.select("doc_id"), base_mod=200),
+            "payload",
+            "doc_id",
+        ).select(
+            F.lit("image").alias("modality"),
+            F.col("doc_id").alias("id"),
+            F.col("ahash").alias("fhash"),
+        )
+        return text.unionByName(image)
+
+    params = {"text": (32, 3, 4), "image": (36, 4, 6)}
+    state = _fresh_state(spark, "multimodal_unified_index_stream")
+    schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/b*.parquet")
+        )
+        streaming.tagged_stream_into_state(
+            stream, state, params, fingerprint
+        )
+    return state.read(
+        "tnear_pairs",
+        "modality STRING, id_a LONG, id_b LONG, hamming INT",
     )
 
 

@@ -433,3 +433,61 @@ def test_ivf_stream_checkpointed_restart_ingests_only_new(spark, tmp_path):
         for r in state.read("ivf_postings", IVF_POSTINGS_SCHEMA).collect()
     }
     assert got == truth
+
+
+def test_tagged_index_stream_modality_isolation_and_replay(spark, tmp_path):
+    """The unified tagged index: text and image fingerprints of the
+    SAME ids maintained in one postings/members/pairs table set —
+    cross-batch pairs detected per modality, identical hash VALUES
+    across modalities never pair, replays are no-ops, and the final
+    state equals the batch tagged_hamming_band_pairs answer."""
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        TAGGED_PAIRS_SCHEMA,
+        tagged_index_apply_batch,
+    )
+
+    params = {"t": (12, 2, 4), "i": (12, 1, 4)}
+    # ids 1/4 exact text dups across batches; 2 near 1 (hamming 1);
+    # image side: SAME hash values under modality 'i' with its own
+    # tighter threshold; id 9 exists only in 'i'
+    batches = [
+        [("t", 1, 0b0001), ("t", 2, 0b0011), ("i", 1, 0b0001)],
+        [("t", 3, 0xF00), ("t", 4, 0b0001), ("i", 9, 0b0011)],
+        [("t", 6, 0b0001), ("i", 4, 0b0001)],
+    ]
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for _ in range(2):  # second pass replays every batch: no-ops
+        for rows in batches:
+            tagged_index_apply_batch(
+                spark.createDataFrame(
+                    rows, "modality STRING, id LONG, fhash LONG"
+                ),
+                state,
+                params,
+            )
+    got = {
+        (r["modality"], r["id_a"], r["id_b"]): r["hamming"]
+        for r in state.read("tnear_pairs", TAGGED_PAIRS_SCHEMA).collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    want = {
+        (r["modality"], r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.tagged_hamming_band_pairs(
+            spark.createDataFrame(
+                all_rows, "modality STRING, id LONG, fhash LONG"
+            ),
+            params,
+        ).collect()
+    }
+    assert got == want
+    # cross-batch text dups found; the same values under 'i' pair
+    # independently; hamming-2 pair survives in 't' (max_h=2) but
+    # would not in 'i' (max_h=1)
+    assert got[("t", 1, 4)] == 0 and got[("t", 1, 6)] == 0
+    assert got[("i", 1, 4)] == 0
+    assert ("t", 2, 3) not in got
+    assert ("i", 1, 9) in got  # hamming 1 <= 1
+    # members grew once per distinct (modality, id) — replay added 0
+    assert state.read(
+        "tfp_members", "modality STRING, id LONG, fp LONG"
+    ).count() == len(all_rows)
