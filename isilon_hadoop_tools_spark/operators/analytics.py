@@ -1554,3 +1554,76 @@ def cusum_changepoint(
         .otherwise(F.lit("none"))
         .alias("direction"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    in_base,
+    in_cur,
+    breaks: list,
+) -> DataFrame:
+    """Population Stability Index between two cohorts of one table —
+    the standard data-drift release gate (credit-scoring lineage,
+    now the "did this month's crawl shift under my filters?" check a
+    training-data pipeline runs before shipping a snapshot):
+    ``PSI = Σ_bands (p_i − q_i)·ln(p_i / q_i)`` over FIXED value
+    bands, with the conventional read (<0.1 stable, 0.1–0.25 drifting,
+    >0.25 shifted).
+
+    Determinism: bands are literal breaks (B = len+1 bands with open
+    ends); empty bands get add-one (Laplace) smoothing — ``p_i =
+    (n_i + 1)/(N + B)`` — so the log is always finite and BOTH
+    engines compute identical rationals → identical doubles →
+    identical ``ln`` (same libm) → 6-dp-stable terms.
+
+    Shape: ONE fact scan (band key + two conditional sums with
+    map-side partials), then everything runs on the B-row band table
+    (spine join so silent bands still appear, window totals). The
+    fact table never moves twice; B is a constant.
+
+    Output per band: ``band``, ``n_base``, ``n_cur``, ``p_base``,
+    ``p_cur``, ``psi_term`` (6 dp each) and the repeated
+    ``psi_total`` (6 dp) for the gate readout.
+    """
+    spark = df.sparkSession
+    nb = len(breaks) + 1
+    v = F.col(value_col)
+    band = None
+    for i, b in enumerate(breaks):
+        cond = v < F.lit(float(b))
+        band = F.when(cond, F.lit(i)) if band is None else band.when(
+            cond, F.lit(i)
+        )
+    band = band.otherwise(F.lit(nb - 1)).cast("int")
+    counts = (
+        df.select(
+            band.alias("band"),
+            in_base.cast("long").alias("_b"),
+            in_cur.cast("long").alias("_c"),
+        )
+        .groupBy("band")
+        .agg(F.sum("_b").alias("n_base"), F.sum("_c").alias("n_cur"))
+    )
+    spine = spark.range(nb).select(F.col("id").cast("int").alias("band"))
+    full = (
+        spine.join(counts, "band", "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    wall = Window.partitionBy()
+    p = (F.col("n_base") + 1).cast("double") / (
+        F.sum("n_base").over(wall) + nb
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.sum("n_cur").over(wall) + nb
+    ).cast("double")
+    term = (p - q) * F.log(p / q)
+    return full.select(
+        "band",
+        "n_base",
+        "n_cur",
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(wall), 6).alias("psi_total"),
+    )

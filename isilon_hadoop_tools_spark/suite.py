@@ -7160,6 +7160,64 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_psi_drift",
+    oracle="""
+    WITH banded AS (
+      SELECT CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1
+                  WHEN value < 150 THEN 2 WHEN value < 200 THEN 3
+                  WHEN value < 250 THEN 4 WHEN value < 300 THEN 5
+                  WHEN value < 350 THEN 6 WHEN value < 400 THEN 7
+                  WHEN value < 450 THEN 8 ELSE 9 END AS band,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS b,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS c
+      FROM events
+    ),
+    counts AS (
+      SELECT band, sum(b)::BIGINT AS n_base, sum(c)::BIGINT AS n_cur
+      FROM banded GROUP BY band
+    ),
+    spine AS (SELECT unnest(generate_series(0, 9))::INT AS band),
+    filled AS (
+      SELECT s.band, coalesce(n_base, 0) AS n_base,
+             coalesce(n_cur, 0) AS n_cur
+      FROM spine s LEFT JOIN counts USING (band)
+    ),
+    tot AS (SELECT sum(n_base)::BIGINT AS tb, sum(n_cur)::BIGINT AS tc
+            FROM filled),
+    terms AS (
+      SELECT band, n_base, n_cur,
+             (n_base + 1) / (tb + 10)::DOUBLE AS p,
+             (n_cur + 1) / (tc + 10)::DOUBLE AS q
+      FROM filled, tot
+    )
+    SELECT band, n_base, n_cur,
+           round(p, 6) AS p_base, round(q, 6) AS p_cur,
+           round((p - q) * ln(p / q), 6) AS psi_term,
+           round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+    FROM terms
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (EA29) — the data-drift release
+    gate: value-distribution shift between the first and second half
+    of the events month over 10 fixed bands, add-one smoothing so
+    silent bands stay finite (and still APPEAR, via the band spine
+    join). One fact scan; everything after runs on the 10-row band
+    table. The conventional gate read: <0.1 stable, >0.25 shifted."""
+    from isilon_hadoop_tools_spark.operators.analytics import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    return psi_drift(
+        ev,
+        "value",
+        in_base=F.col("ts") < boundary,
+        in_cur=F.col("ts") >= boundary,
+        breaks=[50, 100, 150, 200, 250, 300, 350, 400, 450],
+    )
+
+
+@query(
     "events_ordered_funnel",
     oracle="""
     WITH base AS (SELECT user_id, event_type, ts FROM events),

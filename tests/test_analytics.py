@@ -898,3 +898,44 @@ def test_cusum_finds_planted_level_shift(spark):
     assert flat["direction"] == "none"
     assert flat["cusum_abs"] == 0.0
     assert flat["cp_day"].day == 1  # earliest-day tie-break
+
+
+def test_psi_drift_planted_shift_and_identity(spark):
+    """Identical cohorts give PSI ~= 0 (exactly 0 when counts are
+    equal: p == q per band); a planted mass shift produces a large
+    positive PSI; silent bands still appear via the spine with
+    smoothed shares."""
+    from isilon_hadoop_tools_spark.operators.analytics import psi_drift
+
+    rows = [(float(v % 100), "base") for v in range(1000)]
+    rows += [(float(v % 100), "cur") for v in range(1000)]
+    df = spark.createDataFrame(rows, "value double, cohort string")
+    same = psi_drift(
+        df, "value",
+        in_base=F.col("cohort") == "base",
+        in_cur=F.col("cohort") == "cur",
+        breaks=[25, 50, 75],
+    ).collect()
+    assert len(same) == 4
+    assert all(r["psi_term"] == 0.0 and r["psi_total"] == 0.0 for r in same)
+    # shift: current cohort concentrated in the top band
+    rows2 = [(float(v % 100), "base") for v in range(1000)]
+    rows2 += [(90.0, "cur")] * 1000
+    df2 = spark.createDataFrame(rows2, "value double, cohort string")
+    out = psi_drift(
+        df2, "value",
+        in_base=F.col("cohort") == "base",
+        in_cur=F.col("cohort") == "cur",
+        breaks=[25, 50, 75],
+    ).collect()
+    assert len(out) == 4
+    total = out[0]["psi_total"]
+    assert all(r["psi_total"] == total for r in out)
+    assert total > 0.25  # the conventional "shifted" gate
+    by_band = {r["band"]: r for r in out}
+    # bands 0-2 lost all current mass but keep smoothed nonzero share
+    for b in range(3):
+        assert by_band[b]["n_cur"] == 0
+        assert by_band[b]["p_cur"] > 0.0
+    # shares are the add-one rationals
+    assert by_band[3]["p_cur"] == round(1001 / 1004, 6)
