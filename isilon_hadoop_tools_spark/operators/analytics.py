@@ -1627,3 +1627,78 @@ def psi_drift(
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(wall), 6).alias("psi_total"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    value_col: str,
+    touch_types: list,
+    conversion_type: str,
+    lookback_hours: int = 24,
+) -> DataFrame:
+    """Last-touch conversion attribution — the standard marketing /
+    growth readout (and, for a data pipeline, "which upstream source
+    fed the document that converted"): every conversion event credits
+    the LAST touch event of the same user strictly earlier in the
+    (ts, tiebreak) order and within the lookback window; conversions
+    with no qualifying touch credit ``'direct'``.
+
+    Semantics pinned for the oracle: "strictly earlier" is row order
+    (a touch at the identical timestamp but lower tiebreak id still
+    counts), the window is inclusive at exactly ``lookback_hours``,
+    and second-resolution epochs (``floor(epoch)``) are compared so
+    both engines truncate identically.
+
+    Shape: ONE shuffle — the per-user window (carrying the last touch
+    ts/type via ``last(..., ignorenulls=True)`` over UNBOUNDED
+    PRECEDING..1 PRECEDING) hash-partitions on the user; the final
+    channel aggregation runs on conversion rows only.
+
+    Output per channel: ``channel``, ``n_conversions``,
+    ``attributed_value`` (4 dp), ``share`` (of conversions, 6 dp).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    lt_ts = F.last(
+        F.when(is_touch, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    lt_type = F.last(
+        F.when(is_touch, F.col(type_col)), ignorenulls=True
+    ).over(w)
+    carried = df.select(
+        type_col,
+        value_col,
+        F.col(ts_col).cast("long").alias("_ets"),
+        lt_ts.cast("long").alias("_lts"),
+        lt_type.alias("_ltype"),
+    ).filter(F.col(type_col) == conversion_type)
+    channel = F.when(
+        F.col("_lts").isNotNull()
+        & (F.col("_ets") - F.col("_lts") <= lookback_hours * 3600),
+        F.col("_ltype"),
+    ).otherwise(F.lit("direct"))
+    agged = carried.select(channel.alias("channel"), value_col).groupBy(
+        "channel"
+    ).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum(value_col), 4).alias("attributed_value"),
+    )
+    wall = Window.partitionBy()
+    return agged.select(
+        "channel",
+        "n_conversions",
+        "attributed_value",
+        F.round(
+            F.col("n_conversions").cast("double")
+            / F.sum("n_conversions").over(wall),
+            6,
+        ).alias("share"),
+    )

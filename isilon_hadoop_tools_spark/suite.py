@@ -7160,6 +7160,60 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN floor(epoch(ts))::BIGINT END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_ts,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_type
+      FROM events
+    ),
+    conv AS (
+      SELECT CASE WHEN lt_ts IS NOT NULL
+                       AND floor(epoch(ts))::BIGINT - lt_ts <= 86400
+                  THEN lt_type ELSE 'direct' END AS channel,
+             value
+      FROM w WHERE event_type = 'purchase'
+    )
+    SELECT channel, count(*) AS n_conversions,
+           round(sum(value), 4) AS attributed_value,
+           round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS share
+    FROM conv GROUP BY channel
+    """,
+)
+def events_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch conversion attribution (EA30): every purchase
+    credits the user's most recent view/click within 24 h (strictly
+    earlier in (ts, event_id) order — a same-timestamp lower-id touch
+    counts; inclusive at exactly the lookback; second-resolution
+    epochs so both engines truncate identically), else 'direct'. One
+    user-partitioned window shuffle; the channel rollup runs on
+    conversion rows only."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    return last_touch_attribution(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "value",
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        lookback_hours=24,
+    )
+
+
+@query(
     "events_psi_drift",
     oracle="""
     WITH banded AS (

@@ -939,3 +939,46 @@ def test_psi_drift_planted_shift_and_identity(spark):
         assert by_band[b]["p_cur"] > 0.0
     # shares are the add-one rationals
     assert by_band[3]["p_cur"] == round(1001 / 1004, 6)
+
+
+def test_last_touch_attribution_window_and_tiebreak(spark):
+    """Hand-built journey: purchase credits the most recent touch
+    inside the lookback; an expired touch goes 'direct'; a touch at
+    the SAME timestamp with a lower event_id still counts; values
+    accumulate per channel."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        # user 1: view then click then purchase -> click wins
+        (1, _m(0), 1, "view", 0.0),
+        (2, _m(10), 1, "click", 0.0),
+        (3, _m(20), 1, "purchase", 100.0),
+        # user 2: touch 25h before purchase -> outside 24h -> direct
+        (4, _m(0), 2, "view", 0.0),
+        (5, _m(25 * 60), 2, "purchase", 50.0),
+        # user 3: same-ts touch with LOWER id counts (row order)
+        (6, _m(0), 3, "view", 0.0),
+        (7, _m(0), 3, "purchase", 25.0),
+        # user 4: no touches at all -> direct
+        (8, _m(0), 4, "purchase", 10.0),
+        # user 1 second purchase, 23h59m after the click: inclusive
+        (9, _m(10 + 24 * 60), 1, "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    # reorder columns to the operator's (user, ts, tiebreak, ...) args
+    got = {
+        r["channel"]: (r["n_conversions"], r["attributed_value"], r["share"])
+        for r in last_touch_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "value",
+            touch_types=["view", "click"],
+            conversion_type="purchase", lookback_hours=24,
+        ).collect()
+    }
+    assert got["click"] == (2, 105.0, round(2 / 5, 6))
+    assert got["view"] == (1, 25.0, round(1 / 5, 6))
+    assert got["direct"] == (2, 60.0, round(2 / 5, 6))
