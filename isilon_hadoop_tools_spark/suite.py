@@ -5242,11 +5242,13 @@ def corpus_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply_oracle(rounds: int = 6) -> str:
+def _bpe_apply_oracle(rounds: int = 6, mode: str = "bpe") -> str:
     """Tokenization twin: the training chain's final ``v{rounds}``
-    vocabulary joined back onto every document's words."""
+    vocabulary joined back onto every document's words. ``mode``
+    selects which trainer's rules are applied (the merge machinery is
+    shared; only the round-winner selector differs)."""
     return (
-        _bpe_cte_chain(rounds)
+        _bpe_cte_chain(rounds, mode=mode)
         + f""",
     doc_words AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
@@ -5280,6 +5282,33 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = [
         (r["lhs"], r["rhs"])
         for r in bpe_train(docs, "text", "doc_id", rounds=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_apply(docs, "text", "doc_id", rules)
+
+
+@query(
+    "corpus_wordpiece_tokenize", oracle=_bpe_apply_oracle(5, mode="wordpiece")
+)
+def corpus_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece round trip (L54d x L54b): the 5 likelihood-ranked
+    rules applied back to the corpus through the SAME merge machinery
+    as BPE (`bpe_apply` — only the trainer's round-winner selector
+    differs), reporting per-doc chars vs post-merge tokens and the
+    realized compression. Oracle re-derives the likelihood-scored
+    rules AND the tokenization from one unrolled chain — a divergence
+    in either phase fails, and because WordPiece picks DIFFERENT
+    rules than BPE on this corpus, a selector mix-up cannot hide."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        bpe_apply,
+        wordpiece_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in wordpiece_train(docs, "text", "doc_id", rounds=5)
         .orderBy("merge_round")
         .collect()
     ]
