@@ -1759,3 +1759,79 @@ def jl_distortion_eval(
             6,
         ).alias("norm_ratio"),
     )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 3,
+    n_queries: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the
+    triplet/InfoNCE data-prep step: the most useful negatives are the
+    nearest vectors with a DIFFERENT label — random negatives are too
+    easy and teach nothing): for each of the ``n_queries`` lowest-id
+    query vectors, the ``k`` nearest corpus vectors whose label
+    differs from the query's.
+
+    Shape: the label filter composes INTO the broadcast-query scan —
+    one corpus pass scoring only (query, candidate) pairs that
+    survive ``label != true_label``, then the per-query top-k window
+    (``TakeOrderedAndProject``-style cut). Cost O(n_queries · n),
+    never all-pairs; exact integer squared distances in the quantized
+    space with (dist, id) ties — bit-identical cross-engine.
+
+    Output: ``query_id``, ``query_label``, ``neighbor_id``,
+    ``neighbor_label``, ``dist``, ``rank``.
+    """
+    labeled = df.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("label")
+    )
+    vecs = quantize_vectors(df, vec_col, id_col, scale).localCheckpoint(
+        eager=False
+    )
+    q = (
+        vecs.orderBy("vid")
+        .limit(n_queries)
+        .join(labeled, "vid")
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("label").alias("query_label"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q_qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        vecs.join(labeled, "vid")
+        .join(F.broadcast(q))
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vid").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            dist.alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "dist",
+            "rank",
+        )
+    )

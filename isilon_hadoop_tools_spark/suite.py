@@ -8397,6 +8397,52 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH qvecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS qv
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS query_label, qv AS q_qv
+          FROM qvecs WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, q.query_label, v.vec_id AS neighbor_id,
+             v.label AS neighbor_label,
+             list_sum(list_transform(range(1, 65),
+               i -> (v.qv[i] - q.q_qv[i]) * (v.qv[i] - q.q_qv[i])))::BIGINT
+               AS dist
+      FROM qvecs v CROSS JOIN q
+      WHERE v.label <> q.query_label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, dist, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (L57) — the contrastive-training data-prep
+    step: for each query vector, the 3 nearest corpus vectors with a
+    DIFFERENT label (random negatives are too easy; the near-but-wrong
+    ones carry the gradient). The label filter composes into the
+    broadcast-query scan — O(n_queries · n), never all-pairs — and
+    exact integer distances with (dist, id) ties keep every rank
+    bit-identical to the oracle."""
+    from isilon_hadoop_tools_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    return hard_negative_topk(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding", "vec_id", "label", k=3, n_queries=5,
+    )
+
+
 @query("ann_ivf_pq_rerank", oracle=_ivf_pq_oracle(rerank_k=40))
 def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ + exact re-rank (the FAISS refine step) — the full

@@ -667,3 +667,28 @@ def test_ivf_pq_rerank_recall_dominates_adc(spark, embeddings):
         for a, b in zip(rows, rows[1:]):
             assert (a["edist"], a["neighbor_id"]) < (
                 b["edist"], b["neighbor_id"])
+
+
+def test_hard_negative_topk_label_exclusion_and_hardness(spark):
+    """Planted geometry: query 0 (label 0) sits next to same-label
+    twins and one near different-label vector — the miner must skip
+    every label-0 vector (even at distance 0) and return
+    different-label rows in exact distance order."""
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [0.0, 0.0], 0),    # identical but same label: excluded
+        (2, [0.001, 0.0], 1),  # nearest hard negative
+        (3, [0.002, 0.0], 2),  # second
+        (4, [1.0, 1.0], 1),    # far negative
+        (5, [0.003, 0.0], 0),  # near but same label: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.hard_negative_topk(
+        df, "embedding", "vec_id", "label", k=2, n_queries=1
+    ).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+    assert all(r["neighbor_label"] != r["query_label"] for r in out)
+    assert out[0]["dist"] == 1  # (0.001*1000)^2
+    assert out[1]["dist"] == 4
