@@ -1063,3 +1063,289 @@ def test_gif_png_cross_codec_pixel_equivalence(w, h, data):
     assert (png_pix == pix).all()
     assert (gif_pix == pix).all()
     assert (png_pix == gif_pix).all()
+
+
+@_SETTINGS
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=10),
+    data=st.data(),
+)
+def test_viterbi_segment_matches_enumeration_random_costs(spark, word, data):
+    """The unigram-LM E-step kernel under ARBITRARY cost tables (not
+    just trained ones): the JVM F.aggregate DP must pick the same
+    (cost, boundary-mask)-minimal segmentation as brute-force
+    enumeration — including adversarial ties from equal costs."""
+    from isilon_hadoop_tools_spark.operators.corpus import _viterbi_segment
+    from pyspark.sql import functions as F
+
+    pieces = {"a", "b"}  # singles always present
+    for l in (2, 3, 4):
+        for j in range(len(word) - l + 1):
+            if data.draw(st.booleans()):
+                pieces.add(word[j:j + l])
+    costs = {
+        p: data.draw(st.integers(min_value=0, max_value=5)) * 1000
+        for p in pieces
+    }
+    df = spark.createDataFrame([(word,)], "w string")
+    got = df.select(
+        _viterbi_segment(F.col("w"), costs, 4, 10**9).alias("pieces")
+    ).collect()[0]["pieces"]
+
+    best = None
+    def rec(pos, cost, mask, segs):
+        nonlocal best
+        if pos == len(word):
+            cand = (cost, mask, list(segs))
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+            return
+        for l in range(1, min(4, len(word) - pos) + 1):
+            piece = word[pos:pos + l]
+            if piece in costs:
+                segs.append(piece)
+                rec(pos + l, cost + costs[piece], mask + (1 << pos), segs)
+                segs.pop()
+
+    rec(0, 0, 0, [])
+    assert got == best[2]
+    assert "".join(got) == word
+
+
+@_SETTINGS
+@given(
+    data=st.data(),
+    n=st.integers(min_value=2, max_value=10),
+)
+def test_tagged_band_pairs_equals_per_modality_union(spark, data, n):
+    """Consistency law: the unified tagged band join must equal the
+    union of independent per-modality hamming_band_pairs runs —
+    random hashes, shared values across modalities."""
+    rows = []
+    for m, (bits, max_h, bands) in (("x", (8, 1, 4)), ("y", (12, 2, 4))):
+        for i in range(n):
+            rows.append(
+                (m, i, data.draw(st.integers(min_value=0, max_value=255)))
+            )
+    df = spark.createDataFrame(rows, "modality STRING, id LONG, fhash LONG")
+    params = {"x": (8, 1, 4), "y": (12, 2, 4)}
+    got = {
+        (r["modality"], r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.tagged_hamming_band_pairs(df, params).collect()
+    }
+    want = {}
+    for m, p in params.items():
+        single = spark.createDataFrame(
+            [(i, h) for mm, i, h in rows if mm == m], "id LONG, fhash LONG"
+        )
+        for r in dedup.hamming_band_pairs(
+            single, "fhash", "id", bits=p[0], max_hamming=p[1], bands=p[2]
+        ).collect():
+            want[(m, r["id_a"], r["id_b"])] = r["hamming"]
+    assert got == want
+
+
+@_SETTINGS
+@given(data=st.data(), n_words=st.integers(min_value=1, max_value=6))
+def test_wordpiece_first_rule_matches_fraction_reference(
+    spark, data, n_words
+):
+    """The quantized likelihood score's argmax must equal a
+    driver-side reference using the same floor(p·1e9/(l·r)) integers
+    — random small corpora force score collisions and the
+    lexicographic tie-break."""
+    from collections import Counter
+
+    from isilon_hadoop_tools_spark.operators.corpus import wordpiece_train
+
+    words = [
+        data.draw(st.text(alphabet="abc", min_size=2, max_size=4))
+        for _ in range(n_words)
+    ]
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = wordpiece_train(df, "text", "doc_id", rounds=1).collect()
+    wc = Counter(words)
+    pair_cnt, sym_cnt = Counter(), Counter()
+    for w, n in wc.items():
+        for s in w:
+            sym_cnt[s] += n
+        for a, b in zip(w, w[1:]):
+            pair_cnt[(a, b)] += n
+    if not pair_cnt:
+        assert got == []
+        return
+    scored = sorted(
+        (
+            -(p * 10**9 // (sym_cnt[l] * sym_cnt[r])),
+            l,
+            r,
+        )
+        for (l, r), p in pair_cnt.items()
+    )
+    sq, lhs, rhs = scored[0]
+    r0 = got[0]
+    assert (r0["lhs"], r0["rhs"], r0["score_q"]) == (lhs, rhs, -sq)
+    assert r0["pair_count"] == pair_cnt[(lhs, rhs)]
+
+
+@_SETTINGS
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cusum_matches_python_reference(spark, counts):
+    """CUSUM argmax/direction vs a literal python replay of the
+    integer statistic over random per-day counts (days with 0 events
+    simply don't exist in the day table — both sides agree)."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for day, (ca, _) in enumerate(counts):
+        for _ in range(ca):
+            rows.append((eid, "g", t0 + dt.timedelta(days=day)))
+            eid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "id long, event_type string, ts timestamp"
+    )
+    r = cusum_changepoint(df, "event_type", "ts").collect()[0]
+    daily = [(d, c) for d, (c, _) in enumerate(counts) if c > 0]
+    n = len(daily)
+    tot = sum(c for _, c in daily)
+    cum, best = 0, None
+    for i, (d, c) in enumerate(daily, start=1):
+        cum += c
+        t = n * cum - i * tot
+        key = (-abs(t), d)
+        if best is None or key < best[0]:
+            best = (key, d, t)
+    _, cp_day, t = best
+    assert r["n_days"] == n
+    assert r["cp_day"] == t0 + dt.timedelta(days=cp_day)
+    assert r["cusum_abs"] == round(abs(t) / n, 6)
+    want_dir = "up" if t < 0 else ("down" if t > 0 else "none")
+    assert r["direction"] == want_dir
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99),
+            st.booleans(),  # cohort
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_psi_matches_python_reference(spark, vals):
+    """PSI terms/total vs a literal python replay of the add-one
+    smoothed formula over random cohort assignments (identical
+    rationals -> identical doubles -> identical math.log)."""
+    import math
+
+    from isilon_hadoop_tools_spark.operators.analytics import psi_drift
+
+    breaks = [25, 50, 75]
+    df = spark.createDataFrame(
+        [(float(v), "b" if b else "c") for v, b in vals],
+        "value double, cohort string",
+    )
+    out = {r["band"]: r for r in psi_drift(
+        df, "value",
+        in_base=F.col("cohort") == "b",
+        in_cur=F.col("cohort") == "c",
+        breaks=breaks,
+    ).collect()}
+    nb = [0] * 4
+    nc = [0] * 4
+    for v, is_b in vals:
+        band = sum(1 for br in breaks if v >= br)
+        (nb if is_b else nc)[band] += 1
+    tb, tc = sum(nb), sum(nc)
+    terms = []
+    for i in range(4):
+        p = (nb[i] + 1) / (tb + 4)
+        q = (nc[i] + 1) / (tc + 4)
+        terms.append((p - q) * math.log(p / q))
+        r = out[i]
+        assert (r["n_base"], r["n_cur"]) == (nb[i], nc[i])
+        assert r["p_base"] == round(p, 6)
+        assert r["p_cur"] == round(q, 6)
+        assert r["psi_term"] == round(terms[i], 6)
+    assert out[0]["psi_total"] == round(sum(terms), 6)
+
+
+@_SETTINGS
+@given(
+    journey=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),             # user
+            st.sampled_from(["view", "click", "purchase", "x"]),
+            st.integers(min_value=0, max_value=3000),          # minutes
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_attribution_matches_replay_reference(spark, journey):
+    """Last-touch attribution vs a per-user python replay over random
+    journeys — including same-minute collisions resolved by the
+    (ts, event_id) order both sides share."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), u, typ, 1.0)
+        for i, (u, typ, m) in enumerate(journey)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    got = {
+        r["channel"]: r["n_conversions"]
+        for r in last_touch_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "value",
+            touch_types=["view", "click"],
+            conversion_type="purchase", lookback_hours=24,
+        ).collect()
+    }
+    want: dict[str, int] = {}
+    by_user: dict[int, list] = {}
+    for eid, ts, u, typ, _ in rows:
+        by_user.setdefault(u, []).append((ts, eid, typ))
+    for evs in by_user.values():
+        evs.sort()
+        last_touch = None
+        for ts, _eid, typ in evs:
+            if typ == "purchase":
+                if (
+                    last_touch is not None
+                    and int(ts.timestamp()) - int(last_touch[0].timestamp())
+                    <= 24 * 3600
+                ):
+                    ch = last_touch[1]
+                else:
+                    ch = "direct"
+                want[ch] = want.get(ch, 0) + 1
+            if typ in ("view", "click"):
+                last_touch = (ts, typ)
+    assert got == want
