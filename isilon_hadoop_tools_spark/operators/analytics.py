@@ -1586,7 +1586,6 @@ def psi_drift(
     ``p_cur``, ``psi_term`` (6 dp each) and the repeated
     ``psi_total`` (6 dp) for the gate readout.
     """
-    spark = df.sparkSession
     nb = len(breaks) + 1
     v = F.col(value_col)
     band = None
@@ -1605,17 +1604,30 @@ def psi_drift(
         .groupBy("band")
         .agg(F.sum("_b").alias("n_base"), F.sum("_c").alias("n_cur"))
     )
-    spine = spark.range(nb).select(F.col("id").cast("int").alias("band"))
+    return psi_readout(counts, nb)
+
+
+def psi_readout(counts: DataFrame, n_bands: int) -> DataFrame:
+    """The PSI formula over a ``(band, n_base, n_cur)`` count table —
+    shared by the batch :func:`psi_drift` and the streaming drift
+    monitor (whose current-side counts live in ``ParquetState``):
+    band-spine join (silent bands still appear), add-one smoothing,
+    6-dp terms and the repeated total. Everything here is
+    B-row-table work."""
+    spark = counts.sparkSession
+    spine = spark.range(n_bands).select(
+        F.col("id").cast("int").alias("band")
+    )
     full = (
         spine.join(counts, "band", "left")
         .fillna(0, subset=["n_base", "n_cur"])
     )
     wall = Window.partitionBy()
     p = (F.col("n_base") + 1).cast("double") / (
-        F.sum("n_base").over(wall) + nb
+        F.sum("n_base").over(wall) + n_bands
     ).cast("double")
     q = (F.col("n_cur") + 1).cast("double") / (
-        F.sum("n_cur").over(wall) + nb
+        F.sum("n_cur").over(wall) + n_bands
     ).cast("double")
     term = (p - q) * F.log(p / q)
     return full.select(

@@ -327,6 +327,99 @@ def merge_stream_into_state(
     q.awaitTermination()
 
 
+def _marker_gate(current: DataFrame, batch_id: int, schema: str):
+    """The horizon-compacted transaction-marker discipline, shared by
+    every sum-merge stream (CMS, banded drift counts): rows with
+    ``row_id = -2`` are the horizon ("every batch id <= bucket is
+    committed"), ``row_id = -1`` rows mark committed ids above a gap.
+    Returns ``None`` when ``batch_id`` is already committed (the
+    caller skips the batch), else the compacted marker DataFrame to
+    write INSIDE the same atomic swap as the merged counts — the
+    horizon advances through the now-contiguous prefix, so steady
+    state is ONE marker row regardless of stream age; legacy
+    sparse-only states absorb into the horizon on first commit."""
+    marker_rows = current.filter(F.col("row_id") <= -1).collect()
+    horizon = max(
+        (int(r["bucket"]) for r in marker_rows if r["row_id"] == -2),
+        default=-1,
+    )
+    sparse = {
+        int(r["bucket"])
+        for r in marker_rows
+        if r["row_id"] == -1 and int(r["bucket"]) > horizon
+    }
+    bid = int(batch_id)
+    if bid <= horizon or bid in sparse:
+        return None
+    sparse.add(bid)
+    while horizon + 1 in sparse:
+        horizon += 1
+        sparse.discard(horizon)
+    return current.sparkSession.createDataFrame(
+        [(-2, horizon, 1)] + [(-1, b, 1) for b in sorted(sparse)],
+        schema,
+    )
+
+
+def banded_count_stream_into_state(
+    events: DataFrame,
+    state: ParquetState,
+    value_col: str,
+    breaks: list,
+    table: str = "band_counts",
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming maintenance of fixed-band value counts — the
+    continuously-updated CURRENT side of a drift monitor (the
+    streaming half of the PSI gate: the baseline histogram is a
+    static table, the production stream keeps this one fresh, and
+    :func:`~isilon_hadoop_tools_spark.operators.analytics.psi_drift`'s
+    readout formula runs over the join of the two).
+
+    Counts sum-merge, which is NOT replay-idempotent, so this shares
+    the CMS stream's horizon-compacted marker discipline verbatim
+    (:func:`_marker_gate` — one atomic swap commits counts + markers,
+    O(1) marker state over an unbounded stream). State is B band
+    rows + markers, never the value log; ``row_id = 0`` rows hold
+    ``(bucket=band, cnt)``. Bands below every break index as the
+    break's position; values at or above the last break land in band
+    ``len(breaks)`` — identical banding to the batch ``psi_drift``.
+    """
+    schema = "row_id LONG, bucket LONG, cnt LONG"
+    v = F.col(value_col)
+    band = None
+    for i, b in enumerate(breaks):
+        cond = v < F.lit(float(b))
+        band = F.when(cond, F.lit(i)) if band is None else band.when(
+            cond, F.lit(i)
+        )
+    band = band.otherwise(F.lit(len(breaks))).cast("long")
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        current = state.read(table, schema)
+        markers = _marker_gate(current, batch_id, schema)
+        if markers is None:
+            return
+        counts = current.filter(F.col("row_id") >= 0)
+        delta = batch.select(band.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).select(F.lit(0).cast("long").alias("row_id"), "bucket", "cnt")
+        merged = (
+            counts.unionByName(delta)
+            .groupBy("row_id", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        state.write(table, merged.unionByName(markers))
+
+    writer = events.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def cms_stream_into_state(
     events: DataFrame,
     state: ParquetState,
@@ -379,29 +472,11 @@ def cms_stream_into_state(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         current = state.read(table, schema)
-        marker_rows = current.filter(F.col("row_id") <= -1).collect()
-        horizon = max(
-            (int(r["bucket"]) for r in marker_rows if r["row_id"] == -2),
-            default=-1,
-        )
-        sparse = {
-            int(r["bucket"])
-            for r in marker_rows
-            if r["row_id"] == -1 and int(r["bucket"]) > horizon
-        }
-        bid = int(batch_id)
-        if bid <= horizon or bid in sparse:
+        markers = _marker_gate(current, batch_id, schema)
+        if markers is None:
             return
-        sparse.add(bid)
-        while horizon + 1 in sparse:
-            horizon += 1
-            sparse.discard(horizon)
         counts = current.filter(F.col("row_id") >= 0)
         delta = cms_table(batch, key, d, w)
-        markers = batch.sparkSession.createDataFrame(
-            [(-2, horizon, 1)] + [(-1, b, 1) for b in sorted(sparse)],
-            schema,
-        )
         state.write(
             table,
             cms_merge([counts, delta]).unionByName(markers),

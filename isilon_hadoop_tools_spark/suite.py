@@ -7300,6 +7300,68 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_BREAKS = [50, 100, 150, 200, 250, 300, 350, 400, 450]
+
+
+@query("events_psi_stream", oracle=None)
+def events_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (EA29 x §2.9): the CURRENT side of the
+    PSI gate maintained continuously — the events stream's second-half
+    rows fold fixed-band counts into ParquetState via the SAME
+    horizon-compacted marker discipline as the CMS stream (sum-merge
+    is not replay-idempotent; one atomic swap commits counts +
+    markers, O(1) marker state), the baseline histogram is a batch
+    table, and the readout is the shared `psi_readout` formula over
+    the join. Drained TWICE without a checkpoint; the result must
+    equal the BATCH `events_psi_drift` gate row for row (that
+    query's oracle is attached below after registration)."""
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.operators.analytics import psi_readout
+    from isilon_hadoop_tools_spark.streaming.events import (
+        banded_count_stream_into_state,
+    )
+
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    state = _fresh_state(spark, "events_psi_stream")
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir).filter(
+            F.col("ts") >= boundary
+        )
+        banded_count_stream_into_state(ev, state, "value", _PSI_BREAKS)
+    cur = (
+        state.read("band_counts", "row_id LONG, bucket LONG, cnt LONG")
+        .filter(F.col("row_id") >= 0)
+        .select(
+            F.col("bucket").cast("int").alias("band"),
+            F.col("cnt").alias("n_cur"),
+        )
+    )
+    v = F.col("value")
+    band = None
+    for i, b in enumerate(_PSI_BREAKS):
+        cond = v < F.lit(float(b))
+        band = F.when(cond, F.lit(i)) if band is None else band.when(
+            cond, F.lit(i)
+        )
+    band = band.otherwise(F.lit(len(_PSI_BREAKS))).cast("int")
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < boundary)
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    counts = (
+        base.join(cur, "band", "full")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    return psi_readout(counts, len(_PSI_BREAKS) + 1)
+
+
+# the streaming monitor's contract IS the batch gate: same oracle
+REGISTRY["events_psi_stream"].oracle = REGISTRY["events_psi_drift"].oracle
+
+
 @query(
     "events_ordered_funnel",
     oracle="""
