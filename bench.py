@@ -129,6 +129,20 @@ HEADLINE = (
     "ann_ivf_pq_rerank",
     "corpus_unigram_lm",
     "multimodal_unified_near_dups",
+    # round-10 second wave: the other two tokenizer-trio paths, the
+    # governance/trend/attribution gates, hard-negative mining, and
+    # the wedge-join node similarity — regression tripwires for the
+    # new operator families. (events_psi_stream and
+    # multimodal_unified_index_stream measure state-store setup, not
+    # throughput — unbenched like the other streaming indexes.)
+    "corpus_wordpiece_merges",
+    "corpus_unigram_tokenize",
+    "customer_l_diversity",
+    "events_cusum_changepoint",
+    "events_psi_drift",
+    "events_last_touch_attribution",
+    "customer_link_neighbor_jaccard",
+    "embedding_hard_negatives",
 )
 
 

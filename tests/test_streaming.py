@@ -519,3 +519,67 @@ def test_kmv_stream_checkpointed_restart(spark, tmp_path):
         )[:8]
     )
     assert got == expect
+
+
+def test_banded_count_stream_checkpointed_restart_and_compaction(
+    spark, tmp_path
+):
+    """The drift monitor's count stream shares the CMS marker
+    discipline: checkpointed restart ingests only new files, a full
+    no-checkpoint re-drain is a no-op, and markers stay compacted to
+    one horizon row."""
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.events import (
+        banded_count_stream_into_state,
+    )
+
+    schema = "row_id LONG, bucket LONG, cnt LONG"
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = ParquetState(spark, str(tmp_path / "state"))
+
+    def _write(name, vals):
+        import os
+        import time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"value": pa.array(vals, pa.float64())}),
+            os.path.join(in_dir, name),
+        )
+        time.sleep(0.05)
+
+    def _drain(ck=None):
+        stream = (
+            spark.readStream.schema("value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        banded_count_stream_into_state(
+            stream, state, "value", breaks=[10, 20], checkpoint=ck
+        )
+
+    def counts():
+        return {
+            r["bucket"]: r["cnt"]
+            for r in state.read("band_counts", schema).collect()
+            if r["row_id"] == 0
+        }
+
+    _write("b0.parquet", [1.0, 5.0, 15.0])
+    _drain(ckpt)
+    assert counts() == {0: 2, 1: 1}
+    _write("b1.parquet", [25.0, 25.0, 15.0])
+    _drain(ckpt)  # restart: only the new file
+    assert counts() == {0: 2, 1: 2, 2: 2}
+    _drain()  # full no-checkpoint re-drain: batch ids 0-1 committed
+    assert counts() == {0: 2, 1: 2, 2: 2}
+    markers = [
+        (r["row_id"], r["bucket"])
+        for r in state.read("band_counts", schema).collect()
+        if r["row_id"] <= -1
+    ]
+    assert markers == [(-2, 1)]
