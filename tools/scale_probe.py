@@ -185,6 +185,21 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_prefix(c: int) -> float:
+        # the prefix-filtered EXACT Jaccard join (L2b): copies carry
+        # disjoint salted shingle spaces, so the true answer grows
+        # linearly in c and a linear wall curve certifies the filter
+        # is output-bound (the sf0.01->sf0.1 10x probe read 5.4x —
+        # this sweep shows where that came from)
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        dedup.prefix_filter_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.1
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     bad = 0
     results: dict[str, dict[str, float]] = {}
     # semantic runs are long enough (tens of seconds at high multiples)
@@ -193,6 +208,7 @@ def curvature() -> int:
     for name, runner, reps in (
         ("dedup_ngram_jaccard", run_ngram, 2),
         ("semantic_dedup", run_semdedup, 1),
+        ("doc_prefix_jaccard_pairs", run_prefix, 1),
     ):
         runner(1)  # warm plan/codegen before the measured sweep
         curve = {}
