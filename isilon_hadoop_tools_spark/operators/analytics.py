@@ -1714,3 +1714,94 @@ def last_touch_attribution(
             6,
         ).alias("share"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col,
+    t: float = 0.35,
+) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) — completing the
+    privacy-gate trio: k-anonymity bounds class SIZE (EA28),
+    l-diversity bounds distinct sensitive VALUES (EA28b), but a class
+    can satisfy both while its sensitive DISTRIBUTION still leaks
+    ("99% flu, 1% other" in a class vs 10% globally — the skewness
+    attack). t-closeness requires every quasi class's sensitive
+    distribution to sit within distance ``t`` of the GLOBAL one;
+    for categorical attributes under the equal-distance ground metric
+    the Earth-Mover distance reduces to total variation:
+    ``t(C) = ½ Σ_s |P(s|C) − P(s)|``.
+
+    Absent sensitive values contribute ``P(s)`` to the class's sum;
+    rather than materializing every (class, value) zero cell, the
+    identity ``Σ_{s∉C} P(s) = 1 − Σ_{s∈C} P(s)`` folds them in from
+    the PRESENT cells only — so the work stays one (quasi, sensitive)
+    cell aggregation (the EA28b shape) + a value-share broadcast join
+    + a class fold; the fact table never moves twice.
+
+    Output (one row): ``n_rows``, ``n_groups``, ``max_t`` (6 dp),
+    ``groups_above_t``, ``rows_above_t``, ``frac_rows_above_t``
+    (6 dp), ``t_close`` (true iff no class exceeds ``t``).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    s = (
+        F.col(sensitive_col)
+        if isinstance(sensitive_col, str)
+        else sensitive_col
+    )
+    qnames = [f"_q{i}" for i in range(len(cols))]
+    cells = df.groupBy(
+        *[c.alias(n) for c, n in zip(cols, qnames)], s.alias("_s")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    cells = cells.localCheckpoint(eager=False)
+    wall = Window.partitionBy()
+    glob = (
+        cells.groupBy("_s")
+        .agg(F.sum("_n").alias("_gn"))
+        .select(
+            "_s",
+            (
+                F.col("_gn").cast("double")
+                / F.sum("_gn").over(wall).cast("double")
+            ).alias("_q"),
+        )
+    )
+    wgrp = Window.partitionBy(*qnames)
+    joined = cells.join(F.broadcast(glob), "_s").select(
+        *qnames,
+        "_n",
+        "_q",
+        (
+            F.col("_n").cast("double")
+            / F.sum("_n").over(wgrp).cast("double")
+        ).alias("_p"),
+    )
+    groups = joined.groupBy(*qnames).agg(
+        F.sum("_n").alias("_rows"),
+        (
+            0.5
+            * (
+                F.sum(F.abs(F.col("_p") - F.col("_q")))
+                + 1.0
+                - F.sum("_q")
+            )
+        ).alias("_t"),
+    )
+    above = F.col("_t") > t
+    return groups.agg(
+        F.sum("_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.round(F.max("_t"), 6).alias("max_t"),
+        F.sum(above.cast("long")).alias("groups_above_t"),
+        F.sum(F.when(above, F.col("_rows")).otherwise(F.lit(0))).alias(
+            "rows_above_t"
+        ),
+        F.round(
+            F.sum(F.when(above, F.col("_rows")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("_rows"),
+            6,
+        ).alias("frac_rows_above_t"),
+        (F.max("_t") <= t).alias("t_close"),
+    )

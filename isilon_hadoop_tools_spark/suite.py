@@ -8921,6 +8921,67 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_t_closeness",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey,
+             floor(c_acctbal / 1000)::BIGINT AS bal_band,
+             c_mktsegment AS s, count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    gshare AS (
+      SELECT s, sum(n)::DOUBLE / (SELECT sum(n) FROM cells)::DOUBLE AS q
+      FROM cells GROUP BY s
+    ),
+    joined AS (
+      SELECT c.c_nationkey, c.bal_band, c.n, g.q,
+             c.n::DOUBLE / (sum(c.n) OVER (PARTITION BY c.c_nationkey,
+                                           c.bal_band))::DOUBLE AS p
+      FROM cells c JOIN gshare g USING (s)
+    ),
+    groups AS (
+      SELECT c_nationkey, bal_band, sum(n)::BIGINT AS rows_n,
+             0.5 * (sum(abs(p - q)) + 1.0 - sum(q)) AS t
+      FROM joined GROUP BY 1, 2
+    )
+    SELECT sum(rows_n)::BIGINT AS n_rows,
+           count(*) AS n_groups,
+           round(max(t), 6) AS max_t,
+           sum(CASE WHEN t > 0.35 THEN 1 ELSE 0 END)::BIGINT
+             AS groups_above_t,
+           sum(CASE WHEN t > 0.35 THEN rows_n ELSE 0 END)::BIGINT
+             AS rows_above_t,
+           round(sum(CASE WHEN t > 0.35 THEN rows_n ELSE 0 END)::DOUBLE
+                 / sum(rows_n), 6) AS frac_rows_above_t,
+           max(t) <= 0.35 AS t_close
+    FROM groups
+    """,
+)
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (EA28c, Li et al. 2007) — the third privacy
+    gate: a class can be k-anonymous AND l-diverse while its sensitive
+    DISTRIBUTION still leaks (the skewness attack); every quasi
+    class's market-segment distribution must sit within total-
+    variation distance t=0.35 of the global one. Absent values fold
+    in via 1 − Σ_{present} P(s), so the work is the l-diversity cell
+    aggregation + a value-share broadcast join + a class fold."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        t_closeness_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return t_closeness_report(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        ],
+        "c_mktsegment",
+        t=0.35,
+    )
+
+
+@query(
     "events_zone_skipping",
     oracle="""
     WITH zones AS (

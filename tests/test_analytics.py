@@ -982,3 +982,50 @@ def test_last_touch_attribution_window_and_tiebreak(spark):
     assert got["click"] == (2, 105.0, round(2 / 5, 6))
     assert got["view"] == (1, 25.0, round(1 / 5, 6))
     assert got["direct"] == (2, 60.0, round(2 / 5, 6))
+
+
+def test_t_closeness_skewness_attack_caught(spark):
+    """The case k-anonymity AND l-diversity wave through: a 60-row
+    class with 3 distinct sensitive values but a 58/1/1 split leaks
+    near-certainty while the global mix is uniform — its TV distance
+    must flag it; a class mirroring the global mix scores ~0."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        k_anonymity_report,
+        l_diversity_report,
+        t_closeness_report,
+    )
+
+    rows = []
+    rid = 0
+    # classes 1 and 3: uniform thirds (anchoring the global mix);
+    # class 2: same size as 1, same 3 distinct values, 58/1/1 split
+    specs = [
+        (1, (("flu", 20), ("cold", 20), ("ok", 20))),
+        (3, (("flu", 40), ("cold", 40), ("ok", 40))),
+        (2, (("flu", 58), ("cold", 1), ("ok", 1))),
+    ]
+    for qa, dist in specs:
+        for s, n in dist:
+            for _ in range(n):
+                rows.append((rid, qa, s))
+                rid += 1
+    df = spark.createDataFrame(rows, "id long, qa long, s string")
+    assert k_anonymity_report(df, ["qa"], k=5).collect()[0]["k_anonymous"]
+    assert l_diversity_report(df, ["qa"], "s", l=3).collect()[0][
+        "l_diverse"
+    ]
+    r = t_closeness_report(df, ["qa"], "s", t=0.3).collect()[0]
+    assert r["n_rows"] == 240 and r["n_groups"] == 3
+    # class 2's exact TV distance: global = (118, 61, 61)/240
+    g = {"flu": 118 / 240, "cold": 61 / 240, "ok": 61 / 240}
+    c2 = {"flu": 58 / 60, "cold": 1 / 60, "ok": 1 / 60}
+    t2 = 0.5 * sum(abs(c2[s] - g[s]) for s in g)
+    assert r["max_t"] == round(t2, 6)
+    assert r["groups_above_t"] == 1  # the uniform classes pass
+    assert r["rows_above_t"] == 60
+    assert r["frac_rows_above_t"] == 0.25
+    assert not r["t_close"]
+    # loose threshold passes
+    assert t_closeness_report(df, ["qa"], "s", t=0.9).collect()[0][
+        "t_close"
+    ]
