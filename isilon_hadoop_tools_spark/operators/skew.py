@@ -151,3 +151,92 @@ def zone_prune_report(
             F.sum(F.when(~scan, F.col("_nm")).otherwise(F.lit(0))) == 0
         ).alias("certificate_ok"),
     )
+
+
+def bloom_zone_report(
+    df: DataFrame,
+    zone_col,
+    key_col,
+    probe,
+    bits: int = 63,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter zone skipping for EQUALITY probes — the skipping
+    primitive min/max zone maps cannot provide (SC8c; Parquet bloom
+    filters / Delta bloom indexes): when a zone's few distinct keys
+    are SPREAD across the key domain (hashed tenant / session /
+    content ids — high cardinality, no range clustering), every
+    zone's [min, max] spans everything and range skipping collapses
+    to 0%, but a per-zone Bloom bitmap of the keys actually present
+    stays sparse and prunes almost every zone.
+
+    Per row: ``k`` seeded :func:`stable_hash32` probes OR'd into a
+    ``bits``-wide mask (63 keeps ``2^pos`` inside a signed BIGINT —
+    the md5 twin means the oracle reproduces every bit); per zone the
+    masks ``bit_or`` together. A zone is scanned iff its bloom
+    CONTAINS the probe's mask. min/max stats ride the SAME
+    aggregation, so the output is a measured HEAD-TO-HEAD of the two
+    skipping strategies on the same probe — plus the soundness
+    certificate (zero matching rows in bloom-skipped zones; Bloom
+    filters have false positives, never false negatives, and the
+    certificate verifies exactly that).
+
+    ONE scan, one zone-keyed partial aggregation, one zone-table
+    fold. Output (one row): ``n_zones``, ``zones_scanned_bloom``,
+    ``zones_scanned_minmax``, ``rows_total``, ``rows_scanned_bloom``,
+    ``rows_scanned_minmax``, ``rows_matching``,
+    ``skip_fraction_bloom``, ``skip_fraction_minmax`` (6 dp),
+    ``certificate_ok``.
+    """
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+    z = F.col(zone_col) if isinstance(zone_col, str) else zone_col
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+
+    def mask_of(col):
+        m = None
+        for i in range(k):
+            pos = stable_hash32(col.cast("string"), seed=i) % bits
+            bit = F.pow(F.lit(2.0), pos.cast("double")).cast("long")
+            m = bit if m is None else m.bitwiseOR(bit)
+        return m
+
+    probe_lit = F.lit(probe)
+    zones = df.groupBy(z.alias("_z")).agg(
+        F.bit_or(mask_of(key)).alias("_bloom"),
+        F.min(key).alias("_mn"),
+        F.max(key).alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((key == probe_lit).cast("long")).alias("_nm"),
+    )
+    probe_mask = mask_of(probe_lit)
+    scan_b = F.col("_bloom").bitwiseAND(probe_mask) == probe_mask
+    scan_r = (F.col("_mx") >= probe_lit) & (F.col("_mn") <= probe_lit)
+    return zones.agg(
+        F.count(F.lit(1)).alias("n_zones"),
+        F.sum(scan_b.cast("long")).alias("zones_scanned_bloom"),
+        F.sum(scan_r.cast("long")).alias("zones_scanned_minmax"),
+        F.sum("_n").alias("rows_total"),
+        F.sum(F.when(scan_b, F.col("_n")).otherwise(F.lit(0))).alias(
+            "rows_scanned_bloom"
+        ),
+        F.sum(F.when(scan_r, F.col("_n")).otherwise(F.lit(0))).alias(
+            "rows_scanned_minmax"
+        ),
+        F.sum("_nm").alias("rows_matching"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.when(scan_b, F.col("_n")).otherwise(F.lit(0)))
+            / F.sum("_n"),
+            6,
+        ).alias("skip_fraction_bloom"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.when(scan_r, F.col("_n")).otherwise(F.lit(0)))
+            / F.sum("_n"),
+            6,
+        ).alias("skip_fraction_minmax"),
+        (
+            F.sum(F.when(~scan_b, F.col("_nm")).otherwise(F.lit(0))) == 0
+        ).alias("certificate_ok"),
+    )

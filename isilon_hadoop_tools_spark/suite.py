@@ -8981,6 +8981,96 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_key_hash(payload: str) -> int:
+    """Driver-side twin of ``stable_hash32`` (md5 first 8 hex) for
+    building bloom-probe literals — bit-identical to the engine and
+    oracle expressions by construction."""
+    import hashlib
+
+    return int(hashlib.md5(payload.encode()).hexdigest()[:8], 16)
+
+
+_BLOOM_PROBE = _bloom_key_hash("15:2")  # day 15, user-residue 2
+_BLOOM_PROBE_MASK = 0
+for _i in range(4):
+    _BLOOM_PROBE_MASK |= 1 << (_bloom_key_hash(f"{_i}:{_BLOOM_PROBE}") % 63)
+
+
+def _bloom_zone_oracle() -> str:
+    def h(payload_expr: str) -> str:
+        return f"(('0x' || substr(md5({payload_expr}), 1, 8))::BIGINT)"
+
+    skey = h("date_part('day', ts)::BIGINT::VARCHAR || ':'"
+             " || (user_id % 4)::VARCHAR")
+    seeded = [h(f"'{i}:' || skey::VARCHAR") for i in range(4)]
+    mask = " | ".join(f"(1::BIGINT << ({hx} % 63))" for hx in seeded)
+    return f"""
+    WITH keyed AS (
+      SELECT date_trunc('day', ts) AS z, {skey} AS skey FROM events
+    ),
+    masked AS (SELECT z, skey, {mask} AS mask FROM keyed),
+    zones AS (
+      SELECT z, bit_or(mask) AS bloom,
+             min(skey) AS mn, max(skey) AS mx, count(*) AS n,
+             sum(CASE WHEN skey = {_BLOOM_PROBE} THEN 1 ELSE 0 END) AS nm
+      FROM masked GROUP BY z
+    )
+    SELECT count(*) AS n_zones,
+           sum(CASE WHEN (bloom & {_BLOOM_PROBE_MASK}) = {_BLOOM_PROBE_MASK}
+                    THEN 1 ELSE 0 END)::BIGINT AS zones_scanned_bloom,
+           sum(CASE WHEN mx >= {_BLOOM_PROBE} AND mn <= {_BLOOM_PROBE}
+                    THEN 1 ELSE 0 END)::BIGINT AS zones_scanned_minmax,
+           sum(n)::BIGINT AS rows_total,
+           sum(CASE WHEN (bloom & {_BLOOM_PROBE_MASK}) = {_BLOOM_PROBE_MASK}
+                    THEN n ELSE 0 END)::BIGINT AS rows_scanned_bloom,
+           sum(CASE WHEN mx >= {_BLOOM_PROBE} AND mn <= {_BLOOM_PROBE}
+                    THEN n ELSE 0 END)::BIGINT AS rows_scanned_minmax,
+           sum(nm)::BIGINT AS rows_matching,
+           round(1.0 - sum(CASE WHEN (bloom & {_BLOOM_PROBE_MASK})
+                                     = {_BLOOM_PROBE_MASK}
+                                THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+             AS skip_fraction_bloom,
+           round(1.0 - sum(CASE WHEN mx >= {_BLOOM_PROBE}
+                                     AND mn <= {_BLOOM_PROBE}
+                                THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+             AS skip_fraction_minmax,
+           sum(CASE WHEN NOT ((bloom & {_BLOOM_PROBE_MASK})
+                              = {_BLOOM_PROBE_MASK})
+                    THEN nm ELSE 0 END) = 0 AS certificate_ok
+    FROM zones
+    """
+
+
+@query("events_bloom_zone_skipping", oracle=_bloom_zone_oracle())
+def events_bloom_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter zone skipping (SC8c) — equality-probe pruning
+    where min/max zone maps collapse: the fixture key is a HASHED
+    per-(day, user-residue) id (4 distinct keys per day zone, spread
+    across the 32-bit domain — the tenant/session-id shape), so every
+    zone's [min, max] spans everything and range skipping reads the
+    whole table, while the 63-bit per-zone Bloom prunes every
+    non-matching day up to the measured false-positive rate. Both
+    strategies ride ONE aggregation for a head-to-head readout, and
+    the certificate proves no matching rows live in bloom-skipped
+    zones (false positives only, never false negatives)."""
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+    from isilon_hadoop_tools_spark.operators.skew import bloom_zone_report
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "skey",
+        stable_hash32(
+            F.concat(
+                F.dayofmonth("ts").cast("string"),
+                F.lit(":"),
+                F.pmod("user_id", F.lit(4)).cast("string"),
+            )
+        ),
+    )
+    return bloom_zone_report(
+        ev, F.date_trunc("day", F.col("ts")), "skey", _BLOOM_PROBE
+    )
+
+
 @query(
     "events_zone_skipping",
     oracle="""

@@ -193,3 +193,33 @@ def test_zone_prune_report_no_matches_outside_range(spark):
     assert r["rows_matching"] == 0
     assert r["skip_fraction"] == 1.0
     assert r["certificate_ok"]
+
+
+def test_bloom_zone_report_beats_minmax_on_spread_keys(spark):
+    """Planted zones whose few keys straddle the whole domain: every
+    zone's [min, max] contains the probe (range skipping reads all
+    rows) while the bloom prunes every zone not holding the probe —
+    up to false positives, never false negatives (certificate)."""
+    from isilon_hadoop_tools_spark.operators.skew import bloom_zone_report
+
+    rows = []
+    for z in range(6):
+        rows.append((z, 0))                  # shared low outlier
+        rows.append((z, 10**9))              # shared high outlier
+        rows.extend((z, 100 + z) for _ in range(8))  # zone's own key
+    df = spark.createDataFrame(rows, "zone long, skey long")
+    probe = 102  # lives only in zone 2
+    r = bloom_zone_report(df, "zone", "skey", probe).collect()[0]
+    assert r["n_zones"] == 6
+    assert r["rows_matching"] == 8
+    # min/max cannot skip anything: every zone spans [<=7, >=1e9]
+    assert r["zones_scanned_minmax"] == 6
+    assert r["skip_fraction_minmax"] == 0.0
+    # bloom scans the true zone plus at most fp collisions, never 0
+    assert 1 <= r["zones_scanned_bloom"] < 6
+    assert r["certificate_ok"]
+    assert r["skip_fraction_bloom"] > 0.5
+    # probing an absent key: zero matches, certificate still holds
+    r2 = bloom_zone_report(df, "zone", "skey", 999_999).collect()[0]
+    assert r2["rows_matching"] == 0
+    assert r2["certificate_ok"]
