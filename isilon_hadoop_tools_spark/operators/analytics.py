@@ -1805,3 +1805,71 @@ def t_closeness_report(
         ).alias("frac_rows_above_t"),
         (F.max("_t") <= t).alias("t_close"),
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    value_col: str,
+    touch_types: list,
+    conversion_type: str,
+    lookback_hours: int = 24,
+) -> DataFrame:
+    """Linear multi-touch attribution — the fair-share companion of
+    :func:`last_touch_attribution`: every qualifying touch inside the
+    lookback splits the conversion's credit equally (1/n of the
+    conversion count and of its value), instead of the last touch
+    taking all of it; conversions with no qualifying touch credit
+    ``'direct'`` in full. Same pinned semantics as last-touch:
+    "strictly earlier" is (ts, tiebreak) row order, the lookback
+    boundary is inclusive, epochs compare at second resolution.
+
+    Shape: conversions LEFT-join touches per user with the window
+    predicate inside the join (per-user fan-out bounded by that
+    user's touch count — the same bound sessionization already
+    needs), one per-conversion count window, one channel fold.
+
+    Output per channel: ``channel``, ``credit`` (fractional
+    conversions, 6 dp), ``attributed_value`` (4 dp).
+    """
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touches = df.filter(is_touch).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("long").alias("_tts"),
+        F.col(tiebreak_col).alias("_tid"),
+        F.col(type_col).alias("_ttype"),
+    )
+    convs = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("long").alias("_cts"),
+        F.col(tiebreak_col).alias("_cid"),
+        F.col(value_col).alias("_v"),
+    )
+    before = (F.col("_tts") < F.col("_cts")) | (
+        (F.col("_tts") == F.col("_cts")) & (F.col("_tid") < F.col("_cid"))
+    )
+    within = F.col("_cts") - F.col("_tts") <= lookback_hours * 3600
+    joined = convs.join(
+        touches, on=[convs["_u"] == touches["_u"], before, within], how="left"
+    ).select(convs["_u"], "_cts", "_cid", "_v", "_ttype")
+    wconv = Window.partitionBy("_u", "_cid")
+    n_touch = F.count("_ttype").over(wconv)
+    weight = F.when(F.col("_ttype").isNull(), F.lit(1.0)).otherwise(
+        F.lit(1.0) / n_touch
+    )
+    channel = F.coalesce(F.col("_ttype"), F.lit("direct"))
+    return (
+        joined.select(
+            channel.alias("channel"),
+            weight.alias("_w"),
+            (F.col("_v") * weight).alias("_wv"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("_w"), 6).alias("credit"),
+            F.round(F.sum("_wv"), 4).alias("attributed_value"),
+        )
+    )

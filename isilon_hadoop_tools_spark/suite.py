@@ -7243,6 +7243,60 @@ def events_last_touch_attribution(
 
 
 @query(
+    "events_linear_attribution",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id AS u, floor(epoch(ts))::BIGINT AS tts,
+             event_id AS tid, event_type AS ttype
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    convs AS (
+      SELECT user_id AS u, floor(epoch(ts))::BIGINT AS cts,
+             event_id AS cid, value AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT c.u, c.cts, c.cid, c.v, t.ttype
+      FROM convs c LEFT JOIN touches t
+        ON t.u = c.u
+       AND (t.tts < c.cts OR (t.tts = c.cts AND t.tid < c.cid))
+       AND c.cts - t.tts <= 86400
+    ),
+    weighted AS (
+      SELECT coalesce(ttype, 'direct') AS channel,
+             CASE WHEN ttype IS NULL THEN 1.0
+                  ELSE 1.0 / (count(ttype) OVER (PARTITION BY u, cid))
+             END AS w,
+             v
+      FROM joined
+    )
+    SELECT channel, round(sum(w), 6) AS credit,
+           round(sum(v * w), 4) AS attributed_value
+    FROM weighted GROUP BY channel
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (EA30b): every view/click inside
+    the 24 h lookback splits the purchase's credit equally (the
+    fair-share companion of the last-touch model — same pinned
+    row-order / inclusive-boundary / second-epoch semantics), no-touch
+    purchases credit 'direct' in full. Conversions LEFT-join touches
+    per user with the window predicate inside the join; one
+    per-conversion count window; one channel fold."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    return linear_attribution(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "value",
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        lookback_hours=24,
+    )
+
+
+@query(
     "events_psi_drift",
     oracle="""
     WITH banded AS (

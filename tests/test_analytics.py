@@ -1029,3 +1029,41 @@ def test_t_closeness_skewness_attack_caught(spark):
     assert t_closeness_report(df, ["qa"], "s", t=0.9).collect()[0][
         "t_close"
     ]
+
+
+def test_linear_attribution_fair_share_and_conservation(spark):
+    """The same hand journey as the last-touch test: credit splits
+    equally across qualifying touches, expired touches drop out,
+    no-touch purchases go direct — and total credit/value is
+    CONSERVED (sums to the conversion totals exactly)."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    rows = [
+        (1, _m(0), 1, "view", 0.0),
+        (2, _m(10), 1, "click", 0.0),
+        (3, _m(20), 1, "purchase", 100.0),  # view+click share 50/50
+        (4, _m(0), 2, "view", 0.0),
+        (5, _m(25 * 60), 2, "purchase", 50.0),  # expired -> direct
+        (6, _m(0), 3, "view", 0.0),
+        (7, _m(0), 3, "purchase", 25.0),  # same-ts lower-id view counts
+        (8, _m(0), 4, "purchase", 10.0),  # no touches -> direct
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    got = {
+        r["channel"]: (r["credit"], r["attributed_value"])
+        for r in linear_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "value",
+            touch_types=["view", "click"],
+            conversion_type="purchase", lookback_hours=24,
+        ).collect()
+    }
+    assert got["view"] == (1.5, 75.0)     # 0.5 of conv 3 + 1.0 of conv 7
+    assert got["click"] == (0.5, 50.0)    # 0.5 of conv 3
+    assert got["direct"] == (2.0, 60.0)   # convs 5 and 8
+    assert sum(c for c, _ in got.values()) == 4.0  # 4 conversions
+    assert sum(v for _, v in got.values()) == 185.0
