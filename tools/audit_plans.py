@@ -57,6 +57,10 @@ def main() -> int:
     # subquery pattern, not an accidental cross product
     scalar_bnlj_ok = {
         "ann_brute_force_cosine",
+        # same query-batch broadcast shape as brute-force ANN: the
+        # 5-row query side broadcasts against the corpus scan (the
+        # label-mismatch filter is not an equi-key)
+        "embedding_hard_negatives",
         "doc_tfidf_topk",
         "nation_trade_pagerank",
         # 1-row aggregate broadcast onto the keyed table (total/mean
