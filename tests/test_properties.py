@@ -1349,3 +1349,218 @@ def test_attribution_matches_replay_reference(spark, journey):
             if typ in ("view", "click"):
                 last_touch = (ts, typ)
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.large_base_example,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(data=st.data(), n=st.integers(min_value=1, max_value=10))
+def test_tagged_index_stream_matches_batch_under_adversarial_splits(
+    spark, data, n
+):
+    """The unified streaming index vs the batch tagged band join under
+    hypothesis-chosen splits, re-offered rows (at-least-once), and
+    empty batches — the L16us twin of the IVF split test."""
+    import tempfile
+
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        TAGGED_PAIRS_SCHEMA,
+        tagged_index_apply_batch,
+    )
+
+    params = {"x": (8, 1, 4), "y": (8, 2, 4)}
+    rows = [
+        (
+            data.draw(st.sampled_from(["x", "y"])),
+            i,
+            data.draw(st.integers(min_value=0, max_value=255)),
+        )
+        for i in range(n)
+    ]
+    batches, pos = [], 0
+    while pos < len(rows):
+        take = data.draw(st.integers(min_value=0, max_value=4))
+        replay = (
+            [rows[i] for i in data.draw(
+                st.sets(st.integers(min_value=0, max_value=pos - 1))
+            )]
+            if pos
+            else []
+        )
+        batches.append(rows[pos : pos + take] + replay)
+        pos += take
+    state = ParquetState(spark, tempfile.mkdtemp(prefix="tidx_prop_"))
+    for b in batches:
+        tagged_index_apply_batch(
+            spark.createDataFrame(
+                b, "modality STRING, id LONG, fhash LONG"
+            ),
+            state,
+            params,
+        )
+    got = {
+        (r["modality"], r["id_a"], r["id_b"]): r["hamming"]
+        for r in state.read("tnear_pairs", TAGGED_PAIRS_SCHEMA).collect()
+    }
+    want = {
+        (r["modality"], r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.tagged_hamming_band_pairs(
+            spark.createDataFrame(
+                rows, "modality STRING, id LONG, fhash LONG"
+            ),
+            params,
+        ).collect()
+    }
+    assert got == want
+
+
+@_SETTINGS
+@given(
+    zones=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=10**9),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    data=st.data(),
+)
+def test_bloom_zone_certificate_never_false_negative(spark, zones, data):
+    """Bloom skipping's defining invariant under random zones/keys:
+    EVERY zone containing the probe is scanned (the certificate), the
+    match count is exact, and min/max scanning is always a superset
+    of the true containing zones too."""
+    from isilon_hadoop_tools_spark.operators.skew import bloom_zone_report
+
+    rows = [(z, k) for z, keys in enumerate(zones) for k in keys]
+    all_keys = sorted({k for _, k in rows})
+    probe = data.draw(
+        st.one_of(
+            st.sampled_from(all_keys),
+            st.integers(min_value=0, max_value=10**9),
+        )
+    )
+    df = spark.createDataFrame(rows, "zone long, skey long")
+    r = bloom_zone_report(df, "zone", "skey", probe).collect()[0]
+    true_zones = sum(1 for keys in zones if probe in keys)
+    true_matches = sum(keys.count(probe) for keys in zones)
+    assert r["rows_matching"] == true_matches
+    assert r["certificate_ok"]
+    assert r["zones_scanned_bloom"] >= true_zones
+    assert r["zones_scanned_minmax"] >= true_zones
+    assert r["n_zones"] == len(zones)
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # quasi class
+            st.sampled_from(["a", "b", "c"]),       # sensitive
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    t=st.sampled_from([0.1, 0.3, 0.5]),
+)
+def test_t_closeness_matches_python_reference(spark, rows, t):
+    from collections import Counter
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, q, s) for i, (q, s) in enumerate(rows)],
+        "id long, qa long, s string",
+    )
+    r = t_closeness_report(df, ["qa"], "s", t=t).collect()[0]
+    total = Counter(s for _, s in rows)
+    n = len(rows)
+    classes = {}
+    for q, s in rows:
+        classes.setdefault(q, Counter())[s] += 1
+    ts = {}
+    for q, cnt in classes.items():
+        cn = sum(cnt.values())
+        ts[q] = 0.5 * (
+            sum(abs(cnt[s] / cn - total[s] / n) for s in cnt)
+            + 1.0
+            - sum(total[s] / n for s in cnt)
+        )
+    assert r["n_groups"] == len(classes)
+    assert r["max_t"] == round(max(ts.values()), 6)
+    above = [q for q, v in ts.items() if v > t]
+    assert r["groups_above_t"] == len(above)
+    assert r["rows_above_t"] == sum(
+        sum(classes[q].values()) for q in above
+    )
+    assert r["t_close"] == (not above)
+
+
+@_SETTINGS
+@given(
+    journey=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=3000),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_attribution_models_conserve_credit(spark, journey):
+    """Conservation law across attribution models: last-touch counts
+    and linear credits both sum to the exact number of conversions,
+    and both models' attributed value sums to total conversion value
+    — per-channel allocations differ, totals never do."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        last_touch_attribution,
+        linear_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), u, typ, float(i % 7))
+        for i, (u, typ, m) in enumerate(journey)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    n_conv = sum(1 for _, typ, _ in journey if typ == "purchase")
+    v_conv = sum(
+        float(i % 7)
+        for i, (_, typ, _) in enumerate(journey)
+        if typ == "purchase"
+    )
+    args = dict(
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        lookback_hours=24,
+    )
+    lt = last_touch_attribution(
+        df, "user_id", "ts", "event_id", "event_type", "value", **args
+    ).collect()
+    ln = linear_attribution(
+        df, "user_id", "ts", "event_id", "event_type", "value", **args
+    ).collect()
+    if n_conv == 0:
+        assert lt == [] and ln == []
+        return
+    assert sum(r["n_conversions"] for r in lt) == n_conv
+    assert abs(sum(r["credit"] for r in ln) - n_conv) < 1e-6
+    assert abs(sum(r["attributed_value"] for r in lt) - v_conv) < 1e-6
+    assert abs(sum(r["attributed_value"] for r in ln) - v_conv) < 1e-6
