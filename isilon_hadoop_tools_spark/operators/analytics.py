@@ -1873,3 +1873,80 @@ def linear_attribution(
             F.round(F.sum("_wv"), 4).alias("attributed_value"),
         )
     )
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    value_col: str,
+    touch_types: list,
+    conversion_type: str,
+    lookback_hours: int = 24,
+    half_life_hours: int = 6,
+) -> DataFrame:
+    """Time-decay attribution — the third standard model, completing
+    the trio (last-touch: winner-take-all; linear: equal shares;
+    time-decay: recency-weighted shares): each qualifying touch's
+    credit is proportional to ``2^(−age/half_life)``, normalized per
+    conversion, so a touch minutes before the conversion outweighs
+    one from yesterday without zeroing it. Same pinned semantics as
+    the other two (row-order "strictly earlier", inclusive lookback,
+    second-resolution epochs) and the same join shape as
+    :func:`linear_attribution` (per-user LEFT join, one
+    per-conversion window, one channel fold).
+
+    Determinism: ages are exact integer seconds, weights are
+    ``pow(2.0, −age/(3600·h))`` on identical doubles (same libm on
+    both engines), per-conversion normalization divides by the
+    windowed weight sum — credit conservation holds exactly like the
+    linear model's.
+
+    Output per channel: ``channel``, ``credit`` (6 dp),
+    ``attributed_value`` (4 dp).
+    """
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touches = df.filter(is_touch).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("long").alias("_tts"),
+        F.col(tiebreak_col).alias("_tid"),
+        F.col(type_col).alias("_ttype"),
+    )
+    convs = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("long").alias("_cts"),
+        F.col(tiebreak_col).alias("_cid"),
+        F.col(value_col).alias("_v"),
+    )
+    before = (F.col("_tts") < F.col("_cts")) | (
+        (F.col("_tts") == F.col("_cts")) & (F.col("_tid") < F.col("_cid"))
+    )
+    within = F.col("_cts") - F.col("_tts") <= lookback_hours * 3600
+    joined = convs.join(
+        touches, on=[convs["_u"] == touches["_u"], before, within], how="left"
+    ).select(convs["_u"], "_cts", "_cid", "_v", "_tts", "_ttype")
+    decay = F.pow(
+        F.lit(2.0),
+        -(F.col("_cts") - F.col("_tts")).cast("double")
+        / F.lit(float(half_life_hours * 3600)),
+    )
+    wconv = Window.partitionBy("_u", "_cid")
+    wsum = F.sum(F.when(F.col("_ttype").isNotNull(), decay)).over(wconv)
+    weight = F.when(F.col("_ttype").isNull(), F.lit(1.0)).otherwise(
+        decay / wsum
+    )
+    channel = F.coalesce(F.col("_ttype"), F.lit("direct"))
+    return (
+        joined.select(
+            channel.alias("channel"),
+            weight.alias("_w"),
+            (F.col("_v") * weight).alias("_wv"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("_w"), 6).alias("credit"),
+            F.round(F.sum("_wv"), 4).alias("attributed_value"),
+        )
+    )

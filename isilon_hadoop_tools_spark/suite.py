@@ -7297,6 +7297,68 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_time_decay_attribution",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id AS u, floor(epoch(ts))::BIGINT AS tts,
+             event_id AS tid, event_type AS ttype
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    convs AS (
+      SELECT user_id AS u, floor(epoch(ts))::BIGINT AS cts,
+             event_id AS cid, value AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT c.u, c.cts, c.cid, c.v, t.tts, t.ttype
+      FROM convs c LEFT JOIN touches t
+        ON t.u = c.u
+       AND (t.tts < c.cts OR (t.tts = c.cts AND t.tid < c.cid))
+       AND c.cts - t.tts <= 86400
+    ),
+    decayed AS (
+      SELECT u, cid, v, ttype,
+             pow(2.0, -((cts - tts)::DOUBLE) / 21600.0) AS d
+      FROM joined
+    ),
+    weighted AS (
+      SELECT coalesce(ttype, 'direct') AS channel,
+             CASE WHEN ttype IS NULL THEN 1.0
+                  ELSE d / (sum(CASE WHEN ttype IS NOT NULL THEN d END)
+                              OVER (PARTITION BY u, cid))
+             END AS w,
+             v
+      FROM decayed
+    )
+    SELECT channel, round(sum(w), 6) AS credit,
+           round(sum(v * w), 4) AS attributed_value
+    FROM weighted GROUP BY channel
+    """,
+)
+def events_time_decay_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-decay attribution (EA30c), completing the model trio:
+    each qualifying touch's credit ∝ 2^(−age/6h), normalized per
+    purchase — recency-weighted shares between last-touch's
+    winner-take-all and linear's equal split. Same pinned semantics
+    and join shape as the other two models; integer-second ages and
+    shared-libm pow keep the weights bit-identical cross-engine."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        time_decay_attribution,
+    )
+
+    return time_decay_attribution(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "value",
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        lookback_hours=24,
+        half_life_hours=6,
+    )
+
+
+@query(
     "events_psi_drift",
     oracle="""
     WITH banded AS (

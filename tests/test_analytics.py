@@ -1067,3 +1067,39 @@ def test_linear_attribution_fair_share_and_conservation(spark):
     assert got["direct"] == (2.0, 60.0)   # convs 5 and 8
     assert sum(c for c, _ in got.values()) == 4.0  # 4 conversions
     assert sum(v for _, v in got.values()) == 185.0
+
+
+def test_time_decay_attribution_recency_ordering_and_conservation(spark):
+    """Two touches 12h apart before one purchase: with a 6h half-life
+    the recent touch gets 4x the older one's credit (2^2), shares
+    normalize to 1, expired/no-touch conversions go direct — and the
+    exact closed-form weights match."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        time_decay_attribution,
+    )
+
+    rows = [
+        (1, _m(0), 1, "view", 0.0),            # 12h before purchase
+        (2, _m(6 * 60), 1, "click", 0.0),      # 6h before purchase
+        (3, _m(12 * 60), 1, "purchase", 90.0),
+        (4, _m(0), 2, "purchase", 10.0),       # no touches -> direct
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    got = {
+        r["channel"]: (r["credit"], r["attributed_value"])
+        for r in time_decay_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "value",
+            touch_types=["view", "click"],
+            conversion_type="purchase",
+            lookback_hours=24, half_life_hours=6,
+        ).collect()
+    }
+    # weights: view 2^-2 = 0.25, click 2^-1 = 0.5 -> shares 1/3, 2/3
+    assert got["view"] == (round(1 / 3, 6), round(30.0, 4))
+    assert got["click"] == (round(2 / 3, 6), round(60.0, 4))
+    assert got["direct"] == (1.0, 10.0)
+    assert round(sum(c for c, _ in got.values()), 6) == 2.0
+    assert round(sum(v for _, v in got.values()), 4) == 100.0
