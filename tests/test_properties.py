@@ -1520,15 +1520,17 @@ def test_t_closeness_matches_python_reference(spark, rows, t):
     )
 )
 def test_attribution_models_conserve_credit(spark, journey):
-    """Conservation law across attribution models: last-touch counts
-    and linear credits both sum to the exact number of conversions,
-    and both models' attributed value sums to total conversion value
-    — per-channel allocations differ, totals never do."""
+    """Conservation law across ALL THREE attribution models:
+    last-touch counts, linear credits, and time-decay credits each sum
+    to the exact number of conversions, and every model's attributed
+    value sums to total conversion value — per-channel allocations
+    differ, totals never do."""
     import datetime as dt
 
     from isilon_hadoop_tools_spark.operators.analytics import (
         last_touch_attribution,
         linear_attribution,
+        time_decay_attribution,
     )
 
     t0 = dt.datetime(2024, 1, 1)
@@ -1557,10 +1559,15 @@ def test_attribution_models_conserve_credit(spark, journey):
     ln = linear_attribution(
         df, "user_id", "ts", "event_id", "event_type", "value", **args
     ).collect()
+    td = time_decay_attribution(
+        df, "user_id", "ts", "event_id", "event_type", "value", **args
+    ).collect()
     if n_conv == 0:
-        assert lt == [] and ln == []
+        assert lt == [] and ln == [] and td == []
         return
     assert sum(r["n_conversions"] for r in lt) == n_conv
     assert abs(sum(r["credit"] for r in ln) - n_conv) < 1e-6
+    assert abs(sum(r["credit"] for r in td) - n_conv) < 1e-6
     assert abs(sum(r["attributed_value"] for r in lt) - v_conv) < 1e-6
     assert abs(sum(r["attributed_value"] for r in ln) - v_conv) < 1e-6
+    assert abs(sum(r["attributed_value"] for r in td) - v_conv) < 1e-6
