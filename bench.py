@@ -5,8 +5,15 @@ Runs each headline query from the oracle-checked suite against
 ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line::
 
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...},
-     "reps": {"q1_pricing_summary": [sec, sec, sec], ...}, "sf": 0.1}
+     "queries": {<top-25 slowest>: min_sec, ...},
+     "families": {"tpch": sec, "events": sec, ...}, "sf": 0.1}
+
+STDOUT CONTRACT: the driver captures only the LAST 2000 characters of
+stdout and parses the final line as JSON, so the printed line must
+stay under 1900 chars (asserted in :func:`main`). ``queries`` on
+stdout therefore carries only the top-25 slowest per-query mins;
+the FULL per-query map, every rep observation, and the rotation
+timings go to the ``BENCH_local.json`` sidecar next to this file.
 
 Each query is forced end-to-end with a ``noop`` write (full plan
 execution, no driver-side collect cost). Before timing, every query
@@ -15,12 +22,25 @@ generates its codegen classes, so the timed sf0.1 run measures
 steady-state execution (what a resident cluster job sees), not
 one-time JIT/compile overhead.
 
-Each query is timed ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and
-``queries`` reports the MIN; ``reps`` keeps every observation. On a
-shared sandbox, single-rep walls swing with machine noise far more
-than the effects being measured (observed up to 1.6x on identical
-code/data); min-of-N is the standard noise floor estimator for
-round-over-round regression detection.
+Each headline query is timed ``$SPARK_GRAFT_BENCH_REPS`` times
+(default 3) and reported as the MIN; the sidecar keeps every
+observation. On a shared sandbox, single-rep walls swing with machine
+noise far more than the effects being measured (observed up to 1.6x
+on identical code/data); min-of-N is the standard noise floor
+estimator for round-over-round regression detection.
+
+ROTATION: beyond the fixed headline set, each run times a window of
+``$SPARK_GRAFT_ROTATION_N`` (default 60) least-recently-benched
+non-headline registered queries, single-rep, under a soft
+``$SPARK_GRAFT_ROTATION_BUDGET_SEC`` (default 300) budget — the same
+least-recently-verified discipline as the correctness gate's driver
+window, so every registered query earns an sf0.1 timing within ~3
+rounds. Rotation state (last-benched run index per query) persists in
+the sidecar; rotation queries slower than 3 s are surfaced in the
+sidecar's ``slow_rotation`` list as curvature-sweep candidates.
+Rotation timings are coverage probes (single rep, machine-noise
+caveats apply), NOT regression tripwires — the headline mins are the
+regression surface.
 """
 
 from __future__ import annotations
@@ -39,6 +59,14 @@ from isilon_hadoop_tools_spark.session import get_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+ROTATION_N = int(os.environ.get("SPARK_GRAFT_ROTATION_N", "60"))
+ROTATION_BUDGET_SEC = float(
+    os.environ.get("SPARK_GRAFT_ROTATION_BUDGET_SEC", "300")
+)
+SIDECAR = Path(__file__).resolve().parent / "BENCH_local.json"
+STDOUT_LINE_MAX = 1900  # driver parses only the last 2000 chars
+TOP_N_STDOUT = 25
+SLOW_ROTATION_SEC = 3.0  # curvature-sweep promotion threshold
 
 # Headline set: one per major subsystem (scan+agg, joins, windows,
 # events, text, dedup family, similarity).
@@ -143,6 +171,14 @@ HEADLINE = (
     "events_last_touch_attribution",
     "customer_link_neighbor_jaccard",
     "embedding_hard_negatives",
+    # round-11 additions: the trained curation filter (3 GD corpus
+    # scans + the join-free scoring pass) and the exact KS drift gate
+    "corpus_quality_classifier_train",
+    "doc_quality_scores",
+    "events_ks_drift",
+    # byte-level BPE: the GPT-2-family trainer is a 5-round
+    # vocabulary-table loop like char-BPE but over ~2x the symbols
+    "corpus_byte_bpe_merges",
 )
 
 
@@ -152,6 +188,50 @@ def _sf_from_dir(sf_dir: str) -> float:
         return float(name.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def _family(name: str) -> str:
+    """Coarse per-family bucket for the stdout subtotals."""
+    if name.startswith("q") and name[1:2].isdigit():
+        return "tpch"
+    for prefix, fam in (
+        ("events_", "events"),
+        ("doc_", "docs"),
+        ("corpus_", "corpus"),
+        ("dedup_", "dedup"),
+        ("simhash_", "dedup"),
+        ("semantic_", "dedup"),
+        ("ann_", "ann"),
+        ("embedding_", "ann"),
+        ("multimodal_", "multimodal"),
+        ("customer_", "analytics"),
+        ("lineitem_", "analytics"),
+        ("orders_", "analytics"),
+        ("nation", "analytics"),
+    ):
+        if name.startswith(prefix):
+            return fam
+    return "other"
+
+
+def _load_sidecar() -> dict:
+    if SIDECAR.exists():
+        try:
+            return json.loads(SIDECAR.read_text())
+        except (ValueError, OSError):
+            return {}
+    return {}
+
+
+def _rotation_window(registry: dict, prior: dict) -> list[str]:
+    """The ``ROTATION_N`` least-recently-benched non-headline queries
+    (never-benched first, then oldest run index, name tie-break) —
+    the correctness gate's least-recently-verified ordering applied
+    to timings."""
+    history: dict[str, int] = prior.get("rotation_history", {})
+    pool = sorted(n for n in registry if n not in HEADLINE)
+    pool.sort(key=lambda n: (history.get(n, -1), n))
+    return pool[: max(0, ROTATION_N)]
 
 
 def run_query(fn, spark, sf_dir: str) -> float:
@@ -198,15 +278,72 @@ def main() -> int:
 
     timings = {name: min(times) for name, times in reps.items()}
 
-    result = {
-        "metric": "suite_wall_sec",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "reps": reps,
-        "sf": _sf_from_dir(SF_DIR),
-    }
-    print(json.dumps(result), flush=True)
+    # Rotation window: single-rep coverage probes over the
+    # least-recently-benched non-headline queries, soft time budget.
+    prior = _load_sidecar()
+    run_idx = int(prior.get("run_idx", -1)) + 1
+    history: dict[str, int] = dict(prior.get("rotation_history", {}))
+    rotation: dict[str, float] = {}
+    rot_t0 = time.perf_counter()
+    for name in _rotation_window(registry, prior):
+        if time.perf_counter() - rot_t0 > ROTATION_BUDGET_SEC:
+            break
+        run_query(registry[name], spark, WARMUP_SF_DIR)  # plan warmup
+        rotation[name] = round(run_query(registry[name], spark, SF_DIR), 3)
+        history[name] = run_idx
+    history = {n: r for n, r in history.items() if n in registry}
+    slow_rotation = sorted(
+        n for n, s in rotation.items() if s > SLOW_ROTATION_SEC
+    )
+
+    sf = _sf_from_dir(SF_DIR)
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = _family(name)
+        families[fam] = round(families.get(fam, 0.0) + sec, 2)
+    top = dict(
+        sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_N_STDOUT]
+    )
+    top = {n: round(s, 2) for n, s in top.items()}
+
+    SIDECAR.write_text(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "sf": sf,
+                "run_idx": run_idx,
+                "queries": timings,
+                "reps": reps,
+                "rotation": rotation,
+                "rotation_history": history,
+                "slow_rotation": slow_rotation,
+                "n_registered": len(registry),
+                "n_rotation_covered": len(history),
+            },
+            indent=1,
+            sort_keys=True,
+        )
+        + "\n"
+    )
+
+    line = json.dumps(
+        {
+            "metric": "suite_wall_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "sf": sf,
+            "families": families,
+            "queries": top,
+            "n_queries": len(timings),
+            "rotation_n": len(rotation),
+            "rotation_sec": round(sum(rotation.values()), 2),
+        }
+    )
+    # the driver captures/parses only the last 2000 stdout chars
+    assert len(line) < STDOUT_LINE_MAX, (len(line), STDOUT_LINE_MAX)
+    print(line, flush=True)
     return 0
 
 

@@ -1556,6 +1556,31 @@ def cusum_changepoint(
     )
 
 
+def band_index_expr(value_col: str, breaks: list):
+    """Fixed-band index expression shared by the batch
+    :func:`psi_drift` and the streaming band counter
+    (``banded_count_stream_into_state``) so banding and validation can
+    never drift between the two halves of the gate: values below
+    ``breaks[i]`` (first match) index as ``i``; at or above the last
+    break as ``len(breaks)``. Raises ``ValueError`` unless ``breaks``
+    is strictly ascending with no duplicates — an unsorted or
+    duplicated list would silently mis-band values via the
+    first-match WHEN chain."""
+    if not breaks or list(breaks) != sorted(set(breaks)):
+        raise ValueError(
+            "breaks must be non-empty, strictly ascending, and "
+            f"duplicate-free; got {breaks!r}"
+        )
+    v = F.col(value_col)
+    band = None
+    for i, b in enumerate(breaks):
+        cond = v < F.lit(float(b))
+        band = F.when(cond, F.lit(i)) if band is None else band.when(
+            cond, F.lit(i)
+        )
+    return band.otherwise(F.lit(len(breaks)))
+
+
 def psi_drift(
     df: DataFrame,
     value_col: str,
@@ -1587,14 +1612,7 @@ def psi_drift(
     ``psi_total`` (6 dp) for the gate readout.
     """
     nb = len(breaks) + 1
-    v = F.col(value_col)
-    band = None
-    for i, b in enumerate(breaks):
-        cond = v < F.lit(float(b))
-        band = F.when(cond, F.lit(i)) if band is None else band.when(
-            cond, F.lit(i)
-        )
-    band = band.otherwise(F.lit(nb - 1)).cast("int")
+    band = band_index_expr(value_col, breaks).cast("int")
     counts = (
         df.select(
             band.alias("band"),
@@ -1638,6 +1656,77 @@ def psi_readout(counts: DataFrame, n_bands: int) -> DataFrame:
         F.round(q, 6).alias("p_cur"),
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(wall), 6).alias("psi_total"),
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    in_base,
+    in_cur,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift gate — the
+    companion of :func:`psi_drift` for heavy-tailed metrics where
+    fixed bands are the wrong lens: ``KS = sup_x |F_base(x) −
+    F_cur(x)|`` over the EXACT empirical CDFs, no binning, no
+    smoothing. The sup over right-continuous step ECDFs is attained
+    at a jump point, so evaluating at every DISTINCT value is exact.
+
+    Determinism: the statistic is the exact rational
+    ``|cum_base·n_cur − cum_cur·n_base| / (n_base·n_cur)`` maximized
+    in DECIMAL(38,0) integer arithmetic (no float compare decides the
+    winner), with ties on the numerator broken to the SMALLEST value;
+    only the final 6-dp division is floating point — bit-identical
+    cross-engine.
+
+    Shape: ONE fact scan with map-side combine (groupBy value → two
+    conditional counts), then all ordered-window work runs on the
+    V-row DISTINCT-VALUE table, never the fact table (V ≪ N for any
+    metric worth gating; quantize first if your column is
+    continuous-unique). One shuffle on the value; the final argmax is
+    a 1-row TakeOrdered.
+
+    Output (one row): ``n_base``, ``n_cur``, ``at_value`` (where the
+    sup is attained), ``ks_stat`` (6 dp).
+    """
+    counts = (
+        df.select(
+            F.col(value_col).alias("v"),
+            in_base.cast("long").alias("_b"),
+            in_cur.cast("long").alias("_c"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.sum("_b").alias("nb"), F.sum("_c").alias("nc"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    dec = "decimal(38,0)"
+    cum = counts.select(
+        "v",
+        F.sum("nb").over(w).cast(dec).alias("cb"),
+        F.sum("nc").over(w).cast(dec).alias("cc"),
+        F.sum("nb").over(wall).cast(dec).alias("tb"),
+        F.sum("nc").over(wall).cast(dec).alias("tc"),
+    )
+    diff = cum.select(
+        "v",
+        "tb",
+        "tc",
+        F.abs(
+            F.col("cb") * F.col("tc") - F.col("cc") * F.col("tb")
+        ).alias("num"),
+    )
+    best = diff.orderBy(F.desc("num"), F.asc("v")).limit(1)
+    return best.select(
+        F.col("tb").cast("long").alias("n_base"),
+        F.col("tc").cast("long").alias("n_cur"),
+        F.col("v").alias("at_value"),
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("tb") * F.col("tc")).cast("double"),
+            6,
+        ).alias("ks_stat"),
     )
 
 

@@ -1251,6 +1251,20 @@ def bpe_train(
     cur = vocab.select(
         "w", "n", F.split("w", "").alias("syms")
     ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        _bpe_rounds(cur, rounds),
+        "merge_round int, lhs string, rhs string, pair_count long",
+    )
+
+
+def _bpe_rounds(cur, rounds: int) -> list[tuple[int, str, str, int]]:
+    """The greedy count-ranked BPE round loop shared by the
+    character-level :func:`bpe_train` and the byte-level
+    :func:`byte_bpe_train` — symbol-agnostic (symbols are opaque
+    strings; only the v0 construction differs between alphabets):
+    per round a shuffle-free ``zip_with`` pair count over the
+    vocabulary table, a total-order top-1 (cnt DESC, lhs, rhs), and
+    the pure-JVM greedy merge, checkpointed per round."""
     merges: list[tuple[int, str, str, int]] = []
     for t in range(1, rounds + 1):
         sz = F.size("syms")
@@ -1277,8 +1291,114 @@ def bpe_train(
         cur = cur.select(
             "w", "n", _bpe_merge_expr(F.col("syms"), lhs, rhs).alias("syms")
         ).localCheckpoint(eager=True)
+    return merges
+
+
+BYTE_SYMS_RE = ".."
+
+
+def _pre_tokens(text_col: str):
+    """GPT-2-ish regex pre-tokenization (letter runs / digit runs /
+    single non-alphanumeric symbols — the engine's ``BPE_TOKEN_RE``):
+    the split byte-level BPE merges never cross. Note non-ASCII
+    letters fall to the symbol branch (the regex is ASCII-classed),
+    which both engines agree on."""
+    from isilon_hadoop_tools_spark.functions.text import BPE_TOKEN_RE
+
+    return F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+
+
+def _byte_syms(col) -> Column:
+    """A word as its UTF-8 byte sequence, each byte a lowercase
+    2-hex-char symbol (``é`` → ``['c3', 'a9']``) — printable,
+    concatenation-closed under merging (a merged symbol is just a
+    longer hex string), and byte-for-byte identical in DuckDB via
+    ``regexp_extract_all(lower(hex(encode(w))), '..')``."""
+    return F.regexp_extract_all(
+        F.lower(F.hex(F.encode(col, "UTF-8"))), F.lit(BYTE_SYMS_RE), 0
+    )
+
+
+def byte_bpe_train(
+    df: DataFrame, text_col: str, id_col: str, rounds: int = 6
+) -> DataFrame:
+    """Byte-level BPE merge training (GPT-2 family; Radford et al.
+    2019) — the tokenizer most users actually match: the UTF-8 BYTE
+    alphabet (256 base symbols, so NO out-of-vocabulary text exists —
+    any string tokenizes) behind a regex pre-tokenization split, then
+    the exact same greedy count-ranked merge machinery as the
+    character-level trainer (:func:`_bpe_rounds` /
+    :func:`_bpe_merge_expr` are symbol-agnostic). Symbols are
+    lowercase hex byte strings, so a learned merge like
+    ``(c3, a9)`` → ``c3a9`` is the byte pair of ``é`` — where
+    char-BPE sees one symbol and byte-BPE must first LEARN the
+    multi-byte composition (the defining divergence, unit-tested).
+
+    Same scale shape as :func:`bpe_train`: corpus scanned once into
+    the distinct pre-token table; all rounds run on that
+    language-bounded vocabulary.
+
+    Output: ``merge_round``, ``lhs``, ``rhs``, ``pair_count``.
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(_pre_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = vocab.select(
+        "w", "n", _byte_syms(F.col("w")).alias("syms")
+    ).localCheckpoint(eager=True)
     return spark.createDataFrame(
-        merges, "merge_round int, lhs string, rhs string, pair_count long"
+        _bpe_rounds(cur, rounds),
+        "merge_round int, lhs string, rhs string, pair_count long",
+    )
+
+
+def byte_bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list,
+) -> DataFrame:
+    """Byte-level BPE round trip (:func:`bpe_apply`'s twin over the
+    byte alphabet): apply learned merges to the distinct PRE-TOKEN
+    table, then join documents against the finished vocabulary —
+    one corpus-sized equi-join, no per-document symbol work.
+
+    Output per document: ``id``, ``n_words`` (pre-tokens),
+    ``n_bytes`` (UTF-8 octets), ``n_tokens`` (post-merge symbols),
+    ``compression`` (n_bytes / n_tokens, 6 dp).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(_pre_tokens(text_col)).alias("w")
+    )
+    vocab = words.select("w").distinct()
+    syms = _byte_syms(F.col("w"))
+    for lhs, rhs in merges:
+        syms = _bpe_merge_expr(syms, lhs, rhs)
+    sized = vocab.select(
+        "w",
+        F.octet_length("w").alias("_bytes"),
+        F.size(syms).alias("_toks"),
+    )
+    return (
+        words.join(sized, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_bytes").alias("n_bytes"),
+            F.sum("_toks").alias("n_tokens"),
+        )
+        .select(
+            "id",
+            "n_words",
+            "n_bytes",
+            "n_tokens",
+            F.round(
+                F.col("n_bytes").cast("double") / F.col("n_tokens"), 6
+            ).alias("compression"),
+        )
     )
 
 
@@ -1417,6 +1537,21 @@ def _viterbi_segment(
             - s,
         ),
     )
+
+
+def _viterbi_big(costs: dict[str, int]) -> int:
+    """Sentinel cost strictly above ANY realizable path cost under the
+    CURRENT cost table: a word has ≤ 52 pieces (the trainer's length
+    cap), each costing ≤ max(costs), so ``53·max + 1`` dominates every
+    real path while staying far below long overflow (max cost is
+    ``ln(total)·scale`` ≈ 4e7 at scale=1e6 → big ≈ 2.2e9; even 52
+    accumulated OOV-big extensions stay < 1.2e11 ≪ 2^63). A fixed
+    ``scale·64`` bound is WRONG: one rare piece already costs
+    ``ln(total)·scale`` which exceeds it for total > e^64 — and more
+    practically a 20+-char word of corpus-rare characters exceeds it
+    at total ≈ 10^6, making the j<0 sentinel win ``F.least`` and
+    decode a garbage boundary mask."""
+    return 53 * max(costs.values(), default=1) + 1
 
 
 def _unigram_costs(counts: dict[str, int], scale: int) -> dict[str, int]:
@@ -1558,9 +1693,9 @@ def _unigram_em(
         .collect()
     }
     counts = {**singles, **multis}
-    big = scale * 64  # > any real path cost (52 pieces x ln-range)
     for _ in range(em_rounds):
         costs = _unigram_costs(counts, scale)
+        big = _viterbi_big(costs)
         seg = words.select(
             "n",
             F.explode(
@@ -1606,7 +1741,7 @@ def unigram_lm_apply(
         df, text_col, max_piece_len, n_seed_multi, em_rounds, scale
     )
     costs = _unigram_costs(counts, scale)
-    big = scale * 64
+    big = _viterbi_big(costs)
     sized = words.select(
         "w",
         F.col("wl").alias("_chars"),
@@ -1749,4 +1884,227 @@ def wordpiece_train(
         merges,
         "merge_round int, lhs string, rhs string, pair_count long,"
         " score_q long",
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division — the shared rounding
+    convention for classifier weight updates: DuckDB's integer ``//``
+    truncates toward zero (``-7 // 2 = -3``), while Python's ``//``
+    floors, so the driver-side update must use this helper to stay
+    bit-identical with the unrolled-GD oracle."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def _quality_features(
+    df: DataFrame, text_col: str, id_col: str, label, n_buckets: int
+) -> DataFrame:
+    """Hashed bag-of-words features ``(id, y, j, x)``: whitespace
+    tokens bucketed by the cross-engine md5 hash into ``n_buckets``
+    slots (collisions are the fastText trick, not a bug — the hash
+    IS the vocabulary), plus a constant bias feature at index
+    ``n_buckets`` so the model can learn a base rate."""
+    ids = df.select(
+        F.col(id_col).alias("id"), label.cast("long").alias("y"), text_col
+    )
+    tok_feats = (
+        ids.select(
+            "id",
+            "y",
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .select(
+            "id", "y", (stable_hash32("tok") % n_buckets).alias("j")
+        )
+        .groupBy("id", "y", "j")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bias = ids.select(
+        "id",
+        "y",
+        F.lit(n_buckets).cast("long").alias("j"),
+        F.lit(1).cast("long").alias("x"),
+    )
+    return tok_feats.unionByName(bias)
+
+
+def _quality_gd(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label,
+    n_buckets: int,
+    rounds: int,
+    lr_num: int,
+    lr_den: int,
+    scale: int,
+) -> dict[int, int]:
+    """The deterministic integer GD loop shared by
+    :func:`quality_classifier_train` and :func:`quality_scores`.
+
+    Model: logistic-style linear classifier with the HARD sigmoid
+    ``σ̂(μ) = clamp(1/2 + μ/4, 0, 1)`` (the piecewise-linear logistic
+    of quantized training) so the whole fit is INTEGER arithmetic —
+    no transcendental ever runs, hence no libm/JVM last-ulp risk
+    between engines. With weights at fixed-point ``scale`` and margin
+    ``m = Σ w_j·x_j``, the numerator ``N = clamp(2·scale + m, 0,
+    4·scale)`` gives ``σ̂ = N/(4·scale)`` without any division.
+
+    Per round (the L54/BPE determinism discipline): ONE corpus-scan
+    gradient aggregation ``G_j = Σ_d (N_d − 4·scale·y_d)·x_dj``
+    (map-side partials; D+1 rows collected — bounded driver state),
+    then the driver updates ``w_j ← w_j − tdiv(lr_num·G_j,
+    lr_den·4·n_docs)`` and broadcasts the new weights back as a map
+    literal. Weights never live in an executor loop; the corpus never
+    moves to the driver.
+    """
+    feats = _quality_features(
+        df, text_col, id_col, label, n_buckets
+    ).localCheckpoint(eager=True)
+    n_docs = df.count()
+    four_s = 4 * scale
+    w = {j: 0 for j in range(n_buckets + 1)}
+    for _ in range(rounds):
+        wmap = F.create_map(
+            *[
+                x
+                for j, v in sorted(w.items())
+                for x in (F.lit(j).cast("long"), F.lit(v).cast("long"))
+            ]
+        )
+        margins = (
+            feats.withColumn(
+                "_w",
+                F.coalesce(F.try_element_at(wmap, F.col("j")), F.lit(0)),
+            )
+            .groupBy("id", "y")
+            .agg(F.sum(F.col("_w") * F.col("x")).alias("m"))
+            .select(
+                "id",
+                "y",
+                F.least(
+                    F.lit(four_s).cast("long"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.lit(2 * scale) + F.col("m"),
+                    ),
+                ).alias("N"),
+            )
+        )
+        grads = (
+            feats.join(margins.select("id", "N"), "id")
+            .select(
+                "j",
+                (
+                    (F.col("N") - F.lit(four_s) * F.col("y")) * F.col("x")
+                ).alias("g"),
+            )
+            .groupBy("j")
+            .agg(F.sum("g").alias("G"))
+            .collect()
+        )
+        G = {int(r["j"]): int(r["G"]) for r in grads}
+        den = lr_den * 4 * n_docs
+        for j in w:
+            w[j] = w[j] - _tdiv(lr_num * G.get(j, 0), den)
+    return w
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label,
+    n_buckets: int = 32,
+    rounds: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Trained quality-classifier weights (fastText / DCLM /
+    FineWeb-Edu style curation filter): a hashed bag-of-words linear
+    classifier fit by deterministic integer gradient descent — the
+    one modern curation stage between heuristic quality scores and
+    model-based filtering. ``label`` is a boolean/int Column marking
+    the "good" class (reference corpus membership, lang gate, …).
+
+    Everything is integer arithmetic on both engines (hard-sigmoid
+    logistic — see :func:`_quality_gd`), so the weights are
+    bit-identical to an unrolled-GD SQL oracle. At 100 TB: one scan
+    per round with map-side partial gradients, D+1 driver-held
+    weights (D = hash buckets, a constant), broadcast back as a map
+    literal — the classic parameter-server pattern degenerated to
+    driver state because D is small.
+
+    Output: ``feature_id`` (0..n_buckets; n_buckets = bias),
+    ``weight`` (fixed-point at ``scale``).
+    """
+    w = _quality_gd(
+        df, text_col, id_col, label, n_buckets, rounds, lr_num, lr_den,
+        scale,
+    )
+    return df.sparkSession.createDataFrame(
+        sorted(w.items()), "feature_id int, weight long"
+    )
+
+
+def quality_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label,
+    n_buckets: int = 32,
+    rounds: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Scan-bound inference with the trained quality classifier:
+    train via :func:`_quality_gd` (same defaults as
+    :func:`quality_classifier_train`), then score EVERY document in
+    one pass — ``score = N/(4·scale)`` (the hard-sigmoid probability
+    of the "good" class), an exact rational → identical doubles
+    cross-engine. The scoring scan never sees the training loop:
+    weights arrive as a broadcast map literal, so at 100 TB this is
+    a single map-side join-free pass over the corpus.
+
+    Output: ``id``, ``margin`` (fixed-point at ``scale``), ``score``
+    (6 dp), ``keep`` (score ≥ 0.5 — the filter decision).
+    """
+    w = _quality_gd(
+        df, text_col, id_col, label, n_buckets, rounds, lr_num, lr_den,
+        scale,
+    )
+    feats = _quality_features(df, text_col, id_col, label, n_buckets)
+    wmap = F.create_map(
+        *[
+            x
+            for j, v in sorted(w.items())
+            for x in (F.lit(j).cast("long"), F.lit(v).cast("long"))
+        ]
+    )
+    four_s = 4 * scale
+    return (
+        feats.withColumn(
+            "_w", F.coalesce(F.try_element_at(wmap, F.col("j")), F.lit(0))
+        )
+        .groupBy("id")
+        .agg(F.sum(F.col("_w") * F.col("x")).alias("margin"))
+        .select(
+            "id",
+            "margin",
+            F.round(
+                F.least(
+                    F.lit(four_s).cast("long"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.lit(2 * scale) + F.col("margin"),
+                    ),
+                ).cast("double")
+                / F.lit(four_s).cast("double"),
+                6,
+            ).alias("score"),
+        )
+        .withColumn("keep", F.col("score") >= 0.5)
     )

@@ -578,13 +578,30 @@ def tagged_band_slice_array(hash_col, modality_col, params: dict):
     over the modality tag dispatching to :func:`band_slice_array`
     with that modality's (bits, _, bands) — shared by the batch
     unified band join and the streaming unified index so the two can
-    never slice differently."""
+    never slice differently.
+
+    A non-null modality tag NOT present in ``params`` (typo'd
+    fingerprint_fn) raises at execution via a per-row ``assert_true``
+    guard instead of the bare CASE's NULL — a NULL result here would
+    silently drop the whole modality from banding and from the
+    streaming index. Rows with a NULL tag follow standard null-join-
+    key semantics instead: downstream band joins infer
+    ``modality IS NOT NULL`` and prune them below this expression."""
     out = None
+    known = None
     for m, (bits, _max_h, bands) in sorted(params.items()):
         e = band_slice_array(hash_col, bits, bands)
         cond = modality_col == m
         out = F.when(cond, e) if out is None else out.when(cond, e)
-    return out
+        known = cond if known is None else known | cond
+    guard = F.assert_true(
+        known,
+        F.concat(
+            F.lit("unknown modality tag: "),
+            F.coalesce(modality_col.cast("string"), F.lit("NULL")),
+        ),
+    )
+    return F.when(guard.isNull(), out)
 
 
 def tagged_hamming_band_pairs(

@@ -1793,9 +1793,13 @@ def hard_negative_topk(
     vecs = quantize_vectors(df, vec_col, id_col, scale).localCheckpoint(
         eager=False
     )
+    # id-threshold query selection (vid < n_queries) for consistency
+    # with ivf_pq_topk and the registered oracle's `vec_id < N`
+    # predicate — an orderBy().limit() lowest-n cut only agrees when
+    # ids are contiguous from 0 and silently diverges on gapped or
+    # non-zero-based fixtures.
     q = (
-        vecs.orderBy("vid")
-        .limit(n_queries)
+        vecs.filter(F.col("vid") < n_queries)
         .join(labeled, "vid")
         .select(
             F.col("vid").alias("query_id"),

@@ -385,15 +385,10 @@ def banded_count_stream_into_state(
     break's position; values at or above the last break land in band
     ``len(breaks)`` — identical banding to the batch ``psi_drift``.
     """
+    from isilon_hadoop_tools_spark.operators.analytics import band_index_expr
+
     schema = "row_id LONG, bucket LONG, cnt LONG"
-    v = F.col(value_col)
-    band = None
-    for i, b in enumerate(breaks):
-        cond = v < F.lit(float(b))
-        band = F.when(cond, F.lit(i)) if band is None else band.when(
-            cond, F.lit(i)
-        )
-    band = band.otherwise(F.lit(len(breaks))).cast("long")
+    band = band_index_expr(value_col, breaks).cast("long")
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         current = state.read(table, schema)

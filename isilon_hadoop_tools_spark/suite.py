@@ -5118,7 +5118,12 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), "text", "doc_id", k=1000)
 
 
-def _bpe_cte_chain(rounds: int = 6, mode: str = "bpe", scale: int = 10**9) -> str:
+def _bpe_cte_chain(
+    rounds: int = 6,
+    mode: str = "bpe",
+    scale: int = 10**9,
+    alphabet: str = "char",
+) -> str:
     """Unrolled BPE/WordPiece merge-training rounds: per round a
     weighted pair count, the round-winner top-1 — ``mode='bpe'``:
     (cnt DESC, lhs, rhs); ``mode='wordpiece'``: the quantized
@@ -5128,9 +5133,29 @@ def _bpe_cte_chain(rounds: int = 6, mode: str = "bpe", scale: int = 10**9) -> st
     functions — island detection over consecutive matched positions
     (runs only occur for self-pairs) with alternate selection, lag
     for the consumed flag, ordered list rebuild. Ends at ``v{rounds}``
-    (word, n, syms) with ``b{t}`` rule CTEs along the way."""
-    parts = [
-        r"""
+    (word, n, syms) with ``b{t}`` rule CTEs along the way.
+
+    ``alphabet='byte'`` switches v0 to the GPT-2-family byte level:
+    regex pre-tokenization (the engine's ``BPE_TOKEN_RE``) instead of
+    whitespace words, and lowercase 2-hex-char UTF-8 byte symbols
+    instead of characters — the round machinery is symbol-agnostic."""
+    if alphabet == "byte":
+        parts = [
+            r"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS w
+      FROM documents
+    ),
+    v0 AS (
+      SELECT w, count(*) AS n,
+             regexp_extract_all(lower(hex(encode(w))), '..') AS syms
+      FROM toks GROUP BY w
+    )"""
+        ]
+    else:
+        parts = [
+            r"""
     WITH toks AS (
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
       FROM documents
@@ -5139,7 +5164,7 @@ def _bpe_cte_chain(rounds: int = 6, mode: str = "bpe", scale: int = 10**9) -> st
       SELECT w, count(*) AS n, string_split(w, '') AS syms
       FROM toks GROUP BY w
     )"""
-    ]
+        ]
     for t in range(1, rounds + 1):
         prev = f"v{t - 1}"
         if mode == "bpe":
@@ -5199,13 +5224,15 @@ def _bpe_cte_chain(rounds: int = 6, mode: str = "bpe", scale: int = 10**9) -> st
     return "".join(parts)
 
 
-def _bpe_oracle(rounds: int = 6) -> str:
+def _bpe_oracle(rounds: int = 6, alphabet: str = "char") -> str:
     sels = [
         f"SELECT {t} AS merge_round, lhs, rhs, cnt AS pair_count FROM b{t}"
         for t in range(1, rounds + 1)
     ]
     return (
-        _bpe_cte_chain(rounds) + "\n    " + "\n    UNION ALL ".join(sels)
+        _bpe_cte_chain(rounds, alphabet=alphabet)
+        + "\n    "
+        + "\n    UNION ALL ".join(sels)
     )
 
 
@@ -5242,22 +5269,37 @@ def corpus_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply_oracle(rounds: int = 6, mode: str = "bpe") -> str:
+def _bpe_apply_oracle(
+    rounds: int = 6, mode: str = "bpe", alphabet: str = "char"
+) -> str:
     """Tokenization twin: the training chain's final ``v{rounds}``
     vocabulary joined back onto every document's words. ``mode``
     selects which trainer's rules are applied (the merge machinery is
-    shared; only the round-winner selector differs)."""
-    return (
-        _bpe_cte_chain(rounds, mode=mode)
-        + f""",
+    shared; only the round-winner selector differs); ``alphabet``
+    selects whitespace-word chars vs pre-token UTF-8 bytes."""
+    if alphabet == "byte":
+        doc_words = r"""
     doc_words AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      SELECT doc_id, unnest(regexp_extract_all(text,
+                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS w
       FROM documents
-    )
+    )"""
+        size_expr, size_alias = "octet_length(encode(w))", "n_bytes"
+    else:
+        doc_words = r"""
+    doc_words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    )"""
+        size_expr, size_alias = "length(w)", "n_chars"
+    return (
+        _bpe_cte_chain(rounds, mode=mode, alphabet=alphabet)
+        + f""",
+    {doc_words.strip()}
     SELECT doc_id AS id, count(*) AS n_words,
-           sum(length(w))::BIGINT AS n_chars,
+           sum({size_expr})::BIGINT AS {size_alias},
            sum(len(v{rounds}.syms))::BIGINT AS n_tokens,
-           round(sum(length(w))::DOUBLE / sum(len(v{rounds}.syms)), 6)
+           round(sum({size_expr})::DOUBLE / sum(len(v{rounds}.syms)), 6)
              AS compression
     FROM doc_words JOIN v{rounds} USING (w)
     GROUP BY doc_id"""
@@ -5329,6 +5371,50 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark.operators.corpus import bpe_train
 
     return bpe_train(_t(spark, sf_dir, "documents"), "text", "doc_id", rounds=6)
+
+
+@query("corpus_byte_bpe_merges", oracle=_bpe_oracle(5, alphabet="byte"))
+def corpus_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE merge training (L54e; GPT-2 family — Radford et
+    al. 2019), the tokenizer most users actually match: UTF-8 byte
+    alphabet (no OOV text exists) behind the engine's regex
+    pre-tokenization, then the SAME symbol-agnostic greedy merge
+    machinery as char-BPE — symbols are lowercase hex byte strings,
+    so learned rules compose multi-byte characters the char trainer
+    gets for free. Oracle unrolls all 5 rounds over the byte-level
+    v0 (hex(encode(w)) sliced into byte pairs)."""
+    from isilon_hadoop_tools_spark.operators.corpus import byte_bpe_train
+
+    return byte_bpe_train(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", rounds=5
+    )
+
+
+@query(
+    "corpus_byte_bpe_tokenize",
+    oracle=_bpe_apply_oracle(5, alphabet="byte"),
+)
+def corpus_byte_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE round trip (L54e x L54b): the 5 learned byte
+    merges applied back to the corpus through the shared merge
+    machinery — per-document UTF-8 octets vs post-merge tokens and
+    the realized compression. Merges run on the distinct PRE-TOKEN
+    table only; documents join the finished vocabulary in one
+    corpus-sized equi-join. The oracle re-derives rules AND
+    tokenization from one unrolled chain."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        byte_bpe_apply,
+        byte_bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in byte_bpe_train(docs, "text", "doc_id", rounds=5)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return byte_bpe_apply(docs, "text", "doc_id", rules)
 
 
 def _unigram_lm_oracle(
@@ -7476,6 +7562,54 @@ def events_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the streaming monitor's contract IS the batch gate: same oracle
 REGISTRY["events_psi_stream"].oracle = REGISTRY["events_psi_drift"].oracle
+
+
+@query(
+    "events_ks_drift",
+    oracle="""
+    WITH counts AS (
+      SELECT value AS v,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN 1 ELSE 0 END)::HUGEINT AS nb,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN 1 ELSE 0 END)::HUGEINT AS nc
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    cum AS (
+      SELECT v,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb,
+             sum(nc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cc,
+             sum(nb) OVER () AS tb,
+             sum(nc) OVER () AS tc
+      FROM counts
+    ),
+    diff AS (SELECT v, tb, tc, abs(cb * tc - cc * tb) AS num FROM cum)
+    SELECT tb::BIGINT AS n_base, tc::BIGINT AS n_cur, v AS at_value,
+           round(num::DOUBLE / (tb * tc)::DOUBLE, 6) AS ks_stat
+    FROM diff ORDER BY num DESC, v ASC LIMIT 1
+    """,
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift gate (EA29c) — the
+    PSI gate's companion when fixed bands are the wrong lens (heavy
+    tails, unknown support): sup ECDF difference between the first
+    and second half of the events month, evaluated exactly at every
+    distinct value. The argmax is decided in DECIMAL(38,0) integer
+    arithmetic (ties to the smallest value); only the final 6-dp
+    division is floating point. One fact scan with map-side combine;
+    all window work runs on the distinct-value table."""
+    from isilon_hadoop_tools_spark.operators.analytics import ks_drift
+
+    ev = _t(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    return ks_drift(
+        ev,
+        "value",
+        in_base=F.col("ts") < boundary,
+        in_cur=F.col("ts") >= boundary,
+    )
 
 
 @query(
@@ -11518,6 +11652,124 @@ def multimodal_unified_index_stream(
         "tnear_pairs",
         "modality STRING, id_a LONG, id_b LONG, hamming INT",
     )
+
+
+def _quality_oracle(
+    rounds: int = 3,
+    n_buckets: int = 32,
+    scale: int = 1000,
+    lr_num: int = 1,
+    lr_den: int = 4,
+    score: bool = False,
+) -> str:
+    """Unrolled-GD DuckDB oracle for the quality classifier (the
+    `corpus_bpe_merges` unrolled-rounds pattern): one weights CTE per
+    GD round, each recomputing the hard-sigmoid margins and integer
+    gradient under the previous round's weights. Everything is
+    integer arithmetic — DuckDB's `//` truncates toward zero exactly
+    like the engine's `_tdiv` — so weights match bit for bit. With
+    ``score=True`` the final select scores every document under the
+    last round's weights instead of returning the weights."""
+    four_s = 4 * scale
+    parts = [
+        f"""
+    WITH d AS (
+      SELECT doc_id AS id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y, text
+      FROM documents
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+    tf AS (
+      SELECT id, y,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_buckets}) AS j,
+             count(*)::BIGINT AS x
+      FROM d, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+      GROUP BY id, y, j
+    ),
+    feats AS (
+      SELECT * FROM tf
+      UNION ALL
+      SELECT id, y, {n_buckets}::BIGINT AS j, 1::BIGINT AS x FROM d
+    ),
+    w0 AS (SELECT unnest(range(0, {n_buckets + 1}))::BIGINT AS j,
+                  0::HUGEINT AS w)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    m{r} AS (
+      SELECT f.id, f.y,
+             least({four_s}, greatest(0,
+                   {2 * scale} + sum(w.w * f.x))) AS N
+      FROM feats f JOIN w{r - 1} w USING (j) GROUP BY f.id, f.y
+    ),
+    g{r} AS (
+      SELECT f.j, sum((m.N - {four_s} * f.y) * f.x) AS G
+      FROM feats f JOIN m{r} m ON m.id = f.id GROUP BY f.j
+    ),
+    w{r} AS (
+      SELECT w.j,
+             w.w - ({lr_num} * coalesce(g.G, 0))
+                   // ({lr_den * 4} * n.n_docs) AS w
+      FROM w{r - 1} w LEFT JOIN g{r} g USING (j), n
+    )"""
+        )
+    if score:
+        parts.append(
+            f"""
+    SELECT f.id, sum(w.w * f.x)::BIGINT AS margin,
+           round(least({four_s}, greatest(0,
+                 {2 * scale} + sum(w.w * f.x)))::DOUBLE / {four_s}, 6)
+             AS score,
+           least({four_s}, greatest(0,
+                 {2 * scale} + sum(w.w * f.x))) >= {2 * scale} AS keep
+    FROM feats f JOIN w{rounds} w USING (j) GROUP BY f.id"""
+        )
+    else:
+        parts.append(
+            f"""
+    SELECT j::INT AS feature_id, w::BIGINT AS weight
+    FROM w{rounds}"""
+        )
+    return "".join(parts)
+
+
+@query("corpus_quality_classifier_train", oracle=_quality_oracle())
+def corpus_quality_classifier_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier training (L58; fastText / DCLM /
+    FineWeb-Edu-style curation filter): a hashed bag-of-words linear
+    classifier over the documents table with ``lang = 'en'`` as the
+    "good"-class label, fit by 3 rounds of deterministic INTEGER
+    gradient descent under the hard-sigmoid logistic — one corpus
+    scan per round with map-side partial gradients, 33 driver-held
+    weights broadcast back as a map literal. The oracle unrolls the
+    identical GD rounds in SQL (the `corpus_bpe_merges` pattern);
+    weights match bit for bit because no transcendental ever runs."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        quality_classifier_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier_train(
+        docs, "text", "doc_id", F.col("lang") == "en"
+    )
+
+
+@query("doc_quality_scores", oracle=_quality_oracle(score=True))
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-bound inference with the trained quality classifier
+    (L58b): every document scored under the round-3 weights —
+    ``score = hard-σ(margin)`` as an exact rational (6 dp), plus the
+    ``keep`` filter decision at the 0.5 threshold. The scoring pass
+    is join-free (weights are a broadcast map literal): at 100 TB
+    this is one scan, which is the whole point of training a cheap
+    linear filter instead of running an LLM judge per document."""
+    from isilon_hadoop_tools_spark.operators.corpus import quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_scores(docs, "text", "doc_id", F.col("lang") == "en")
 
 
 # Historical driver-green sets, kept only as the ordering fallback for

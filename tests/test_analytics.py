@@ -1103,3 +1103,66 @@ def test_time_decay_attribution_recency_ordering_and_conservation(spark):
     assert got["direct"] == (1.0, 10.0)
     assert round(sum(c for c, _ in got.values()), 6) == 2.0
     assert round(sum(v for _, v in got.values()), 4) == 100.0
+
+
+def test_psi_drift_rejects_bad_breaks(spark):
+    """Unsorted or duplicated breaks would silently mis-band values
+    via the first-match WHEN chain; the shared band_index_expr
+    validates instead — and the streaming band counter shares the
+    same helper so the two halves of the gate can't drift."""
+    import pytest as _pytest
+
+    from isilon_hadoop_tools_spark.operators.analytics import psi_drift
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 0)], "v double, g int")
+    for bad in ([3.0, 1.0], [1.0, 1.0, 2.0], []):
+        with _pytest.raises(ValueError, match="strictly ascending"):
+            psi_drift(df, "v", F.col("g") == 1, F.col("g") == 0, bad)
+
+
+def test_ks_drift_identity_zero_and_planted_shift(spark):
+    """Identity: the same cohort on both sides gives KS = 0 exactly.
+    Planted shift: base uniform on {1..10}, current uniform on
+    {6..15} → ECDFs diverge maximally at value 5 (F_base=0.5,
+    F_cur=0.0) with KS = 0.5, attained at the SMALLEST such value
+    (integer tie-break)."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import ks_drift
+
+    base = [(float(v), 1) for v in range(1, 11)]
+    cur = [(float(v), 0) for v in range(6, 16)]
+    df = spark.createDataFrame(base + cur, "v double, is_base int")
+    ident = ks_drift(
+        df, "v", F.lit(True), F.lit(True)
+    ).head()
+    assert ident["ks_stat"] == 0.0
+    assert ident["n_base"] == ident["n_cur"] == 20
+
+    shifted = ks_drift(
+        df, "v", F.col("is_base") == 1, F.col("is_base") == 0
+    ).head()
+    assert shifted["n_base"] == 10 and shifted["n_cur"] == 10
+    assert shifted["ks_stat"] == 0.5
+    assert shifted["at_value"] == 5.0
+
+
+def test_ks_drift_ties_and_null_values(spark):
+    """NULL values are excluded from both ECDFs; the argmax tie
+    (several values reach the same |difference|) resolves to the
+    smallest value so both engines pick the same row."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import ks_drift
+
+    rows = [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0), (None, 1), (None, 0)]
+    df = spark.createDataFrame(rows, "v double, is_base int")
+    out = ks_drift(
+        df, "v", F.col("is_base") == 1, F.col("is_base") == 0
+    ).head()
+    # base {1,2}, cur {3,4}: |F_b - F_c| = 1.0 at v=2 (and stays 1.0
+    # until 3); jump-point evaluation picks v=2
+    assert out["n_base"] == 2 and out["n_cur"] == 2
+    assert out["ks_stat"] == 1.0
+    assert out["at_value"] == 2.0

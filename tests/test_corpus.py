@@ -857,3 +857,196 @@ def test_unigram_lm_apply_compression_accounting(spark):
     assert d0["compression"] == 3.5
     assert (d1["n_words"], d1["n_chars"], d1["n_tokens"]) == (4, 10, 4)
     assert d1["compression"] == 2.5
+
+
+def test_unigram_lm_long_rare_word_sentinel(spark):
+    """Regression for the Viterbi sentinel bound: a 28-char word of
+    corpus-rare characters has a real path cost of ~28·ln(total)·scale
+    (every char costs a full -ln p), which exceeds the old fixed
+    ``scale·64`` sentinel once total ≳ 10 — the j<0 sentinel struct
+    then wins ``F.least`` and decodes a garbage boundary mask. The
+    sentinel is now derived from the actual cost table
+    (``53·max(cost)+1``), so the DP must match the enumeration
+    reference exactly AND the rare word must segment into its 28
+    single-char pieces (only singles of rare chars are in vocab)."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        unigram_lm_apply,
+        unigram_lm_train,
+    )
+
+    # 52 rare chars with no 2+-char substring repeated often enough to
+    # make the seed: the 8 common letters each contribute 3 multi
+    # pieces (xx/xxx/xxxx) with count ≥ 160, filling the top-16 multi
+    # seed entirely, so the rare word's ONLY in-vocab segmentation is
+    # all-singles — true path cost ≈ 52·ln(total)·scale ≈ 4e8, far
+    # beyond the old 6.4e7 bound (garbage masks from offset ~9 on).
+    rare = ("zqxjvkwmy" * 6)[:52]
+    common = ("aaaa bbbb cccc dddd eeee ffff gggg hhhh " * 40).strip()
+    texts = [common, rare + " aaaa bbbb"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["piece"], r["count"], r["prob"], r["rank"])
+        for r in unigram_lm_train(df, "text", "doc_id")
+        .orderBy("rank")
+        .collect()
+    ]
+    expect = _unigram_reference(texts)
+    assert got == expect
+    # all-singles segmentation: 'z' starts each 9-char cycle → 6 obs
+    by_piece = {p: c for p, c, _, _ in got}
+    assert by_piece["z"] == 6
+    assert not any(len(p) > 1 and p[0] in "zqxjvkwmy" for p in by_piece)
+    # round trip: the rare word is 52 single-char tokens; the model
+    # kept 'aa'/'bb' (count 82 each beats the whole word), so the two
+    # common words are 2 tokens apiece
+    apply = {r["id"]: r for r in unigram_lm_apply(
+        df, "text", "doc_id"
+    ).collect()}
+    assert apply[1]["n_words"] == 3
+    assert apply[1]["n_tokens"] == 52 + 2 + 2
+
+
+def test_viterbi_segment_cost_table_scale_independence(spark):
+    """Direct teeth for the sentinel bound: a cost table as trained on
+    a ~30M-token corpus (rare chars cost ln(total/1)·scale ≈ 1.7e7)
+    makes a 9-char rare word's true path cost 4·1.7e7 ≈ 6.9e7 — ABOVE
+    the old fixed ``scale·64 = 6.4e7`` sentinel, so an out-of-vocab
+    4-char extension (cost ``big``) used to beat the honest all-singles
+    path at offset 4 and decode 'zqxj' as one OOV piece. With
+    ``_viterbi_big`` deriving the sentinel from the cost table
+    (53·max+1), the all-singles segmentation must win."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        _viterbi_big,
+        _viterbi_segment,
+    )
+
+    costs = {c: 17_000_000 for c in "zqxjvkwmy"}
+    costs["aa"] = 1_000_000  # an unrelated cheap multi sets no trap
+    big = _viterbi_big(costs)
+    assert big == 53 * 17_000_000 + 1
+    df = spark.createDataFrame([("zqxjzqxjz",)], "w string")
+    got = df.select(
+        _viterbi_segment(F.col("w"), costs, 4, big).alias("pieces")
+    ).head()["pieces"]
+    assert got == list("zqxjzqxjz")
+    # the old constant provably breaks this exact input: OOV 'zqxj'
+    # (cost 6.4e7) undercuts 4 singles (6.8e7) and wins F.least
+    bad = df.select(
+        _viterbi_segment(F.col("w"), costs, 4, 64_000_000).alias("pieces")
+    ).head()["pieces"]
+    assert bad != list("zqxjzqxjz")
+
+
+def test_quality_classifier_planted_signal(spark):
+    """A token perfectly correlated with the positive label must end
+    with a positive weight, its negative-class twin with a negative
+    weight, and scoring must separate the classes at the 0.5 keep
+    threshold. Buckets (md5 % 32): excellent→4, spammy→20,
+    common→25 — no collisions among the planted tokens."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        quality_classifier_train,
+        quality_scores,
+    )
+
+    rows = [
+        (i, "excellent common " + ("common " * (i % 3)), 1)
+        for i in range(10)
+    ] + [
+        (10 + i, "spammy common " + ("common " * (i % 3)), 0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = {
+        r["feature_id"]: r["weight"]
+        for r in quality_classifier_train(
+            df, "text", "doc_id", F.col("y") == 1
+        ).collect()
+    }
+    assert len(w) == 33  # 32 hash buckets + bias
+    assert w[4] > 0, w  # 'excellent' bucket
+    assert w[20] < 0, w  # 'spammy' bucket
+    # balanced classes + symmetric features → shared/bias weights 0
+    assert w[25] == 0 and w[32] == 0
+
+    scores = {
+        r["id"]: r
+        for r in quality_scores(
+            df, "text", "doc_id", F.col("y") == 1
+        ).collect()
+    }
+    assert all(scores[i]["keep"] for i in range(10))
+    assert not any(scores[10 + i]["keep"] for i in range(10))
+    assert min(scores[i]["score"] for i in range(10)) > max(
+        scores[10 + i]["score"] for i in range(10)
+    )
+
+
+def test_quality_classifier_tdiv_matches_duckdb(spark):
+    """The weight-update rounding convention: _tdiv truncates toward
+    zero exactly like DuckDB's integer `//` (Python's bare `//`
+    floors and would diverge on every negative gradient)."""
+    import duckdb
+
+    from isilon_hadoop_tools_spark.operators.corpus import _tdiv
+
+    for a in (-7, -6, -1, 0, 1, 6, 7, -1000001):
+        for b in (2, 3, 7, 1000):
+            got = duckdb.sql(f"SELECT {a} // {b}").fetchone()[0]
+            assert _tdiv(a, b) == got, (a, b)
+
+
+def test_byte_bpe_diverges_from_char_bpe_on_multibyte_utf8(spark):
+    """The defining byte-vs-char divergence: 'éé' is TWO symbols to
+    the char trainer (first merge (é, é)) but FOUR bytes (c3 a9 c3
+    a9) to the byte trainer, whose most frequent pair is (c3, a9) —
+    the multi-byte composition of 'é' itself, which char-BPE gets
+    for free. Also pins the hex-symbol alphabet and the pre-token
+    boundary (merges never cross the regex split)."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        bpe_train,
+        byte_bpe_apply,
+        byte_bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "éé éé ab"), (2, "éé éé ab ab")], "doc_id long, text string"
+    )
+    # 'éé' x4 beats 'ab' x3 (no tie: 'a' < 'é' would win a tie)
+    char_rules = bpe_train(df, "text", "doc_id", rounds=1).collect()
+    assert (char_rules[0]["lhs"], char_rules[0]["rhs"]) == ("é", "é")
+    assert char_rules[0]["pair_count"] == 4
+
+    byte_rules = byte_bpe_train(df, "text", "doc_id", rounds=2).collect()
+    # the ASCII-classed pre-tokenizer splits 'éé' into TWO 'é'
+    # pre-tokens (non-ASCII letters fall to the symbol branch), so
+    # round 1 sees 'é' x8, each [c3, a9] — the byte pair of é
+    assert (byte_rules[0]["lhs"], byte_rules[0]["rhs"]) == ("c3", "a9")
+    assert byte_rules[0]["pair_count"] == 8
+    # round 2: 'é' is now the single symbol [c3a9] (no pair left —
+    # merges never cross the pre-token split), so (61, 62) from
+    # 'ab' x3 wins. Char-BPE's (é, é) is UNREACHABLE for the byte
+    # trainer under this pre-tokenizer — the families provably
+    # diverge on the same corpus.
+    assert (byte_rules[1]["lhs"], byte_rules[1]["rhs"]) == ("61", "62")
+    assert byte_rules[1]["pair_count"] == 3
+
+    out = {
+        r["id"]: r
+        for r in byte_bpe_apply(
+            df, "text", "doc_id",
+            [(r["lhs"], r["rhs"]) for r in byte_rules],
+        ).collect()
+    }
+    # doc 1 'éé éé ab': pre-tokens [é, é, é, é, ab] → 5 words,
+    # bytes 2·4 + 2 = 10; post-merge each é = [c3a9], ab = [6162]
+    # → 5 tokens
+    assert (out[1]["n_words"], out[1]["n_bytes"], out[1]["n_tokens"]) == (
+        5, 10, 5,
+    )
+    assert out[1]["compression"] == 2.0

@@ -623,3 +623,36 @@ def test_tagged_hamming_band_pairs_rejects_incomplete_modality(spark):
     )
     with _pytest.raises(ValueError, match="'a'"):
         dedup.tagged_hamming_band_pairs(df, {"a": (8, 4, 4)})
+
+
+def test_tagged_band_slice_unknown_modality_raises(spark):
+    """A modality tag absent from params must FAIL the job, not
+    silently drop the rows from banding (a typo'd fingerprint_fn
+    would otherwise lose an entire modality invisibly)."""
+    import pytest
+
+    params = {"text": (16, 2, 4), "image": (16, 2, 4)}
+    df = spark.createDataFrame(
+        [("text", 1, 0xABCD), ("audio", 2, 0xABCD)],
+        "modality string, id long, fhash long",
+    )
+    with pytest.raises(Exception) as exc:
+        dedup.tagged_hamming_band_pairs(df, params).collect()
+    assert "unknown modality tag: audio" in str(exc.value)
+    # NULL tags follow standard null-join-key semantics: Catalyst
+    # infers `modality IS NOT NULL` from the band join keys and prunes
+    # the row below the banding expression, so NULLs drop like any
+    # null join key rather than raising — documented, not silent loss
+    # of a real modality
+    df_null = spark.createDataFrame(
+        [("text", 1, 0xABCD), (None, 2, 0xABCD)],
+        "modality string, id long, fhash long",
+    )
+    assert dedup.tagged_hamming_band_pairs(df_null, params).collect() == []
+    # clean input still works end-to-end
+    ok = spark.createDataFrame(
+        [("text", 1, 0xABCD), ("text", 2, 0xABCD)],
+        "modality string, id long, fhash long",
+    )
+    got = dedup.tagged_hamming_band_pairs(ok, params).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]

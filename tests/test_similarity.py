@@ -692,3 +692,25 @@ def test_hard_negative_topk_label_exclusion_and_hardness(spark):
     assert all(r["neighbor_label"] != r["query_label"] for r in out)
     assert out[0]["dist"] == 1  # (0.001*1000)^2
     assert out[1]["dist"] == 4
+
+def test_hard_negative_topk_gapped_ids_match_oracle_selection(spark):
+    """Query selection is an id THRESHOLD (vid < n_queries), matching
+    the registered oracle's `vec_id < N` predicate — on a gapped,
+    non-zero-based id fixture an orderBy().limit() lowest-n cut would
+    pick ids {7, 9} instead and silently diverge from the oracle."""
+    rows = [
+        (1, [0.0, 0.0], 0),     # the ONLY id < 2 → the only query
+        (7, [0.001, 0.0], 1),   # lowest ids, but NOT queries
+        (9, [0.002, 0.0], 2),
+        (12, [0.01, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.hard_negative_topk(
+        df, "embedding", "vec_id", "label", k=3, n_queries=2
+    ).collect()
+    assert {r["query_id"] for r in out} == {1}
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [
+        (7, 1), (9, 2), (12, 3)
+    ]
