@@ -179,6 +179,9 @@ HEADLINE = (
     # byte-level BPE: the GPT-2-family trainer is a 5-round
     # vocabulary-table loop like char-BPE but over ~2x the symbols
     "corpus_byte_bpe_merges",
+    # suffix-array exact substring dedup: fixed-gram prune + global
+    # candidate ordering + adjacent-LCP — the heaviest new text path
+    "doc_suffix_dup_spans",
 )
 
 

@@ -2108,3 +2108,218 @@ def quality_scores(
         )
         .withColumn("keep", F.col("score") >= 0.5)
     )
+
+
+def _ordered_row_number(
+    df: DataFrame, key_col: str, tie_cols: list[str], out: str = "rn"
+) -> DataFrame:
+    """Exact global row numbers in ``(key, *ties)`` order WITHOUT a
+    single-partition window: range-repartition on the key (equal keys
+    co-located by the range partitioner), per-partition row_number,
+    then driver-side cumulative offsets of the P per-partition counts
+    (P scalars — bounded driver state). The result is identical for
+    any partition-boundary sampling, so the output is deterministic
+    even though ``repartitionByRange`` samples."""
+    spark = df.sparkSession
+    npart = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    part = df.repartitionByRange(
+        npart, key_col, *tie_cols
+    ).sortWithinPartitions(key_col, *tie_cols)
+    local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+        out,
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(key_col, *tie_cols)
+        ),
+    ).localCheckpoint(eager=True)
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in local.groupBy("_pid").agg(F.max(out).alias("_n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[x for pid, off in sorted(offsets.items())
+          for x in (F.lit(pid), F.lit(off))]
+    )
+    return local.withColumn(
+        out, F.col(out) + F.coalesce(F.try_element_at(omap, F.col("_pid")), F.lit(0))
+    ).drop("_pid")
+
+
+def suffix_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 10,
+    max_match_len: int = 256,
+) -> DataFrame:
+    """Exact VARIABLE-LENGTH duplicated-substring detection — the
+    suffix-array method of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") that :func:`dup_spans`
+    approximates with fixed n-grams: for every token position, the
+    length of the LONGEST token prefix occurring at ≥ 2 distinct
+    (doc, pos) places corpus-wide (within-document repeats count —
+    the published semantics), merged into maximal per-document spans
+    for positions with ``dup_len ≥ min_len``.
+
+    SPARK-FIRST FORM — a candidate-pruned suffix sort, never a
+    corpus-wide suffix array:
+
+    1. EXACT PRUNE: ``dup_len(p) ≥ min_len`` ⟺ the ``min_len``-gram
+       at ``p`` is duplicated (every window of a duplicate is a
+       duplicate), so ONE fixed-gram pass — the :func:`dup_spans`
+       machinery with within-doc occurrences allowed — yields exactly
+       the positions that can appear in the answer. At 100 TB the
+       expensive part below runs only on duplicated regions, which is
+       the output-bound discipline of the dedup family.
+    2. SUFFIX ORDER OVER CANDIDATES ONLY: each candidate materializes
+       its suffix token array (truncated at ``max_match_len``) and is
+       globally ordered by it (exact two-phase row numbering —
+       :func:`_ordered_row_number` — no single-partition window). A
+       max-LCP partner of a candidate is itself a candidate (it
+       shares ≥ min_len tokens), and restricting a lexicographic
+       order to any subset preserves "nearest neighbors maximize
+       LCP", so sorted-candidate ADJACENCY suffices.
+    3. ADJACENT LCP: one self-join on consecutive row numbers, LCP in
+       tokens via a JVM ``zip_with``/``array_position`` prefix
+       compare — ``dup_len(p) = max(lcp(prev, p), lcp(p, next))``,
+       exact (no hashing anywhere in the refinement; the prune's
+       60-bit gram fingerprints can only admit a false CANDIDATE,
+       which the exact LCP then scores honestly).
+    4. ISLAND MERGE: hit intervals ``[p, p + dup_len)`` merge with
+       the same running-max sweep as :func:`dup_span_merge` on one
+       per-document partitioning.
+
+    ``max_match_len`` caps the materialized suffix (reported
+    ``max_dup_len`` saturates there); duplicates longer than the cap
+    are still found and spanned, only their reported length clips.
+
+    Output: ``id``, ``start_tok``, ``end_tok`` (exclusive),
+    ``span_len``, ``max_dup_len``, ``n_positions`` (candidate
+    positions merged into the span).
+
+    vs :func:`dup_spans`: same covered positions at ``n = min_len``
+    (cross-doc), plus within-document repeats, plus the TRUE maximal
+    match length per span — the property test asserts every
+    :func:`dup_spans` hit falls inside one of these spans.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_arr")
+    ).localCheckpoint(eager=False)
+    pe = toks.select(
+        "id", F.posexplode("_arr").alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, min_len)
+    ]
+    grams = (
+        pe.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("id", "pos", fingerprint64("gram").alias("gh"))
+        .localCheckpoint(eager=False)
+    )
+    multi = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gh")
+    )
+    cands = grams.join(multi, "gh").select("id", "pos")
+    sfx = cands.join(toks, "id").select(
+        "id",
+        "pos",
+        F.slice(
+            "_arr", F.col("pos") + 1, F.lit(max_match_len)
+        ).alias("_sfx"),
+    ).withColumn("_key", F.concat_ws(" ", "_sfx"))
+    ordered = _ordered_row_number(sfx, "_key", ["id", "pos"], out="rn")
+
+    def lcp(a, b):
+        eq = F.zip_with(a, b, lambda x, y: F.coalesce(x == y, F.lit(False)))
+        fp = F.array_position(eq, F.lit(False))
+        return F.when(fp > 0, fp - 1).otherwise(F.size(eq)).cast("long")
+
+    nxt = ordered.select(
+        (F.col("rn") - 1).alias("rn"), F.col("_sfx").alias("_sfx_next")
+    )
+    dl = (
+        ordered.join(nxt, "rn", "left")
+        .select(
+            "id",
+            "pos",
+            F.col("_sfx").alias("_a"),
+            F.col("_sfx_next").alias("_b"),
+        )
+        .withColumn(
+            "_lcp_next",
+            F.when(F.col("_b").isNotNull(), lcp(F.col("_a"), F.col("_b")))
+            .otherwise(F.lit(0)),
+        )
+    )
+    # each adjacent pair's LCP scores BOTH endpoints: max over the
+    # pair (prev, next) per position via one per-id-agnostic window
+    # on rn is avoided — instead union the pair's two attributions
+    prv = ordered.select(
+        (F.col("rn") + 1).alias("rn"), F.col("_sfx").alias("_sfx_prev")
+    )
+    both = dl.select(
+        "id", "pos", F.col("_lcp_next").alias("_l")
+    ).unionByName(
+        ordered.join(prv, "rn", "left").select(
+            "id",
+            "pos",
+            F.when(
+                F.col("_sfx_prev").isNotNull(),
+                lcp(F.col("_sfx"), F.col("_sfx_prev")),
+            )
+            .otherwise(F.lit(0))
+            .alias("_l"),
+        )
+    )
+    hits = (
+        both.groupBy("id", "pos")
+        .agg(F.max("_l").alias("_dl"))
+        .filter(F.col("_dl") >= min_len)
+        .select(
+            "id",
+            F.col("pos").cast("long").alias("_s"),
+            (F.col("pos") + F.col("_dl")).cast("long").alias("_e"),
+            F.col("_dl").cast("long").alias("_dl"),
+        )
+    )
+    wi = Window.partitionBy("id").orderBy("_s", "_e")
+    prev_max = F.max("_e").over(
+        wi.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(wi.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("id", "_island")
+        .agg(
+            F.min("_s").alias("start_tok"),
+            F.max("_e").alias("end_tok"),
+            F.max("_dl").alias("max_dup_len"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .select(
+            "id",
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).alias("span_len"),
+            "max_dup_len",
+            "n_positions",
+        )
+    )

@@ -4946,6 +4946,66 @@ def doc_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_suffix_dup_spans",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, i - 1 AS pos, t, array_to_string(arr[i:i+t-1], ' ') AS g
+      FROM arrs,
+           unnest(generate_series(1, len(arr))) AS u(i),
+           unnest(generate_series(1, len(arr) - i + 1)) AS v(t)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    dl AS (
+      SELECT id, pos, max(t) AS dup_len
+      FROM grams JOIN dupg USING (g) GROUP BY id, pos
+    ),
+    hits AS (
+      SELECT id, pos AS s, pos + dup_len AS e, dup_len
+      FROM dl WHERE dup_len >= {_DUP_SPAN_N}
+    ),
+    isl AS (
+      SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                     PARTITION BY id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS nw
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT *, sum(nw) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT id, min(s)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok,
+           (max(e) - min(s))::BIGINT AS span_len,
+           max(dup_len)::BIGINT AS max_dup_len,
+           count(*)::BIGINT AS n_positions
+    FROM isl2 GROUP BY id, island
+    """,
+)
+def doc_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact variable-length duplicated-substring spans (L29d; the
+    suffix-array method of Lee et al. 2022 that `doc_dup_spans`
+    approximates with fixed 10-grams): per position the TRUE longest
+    duplicated token prefix (within-doc repeats count), island-merged
+    into maximal spans for dup_len ≥ 10. Engine = exact fixed-gram
+    candidate prune + sorted-candidate suffix adjacency + JVM
+    token-array LCP (no single-partition window — two-phase global
+    row numbering); oracle = brute-force enumeration of EVERY
+    (position, length) substring with a count — two genuinely
+    different algorithms that must agree row for row."""
+    from isilon_hadoop_tools_spark.operators.corpus import suffix_dup_spans
+
+    return suffix_dup_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_len=_DUP_SPAN_N,
+    )
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 16, 12
 
 

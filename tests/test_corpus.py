@@ -1050,3 +1050,107 @@ def test_byte_bpe_diverges_from_char_bpe_on_multibyte_utf8(spark):
         5, 10, 5,
     )
     assert out[1]["compression"] == 2.0
+
+
+def test_suffix_dup_spans_matches_bruteforce(spark):
+    """The candidate-pruned suffix-adjacency form vs a Python
+    brute-force over every (position, length) pair — including
+    within-document repeats, a full-document duplicate pair, and a
+    no-duplicate doc, across several min_len values."""
+    from isilon_hadoop_tools_spark.operators.corpus import suffix_dup_spans
+
+    texts = {
+        1: "a b c d e f g h x y z",
+        2: "q r a b c d e f g h w",   # shares the 8-token run a..h
+        3: "m n m n m n o p",          # overlapping within-doc repeats
+        4: "unique tokens only here",
+        5: "a b c d e f g h x y z",    # identical to doc 1
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    toks = {k: v.split() for k, v in texts.items()}
+    sufs = [(i, p) for i, t in toks.items() for p in range(len(t))]
+
+    def true_dl(i, p):
+        best = 0
+        for j, q in sufs:
+            if (j, q) == (i, p):
+                continue
+            n = 0
+            while (
+                p + n < len(toks[i])
+                and q + n < len(toks[j])
+                and toks[i][p + n] == toks[j][q + n]
+            ):
+                n += 1
+            best = max(best, n)
+        return best
+
+    for min_len in (2, 3, 5, 8):
+        hits: dict[int, list] = {}
+        for i, p in sufs:
+            d = true_dl(i, p)
+            if d >= min_len:
+                hits.setdefault(i, []).append((p, p + d, d))
+        expect = []
+        for i, hh in sorted(hits.items()):
+            hh.sort()
+            cur = None
+            for s, e, d in hh:
+                if cur and s <= cur[1]:
+                    cur = (cur[0], max(cur[1], e), max(cur[2], d), cur[3] + 1)
+                else:
+                    if cur:
+                        expect.append((i,) + cur)
+                    cur = (s, e, d, 1)
+            if cur:
+                expect.append((i,) + cur)
+        got = sorted(
+            (r["id"], r["start_tok"], r["end_tok"], r["max_dup_len"],
+             r["n_positions"])
+            for r in suffix_dup_spans(
+                df, "text", "doc_id", min_len
+            ).collect()
+        )
+        assert got == sorted(expect), (min_len, got, sorted(expect))
+
+
+def test_suffix_dup_spans_supersede_fixed_gram_hits(spark):
+    """The property VERDICT asked for: every fixed-n `dup_spans` hit
+    (a cross-document duplicated n-gram at [pos, pos+n)) falls inside
+    one of `suffix_dup_spans`'s maximal spans at min_len = n — the
+    variable-length method strictly generalizes the approximation."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        dup_spans,
+        suffix_dup_spans,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta one two"),
+        (2, "pre alpha beta gamma delta epsilon zeta eta theta post"),
+        (3, "x y alpha beta gamma delta q r s t u v w"),
+        (4, "totally unrelated content words here again more filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 4
+    fixed = dup_spans(df, "text", "doc_id", n=n).collect()
+    assert fixed, "fixture must produce fixed-gram hits"
+    spans = {}
+    for r in suffix_dup_spans(df, "text", "doc_id", min_len=n).collect():
+        spans.setdefault(r["id"], []).append(
+            (r["start_tok"], r["end_tok"])
+        )
+    for r in fixed:
+        covered = any(
+            s <= r["pos"] and r["pos"] + n <= e
+            for s, e in spans.get(r["id"], [])
+        )
+        assert covered, (r["id"], r["pos"], spans.get(r["id"]))
+    # and the suffix spans report a TRUE max length the fixed pass
+    # cannot see: docs 1/2 share 8 tokens, so max_dup_len = 8 > n
+    by_id = {
+        r["id"]: r["max_dup_len"]
+        for r in suffix_dup_spans(df, "text", "doc_id", min_len=n).collect()
+    }
+    assert by_id[1] == 8 and by_id[2] == 8
