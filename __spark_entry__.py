@@ -2,7 +2,7 @@
 
 ``entry(spark)`` smoke-runs the flagship query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the engine's oracle-checked
-suite (see ``isilon_hadoop_tools_spark/suite.py``).
+suite (see the ``isilon_hadoop_tools_spark/suite/`` package).
 """
 
 from __future__ import annotations

@@ -1,0 +1,1554 @@
+"""Suite queries — docs: document text analysis, corpus curation, tokenizer training.
+
+Split from the original suite.py; registration order is enforced
+centrally by the package __init__ via _CANONICAL_ORDER."""
+
+from __future__ import annotations
+
+import os
+import re as _re
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.functions.hashing import (
+    FINGERPRINT64_SQL,
+    stable_hash32,
+    stable_hash32_sql,
+)
+from isilon_hadoop_tools_spark.functions.octal import to_octal
+from isilon_hadoop_tools_spark.functions.text import (
+    bpe_token_count,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from isilon_hadoop_tools_spark.operators import dedup, similarity
+from isilon_hadoop_tools_spark.operators.allocate_ids import allocate_ids
+from isilon_hadoop_tools_spark.operators.guards import dangling_references
+from isilon_hadoop_tools_spark.operators.reconcile import reconcile
+from isilon_hadoop_tools_spark.operators.topk import topk_per_group
+from isilon_hadoop_tools_spark.oracle import values_cte
+from isilon_hadoop_tools_spark.sources import catalogs, cluster, tpch
+from isilon_hadoop_tools_spark.sources.local import local_df
+
+from isilon_hadoop_tools_spark.suite._shared import (  # noqa: F401
+    CACHE_TABLES,
+    PARTSUPP_SQL,
+    Q11_NATION,
+    Q1_CUTOFF,
+    Q20_NATION,
+    Q7_NATION_A,
+    Q7_NATION_B,
+    Q8_NATION,
+    QuerySpec,
+    REGISTRY,
+    _ANN_K,
+    _ANN_QUERIES,
+    _ANN_SCORE_RANK_SQL,
+    _BLOOM_PROBE,
+    _BLOOM_PROBE_MASK,
+    _BM25_TERMS,
+    _CACHEABLE_SF,
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
+    _CMS_D,
+    _CMS_SEED,
+    _CMS_TOP,
+    _CMS_W,
+    _CORR_COLS,
+    _COS_DUP_THRESHOLD,
+    _DECONTAMINATE_ORACLE,
+    _DIR_SUFFIX,
+    _DUP_SPAN_N,
+    _EMA_ALPHA,
+    _ERR_COLS,
+    _ERR_CTX,
+    _ERR_SCHEMA,
+    _ERR_VALID_SQL,
+    _HIST_BINS,
+    _HIST_HI,
+    _HIST_LO,
+    _HLL_B,
+    _HLL_M,
+    _HLL_REG_SQL,
+    _HOURLY_ROLLUP_ORACLE,
+    _JPEG_MAGIC,
+    _KMV_K,
+    _MG_K,
+    _MINHASH_SIGS_SQL,
+    _MODALITY_ORACLES,
+    _NGRAM_MAX_DF,
+    _PAYLOAD_SQL,
+    _PERM_CHMOD,
+    _PERM_CHMOD_CHOWN,
+    _PERM_CHOWN,
+    _PERM_FOREIGN,
+    _PERM_MISSING,
+    _PERM_ROOT,
+    _PIVOT_TYPES,
+    _PNG_MAGIC,
+    _PPM_TARGET,
+    _PRE_GROUP,
+    _PRE_USER,
+    _PROBE_USERS,
+    _PROFILE_COLS,
+    _PROFILE_NUMERIC,
+    _PSI_BREAKS,
+    _PS_KEY_SQL,
+    _QTY_BANDS,
+    _R02_DRIVER_GREEN,
+    _R04_DRIVER_GREEN,
+    _RECON_DRIFTED,
+    _RECON_MISSING,
+    _RECON_STRAY,
+    _REPETITION_SQL,
+    _SCRATCH,
+    _SESSION_GAP_SEC,
+    _SFX,
+    _SHINGLE_SQL,
+    _SIMHASH_SQL,
+    _STOPWORDS,
+    _STOPWORDS_SQL,
+    _STRAY_USERS,
+    _TABLE_CACHE,
+    _TAKEN_UIDS,
+    _WELL_VERIFIED_TAIL,
+    _actual_perm_rows,
+    _actual_user_rows,
+    _allocation_oracle,
+    _alpha_sql,
+    _apply_identities_oracle,
+    _audio_near_dups_oracle,
+    _bloom_key_hash,
+    _bloom_zone_oracle,
+    _bmp_payload_df,
+    _bmp_payload_from,
+    _bpe_apply_oracle,
+    _bpe_cte_chain,
+    _bpe_oracle,
+    _cos_dup_oracle,
+    _driver_last_green,
+    _err_body,
+    _error_seed_rows,
+    _fresh_state,
+    _gif_bmp_twin_payload_df,
+    _gif_payload_df,
+    _hll_overlap_oracle,
+    _ivf_ann_oracle,
+    _ivf_pq_oracle,
+    _kcore_oracle,
+    _kmeans_cte_chain,
+    _kmeans_oracle,
+    _lang_id_oracle,
+    _lang_score_sql,
+    _le_hex,
+    _lpa_oracle,
+    _lsh_ann_oracle,
+    _lsh_cand_cte,
+    _lsh_multiprobe_oracle,
+    _minhash_params_sql,
+    _ordered_names,
+    _pagerank_oracle,
+    _partsupp,
+    _payload_df,
+    _pboot_oracle,
+    _png_payload_df,
+    _pool_int_sql,
+    _power_iter_oracle,
+    _ppm_payload_df,
+    _pq_adc_oracle,
+    _pq_oracle,
+    _profile_oracle,
+    _quality_oracle,
+    _rendered_py,
+    _script_oracle,
+    _semantic_dedup_oracle,
+    _sql_rendered,
+    _t,
+    _uid_lookup_oracle,
+    _unified_near_dups_oracle,
+    _unigram_lm_oracle,
+    _users_cte,
+    _wav_long_payload_df,
+    _wav_payload_df,
+    _wordpiece_oracle,
+    _y4m_payload_df,
+    _zone_stats_sql,
+    _zorder_terms,
+    oracle_sql,
+    queries,
+    query,
+)
+
+
+@query(
+    "doc_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+           length(text) AS n_chars,
+           round(length(text)::DOUBLE
+                 / length(regexp_split_to_array(trim(text), '\s+')), 4)
+             AS chars_per_token,
+           round((length(text) - length(regexp_replace(text,
+                  '[.,!?;:''"()\[\]{{}}\-]', '', 'g')))::DOUBLE
+                 / length(text), 4) AS punct_ratio,
+           round(length(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  t -> t IN ({_STOPWORDS_SQL})))::DOUBLE
+                 / length(regexp_split_to_array(trim(text), '\s+')), 4)
+             AS stopword_ratio
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-score ingredients (whitespace tokens,
+    BPE-ish regex tokens, punctuation / stopword ratios) — all
+    JVM-side exprs, no Python in the loop."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length("text") / n_tokens, 4).alias("chars_per_token"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text", _STOPWORDS), 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "doc_lang_quality",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(length(text)), 4) AS avg_chars,
+           round(avg(length(regexp_split_to_array(trim(text), '\s+'))), 4)
+             AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-sliced corpus quality profile."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+    )
+
+
+@query("doc_lang_id", oracle=_lang_id_oracle())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-profile argmax) next to the
+    labeled language — the LLM-pipeline lang-ID operator; profiles
+    and tie order are one source of truth with the oracle."""
+    from isilon_hadoop_tools_spark.functions.text import (
+        LANG_PROFILES,
+        lang_id,
+        lang_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("detected_lang"),
+        F.greatest(
+            *[lang_score("text", lang) for lang in sorted(LANG_PROFILES)]
+        ).alias("score"),
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH {_REPETITION_SQL}
+    SELECT b.doc_id,
+           length(toks) AS n_tokens,
+           round(length(list_distinct(toks))::DOUBLE / length(toks), 4)
+             AS unique_token_ratio,
+           coalesce(round(top_cnt::DOUBLE / n_grams, 4), 0.0)
+             AS top_ngram_frac,
+           coalesce(round(dup_cnt::DOUBLE / n_grams, 4), 0.0)
+             AS dup_ngram_frac
+    FROM rep_base b LEFT JOIN rep_per_doc p USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality
+    filters): unique-token ratio, top-bigram fraction, duplicate-bigram
+    fraction — the standard boilerplate/degenerate-repetition flags."""
+    from isilon_hadoop_tools_spark.operators.corpus import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "doc_train_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {stable_hash32_sql("'split:' || doc_id::VARCHAR")} % 100 AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split: bucket =
+    stable_hash32('split:' || id) % 100 — reproducible across runs and
+    partitionings, no rand(), appends never reassign existing docs."""
+    from isilon_hadoop_tools_spark.operators.corpus import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "lang", "bucket", "split")
+
+
+@query(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {stable_hash32_sql("'sample:' || doc_id::VARCHAR")},
+                        doc_id) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 40
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum contribution cap: hash-ranked top-40
+    per language — reproducible stratified sampling, no rand()."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        stratified_sample_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "lang", "doc_id", 40).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+@query(
+    "doc_pack_chunks",
+    oracle=rf"""
+    WITH sized AS (
+      SELECT doc_id AS id, source,
+             length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             {stable_hash32_sql("'pack:' || doc_id::VARCHAR")} AS ord
+      FROM documents
+    )
+    SELECT id, source, n_tokens,
+           -- ::BIGINT: DuckDB's integer-sum window yields HUGEINT ->
+           -- float64 in pandas, hash-mismatching Spark's int64
+           coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY ord, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS tok_offset,
+           (tok_offset // 2048)::BIGINT AS chunk_id
+    FROM sized
+    """,
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing: deterministic hash order per
+    source, exclusive prefix-sum of token counts, chunk = offset //
+    budget — the LLM pretraining packing step as one window pass."""
+    from isilon_hadoop_tools_spark.operators.corpus import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_chunks(docs, "text", "doc_id", "source", 2048)
+
+
+@query(
+    "doc_redact_pii",
+    # patterns mirror operators.corpus.PII_PATTERNS verbatim (the
+    # oracle must be a literal string; tests assert the two stay in
+    # sync) — counts from the pre-redaction text, replace in sorted
+    # tag order EMAIL -> IPV4 -> PHONE on both engines
+    oracle=r"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' or admin' || (doc_id % 7)::VARCHAR || '@test.org'
+                          ELSE '' END
+                  || ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' from ' || (doc_id % 256)::VARCHAR || '.0.0.1' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[a-z0-9._]+@[a-z0-9-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+             '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9-]+\.[a-z]{2,}'))
+             AS n_email,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS n_ipv4,
+           len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS n_phone
+    FROM pii
+    """,
+)
+def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email/IPv4/phone spans replaced by typed
+    placeholders, per-class match counts kept for curation metrics.
+    The testdata corpus is PII-free word soup, so a deterministic
+    contact line is synthesized from doc_id inside the query — the
+    redaction itself (and its oracle check) runs on real columns.
+    Stateless per-row projection: no shuffle, scan-bound at 100 TB."""
+    from isilon_hadoop_tools_spark.operators.corpus import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" or admin"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("@test.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from "),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.0.1"),
+        ).alias("text"),
+    )
+    return redact_pii(pii, "text", "doc_id")
+
+
+@query("corpus_decontaminate", oracle=_DECONTAMINATE_ORACLE)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any token
+    3-gram with the held-out eval slice (doc_id % 97 == 0). The eval
+    gram set broadcasts — a benchmark suite is tiny next to a 100 TB
+    corpus — so the corpus streams map-side; the only shuffle is the
+    per-doc count of (rare) matches."""
+    from isilon_hadoop_tools_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs, "text", "doc_id", F.col("id") % 97 == 0, 3)
+
+
+@query(
+    "doc_truncate_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           array_to_string(
+             list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 32), ' ')
+             AS truncated,
+           length(regexp_split_to_array(trim(text), '\s+')) > 32
+             AS was_truncated
+    FROM documents
+    """,
+)
+def doc_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation: first 32 whitespace tokens kept,
+    rejoined — the context-window clipping pass. Stateless slice +
+    concat_ws projection, no shuffle, scan-bound at 100 TB."""
+    from isilon_hadoop_tools_spark.operators.corpus import truncate_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return truncate_tokens(docs, "text", "doc_id", 32)
+
+
+@query(
+    "doc_tfidf_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT id, term, tf,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN total
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT id, term, tf, tfidf, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf-idf: broadcast
+    document-frequency + corpus-count aggregates onto the (doc, term)
+    fact, score rounded before ranking for cross-engine determinism."""
+    from isilon_hadoop_tools_spark.operators.corpus import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "text", "doc_id")
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH {_REPETITION_SQL},
+    scored AS (
+      SELECT doc_id, text,
+             {_lang_score_sql('de')} AS s_de, {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es, {_lang_score_sql('fr')} AS s_fr
+      FROM documents
+    ),
+    det AS (
+      SELECT doc_id, text,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS detected
+      FROM scored
+    ),
+    joined AS (
+      SELECT d.doc_id, d.text, d.detected,
+             coalesce(round(p.top_cnt::DOUBLE / p.n_grams, 4), 0.0)
+               AS top_frac
+      FROM det d LEFT JOIN rep_per_doc p USING (doc_id)
+    ),
+    lang_ok AS (SELECT * FROM joined WHERE detected IN ('en', 'de')),
+    q_ok AS (SELECT * FROM lang_ok WHERE top_frac <= 0.2)
+    SELECT 1 AS stage_no, 'raw' AS stage, count(*)::BIGINT AS n_docs
+    FROM joined
+    UNION ALL SELECT 2, 'lang', count(*)::BIGINT FROM lang_ok
+    UNION ALL SELECT 3, 'quality', count(*)::BIGINT FROM q_ok
+    UNION ALL SELECT 4, 'dedup', count(DISTINCT text)::BIGINT FROM q_ok
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: raw → lang-ID filter → repetition
+    quality filter → exact dedup, reporting per-stage survivor counts.
+    Composition proof that the lang-ID, repetition, and dedup operators
+    stack in one lineage."""
+    from isilon_hadoop_tools_spark.operators.corpus import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(
+        docs, "text", "doc_id", keep_langs=("en", "de"), max_top_ngram_frac=0.2
+    )
+
+
+@query(
+    "doc_prefix_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingled
+              GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / (sa.set_size + sb.set_size - n_inter), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter::DOUBLE / (sa.set_size + sb.set_size - n_inter) >= 0.1
+    """,
+)
+def doc_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.1 pairs via prefix filtering (AllPairs /
+    PPJoin) — no ``max_df`` shingle drops, so the oracle is the
+    uncapped brute-force self-join; the prefix filter must produce
+    every qualifying pair or the hash mismatches."""
+    return dedup.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.1,
+    )
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH positions AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+      FROM documents
+      WHERE length(text) >= 11
+    ),
+    grams AS (
+      SELECT doc_id, i, length(text) - 7 AS n_grams,
+             {stable_hash32_sql("substr(text, i, 8)")} AS h
+      FROM positions
+    ),
+    wm AS (
+      SELECT doc_id, i, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_grams - 3
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (the MOSS
+    scheme): 8-char-gram hashes, min per 4-wide sliding window,
+    distinct selected hashes per doc. Any shared substring of length
+    >= 11 chars yields a shared fingerprint."""
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, window=4
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "doc_dup_spans",
+    oracle=f"""
+    WITH spans AS (
+      SELECT id, tk, unnest(generate_series(0, len(tk) - {_DUP_SPAN_N})) AS pos
+      FROM (SELECT doc_id AS id,
+                   regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents)
+    ),
+    hashed AS (
+      SELECT id, pos,
+             {FINGERPRINT64_SQL.format(expr=f"array_to_string(tk[pos+1:pos+{_DUP_SPAN_N}], ' ')")}
+               AS gram_hash
+      FROM spans
+    ),
+    multi AS (
+      SELECT gram_hash FROM (
+        SELECT gram_hash, count(DISTINCT id) AS nd FROM hashed GROUP BY gram_hash
+      ) WHERE nd > 1
+    )
+    SELECT id, pos, gram_hash FROM hashed JOIN multi USING (gram_hash)
+    """,
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated token-span detection (substring-level
+    dedup signal, RefinedWeb-style): every 10-gram that appears in >1
+    document marks a span occurrence in each document carrying it."""
+    from isilon_hadoop_tools_spark.operators.corpus import dup_spans
+
+    return dup_spans(_t(spark, sf_dir, "documents"), "text", "doc_id", n=_DUP_SPAN_N)
+
+
+@query(
+    "doc_dup_span_merged",
+    oracle=f"""
+    WITH spans AS (
+      SELECT id, tk, unnest(generate_series(0, len(tk) - {_DUP_SPAN_N})) AS pos
+      FROM (SELECT doc_id AS id,
+                   regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents)
+    ),
+    hashed AS (
+      SELECT id, pos,
+             {FINGERPRINT64_SQL.format(expr=f"array_to_string(tk[pos+1:pos+{_DUP_SPAN_N}], ' ')")}
+               AS gram_hash
+      FROM spans
+    ),
+    multi AS (
+      SELECT gram_hash FROM (
+        SELECT gram_hash, count(DISTINCT id) AS nd FROM hashed GROUP BY gram_hash
+      ) WHERE nd > 1
+    ),
+    iv AS (
+      SELECT id, pos AS s, pos + {_DUP_SPAN_N} AS e
+      FROM hashed JOIN multi USING (gram_hash)
+    ),
+    flagged AS (
+      SELECT id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > max(e) OVER (PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT id, s, e,
+             sum(new_island) OVER (PARTITION BY id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT id, min(s)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok,
+           (max(e) - min(s))::BIGINT AS span_len,
+           count(*)::BIGINT AS n_grams
+    FROM islands GROUP BY id, island
+    """,
+)
+def doc_dup_span_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span merge (the cut-or-drop form of
+    doc_dup_spans): per-gram hits collapse into per-document maximal
+    token spans via the interval_union_length running-max sweep —
+    one per-document partitioning end to end. The DuckDB twin merges
+    the same gram hits with the identical window-based sweep."""
+    from isilon_hadoop_tools_spark.operators.corpus import dup_span_merge
+
+    return dup_span_merge(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=_DUP_SPAN_N
+    )
+
+
+@query(
+    "doc_dup_span_cut",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    spans AS (
+      SELECT id, tk, unnest(generate_series(0, len(tk) - {_DUP_SPAN_N})) AS pos
+      FROM tk
+    ),
+    hashed AS (
+      SELECT id, pos,
+             {{gram_hash}} AS gram_hash
+      FROM spans
+    ),
+    multi AS (
+      SELECT gram_hash FROM (
+        SELECT gram_hash, count(DISTINCT id) AS nd FROM hashed GROUP BY gram_hash
+      ) WHERE nd > 1
+    ),
+    iv AS (
+      SELECT id, pos AS s, pos + {_DUP_SPAN_N} AS e
+      FROM hashed JOIN multi USING (gram_hash)
+    ),
+    flagged AS (
+      SELECT id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > max(e) OVER (PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT id, s, e,
+             sum(new_island) OVER (PARTITION BY id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT id, min(s) AS st, max(e) AS en FROM islands GROUP BY id, island
+    ),
+    toks AS (
+      SELECT id, p1 - 1 AS pos, tk[p1] AS tok
+      FROM (SELECT id, tk, unnest(generate_series(1, len(tk))) AS p1 FROM tk)
+    ),
+    marked AS (
+      SELECT t.id, t.pos, t.tok,
+             EXISTS(SELECT 1 FROM merged m
+                    WHERE m.id = t.id AND t.pos >= m.st AND t.pos < m.en)
+               AS removed
+      FROM toks t
+    ),
+    agg AS (
+      SELECT id, count(*) AS n_tokens,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed,
+             string_agg(CASE WHEN NOT removed THEN tok END, ' '
+                        ORDER BY pos) AS clean_text
+      FROM marked GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+    """.format(
+        gram_hash=FINGERPRINT64_SQL.format(
+            expr=f"array_to_string(tk[pos+1:pos+{_DUP_SPAN_N}], ' ')"
+        )
+    ),
+)
+def doc_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb remove step over the merged duplicated spans
+    (L29c): tokens inside any maximal span are cut, the survivors
+    rejoin in order, and the removal accounting is exact —
+    ``n_removed + tokens(clean_text) == n_tokens`` (property-tested).
+    The DuckDB twin recomputes the cut from the identically-merged
+    spans, so a off-by-one span boundary or wrong join-back order
+    hash-fails."""
+    from isilon_hadoop_tools_spark.operators.corpus import dup_span_cut
+
+    return dup_span_cut(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=_DUP_SPAN_N
+    )
+
+
+@query(
+    "doc_suffix_dup_spans",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, i - 1 AS pos, t, array_to_string(arr[i:i+t-1], ' ') AS g
+      FROM arrs,
+           unnest(generate_series(1, len(arr))) AS u(i),
+           unnest(generate_series(1, len(arr) - i + 1)) AS v(t)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    dl AS (
+      SELECT id, pos, max(t) AS dup_len
+      FROM grams JOIN dupg USING (g) GROUP BY id, pos
+    ),
+    hits AS (
+      SELECT id, pos AS s, pos + dup_len AS e, dup_len
+      FROM dl WHERE dup_len >= {_DUP_SPAN_N}
+    ),
+    isl AS (
+      SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                     PARTITION BY id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS nw
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT *, sum(nw) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT id, min(s)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok,
+           (max(e) - min(s))::BIGINT AS span_len,
+           max(dup_len)::BIGINT AS max_dup_len,
+           count(*)::BIGINT AS n_positions
+    FROM isl2 GROUP BY id, island
+    """,
+)
+def doc_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact variable-length duplicated-substring spans (L29d; the
+    suffix-array method of Lee et al. 2022 that `doc_dup_spans`
+    approximates with fixed 10-grams): per position the TRUE longest
+    duplicated token prefix (within-doc repeats count), island-merged
+    into maximal spans for dup_len ≥ 10. Engine = exact fixed-gram
+    candidate prune + sorted-candidate suffix adjacency + JVM
+    token-array LCP (no single-partition window — two-phase global
+    row numbering); oracle = brute-force enumeration of EVERY
+    (position, length) substring with a count — two genuinely
+    different algorithms that must agree row for row."""
+    from isilon_hadoop_tools_spark.operators.corpus import suffix_dup_spans
+
+    return suffix_dup_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_len=_DUP_SPAN_N,
+    )
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             regexp_split_to_array(trim(text), '\\s+') AS tk,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    exploded AS (
+      SELECT id, tk, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_STRIDE})) AS start_tok
+      FROM base WHERE n > 0
+    )
+    SELECT id,
+           (start_tok // {_CHUNK_STRIDE})::INT AS chunk_idx,
+           start_tok,
+           least({_CHUNK_SIZE}, n - start_tok)::INT AS n_tokens,
+           {stable_hash32_sql(
+               f"array_to_string(tk[start_tok+1:start_tok+{_CHUNK_SIZE}], ' ')"
+           )} AS chunk_hash
+    FROM exploded
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking with overlap (size 16, stride 12)
+    — the RAG / context-packing precursor; chunk_hash feeds chunk-level
+    exact dedup without re-tokenizing."""
+    from isilon_hadoop_tools_spark.operators.corpus import chunk_overlap
+
+    return chunk_overlap(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        size=_CHUNK_SIZE,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+@query(
+    "doc_char_entropy",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id AS id, text,
+             unnest(generate_series(1, length(text))) AS i
+      FROM documents
+    ),
+    counts AS (
+      SELECT id, substring(text, i::INT, 1) AS ch, count(*) AS c
+      FROM idx GROUP BY id, ch
+    )
+    SELECT id, sum(c)::BIGINT AS n_chars,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+    FROM counts GROUP BY id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document (bits/char): the
+    cheap quality gate that flags degenerate repetition (near 0) and
+    binary-ish noise (near log2 alphabet)."""
+    from isilon_hadoop_tools_spark.operators.corpus import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    per_doc AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+    stats AS (
+      SELECT term, sum(tf)::BIGINT AS tf_total, count(*) AS df
+      FROM per_doc GROUP BY term
+    )
+    SELECT term, tf_total, df, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY tf_total DESC, term) AS rank
+      FROM stats
+    ) WHERE rank <= 1000
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (tokenizer-training precursor): term
+    total/document frequency + frequency rank, top 1000."""
+    from isilon_hadoop_tools_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), "text", "doc_id", k=1000)
+
+
+@query("corpus_wordpiece_merges", oracle=_wordpiece_oracle(5))
+def corpus_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge training (L54d, Schuster & Nakajima 2012 —
+    BERT's tokenizer), completing the production tokenizer trio with
+    BPE and unigram-LM: greedy merges where the round winner
+    maximizes the LIKELIHOOD gain count(pair)/(count(l)·count(r))
+    rather than the raw pair count — quantized to an exact
+    DECIMAL(38,0)/HUGEINT integer score (ties lexicographic) so every
+    engine learns the identical rule table at any corpus scale. Same
+    vocabulary-bounded round shape as BPE plus one symbol-count
+    aggregation; the oracle unrolls all 5 rounds including the score
+    join and the window-based greedy merge — one wrong symbol count
+    or tie-break diverges every later round."""
+    from isilon_hadoop_tools_spark.operators.corpus import wordpiece_train
+
+    return wordpiece_train(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", rounds=5
+    )
+
+
+@query("corpus_bpe_tokenize", oracle=_bpe_apply_oracle(6))
+def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round trip (L54b): the 6 learned merge rules applied back
+    to the corpus — per-document character vs post-merge token counts
+    and the realized compression ratio. Merges run on the
+    DISTINCT-WORD table only (language-bounded), documents join the
+    finished vocabulary in one corpus-sized equi-join; the oracle
+    re-derives the rules AND the tokenization from the same unrolled
+    chain, so a divergence in either phase fails."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, "text", "doc_id", rounds=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_apply(docs, "text", "doc_id", rules)
+
+
+@query(
+    "corpus_wordpiece_tokenize", oracle=_bpe_apply_oracle(5, mode="wordpiece")
+)
+def corpus_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece round trip (L54d x L54b): the 5 likelihood-ranked
+    rules applied back to the corpus through the SAME merge machinery
+    as BPE (`bpe_apply` — only the trainer's round-winner selector
+    differs), reporting per-doc chars vs post-merge tokens and the
+    realized compression. Oracle re-derives the likelihood-scored
+    rules AND the tokenization from one unrolled chain — a divergence
+    in either phase fails, and because WordPiece picks DIFFERENT
+    rules than BPE on this corpus, a selector mix-up cannot hide."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        bpe_apply,
+        wordpiece_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in wordpiece_train(docs, "text", "doc_id", rounds=5)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_apply(docs, "text", "doc_id", rules)
+
+
+@query("corpus_bpe_merges", oracle=_bpe_oracle(6))
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (L54, Sennrich et al. 2016) — the actual
+    tokenizer-training step past the vocabulary build: the first 6
+    merge rules learned over the documents corpus. The corpus is
+    scanned ONCE (word counts); every round then runs on the
+    vocabulary table with a shuffle-free zip_with pair count, a
+    total-order top-1, and a pure-JVM F.aggregate greedy merge — no
+    UDF anywhere. The oracle unrolls all 6 rounds including the
+    window-based greedy non-overlapping merge, so one wrong tie-break
+    or overlap decision diverges every later round."""
+    from isilon_hadoop_tools_spark.operators.corpus import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), "text", "doc_id", rounds=6)
+
+
+@query("corpus_byte_bpe_merges", oracle=_bpe_oracle(5, alphabet="byte"))
+def corpus_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE merge training (L54e; GPT-2 family — Radford et
+    al. 2019), the tokenizer most users actually match: UTF-8 byte
+    alphabet (no OOV text exists) behind the engine's regex
+    pre-tokenization, then the SAME symbol-agnostic greedy merge
+    machinery as char-BPE — symbols are lowercase hex byte strings,
+    so learned rules compose multi-byte characters the char trainer
+    gets for free. Oracle unrolls all 5 rounds over the byte-level
+    v0 (hex(encode(w)) sliced into byte pairs)."""
+    from isilon_hadoop_tools_spark.operators.corpus import byte_bpe_train
+
+    return byte_bpe_train(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", rounds=5
+    )
+
+
+@query(
+    "corpus_byte_bpe_tokenize",
+    oracle=_bpe_apply_oracle(5, alphabet="byte"),
+)
+def corpus_byte_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE round trip (L54e x L54b): the 5 learned byte
+    merges applied back to the corpus through the shared merge
+    machinery — per-document UTF-8 octets vs post-merge tokens and
+    the realized compression. Merges run on the distinct PRE-TOKEN
+    table only; documents join the finished vocabulary in one
+    corpus-sized equi-join. The oracle re-derives rules AND
+    tokenization from one unrolled chain."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        byte_bpe_apply,
+        byte_bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in byte_bpe_train(docs, "text", "doc_id", rounds=5)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return byte_bpe_apply(docs, "text", "doc_id", rules)
+
+
+@query("corpus_unigram_tokenize", oracle=_unigram_lm_oracle(mode="apply"))
+def corpus_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM round trip (the bpe_tokenize twin): the trained
+    model Viterbi-segments the DISTINCT-WORD table once more under
+    the final piece costs and documents join the finished per-word
+    token counts in ONE corpus-sized equi-join — per-doc chars vs
+    Viterbi tokens and the realized compression. The oracle re-runs
+    the whole EM chain AND the final segmentation (tokens per word =
+    popcount of the boundary mask), so a divergence in either phase
+    fails."""
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_lm_apply
+
+    return unigram_lm_apply(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_piece_len=4, n_seed_multi=16, em_rounds=2,
+    )
+
+
+@query("corpus_unigram_lm", oracle=_unigram_lm_oracle())
+def corpus_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018; SentencePiece's
+    default) — the OTHER production tokenizer family next to BPE:
+    seed a substring candidate vocabulary, then 2 EM rounds — E-step
+    Viterbi segmentation of every DISTINCT word under fixed-point
+    integer −ln p piece costs (pure-JVM ``F.aggregate`` DP with a
+    boundary-bitmask tie-break; no UDF), M-step count re-estimation
+    with zero-count multi-char pruning and single-char coverage
+    floors. Corpus scanned ONCE; every round is vocabulary-sized.
+    The oracle reaches the same model by brute-force ENUMERATING all
+    segmentations per word (recursive CTE) under the identical
+    (cost, mask) total order — a different algorithm agreeing on
+    every E-step makes the DP itself the thing being checked."""
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_lm_train
+
+    return unigram_lm_train(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_piece_len=4, n_seed_multi=16, em_rounds=2,
+    )
+
+
+@query(
+    "corpus_good_turing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS r FROM toks GROUP BY term),
+    nr AS (SELECT r, count(*) AS n_r FROM freq GROUP BY r)
+    SELECT r, n_r,
+           round((r + 1.0) * (CASE WHEN lead(r) OVER w = r + 1
+                                   THEN lead(n_r) OVER w END) / n_r,
+                 6) AS r_star
+    FROM nr WINDOW w AS (ORDER BY r)
+    """,
+)
+def corpus_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency spectrum (L53): count-of-counts ``n_r``
+    per observed token frequency plus the Turing-discounted ``r*`` —
+    the LM-smoothing / unseen-mass primitive (``n_1/N`` estimates how
+    much vocabulary the corpus is still missing). Corpus-scale work
+    is one term-count shuffle; the spectrum table the window runs on
+    is support-sized (distinct frequencies), never corpus-sized."""
+    from isilon_hadoop_tools_spark.operators.corpus import good_turing_counts
+
+    return good_turing_counts(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@query(
+    "doc_unigram_surprisal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS tf_total FROM toks GROUP BY term),
+    totals AS (
+      SELECT sum(tf_total)::BIGINT AS t_tokens, count(*) AS v_terms FROM freq
+    )
+    SELECT id, count(*) AS n_tokens,
+           round(avg(round(-log2((tf_total + 1.0) / (t_tokens + v_terms)), 9)),
+                 6) AS surprisal_bits
+    FROM toks JOIN freq USING (term) CROSS JOIN totals
+    GROUP BY id
+    """,
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (corpus-frequency perplexity
+    proxy): high = rare/out-of-distribution tokens, low = templated
+    boilerplate — the cheap LM-free quality score."""
+    from isilon_hadoop_tools_spark.operators.corpus import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "doc_dsir_importance",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS is_target,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    freq AS (
+      SELECT term, count(*) AS cb, sum(is_target)::BIGINT AS ct
+      FROM toks GROUP BY term
+    ),
+    totals AS (
+      SELECT sum(cb)::BIGINT AS nb, sum(ct)::BIGINT AS nt,
+             count(*) AS v
+      FROM freq
+    ),
+    scored AS (
+      SELECT id, count(*) AS n_tokens,
+             round(avg(round(log2((ct + 1.0) / (nt + v))
+                             - log2((cb + 1.0) / (nb + v)), 9)),
+                   6) AS logratio_bits
+      FROM toks JOIN freq USING (term) CROSS JOIN totals
+      GROUP BY id
+      ORDER BY logratio_bits DESC, id
+      LIMIT 100
+    )
+    SELECT id, n_tokens, logratio_bits,
+           row_number() OVER (ORDER BY logratio_bits DESC, id)
+             AS sel_rank
+    FROM scored
+    """,
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (L50): top-100 docs by unigram
+    log-likelihood ratio against the ``lang='zh'`` target domain —
+    the in-domain-data skimmer for raw-crawl curation."""
+    from isilon_hadoop_tools_spark.operators.corpus import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        target=F.col("lang") == "zh",
+        k=100,
+    ).withColumnRenamed("rank", "sel_rank")
+
+
+@query("corpus_decontaminate_bloom", oracle=_DECONTAMINATE_ORACLE)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a driver-built Bloom bitmap embedded as a
+    literal: the corpus tests 3 md5-derived bit positions per gram as
+    a pure projection and only Bloom hits meet the exact eval-gram
+    set — same exact output (and oracle) as corpus_decontaminate,
+    with the join traffic of the rare hits only."""
+    from isilon_hadoop_tools_spark.operators.corpus import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate_bloom(docs, "text", "doc_id", F.col("id") % 97 == 0, 3)
+
+
+@query(
+    "corpus_mg_heavy_tokens",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT item, count(*)::BIGINT AS cnt
+    FROM toks, tot
+    GROUP BY item, n_total
+    HAVING count(*) * {_MG_K} > n_total
+    """,
+)
+def corpus_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy-hitter tokens (count > n/30) found through a
+    bounded-state Misra-Gries candidate pass + exact recount: the
+    per-partition summaries hold at most 29 counters each no matter
+    how long the token tail gets, and the recount makes the output
+    exactly the true heavy-hitter set — so the oracle is the plain
+    GROUP BY / HAVING the sketch avoids running over the full corpus."""
+    from isilon_hadoop_tools_spark.operators.corpus import tokens
+    from isilon_hadoop_tools_spark.operators.sketches import mg_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    return mg_heavy_hitters(toks, "term", k=_MG_K)
+
+
+@query(
+    "doc_weighted_sample",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT doc_id AS id, n_chars::DOUBLE AS weight,
+             CASE WHEN n_chars > 0
+                  THEN round(pow(
+                    ((('0x' || substr(md5('wsample:' || doc_id::VARCHAR),
+                                      1, 8))::BIGINT + 1) / 4294967296.0),
+                    1.0 / n_chars), 9)
+                  ELSE 0.0 END AS sample_key
+      FROM documents
+    )
+    SELECT id, weight, sample_key,
+           row_number() OVER (ORDER BY sample_key DESC, id) AS sample_rank
+    FROM keyed ORDER BY sample_key DESC, id LIMIT 100
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis-Spirakis, weight =
+    n_chars): top-100 of u^(1/w) over the content-addressed uniform —
+    the quality/length-weighted corpus mixing draw, reproducible with
+    no rand()."""
+    from isilon_hadoop_tools_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", n=100)
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=r"""
+    WITH sized AS (
+      SELECT source, count(*) AS n_docs,
+             sum(length(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS s, min(n_tokens) AS tmin FROM sized)
+    SELECT source, n_docs, n_tokens,
+           round(1.0 / s, 6) AS target_w,
+           round(tmin / n_tokens, 6) AS rate,
+           round(tmin / n_tokens * n_tokens)::BIGINT AS expected_tokens
+    FROM sized CROSS JOIN tot
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan: per-source downsampling rates that
+    rebalance every source to the binding (smallest) source's token
+    count — the data-mixing step before weighted draws."""
+    from isilon_hadoop_tools_spark.operators.corpus import mixture_plan
+
+    return mixture_plan(_t(spark, sf_dir, "documents"), "text", "source")
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+    corpus AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    avg_dl AS (SELECT avg(dl) AS avgdl FROM dl),
+    qtf AS (
+      SELECT * FROM tf
+      WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+    ),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM qtf GROUP BY term),
+    scored AS (
+      SELECT q.id, d.dl,
+             ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (q.tf * (1.2 + 1.0))
+               / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / a.avgdl))
+               AS s
+      FROM qtf q
+      JOIN dl d USING (id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN corpus c CROSS JOIN avg_dl a
+    )
+    SELECT id, max(dl) AS dl, round(sum(s), 6) AS bm25
+    FROM scored GROUP BY id
+    ORDER BY bm25 DESC, id
+    LIMIT 10
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance top-10 for a fixed domain probe query — the IR
+    scorer for query-targeted corpus filtering, one notch past tf-idf
+    via term saturation (k1) and length normalization (b). Query-term
+    slice, df table, N, and avgdl all broadcast onto the tiny qtf
+    fact; top-k is a TakeOrderedAndProject, never a corpus-wide
+    ranking window."""
+    from isilon_hadoop_tools_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        _BM25_TERMS, k=10,
+    )
+
+
+@query(
+    "doc_hybrid_rrf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+    corpus AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    avg_dl AS (SELECT avg(dl) AS avgdl FROM dl),
+    qtf AS (
+      SELECT * FROM tf
+      WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+    ),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM qtf GROUP BY term),
+    bscored AS (
+      SELECT q.id,
+             ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (q.tf * (1.2 + 1.0))
+               / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / a.avgdl))
+               AS s
+      FROM qtf q
+      JOIN dl d USING (id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN corpus c CROSS JOIN avg_dl a
+    ),
+    lex AS (
+      SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rank_a
+      FROM (SELECT id, round(sum(s), 6) AS bm25 FROM bscored GROUP BY id
+            ORDER BY bm25 DESC, id LIMIT 20)
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    cscored AS (
+      SELECT c.vec_id AS id,
+             round(list_dot_product(q.v, c.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]))),
+                   6) AS cos_sim
+      FROM embeddings c CROSS JOIN qv q
+      WHERE c.vec_id != 0
+    ),
+    dense AS (
+      SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS rank_b
+      FROM (SELECT * FROM cscored ORDER BY cos_sim DESC, id LIMIT 20)
+    ),
+    fused AS (
+      SELECT coalesce(lex.id, dense.id) AS id, rank_a, rank_b,
+             round(coalesce(1.0 / (60 + rank_a), 0.0)
+                   + coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf
+      FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+      ORDER BY rrf DESC, id LIMIT 10
+    )
+    SELECT id, rank_a, rank_b, rrf,
+           row_number() OVER (ORDER BY rrf DESC, id) AS fused_rank
+    FROM fused
+    """,
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (L52): reciprocal-rank fusion of the BM25
+    lexical top-20 (domain-probe query) with the cosine dense top-20
+    (query vector 0) — rank-based, calibration-free combination, the
+    RAG-stack default."""
+    from isilon_hadoop_tools_spark.operators.corpus import bm25_topk, rrf_fuse
+
+    lex = bm25_topk(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", _BM25_TERMS, k=20
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "id")),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("id"), "rank")
+    return rrf_fuse(lex, dense, k0=60, k=10)
+
+
+@query(
+    "doc_normalize_text",
+    oracle="""
+    SELECT doc_id AS id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text,
+           length(text)::BIGINT AS n_chars_raw,
+           length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')))::BIGINT AS n_chars_norm
+    FROM documents
+    """,
+)
+def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (L46): lowercase → strip
+    non-alphanumerics → collapse whitespace → trim, with before/after
+    char counts — the pre-pass that lets exact dedup collapse case/
+    punctuation/spacing variants. Stateless scan-bound projection,
+    zero shuffles; identical regex chain on both engines."""
+    from isilon_hadoop_tools_spark.operators.corpus import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "corpus_temperature_mixture",
+    oracle=r"""
+    WITH sized AS (
+      SELECT source, count(*) AS n_docs,
+             sum(length(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    powed AS (
+      SELECT *, pow(n_tokens::DOUBLE, 0.3) AS pw FROM sized
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS tt, sum(pw) AS pt FROM powed)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / tt, 6) AS p_raw,
+           round(pw / pt, 6) AS p_alpha,
+           round((pw / pt) / (n_tokens / tt), 6) AS boost
+    FROM powed CROSS JOIN tot
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan (L48, alpha=0.3 — the mT5/
+    XLM-R multilingual recipe): sampling probability ∝ token-share^α,
+    flattening the source distribution so low-resource sources are
+    upweighted without forcing the uniform mix; one source-keyed
+    partial agg + a broadcast normalization fold."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        temperature_mixture_plan,
+    )
+
+    return temperature_mixture_plan(
+        _t(spark, sf_dir, "documents"), "text", "source", alpha=0.3
+    )
+
+
+@query("corpus_quality_classifier_train", oracle=_quality_oracle())
+def corpus_quality_classifier_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier training (L58; fastText / DCLM /
+    FineWeb-Edu-style curation filter): a hashed bag-of-words linear
+    classifier over the documents table with ``lang = 'en'`` as the
+    "good"-class label, fit by 3 rounds of deterministic INTEGER
+    gradient descent under the hard-sigmoid logistic — one corpus
+    scan per round with map-side partial gradients, 33 driver-held
+    weights broadcast back as a map literal. The oracle unrolls the
+    identical GD rounds in SQL (the `corpus_bpe_merges` pattern);
+    weights match bit for bit because no transcendental ever runs."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        quality_classifier_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier_train(
+        docs, "text", "doc_id", F.col("lang") == "en"
+    )
+
+
+@query("doc_quality_scores", oracle=_quality_oracle(score=True))
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-bound inference with the trained quality classifier
+    (L58b): every document scored under the round-3 weights —
+    ``score = hard-σ(margin)`` as an exact rational (6 dp), plus the
+    ``keep`` filter decision at the 0.5 threshold. The scoring pass
+    is join-free (weights are a broadcast map literal): at 100 TB
+    this is one scan, which is the whole point of training a cheap
+    linear filter instead of running an LLM judge per document."""
+    from isilon_hadoop_tools_spark.operators.corpus import quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_scores(docs, "text", "doc_id", F.col("lang") == "en")

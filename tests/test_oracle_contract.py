@@ -55,7 +55,9 @@ def test_every_oracle_parses_and_matches_spark_columns(spark, monkeypatch):
     # a .cache() here registers plans in Spark's CacheManager, which
     # then silently rewrites later tests' scans to InMemoryTableScan
     # (it broke the pushdown plan audits)
-    monkeypatch.setattr(suite, "CACHE_TABLES", False)
+    from isilon_hadoop_tools_spark.suite import _shared
+
+    monkeypatch.setattr(_shared, "CACHE_TABLES", False)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

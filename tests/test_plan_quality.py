@@ -23,12 +23,17 @@ def _no_table_cache(spark):
     # table registers its plan globally, and the optimizer substitutes
     # InMemoryTableScan into EVERY later matching sub-plan regardless
     # of our flag.
-    old = suite.CACHE_TABLES
-    suite.CACHE_TABLES = False
+    # the flag must flip where _t reads it — the suite package's
+    # _shared module (assigning suite.CACHE_TABLES would only set a
+    # package attribute and leave _t's global untouched)
+    from isilon_hadoop_tools_spark.suite import _shared
+
+    old = _shared.CACHE_TABLES
+    _shared.CACHE_TABLES = False
     spark.catalog.clearCache()
     suite._TABLE_CACHE.clear()
     yield
-    suite.CACHE_TABLES = old
+    _shared.CACHE_TABLES = old
 
 
 def _plan(spark, name: str) -> str:

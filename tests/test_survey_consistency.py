@@ -160,3 +160,25 @@ def test_driver_window_rotates_round_robin():
         assert len(window - latest_checked) >= 40, (
             "next driver window re-checks mostly already-fresh queries"
         )
+
+
+def test_gate_freshness_within_rotation_guarantee():
+    """Every registered query's latest driver-green round must be
+    within the rotation guarantee (current − 5): with ~50 checks per
+    round over the least-recently-verified ordering, an older green
+    means the driver window silently skipped a query — which should
+    fail HERE, locally, instead of surviving as a stale green. New
+    queries with no driver row are exempt (they sort to the window's
+    front)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import check as checkmod
+
+    stale = checkmod.gate_freshness_stale()
+    assert stale == [], (
+        "driver-green rows older than the rotation guarantee: "
+        f"{stale} — the driver window missed these; investigate "
+        "suite._ordered_names ordering"
+    )

@@ -103,7 +103,38 @@ def main() -> int:
     n_run = sum(1 for name in qs if not only or name in only)
     print(f"\n{n_run - len(failures)}/{n_run} queries pass"
           + (f" ({len(qs) - n_run} skipped)" if n_run < len(qs) else ""))
+
+    stale = gate_freshness_stale()
+    if stale:
+        print(
+            "GATE-FRESHNESS FAIL: latest driver-green row older than the "
+            f"rotation guarantee for: {sorted(stale)}"
+        )
+        return 1
     return 1 if failures else 0
+
+
+def gate_freshness_stale(max_age: int = 5) -> list[str]:
+    """The rotation's self-check (VERDICT r10 ask 8): with ~50 driver
+    checks per round and least-recently-verified ordering, every
+    registered query must re-earn a green driver row at least every
+    ``ceil(n/50)`` rounds (= 5 at the current registry size). A query
+    whose latest green row is older than ``current_round − max_age``
+    means the driver window silently missed it — surface that as a
+    LOCAL failure instead of trusting a stale green. Queries with no
+    driver row at all are new (they sort to the window's front next
+    round) and are exempt."""
+    from isilon_hadoop_tools_spark import suite
+
+    last = suite._driver_last_green()
+    if not last:
+        return []
+    current = max(last.values())
+    return [
+        name
+        for name in suite.REGISTRY
+        if name in last and last[name] < current - max_age
+    ]
 
 
 if __name__ == "__main__":

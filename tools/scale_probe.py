@@ -200,6 +200,77 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_suffix(c: int) -> float:
+        # suffix-array substring dedup (L29d): copies carry disjoint
+        # salted token spaces, so duplicated regions (and therefore
+        # the candidate set feeding the global candidate sort) grow
+        # linearly in c — a linear wall curve certifies the fixed-gram
+        # prune keeps the sort output-bound
+        from isilon_hadoop_tools_spark.operators.corpus import (
+            suffix_dup_spans,
+        )
+
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        suffix_dup_spans(d, "text", "doc_id", min_len=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_quality(c: int) -> float:
+        # quality-classifier training (L58): 3 GD rounds, each one
+        # corpus scan with map-side partial gradients + a 33-row
+        # driver collect — trivially linear unless the feature
+        # explode or margin join regresses
+        from isilon_hadoop_tools_spark.operators.corpus import (
+            quality_classifier_train,
+        )
+
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        quality_classifier_train(
+            d, "text", "doc_id", F.pmod(F.col("doc_id"), F.lit(2)) == 0
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_keepone(c: int) -> float:
+        # connected-components keep-one (L8): bench rotation flagged
+        # dedup_keep_one > 3 s — copies have per-copy duplicate
+        # clusters (disjoint shingle spaces), so component count grows
+        # linearly and CC rounds stay bounded; a linear curve
+        # certifies the min-label/star path doesn't blow up
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        pairs = dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.2, max_df=1000
+        )
+        t0 = time.perf_counter()
+        dedup.connected_components(
+            d.select(F.col("doc_id").alias("id")), pairs
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_kmeans(c: int) -> float:
+        # k-means training + assignment (L28): k scales with corpus
+        # (the SemDeDup rule) — flagged > 3 s in the bench rotation
+        from isilon_hadoop_tools_spark.operators.similarity import (
+            kmeans_iterate,
+        )
+
+        e = spark.read.parquet(str(scratch / "embeddings")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        kmeans_iterate(
+            e, "embedding", "vec_id", k=8 * c, iters=3
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     bad = 0
     results: dict[str, dict[str, float]] = {}
     # semantic runs are long enough (tens of seconds at high multiples)
@@ -209,6 +280,10 @@ def curvature() -> int:
         ("dedup_ngram_jaccard", run_ngram, 2),
         ("semantic_dedup", run_semdedup, 1),
         ("doc_prefix_jaccard_pairs", run_prefix, 1),
+        ("doc_suffix_dup_spans", run_suffix, 1),
+        ("corpus_quality_classifier_train", run_quality, 1),
+        ("dedup_keep_one", run_keepone, 1),
+        ("embedding_kmeans_assign", run_kmeans, 1),
     ):
         runner(1)  # warm plan/codegen before the measured sweep
         curve = {}
