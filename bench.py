@@ -180,8 +180,11 @@ HEADLINE = (
     # vocabulary-table loop like char-BPE but over ~2x the symbols
     "corpus_byte_bpe_merges",
     # suffix-array exact substring dedup: fixed-gram prune + global
-    # candidate ordering + adjacent-LCP — the heaviest new text path
+    # candidate ordering + adjacent-LCP — the heaviest new text path,
+    # plus its find-then-cut completion (span build + membership join
+    # + per-doc rebuild end-to-end)
     "doc_suffix_dup_spans",
+    "doc_suffix_span_cut",
 )
 
 

@@ -534,6 +534,18 @@ def dup_span_cut(
     spans = dup_span_merge(df, text_col, id_col, n).select(
         "id", "start_tok", "end_tok"
     )
+    return _cut_by_spans(df, spans, text_col, id_col)
+
+
+def _cut_by_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The cut machinery shared by :func:`dup_span_cut` (fixed-gram
+    spans) and :func:`suffix_span_cut` (exact maximal spans):
+    ``spans`` carries disjoint per-document ``(id, start_tok,
+    end_tok)`` intervals; tokens inside any interval are removed and
+    the survivors rejoin in order, with exact accounting
+    (``n_removed + tokens(clean_text) == n_tokens``)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
@@ -2321,5 +2333,106 @@ def suffix_dup_spans(
             (F.col("end_tok") - F.col("start_tok")).alias("span_len"),
             "max_dup_len",
             "n_positions",
+        )
+    )
+
+
+def suffix_span_cut(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 10,
+    max_match_len: int = 256,
+) -> DataFrame:
+    """The RefinedWeb REMOVE step over the EXACT maximal spans of
+    :func:`suffix_dup_spans` — Lee et al. 2022's actual pipeline
+    (find variable-length duplicates, then cut them), where
+    :func:`dup_span_cut` cuts the fixed-gram approximation. Since the
+    two span families cover the same positions at ``n = min_len``
+    for cross-document duplicates, the practical difference is
+    within-document repeats: this cut also removes internally
+    duplicated boilerplate the fixed-gram cross-doc pass leaves in.
+
+    Output and accounting contract identical to
+    :func:`dup_span_cut`: ``id``, ``n_tokens``, ``n_removed``,
+    ``clean_text`` with ``n_removed + tokens(clean_text) ==
+    n_tokens``; spans are disjoint so the membership join matches
+    each token at most once.
+    """
+    spans = suffix_dup_spans(
+        df, text_col, id_col, min_len, max_match_len
+    ).select("id", "start_tok", "end_tok")
+    return _cut_by_spans(df, spans, text_col, id_col)
+
+
+def quality_classifier_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label,
+    n_buckets: int = 32,
+    rounds: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 4,
+    scale: int = 1000,
+    train_pct: int = 80,
+    salt: str = "qce",
+) -> DataFrame:
+    """Held-out evaluation of the quality classifier — the readout a
+    curation team actually gates on before trusting a filter: split
+    documents deterministically (the engine's md5 hash-split
+    discipline: stable under appends, never ``random()``), train
+    :func:`_quality_gd` on the ``train_pct`` slice only, score the
+    held-out slice, and report the confusion counts + accuracy at the
+    0.5 threshold per true class.
+
+    All integer/exact: the split is a pure hash predicate both
+    engines compute identically, training is the integer GD, and the
+    decision is ``margin ≥ 0`` (σ̂ = clamp(2·scale + m)/(4·scale) ≥ ½
+    ⟺ m ≥ 0) — no float ever decides a cell.
+
+    Output: one row per ``(label, predicted)`` cell with ``n``, plus
+    6-dp ``share`` within the true class — a 2x2 confusion table in
+    long form (absent cells omitted; the oracle omits them too).
+    """
+    bucket = stable_hash32(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ) % 100
+    train = df.filter(bucket < train_pct)
+    test = df.filter(bucket >= train_pct)
+    w = _quality_gd(
+        train, text_col, id_col, label, n_buckets, rounds, lr_num, lr_den,
+        scale,
+    )
+    feats = _quality_features(test, text_col, id_col, label, n_buckets)
+    wmap = F.create_map(
+        *[
+            x
+            for j, v in sorted(w.items())
+            for x in (F.lit(j).cast("long"), F.lit(v).cast("long"))
+        ]
+    )
+    scored = (
+        feats.withColumn(
+            "_w", F.coalesce(F.try_element_at(wmap, F.col("j")), F.lit(0))
+        )
+        .groupBy("id", "y")
+        .agg(F.sum(F.col("_w") * F.col("x")).alias("m"))
+        .select(
+            F.col("y").alias("label"),
+            (F.col("m") >= 0).cast("int").alias("predicted"),
+        )
+    )
+    wclass = Window.partitionBy("label")
+    return (
+        scored.groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "predicted",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wclass), 6
+            ).alias("share"),
         )
     )

@@ -1413,3 +1413,46 @@ def minhash_jaccard_eval(
         F.round(exact, 6).alias("exact_jaccard"),
         F.round(F.abs(est_j - exact), 6).alias("abs_err"),
     )
+
+
+def lsh_plan(spark, n_hashes: int = 16, grid_steps: int = 20):
+    """MinHash-LSH parameter planner — the sizing table an operator
+    consults BEFORE running banded LSH at scale: for every
+    factorization ``bands x rows = n_hashes``, the S-curve
+    ``P(candidate | jaccard s) = 1 − (1 − s^r)^b`` over an s-grid,
+    plus each factorization's 50%-collision threshold
+    ``t50 = (1 − 0.5^(1/b))^(1/r)``. Choosing (b, r) IS choosing the
+    similarity threshold; this makes the trade explicit (more bands →
+    lower threshold, more candidates; more rows → sharper curve).
+
+    The table is parameter-scale (factorizations × grid), so it is
+    computed driver-side in Python floats — the same libm the DuckDB
+    twin calls — and rounded with the engine's half-up convention
+    (``floor(x·1e6 + 0.5)/1e6``; Python's bare ``round`` is
+    half-to-even and would diverge). Returns a DataFrame so it
+    composes with the rest of the suite.
+
+    Output: ``bands``, ``rows_per_band``, ``s`` (grid point, 6 dp),
+    ``p_candidate`` (6 dp), ``t50`` (6 dp, repeated per
+    factorization).
+    """
+    import math
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    rows = []
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        t50 = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+        for i in range(1, grid_steps):
+            s = i / grid_steps
+            p = 1.0 - (1.0 - s**r) ** b
+            rows.append((b, r, r6(s), r6(p), r6(t50)))
+    return spark.createDataFrame(
+        rows,
+        "bands int, rows_per_band int, s double, p_candidate double,"
+        " t50 double",
+    )

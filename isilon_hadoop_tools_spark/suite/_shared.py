@@ -2491,6 +2491,9 @@ def _quality_oracle(
     lr_num: int = 1,
     lr_den: int = 4,
     score: bool = False,
+    eval_split: bool = False,
+    train_pct: int = 80,
+    salt: str = "qce",
 ) -> str:
     """Unrolled-GD DuckDB oracle for the quality classifier (the
     `corpus_bpe_merges` unrolled-rounds pattern): one weights CTE per
@@ -2499,27 +2502,47 @@ def _quality_oracle(
     integer arithmetic — DuckDB's `//` truncates toward zero exactly
     like the engine's `_tdiv` — so weights match bit for bit. With
     ``score=True`` the final select scores every document under the
-    last round's weights instead of returning the weights."""
+    last round's weights instead of returning the weights. With
+    ``eval_split=True`` documents md5-hash-split into train/test
+    (train < ``train_pct`` of 100), the GD trains on the train slice
+    only, and the final select is the held-out long-form confusion
+    table (label, predicted, n, share) at the m ≥ 0 threshold."""
     four_s = 4 * scale
+    bkt = (
+        f"(('0x' || substr(md5('{salt}:' || doc_id::VARCHAR), 1, 8))"
+        f"::BIGINT % 100)"
+    )
+    d_cols = (
+        "doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT"
+        " AS y, text"
+    )
+    if eval_split:
+        d_cte = (
+            f"SELECT {d_cols}, {bkt} AS bkt FROM documents"
+        )
+        train_where = f"WHERE bkt < {train_pct}"
+    else:
+        d_cte = f"SELECT {d_cols} FROM documents"
+        train_where = ""
     parts = [
         f"""
     WITH d AS (
-      SELECT doc_id AS id,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y, text
-      FROM documents
+      {d_cte}
     ),
-    n AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM d {train_where}),
     tf AS (
       SELECT id, y,
              (('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_buckets}) AS j,
              count(*)::BIGINT AS x
-      FROM d, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+      FROM (SELECT * FROM d {train_where}) d2,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
       GROUP BY id, y, j
     ),
     feats AS (
       SELECT * FROM tf
       UNION ALL
-      SELECT id, y, {n_buckets}::BIGINT AS j, 1::BIGINT AS x FROM d
+      SELECT id, y, {n_buckets}::BIGINT AS j, 1::BIGINT AS x
+      FROM d {train_where}
     ),
     w0 AS (SELECT unnest(range(0, {n_buckets + 1}))::BIGINT AS j,
                   0::HUGEINT AS w)"""
@@ -2544,7 +2567,34 @@ def _quality_oracle(
       FROM w{r - 1} w LEFT JOIN g{r} g USING (j), n
     )"""
         )
-    if score:
+    if eval_split:
+        parts.append(
+            f""",
+    tf_test AS (
+      SELECT id, y,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_buckets}) AS j,
+             count(*)::BIGINT AS x
+      FROM (SELECT * FROM d WHERE bkt >= {train_pct}) d3,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+      GROUP BY id, y, j
+    ),
+    feats_test AS (
+      SELECT * FROM tf_test
+      UNION ALL
+      SELECT id, y, {n_buckets}::BIGINT AS j, 1::BIGINT AS x
+      FROM d WHERE bkt >= {train_pct}
+    ),
+    scored AS (
+      SELECT f.y AS label,
+             CASE WHEN sum(w.w * f.x) >= 0 THEN 1 ELSE 0 END AS predicted
+      FROM feats_test f JOIN w{rounds} w USING (j) GROUP BY f.id, f.y
+    )
+    SELECT label::INT AS label, predicted, count(*)::BIGINT AS n,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY label), 6) AS share
+    FROM scored GROUP BY label, predicted"""
+        )
+    elif score:
         parts.append(
             f"""
     SELECT f.id, sum(w.w * f.x)::BIGINT AS margin,
@@ -3037,6 +3087,9 @@ _CANONICAL_ORDER = [
     "multimodal_unified_index_stream",
     "corpus_quality_classifier_train",
     "doc_quality_scores",
+    "doc_suffix_span_cut",
+    "doc_quality_eval",
+    "dedup_lsh_plan",
 ]
 
 

@@ -779,3 +779,38 @@ def minhash_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=8, bands=4,
         )
     return state.read("lsh_pairs", "id_a LONG, id_b LONG, n_bands LONG")
+
+
+@query(
+    "dedup_lsh_plan",
+    oracle="""
+    WITH facts(b, r) AS (VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1)),
+    grid AS (
+      SELECT b, r, i / 20.0 AS s
+      FROM facts, unnest(generate_series(1, 19)) AS u(i)
+    ),
+    calc AS (
+      SELECT b, r, s,
+             1 - pow(1 - pow(s, r), b) AS p,
+             pow(1 - pow(0.5, 1.0 / b), 1.0 / r) AS t50
+      FROM grid
+    )
+    SELECT b AS bands, r AS rows_per_band,
+           floor(s * 1000000 + 0.5) / 1000000 AS s,
+           floor(p * 1000000 + 0.5) / 1000000 AS p_candidate,
+           floor(t50 * 1000000 + 0.5) / 1000000 AS t50
+    FROM calc
+    """,
+)
+def dedup_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner (L5b) — the sizing table to
+    consult BEFORE running banded LSH at 100 TB: the S-curve
+    P(candidate | jaccard s) = 1 − (1 − s^r)^b for every (bands,
+    rows) factorization of the 16-hash signature, plus each
+    factorization's 50%-collision threshold. Choosing (b, r) IS
+    choosing the similarity threshold; this makes the trade explicit.
+    Parameter-scale math computed driver-side with the same libm the
+    oracle calls, half-up 6-dp rounding on both engines."""
+    from isilon_hadoop_tools_spark.operators.dedup import lsh_plan
+
+    return lsh_plan(spark, n_hashes=16, grid_steps=20)

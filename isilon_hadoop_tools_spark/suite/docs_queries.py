@@ -861,6 +861,104 @@ def doc_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_suffix_span_cut",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, i - 1 AS pos, t, array_to_string(arr[i:i+t-1], ' ') AS g
+      FROM arrs,
+           unnest(generate_series(1, len(arr))) AS u(i),
+           unnest(generate_series(1, len(arr) - i + 1)) AS v(t)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    dl AS (
+      SELECT id, pos, max(t) AS dup_len
+      FROM grams JOIN dupg USING (g) GROUP BY id, pos
+    ),
+    hits AS (
+      SELECT id, pos AS s, pos + dup_len AS e
+      FROM dl WHERE dup_len >= {_DUP_SPAN_N}
+    ),
+    isl AS (
+      SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                     PARTITION BY id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS nw
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT *, sum(nw) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    merged AS (
+      SELECT id, min(s) AS st, max(e) AS en FROM isl2 GROUP BY id, island
+    ),
+    toks AS (
+      SELECT id, p1 - 1 AS pos, arr[p1] AS tok
+      FROM (SELECT id, arr, unnest(generate_series(1, len(arr))) AS p1
+            FROM arrs)
+    ),
+    marked AS (
+      SELECT t.id, t.pos, t.tok,
+             EXISTS(SELECT 1 FROM merged m
+                    WHERE m.id = t.id AND t.pos >= m.st AND t.pos < m.en)
+               AS removed
+      FROM toks t
+    ),
+    agg AS (
+      SELECT id, count(*) AS n_tokens,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed,
+             string_agg(CASE WHEN NOT removed THEN tok END, ' '
+                        ORDER BY pos) AS clean_text
+      FROM marked GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+    """,
+)
+def doc_suffix_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb remove step over the EXACT maximal spans (L29e
+    — Lee et al. 2022's actual find-then-cut pipeline, where
+    `doc_dup_span_cut` cuts the fixed-gram approximation): tokens
+    inside any exact variable-length duplicated span are removed with
+    the shared cut machinery and exact accounting. vs the fixed-gram
+    cut, this also removes WITHIN-document repeated boilerplate the
+    cross-doc gram pass leaves in. Oracle re-derives spans by
+    brute-force substring enumeration and recomputes the cut."""
+    from isilon_hadoop_tools_spark.operators.corpus import suffix_span_cut
+
+    return suffix_span_cut(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_len=_DUP_SPAN_N,
+    )
+
+
+@query("doc_quality_eval", oracle=_quality_oracle(eval_split=True))
+def doc_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the quality classifier (L58c) — the
+    readout a curation team gates on before trusting a filter: md5
+    hash-split 80/20 (append-stable, never random()), integer GD on
+    the train slice only, long-form confusion table on the held-out
+    slice at the m ≥ 0 threshold with per-class shares. The oracle
+    unrolls the identical split + GD + scoring in SQL."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        quality_classifier_eval,
+    )
+
+    return quality_classifier_eval(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        F.col("lang") == "en",
+    )
+
+
+@query(
     "doc_chunk_overlap",
     oracle=f"""
     WITH base AS (

@@ -1154,3 +1154,65 @@ def test_suffix_dup_spans_supersede_fixed_gram_hits(spark):
         for r in suffix_dup_spans(df, "text", "doc_id", min_len=n).collect()
     }
     assert by_id[1] == 8 and by_id[2] == 8
+
+
+def test_suffix_span_cut_accounting_and_within_doc(spark):
+    """The exact-span cut removes WITHIN-document repeats the
+    cross-doc fixed-gram cut leaves in, with exact accounting
+    (n_removed + tokens(clean_text) == n_tokens) and empty-doc
+    passthrough."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        dup_span_cut,
+        suffix_span_cut,
+    )
+
+    boiler = "alpha beta gamma delta"
+    rows = [
+        # doc 1 repeats its own 4-token boilerplate twice: a
+        # within-doc duplicate no other doc shares
+        (1, f"{boiler} middle words here {boiler} tail"),
+        (2, "completely different tokens in this one entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in suffix_span_cut(
+        df, "text", "doc_id", min_len=4
+    ).collect()}
+    assert out[1]["n_removed"] == 8  # both boilerplate spans cut
+    assert out[1]["clean_text"] == "middle words here tail"
+    assert out[2]["n_removed"] == 0
+    for r in out.values():
+        n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert r["n_removed"] + n_clean == r["n_tokens"]
+    # the fixed-gram CROSS-DOC cut misses the within-doc repeat
+    fixed = {r["id"]: r for r in dup_span_cut(
+        df, "text", "doc_id", n=4
+    ).collect()}
+    assert fixed[1]["n_removed"] == 0
+
+
+def test_quality_classifier_eval_separable_signal(spark):
+    """On a perfectly separable planted corpus the held-out confusion
+    table must be purely diagonal (predicted == label, share 1.0)
+    for every class present in the test slice."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        quality_classifier_eval,
+    )
+
+    # buckets (md5 % 32): excellent→4, spammy→20, common→25,
+    # neutral→10 — all distinct (e.g. 'filler' would COLLIDE with
+    # 'spammy' at 20 and poison the positive class)
+    rows = [
+        (i, "excellent common neutral", 1) for i in range(40)
+    ] + [
+        (100 + i, "spammy common neutral", 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    out = quality_classifier_eval(
+        df, "text", "doc_id", F.col("y") == 1
+    ).collect()
+    assert out, "test slice must be non-empty"
+    for r in out:
+        assert r["predicted"] == r["label"], r
+        assert r["share"] == 1.0

@@ -656,3 +656,25 @@ def test_tagged_band_slice_unknown_modality_raises(spark):
     )
     got = dedup.tagged_hamming_band_pairs(ok, params).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
+def test_lsh_plan_s_curve_properties(spark):
+    """The planner's table must behave like the published S-curve:
+    p monotone in s per factorization, p(t50) ~ 0.5, and more bands
+    (fewer rows) => LOWER 50% threshold."""
+    rows = dedup.lsh_plan(spark, n_hashes=16, grid_steps=20).collect()
+    by_fact: dict = {}
+    for r in rows:
+        by_fact.setdefault((r["bands"], r["rows_per_band"]), []).append(r)
+    assert set(by_fact) == {(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)}
+    t50s = {}
+    for (b, rr), pts in by_fact.items():
+        pts.sort(key=lambda r: r["s"])
+        ps = [p["p_candidate"] for p in pts]
+        assert ps == sorted(ps), (b, rr)  # monotone in s
+        t50s[b] = pts[0]["t50"]
+        # p at the grid point nearest t50 is near 0.5
+        nearest = min(pts, key=lambda p: abs(p["s"] - pts[0]["t50"]))
+        assert abs(nearest["p_candidate"] - 0.5) < 0.25, (b, rr, nearest)
+    bs = sorted(t50s)
+    assert all(t50s[a] > t50s[b] for a, b in zip(bs, bs[1:]))
