@@ -3090,6 +3090,7 @@ _CANONICAL_ORDER = [
     "doc_suffix_span_cut",
     "doc_quality_eval",
     "dedup_lsh_plan",
+    "doc_quality_score_drift",
 ]
 
 

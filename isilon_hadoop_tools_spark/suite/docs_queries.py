@@ -959,6 +959,61 @@ def doc_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_quality_score_drift",
+    oracle=f"""
+    WITH j AS (
+      SELECT s.score AS v,
+             CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS b
+      FROM ({_quality_oracle(score=True)}) s
+      JOIN documents d ON d.doc_id = s.id
+    ),
+    counts AS (
+      SELECT v, sum(b)::HUGEINT AS nb, sum(1 - b)::HUGEINT AS nc
+      FROM j GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb,
+             sum(nc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cc,
+             sum(nb) OVER () AS tb,
+             sum(nc) OVER () AS tc
+      FROM counts
+    ),
+    diff AS (SELECT v, tb, tc, abs(cb * tc - cc * tb) AS num FROM cum)
+    SELECT tb::BIGINT AS n_base, tc::BIGINT AS n_cur, v AS at_value,
+           round(num::DOUBLE / (tb * tc)::DOUBLE, 6) AS ks_stat
+    FROM diff ORDER BY num DESC, v ASC LIMIT 1
+    """,
+)
+def doc_quality_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitor that composes two round-11 operators (L58d): the
+    quality classifier's SCORE distribution compared across crawl
+    sources with the exact KS gate — "did this source shift under my
+    trained filter?", the question a curation pipeline asks on every
+    new crawl snapshot. Scores from the trained model (source 'src0'
+    as baseline, everything else as current); sup-ECDF difference
+    decided in DECIMAL(38,0) integer arithmetic. The oracle composes
+    the unrolled-GD scoring chain as a subquery of the KS chain —
+    both already proven against their own engine paths."""
+    from isilon_hadoop_tools_spark.operators.analytics import ks_drift
+    from isilon_hadoop_tools_spark.operators.corpus import quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_scores(docs, "text", "doc_id", F.col("lang") == "en")
+    joined = scored.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return ks_drift(
+        joined,
+        "score",
+        in_base=F.col("source") == "src0",
+        in_cur=F.col("source") != "src0",
+    )
+
+
+@query(
     "doc_chunk_overlap",
     oracle=f"""
     WITH base AS (
