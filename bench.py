@@ -185,6 +185,9 @@ HEADLINE = (
     # + per-doc rebuild end-to-end)
     "doc_suffix_dup_spans",
     "doc_suffix_span_cut",
+    # real baseline JPEG: encode + Huffman/DCT decode + mosaic hash +
+    # band join end-to-end — the heaviest per-byte codec path
+    "multimodal_jpeg_near_dups",
 )
 
 

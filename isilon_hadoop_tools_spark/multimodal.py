@@ -1469,3 +1469,500 @@ def y4m_video_hash(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline JFIF) — the seventh real codec, closing the last
+# stub-backed image format. Both halves are pure numpy/stdlib.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II basis T with T[u,x] = c(u)/2 ·
+    cos((2x+1)uπ/16), c(0)=1/√2 else 1 — DCT is T·f·Tᵀ, IDCT is
+    Tᵀ·F·T. For a constant block the only nonzero coefficient is
+    DC = 8·(v−128) up to ~1e-13 float error, which integer rounding
+    absorbs — the exactness property the fixtures lean on."""
+    import math
+
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return t
+
+
+def _jpeg_canonical_tables():
+    """The encoder's Huffman tables: CANONICAL fixed-length codes
+    declared in the DHT segment instead of the spec's Annex K
+    defaults — DC symbols 0..11 all at 4 bits (12 < 16 leaves the
+    all-ones code unassigned), AC symbols {EOB, ZRL, (run<<4)|size
+    for run 0..15, size 1..10} all at 8 bits (162 < 256 likewise).
+    Any conforming decoder (including ours) reads the tables from
+    DHT, so the streams are valid JPEG; self-defining the tables
+    avoids transcribing 300+ Annex K constants."""
+    dc_syms = list(range(12))
+    ac_syms = sorted(
+        {0x00, 0xF0}
+        | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    )
+
+    def canon(symbols, length):
+        bits = [0] * 16
+        bits[length - 1] = len(symbols)
+        codes = {sym: (i, length) for i, sym in enumerate(symbols)}
+        return bits, symbols, codes
+
+    return canon(dc_syms, 4), canon(ac_syms, 8)
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """JPEG magnitude category: (size t, value bits) with negative
+    values encoded as v + 2^t − 1."""
+    a = abs(v)
+    t = a.bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def jpeg_encode_rgb(pix, quant=None) -> bytes:
+    """REAL baseline JFIF encoder for an 8-bit RGB array (h, w, 3)
+    with h, w multiples of 8: SOI/APP0/DQT/SOF0/DHT/SOS/EOI markers,
+    4:4:4 sampling (every component 1x1), BT.601 YCbCr, orthonormal
+    float DCT, integer quantization against ``quant`` (a 64-entry
+    table applied to all components; default all-ones — near-lossless,
+    and EXACTLY lossless for blocks of constant gray), canonical
+    self-declared Huffman tables, DC diff coding, AC run-length with
+    EOB/ZRL, and 0xFF byte stuffing. Fixture generator AND a
+    legitimate sink primitive, like ``png_encode_rgb``."""
+    import struct
+
+    import numpy as np
+
+    pix = np.asarray(pix, dtype=np.float64)
+    h, w, ch = pix.shape
+    if ch != 3 or h % 8 or w % 8:
+        raise ValueError("jpeg_encode_rgb expects (8k, 8m, 3)")
+    if quant is None:
+        quant = [1] * 64
+    q = np.asarray(quant, dtype=np.float64).reshape(8, 8)
+    r, g, b = pix[..., 0], pix[..., 1], pix[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    t = _dct_matrix()
+    (dc_bits, dc_syms, dc_codes), (ac_bits, ac_syms, ac_codes) = (
+        _jpeg_canonical_tables()
+    )
+
+    out_bits: list[tuple[int, int]] = []
+
+    def emit(code: int, nbits: int) -> None:
+        out_bits.append((code, nbits))
+
+    prev_dc = [0, 0, 0]
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci, plane in enumerate((y, cb, cr)):
+                block = plane[by : by + 8, bx : bx + 8] - 128.0
+                coef = t @ block @ t.T
+                qc = np.floor(coef / q + 0.5).astype(np.int64)
+                zz = [int(qc.flat[i]) for i in _JPEG_ZIGZAG]
+                diff = zz[0] - prev_dc[ci]
+                prev_dc[ci] = zz[0]
+                tlen, vbits = _jpeg_category(diff)
+                code, nb = dc_codes[tlen]
+                emit(code, nb)
+                if tlen:
+                    emit(vbits, tlen)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, nb = ac_codes[0xF0]
+                        emit(code, nb)
+                        run -= 16
+                    tlen, vbits = _jpeg_category(zz[i])
+                    code, nb = ac_codes[(run << 4) | tlen]
+                    emit(code, nb)
+                    emit(vbits, tlen)
+                    run = 0
+                if last_nz < 63:
+                    code, nb = ac_codes[0x00]
+                    emit(code, nb)
+
+    # pack MSB-first with 0xFF00 stuffing, pad final byte with 1s
+    scan = bytearray()
+    acc = 0
+    n = 0
+    for code, nb in out_bits:
+        acc = (acc << nb) | (code & ((1 << nb) - 1))
+        n += nb
+        while n >= 8:
+            byte = (acc >> (n - 8)) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+            n -= 8
+    if n:
+        byte = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    # DQT carries the table in zigzag order: segment entry i is the
+    # natural-order element at _JPEG_ZIGZAG[i]
+    qnat = np.asarray(quant, dtype=np.int64).reshape(64)
+    qz = bytes(int(qnat[_JPEG_ZIGZAG[i]]) for i in range(64))
+    dqt = seg(0xFFDB, b"\x00" + qz)  # table 0, 8-bit, zigzag order
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",  # 3 comps, 1x1, Tq 0
+    )
+
+    def dht(tc_th: int, bits: list, syms: list) -> bytes:
+        return seg(
+            0xFFC4,
+            bytes([tc_th]) + bytes(bits) + bytes(syms),
+        )
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sos = seg(
+        0xFFDA,
+        b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00",  # all comps use DC0/AC0
+    )
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt
+        + sof
+        + dht(0x00, dc_bits, dc_syms)
+        + dht(0x10, ac_bits, ac_syms)
+        + sos
+        + bytes(scan)
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_decode_rgb(raw: bytes):
+    """REAL baseline JPEG decoder (JFIF/DCT, pure numpy/stdlib):
+    marker walk (SOI, APPn/COM skipped, DQT with 8-bit precision,
+    SOF0, DHT, SOS, EOI), Huffman tables built canonically from DHT,
+    MSB-first entropy reader with 0xFF00 unstuffing, per-MCU DC-diff
+    + AC run-length decode, dezigzag, dequantize, orthonormal IDCT,
+    level shift + clamp, BT.601 YCbCr→RGB with half-up rounding.
+    Supports 8-bit precision, 1 or 3 components, 1x1 sampling
+    (4:4:4); grayscale replicates into three channels so downstream
+    stages see one shape. Progressive (SOF2), subsampled, arithmetic,
+    or restart-interval streams raise ``ValueError`` — the same
+    typed-reject contract as the other codecs.
+
+    Returns an (h, w, 3) uint8 numpy array. Round trip through
+    :func:`jpeg_encode_rgb` is exact for constant-gray 8x8 blocks
+    under an all-ones quantization table (the fixture regime) and
+    within a couple of grey levels for arbitrary images (float DCT +
+    integer quantization are the only loss sources at q=1).
+    """
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        data = raw[pos + 4 : pos + 2 + seg_len]
+        if len(data) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            off = 0
+            while off < len(data):
+                pq, tq = data[off] >> 4, data[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if off + 65 > len(data):
+                    raise ValueError("truncated DQT")
+                tbl = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    tbl[_JPEG_ZIGZAG[i]] = data[off + 1 + i]
+                quant[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError("only 1 or 3 components supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError("only 1x1 sampling (4:4:4) supported")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG frame unsupported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            off = 0
+            while off < len(data):
+                tc, th = data[off] >> 4, data[off] & 0xF
+                bits = list(data[off + 1 : off + 17])
+                nsyms = sum(bits)
+                syms = list(data[off + 17 : off + 17 + nsyms])
+                if len(syms) != nsyms:
+                    raise ValueError("truncated DHT")
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                off += 17 + nsyms
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", data[:2])
+            if ri:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = data[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = data[1 + 2 * i], data[2 + 2 * i]
+                scan_comps.append((cs, tt >> 4, tt & 0xF))
+            scan_start = pos + 2 + seg_len
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seg_len
+    if frame is None or scan_start is None:
+        raise ValueError("missing SOF0 or SOS")
+    h, w, comps = frame
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8 (no crop)")
+    if len(scan_comps) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+
+    class _Bits:
+        def __init__(self, buf: bytes, start: int):
+            self.buf = buf
+            self.pos = start
+            self.acc = 0
+            self.n = 0
+
+        def _fill(self) -> None:
+            if self.pos >= len(self.buf):
+                raise ValueError("entropy stream exhausted")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.buf):
+                    raise ValueError("dangling 0xFF in scan")
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside scan")
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+        def bit(self) -> int:
+            if self.n == 0:
+                self._fill()
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k: int) -> int:
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+    def huff_decode(rd: "_Bits", table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rd.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def extend(v: int, t: int) -> int:
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    t = _dct_matrix()
+    rd = _Bits(raw, scan_start)
+    nbx, nby = w // 8, h // 8
+    planes = [np.zeros((h, w), dtype=np.float64) for _ in comps]
+    prev_dc = [0] * len(comps)
+    comp_q = []
+    for (cid, tq), (cs, dct, act) in zip(comps, scan_comps):
+        if cid != cs:
+            raise ValueError("scan component order mismatch")
+        if tq not in quant:
+            raise ValueError(f"missing quant table {tq}")
+        if (0, dct) not in huff or (1, act) not in huff:
+            raise ValueError("missing Huffman table")
+        comp_q.append((quant[tq], huff[(0, dct)], huff[(1, act)]))
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, (q, dc_tab, ac_tab) in enumerate(comp_q):
+                zz = np.zeros(64, dtype=np.int64)
+                tlen = huff_decode(rd, dc_tab)
+                diff = extend(rd.bits(tlen), tlen) if tlen else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = huff_decode(rd, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k >= 64:
+                        raise ValueError("AC coefficient overflow")
+                    zz[k] = extend(rd.bits(size), size)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                for i in range(64):
+                    coef[_JPEG_ZIGZAG[i]] = zz[i]
+                block = t.T @ (coef.reshape(8, 8) * q) @ t
+                planes[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = block + 128.0
+    if len(comps) == 1:
+        yv = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.repeat(yv[..., None], 3, axis=2)
+    yv, cb, cr = planes
+    r = yv + 1.402 * (cr - 128.0)
+    g = yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = yv + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Seventh REAL codec — the DCT-compressed image path that was the
+    last stub-backed claim: :func:`jpeg_decode_rgb` per payload
+    (marker walk + DHT Huffman + dequant + IDCT + color convert),
+    emitting the SAME exact-integer feature contract as the BMP/PNG
+    codecs (``id, width, height, n_pixels, sum_r, sum_g, sum_b,
+    top_left``) so the oracle checks every decoded byte analytically
+    on the block-constant fixtures where baseline JPEG is exact.
+
+    Same Arrow ``mapInPandas`` shape as every codec stage: payload
+    bytes stay in the scan partition, one output row per image,
+    nothing shuffles."""
+    schema = (
+        f"{id_col} LONG, width INT, height INT, n_pixels LONG, "
+        "sum_r LONG, sum_g LONG, sum_b LONG, top_left LONG"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(raw: bytes):
+            pix = jpeg_decode_rgb(raw)
+            h, w, _ = pix.shape
+            r = pix[..., 0].astype(np.int64)
+            g = pix[..., 1].astype(np.int64)
+            b = pix[..., 2].astype(np.int64)
+            top_left = int(r[0, 0]) * 65536 + int(g[0, 0]) * 256 + int(b[0, 0])
+            return (
+                w, h, w * h,
+                int(r.sum()), int(g.sum()), int(b.sum()), top_left,
+            )
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "top_left",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def jpeg_ahash(df: DataFrame, bin_col: str, id_col: str, grid: int = 6) -> DataFrame:
+    """aHash over the REAL JPEG decode path: :func:`jpeg_decode_rgb`,
+    then the SAME integer-exact mosaic contract as
+    :func:`bmp_ahash`/:func:`png_ahash` (cell luminance = r+g+b at
+    (gx·w // grid, gy·h // grid); bit = ``grid²·gray > Σgray``), so a
+    JPEG, PNG, GIF, or BMP of identical pixels produces the IDENTICAL
+    fingerprint and all four containers feed one shared banded
+    hamming join. Output: ``id``, ``width``, ``height``, ``ahash``."""
+    if grid * grid >= 63:
+        raise ValueError(f"grid {grid} overflows a signed-64 hash")
+    schema = f"{id_col} LONG, width INT, height INT, ahash LONG"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(raw: bytes):
+            pix = jpeg_decode_rgb(raw)
+            height, width, _ = pix.shape
+            gray = pix.astype(np.int64).sum(axis=2)
+            gx = np.arange(grid) * width // grid
+            gy = np.arange(grid) * height // grid
+            cells = gray[np.ix_(gy, gx)]
+            total = int(cells.sum())
+            bits = (grid * grid * cells > total).astype(np.int64)
+            weights = 1 << np.arange(
+                grid * grid, dtype=np.int64
+            ).reshape(grid, grid)
+            return width, height, int((bits * weights).sum())
+
+        for batch in batches:
+            rows = [
+                (doc_id, *one(raw))
+                for doc_id, raw in zip(batch[id_col], batch[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "ahash"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

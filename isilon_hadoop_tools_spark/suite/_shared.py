@@ -2457,6 +2457,47 @@ def _png_payload_df(
     return docs.mapInPandas(gen, "doc_id LONG, payload BINARY")
 
 
+def _jpeg_payload_df(
+    spark: SparkSession, sf_dir: str, base_mod: int | None = None
+) -> DataFrame:
+    """Per-document REAL baseline JFIF payloads written by
+    ``multimodal.jpeg_encode_rgb`` (markers + canonical DHT + DCT +
+    Huffman entropy coding) in an Arrow ``mapInPandas`` stage. The
+    pixel model is BLOCK-CONSTANT GRAY — dims ``w = 8·(base%3+1),
+    h = 8·(base%2+1)``, 8x8 block (bx, by) filled with ``v = (base +
+    37·bx + 73·by) % 256`` on all three channels — the regime where
+    baseline JPEG under an all-ones quant table round-trips pixels
+    EXACTLY (constant blocks put all energy in the DC coefficient,
+    which quantizes losslessly; gray pixels pin the chroma planes at
+    exactly 128), so the oracle recomputes every decoded byte
+    analytically despite the lossy format. ``base`` is doc_id, or
+    doc_id % base_mod when set (the duplicate-image knob)."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mod = base_mod
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                base = int(doc_id) % mod if mod else int(doc_id)
+                wb, hb = base % 3 + 1, base % 2 + 1
+                by, bx = np.mgrid[0:hb, 0:wb]
+                v = (base + 37 * bx + 73 * by) % 256
+                pix = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+                rgb = np.stack([pix] * 3, axis=-1)
+                payloads.append(M.jpeg_encode_rgb(rgb))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(gen, "doc_id LONG, payload BINARY")
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -3091,6 +3132,8 @@ _CANONICAL_ORDER = [
     "doc_quality_eval",
     "dedup_lsh_plan",
     "doc_quality_score_drift",
+    "multimodal_jpeg_features",
+    "multimodal_jpeg_near_dups",
 ]
 
 

@@ -137,6 +137,7 @@ from isilon_hadoop_tools_spark.suite._shared import (  # noqa: F401
     _fresh_state,
     _gif_bmp_twin_payload_df,
     _gif_payload_df,
+    _jpeg_payload_df,
     _hll_overlap_oracle,
     _ivf_ann_oracle,
     _ivf_pq_oracle,
@@ -1193,4 +1194,107 @@ def multimodal_unified_index_stream(
     return state.read(
         "tnear_pairs",
         "modality STRING, id_a LONG, id_b LONG, hamming INT",
+    )
+
+
+@query(
+    "multimodal_jpeg_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id AS base,
+             (doc_id % 3 + 1) AS wb, (doc_id % 2 + 1) AS hb
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, base, wb, hb, bx, by
+      FROM dims,
+           unnest(generate_series(0, wb - 1)) AS u(bx),
+           unnest(generate_series(0, hb - 1)) AS vv(by)
+    ),
+    vals AS (
+      SELECT doc_id, wb, hb, bx, by,
+             (base + 37 * bx + 73 * by) % 256 AS v
+      FROM blocks
+    )
+    SELECT doc_id, (wb * 8)::INT AS width, (hb * 8)::INT AS height,
+           (wb * 8 * hb * 8)::BIGINT AS n_pixels,
+           sum(v * 64)::BIGINT AS sum_r,
+           sum(v * 64)::BIGINT AS sum_g,
+           sum(v * 64)::BIGINT AS sum_b,
+           (max(CASE WHEN bx = 0 AND by = 0 THEN v END)
+            * 65793)::BIGINT AS top_left
+    FROM vals GROUP BY doc_id, wb, hb
+    """,
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEVENTH real codec (L16g) — baseline JPEG, the format that was
+    the last stub-backed image claim: real JFIF payloads (markers,
+    canonical DHT, DCT, Huffman entropy stream) decoded by
+    `jpeg_decode_rgb` into the shared exact-integer feature contract.
+    The fixtures are block-constant gray, the regime where the lossy
+    format is EXACT (all energy in the losslessly-quantized DC;
+    chroma pinned at 128), so the oracle checks every decoded byte
+    analytically — one wrong Huffman code, dezigzag slot, or IDCT
+    scale factor hash-fails."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    return M.decode_jpeg_features(
+        _jpeg_payload_df(spark, sf_dir), "payload", "doc_id"
+    )
+
+
+@query(
+    "multimodal_jpeg_near_dups",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 200 AS base,
+             ((doc_id % 200) % 3 + 1) * 8 AS w,
+             ((doc_id % 200) % 2 + 1) * 8 AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, base, w, h, unnest(generate_series(0, 35)) AS i
+      FROM dims
+    ),
+    sampled AS (
+      SELECT doc_id, base, i,
+             ((i % 6) * w) // 6 AS sx, ((i // 6) * h) // 6 AS sy
+      FROM cells
+    ),
+    gray AS (
+      SELECT doc_id, i,
+             3 * ((base + 37 * (sx // 8) + 73 * (sy // 8)) % 256) AS gv
+      FROM sampled
+    ),
+    tot AS (SELECT doc_id, sum(gv) AS total FROM gray GROUP BY doc_id),
+    hashes AS (
+      SELECT g.doc_id,
+             sum(CASE WHEN 36 * g.gv > t.total
+                      THEN (1::BIGINT << g.i) ELSE 0 END)::BIGINT AS ahash
+      FROM gray g JOIN tot t USING (doc_id) GROUP BY g.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+    """,
+)
+def multimodal_jpeg_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DCT-compressed image dedup (L16g x L7): real JPEG
+    payloads with planted duplicates (doc_id % 200 base) → real
+    decode (Huffman + dequant + IDCT + color convert) → the SAME
+    mosaic aHash contract as BMP/PNG/GIF → the shared pigeonhole band
+    join (36 bits, 6 bands, hamming <= 4 complete). The oracle
+    brute-forces all qualifying pairs from the analytic block model.
+    With `jpeg_ahash` sharing the mosaic contract, one band index now
+    serves a mixed BMP/PNG/GIF/JPEG corpus."""
+    from isilon_hadoop_tools_spark import multimodal as M
+    from isilon_hadoop_tools_spark.operators.dedup import hamming_band_pairs
+
+    hashes = M.jpeg_ahash(
+        _jpeg_payload_df(spark, sf_dir, base_mod=200), "payload", "doc_id"
+    )
+    return hamming_band_pairs(
+        hashes.select("doc_id", "ahash"), "ahash", "doc_id",
+        bits=36, max_hamming=4, bands=6,
     )

@@ -913,3 +913,91 @@ def test_y4m_video_hash_temporal_order_sensitivity(spark):
     assert got[1] == expect
     # reversed clip differs: temporal order is part of the code
     assert got[3] != got[1]
+
+
+def _block_gray(base: int):
+    import numpy as np
+
+    wb, hb = base % 3 + 1, base % 2 + 1
+    by, bx = np.mgrid[0:hb, 0:wb]
+    v = (base + 37 * bx + 73 * by) % 256
+    pix = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+    return np.stack([pix] * 3, axis=-1)
+
+
+def test_jpeg_roundtrip_exact_on_block_constant_gray():
+    """The fixture regime: constant 8x8 gray blocks put all energy in
+    the DC coefficient (losslessly quantized at q=1) and pin chroma
+    at exactly 128, so the LOSSY format round-trips pixel-exact —
+    the property the analytic oracles stand on."""
+    import numpy as np
+
+    for base in (0, 7, 123, 199, 254):
+        rgb = _block_gray(base)
+        dec = M.jpeg_decode_rgb(M.jpeg_encode_rgb(rgb))
+        assert dec.shape == rgb.shape
+        assert (dec == rgb).all(), base
+
+
+def test_jpeg_general_images_near_lossless_at_q1():
+    """Arbitrary RGB content at the all-ones quant table: the only
+    loss is float DCT + integer coefficient rounding — decoded pixels
+    stay within a few grey levels; a heavier table is visibly lossy
+    but still decodes (the format working as designed)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 24, 3))
+    dec = M.jpeg_decode_rgb(M.jpeg_encode_rgb(img))
+    assert int(np.abs(dec.astype(int) - img).max()) <= 4
+    lossy = M.jpeg_decode_rgb(M.jpeg_encode_rgb(img, quant=[16] * 64))
+    assert lossy.shape == img.shape
+    assert int(np.abs(lossy.astype(int) - img).max()) > 4
+
+
+def test_jpeg_malformed_payloads_raise():
+    import numpy as np
+    import pytest
+
+    good = M.jpeg_encode_rgb(_block_gray(5))
+    cases = [
+        b"",  # empty
+        b"GIF89a",  # wrong magic
+        good[:-10],  # truncated entropy stream / missing EOI markers
+        good[:2],  # SOI only
+        good[:2] + good[4:],  # broken marker alignment
+    ]
+    for bad in cases:
+        with pytest.raises(ValueError):
+            M.jpeg_decode_rgb(bad)
+    # non-1x1 sampling rejects: patch the SOF0 sampling byte
+    sof_at = good.find(b"\xff\xc0")
+    patched = bytearray(good)
+    # SOF0: FF C0 len(2) prec(1) h(2) w(2) nc(1) then (cid, hv, tq)
+    # per component — the first component's sampling byte is +11
+    patched[sof_at + 11] = 0x22  # first component 2x2
+    with pytest.raises(ValueError, match="sampling"):
+        M.jpeg_decode_rgb(bytes(patched))
+
+
+def test_jpeg_png_cross_codec_identical_ahash(spark):
+    """The cross-container dedup property extended to the DCT format:
+    a JPEG and a PNG of the SAME pixels produce the IDENTICAL mosaic
+    aHash, so one band index serves a mixed corpus — possible only
+    because the block-constant regime decodes exactly."""
+    rows = []
+    for doc_id, base in ((1, 42), (2, 42), (3, 99)):
+        rows.append((doc_id, bytearray(M.jpeg_encode_rgb(_block_gray(base)))))
+    jdf = spark.createDataFrame(rows, "doc_id long, payload binary")
+    prows = []
+    for doc_id, base in ((1, 42), (2, 42), (3, 99)):
+        prows.append(
+            (doc_id, bytearray(M.png_encode_rgb(_block_gray(base))))
+        )
+    pdf = spark.createDataFrame(prows, "doc_id long, payload binary")
+    jh = {r["doc_id"]: r["ahash"]
+          for r in M.jpeg_ahash(jdf, "payload", "doc_id").collect()}
+    ph = {r["doc_id"]: r["ahash"]
+          for r in M.png_ahash(pdf, "payload", "doc_id").collect()}
+    assert jh == ph
+    assert jh[1] == jh[2] != jh[3]
