@@ -188,6 +188,9 @@ HEADLINE = (
     # real baseline JPEG: encode + Huffman/DCT decode + mosaic hash +
     # band join end-to-end — the heaviest per-byte codec path
     "multimodal_jpeg_near_dups",
+    # the capstone composition: classifier + rank cut + exact
+    # substring cut + dedup, end-to-end
+    "doc_curation_pipeline",
 )
 
 

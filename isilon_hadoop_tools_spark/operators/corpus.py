@@ -2436,3 +2436,88 @@ def quality_classifier_eval(
             ).alias("share"),
         )
     )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label,
+    min_len: int = 10,
+    n_buckets: int = 32,
+    rounds: int = 3,
+    scale: int = 1000,
+    keep_pct: int = 50,
+) -> DataFrame:
+    """The END-TO-END curation pipeline as one composable operator —
+    what a training-data team actually ships: (1) QUALITY FILTER:
+    train the integer-GD classifier on ``label`` and keep the TOP
+    ``keep_pct`` percent of documents by classifier margin (the
+    DCLM / FineWeb-Edu selection rule — published pipelines keep a
+    score fraction, not an absolute threshold; exact rank cut,
+    ``(margin DESC, id)`` ties, via the two-phase global row
+    numbering — no single-partition window); (2) EXACT SUBSTRING
+    CUT: find variable-length duplicated spans over the KEPT corpus
+    (Lee et al. 2022 semantics — spans are recomputed post-filter,
+    since dropping documents changes what is duplicated) and remove
+    them; (3) EXACT DEDUP: group the cleaned texts, elect the min-id
+    canonical per distinct ``clean_text``.
+
+    Each stage is the already-oracle-proven operator
+    (:func:`_quality_gd` / :func:`_ordered_row_number` /
+    :func:`suffix_span_cut` / fingerprint-groupBy); this composition
+    is itself hash-checked end-to-end, so a drift in any stage's
+    contract fails the pipeline query, not just the stage query.
+
+    Output (one row per KEPT document): ``id``, ``n_tokens``,
+    ``n_removed``, ``clean_text``, ``keep_id`` (the canonical id of
+    its dedup group — ``keep_id == id`` marks the survivor),
+    ``n_dups`` (group size). Filtered-out documents do not appear;
+    the caller's final corpus is ``keep_id == id``.
+    """
+    w = _quality_gd(
+        df, text_col, id_col, label, n_buckets, rounds, 1, 4, scale
+    )
+    feats = _quality_features(df, text_col, id_col, label, n_buckets)
+    wmap = F.create_map(
+        *[
+            x
+            for j, v in sorted(w.items())
+            for x in (F.lit(j).cast("long"), F.lit(v).cast("long"))
+        ]
+    )
+    margins = (
+        feats.withColumn(
+            "_w", F.coalesce(F.try_element_at(wmap, F.col("j")), F.lit(0))
+        )
+        .groupBy("id")
+        .agg(F.sum(F.col("_w") * F.col("x")).alias("m"))
+        .withColumn("_negm", -F.col("m"))
+    )
+    n_docs = df.count()
+    keep_n = n_docs * keep_pct // 100
+    kept_ids = (
+        _ordered_row_number(margins, "_negm", ["id"], out="_rk")
+        .filter(F.col("_rk") <= keep_n)
+        .select("id")
+    )
+    kept = df.join(
+        kept_ids.select(F.col("id").alias(id_col)), id_col
+    ).localCheckpoint(eager=False)
+    cut = suffix_span_cut(kept, text_col, id_col, min_len)
+    groups = (
+        cut.select(fingerprint64("clean_text").alias("_fp"), "id")
+        .groupBy("_fp")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+    return (
+        cut.withColumn("_fp", fingerprint64("clean_text"))
+        .join(groups, "_fp")
+        .select(
+            "id", "n_tokens", "n_removed", "clean_text",
+            "keep_id", "n_dups",
+        )
+    )

@@ -2535,6 +2535,7 @@ def _quality_oracle(
     eval_split: bool = False,
     train_pct: int = 80,
     salt: str = "qce",
+    label_sql: str | None = None,
 ) -> str:
     """Unrolled-GD DuckDB oracle for the quality classifier (the
     `corpus_bpe_merges` unrolled-rounds pattern): one weights CTE per
@@ -2553,10 +2554,9 @@ def _quality_oracle(
         f"(('0x' || substr(md5('{salt}:' || doc_id::VARCHAR), 1, 8))"
         f"::BIGINT % 100)"
     )
-    d_cols = (
-        "doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT"
-        " AS y, text"
-    )
+    if label_sql is None:
+        label_sql = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+    d_cols = f"doc_id AS id, ({label_sql})::BIGINT AS y, text"
     if eval_split:
         d_cte = (
             f"SELECT {d_cols}, {bkt} AS bkt FROM documents"
@@ -3134,6 +3134,7 @@ _CANONICAL_ORDER = [
     "doc_quality_score_drift",
     "multimodal_jpeg_features",
     "multimodal_jpeg_near_dups",
+    "doc_curation_pipeline",
 ]
 
 

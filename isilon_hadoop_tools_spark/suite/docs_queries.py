@@ -1705,3 +1705,113 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return quality_scores(docs, "text", "doc_id", F.col("lang") == "en")
+
+
+@query(
+    "doc_curation_pipeline",
+    oracle=f"""
+    WITH kept_ids AS (
+      SELECT id FROM (
+        SELECT s.id,
+               row_number() OVER (ORDER BY s.margin DESC, s.id) AS rk
+        FROM ({_quality_oracle(score=True)}) s
+      ) WHERE rk <= (SELECT count(*) * 50 // 100 FROM documents)
+    ),
+    arrs AS (
+      SELECT d.doc_id AS id,
+             regexp_split_to_array(trim(d.text), '\\s+') AS arr
+      FROM documents d JOIN kept_ids k ON k.id = d.doc_id
+    ),
+    grams AS (
+      SELECT id, i - 1 AS pos, t, array_to_string(arr[i:i+t-1], ' ') AS g
+      FROM arrs,
+           unnest(generate_series(1, len(arr))) AS u(i),
+           unnest(generate_series(1, len(arr) - i + 1)) AS v(t)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    dl AS (
+      SELECT id, pos, max(t) AS dup_len
+      FROM grams JOIN dupg USING (g) GROUP BY id, pos
+    ),
+    hits AS (
+      SELECT id, pos AS s, pos + dup_len AS e
+      FROM dl WHERE dup_len >= {_DUP_SPAN_N}
+    ),
+    isl AS (
+      SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                     PARTITION BY id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS nw
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT *, sum(nw) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    merged AS (
+      SELECT id, min(s) AS st, max(e) AS en FROM isl2 GROUP BY id, island
+    ),
+    toks AS (
+      SELECT id, p1 - 1 AS pos, arr[p1] AS tok
+      FROM (SELECT id, arr, unnest(generate_series(1, len(arr))) AS p1
+            FROM arrs)
+    ),
+    marked AS (
+      SELECT t.id, t.pos, t.tok,
+             EXISTS(SELECT 1 FROM merged m
+                    WHERE m.id = t.id AND t.pos >= m.st AND t.pos < m.en)
+               AS removed
+      FROM toks t
+    ),
+    agg AS (
+      SELECT id, count(*) AS n_tokens,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed,
+             string_agg(CASE WHEN NOT removed THEN tok END, ' '
+                        ORDER BY pos) AS clean_text
+      FROM marked GROUP BY id
+    ),
+    cut AS (
+      SELECT k.id,
+             coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+             coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+             coalesce(a.clean_text, '') AS clean_text
+      FROM kept_ids k LEFT JOIN agg a ON a.id = k.id
+    ),
+    fp AS (
+      SELECT *, ('0x' || substr(md5(clean_text), 1, 15))::BIGINT AS fpv
+      FROM cut
+    ),
+    groups AS (
+      SELECT fpv, min(id) AS keep_id, count(*)::BIGINT AS n_dups
+      FROM fp GROUP BY fpv
+    )
+    SELECT f.id, f.n_tokens, f.n_removed, f.clean_text,
+           g.keep_id, g.n_dups
+    FROM fp f JOIN groups g USING (fpv)
+    """,
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CAPSTONE COMPOSITION (L60): the end-to-end curation
+    pipeline a training-data team ships — quality filter (integer-GD
+    classifier, keep score ≥ ½) → exact variable-length substring cut
+    over the KEPT corpus (spans recomputed post-filter: dropping
+    documents changes what is duplicated) → exact dedup of the
+    cleaned texts with min-id canonical election. Every stage is an
+    already-proven operator; this composition is hash-checked
+    end-to-end (quality chain + rank cut + brute-force span/cut chain
+    + md5 fingerprint grouping composed in one oracle), so any
+    stage's contract drifting fails HERE too. The filter is the
+    DCLM / FineWeb-Edu selection rule — keep the TOP 50% by
+    classifier margin (exact (margin DESC, id) rank, two-phase global
+    numbering) — so exactly half the corpus survives the first stage
+    regardless of the label's base rate. Final corpus = rows with
+    keep_id == id."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        curation_pipeline,
+    )
+
+    return curation_pipeline(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        F.col("lang") == "en", min_len=_DUP_SPAN_N,
+    )

@@ -1216,3 +1216,45 @@ def test_quality_classifier_eval_separable_signal(spark):
     for r in out:
         assert r["predicted"] == r["label"], r
         assert r["share"] == 1.0
+
+
+def test_curation_pipeline_three_stages_act(spark):
+    """Every stage of the capstone must demonstrably act on one
+    fixture: the rank cut keeps exactly the top half by margin (the
+    planted-signal docs), the kept docs' shared boilerplate is cut as
+    a duplicated span, and the two identically-cleaned docs collapse
+    to one canonical."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        curation_pipeline,
+    )
+
+    boiler = "alpha beta gamma delta"
+    rows = (
+        # positive class: contains 'excellent'; shares boilerplate
+        [(1, f"excellent common {boiler} tail one", 1),
+         (2, f"excellent common {boiler} tail one", 1)]  # exact dup of 1
+        + [(3, f"excellent common {boiler} other words", 1)]
+        + [(10 + i, "spammy common unique%d filler here now" % i, 0)
+           for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    out = {r["id"]: r for r in curation_pipeline(
+        df, "text", "doc_id", F.col("y") == 1, min_len=4
+    ).collect()}
+    # stage 1: exactly half (3 of 6) kept — the planted-positive docs
+    assert set(out) == {1, 2, 3}
+    # stage 2: the 4-token boilerplate (present in all three kept
+    # docs) is cut from every one
+    assert all(r["n_removed"] >= 4 for r in out.values())
+    assert "alpha" not in out[1]["clean_text"]
+    # stage 3: docs 1 and 2 clean to identical text -> one canonical
+    assert out[1]["clean_text"] == out[2]["clean_text"]
+    assert out[1]["keep_id"] == out[2]["keep_id"] == 1
+    assert out[1]["n_dups"] == 2
+    assert out[3]["keep_id"] == 3 and out[3]["n_dups"] == 1
+    # accounting survives the composition
+    for r in out.values():
+        n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert r["n_removed"] + n_clean == r["n_tokens"]
