@@ -182,3 +182,15 @@ def test_gate_freshness_within_rotation_guarantee():
         f"{stale} — the driver window missed these; investigate "
         "suite._ordered_names ordering"
     )
+
+
+def test_registration_order_is_fully_canonical():
+    """Every registered query must appear in _CANONICAL_ORDER (the
+    split package's explicit registration order): a query added to a
+    family module without the canonical-list append would silently
+    register after the canonical block, changing the driver window's
+    fallback tie-break — fail loudly here instead."""
+    from isilon_hadoop_tools_spark import suite
+    from isilon_hadoop_tools_spark.suite._shared import _CANONICAL_ORDER
+
+    assert list(suite.REGISTRY) == list(_CANONICAL_ORDER)
