@@ -3135,6 +3135,7 @@ _CANONICAL_ORDER = [
     "multimodal_jpeg_features",
     "multimodal_jpeg_near_dups",
     "doc_curation_pipeline",
+    "multimodal_jpeg_png_near_dups",
 ]
 
 

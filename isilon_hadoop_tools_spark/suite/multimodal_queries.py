@@ -1298,3 +1298,71 @@ def multimodal_jpeg_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashes.select("doc_id", "ahash"), "ahash", "doc_id",
         bits=36, max_hamming=4, bands=6,
     )
+
+
+def _jpeg_png_twin_payload_df(
+    spark: SparkSession, sf_dir: str, base_mod: int = 200
+) -> DataFrame:
+    """Mixed-container payloads over ONE block-constant-gray pixel
+    model (the regime where baseline JPEG decodes exactly): even
+    doc_ids encode as real JPEG, odd as real PNG — byte-different
+    containers (DCT+Huffman vs zlib+filters) of byte-identical
+    pixels whenever ``doc_id % base_mod`` collides, so the duplicate
+    structure crosses the container boundary."""
+    from isilon_hadoop_tools_spark import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                base = int(doc_id) % base_mod
+                wb, hb = base % 3 + 1, base % 2 + 1
+                by, bx = np.mgrid[0:hb, 0:wb]
+                v = (base + 37 * bx + 73 * by) % 256
+                pix = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+                rgb = np.stack([pix] * 3, axis=-1)
+                if int(doc_id) % 2 == 0:
+                    payloads.append(M.jpeg_encode_rgb(rgb))
+                else:
+                    payloads.append(M.png_encode_rgb(rgb))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(gen, "doc_id LONG, payload BINARY")
+
+
+@query(
+    "multimodal_jpeg_png_near_dups",
+    oracle=REGISTRY["multimodal_jpeg_near_dups"].oracle,
+)
+def multimodal_jpeg_png_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mixed LOSSY/LOSSLESS container dedup (L16g x L16f): the same
+    block-constant pixel model stored as real JPEG (even doc_ids —
+    DCT + Huffman) vs real PNG (odd — zlib + filters), each decoded
+    by its own codec, hashed by the shared mosaic contract, and fed
+    into ONE band join — duplicate pairs cross the container boundary
+    because the block-constant regime makes the lossy decode
+    pixel-exact. The oracle is container-agnostic (literally
+    `multimodal_jpeg_near_dups`'s registered string: the pixel model
+    is identical), so any cross-codec divergence hash-fails."""
+    from isilon_hadoop_tools_spark import multimodal as M
+    from isilon_hadoop_tools_spark.operators.dedup import hamming_band_pairs
+
+    payloads = _jpeg_png_twin_payload_df(spark, sf_dir, base_mod=200)
+    even = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    jpg = M.jpeg_ahash(payloads.filter(even), "payload", "doc_id")
+    png = M.png_ahash(payloads.filter(~even), "payload", "doc_id")
+    hashes = jpg.select("doc_id", "ahash").unionByName(
+        png.select("doc_id", "ahash")
+    )
+    return hamming_band_pairs(
+        hashes, "ahash", "doc_id", bits=36, max_hamming=4, bands=6
+    )
