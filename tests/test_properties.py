@@ -1571,3 +1571,129 @@ def test_attribution_models_conserve_credit(spark, journey):
     assert abs(sum(r["attributed_value"] for r in lt) - v_conv) < 1e-6
     assert abs(sum(r["attributed_value"] for r in ln) - v_conv) < 1e-6
     assert abs(sum(r["attributed_value"] for r in td) - v_conv) < 1e-6
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcde"), min_size=1, max_size=14
+        ).map(lambda ts: " ".join(ts)),
+        min_size=2,
+        max_size=6,
+    ),
+    min_len=st.integers(min_value=2, max_value=4),
+)
+def test_suffix_dup_spans_matches_bruteforce_property(spark, docs, min_len):
+    """Random tiny-alphabet corpora (heavy accidental repetition —
+    the adversarial regime for suffix logic) vs a Python brute force
+    over every (position, length) pair: spans, max lengths, and hit
+    counts must all agree, at any min_len."""
+    from isilon_hadoop_tools_spark.operators.corpus import suffix_dup_spans
+
+    texts = {i + 1: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    toks = {k: v.split() for k, v in texts.items()}
+    sufs = [(i, p) for i, t in toks.items() for p in range(len(t))]
+
+    def dl(i, p):
+        best = 0
+        for j, q in sufs:
+            if (j, q) == (i, p):
+                continue
+            n = 0
+            while (
+                p + n < len(toks[i])
+                and q + n < len(toks[j])
+                and toks[i][p + n] == toks[j][q + n]
+            ):
+                n += 1
+            best = max(best, n)
+        return best
+
+    hits: dict[int, list] = {}
+    for i, p in sufs:
+        d = dl(i, p)
+        if d >= min_len:
+            hits.setdefault(i, []).append((p, p + d, d))
+    expect = []
+    for i, hh in sorted(hits.items()):
+        hh.sort()
+        cur = None
+        for s, e, d in hh:
+            if cur and s <= cur[1]:
+                cur = (cur[0], max(cur[1], e), max(cur[2], d), cur[3] + 1)
+            else:
+                if cur:
+                    expect.append((i,) + cur)
+                cur = (s, e, d, 1)
+        if cur:
+            expect.append((i,) + cur)
+    got = sorted(
+        (r["id"], r["start_tok"], r["end_tok"], r["max_dup_len"],
+         r["n_positions"])
+        for r in suffix_dup_spans(df, "text", "doc_id", min_len).collect()
+    )
+    assert got == sorted(expect)
+
+
+@_SETTINGS
+@given(
+    labels=st.lists(st.booleans(), min_size=4, max_size=10),
+    extra=st.lists(_WORD, min_size=0, max_size=3),
+)
+def test_quality_gd_matches_python_reference(spark, labels, extra):
+    """The integer GD must be bit-identical to a pure-Python replay of
+    the same recipe (hash features, hard-sigmoid margins, integer
+    gradients, trunc-division updates) on random corpora — the
+    engine's aggregation order cannot leak into the weights."""
+    import hashlib
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        _quality_gd,
+        _tdiv,
+    )
+
+    texts = {
+        i: ("good " if y else "bad ") + " ".join(extra)
+        for i, y in enumerate(labels)
+    }
+    texts = {i: t.strip() for i, t in texts.items()}
+    df = spark.createDataFrame(
+        [(i, t, int(y)) for (i, t), y in zip(texts.items(), labels)],
+        "doc_id long, text string, y int",
+    )
+    from pyspark.sql import functions as F2
+
+    n_buckets, rounds, scale = 8, 3, 1000
+    got = _quality_gd(
+        df, "text", "doc_id", F2.col("y") == 1, n_buckets, rounds, 1, 4,
+        scale,
+    )
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+    feats = {}
+    for i, t in texts.items():
+        row: dict[int, int] = {}
+        for tok in t.split():
+            j = bucket(tok)
+            row[j] = row.get(j, 0) + 1
+        row[n_buckets] = 1  # bias
+        feats[i] = row
+    n = len(texts)
+    w = {j: 0 for j in range(n_buckets + 1)}
+    for _ in range(rounds):
+        grads = {j: 0 for j in w}
+        for i, row in feats.items():
+            m = sum(w[j] * x for j, x in row.items())
+            big_n = min(4 * scale, max(0, 2 * scale + m))
+            y = 1 if labels[i] else 0
+            for j, x in row.items():
+                grads[j] += (big_n - 4 * scale * y) * x
+        for j in w:
+            w[j] -= _tdiv(grads[j], 4 * 4 * n)
+    assert got == w
