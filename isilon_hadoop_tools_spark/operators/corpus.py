@@ -2521,3 +2521,92 @@ def curation_pipeline(
             "keep_id", "n_dups",
         )
     )
+
+
+def lm_perplexity_buckets(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al.
+    2020 — the filter behind CCNet/CC-100 and a standard alternative
+    to classifier filtering): score every document by mean bigram
+    surprisal under a corpus-trained add-one-smoothed bigram LM, then
+    bucket the corpus into CCNet's head / middle / tail TERCILES by
+    exact rank (head = lowest perplexity = most fluent under the
+    corpus distribution).
+
+    Model: ``p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with corpus
+    unigram counts and vocabulary size V; per-bigram surprisal
+    ``-log2 p`` pre-rounded to 9 decimals (the
+    :func:`unigram_surprisal` determinism convention), per-doc mean
+    rounded to 6. Terciles use the exact global rank (``(bits ASC,
+    id)`` ties) via :func:`_ordered_row_number` — no single-partition
+    window; thresholds at ⌊n/3⌋ and ⌊2n/3⌋ of ranked docs.
+
+    Shape: the bigram/unigram count tables are vocabulary-bounded and
+    broadcast back onto the (doc, bigram) fact (the tf-idf pattern);
+    the corpus streams through one keyed shuffle plus the rank's
+    range exchange. Documents with < 2 tokens have no bigram: they
+    surface with ``n_bigrams = 0``, NULL bits, bucket ``'short'``
+    instead of silently vanishing.
+
+    Output: ``id``, ``n_bigrams``, ``ppl_bits`` (6 dp), ``bucket``
+    (head / middle / tail / short).
+    """
+    pe = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        pe.select(
+            "id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pe.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    v_terms = uni.agg(F.count(F.lit(1)).alias("v"))
+    bits = F.round(
+        -F.log2(
+            (F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))
+        ),
+        9,
+    )
+    scored = (
+        bigrams.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+        .crossJoin(F.broadcast(v_terms))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(bits), 6).alias("ppl_bits"),
+        )
+    )
+    ranked = _ordered_row_number(
+        scored.withColumn("_key", F.col("ppl_bits")), "_key", ["id"],
+        out="_rk",
+    ).localCheckpoint(eager=False)
+    n_ranked = ranked.count()
+    t1, t2 = n_ranked // 3, 2 * n_ranked // 3
+    bucketed = ranked.select(
+        "id",
+        "n_bigrams",
+        "ppl_bits",
+        F.when(F.col("_rk") <= t1, F.lit("head"))
+        .when(F.col("_rk") <= t2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(bucketed, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "ppl_bits",
+            F.coalesce("bucket", F.lit("short")).alias("bucket"),
+        )
+    )

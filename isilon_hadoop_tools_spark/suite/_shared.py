@@ -3136,6 +3136,7 @@ _CANONICAL_ORDER = [
     "multimodal_jpeg_near_dups",
     "doc_curation_pipeline",
     "multimodal_jpeg_png_near_dups",
+    "doc_lm_perplexity",
 ]
 
 

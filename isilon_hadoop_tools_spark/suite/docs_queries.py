@@ -1815,3 +1815,69 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         F.col("lang") == "en", min_len=_DUP_SPAN_N,
     )
+
+
+@query(
+    "doc_lm_perplexity",
+    oracle=r"""
+    WITH arrs AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT id, i - 1 AS pos, arr[i] AS tok
+      FROM arrs, unnest(generate_series(1, len(arr))) AS u(i)
+    ),
+    bigrams AS (
+      SELECT id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    uni AS (SELECT tok AS w1, count(*) AS c1 FROM toks GROUP BY tok),
+    v AS (SELECT count(*) AS v FROM uni),
+    scored AS (
+      SELECT b.id, count(*) AS n_bigrams,
+             round(avg(round(-log2((g.c12 + 1.0) / (u.c1 + v.v)), 9)), 6)
+               AS ppl_bits
+      FROM bigrams b
+      JOIN big g USING (w1, w2)
+      JOIN uni u USING (w1)
+      CROSS JOIN v
+      GROUP BY b.id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY ppl_bits, id) AS rk,
+             count(*) OVER () AS n
+      FROM scored
+    ),
+    bucketed AS (
+      SELECT id, n_bigrams, ppl_bits,
+             CASE WHEN rk <= n // 3 THEN 'head'
+                  WHEN rk <= 2 * n // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked
+    )
+    SELECT d.doc_id AS id,
+           coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+           b.ppl_bits,
+           coalesce(b.bucket, 'short') AS bucket
+    FROM documents d LEFT JOIN bucketed b ON b.id = d.doc_id
+    """,
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (L61; Wenzek et al. 2020 — the
+    filter behind CCNet/CC-100, the standard alternative to
+    classifier filtering): mean bigram surprisal under a
+    corpus-trained add-one-smoothed bigram LM, bucketed into CCNet's
+    head/middle/tail TERCILES by exact global rank (two-phase row
+    numbering, (bits, id) ties). Per-bigram terms pre-rounded to 9
+    decimals (the surprisal determinism convention); count tables
+    are vocabulary-bounded broadcasts; short docs surface as
+    bucket='short' instead of vanishing."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        lm_perplexity_buckets,
+    )
+
+    return lm_perplexity_buckets(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )

@@ -1258,3 +1258,36 @@ def test_curation_pipeline_three_stages_act(spark):
     for r in out.values():
         n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert r["n_removed"] + n_clean == r["n_tokens"]
+
+
+def test_lm_perplexity_fluency_ordering_and_buckets(spark):
+    """A doc made of the corpus's dominant bigram patterns must land
+    in 'head' (lowest surprisal) and a doc of one-off bigrams in
+    'tail'; sub-2-token docs surface as 'short' with NULL bits; the
+    tercile split is exact on the ranked count."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        lm_perplexity_buckets,
+    )
+
+    common = "the cat sat on the mat"
+    rows = (
+        [(i, common) for i in range(1, 5)]          # fluent under the LM
+        + [(10, "zeta qux vorp glim blat krun")]     # all rare bigrams
+        + [(11, "the cat sat on zeta qux")]          # mixed
+        + [(20, "solo")]                             # no bigram
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in lm_perplexity_buckets(
+        df, "text", "doc_id"
+    ).collect()}
+    assert out[20]["bucket"] == "short"
+    assert out[20]["n_bigrams"] == 0 and out[20]["ppl_bits"] is None
+    assert out[1]["ppl_bits"] < out[11]["ppl_bits"] < out[10]["ppl_bits"]
+    # 6 ranked docs -> terciles of 2: the four 'common' docs fill
+    # head+middle; the rare and mixed docs land in tail
+    assert out[1]["bucket"] == "head"
+    assert out[10]["bucket"] == "tail"
+    buckets = [r["bucket"] for i, r in out.items() if i != 20]
+    assert buckets.count("head") == 2
+    assert buckets.count("middle") == 2
+    assert buckets.count("tail") == 2
