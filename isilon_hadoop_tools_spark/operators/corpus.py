@@ -2610,3 +2610,67 @@ def lm_perplexity_buckets(
             F.coalesce("bucket", F.lit("short")).alias("bucket"),
         )
     )
+
+
+def decontaminate_neardup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_eval,
+    num_hashes: int = 8,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """FUZZY benchmark decontamination (the RefinedWeb/GPT-3 appendix
+    companion to the exact-gram :func:`decontaminate`): flag training
+    documents that are NEAR-duplicates of any eval document under
+    banded MinHash-LSH. Exact-gram matching misses paraphrased or
+    lightly-edited leakage; the banded screen errs toward flagging —
+    here with 1-row bands by default (high recall, low precision:
+    ANY shared minhash makes a candidate), which is the right
+    failure direction for contamination.
+
+    Shape: signatures over the full corpus (one keyed shuffle), the
+    EVAL side's band keys broadcast (a benchmark suite is tiny next
+    to a 100 TB corpus — the same asymmetry :func:`decontaminate`
+    exploits), so the training corpus streams map-side through the
+    band join.
+
+    Output (flagged training docs only): ``id``,
+    ``n_eval_partners`` (distinct eval docs sharing a band),
+    ``n_band_hits`` (total band collisions).
+    """
+    from isilon_hadoop_tools_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rpb = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    banded = sigs.withColumn(
+        "band", F.floor(F.col("seed") / rpb).cast("int")
+    ).groupBy("id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+            ",",
+        ).alias("band_key")
+    )
+    eval_ids = df.filter(is_eval).select(F.col(id_col).alias("eid"))
+    e = banded.join(
+        eval_ids, banded["id"] == eval_ids["eid"]
+    ).select("band", "band_key", "eid")
+    t = banded.join(
+        eval_ids, banded["id"] == eval_ids["eid"], "left_anti"
+    )
+    return (
+        t.join(F.broadcast(e), ["band", "band_key"])
+        .groupBy("id")
+        .agg(
+            F.count_distinct("eid").alias("n_eval_partners"),
+            F.count(F.lit(1)).alias("n_band_hits"),
+        )
+    )

@@ -3137,6 +3137,7 @@ _CANONICAL_ORDER = [
     "doc_curation_pipeline",
     "multimodal_jpeg_png_near_dups",
     "doc_lm_perplexity",
+    "corpus_decontaminate_neardup",
 ]
 
 

@@ -1881,3 +1881,41 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity_buckets(
         _t(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+@query(
+    "corpus_decontaminate_neardup",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_MINHASH_SIGS_SQL},
+    banded AS (
+      SELECT id, seed AS band, minhash::VARCHAR AS band_key
+      FROM sigs
+    )
+    SELECT t.id, count(DISTINCT e.id)::BIGINT AS n_eval_partners,
+           count(*)::BIGINT AS n_band_hits
+    FROM banded t
+    JOIN banded e ON t.band = e.band AND t.band_key = e.band_key
+    WHERE t.id % 97 <> 0 AND e.id % 97 = 0
+    GROUP BY t.id
+    """,
+)
+def corpus_decontaminate_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy benchmark decontamination (L62; the RefinedWeb companion
+    to exact-gram `corpus_decontaminate`): training docs that are
+    MinHash-LSH near-duplicates of the held-out eval slice
+    (doc_id % 97 == 0), with 1-row bands — any shared minhash flags,
+    the high-recall direction contamination screening wants. The
+    eval band keys broadcast; the corpus streams map-side. Oracle
+    recomputes signatures and the cross-boundary band join from the
+    shared SQL constants."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        decontaminate_neardup,
+    )
+
+    return decontaminate_neardup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(97)) == 0,
+    )

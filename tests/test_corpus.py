@@ -1291,3 +1291,31 @@ def test_lm_perplexity_fluency_ordering_and_buckets(spark):
     assert buckets.count("head") == 2
     assert buckets.count("middle") == 2
     assert buckets.count("tail") == 2
+
+
+def test_decontaminate_neardup_flags_paraphrased_leakage(spark):
+    """A training doc that is a lightly-edited copy of an eval doc
+    must be flagged (shares minhash bands); an unrelated doc must
+    not; eval docs themselves never appear in the output."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        decontaminate_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again today ok"
+    rows = [
+        (0, base),                                   # eval (id % 3 == 0)
+        (1, base.replace("lazy", "sleepy")),         # near-dup of eval
+        (2, "completely different text about spark engines and scans"),
+        (3, "unrelated second eval document with its own words here"),
+        (4, base),                                   # exact copy of eval
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in decontaminate_neardup(
+        df, "text", "doc_id", F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    ).collect()}
+    assert 4 in out and out[4]["n_eval_partners"] >= 1  # exact copy
+    assert 1 in out  # paraphrase still shares bands
+    assert 2 not in out  # unrelated
+    assert 0 not in out and 3 not in out  # eval side never flagged
