@@ -2039,3 +2039,73 @@ def time_decay_attribution(
             F.round(F.sum("_wv"), 4).alias("attributed_value"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    in_base,
+    in_cur,
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between two cohorts —
+    the nonparametric companion to the A/B z-test (``ab_lift_zscore``)
+    and the distributional KS gate (:func:`ks_drift`): ranks instead
+    of means, so one heavy-tailed outlier cannot buy a win.
+
+    Everything that decides the statistic is INTEGER-exact: with
+    per-distinct-value counts ``(nb, nc)`` and the cumulative count
+    ``prev`` of strictly-smaller observations, the tie-midrank is
+    ``(2·prev + nb + nc + 1)/2``, so ``2·R_base = Σ nb·(2·prev + nb +
+    nc + 1)`` and ``2·U_base = 2·R_base − n_base·(n_base + 1)`` are
+    exact DECIMAL(38,0) integers. The readout adds the
+    probability-of-superiority ``auc = U/(n_base·n_cur)`` (6 dp — the
+    effect size a rank test actually estimates:
+    P(base > cur) + ½·P(tie)).
+
+    Shape mirrors :func:`ks_drift`: one fact scan with map-side
+    combine onto the V-row distinct-value table; all ordered-window
+    work runs there, never on the fact table.
+
+    Output (one row): ``n_base``, ``n_cur``, ``u2_base`` (= 2·U,
+    exact), ``auc`` (6 dp).
+    """
+    counts = (
+        df.select(
+            F.col(value_col).alias("v"),
+            in_base.cast("long").alias("_b"),
+            in_cur.cast("long").alias("_c"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.sum("_b").alias("nb"), F.sum("_c").alias("nc"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    dec = "decimal(38,0)"
+    cum = counts.select(
+        "v",
+        "nb",
+        "nc",
+        F.coalesce(
+            F.sum(F.col("nb") + F.col("nc")).over(w), F.lit(0)
+        ).cast(dec).alias("prev"),
+        F.sum("nb").over(wall).cast(dec).alias("tb"),
+        F.sum("nc").over(wall).cast(dec).alias("tc"),
+    )
+    two_r = F.sum(
+        F.col("nb").cast(dec)
+        * (F.lit(2).cast(dec) * F.col("prev") + F.col("nb") + F.col("nc")
+           + F.lit(1))
+    )
+    agg = cum.groupBy("tb", "tc").agg(two_r.alias("two_r"))
+    two_u = F.col("two_r") - F.col("tb") * (F.col("tb") + F.lit(1))
+    return agg.select(
+        F.col("tb").cast("long").alias("n_base"),
+        F.col("tc").cast("long").alias("n_cur"),
+        two_u.cast("long").alias("u2_base"),
+        F.round(
+            two_u.cast("double")
+            / (F.lit(2.0) * (F.col("tb") * F.col("tc")).cast("double")),
+            6,
+        ).alias("auc"),
+    )

@@ -3138,6 +3138,7 @@ _CANONICAL_ORDER = [
     "multimodal_jpeg_png_near_dups",
     "doc_lm_perplexity",
     "corpus_decontaminate_neardup",
+    "events_mann_whitney",
 ]
 
 

@@ -2645,3 +2645,57 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark.operators.analytics import ols_trend
 
     return ols_trend(_t(spark, sf_dir, "events"), "event_type", "ts", "value")
+
+
+@query(
+    "events_mann_whitney",
+    oracle="""
+    WITH counts AS (
+      SELECT value AS v,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN 1 ELSE 0 END)::HUGEINT AS nb,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN 1 ELSE 0 END)::HUGEINT AS nc
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    cum AS (
+      SELECT v, nb, nc,
+             coalesce(sum(nb + nc) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS prev,
+             sum(nb) OVER () AS tb,
+             sum(nc) OVER () AS tc
+      FROM counts
+    ),
+    agg AS (
+      SELECT tb, tc,
+             sum(nb * (2 * prev + nb + nc + 1)) AS two_r
+      FROM cum GROUP BY tb, tc
+    )
+    SELECT tb::BIGINT AS n_base, tc::BIGINT AS n_cur,
+           (two_r - tb * (tb + 1))::BIGINT AS u2_base,
+           round((two_r - tb * (tb + 1))::DOUBLE / (2 * tb * tc)::DOUBLE,
+                 6) AS auc
+    FROM agg
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U rank-sum gate (EA29d) — the nonparametric
+    companion to the A/B z-test and the KS gate: first vs second half
+    of the events month, with the tie-midrank statistic computed
+    entirely in DECIMAL(38,0) integers (2·U exact) and the
+    probability-of-superiority AUC readout at 6 dp. One fact scan
+    with map-side combine; ordered-window work on the distinct-value
+    table."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        mann_whitney_u,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    return mann_whitney_u(
+        ev,
+        "value",
+        in_base=F.col("ts") < boundary,
+        in_cur=F.col("ts") >= boundary,
+    )

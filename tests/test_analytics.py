@@ -1166,3 +1166,35 @@ def test_ks_drift_ties_and_null_values(spark):
     assert out["n_base"] == 2 and out["n_cur"] == 2
     assert out["ks_stat"] == 1.0
     assert out["at_value"] == 2.0
+
+
+def test_mann_whitney_hand_example_and_identity(spark):
+    """Hand-checkable rank-sum: base {1,2,3} vs cur {2,3,4} over the
+    midranks of [1, 2, 2, 3, 3, 4] gives R_base = 8, 2U = 4,
+    AUC = 2/9; identical cohorts give AUC exactly 0.5 (the no-effect
+    fixed point); a fully-shifted cohort gives AUC 0 (base always
+    smaller)."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        mann_whitney_u,
+    )
+
+    rows = [(1.0, 1), (2.0, 1), (3.0, 1), (2.0, 0), (3.0, 0), (4.0, 0)]
+    df = spark.createDataFrame(rows, "v double, b int")
+    r = mann_whitney_u(
+        df, "v", F.col("b") == 1, F.col("b") == 0
+    ).head()
+    assert (r["n_base"], r["n_cur"], r["u2_base"]) == (3, 3, 4)
+    assert r["auc"] == 0.222222
+    ident = mann_whitney_u(df, "v", F.lit(True), F.lit(True)).head()
+    assert ident["auc"] == 0.5
+    shifted = spark.createDataFrame(
+        [(float(v), 1) for v in (1, 2, 3)]
+        + [(float(v), 0) for v in (10, 11, 12)],
+        "v double, b int",
+    )
+    s = mann_whitney_u(
+        shifted, "v", F.col("b") == 1, F.col("b") == 0
+    ).head()
+    assert s["u2_base"] == 0 and s["auc"] == 0.0
