@@ -2251,8 +2251,14 @@ def suffix_dup_spans(
         F.slice(
             "_arr", F.col("pos") + 1, F.lit(max_match_len)
         ).alias("_sfx"),
-    ).withColumn("_key", F.concat_ws(" ", "_sfx"))
-    ordered = _ordered_row_number(sfx, "_key", ["id", "pos"], out="rn")
+    )
+    # order by the token ARRAY itself (element-wise lexicographic —
+    # Spark arrays are orderable), NOT a separator-joined string: a
+    # token may contain code points below U+0020 (e.g. \x01) that
+    # sort before any printable separator, which would break the
+    # "common token-prefixes are contiguous" invariant the adjacency
+    # LCP step relies on. Array order IS suffix order on tokens.
+    ordered = _ordered_row_number(sfx, "_sfx", ["id", "pos"], out="rn")
 
     def lcp(a, b):
         eq = F.zip_with(a, b, lambda x, y: F.coalesce(x == y, F.lit(False)))

@@ -584,9 +584,12 @@ def tagged_band_slice_array(hash_col, modality_col, params: dict):
     fingerprint_fn) raises at execution via a per-row ``assert_true``
     guard instead of the bare CASE's NULL — a NULL result here would
     silently drop the whole modality from banding and from the
-    streaming index. Rows with a NULL tag follow standard null-join-
-    key semantics instead: downstream band joins infer
-    ``modality IS NOT NULL`` and prune them below this expression."""
+    streaming index. NULL tags are handled EXPLICITLY (the guard
+    accepts ``modality IS NULL`` — Spark's ``assert_true`` throws on
+    NULL input, so relying on downstream joins to infer an
+    ``IS NOT NULL`` filter only works in the batch band-join path;
+    the streaming posting build has no such join): a NULL tag yields
+    a NULL band array, which posexplode/band joins then drop."""
     out = None
     known = None
     for m, (bits, _max_h, bands) in sorted(params.items()):
@@ -595,7 +598,7 @@ def tagged_band_slice_array(hash_col, modality_col, params: dict):
         out = F.when(cond, e) if out is None else out.when(cond, e)
         known = cond if known is None else known | cond
     guard = F.assert_true(
-        known,
+        known | modality_col.isNull(),
         F.concat(
             F.lit("unknown modality tag: "),
             F.coalesce(modality_col.cast("string"), F.lit("NULL")),

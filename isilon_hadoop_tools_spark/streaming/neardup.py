@@ -452,7 +452,13 @@ def tagged_index_apply_batch(
             if max_h_expr is None
             else max_h_expr.when(cond, F.lit(max_h))
         )
-    delta = fps.select(
+    # NULL modality tags are pruned EXPLICITLY at ingest (mirrors the
+    # guard in tagged_band_slice_array, which accepts NULL tags and
+    # yields a NULL band array): the batch band join infers an
+    # IS NOT NULL filter on its keys, but this posting build has no
+    # such join, and an implicit dependence on optimizer inference is
+    # exactly what let a NULL-tag row previously fail whole batches.
+    delta = fps.filter(F.col("modality").isNotNull()).select(
         "modality", "id", F.col("fhash").alias("fp")
     )
     members = state.read("tfp_members", TAGGED_MEMBERS_SCHEMA)

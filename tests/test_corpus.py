@@ -1190,6 +1190,32 @@ def test_suffix_span_cut_accounting_and_within_doc(spark):
     assert fixed[1]["n_removed"] == 0
 
 
+def test_suffix_dup_spans_sub_space_tokens(spark):
+    """Tokens containing code points below U+0020 (e.g. \\x01 — the
+    whitespace tokenizer only splits on [ \\t\\n\\x0B\\f\\r], so such
+    bytes stay INSIDE a token) must not break suffix order: ordering
+    candidate suffixes by a space-joined string sorts 'b\\x01x'
+    BEFORE every 'b<space>...' key (\\x01 < ' '), so common
+    token-prefixes stop being contiguous, max-LCP partners stop being
+    adjacent, and exact duplicated spans silently vanish. The engine
+    orders by the token ARRAY itself (element-wise lexicographic),
+    which IS suffix order on token sequences."""
+    from isilon_hadoop_tools_spark.operators.corpus import suffix_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a b\x01x y"), (4, "a b\x01x y")],
+        "id long, text string",
+    )
+    got = {
+        (r["id"], r["start_tok"], r["end_tok"], r["max_dup_len"])
+        for r in suffix_dup_spans(df, "text", "id", min_len=2).collect()
+    }
+    # docs 1/2 share ['a','b']; docs 3/4 are identical 3-token docs.
+    # A string-joined sort key interleaves doc3/doc4 suffixes between
+    # the doc1/doc2 group and drops the (1,2) spans entirely.
+    assert got == {(1, 0, 2, 2), (2, 0, 2, 2), (3, 0, 3, 3), (4, 0, 3, 3)}
+
+
 def test_quality_classifier_eval_separable_signal(spark):
     """On a perfectly separable planted corpus the held-out confusion
     table must be purely diagonal (predicted == label, share 1.0)

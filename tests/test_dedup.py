@@ -639,11 +639,11 @@ def test_tagged_band_slice_unknown_modality_raises(spark):
     with pytest.raises(Exception) as exc:
         dedup.tagged_hamming_band_pairs(df, params).collect()
     assert "unknown modality tag: audio" in str(exc.value)
-    # NULL tags follow standard null-join-key semantics: Catalyst
-    # infers `modality IS NOT NULL` from the band join keys and prunes
-    # the row below the banding expression, so NULLs drop like any
-    # null join key rather than raising — documented, not silent loss
-    # of a real modality
+    # NULL tags are accepted EXPLICITLY by the guard (assert_true
+    # throws on NULL input, so the guard tests `known OR tag IS NULL`)
+    # and yield a NULL band array, which posexplode/band joins then
+    # drop — in BOTH the batch path here and the streaming posting
+    # build, which has no join to infer an IS NOT NULL filter from
     df_null = spark.createDataFrame(
         [("text", 1, 0xABCD), (None, 2, 0xABCD)],
         "modality string, id long, fhash long",

@@ -491,3 +491,46 @@ def test_tagged_index_stream_modality_isolation_and_replay(spark, tmp_path):
     assert state.read(
         "tfp_members", "modality STRING, id LONG, fp LONG"
     ).count() == len(all_rows)
+
+
+def test_tagged_index_stream_null_tag_dropped_not_fatal(spark, tmp_path):
+    """A NULL modality tag in a streaming batch must be DROPPED, not
+    fail the batch: Spark's assert_true throws on NULL input, and the
+    streaming posting build (posexplode after a left_anti join, which
+    keeps NULL keys) has no band join to infer an IS NOT NULL filter
+    from — so the guard must accept NULL tags explicitly. Non-null
+    UNKNOWN tags must still fail loudly."""
+    import pytest
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        TAGGED_PAIRS_SCHEMA,
+        tagged_index_apply_batch,
+    )
+
+    params = {"t": (12, 2, 4)}
+    state = ParquetState(spark, str(tmp_path / "state"))
+    tagged_index_apply_batch(
+        spark.createDataFrame(
+            [("t", 1, 0b0001), (None, 2, 0b0001), ("t", 3, 0b0001)],
+            "modality STRING, id LONG, fhash LONG",
+        ),
+        state,
+        params,
+    )
+    got = {
+        (r["modality"], r["id_a"], r["id_b"]): r["hamming"]
+        for r in state.read("tnear_pairs", TAGGED_PAIRS_SCHEMA).collect()
+    }
+    # the NULL-tag row vanished; the two tagged rows still paired
+    assert got == {("t", 1, 3): 0}
+    assert state.read(
+        "tfp_members", "modality STRING, id LONG, fp LONG"
+    ).count() == 2
+    # a typo'd (non-null, unknown) tag still fails the batch
+    with pytest.raises(Exception, match="unknown modality tag: x"):
+        tagged_index_apply_batch(
+            spark.createDataFrame(
+                [("x", 9, 0b0001)], "modality STRING, id LONG, fhash LONG"
+            ),
+            state,
+            params,
+        )
