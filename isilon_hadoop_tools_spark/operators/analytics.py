@@ -1659,6 +1659,56 @@ def psi_readout(counts: DataFrame, n_bands: int) -> DataFrame:
     )
 
 
+def _ordered_cumsum(
+    df: DataFrame, key_col: str, sum_cols: list[str]
+) -> DataFrame:
+    """Exact global INCLUSIVE running sums in ``key_col`` order WITHOUT
+    a single-partition window (the ``corpus._ordered_row_number``
+    discipline, applied to sums): range-repartition on the key (the
+    range partitioner globally orders partitions), per-partition
+    running sums via a ``_pid``-partitioned window, then driver-side
+    cumulative offsets of the P per-partition totals — P scalars of
+    bounded driver state, never a corpus-sized collect. The result is
+    identical for any partition-boundary sampling because addition is
+    associative and the key order is total (callers pass a
+    distinct-key table).
+
+    Adds ``_cum_<col>`` (long) for each of ``sum_cols``."""
+    spark = df.sparkSession
+    npart = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    part = df.repartitionByRange(npart, key_col).sortWithinPartitions(
+        key_col
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_pid", F.spark_partition_id()).select(
+        "*", *[F.sum(c).over(wloc).alias(f"_cum_{c}") for c in sum_cols]
+    ).localCheckpoint(eager=True)
+    tot = local.groupBy("_pid").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    ).collect()
+    acc = {c: 0 for c in sum_cols}
+    offsets: dict[str, dict[int, int]] = {c: {} for c in sum_cols}
+    for r in sorted(tot, key=lambda r: r["_pid"]):
+        for c in sum_cols:
+            offsets[c][r["_pid"]] = acc[c]
+            acc[c] += r[c] or 0
+    for c in sum_cols:
+        omap = F.create_map(
+            *[x for pid, off in sorted(offsets[c].items())
+              for x in (F.lit(pid), F.lit(off))]
+        )
+        local = local.withColumn(
+            f"_cum_{c}",
+            F.col(f"_cum_{c}")
+            + F.coalesce(F.try_element_at(omap, F.col("_pid")), F.lit(0)),
+        )
+    return local.drop("_pid")
+
+
 def ks_drift(
     df: DataFrame,
     value_col: str,
@@ -1680,11 +1730,15 @@ def ks_drift(
     cross-engine.
 
     Shape: ONE fact scan with map-side combine (groupBy value → two
-    conditional counts), then all ordered-window work runs on the
-    V-row DISTINCT-VALUE table, never the fact table (V ≪ N for any
-    metric worth gating; quantize first if your column is
-    continuous-unique). One shuffle on the value; the final argmax is
-    a 1-row TakeOrdered.
+    conditional counts), then all ordered work runs on the V-row
+    DISTINCT-VALUE table, never the fact table (V ≪ N for any metric
+    worth gating; quantize first if your column is continuous-unique).
+    The cumulative counts use the two-phase range-partition +
+    driver-offset discipline (:func:`_ordered_cumsum`) — for a
+    continuous value column V ≈ N, so an unpartitioned ordered window
+    here would sort everything in ONE task; the global totals are a
+    1-row aggregate broadcast back. The final argmax is a 1-row
+    TakeOrdered.
 
     Output (one row): ``n_base``, ``n_cur``, ``at_value`` (where the
     sup is attained), ``ks_stat`` (6 dp).
@@ -1698,16 +1752,25 @@ def ks_drift(
         .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.sum("_b").alias("nb"), F.sum("_c").alias("nc"))
+        # consumed twice (totals + cumulative ranks): pin the V-row
+        # table so the fact table is scanned once
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
     dec = "decimal(38,0)"
-    cum = counts.select(
-        "v",
-        F.sum("nb").over(w).cast(dec).alias("cb"),
-        F.sum("nc").over(w).cast(dec).alias("cc"),
-        F.sum("nb").over(wall).cast(dec).alias("tb"),
-        F.sum("nc").over(wall).cast(dec).alias("tc"),
+    totals = counts.agg(
+        F.sum("nb").cast(dec).alias("tb"),
+        F.sum("nc").cast(dec).alias("tc"),
+    )
+    cum = (
+        _ordered_cumsum(counts, "v", ["nb", "nc"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "v",
+            F.col("_cum_nb").cast(dec).alias("cb"),
+            F.col("_cum_nc").cast(dec).alias("cc"),
+            "tb",
+            "tc",
+        )
     )
     diff = cum.select(
         "v",
@@ -2063,8 +2126,12 @@ def mann_whitney_u(
     P(base > cur) + ½·P(tie)).
 
     Shape mirrors :func:`ks_drift`: one fact scan with map-side
-    combine onto the V-row distinct-value table; all ordered-window
-    work runs there, never on the fact table.
+    combine onto the V-row distinct-value table; the EXCLUSIVE
+    cumulative count ``prev`` comes from the two-phase
+    :func:`_ordered_cumsum` (inclusive sum minus the row's own count)
+    — never an unpartitioned ordered window, which would sort the
+    whole distinct-value table in one task for continuous metrics —
+    and the totals are a 1-row aggregate broadcast back.
 
     Output (one row): ``n_base``, ``n_cur``, ``u2_base`` (= 2·U,
     exact), ``auc`` (6 dp).
@@ -2078,19 +2145,27 @@ def mann_whitney_u(
         .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.sum("_b").alias("nb"), F.sum("_c").alias("nc"))
+        .withColumn("_t", F.col("nb") + F.col("nc"))
+        # consumed twice (totals + cumulative ranks): pin the V-row
+        # table so the fact table is scanned once
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.partitionBy()
     dec = "decimal(38,0)"
-    cum = counts.select(
-        "v",
-        "nb",
-        "nc",
-        F.coalesce(
-            F.sum(F.col("nb") + F.col("nc")).over(w), F.lit(0)
-        ).cast(dec).alias("prev"),
-        F.sum("nb").over(wall).cast(dec).alias("tb"),
-        F.sum("nc").over(wall).cast(dec).alias("tc"),
+    totals = counts.agg(
+        F.sum("nb").cast(dec).alias("tb"),
+        F.sum("nc").cast(dec).alias("tc"),
+    )
+    cum = (
+        _ordered_cumsum(counts, "v", ["_t"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "v",
+            "nb",
+            "nc",
+            (F.col("_cum__t") - F.col("_t")).cast(dec).alias("prev"),
+            "tb",
+            "tc",
+        )
     )
     two_r = F.sum(
         F.col("nb").cast(dec)

@@ -2529,35 +2529,12 @@ def curation_pipeline(
     )
 
 
-def lm_perplexity_buckets(
-    df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """CCNet-style language-model quality scoring (Wenzek et al.
-    2020 — the filter behind CCNet/CC-100 and a standard alternative
-    to classifier filtering): score every document by mean bigram
-    surprisal under a corpus-trained add-one-smoothed bigram LM, then
-    bucket the corpus into CCNet's head / middle / tail TERCILES by
-    exact rank (head = lowest perplexity = most fluent under the
-    corpus distribution).
-
-    Model: ``p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with corpus
-    unigram counts and vocabulary size V; per-bigram surprisal
-    ``-log2 p`` pre-rounded to 9 decimals (the
-    :func:`unigram_surprisal` determinism convention), per-doc mean
-    rounded to 6. Terciles use the exact global rank (``(bits ASC,
-    id)`` ties) via :func:`_ordered_row_number` — no single-partition
-    window; thresholds at ⌊n/3⌋ and ⌊2n/3⌋ of ranked docs.
-
-    Shape: the bigram/unigram count tables are vocabulary-bounded and
-    broadcast back onto the (doc, bigram) fact (the tf-idf pattern);
-    the corpus streams through one keyed shuffle plus the rank's
-    range exchange. Documents with < 2 tokens have no bigram: they
-    surface with ``n_bigrams = 0``, NULL bits, bucket ``'short'``
-    instead of silently vanishing.
-
-    Output: ``id``, ``n_bigrams``, ``ppl_bits`` (6 dp), ``bucket``
-    (head / middle / tail / short).
-    """
+def _lm_scored(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The LM-scoring join stage of :func:`lm_perplexity_buckets` —
+    per-doc ``(id, n_bigrams, ppl_bits)`` — exposed separately so the
+    plan audit can assert the bigram/unigram joins carry NO broadcast
+    hint (the rank stage after it checkpoints, which truncates the
+    final plan's lineage and would hide these joins)."""
     pe = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
@@ -2581,9 +2558,9 @@ def lm_perplexity_buckets(
         ),
         9,
     )
-    scored = (
-        bigrams.join(F.broadcast(big), ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+    return (
+        bigrams.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
         .crossJoin(F.broadcast(v_terms))
         .groupBy("id")
         .agg(
@@ -2591,6 +2568,42 @@ def lm_perplexity_buckets(
             F.round(F.avg(bits), 6).alias("ppl_bits"),
         )
     )
+
+
+def lm_perplexity_buckets(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al.
+    2020 — the filter behind CCNet/CC-100 and a standard alternative
+    to classifier filtering): score every document by mean bigram
+    surprisal under a corpus-trained add-one-smoothed bigram LM, then
+    bucket the corpus into CCNet's head / middle / tail TERCILES by
+    exact rank (head = lowest perplexity = most fluent under the
+    corpus distribution).
+
+    Model: ``p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with corpus
+    unigram counts and vocabulary size V; per-bigram surprisal
+    ``-log2 p`` pre-rounded to 9 decimals (the
+    :func:`unigram_surprisal` determinism convention), per-doc mean
+    rounded to 6. Terciles use the exact global rank (``(bits ASC,
+    id)`` ties) via :func:`_ordered_row_number` — no single-partition
+    window; thresholds at ⌊n/3⌋ and ⌊2n/3⌋ of ranked docs.
+
+    Shape: the bigram/unigram count joins are plain equi-joins with
+    NO broadcast hint — on raw web text the distinct-bigram table is
+    effectively corpus-scale (and whitespace-token vocabulary is
+    unbounded), so forcing a broadcast would OOM executors at 100×;
+    AQE is free to pick broadcast when the tables happen to be small.
+    Only the 1-row ``v_terms`` aggregate is broadcast. The corpus
+    streams through keyed shuffles plus the rank's range exchange.
+    Documents with < 2 tokens have no bigram: they surface with
+    ``n_bigrams = 0``, NULL bits, bucket ``'short'`` instead of
+    silently vanishing.
+
+    Output: ``id``, ``n_bigrams``, ``ppl_bits`` (6 dp), ``bucket``
+    (head / middle / tail / short).
+    """
+    scored = _lm_scored(df, text_col, id_col)
     ranked = _ordered_row_number(
         scored.withColumn("_key", F.col("ppl_bits")), "_key", ["id"],
         out="_rk",

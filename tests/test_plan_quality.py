@@ -430,3 +430,41 @@ def test_k_anonymity_single_scan(spark):
     plan = _plan(spark, "customer_k_anonymity")
     assert _tree_scans(plan) == 1
     assert "Join" not in plan
+
+
+def test_ks_and_mann_whitney_no_single_partition_window(spark):
+    """The KS / Mann-Whitney cumulative counts must come from the
+    two-phase range-partition + driver-offset discipline
+    (_ordered_cumsum), NEVER an unpartitioned global-order window:
+    for a continuous value column distinct values ~ row count, so an
+    `Exchange SinglePartition` here sorts the whole table in one
+    task at 100x. The global totals ride a broadcast 1-row
+    crossJoin, not a whole-table window."""
+    for name in ("events_ks_drift", "events_mann_whitney"):
+        plan = _plan(spark, name)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+def test_lm_perplexity_bigram_join_not_forced_broadcast(spark):
+    """The bigram/unigram count tables are corpus-vocabulary-scale on
+    web text (distinct bigrams grow ~superlinearly in vocabulary): a
+    forced broadcast OOMs executors at 100x. With auto-broadcast
+    disabled, a broadcast HINT would still produce a
+    BroadcastHashJoin — so asserting zero BroadcastHashJoin at
+    threshold -1 proves the hint is gone while leaving AQE free to
+    choose broadcast at toy scale. Only the 1-row v_terms crossJoin
+    may broadcast (BroadcastNestedLoopJoin)."""
+    from isilon_hadoop_tools_spark.operators.corpus import _lm_scored
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        docs = spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+        scored = _lm_scored(docs, "text", "doc_id")
+        plan = scored._sc._jvm.PythonSQLUtils.explainString(
+            scored._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row v_terms
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

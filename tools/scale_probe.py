@@ -13,7 +13,8 @@ Usage::
 
     python tools/scale_probe.py [query ...]   # default: round-6 set
     python tools/scale_probe.py --curvature   # 1x..10x of sf0.1 on the
-                                              # two riskiest operators
+                                              # riskiest operators
+    python tools/scale_probe.py --curvature events_ks_drift ...  # subset
 
 The curvature mode answers "would this still be linear at 100x?" with
 data, not extrapolation: it materializes id-offset copies of the sf0.1
@@ -255,6 +256,68 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_suffix_boiler(c: int) -> float:
+        # ADVERSARIAL suffix probe: ONE short phrase repeated ~10^4·c
+        # times within docs and ~10^5·c times corpus-wide — every
+        # candidate suffix is (a rotation of) the same periodic token
+        # stream, so nearly all 256-token sort keys collapse to ~12
+        # giant EQUAL keys. A range partition on the key alone would
+        # co-locate each equal-key group in one task; the tie columns
+        # (id, pos) inside the range partition are what keeps the
+        # candidate sort and the adjacent-LCP stage balanced. A linear
+        # curve here certifies that under maximal key skew.
+        from isilon_hadoop_tools_spark.operators.corpus import (
+            suffix_dup_spans,
+        )
+
+        phrase = " ".join(f"tok{i}" for i in range(12))
+        docs = spark.range(200 * c).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit((phrase + " ") * 50),
+                F.format_string("tail%d x y z", F.col("id")),
+            ).alias("text"),
+        )
+        t0 = time.perf_counter()
+        suffix_dup_spans(docs, "text", "doc_id", min_len=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_ks(c: int) -> float:
+        # exact KS drift (EA29c): a CONTINUOUS-valued column, so the
+        # distinct-value table is ~the row count — the case the
+        # two-phase _ordered_cumsum exists for (an unpartitioned
+        # cumulative window would sort everything in one task)
+        from isilon_hadoop_tools_spark.operators.analytics import ks_drift
+
+        df = spark.range(1_000_000 * c).select(
+            F.pmod(F.col("id") * 2654435761, F.lit(2**31)).alias("v"),
+            (F.pmod(F.col("id"), F.lit(3)) == 0).alias("_b"),
+        )
+        t0 = time.perf_counter()
+        ks_drift(
+            df, "v", F.col("_b"), ~F.col("_b")
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_mw(c: int) -> float:
+        # exact Mann-Whitney U (EA29d): same continuous-value stress
+        # as run_ks on the rank-sum path
+        from isilon_hadoop_tools_spark.operators.analytics import (
+            mann_whitney_u,
+        )
+
+        df = spark.range(1_000_000 * c).select(
+            F.pmod(F.col("id") * 2654435761, F.lit(2**31)).alias("v"),
+            (F.pmod(F.col("id"), F.lit(3)) == 0).alias("_b"),
+        )
+        t0 = time.perf_counter()
+        mann_whitney_u(
+            df, "v", F.col("_b"), ~F.col("_b")
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def run_kmeans(c: int) -> float:
         # k-means training + assignment (L28): k scales with corpus
         # (the SemDeDup rule) — flagged > 3 s in the bench rotation
@@ -271,6 +334,7 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
     bad = 0
     results: dict[str, dict[str, float]] = {}
     # semantic runs are long enough (tens of seconds at high multiples)
@@ -284,7 +348,12 @@ def curvature() -> int:
         ("corpus_quality_classifier_train", run_quality, 1),
         ("dedup_keep_one", run_keepone, 1),
         ("embedding_kmeans_assign", run_kmeans, 1),
+        ("suffix_boilerplate_adversarial", run_suffix_boiler, 1),
+        ("events_ks_drift", run_ks, 1),
+        ("events_mann_whitney", run_mw, 1),
     ):
+        if only and name not in only:
+            continue
         runner(1)  # warm plan/codegen before the measured sweep
         curve = {}
         for c in MULTIPLES:
