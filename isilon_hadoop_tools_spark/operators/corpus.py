@@ -329,6 +329,86 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_eval,
+    n: int = 3,
+) -> DataFrame:
+    """Position-level n-gram decontamination REPORT — the
+    :func:`decontaminate` doc flag upgraded to WHERE: for every
+    training doc sharing a token ``n``-gram with the eval slice, the
+    maximal merged token spans covered by eval-shared grams. The
+    evidence a curation run needs to CUT or inspect the contaminated
+    region (the RefinedWeb/GPT-3-appendix reporting style) instead of
+    dropping whole documents.
+
+    ``is_eval`` is a boolean Column over the gram table's ``id``
+    column, as in :func:`decontaminate`.
+
+    Scale: the eval side's distinct grams broadcast (a benchmark
+    suite is tiny next to a 100 TB corpus) so the training corpus
+    streams map-side; hit windows ``[pos, pos + n)`` island-merge per
+    document with the :func:`dup_span_merge` running-max sweep on one
+    per-doc partitioning.
+
+    Output: ``id``, ``start_tok``, ``end_tok`` (exclusive),
+    ``span_len``, ``n_grams`` (hits merged into the span).
+    """
+    pe = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = (
+        pe.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .localCheckpoint(eager=False)
+    )
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .select(
+            "id",
+            F.col("pos").cast("long").alias("_s"),
+            (F.col("pos") + n).cast("long").alias("_e"),
+        )
+    )
+    wi = Window.partitionBy("id").orderBy("_s", "_e")
+    prev_max = F.max("_e").over(wi.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(wi.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("id", "_island")
+        .agg(
+            F.min("_s").alias("start_tok"),
+            F.max("_e").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "id",
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).alias("span_len"),
+            "n_grams",
+        )
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     text_col: str,
@@ -2160,63 +2240,14 @@ def _ordered_row_number(
     ).drop("_pid")
 
 
-def suffix_dup_spans(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    min_len: int = 10,
-    max_match_len: int = 256,
-) -> DataFrame:
-    """Exact VARIABLE-LENGTH duplicated-substring detection — the
-    suffix-array method of Lee et al. 2022 ("Deduplicating Training
-    Data Makes Language Models Better") that :func:`dup_spans`
-    approximates with fixed n-grams: for every token position, the
-    length of the LONGEST token prefix occurring at ≥ 2 distinct
-    (doc, pos) places corpus-wide (within-document repeats count —
-    the published semantics), merged into maximal per-document spans
-    for positions with ``dup_len ≥ min_len``.
-
-    SPARK-FIRST FORM — a candidate-pruned suffix sort, never a
-    corpus-wide suffix array:
-
-    1. EXACT PRUNE: ``dup_len(p) ≥ min_len`` ⟺ the ``min_len``-gram
-       at ``p`` is duplicated (every window of a duplicate is a
-       duplicate), so ONE fixed-gram pass — the :func:`dup_spans`
-       machinery with within-doc occurrences allowed — yields exactly
-       the positions that can appear in the answer. At 100 TB the
-       expensive part below runs only on duplicated regions, which is
-       the output-bound discipline of the dedup family.
-    2. SUFFIX ORDER OVER CANDIDATES ONLY: each candidate materializes
-       its suffix token array (truncated at ``max_match_len``) and is
-       globally ordered by it (exact two-phase row numbering —
-       :func:`_ordered_row_number` — no single-partition window). A
-       max-LCP partner of a candidate is itself a candidate (it
-       shares ≥ min_len tokens), and restricting a lexicographic
-       order to any subset preserves "nearest neighbors maximize
-       LCP", so sorted-candidate ADJACENCY suffices.
-    3. ADJACENT LCP: one self-join on consecutive row numbers, LCP in
-       tokens via a JVM ``zip_with``/``array_position`` prefix
-       compare — ``dup_len(p) = max(lcp(prev, p), lcp(p, next))``,
-       exact (no hashing anywhere in the refinement; the prune's
-       60-bit gram fingerprints can only admit a false CANDIDATE,
-       which the exact LCP then scores honestly).
-    4. ISLAND MERGE: hit intervals ``[p, p + dup_len)`` merge with
-       the same running-max sweep as :func:`dup_span_merge` on one
-       per-document partitioning.
-
-    ``max_match_len`` caps the materialized suffix (reported
-    ``max_dup_len`` saturates there); duplicates longer than the cap
-    are still found and spanned, only their reported length clips.
-
-    Output: ``id``, ``start_tok``, ``end_tok`` (exclusive),
-    ``span_len``, ``max_dup_len``, ``n_positions`` (candidate
-    positions merged into the span).
-
-    vs :func:`dup_spans`: same covered positions at ``n = min_len``
-    (cross-doc), plus within-document repeats, plus the TRUE maximal
-    match length per span — the property test asserts every
-    :func:`dup_spans` hit falls inside one of these spans.
-    """
+def _suffix_grams(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> tuple[DataFrame, DataFrame]:
+    """(shared by :func:`suffix_dup_spans` and the streaming suffix
+    index) token arrays + candidate gram fingerprints: returns
+    ``(toks, grams)`` where ``toks`` is ``(id, _arr)`` and ``grams``
+    is ``(id, pos, gh)`` — one row per token position carrying a full
+    ``min_len``-gram, fingerprinted 60-bit."""
     toks = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_arr")
     ).localCheckpoint(eager=False)
@@ -2235,16 +2266,31 @@ def suffix_dup_spans(
             parts[-1].alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
-        .select("id", "pos", fingerprint64("gram").alias("gh"))
+        .select(
+            "id",
+            F.col("pos").cast("long").alias("pos"),
+            fingerprint64("gram").alias("gh"),
+        )
         .localCheckpoint(eager=False)
     )
-    multi = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("gh")
-    )
-    cands = grams.join(multi, "gh").select("id", "pos")
+    return toks, grams
+
+
+def _suffix_spans_from(
+    cands: DataFrame,
+    toks: DataFrame,
+    min_len: int,
+    max_match_len: int,
+) -> DataFrame:
+    """(shared) exact maximal spans from a candidate-position subset:
+    suffix slice, global order by the token ARRAY (two-phase row
+    numbering — no single-partition window, and element-wise array
+    order IS suffix order even for tokens containing sub-space code
+    points), adjacent LCP via JVM ``zip_with``, island merge.
+    EXACTNESS requires the candidate subset to be partner-closed:
+    every candidate's true max-LCP partner must itself be in
+    ``cands`` (the suffix-array adjacency property then transfers to
+    the subset — see :func:`suffix_dup_spans` step 2)."""
     sfx = cands.join(toks, "id").select(
         "id",
         "pos",
@@ -2252,12 +2298,6 @@ def suffix_dup_spans(
             "_arr", F.col("pos") + 1, F.lit(max_match_len)
         ).alias("_sfx"),
     )
-    # order by the token ARRAY itself (element-wise lexicographic —
-    # Spark arrays are orderable), NOT a separator-joined string: a
-    # token may contain code points below U+0020 (e.g. \x01) that
-    # sort before any printable separator, which would break the
-    # "common token-prefixes are contiguous" invariant the adjacency
-    # LCP step relies on. Array order IS suffix order on tokens.
     ordered = _ordered_row_number(sfx, "_sfx", ["id", "pos"], out="rn")
 
     def lcp(a, b):
@@ -2341,6 +2381,77 @@ def suffix_dup_spans(
             "n_positions",
         )
     )
+
+
+def suffix_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 10,
+    max_match_len: int = 256,
+) -> DataFrame:
+    """Exact VARIABLE-LENGTH duplicated-substring detection — the
+    suffix-array method of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") that :func:`dup_spans`
+    approximates with fixed n-grams: for every token position, the
+    length of the LONGEST token prefix occurring at ≥ 2 distinct
+    (doc, pos) places corpus-wide (within-document repeats count —
+    the published semantics), merged into maximal per-document spans
+    for positions with ``dup_len ≥ min_len``.
+
+    SPARK-FIRST FORM — a candidate-pruned suffix sort, never a
+    corpus-wide suffix array:
+
+    1. EXACT PRUNE: ``dup_len(p) ≥ min_len`` ⟺ the ``min_len``-gram
+       at ``p`` is duplicated (every window of a duplicate is a
+       duplicate), so ONE fixed-gram pass — the :func:`dup_spans`
+       machinery with within-doc occurrences allowed — yields exactly
+       the positions that can appear in the answer. At 100 TB the
+       expensive part below runs only on duplicated regions, which is
+       the output-bound discipline of the dedup family.
+    2. SUFFIX ORDER OVER CANDIDATES ONLY: each candidate materializes
+       its suffix token array (truncated at ``max_match_len``) and is
+       globally ordered by it (exact two-phase row numbering —
+       :func:`_ordered_row_number` — no single-partition window). A
+       max-LCP partner of a candidate is itself a candidate (it
+       shares ≥ min_len tokens), and restricting a lexicographic
+       order to any subset preserves "nearest neighbors maximize
+       LCP", so sorted-candidate ADJACENCY suffices.
+    3. ADJACENT LCP: one self-join on consecutive row numbers, LCP in
+       tokens via a JVM ``zip_with``/``array_position`` prefix
+       compare — ``dup_len(p) = max(lcp(prev, p), lcp(p, next))``,
+       exact (no hashing anywhere in the refinement; the prune's
+       60-bit gram fingerprints can only admit a false CANDIDATE,
+       which the exact LCP then scores honestly).
+    4. ISLAND MERGE: hit intervals ``[p, p + dup_len)`` merge with
+       the same running-max sweep as :func:`dup_span_merge` on one
+       per-document partitioning.
+
+    ``max_match_len`` caps the materialized suffix (reported
+    ``max_dup_len`` saturates there); duplicates longer than the cap
+    are still found and spanned, only their reported length clips.
+
+    Output: ``id``, ``start_tok``, ``end_tok`` (exclusive),
+    ``span_len``, ``max_dup_len``, ``n_positions`` (candidate
+    positions merged into the span).
+
+    vs :func:`dup_spans`: same covered positions at ``n = min_len``
+    (cross-doc), plus within-document repeats, plus the TRUE maximal
+    match length per span — the property test asserts every
+    :func:`dup_spans` hit falls inside one of these spans.
+    """
+    toks, grams = _suffix_grams(df, text_col, id_col, min_len)
+    multi = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gh")
+    )
+    cands = grams.join(multi, "gh").select("id", "pos")
+    # the candidate set is partner-closed (a max-LCP partner shares
+    # >= min_len tokens, hence a duplicated gram), which is what
+    # makes the subset adjacency in _suffix_spans_from exact
+    return _suffix_spans_from(cands, toks, min_len, max_match_len)
 
 
 def suffix_span_cut(

@@ -1,0 +1,209 @@
+"""URL canonicalization and per-domain curation operators (SURVEY §2.12
+L63/L64).
+
+Reference parity: the reference tool has no URL surface (it provisions
+identities over REST, ``identities.py``); these are brief-mandated
+web-corpus curation extensions — every large-scale web pipeline
+(CCNet, C4, RefinedWeb, FineWeb) canonicalizes URLs before URL-level
+dedup and applies per-registrable-domain frequency caps before mixing.
+
+Everything here is stateless column algebra (regexp extracts + array
+higher-order functions — JVM-side, no UDFs) except the cap rank,
+which is split so the per-domain window runs ONLY on above-cap
+domains' rows (the heavy tail); the long tail of small domains never
+enters a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tracking / click-id query parameters stripped during
+# canonicalization (the CCNet/FineWeb-style hygiene list). Matched
+# case-sensitively against the start of each `name=value` pair —
+# tracking params are emitted lowercase by the ad platforms that
+# define them.
+TRACKING_PARAM_RE = (
+    r"^(utm_[A-Za-z0-9_]*|gclid|dclid|fbclid|msclkid|mc_eid|mc_cid"
+    r"|igshid|yclid|twclid|_ga|_gl|ref_src|spm)(=|$)"
+)
+
+# Two-level public suffixes recognized by the registrable-domain
+# heuristic. A full Public Suffix List is an external artifact this
+# container does not ship; the fixed set below covers the common
+# ccTLD second-level registries and is DOCUMENTED as a heuristic —
+# swap in the full PSL as a broadcast table for production use.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au",
+    "co.nz", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tr", "com.ar", "com.sg", "co.za",
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+_IPV4_RE = r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"
+
+
+def canonical_url_expr(url) -> Column:
+    """Canonical form of a URL as ONE JVM-side expression:
+
+    - scheme and host lowercased (RFC 3986 §6.2.2.1 case
+      normalization; the path/query keep their case — they are
+      case-sensitive on most servers),
+    - userinfo (``user:pass@``) dropped,
+    - default ports stripped (``:80`` for http, ``:443`` for https;
+      other ports kept),
+    - empty path normalized to ``/``,
+    - fragment dropped (never sent to the server),
+    - tracking query params (:data:`TRACKING_PARAM_RE`) and empty
+      pairs removed, the surviving pairs SORTED byte-wise and
+      rejoined (order-insensitive canonical form — two URLs differing
+      only in param order dedup together).
+
+    Pure regexp/array column algebra: scan-bound at 100 TB, no
+    shuffle, no UDF. Punycode (``xn--``) hosts pass through as-is —
+    IDN decode is presentation, not identity.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_extract(u, r"^([^#]*)", 1)
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    path0 = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    q = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qc = F.array_join(F.array_sort(kept), "&")
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qc != "", F.concat(F.lit("?"), qc)).otherwise(F.lit("")),
+    )
+
+
+def host_expr(url) -> Column:
+    """Lowercased host of a URL (userinfo and port stripped)."""
+    u = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_extract(u, r"^([^#]*)", 1)
+    rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
+    return F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+
+
+def registrable_domain_expr(host) -> Column:
+    """Registrable domain (eTLD+1) of a lowercased host under the
+    :data:`TWO_LEVEL_SUFFIXES` heuristic: the last two labels, or the
+    last three when the host ends in a recognized two-level public
+    suffix; IPv4 literals and one/two-label hosts pass through whole.
+    Pure array algebra on the split host — no shuffle, no UDF."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    return (
+        F.when(h.rlike(_IPV4_RE) | (n <= 2), h)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def url_canonicalize(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Per-document URL canonicalization readout: ``id``, ``url``
+    (original), ``canon_url``, ``host``, ``domain`` (registrable).
+    One stateless projection — scan-bound at 100 TB, no shuffle."""
+    host = host_expr(url_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        canonical_url_expr(url_col).alias("canon_url"),
+        host.alias("host"),
+        registrable_domain_expr(host).alias("domain"),
+    )
+
+
+def domain_caps(
+    df: DataFrame, url_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Per-registrable-domain frequency cap (the FineWeb per-domain
+    discipline): keep at most ``cap`` documents per domain, keeping
+    the LOWEST ids (deterministic, replay-stable).
+
+    Scale shape: domain sizes are heavy-tailed on web corpora, so the
+    rank window runs ONLY on rows of ABOVE-cap domains — one count
+    aggregate splits the corpus, the long tail of small domains (the
+    overwhelming majority of rows after the head) bypasses the window
+    entirely with ``kept = true``, and the window partitions by
+    domain so the per-task working set is one heavy domain's rows.
+    If one domain alone exceeds a task's memory, pre-truncate with a
+    per-(domain, salt) local top-``cap`` before the exact rank —
+    bounded to ``salt · cap`` rows per domain — which is safe because
+    only the global lowest ``cap`` ids can survive any local
+    top-``cap``.
+
+    Output: ``id``, ``domain``, ``kept``.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        registrable_domain_expr(host_expr(url_col)).alias("domain"),
+    )
+    counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("_n"))
+    heavy = counts.filter(F.col("_n") > cap).select("domain")
+    light = d.join(heavy, "domain", "left_anti").select(
+        "id", "domain", F.lit(True).alias("kept")
+    )
+    w = Window.partitionBy("domain").orderBy("id")
+    ranked = (
+        d.join(heavy, "domain")
+        .withColumn("_rk", F.row_number().over(w))
+        .select("id", "domain", (F.col("_rk") <= cap).alias("kept"))
+    )
+    return light.unionByName(ranked)
+
+
+def domain_mix_report(
+    df: DataFrame, url_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Per-domain corpus-mix report around the cap: for every
+    registrable domain, the doc count before/after capping and each
+    side's corpus share (6 dp) — the "what did the cap change about
+    the mix" readout a curation run ships with its snapshot. All
+    work happens on the per-domain table after one keyed aggregate.
+
+    Output: ``domain``, ``n_docs``, ``n_kept``, ``share_before``,
+    ``share_after``.
+    """
+    per_doc = domain_caps(df, url_col, id_col, cap)
+    agg = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+    totals = agg.agg(
+        F.sum("n_docs").alias("_tot"), F.sum("n_kept").alias("_tot_kept")
+    )
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "n_docs",
+        "n_kept",
+        F.round(F.col("n_docs") / F.col("_tot"), 6).alias("share_before"),
+        F.round(F.col("n_kept") / F.col("_tot_kept"), 6).alias(
+            "share_after"
+        ),
+    )

@@ -13,6 +13,8 @@ from isilon_hadoop_tools_spark.streaming.neardup import (
     minhash_stream_into_state,
     simhash_index_apply_batch,
     simhash_stream_into_state,
+    suffix_index_apply_batch,
+    suffix_stream_into_state,
     tagged_index_apply_batch,
     tagged_stream_into_state,
 )
@@ -41,6 +43,8 @@ __all__ = [
     "sessionize",
     "simhash_index_apply_batch",
     "simhash_stream_into_state",
+    "suffix_index_apply_batch",
+    "suffix_stream_into_state",
     "tagged_index_apply_batch",
     "tagged_stream_into_state",
     "view_purchase_interval_join",

@@ -567,3 +567,178 @@ def tagged_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+SFX_MEMBERS_SCHEMA = "id LONG"
+SFX_DOCS_SCHEMA = "id LONG, text STRING"
+SFX_GRAMS_SCHEMA = "id LONG, pos LONG, gh LONG"
+SFX_SPANS_SCHEMA = (
+    "id LONG, start_tok LONG, end_tok LONG, span_len LONG,"
+    " max_dup_len LONG, n_positions LONG"
+)
+
+
+def suffix_index_apply_batch(
+    docs: DataFrame,
+    state: ParquetState,
+    min_len: int = 10,
+    max_match_len: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold one micro-batch of documents into the EXACT-substring
+    (suffix) dedup index — the streaming twin of the batch
+    ``suffix_dup_spans`` (L29d), completing the continuous-crawl
+    story for the last dedup family that only had a batch form.
+
+    State tables:
+
+    - ``sfx_members`` (id): seen docs — the replay no-op anti-join.
+    - ``sfx_docs`` (id, text): the corpus store recomputes read from
+      (a real deployment points this at the lakehouse table).
+    - ``sfx_grams`` (id, pos, gh): ALL candidate-gram postings —
+      which (doc, pos) carry which ``min_len``-gram fingerprint.
+    - ``sfx_spans``: the current exact spans per doc (the batch
+      operator's answer over everything seen so far).
+
+    Per batch, spans recompute ONLY for TOUCHED documents, exactly:
+
+    1. touched grams = the batch's grams whose corpus-wide count is
+       now >= 2 (counted only for the batch's gh values — O(batch)
+       index probes, never a full postings scan);
+    2. touched docs = every doc holding a touched gram. A new
+       partner for any position p shares p's leading gram, so a
+       doc with NO touched gram cannot have changed dup_lens — its
+       stored spans stay exact;
+    3. the recompute candidate set = every position (ANY doc) whose
+       gram is a duplicated gram OF A TOUCHED DOC — partner-closed
+       for touched docs' positions (a max-LCP partner shares the
+       position's leading gram, which is a duplicated touched-doc
+       gram), so ``_suffix_spans_from``'s subset adjacency is exact
+       for them; untouched partner docs contribute suffixes but
+       their own (possibly subset-underestimated) spans are NOT
+       emitted;
+    4. spans for touched docs are swapped in; untouched rows carry
+       over.
+
+    Crash/replay discipline (the family contract): write order is
+    spans (swap) -> gram postings (append, anti-joined so a partial
+    append replays to exactly the missing rows — duplicate posting
+    rows would corrupt the >= 2 counts) -> docs (append, anti-joined)
+    -> members (append, the commit point). A replayed batch anti-joins
+    to empty and is a no-op.
+    """
+    from isilon_hadoop_tools_spark.functions.text import tokens
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        _suffix_grams,
+        _suffix_spans_from,
+    )
+
+    batch = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    members = state.read("sfx_members", SFX_MEMBERS_SCHEMA)
+    new_docs = batch.join(members, "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    if not new_docs.take(1):
+        return  # replayed or empty batch
+    _toks_new, grams_new = _suffix_grams(new_docs, "text", "id", min_len)
+    grams_new = grams_new.localCheckpoint(eager=True)
+    # a crash AFTER the postings/docs appends but BEFORE the members
+    # append replays this batch with its rows partially persisted:
+    # excluding the replaying ids from the "old" side (an O(batch)
+    # anti-join) and recomputing them fresh prevents double-counted
+    # gram occurrences (which would fabricate duplicates) and
+    # double-unioned texts; the storage appends below anti-join too,
+    # so the tables themselves stay duplicate-free
+    new_ids = new_docs.select("id")
+    postings_raw = state.read("sfx_grams", SFX_GRAMS_SCHEMA)
+    docs_raw = state.read("sfx_docs", SFX_DOCS_SCHEMA)
+    postings = postings_raw.join(new_ids, "id", "left_anti")
+    old_docs = docs_raw.join(new_ids, "id", "left_anti")
+    all_grams = postings.unionByName(grams_new).localCheckpoint(eager=False)
+    touched_gh = grams_new.select("gh").distinct()
+    dup_touched = (
+        all_grams.join(touched_gh, "gh")
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gh")
+    )
+    touched_docs = (
+        all_grams.join(dup_touched, "gh")
+        .select("id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tg = all_grams.join(touched_docs, "id", "left_semi").select("gh").distinct()
+    relevant = (
+        all_grams.join(tg, "gh")
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gh")
+    )
+    cands = all_grams.join(relevant, "gh", "left_semi").select("id", "pos")
+    all_texts = old_docs.unionByName(new_docs)
+    toks = (
+        all_texts.join(cands.select("id").distinct(), "id", "left_semi")
+        .select("id", tokens("text").alias("_arr"))
+        .localCheckpoint(eager=False)
+    )
+    spans_new = _suffix_spans_from(cands, toks, min_len, max_match_len).join(
+        touched_docs, "id", "left_semi"
+    )
+    current = state.read("sfx_spans", SFX_SPANS_SCHEMA)
+    merged = current.join(touched_docs, "id", "left_anti").unionByName(
+        spans_new.select(
+            "id", "start_tok", "end_tok", "span_len",
+            "max_dup_len", "n_positions",
+        )
+    )
+    state.write("sfx_spans", merged)
+    # appends anti-join the RAW reads (not the replay-cleaned views)
+    # so a partially-appended prior attempt re-adds only missing rows
+    state.append(
+        "sfx_grams",
+        grams_new.join(postings_raw, ["id", "pos", "gh"], "left_anti"),
+    )
+    state.append(
+        "sfx_docs", new_docs.join(docs_raw.select("id"), "id", "left_anti")
+    )
+    state.append("sfx_members", new_docs.select("id"))
+
+
+def suffix_stream_into_state(
+    docs: DataFrame,
+    state: ParquetState,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+    max_match_len: int = 256,
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a document stream through
+    :func:`suffix_index_apply_batch` via ``foreachBatch`` with
+    ``trigger(availableNow)`` — replay-proof with or without a
+    checkpoint, the streaming twin of the batch exact-substring
+    dedup."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        suffix_index_apply_batch(
+            batch,
+            state,
+            min_len=min_len,
+            max_match_len=max_match_len,
+            text_col=text_col,
+            id_col=id_col,
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

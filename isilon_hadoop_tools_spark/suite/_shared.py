@@ -3139,6 +3139,10 @@ _CANONICAL_ORDER = [
     "doc_lm_perplexity",
     "corpus_decontaminate_neardup",
     "events_mann_whitney",
+    "doc_url_canonicalize",
+    "corpus_domain_caps",
+    "suffix_index_stream",
+    "corpus_decontaminate_spans",
 ]
 
 

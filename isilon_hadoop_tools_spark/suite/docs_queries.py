@@ -800,9 +800,7 @@ def doc_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_suffix_dup_spans",
-    oracle=f"""
+_SUFFIX_SPANS_ORACLE = f"""
     WITH arrs AS (
       SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS arr
       FROM documents
@@ -839,8 +837,10 @@ def doc_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(dup_len)::BIGINT AS max_dup_len,
            count(*)::BIGINT AS n_positions
     FROM isl2 GROUP BY id, island
-    """,
-)
+    """
+
+
+@query("doc_suffix_dup_spans", oracle=_SUFFIX_SPANS_ORACLE)
 def doc_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact variable-length duplicated-substring spans (L29d; the
     suffix-array method of Lee et al. 2022 that `doc_dup_spans`
@@ -1871,9 +1871,11 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-trained add-one-smoothed bigram LM, bucketed into CCNet's
     head/middle/tail TERCILES by exact global rank (two-phase row
     numbering, (bits, id) ties). Per-bigram terms pre-rounded to 9
-    decimals (the surprisal determinism convention); count tables
-    are vocabulary-bounded broadcasts; short docs surface as
-    bucket='short' instead of vanishing."""
+    decimals (the surprisal determinism convention); the count-table
+    joins carry NO broadcast hint (distinct bigrams are corpus-scale
+    on web text — AQE picks the strategy; only the 1-row V aggregate
+    broadcasts); short docs surface as bucket='short' instead of
+    vanishing."""
     from isilon_hadoop_tools_spark.operators.corpus import (
         lm_perplexity_buckets,
     )
@@ -1918,4 +1920,317 @@ def corpus_decontaminate_neardup(
     return decontaminate_neardup(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         F.pmod(F.col("doc_id"), F.lit(97)) == 0,
+    )
+
+
+def _url_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc URL fixture (the testdata has no URL
+    column — the synthesis pattern of `doc_redact_pii`): mixed-case
+    scheme/host, userinfo, default and non-default ports, empty
+    paths, tracking params, IDN punycode, IPv4 hosts, two-level
+    ccTLD suffixes, and fragments, all derived from doc_id so the
+    DuckDB oracle rebuilds the identical corpus."""
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 4 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(
+            i % 9 == 0,
+            F.concat(F.lit("u"), (i % 5).cast("string"), F.lit(":pw@")),
+        ).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("WWW.Example.COM"))
+        .when(i % 7 == 1, F.lit("news.example.co.uk"))
+        .when(i % 7 == 2, F.lit("Sub.Blog.Example.org"))
+        .when(
+            i % 7 == 3,
+            F.concat(F.lit("192.168.1."), (i % 200).cast("string")),
+        )
+        .when(i % 7 == 4, F.lit("xn--bcher-kva.example"))
+        .when(
+            i % 7 == 5,
+            F.concat(
+                F.lit("cdn"), (i % 5).cast("string"),
+                F.lit(".static.example.net"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("example"), (i % 3).cast("string"),
+                     F.lit(".com.au"))
+        ),
+        F.when(
+            i % 5 == 0,
+            F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(i % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Articles/item"), (i % 50).cast("string"))
+        ),
+        F.when(i % 6 == 5, F.lit("?utm_source=feed&gclid=Abc123"))
+        .when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&b="), (i % 5).cast("string"),
+                F.lit("&a="), (i % 3).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            i % 2 == 1,
+            F.concat(F.lit("#sec-"), (i % 4).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_FIXTURE_SQL = """
+    urls AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        || '://'
+        || (CASE WHEN doc_id % 9 = 0
+                 THEN 'u' || (doc_id % 5)::VARCHAR || ':pw@' ELSE '' END)
+        || (CASE doc_id % 7
+             WHEN 0 THEN 'WWW.Example.COM'
+             WHEN 1 THEN 'news.example.co.uk'
+             WHEN 2 THEN 'Sub.Blog.Example.org'
+             WHEN 3 THEN '192.168.1.' || (doc_id % 200)::VARCHAR
+             WHEN 4 THEN 'xn--bcher-kva.example'
+             WHEN 5 THEN 'cdn' || (doc_id % 5)::VARCHAR
+                         || '.static.example.net'
+             ELSE 'example' || (doc_id % 3)::VARCHAR || '.com.au' END)
+        || (CASE WHEN doc_id % 5 = 0
+                 THEN (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE ':80' END)
+                 WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN ''
+                 ELSE '/Articles/item' || (doc_id % 50)::VARCHAR END)
+        || (CASE WHEN doc_id % 6 = 5 THEN '?utm_source=feed&gclid=Abc123'
+                 WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&b=' || (doc_id % 5)::VARCHAR
+                      || '&a=' || (doc_id % 3)::VARCHAR
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 1
+                 THEN '#sec-' || (doc_id % 4)::VARCHAR ELSE '' END)
+        AS url
+      FROM documents
+    )
+"""
+
+# DuckDB twin of operators/urls.py's canonical_url_expr /
+# registrable_domain_expr — same regexes, same tracking list, same
+# two-level-suffix heuristic (both sides import the shared constants)
+from isilon_hadoop_tools_spark.operators.urls import (  # noqa: E402
+    TRACKING_PARAM_RE as _TRACK_RE,
+    TWO_LEVEL_SUFFIXES as _TWO_LEVEL,
+)
+
+_TWO_LEVEL_IN = ", ".join(f"'{s}'" for s in _TWO_LEVEL)
+
+_URL_CANON_SQL = f"""
+    u1 AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+             regexp_replace(regexp_extract(url, '^([^#]*)', 1),
+                   '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+      FROM urls
+    ),
+    u2 AS (
+      SELECT *,
+             regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+                            '([^@]*)$', 1) AS hostport,
+             regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS path0,
+             regexp_extract(rest, '\\?(.*)$', 1) AS q
+      FROM u1
+    ),
+    u3 AS (
+      SELECT *,
+             lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+      FROM u2
+    ),
+    u4 AS (
+      SELECT *,
+             array_to_string(list_sort(list_filter(string_split(q, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{_TRACK_RE}'))),
+               '&') AS qc,
+             string_split(host, '.') AS labs
+      FROM u3
+    ),
+    canon AS (
+      SELECT doc_id, url, host,
+        scheme || '://' || host
+          || CASE WHEN port <> ''
+                   AND NOT ((scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443'))
+                  THEN ':' || port ELSE '' END
+          || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+          || CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canon_url,
+        CASE WHEN regexp_matches(host,
+                    '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
+                  OR len(labs) <= 2 THEN host
+             WHEN array_to_string(labs[-2:], '.') IN ({_TWO_LEVEL_IN})
+                  THEN array_to_string(labs[-3:], '.')
+             ELSE array_to_string(labs[-2:], '.') END AS domain
+      FROM u4
+    )
+"""
+
+
+@query(
+    "doc_url_canonicalize",
+    oracle=f"""
+    WITH {_URL_FIXTURE_SQL}, {_URL_CANON_SQL}
+    SELECT doc_id AS id, url, canon_url, host, domain FROM canon
+    """,
+)
+def doc_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (L63 — the hygiene pass every web-corpus
+    pipeline runs before URL-level dedup): lowercase scheme/host,
+    strip userinfo / default ports / fragments / tracking params,
+    normalize empty paths, sort surviving query params; plus the
+    registrable-domain (eTLD+1) readout under the documented
+    two-level-suffix heuristic. Pure regexp/array column algebra —
+    scan-bound at 100 TB, no shuffle, no UDF. The oracle rebuilds
+    the identical URL corpus and canonicalization in SQL from the
+    SAME shared regex/suffix constants."""
+    from isilon_hadoop_tools_spark.operators.urls import url_canonicalize
+
+    urls = _url_fixture(_t(spark, sf_dir, "documents"))
+    return url_canonicalize(urls, "url", "doc_id")
+
+
+@query(
+    "corpus_domain_caps",
+    oracle=f"""
+    WITH {_URL_FIXTURE_SQL}, {_URL_CANON_SQL},
+    ranked AS (
+      SELECT doc_id AS id, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      FROM canon
+    ),
+    agg AS (
+      SELECT domain, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      FROM ranked GROUP BY domain
+    )
+    SELECT domain, n_docs, n_kept,
+           round(n_docs::DOUBLE / (SELECT sum(n_docs) FROM agg), 6)
+             AS share_before,
+           round(n_kept::DOUBLE / (SELECT sum(n_kept) FROM agg), 6)
+             AS share_after
+    FROM agg
+    """,
+)
+def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain frequency caps + domain-mix report
+    (L64 — the FineWeb per-domain discipline): keep at most 20 docs
+    per domain (lowest ids — deterministic), report each domain's
+    doc count and corpus share before/after the cap. Scale shape:
+    ONE domain-keyed aggregate splits the corpus; only ABOVE-cap
+    domains' rows enter the rank window (the long tail of small
+    domains — most of a web corpus — bypasses it)."""
+    from isilon_hadoop_tools_spark.operators.urls import domain_mix_report
+
+    urls = _url_fixture(_t(spark, sf_dir, "documents"))
+    return domain_mix_report(urls, "url", "doc_id", cap=20)
+
+
+@query("suffix_index_stream", oracle=_SUFFIX_SPANS_ORACLE)
+def suffix_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-substring dedup maintenance (§2.9 x L29d): the
+    documents table arrives as three micro-batches; each batch's
+    grams probe the persisted duplicated-gram postings, spans
+    recompute EXACTLY and only for touched documents, and the spans
+    state is swapped. Drained twice without a checkpoint (replays
+    are no-ops) and the final spans state must hash-match the batch
+    `doc_suffix_dup_spans` brute-force oracle on the same corpus —
+    one missed cross-batch duplicate or a stale untouched-doc span
+    fails the value hash."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = f"{_SCRATCH}/suffix_index_stream_src_{tag}"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for i in range(3):
+        tmp = f"{stream_dir}.slice{i}"
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp)
+    state = _fresh_state(spark, "suffix_index_stream")
+    schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/b*.parquet")
+        )
+        streaming.suffix_stream_into_state(
+            stream, state, text_col="text", id_col="doc_id",
+            min_len=_DUP_SPAN_N,
+        )
+    from isilon_hadoop_tools_spark.streaming.neardup import SFX_SPANS_SCHEMA
+
+    return state.read("sfx_spans", SFX_SPANS_SCHEMA)
+
+
+@query(
+    "corpus_decontaminate_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, i - 1 AS pos, array_to_string(arr[i:i+2], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(arr) - 2)) AS u(i)
+    ),
+    eg AS (SELECT DISTINCT g FROM grams WHERE id % 97 = 0),
+    hits AS (
+      SELECT id, pos AS s, pos + 3 AS e
+      FROM grams JOIN eg USING (g) WHERE id % 97 <> 0
+    ),
+    isl AS (
+      SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                     PARTITION BY id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS nw
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT *, sum(nw) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT id, min(s)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok,
+           (max(e) - min(s))::BIGINT AS span_len,
+           count(*)::BIGINT AS n_grams
+    FROM isl2 GROUP BY id, island
+    """,
+)
+def corpus_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-level decontamination report (L25b): WHERE each
+    training doc overlaps the eval slice (doc_id % 97 == 0) — merged
+    maximal token spans of eval-shared 3-grams, not just a doc flag.
+    Eval grams broadcast; the corpus streams map-side; spans
+    island-merge per doc."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        decontaminate_spans,
+    )
+
+    return decontaminate_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        F.pmod(F.col("id"), F.lit(97)) == 0, n=3,
     )

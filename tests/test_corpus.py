@@ -1345,3 +1345,31 @@ def test_decontaminate_neardup_flags_paraphrased_leakage(spark):
     assert 1 in out  # paraphrase still shares bands
     assert 2 not in out  # unrelated
     assert 0 not in out and 3 not in out  # eval side never flagged
+
+
+def test_decontaminate_spans_merges_adjacent_hits(spark):
+    """Position-level decontamination: overlapping eval-shared grams
+    merge into ONE maximal span; clean docs and eval docs emit
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        decontaminate_spans,
+    )
+
+    rows = [
+        (0, "secret bench phrase here plus tail words"),          # eval
+        (1, "intro words secret bench phrase here ending"),
+        (2, "totally unrelated content with no overlap at all"),
+        (97, "another eval only row nothing shared"),             # eval
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["id"], r["start_tok"], r["end_tok"], r["span_len"], r["n_grams"])
+        for r in decontaminate_spans(
+            df, "text", "doc_id", F.pmod(F.col("id"), F.lit(97)) == 0, n=3
+        ).collect()
+    ]
+    # doc 1 hits grams at pos 2 ("secret bench phrase") and pos 3
+    # ("bench phrase here") -> one merged span [2, 6)
+    assert got == [(1, 2, 6, 4, 2)]

@@ -534,3 +534,160 @@ def test_tagged_index_stream_null_tag_dropped_not_fatal(spark, tmp_path):
             state,
             params,
         )
+
+
+# ---- streaming exact-substring (suffix) dedup index (L29d twin) ----
+
+# min_len=4 scenario exercising every maintenance path:
+# - doc 6 has a WITHIN-doc repeat from batch 1 (span exists early,
+#   doc never touched again -> its stored span must survive swaps)
+# - doc 1's spans GROW twice: batch 2 brings a 6-token partner
+#   (prefix dup), batch 3 an exact 12-token copy (doc 4)
+# - doc 2 has NO partner until batch 3 (doc 5) -> no span, then span
+# - docs 3 is never duplicated -> never any span
+_SFX_A10 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+_SFX_BATCHES = [
+    [(1, _SFX_A10 + " z1 z2"), (2, "m1 m2 m3 m4 m5 f1 f2"),
+     (6, "r1 r2 r3 r4 x r1 r2 r3 r4")],
+    [(3, "q1 q2 q3 q4 q5 q6 q7"), (7, "a1 a2 a3 a4 a5 a6 k1 k2")],
+    [(4, _SFX_A10 + " z1 z2"), (5, "m1 m2 m3 m4 m5 n1")],
+]
+
+
+def _sfx_batch_answer(spark, rows):
+    from isilon_hadoop_tools_spark.operators.corpus import suffix_dup_spans
+
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    return {
+        (r["id"], r["start_tok"], r["end_tok"]):
+            (r["span_len"], r["max_dup_len"], r["n_positions"])
+        for r in suffix_dup_spans(
+            df, "text", "doc_id", min_len=4
+        ).collect()
+    }
+
+
+def _sfx_state_spans(state):
+    from isilon_hadoop_tools_spark.streaming.neardup import SFX_SPANS_SCHEMA
+
+    return {
+        (r["id"], r["start_tok"], r["end_tok"]):
+            (r["span_len"], r["max_dup_len"], r["n_positions"])
+        for r in state.read("sfx_spans", SFX_SPANS_SCHEMA).collect()
+    }
+
+
+def test_suffix_index_incremental_equals_batch_at_every_prefix(
+    spark, tmp_path
+):
+    """After every micro-batch, the spans state must equal the batch
+    suffix_dup_spans answer over the prefix corpus — including spans
+    of OLD docs growing when a longer partner arrives later, and
+    untouched docs' spans carrying over unchanged."""
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        suffix_index_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    seen = []
+    for rows in _SFX_BATCHES:
+        seen += rows
+        suffix_index_apply_batch(
+            spark.createDataFrame(rows, DOCS_SCHEMA), state, min_len=4
+        )
+        assert _sfx_state_spans(state) == _sfx_batch_answer(spark, seen)
+    # scenario sanity: doc 1's span really grew across batches and
+    # doc 6's within-doc span survived untouched
+    final = _sfx_state_spans(state)
+    assert (1, 0, 12) in final  # full 12-token dup with doc 4
+    # doc 6's within-doc repeat (two 4-token islands) from batch 1
+    assert (6, 0, 4) in final and (6, 5, 9) in final
+
+
+def test_suffix_index_replay_is_noop(spark, tmp_path):
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        suffix_index_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for _ in range(2):
+        for rows in _SFX_BATCHES:
+            suffix_index_apply_batch(
+                spark.createDataFrame(rows, DOCS_SCHEMA), state, min_len=4
+            )
+    all_rows = [r for b in _SFX_BATCHES for r in b]
+    assert _sfx_state_spans(state) == _sfx_batch_answer(spark, all_rows)
+    # members grew once per doc
+    assert state.read("sfx_members", "id LONG").count() == len(all_rows)
+    # gram postings hold each (id, pos) occurrence exactly once
+    g = state.read("sfx_grams", "id LONG, pos LONG, gh LONG")
+    assert g.count() == g.distinct().count()
+
+
+def test_suffix_index_partial_append_crash_replays_clean(spark, tmp_path):
+    """Crash simulation: batch 2 dies AFTER half its gram postings
+    (and one of its doc rows) were appended but BEFORE the members
+    append committed. The replay must not double-count the
+    partially-persisted rows (a double-counted single occurrence
+    would fabricate a duplicate) and must converge to the clean
+    two-batch state."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import _suffix_grams
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        suffix_index_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    suffix_index_apply_batch(
+        spark.createDataFrame(_SFX_BATCHES[0], DOCS_SCHEMA),
+        state,
+        min_len=4,
+    )
+    # simulate the crashed attempt's partial writes
+    b2 = spark.createDataFrame(_SFX_BATCHES[1], DOCS_SCHEMA).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    _, g2 = _suffix_grams(b2, "text", "id", 4)
+    state.append("sfx_grams", g2.filter(F.col("pos") % 2 == 0))
+    state.append("sfx_docs", b2.filter(F.col("id") == 7))
+    # replay the full batch through the normal path
+    suffix_index_apply_batch(
+        spark.createDataFrame(_SFX_BATCHES[1], DOCS_SCHEMA),
+        state,
+        min_len=4,
+    )
+    seen = _SFX_BATCHES[0] + _SFX_BATCHES[1]
+    assert _sfx_state_spans(state) == _sfx_batch_answer(spark, seen)
+    g = state.read("sfx_grams", "id LONG, pos LONG, gh LONG")
+    assert g.count() == g.distinct().count()
+    d = state.read("sfx_docs", "id LONG, text STRING")
+    assert d.count() == d.select("id").distinct().count()
+
+
+def test_suffix_stream_drain_twice_equals_batch(spark, tmp_path):
+    """End-to-end through readStream/foreachBatch: three file batches
+    drained twice without a checkpoint equal the batch answer."""
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        suffix_stream_into_state,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(_SFX_BATCHES):
+        _write_doc_batch(src, f"b{i}.parquet", rows)
+        os.utime(
+            os.path.join(src, f"b{i}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    state = ParquetState(spark, str(tmp_path / "state"))
+    schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "b*.parquet"))
+        )
+        suffix_stream_into_state(stream, state, min_len=4)
+    all_rows = [r for b in _SFX_BATCHES for r in b]
+    assert _sfx_state_spans(state) == _sfx_batch_answer(spark, all_rows)

@@ -1,0 +1,106 @@
+"""URL canonicalization + per-domain cap operators (SURVEY §2.12
+L63/L64)."""
+
+from __future__ import annotations
+
+from isilon_hadoop_tools_spark.operators.urls import (
+    domain_caps,
+    domain_mix_report,
+    url_canonicalize,
+)
+
+
+def _canon(spark, urls: list[str]) -> list[dict]:
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    return [
+        r.asDict()
+        for r in url_canonicalize(df, "url", "id").orderBy("id").collect()
+    ]
+
+
+def test_canonicalize_edge_cases(spark):
+    rows = _canon(
+        spark,
+        [
+            # scheme/host lowercased, path case preserved, default port
+            # stripped, fragment dropped
+            "HTTPS://WWW.Example.COM:443/Articles/Item1#frag",
+            # non-default port kept; userinfo stripped
+            "http://user:pw@example.org:8080/x",
+            # tracking params stripped, survivors sorted; empty pairs out
+            "http://example.com/p?utm_source=f&b=2&a=1&gclid=x&&utm_campaign=",
+            # ONLY tracking params -> no query at all
+            "http://example.com/p?utm_source=f&fbclid=1",
+            # empty path -> '/', default http port stripped
+            "http://Example.com:80",
+            # fragment containing '?' must not leak a query
+            "http://example.com/a#sec?notaquery=1",
+            # IDN punycode passes through (lowercased only)
+            "http://XN--BCHER-KVA.example/b",
+            # IPv4 host
+            "http://192.168.1.7:8080/x?z=1",
+        ],
+    )
+    assert rows[0]["canon_url"] == "https://www.example.com/Articles/Item1"
+    assert rows[1]["canon_url"] == "http://example.org:8080/x"
+    assert rows[1]["host"] == "example.org"
+    assert rows[2]["canon_url"] == "http://example.com/p?a=1&b=2"
+    assert rows[3]["canon_url"] == "http://example.com/p"
+    assert rows[4]["canon_url"] == "http://example.com/"
+    assert rows[5]["canon_url"] == "http://example.com/a"
+    assert rows[6]["canon_url"] == "http://xn--bcher-kva.example/b"
+    assert rows[7]["canon_url"] == "http://192.168.1.7:8080/x?z=1"
+
+
+def test_registrable_domain_heuristic(spark):
+    rows = _canon(
+        spark,
+        [
+            "http://a.b.news.example.co.uk/",      # two-level suffix -> 3 labels
+            "http://sub.blog.example.org/",         # generic -> last 2
+            "http://example.com/",                  # already eTLD+1
+            "http://localhost/",                    # single label
+            "http://192.168.1.250/",                # IPv4 passes whole
+            "http://shop.example.com.au/",          # com.au
+            "http://xn--bcher-kva.example/",        # 2 labels -> whole
+        ],
+    )
+    assert [r["domain"] for r in rows] == [
+        "example.co.uk",
+        "example.org",
+        "example.com",
+        "localhost",
+        "192.168.1.250",
+        "example.com.au",
+        "xn--bcher-kva.example",
+    ]
+
+
+def test_domain_caps_keeps_lowest_ids_and_skips_small_domains(spark):
+    # domain A: 5 docs, cap 3 -> ids 0,1,2 kept; domain B: 2 docs (under
+    # cap -> bypasses the rank window entirely, all kept)
+    urls = [(i, "http://a.example.com/x") for i in range(5)] + [
+        (10, "http://b.example.org/y"),
+        (11, "http://b.example.org/z"),
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {
+        r["id"]: (r["domain"], r["kept"])
+        for r in domain_caps(df, "url", "id", cap=3).collect()
+    }
+    assert {i for i, (d, k) in got.items() if k} == {0, 1, 2, 10, 11}
+    assert got[3] == ("example.com", False)
+    assert got[4] == ("example.com", False)
+    assert got[10][0] == "example.org"
+
+    rep = {
+        r["domain"]: r
+        for r in domain_mix_report(df, "url", "id", cap=3).collect()
+    }
+    assert rep["example.com"]["n_docs"] == 5
+    assert rep["example.com"]["n_kept"] == 3
+    assert rep["example.org"]["n_kept"] == 2
+    assert abs(rep["example.com"]["share_before"] - 5 / 7) < 1e-9
+    assert abs(rep["example.com"]["share_after"] - 3 / 5) < 1e-9
