@@ -283,7 +283,10 @@ def _machine_state() -> dict:
                 cmd = (p / "cmdline").read_bytes().lower()
             except OSError:
                 continue
-            if b"java" in cmd and b"spark" in cmd:
+            # match the JVM main class, not loose substrings — a shell
+            # command that merely MENTIONS java+spark (e.g. a pgrep)
+            # must not count as a running Spark JVM
+            if b"org.apache.spark.deploy.sparksubmit" in cmd:
                 jvms += 1
     except OSError:
         jvms = -1

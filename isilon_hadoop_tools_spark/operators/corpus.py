@@ -409,6 +409,36 @@ def decontaminate_spans(
     )
 
 
+def decontaminate_cut(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_eval,
+    n: int = 3,
+) -> DataFrame:
+    """Contamination SURGERY — the RefinedWeb remove step applied to
+    :func:`decontaminate_spans`' report: cut the eval-overlapping
+    spans out of the TRAINING documents instead of dropping whole
+    docs (the standard trade when a long document shares one quoted
+    benchmark sentence). Eval rows are excluded from the output —
+    they are the benchmark, not training data.
+
+    ``is_eval`` is a boolean Column over the normalized ``id`` column
+    (as in :func:`decontaminate`). Output and accounting contract
+    identical to :func:`dup_span_cut`: ``id``, ``n_tokens``,
+    ``n_removed``, ``clean_text`` with ``n_removed +
+    tokens(clean_text) == n_tokens``; spans are disjoint (island-
+    merged) so the membership join matches each token at most once.
+    """
+    spans = decontaminate_spans(df, text_col, id_col, is_eval, n).select(
+        "id", "start_tok", "end_tok"
+    )
+    d = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return _cut_by_spans(d.filter(~is_eval), spans, "text", "id")
+
+
 def curation_funnel(
     df: DataFrame,
     text_col: str,

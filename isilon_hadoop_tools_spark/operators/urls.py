@@ -207,3 +207,30 @@ def domain_mix_report(
             "share_after"
         ),
     )
+
+
+def url_keep_one(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL-level exact dedup over CANONICAL urls — the pass the
+    canonicalizer exists for (CCNet dedups crawl snapshots by URL
+    before any content pass, so the same page fetched with different
+    tracking params / fragments / casing collapses): group by
+    ``canonical_url_expr``, keep the LOWEST id per group
+    (deterministic, replay-stable).
+
+    Output: ``id``, ``canon_url``, ``n_dups`` (group size), ``kept``.
+    One keyed aggregate with map-side partials plus the join back —
+    both shuffles on the canonical URL; at 100 TB AQE handles the
+    header-URL skew (the same mega-duplicated URL is one group)."""
+    d = df.select(
+        F.col(id_col).alias("id"),
+        canonical_url_expr(url_col).alias("canon_url"),
+    )
+    g = d.groupBy("canon_url").agg(
+        F.min("id").alias("_keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return d.join(g, "canon_url").select(
+        "id",
+        "canon_url",
+        "n_dups",
+        (F.col("id") == F.col("_keep_id")).alias("kept"),
+    )

@@ -3143,6 +3143,8 @@ _CANONICAL_ORDER = [
     "corpus_domain_caps",
     "suffix_index_stream",
     "corpus_decontaminate_spans",
+    "dedup_url_keep_one",
+    "corpus_decontaminate_cut",
 ]
 
 

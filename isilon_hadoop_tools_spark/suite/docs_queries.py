@@ -2234,3 +2234,138 @@ def corpus_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         F.pmod(F.col("id"), F.lit(97)) == 0, n=3,
     )
+
+
+def _url_dedup_fixture(docs: DataFrame) -> DataFrame:
+    """URL fixture for the keep-one dedup: the BASE url repeats with
+    period 24 over doc_id while tracking params and fragments carry
+    the full doc_id — every RAW url is distinct, every CANONICAL url
+    collapses to one of 24 groups. Case noise on scheme/host proves
+    the collapse goes through normalization, not string equality."""
+    i = F.col("doc_id")
+    j = i % 24
+    url = F.concat(
+        F.lit("http://Example"),
+        (j % 3).cast("string"),
+        F.lit(".COM/page"),
+        j.cast("string"),
+        F.lit("?utm_source=s"),
+        i.cast("string"),
+        F.lit("&gclid=g"),
+        i.cast("string"),
+        F.when(j % 2 == 1, F.lit("&x=1")).otherwise(F.lit("")),
+        F.lit("#f"),
+        i.cast("string"),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_DEDUP_FIXTURE_SQL = """
+    urls AS (
+      SELECT doc_id,
+        'http://Example' || ((doc_id % 24) % 3)::VARCHAR
+        || '.COM/page' || (doc_id % 24)::VARCHAR
+        || '?utm_source=s' || doc_id::VARCHAR
+        || '&gclid=g' || doc_id::VARCHAR
+        || (CASE WHEN (doc_id % 24) % 2 = 1 THEN '&x=1' ELSE '' END)
+        || '#f' || doc_id::VARCHAR AS url
+      FROM documents
+    )
+"""
+
+
+@query(
+    "dedup_url_keep_one",
+    oracle=f"""
+    WITH {_URL_DEDUP_FIXTURE_SQL}, {_URL_CANON_SQL},
+    g AS (
+      SELECT canon_url, min(doc_id) AS keep_id,
+             count(*)::BIGINT AS n_dups
+      FROM canon GROUP BY canon_url
+    )
+    SELECT c.doc_id AS id, c.canon_url, g.n_dups,
+           c.doc_id = g.keep_id AS kept
+    FROM canon c JOIN g USING (canon_url)
+    """,
+)
+def dedup_url_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup over CANONICAL urls (L63b — the CCNet
+    by-URL dedup the canonicalizer exists for): raw urls all differ
+    (unique tracking params + fragments), canonical urls collapse to
+    24 groups; keep the lowest id per group. One keyed aggregate +
+    join back, both on the canonical URL."""
+    from isilon_hadoop_tools_spark.operators.urls import url_keep_one
+
+    urls = _url_dedup_fixture(_t(spark, sf_dir, "documents"))
+    return url_keep_one(urls, "url", "doc_id")
+
+
+@query(
+    "corpus_decontaminate_cut",
+    oracle=r"""
+    WITH toks0 AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, i - 1 AS pos, array_to_string(arr[i:i+2], ' ') AS g
+      FROM toks0, unnest(generate_series(1, len(arr) - 2)) AS u(i)
+    ),
+    eg AS (SELECT DISTINCT g FROM grams WHERE id % 97 = 0),
+    hits AS (
+      SELECT id, pos AS s, pos + 3 AS e
+      FROM grams JOIN eg USING (g) WHERE id % 97 <> 0
+    ),
+    isl AS (
+      SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                     PARTITION BY id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS nw
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT *, sum(nw) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    merged AS (
+      SELECT id, min(s) AS st, max(e) AS en FROM isl2 GROUP BY id, island
+    ),
+    toks AS (
+      SELECT id, p1 - 1 AS pos, arr[p1] AS tok
+      FROM (SELECT id, arr, unnest(generate_series(1, len(arr))) AS p1
+            FROM toks0)
+    ),
+    marked AS (
+      SELECT t.id, t.pos, t.tok,
+             EXISTS(SELECT 1 FROM merged m
+                    WHERE m.id = t.id AND t.pos >= m.st AND t.pos < m.en)
+               AS removed
+      FROM toks t
+    ),
+    agg AS (
+      SELECT id, count(*) AS n_tokens,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed,
+             string_agg(CASE WHEN NOT removed THEN tok END, ' '
+                        ORDER BY pos) AS clean_text
+      FROM marked GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def corpus_decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination surgery (L25c — the RefinedWeb remove step on
+    L25b's report): cut the eval-overlapping 3-gram spans out of the
+    training docs; eval rows (doc_id % 97 == 0) excluded from the
+    output. Same exact-accounting contract as the dup-span cuts."""
+    from isilon_hadoop_tools_spark.operators.corpus import decontaminate_cut
+
+    return decontaminate_cut(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        F.pmod(F.col("id"), F.lit(97)) == 0, n=3,
+    )

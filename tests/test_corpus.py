@@ -1373,3 +1373,30 @@ def test_decontaminate_spans_merges_adjacent_hits(spark):
     # doc 1 hits grams at pos 2 ("secret bench phrase") and pos 3
     # ("bench phrase here") -> one merged span [2, 6)
     assert got == [(1, 2, 6, 4, 2)]
+
+
+def test_decontaminate_cut_accounting_and_eval_excluded(spark):
+    """The cut removes exactly the merged contaminated spans from
+    TRAINING docs (n_removed + tokens(clean_text) == n_tokens), eval
+    rows never appear in the output, clean docs pass through."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import decontaminate_cut
+
+    rows = [
+        (0, "secret bench phrase here plus tail words"),          # eval
+        (1, "intro words secret bench phrase here ending"),
+        (2, "totally unrelated content with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in decontaminate_cut(
+        df, "text", "doc_id", F.pmod(F.col("id"), F.lit(97)) == 0, n=3
+    ).collect()}
+    assert set(out) == {1, 2}  # eval doc 0 excluded
+    # doc 1's merged span [2, 6) cut: 'intro words ... ending' remains
+    assert out[1]["clean_text"] == "intro words ending"
+    assert out[1]["n_removed"] == 4
+    assert out[2]["n_removed"] == 0
+    for r in out.values():
+        n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert r["n_removed"] + n_clean == r["n_tokens"]

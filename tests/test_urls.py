@@ -104,3 +104,20 @@ def test_domain_caps_keeps_lowest_ids_and_skips_small_domains(spark):
     assert rep["example.org"]["n_kept"] == 2
     assert abs(rep["example.com"]["share_before"] - 5 / 7) < 1e-9
     assert abs(rep["example.com"]["share_after"] - 3 / 5) < 1e-9
+
+
+def test_url_keep_one_collapses_canonical_duplicates(spark):
+    from isilon_hadoop_tools_spark.operators.urls import url_keep_one
+
+    urls = [
+        (3, "http://Example.COM/a?utm_source=x&b=1#f3"),
+        (1, "https://irrelevant.org/other"),
+        (7, "http://example.com:80/a?b=1&gclid=z"),   # same canon as 3
+        (9, "HTTP://EXAMPLE.com/a?b=1"),              # same canon as 3
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {r["id"]: r for r in url_keep_one(df, "url", "id").collect()}
+    assert got[3]["canon_url"] == "http://example.com/a?b=1"
+    assert [got[i]["kept"] for i in (3, 7, 9)] == [True, False, False]
+    assert got[3]["n_dups"] == 3
+    assert got[1]["kept"] and got[1]["n_dups"] == 1
