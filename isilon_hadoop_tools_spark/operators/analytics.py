@@ -2184,3 +2184,149 @@ def mann_whitney_u(
             6,
         ).alias("auc"),
     )
+
+
+def chi_square_drift(
+    df: DataFrame,
+    value_col: str,
+    in_base,
+    in_cur,
+    breaks: list,
+) -> DataFrame:
+    """Two-sample chi-square homogeneity gate over FIXED value bands —
+    the classical-significance companion to :func:`psi_drift` (PSI is
+    an effect-size heuristic with conventional cutoffs; chi² is the
+    statistic a release gate can attach a p-value threshold to):
+    ``chi² = Σ_cells (O − E)² / E`` over the B×2 (band × cohort)
+    contingency table with ``E = row_total · col_total / N``;
+    ``dof = (B_used − 1) · (C_used − 1)`` where ``B_used`` counts
+    bands holding at least one observation and ``C_used`` the
+    non-empty cohorts (the standard empty-row/column reduction —
+    cells with ``E = 0`` contribute nothing).
+
+    Determinism: every O and total is an exact integer; each cell's E
+    and term evaluate in double through the SAME expression shape on
+    both engines, and the statistic rounds to 6 dp.
+
+    Shape (the :func:`psi_drift` discipline): ONE fact scan with
+    map-side partials onto the band table (empty bands dropped —
+    they carry no cells), totals as a 1-row broadcast crossJoin;
+    everything after is B-row work with B a literal constant.
+
+    Output (one row): ``n_base``, ``n_cur``, ``n_bands_used``,
+    ``dof``, ``chi2`` (6 dp).
+    """
+    band = band_index_expr(value_col, breaks).cast("int")
+    counts = (
+        df.select(
+            band.alias("band"),
+            in_base.cast("long").alias("_b"),
+            in_cur.cast("long").alias("_c"),
+        )
+        .groupBy("band")
+        .agg(F.sum("_b").alias("nb"), F.sum("_c").alias("nc"))
+        .filter((F.col("nb") + F.col("nc")) > 0)
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(
+        F.sum("nb").alias("tb"),
+        F.sum("nc").alias("tc"),
+        F.count(F.lit(1)).alias("bu"),
+    )
+    n = F.col("tb") + F.col("tc")
+    row = F.col("nb") + F.col("nc")
+    eb = row.cast("double") * F.col("tb") / n
+    ec = row.cast("double") * F.col("tc") / n
+
+    def term(o, e):
+        return F.when(
+            e > 0, (o.cast("double") - e) * (o.cast("double") - e) / e
+        ).otherwise(F.lit(0.0))
+
+    cells = counts.crossJoin(F.broadcast(tot)).select(
+        "tb",
+        "tc",
+        "bu",
+        (term(F.col("nb"), eb) + term(F.col("nc"), ec)).alias("_t"),
+    )
+    c_used = (
+        F.when(F.col("tb") > 0, F.lit(1)).otherwise(F.lit(0))
+        + F.when(F.col("tc") > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        cells.groupBy("tb", "tc", "bu")
+        .agg(F.round(F.sum("_t"), 6).alias("chi2"))
+        .select(
+            F.col("tb").alias("n_base"),
+            F.col("tc").alias("n_cur"),
+            F.col("bu").cast("long").alias("n_bands_used"),
+            (
+                (F.col("bu").cast("long") - 1)
+                * (c_used.cast("long") - 1)
+            ).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+def wilcoxon_signed_rank(df: DataFrame, diff_col) -> DataFrame:
+    """Exact Wilcoxon signed-rank test — the PAIRED companion to
+    :func:`mann_whitney_u` (same experiment family: MW compares two
+    independent cohorts, Wilcoxon compares paired before/after values
+    of the SAME units, e.g. per-user metrics across a release): zero
+    diffs drop (the standard reduction), |d| ranks use integer
+    tie-midranks, and everything deciding the statistic is exact —
+    with per-distinct-|d| counts ``(np, nt)`` and the cumulative
+    count ``prev`` of strictly-smaller |d|, ``2·midrank = 2·prev +
+    nt + 1`` so ``2·W⁺ = Σ np·(2·prev + nt + 1)`` is an exact
+    DECIMAL(38,0) integer. The readout adds the rank-biserial effect
+    size ``r = (W⁺ − W⁻)/T = (2·(2W⁺) − n(n+1))/(n(n+1))`` (6 dp).
+
+    Shape mirrors :func:`mann_whitney_u`: one scan with map-side
+    combine onto the distinct-|d| table, the cumulative ``prev`` via
+    the two-phase :func:`_ordered_cumsum` (never an unpartitioned
+    window), totals as a broadcast 1-row aggregate.
+
+    Output (one row; empty input → zero rows): ``n_pairs``,
+    ``w2_plus`` (= 2·W⁺, exact), ``rank_biserial`` (6 dp).
+    """
+    dcol = F.col(diff_col) if isinstance(diff_col, str) else diff_col
+    nz = df.select(dcol.alias("d")).filter(
+        F.col("d").isNotNull() & (F.col("d") != 0)
+    )
+    counts = (
+        nz.select(
+            F.abs(F.col("d")).alias("ad"),
+            (F.col("d") > 0).cast("long").alias("_p"),
+        )
+        .groupBy("ad")
+        .agg(F.sum("_p").alias("np"), F.count(F.lit(1)).alias("nt"))
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    totals = counts.agg(F.sum("nt").cast(dec).alias("n"))
+    cum = (
+        _ordered_cumsum(counts, "ad", ["nt"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "np",
+            "nt",
+            (F.col("_cum_nt") - F.col("nt")).cast(dec).alias("prev"),
+            "n",
+        )
+    )
+    w2 = F.sum(
+        F.col("np").cast(dec)
+        * (F.lit(2).cast(dec) * F.col("prev") + F.col("nt") + F.lit(1))
+    )
+    agg = cum.groupBy("n").agg(w2.alias("w2_plus"))
+    nn1 = F.col("n") * (F.col("n") + F.lit(1))
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("w2_plus").cast("long").alias("w2_plus"),
+        F.round(
+            (F.lit(2).cast(dec) * F.col("w2_plus") - nn1).cast("double")
+            / nn1.cast("double"),
+            6,
+        ).alias("rank_biserial"),
+    )

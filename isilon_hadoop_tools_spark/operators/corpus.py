@@ -2834,3 +2834,81 @@ def decontaminate_neardup(
             F.count(F.lit(1)).alias("n_band_hits"),
         )
     )
+
+
+def web_curation_pipeline(
+    df: DataFrame,
+    url_col: str,
+    text_col: str,
+    id_col: str,
+    cap: int,
+    is_eval,
+    n: int = 3,
+) -> DataFrame:
+    """WEB-corpus curation capstone — the URL-family sibling of
+    :func:`curation_pipeline` (which composes the quality/substring
+    family): canonical-URL keep-one dedup → per-registrable-domain
+    frequency cap on the URL-kept survivors → contamination span cut
+    of the final kept docs against the eval slice, one hash-checked
+    composition over the stages every web pipeline (CCNet → C4 →
+    RefinedWeb → FineWeb) runs in this order (URL identity first —
+    it's the cheapest signal — domain mixing second, leakage last).
+
+    ``is_eval`` is a boolean Column over the normalized ``id``; eval
+    rows are the benchmark and never appear in the output.
+
+    Output, one row per non-eval input doc: ``id``, ``domain``,
+    ``stage`` — ``'url_dup'`` (lost the canonical-URL keep-one),
+    ``'domain_cap'`` (URL-kept but over the domain cap), ``'kept'`` —
+    and ``n_removed`` (tokens cut by decontamination; 0 unless kept).
+
+    Scale shape = the composed operators' shapes: keep-one is one
+    keyed aggregate + join back, the cap ranks only above-cap
+    domains, the cut broadcasts eval grams; stages hand forward
+    id-lists (left-semi joins), never widened rows.
+    """
+    from isilon_hadoop_tools_spark.operators.urls import (
+        domain_caps,
+        host_expr,
+        registrable_domain_expr,
+        url_keep_one,
+    )
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("text"),
+    )
+    train = d.filter(~is_eval).localCheckpoint(eager=False)
+    ku = url_keep_one(train, "url", "id").select(
+        "id", F.col("kept").alias("_uk")
+    )
+    url_kept = ku.filter(F.col("_uk")).select("id")
+    survivors = train.join(url_kept, "id", "left_semi")
+    ck = domain_caps(survivors, "url", "id", cap).select(
+        "id", F.col("kept").alias("_ck")
+    )
+    kept_ids = ck.filter(F.col("_ck")).select("id")
+    decon_input = d.join(kept_ids, "id", "left_semi").unionByName(
+        d.filter(is_eval)
+    )
+    cut = decontaminate_cut(
+        decon_input.select("id", "text"), "text", "id", is_eval, n
+    ).select("id", "n_removed")
+    dom = train.select(
+        "id", registrable_domain_expr(host_expr("url")).alias("domain")
+    )
+    return (
+        dom.join(ku, "id", "left")
+        .join(ck, "id", "left")
+        .join(cut, "id", "left")
+        .select(
+            "id",
+            "domain",
+            F.when(~F.col("_uk"), F.lit("url_dup"))
+            .when(~F.coalesce(F.col("_ck"), F.lit(False)), F.lit("domain_cap"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -194,7 +194,10 @@ def domain_mix_report(
     agg = per_doc.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
-    )
+    # consumed twice (totals + the report join): pin the per-domain
+    # table or the whole cap plan (including its window) recomputes
+    # per consumer
+    ).localCheckpoint(eager=False)
     totals = agg.agg(
         F.sum("n_docs").alias("_tot"), F.sum("n_kept").alias("_tot_kept")
     )

@@ -3145,6 +3145,9 @@ _CANONICAL_ORDER = [
     "corpus_decontaminate_spans",
     "dedup_url_keep_one",
     "corpus_decontaminate_cut",
+    "events_chi_square_drift",
+    "doc_web_curation_pipeline",
+    "events_wilcoxon_signed_rank",
 ]
 
 

@@ -2369,3 +2369,90 @@ def corpus_decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         F.pmod(F.col("id"), F.lit(97)) == 0, n=3,
     )
+
+
+@query(
+    "doc_web_curation_pipeline",
+    oracle=f"""
+    WITH {_URL_DEDUP_FIXTURE_SQL}, {_URL_CANON_SQL},
+    train AS (
+      SELECT doc_id, canon_url, domain FROM canon WHERE doc_id % 97 <> 0
+    ),
+    g AS (
+      SELECT canon_url, min(doc_id) AS keep_id FROM train
+      GROUP BY canon_url
+    ),
+    uk AS (
+      SELECT t.doc_id, t.domain, t.doc_id = g.keep_id AS u_kept
+      FROM train t JOIN g USING (canon_url)
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY domain
+                                        ORDER BY doc_id) AS rk
+      FROM uk WHERE u_kept
+    ),
+    ck AS (SELECT doc_id, rk <= 5 AS c_kept FROM ranked),
+    kept AS (SELECT doc_id FROM ck WHERE c_kept),
+    toks0 AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents
+      WHERE doc_id % 97 = 0 OR doc_id IN (SELECT doc_id FROM kept)
+    ),
+    grams AS (
+      SELECT id, i - 1 AS pos, array_to_string(arr[i:i+2], ' ') AS gg
+      FROM toks0, unnest(generate_series(1, len(arr) - 2)) AS u(i)
+    ),
+    eg AS (SELECT DISTINCT gg FROM grams WHERE id % 97 = 0),
+    hits AS (
+      SELECT id, pos AS s, pos + 3 AS e
+      FROM grams JOIN eg USING (gg) WHERE id % 97 <> 0
+    ),
+    isl AS (
+      SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                     PARTITION BY id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS nw
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT *, sum(nw) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    merged AS (
+      SELECT id, min(s) AS st, max(e) AS en FROM isl2 GROUP BY id, island
+    ),
+    nrem AS (
+      SELECT id, sum(en - st)::BIGINT AS n_removed FROM merged GROUP BY id
+    )
+    SELECT u.doc_id AS id, u.domain,
+           CASE WHEN NOT u_kept THEN 'url_dup'
+                WHEN NOT coalesce(c_kept, FALSE) THEN 'domain_cap'
+                ELSE 'kept' END AS stage,
+           coalesce(n.n_removed, 0)::BIGINT AS n_removed
+    FROM uk u
+    LEFT JOIN ck ON ck.doc_id = u.doc_id
+    LEFT JOIN nrem n ON n.id = u.doc_id
+    """,
+)
+def doc_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEB-curation capstone (L65 — the URL-family sibling of the L60
+    quality capstone): canonical-URL keep-one dedup → per-domain cap
+    (5) on the survivors → contamination span cut of the kept docs
+    against the eval slice (doc_id % 97 == 0), one hash-checked
+    composition reporting every non-eval doc's fate (url_dup /
+    domain_cap / kept + tokens cut). The oracle recomputes all three
+    stages in SQL from the same shared URL constants and the
+    brute-force span machinery."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        web_curation_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = _url_dedup_fixture(docs).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    return web_curation_pipeline(
+        urls, "url", "text", "doc_id", cap=5,
+        is_eval=F.pmod(F.col("id"), F.lit(97)) == 0, n=3,
+    )

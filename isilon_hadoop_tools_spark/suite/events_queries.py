@@ -2699,3 +2699,116 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_base=F.col("ts") < boundary,
         in_cur=F.col("ts") >= boundary,
     )
+
+
+@query(
+    "events_chi_square_drift",
+    oracle="""
+    WITH banded AS (
+      SELECT CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1
+                  WHEN value < 150 THEN 2 WHEN value < 200 THEN 3
+                  WHEN value < 250 THEN 4 WHEN value < 300 THEN 5
+                  WHEN value < 350 THEN 6 WHEN value < 400 THEN 7
+                  WHEN value < 450 THEN 8 ELSE 9 END AS band,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS b,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS c
+      FROM events
+    ),
+    counts AS (
+      SELECT band, sum(b)::BIGINT AS nb, sum(c)::BIGINT AS nc
+      FROM banded GROUP BY band HAVING sum(b) + sum(c) > 0
+    ),
+    tot AS (SELECT sum(nb)::BIGINT AS tb, sum(nc)::BIGINT AS tc,
+                   count(*)::BIGINT AS bu FROM counts),
+    cells AS (
+      SELECT tb, tc, bu,
+             (CASE WHEN (nb + nc)::DOUBLE * tb / (tb + tc) > 0
+                   THEN (nb::DOUBLE - (nb + nc)::DOUBLE * tb / (tb + tc))
+                      * (nb::DOUBLE - (nb + nc)::DOUBLE * tb / (tb + tc))
+                      / ((nb + nc)::DOUBLE * tb / (tb + tc))
+                   ELSE 0 END
+            + CASE WHEN (nb + nc)::DOUBLE * tc / (tb + tc) > 0
+                   THEN (nc::DOUBLE - (nb + nc)::DOUBLE * tc / (tb + tc))
+                      * (nc::DOUBLE - (nb + nc)::DOUBLE * tc / (tb + tc))
+                      / ((nb + nc)::DOUBLE * tc / (tb + tc))
+                   ELSE 0 END) AS t
+      FROM counts, tot
+    )
+    SELECT tb AS n_base, tc AS n_cur, bu AS n_bands_used,
+           (bu - 1) * ((CASE WHEN tb > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN tc > 0 THEN 1 ELSE 0 END) - 1) AS dof,
+           round(sum(t), 6) AS chi2
+    FROM cells GROUP BY tb, tc, bu
+    """,
+)
+def events_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square homogeneity gate (EA29e) — the
+    classical-significance companion to `events_psi_drift` on the
+    SAME 10 fixed bands and cohort split, so the two gates read the
+    same drift through effect-size and significance lenses. One fact
+    scan; everything after runs on the band table."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        chi_square_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    return chi_square_drift(
+        ev,
+        "value",
+        in_base=F.col("ts") < boundary,
+        in_cur=F.col("ts") >= boundary,
+        breaks=[50, 100, 150, 200, 250, 300, 350, 400, 450],
+    )
+
+
+@query(
+    "events_wilcoxon_signed_rank",
+    oracle="""
+    WITH byuser AS (
+      SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+           - sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+             AS d
+      FROM events GROUP BY user_id
+    ),
+    nz AS (SELECT d FROM byuser WHERE d <> 0),
+    counts AS (
+      SELECT abs(d) AS ad,
+             sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS np,
+             count(*)::BIGINT AS nt
+      FROM nz GROUP BY abs(d)
+    ),
+    cum AS (
+      SELECT np, nt,
+             coalesce(sum(nt) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev,
+             (SELECT sum(nt) FROM counts) AS n
+      FROM counts
+    )
+    SELECT n::BIGINT AS n_pairs,
+           sum(np * (2 * prev + nt + 1))::BIGINT AS w2_plus,
+           round((2.0 * sum(np * (2 * prev + nt + 1)) - n * (n + 1))
+                 / (n * (n + 1)), 6) AS rank_biserial
+    FROM cum GROUP BY n
+    """,
+)
+def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wilcoxon signed-rank (EA29f) — the PAIRED drift/release
+    gate: per user, the event-count diff between the first and second
+    half of the month (integer-exact pairing, heavy midrank ties by
+    construction), zeros dropped, 2·W+ exact, rank-biserial effect at
+    6 dp. Same two-phase cumulative discipline as KS/Mann-Whitney."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        wilcoxon_signed_rank,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    diffs = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("ts") < boundary).cast("long"))
+            - F.sum((F.col("ts") >= boundary).cast("long"))
+        ).alias("d")
+    )
+    return wilcoxon_signed_rank(diffs, "d")

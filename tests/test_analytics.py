@@ -1198,3 +1198,56 @@ def test_mann_whitney_hand_example_and_identity(spark):
         shifted, "v", F.col("b") == 1, F.col("b") == 0
     ).head()
     assert s["u2_base"] == 0 and s["auc"] == 0.0
+
+
+def test_chi_square_drift_hand_computed(spark):
+    """2x2-band hand check: O = [[5,2],[5,6]], totals 10/8, N=18 ->
+    E = [[3.8889,3.1111],[6.1111,4.8889]], chi2 = 1.2346*(1/3.8889 +
+    1/3.1111 + 1/6.1111 + 1/4.8889) = 1.168831, dof 1; and a
+    one-cohort-empty degenerate gives chi2 0 with dof 0."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        chi_square_drift,
+    )
+
+    rows = [(float(v), "base") for v in [1, 2, 3, 4, 5, 11, 12, 13, 14, 15]]
+    rows += [(float(v), "cur") for v in [6, 7, 16, 17, 18, 19, 20, 21]]
+    df = spark.createDataFrame(rows, "value double, cohort string")
+    out = chi_square_drift(
+        df, "value", F.col("cohort") == "base", F.col("cohort") == "cur",
+        breaks=[10],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_base"], r["n_cur"], r["n_bands_used"], r["dof"]) == (
+        10, 8, 2, 1,
+    )
+    assert abs(r["chi2"] - 1.168831) < 1e-6
+
+    empty_cur = chi_square_drift(
+        df, "value", F.col("cohort").isin("base", "cur"),
+        F.lit(False), breaks=[10],
+    ).collect()[0]
+    assert empty_cur["dof"] == 0 and empty_cur["chi2"] == 0.0
+
+
+def test_wilcoxon_signed_rank_hand_computed(spark):
+    """diffs [1,-1,2,2,-3] (+ a dropped zero): |d| midranks 1.5/1.5,
+    3.5/3.5, 5 -> W+ = 1.5 + 3.5 + 3.5 = 8.5 -> 2W+ = 17; T = 15 ->
+    rank-biserial = (8.5 - 6.5)/15 = 0.133333."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        wilcoxon_signed_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (-1,), (2,), (2,), (-3,), (0,)], "d long"
+    )
+    out = wilcoxon_signed_rank(df, "d").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_pairs"], r["w2_plus"]) == (5, 17)
+    assert abs(r["rank_biserial"] - 0.133333) < 1e-6
+    # all-zero input: zero rows, not a crash
+    z = spark.createDataFrame([(0,), (0,)], "d long")
+    assert wilcoxon_signed_rank(z, "d").collect() == []

@@ -468,3 +468,52 @@ def test_lm_perplexity_bigram_join_not_forced_broadcast(spark):
         assert "BroadcastNestedLoopJoin" in plan  # the 1-row v_terms
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_url_canonicalize_scan_bound(spark):
+    """URL canonicalization is pure column algebra: ONE scan, ZERO
+    exchanges, no Python, no joins — anything else would mean the
+    'scan-bound at 100 TB' claim silently regressed."""
+    plan = _plan(spark, "doc_url_canonicalize")
+    assert _tree_scans(plan) == 1
+    assert plan.count("Exchange (") == 0
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_domain_caps_window_only_on_heavy_side(spark):
+    """The cap's rank window must sit behind the above-cap domain
+    filter: the under-cap (light) branch reaches the union with NO
+    Window node on its path. Asserted on the operator directly — the
+    suite query's mix report checkpoints the capped table (it is
+    consumed twice), which would hide the window from the final
+    plan. Structural proxy: exactly one Window in the whole plan,
+    and a Union is present (light ∪ ranked)."""
+    from isilon_hadoop_tools_spark.operators.urls import domain_caps
+
+    urls = spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet").selectExpr(
+        "doc_id",
+        "concat('http://h', cast(doc_id % 5 as string),"
+        " '.example.com/p') AS url",
+    )
+    out = domain_caps(urls, "url", "doc_id", cap=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Window (") == 1, plan
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chi_square_band_table_reused_not_rescanned(spark):
+    """The band-count table is checkpointed and consumed twice
+    (totals + cells): downstream of the checkpoint there must be NO
+    re-scan of the events parquet (single fact scan by construction)
+    and the 1-row totals must ride a broadcast crossJoin, never a
+    CartesianProduct."""
+    plan = _plan(spark, "events_chi_square_drift")
+    assert "Scan parquet" not in plan  # fact scanned once, pre-checkpoint
+    # tree nodes only ("name (id)"), not the detail-section headers
+    assert plan.count("Scan ExistingRDD (") == 2  # both consumers reuse it
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals crossJoin
+    assert "CartesianProduct" not in plan

@@ -102,8 +102,8 @@ def test_domain_caps_keeps_lowest_ids_and_skips_small_domains(spark):
     assert rep["example.com"]["n_docs"] == 5
     assert rep["example.com"]["n_kept"] == 3
     assert rep["example.org"]["n_kept"] == 2
-    assert abs(rep["example.com"]["share_before"] - 5 / 7) < 1e-9
-    assert abs(rep["example.com"]["share_after"] - 3 / 5) < 1e-9
+    assert abs(rep["example.com"]["share_before"] - 5 / 7) < 5e-7  # 6-dp rounded
+    assert abs(rep["example.com"]["share_after"] - 3 / 5) < 5e-7  # 6-dp rounded
 
 
 def test_url_keep_one_collapses_canonical_duplicates(spark):
@@ -121,3 +121,41 @@ def test_url_keep_one_collapses_canonical_duplicates(spark):
     assert [got[i]["kept"] for i in (3, 7, 9)] == [True, False, False]
     assert got[3]["n_dups"] == 3
     assert got[1]["kept"] and got[1]["n_dups"] == 1
+
+
+def test_web_curation_pipeline_stages(spark):
+    """Capstone composition: URL keep-one -> domain cap -> decon cut,
+    each stage's fate visible per doc."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        web_curation_pipeline,
+    )
+
+    rows = [
+        (0, "http://eval.example.net/e", "secret bench phrase here tail"),
+        (1, "http://A.example.com/x?utm_source=1", "clean words only here one"),
+        (2, "http://a.example.com/x", "another clean doc two"),
+        (3, "http://b.example.com/y", "intro secret bench phrase here end"),
+        (4, "http://c.example.com/z", "yet more clean text four"),
+        (5, "http://other.org/w", "totally separate domain text five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {
+        r["id"]: (r["domain"], r["stage"], r["n_removed"])
+        for r in web_curation_pipeline(
+            df, "url", "text", "doc_id", cap=2,
+            is_eval=F.col("id") == 0, n=3,
+        ).collect()
+    }
+    # docs 1/2 share canon http://a.example.com/x -> 1 kept, 2 url_dup;
+    # example.com survivors 1,3,4 -> cap 2 keeps 1,3; 4 domain_cap;
+    # doc 3 overlaps eval grams 'secret bench phrase'/'bench phrase
+    # here' -> merged span [1,5) -> 4 tokens cut; eval doc 0 absent
+    assert got == {
+        1: ("example.com", "kept", 0),
+        2: ("example.com", "url_dup", 0),
+        3: ("example.com", "kept", 4),
+        4: ("example.com", "domain_cap", 0),
+        5: ("other.org", "kept", 0),
+    }
