@@ -9,6 +9,8 @@ reference's idempotent sinks (S9) onto ``foreachBatch`` merges.
 """
 
 from isilon_hadoop_tools_spark.streaming.neardup import (
+    domain_caps_apply_batch,
+    domain_caps_stream_into_state,
     minhash_index_apply_batch,
     minhash_stream_into_state,
     simhash_index_apply_batch,
@@ -32,6 +34,8 @@ from isilon_hadoop_tools_spark.streaming.events import (
 
 __all__ = [
     "dedup_first_stream",
+    "domain_caps_apply_batch",
+    "domain_caps_stream_into_state",
     "dedup_within_watermark",
     "hourly_rollup_stream",
     "sliding_rollup_stream",

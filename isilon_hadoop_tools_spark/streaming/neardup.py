@@ -742,3 +742,116 @@ def suffix_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+DC_MEMBERS_SCHEMA = "id LONG"
+DC_DOCS_SCHEMA = "id LONG, domain STRING"
+DC_KEPT_SCHEMA = "id LONG, domain STRING, kept BOOLEAN"
+
+
+def domain_caps_apply_batch(
+    docs: DataFrame,
+    state: ParquetState,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold one micro-batch of documents into the per-domain
+    frequency-cap decision table — the streaming twin of the batch
+    ``urls.domain_caps`` (L64), keeping the BATCH semantics exactly:
+    kept = the lowest ``cap`` ids per registrable domain over
+    everything seen so far. That means a newly-arrived LOWER id can
+    displace a previously-kept doc — decisions for touched domains
+    are REPLACED per batch, not appended; downstream consumers read
+    the decision table as a snapshot (the deterministic-by-id cap is
+    what makes replays and backfills converge to one answer
+    regardless of arrival order).
+
+    Per batch, decisions recompute ONLY for TOUCHED domains (domains
+    present in the batch — untouched domains' counts and id sets are
+    unchanged, so their decisions are already exact); the recompute
+    itself is the batch operator's shape (under-cap domains bypass
+    the rank window).
+
+    State: ``dc_members`` (replay no-op anti-join), ``dc_docs``
+    (id, domain), ``dc_kept`` (the decision snapshot). Write order:
+    kept (swap) → docs (append, anti-joined) → members (append, the
+    commit point); reads exclude the replaying ids so a partial
+    append cannot double-count a document into its domain.
+    """
+    from isilon_hadoop_tools_spark.operators.urls import (
+        host_expr,
+        registrable_domain_expr,
+    )
+
+    batch = docs.select(
+        F.col(id_col).alias("id"),
+        registrable_domain_expr(host_expr(url_col)).alias("domain"),
+    )
+    members = state.read("dc_members", DC_MEMBERS_SCHEMA)
+    new_docs = batch.join(members, "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    if not new_docs.take(1):
+        return  # replayed or empty batch
+    new_ids = new_docs.select("id")
+    docs_raw = state.read("dc_docs", DC_DOCS_SCHEMA)
+    old_docs = docs_raw.join(new_ids, "id", "left_anti")
+    touched = new_docs.select("domain").distinct().localCheckpoint(
+        eager=True
+    )
+    cand = (
+        old_docs.join(touched, "domain", "left_semi")
+        .unionByName(new_docs)
+        .localCheckpoint(eager=False)
+    )
+    counts = cand.groupBy("domain").agg(F.count(F.lit(1)).alias("_n"))
+    heavy = counts.filter(F.col("_n") > cap).select("domain")
+    light = cand.join(heavy, "domain", "left_anti").select(
+        "id", "domain", F.lit(True).alias("kept")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("domain").orderBy("id")
+    ranked = (
+        cand.join(heavy, "domain", "left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .select("id", "domain", (F.col("_rk") <= cap).alias("kept"))
+    )
+    new_kept = light.unionByName(ranked)
+    current = state.read("dc_kept", DC_KEPT_SCHEMA)
+    merged = current.join(touched, "domain", "left_anti").unionByName(
+        new_kept
+    )
+    state.write("dc_kept", merged)
+    state.append(
+        "dc_docs", new_docs.join(docs_raw.select("id"), "id", "left_anti")
+    )
+    state.append("dc_members", new_ids)
+
+
+def domain_caps_stream_into_state(
+    docs: DataFrame,
+    state: ParquetState,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a document stream through
+    :func:`domain_caps_apply_batch` via ``foreachBatch`` with
+    ``trigger(availableNow)`` — replay-proof with or without a
+    checkpoint, the streaming twin of the batch per-domain cap."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        domain_caps_apply_batch(
+            batch, state, cap=cap, url_col=url_col, id_col=id_col
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -3148,6 +3148,7 @@ _CANONICAL_ORDER = [
     "events_chi_square_drift",
     "doc_web_curation_pipeline",
     "events_wilcoxon_signed_rank",
+    "domain_caps_index_stream",
 ]
 
 

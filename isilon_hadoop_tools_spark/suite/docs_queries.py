@@ -2456,3 +2456,60 @@ def doc_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls, "url", "text", "doc_id", cap=5,
         is_eval=F.pmod(F.col("id"), F.lit(97)) == 0, n=3,
     )
+
+
+@query(
+    "domain_caps_index_stream",
+    oracle=f"""
+    WITH {_URL_FIXTURE_SQL}, {_URL_CANON_SQL},
+    ranked AS (
+      SELECT doc_id AS id, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      FROM canon
+    )
+    SELECT id, domain, rk <= 20 AS kept FROM ranked
+    """,
+)
+def domain_caps_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-domain cap maintenance (§2.9 x L64): the URL
+    fixture arrives as three micro-batches keyed doc_id % 3 — so ids
+    arrive OUT of id order and later batches displace previously-kept
+    docs — decisions recompute only for touched domains, and the
+    drained-twice decision snapshot must hash-match the batch cap
+    semantics (lowest 20 ids per domain) over the whole corpus."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+
+    urls = _url_fixture(_t(spark, sf_dir, "documents"))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = f"{_SCRATCH}/domain_caps_stream_src_{tag}"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for i in range(3):
+        tmp = f"{stream_dir}.slice{i}"
+        urls.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp)
+    state = _fresh_state(spark, "domain_caps_index_stream")
+    schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/b*.parquet")
+        )
+        streaming.domain_caps_stream_into_state(
+            stream, state, cap=20, url_col="url", id_col="doc_id"
+        )
+    from isilon_hadoop_tools_spark.streaming.neardup import DC_KEPT_SCHEMA
+
+    return state.read("dc_kept", DC_KEPT_SCHEMA)

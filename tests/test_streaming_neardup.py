@@ -691,3 +691,81 @@ def test_suffix_stream_drain_twice_equals_batch(spark, tmp_path):
         suffix_stream_into_state(stream, state, min_len=4)
     all_rows = [r for b in _SFX_BATCHES for r in b]
     assert _sfx_state_spans(state) == _sfx_batch_answer(spark, all_rows)
+
+
+# ---- streaming per-domain frequency-cap maintenance (L64 twin) ----
+
+_DC_BATCHES = [
+    # domain a.example.com via hosts hA*, domain b.org via hB
+    [(10, "http://hA1.example.com/x"), (11, "http://hA2.example.com/y"),
+     (30, "http://hB.b.org/z")],
+    [(12, "http://hA3.example.com/x")],            # fills a's cap (3)
+    [(5, "http://hA4.example.com/q"),              # DISPLACES id 12
+     (31, "http://hB2.b.org/w")],
+]
+
+
+def _dc_state(state):
+    from isilon_hadoop_tools_spark.streaming.neardup import DC_KEPT_SCHEMA
+
+    return {
+        r["id"]: (r["domain"], r["kept"])
+        for r in state.read("dc_kept", DC_KEPT_SCHEMA).collect()
+    }
+
+
+def _dc_batch_answer(spark, rows, cap):
+    from isilon_hadoop_tools_spark.operators.urls import domain_caps
+
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    return {
+        r["id"]: (r["domain"], r["kept"])
+        for r in domain_caps(df, "url", "doc_id", cap).collect()
+    }
+
+
+def test_domain_caps_stream_displacement_and_prefix_equivalence(
+    spark, tmp_path
+):
+    """After every micro-batch the decision snapshot equals the batch
+    cap over the prefix — including a LATER-arriving lower id
+    displacing a previously-kept doc (the deterministic-by-id
+    semantics that make replays and backfills converge)."""
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        domain_caps_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    seen = []
+    for rows in _DC_BATCHES:
+        seen += rows
+        domain_caps_apply_batch(
+            spark.createDataFrame(rows, "doc_id LONG, url STRING"),
+            state,
+            cap=3,
+        )
+        assert _dc_state(state) == _dc_batch_answer(spark, seen, 3)
+    final = _dc_state(state)
+    assert final[12] == ("example.com", False)  # displaced by id 5
+    assert final[5] == ("example.com", True)
+    assert final[30] == ("b.org", True) and final[31] == ("b.org", True)
+
+
+def test_domain_caps_stream_replay_is_noop(spark, tmp_path):
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        domain_caps_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for _ in range(2):
+        for rows in _DC_BATCHES:
+            domain_caps_apply_batch(
+                spark.createDataFrame(rows, "doc_id LONG, url STRING"),
+                state,
+                cap=3,
+            )
+    all_rows = [r for b in _DC_BATCHES for r in b]
+    assert _dc_state(state) == _dc_batch_answer(spark, all_rows, 3)
+    assert state.read("dc_members", "id LONG").count() == len(all_rows)
+    d = state.read("dc_docs", "id LONG, domain STRING")
+    assert d.count() == d.select("id").distinct().count()
