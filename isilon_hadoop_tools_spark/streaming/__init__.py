@@ -19,6 +19,8 @@ from isilon_hadoop_tools_spark.streaming.neardup import (
     suffix_stream_into_state,
     tagged_index_apply_batch,
     tagged_stream_into_state,
+    url_keep_one_apply_batch,
+    url_keep_one_stream_into_state,
 )
 from isilon_hadoop_tools_spark.streaming.events import (
     dedup_first_stream,
@@ -51,5 +53,7 @@ __all__ = [
     "suffix_stream_into_state",
     "tagged_index_apply_batch",
     "tagged_stream_into_state",
+    "url_keep_one_apply_batch",
+    "url_keep_one_stream_into_state",
     "view_purchase_interval_join",
 ]

@@ -855,3 +855,93 @@ def domain_caps_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+UK_MEMBERS_SCHEMA = "id LONG"
+UK_DOCS_SCHEMA = "id LONG, canon_url STRING"
+UK_KEPT_SCHEMA = "id LONG, canon_url STRING, n_dups LONG, kept BOOLEAN"
+
+
+def url_keep_one_apply_batch(
+    docs: DataFrame,
+    state: ParquetState,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold one micro-batch into the canonical-URL keep-one decision
+    table — the streaming twin of ``urls.url_keep_one`` (L63b) with
+    the same BATCH semantics as the domain-cap maintainer: kept = the
+    lowest id per canonical-URL group over everything seen, so a
+    later-arriving lower id displaces the previous representative and
+    ``n_dups`` grows as the group does. Decisions recompute ONLY for
+    touched canonical groups (groups present in the batch); untouched
+    groups' snapshots are already exact.
+
+    State: ``uk_members`` / ``uk_docs`` / ``uk_kept``; write order
+    kept (swap) → docs (append, anti-joined) → members (commit
+    point); reads exclude the replaying ids.
+    """
+    from isilon_hadoop_tools_spark.operators.urls import canonical_url_expr
+
+    batch = docs.select(
+        F.col(id_col).alias("id"),
+        canonical_url_expr(url_col).alias("canon_url"),
+    )
+    members = state.read("uk_members", UK_MEMBERS_SCHEMA)
+    new_docs = batch.join(members, "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    if not new_docs.take(1):
+        return  # replayed or empty batch
+    new_ids = new_docs.select("id")
+    docs_raw = state.read("uk_docs", UK_DOCS_SCHEMA)
+    old_docs = docs_raw.join(new_ids, "id", "left_anti")
+    touched = new_docs.select("canon_url").distinct().localCheckpoint(
+        eager=True
+    )
+    cand = old_docs.join(touched, "canon_url", "left_semi").unionByName(
+        new_docs
+    )
+    g = cand.groupBy("canon_url").agg(
+        F.min("id").alias("_keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+    new_kept = cand.join(g, "canon_url").select(
+        "id",
+        "canon_url",
+        "n_dups",
+        (F.col("id") == F.col("_keep_id")).alias("kept"),
+    )
+    current = state.read("uk_kept", UK_KEPT_SCHEMA)
+    merged = current.join(touched, "canon_url", "left_anti").unionByName(
+        new_kept
+    )
+    state.write("uk_kept", merged)
+    state.append(
+        "uk_docs", new_docs.join(docs_raw.select("id"), "id", "left_anti")
+    )
+    state.append("uk_members", new_ids)
+
+
+def url_keep_one_stream_into_state(
+    docs: DataFrame,
+    state: ParquetState,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a document stream through
+    :func:`url_keep_one_apply_batch` via ``foreachBatch`` with
+    ``trigger(availableNow)``."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        url_keep_one_apply_batch(
+            batch, state, url_col=url_col, id_col=id_col
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

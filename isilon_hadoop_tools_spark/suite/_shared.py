@@ -3149,6 +3149,7 @@ _CANONICAL_ORDER = [
     "doc_web_curation_pipeline",
     "events_wilcoxon_signed_rank",
     "domain_caps_index_stream",
+    "url_keep_one_index_stream",
 ]
 
 

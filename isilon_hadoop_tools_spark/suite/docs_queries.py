@@ -2513,3 +2513,62 @@ def domain_caps_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark.streaming.neardup import DC_KEPT_SCHEMA
 
     return state.read("dc_kept", DC_KEPT_SCHEMA)
+
+
+@query(
+    "url_keep_one_index_stream",
+    oracle=f"""
+    WITH {_URL_DEDUP_FIXTURE_SQL}, {_URL_CANON_SQL},
+    g AS (
+      SELECT canon_url, min(doc_id) AS keep_id,
+             count(*)::BIGINT AS n_dups
+      FROM canon GROUP BY canon_url
+    )
+    SELECT c.doc_id AS id, c.canon_url, g.n_dups,
+           c.doc_id = g.keep_id AS kept
+    FROM canon c JOIN g USING (canon_url)
+    """,
+)
+def url_keep_one_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming canonical-URL keep-one maintenance (§2.9 x L63b):
+    the dedup-fixture URLs arrive as three micro-batches keyed
+    doc_id % 3 (out of id order — later batches displace previous
+    group representatives and grow n_dups); decisions recompute only
+    for touched canonical groups, and the drained-twice snapshot
+    must hash-match the batch keep-one oracle."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+
+    urls = _url_dedup_fixture(_t(spark, sf_dir, "documents"))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = f"{_SCRATCH}/url_keep_one_stream_src_{tag}"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for i in range(3):
+        tmp = f"{stream_dir}.slice{i}"
+        urls.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp)
+    state = _fresh_state(spark, "url_keep_one_index_stream")
+    schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/b*.parquet")
+        )
+        streaming.url_keep_one_stream_into_state(
+            stream, state, url_col="url", id_col="doc_id"
+        )
+    from isilon_hadoop_tools_spark.streaming.neardup import UK_KEPT_SCHEMA
+
+    return state.read("uk_kept", UK_KEPT_SCHEMA)

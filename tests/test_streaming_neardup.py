@@ -769,3 +769,47 @@ def test_domain_caps_stream_replay_is_noop(spark, tmp_path):
     assert state.read("dc_members", "id LONG").count() == len(all_rows)
     d = state.read("dc_docs", "id LONG, domain STRING")
     assert d.count() == d.select("id").distinct().count()
+
+
+def test_url_keep_one_stream_displacement_and_replay(spark, tmp_path):
+    """Keep-one maintenance: the canonical-group representative is
+    displaced by a later-arriving lower id, n_dups grows with the
+    group, replays are no-ops, and every prefix equals the batch
+    answer."""
+    from isilon_hadoop_tools_spark.operators.urls import url_keep_one
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        UK_KEPT_SCHEMA,
+        url_keep_one_apply_batch,
+    )
+
+    batches = [
+        [(10, "http://Example.com/a?utm_source=x"), (20, "http://b.org/z")],
+        [(12, "http://example.com/a")],       # same canon as 10
+        [(4, "http://EXAMPLE.com/a#frag")],   # displaces 10
+    ]
+    state = ParquetState(spark, str(tmp_path / "state"))
+    seen = []
+    for _ in range(2):  # second sweep replays everything: no-ops
+        for rows in batches:
+            if rows[0] not in seen:
+                seen += rows
+            url_keep_one_apply_batch(
+                spark.createDataFrame(rows, "doc_id LONG, url STRING"),
+                state,
+            )
+            want = {
+                r["id"]: (r["canon_url"], r["n_dups"], r["kept"])
+                for r in url_keep_one(
+                    spark.createDataFrame(seen, "doc_id LONG, url STRING"),
+                    "url",
+                    "doc_id",
+                ).collect()
+            }
+            got = {
+                r["id"]: (r["canon_url"], r["n_dups"], r["kept"])
+                for r in state.read("uk_kept", UK_KEPT_SCHEMA).collect()
+            }
+            assert got == want
+    assert got[4] == ("http://example.com/a", 3, True)
+    assert got[10] == ("http://example.com/a", 3, False)
+    assert got[20][2] is True

@@ -159,3 +159,76 @@ def test_web_curation_pipeline_stages(spark):
         4: ("example.com", "domain_cap", 0),
         5: ("other.org", "kept", 0),
     }
+
+
+def test_canonicalize_is_idempotent_on_randomized_urls(spark):
+    """canon(canon(u)) == canon(u): canonicalization must be a
+    projection (a second pass finds nothing left to normalize) over a
+    randomized component grid — schemes x hosts x userinfo x ports x
+    paths x tracking/real params x fragments. A non-idempotent canon
+    would mean URL-level dedup keys depend on how many times the
+    hygiene pass ran."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.urls import canonical_url_expr
+
+    rng = random.Random(7)
+    schemes = ["http", "HTTPS", "ftp"]
+    users = ["", "u:p@"]
+    hosts = ["Example.COM", "a.b.example.co.uk", "192.168.7.9",
+             "xn--bcher-kva.example", "localhost"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/A/b", "/x%20y"]
+    queries = ["", "?utm_source=t&b=2&a=1", "?z=9&gclid=x&z=1", "?utm_campaign="]
+    frags = ["", "#Sec?x=1"]
+    combos = list(itertools.product(schemes, users, hosts, ports, paths,
+                                    queries, frags))
+    rng.shuffle(combos)
+    urls = ["".join((s + "://", u, h, po, pa, q, f))
+            for s, u, h, po, pa, q, f in combos[:150]]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonical_url_expr("url").alias("c1")
+    ).select(
+        "c1", canonical_url_expr(F.col("c1")).alias("c2")
+    )
+    bad = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
+
+
+def test_domain_caps_property_matches_python_replay(spark):
+    """Random (id, domain) multisets: per domain, kept ids are exactly
+    the lowest min(n, cap) ids — the engine's light/heavy split must
+    be invisible in the result."""
+    import random
+
+    from isilon_hadoop_tools_spark.operators.urls import domain_caps
+
+    rng = random.Random(13)
+    rows = []
+    ids = rng.sample(range(10_000), 400)
+    for i in ids:
+        d = rng.randrange(12)
+        rows.append((i, f"http://h{d}.dom{d}.org/p"))
+    cap = 7
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: (r["domain"], r["kept"])
+        for r in domain_caps(df, "url", "id", cap).collect()
+    }
+    # recompute domain exactly as the operator defines it (last two
+    # labels of hN.domN.org -> domN.org)
+    bydom: dict = {}
+    for i, u in rows:
+        host = u.split("://")[1].split("/")[0]
+        dom = ".".join(host.split(".")[-2:])
+        bydom.setdefault(dom, []).append(i)
+    want = {}
+    for dom, ds in bydom.items():
+        keep = set(sorted(ds)[:cap])
+        for i in ds:
+            want[i] = (dom, i in keep)
+    assert got == want
