@@ -2330,3 +2330,80 @@ def wilcoxon_signed_rank(df: DataFrame, diff_col) -> DataFrame:
             6,
         ).alias("rank_biserial"),
     )
+
+
+def cvm_drift(
+    df: DataFrame,
+    value_col: str,
+    in_base,
+    in_cur,
+) -> DataFrame:
+    """Exact two-sample Cramér–von Mises drift gate — completes the
+    distribution-drift family (PSI = banded effect size, chi² =
+    banded significance, KS = sup ECDF gap, Mann-Whitney = rank
+    location, this = the INTEGRATED squared ECDF gap, sensitive to
+    many-small-differences drift a single-point sup can miss):
+
+        T = (tb·tc / N²) · Σ_k n_k · (F̂b(x_k) − F̂c(x_k))²
+
+    over the pooled distinct values ``x_k`` with pooled
+    multiplicities ``n_k`` — the tie-adjusted pooled-empirical form.
+    With integer cumulative counts, ``F̂b − F̂c`` at ``x_k`` equals
+    ``(cb·tc − cc·tb)/(tb·tc)``, so the whole numerator
+    ``Σ n_k·(cb·tc − cc·tb)²`` is ONE exact DECIMAL(38,0) integer
+    (bound: N ≲ 10⁷ keeps it inside 38 digits — pre-quantize beyond
+    that, the same advice as :func:`ks_drift` for continuous-unique
+    columns) and ``T = num / (N²·tb·tc)`` is a single 6-dp double
+    division with the identical expression shape on both engines.
+
+    Shape identical to :func:`ks_drift`: one fact scan with map-side
+    combine onto the V-row distinct-value table, cumulative counts
+    via the two-phase :func:`_ordered_cumsum` (never an unpartitioned
+    window), totals as a broadcast 1-row aggregate.
+
+    Output (one row): ``n_base``, ``n_cur``, ``cvm_stat`` (6 dp).
+    """
+    counts = (
+        df.select(
+            F.col(value_col).alias("v"),
+            in_base.cast("long").alias("_b"),
+            in_cur.cast("long").alias("_c"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.sum("_b").alias("nb"), F.sum("_c").alias("nc"))
+        # consumed twice (totals + cumulative ranks): pin the V-row
+        # table so the fact table is scanned once
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    totals = counts.agg(
+        F.sum("nb").cast(dec).alias("tb"),
+        F.sum("nc").cast(dec).alias("tc"),
+    )
+    cum = (
+        _ordered_cumsum(counts, "v", ["nb", "nc"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (F.col("nb") + F.col("nc")).cast(dec).alias("nk"),
+            F.col("_cum_nb").cast(dec).alias("cb"),
+            F.col("_cum_nc").cast(dec).alias("cc"),
+            "tb",
+            "tc",
+        )
+    )
+    d = F.col("cb") * F.col("tc") - F.col("cc") * F.col("tb")
+    agg = cum.groupBy("tb", "tc").agg(
+        F.sum(F.col("nk") * d * d).alias("num")
+    )
+    n = F.col("tb").cast("double") + F.col("tc").cast("double")
+    return agg.select(
+        F.col("tb").cast("long").alias("n_base"),
+        F.col("tc").cast("long").alias("n_cur"),
+        F.round(
+            F.col("num").cast("double")
+            / (n * n * F.col("tb").cast("double")
+               * F.col("tc").cast("double")),
+            6,
+        ).alias("cvm_stat"),
+    )

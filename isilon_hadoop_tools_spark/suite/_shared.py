@@ -3150,6 +3150,7 @@ _CANONICAL_ORDER = [
     "events_wilcoxon_signed_rank",
     "domain_caps_index_stream",
     "url_keep_one_index_stream",
+    "events_cvm_drift",
 ]
 
 

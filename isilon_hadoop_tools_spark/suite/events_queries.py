@@ -2812,3 +2812,50 @@ def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d")
     )
     return wilcoxon_signed_rank(diffs, "d")
+
+
+@query(
+    "events_cvm_drift",
+    oracle="""
+    WITH counts AS (
+      SELECT value AS v,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN 1 ELSE 0 END)::HUGEINT AS nb,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN 1 ELSE 0 END)::HUGEINT AS nc
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    cum AS (
+      SELECT nb + nc AS nk,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb,
+             sum(nc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cc,
+             sum(nb) OVER () AS tb,
+             sum(nc) OVER () AS tc
+      FROM counts
+    )
+    SELECT tb::BIGINT AS n_base, tc::BIGINT AS n_cur,
+           round(sum(nk * (cb * tc - cc * tb) * (cb * tc - cc * tb))::DOUBLE
+                 / ((tb::DOUBLE + tc::DOUBLE) * (tb::DOUBLE + tc::DOUBLE)
+                    * tb::DOUBLE * tc::DOUBLE), 6) AS cvm_stat
+    FROM cum GROUP BY tb, tc
+    """,
+)
+def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Cramér–von Mises gate (EA29g) — the
+    integrated-square companion to `events_ks_drift` on the same
+    cohort split: sensitive to drift spread across the whole
+    distribution where KS sees only the largest single gap. Integer-
+    exact DECIMAL(38,0) numerator; one 6-dp division; same two-phase
+    cumulative discipline."""
+    from isilon_hadoop_tools_spark.operators.analytics import cvm_drift
+
+    ev = _t(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    return cvm_drift(
+        ev,
+        "value",
+        in_base=F.col("ts") < boundary,
+        in_cur=F.col("ts") >= boundary,
+    )

@@ -1251,3 +1251,34 @@ def test_wilcoxon_signed_rank_hand_computed(spark):
     # all-zero input: zero rows, not a crash
     z = spark.createDataFrame([(0,), (0,)], "d long")
     assert wilcoxon_signed_rank(z, "d").collect() == []
+
+
+def test_cvm_drift_hand_computed(spark):
+    """base = [1,2], cur = [2,3]: pooled values (1,2,3) with D_k =
+    cb*tc - cc*tb = (2, 2, 0), n_k = (1, 2, 1) -> num = 4 + 8 + 0 =
+    12; T = 12 / (N^2 * tb * tc) = 12/(16*4) = 0.1875. And identical
+    cohorts -> T = 0."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import cvm_drift
+
+    df = spark.createDataFrame(
+        [(1.0, "b"), (2.0, "b"), (2.0, "c"), (3.0, "c")],
+        "value double, cohort string",
+    )
+    out = cvm_drift(
+        df, "value", F.col("cohort") == "b", F.col("cohort") == "c"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_base"], r["n_cur"]) == (2, 2)
+    assert abs(r["cvm_stat"] - 0.1875) < 1e-9
+
+    same = spark.createDataFrame(
+        [(v, c) for v in (1.0, 2.0, 5.0) for c in ("b", "c")],
+        "value double, cohort string",
+    )
+    z = cvm_drift(
+        same, "value", F.col("cohort") == "b", F.col("cohort") == "c"
+    ).collect()[0]
+    assert z["cvm_stat"] == 0.0
