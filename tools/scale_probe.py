@@ -318,6 +318,21 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_cvm(c: int) -> float:
+        # exact Cramér–von Mises (EA29g): same continuous-value
+        # stress on the integrated-square path
+        from isilon_hadoop_tools_spark.operators.analytics import cvm_drift
+
+        df = spark.range(1_000_000 * c).select(
+            F.pmod(F.col("id") * 2654435761, F.lit(2**31)).alias("v"),
+            (F.pmod(F.col("id"), F.lit(3)) == 0).alias("_b"),
+        )
+        t0 = time.perf_counter()
+        cvm_drift(
+            df, "v", F.col("_b"), ~F.col("_b")
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def run_kmeans(c: int) -> float:
         # k-means training + assignment (L28): k scales with corpus
         # (the SemDeDup rule) — flagged > 3 s in the bench rotation
@@ -351,6 +366,7 @@ def curvature() -> int:
         ("suffix_boilerplate_adversarial", run_suffix_boiler, 1),
         ("events_ks_drift", run_ks, 1),
         ("events_mann_whitney", run_mw, 1),
+        ("events_cvm_drift", run_cvm, 1),
     ):
         if only and name not in only:
             continue
