@@ -237,3 +237,49 @@ def url_keep_one(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
         "n_dups",
         (F.col("id") == F.col("_keep_id")).alias("kept"),
     )
+
+
+def domain_quality_report(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    quality_expr,
+    min_quality: float,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-registrable-domain QUALITY rollup — the FineWeb domain-level
+    discipline applied to content quality: web domains are curated as
+    UNITS (a spam domain's occasional good page still goes, because
+    the domain signal is more robust than any single-page score), so
+    aggregate a per-document quality score by registrable domain and
+    flag domains whose MEAN falls below the floor. Domains with fewer
+    than ``min_docs`` documents are never flagged (too thin to judge —
+    they fall through to per-document filters instead).
+
+    ``quality_expr`` is any per-row numeric Column over ``df``'s
+    columns (e.g. a stopword ratio, a classifier score) — the rollup
+    is score-agnostic so one operator serves every quality signal.
+
+    Shape: ONE domain-keyed aggregate with map-side partials; the
+    report is domain-cardinality-sized.
+
+    Output: ``domain``, ``n_docs``, ``mean_quality`` (6 dp),
+    ``flagged``.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        registrable_domain_expr(host_expr(url_col)).alias("domain"),
+        quality_expr.cast("double").alias("_q"),
+    )
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_q"), 6).alias("mean_quality"),
+    ).select(
+        "domain",
+        "n_docs",
+        "mean_quality",
+        (
+            (F.col("n_docs") >= min_docs)
+            & (F.col("mean_quality") < min_quality)
+        ).alias("flagged"),
+    )

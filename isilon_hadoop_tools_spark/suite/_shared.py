@@ -3151,6 +3151,7 @@ _CANONICAL_ORDER = [
     "domain_caps_index_stream",
     "url_keep_one_index_stream",
     "events_cvm_drift",
+    "corpus_domain_quality",
 ]
 
 

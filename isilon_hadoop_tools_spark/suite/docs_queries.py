@@ -2572,3 +2572,46 @@ def url_keep_one_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark.streaming.neardup import UK_KEPT_SCHEMA
 
     return state.read("uk_kept", UK_KEPT_SCHEMA)
+
+
+@query(
+    "corpus_domain_quality",
+    oracle=f"""
+    WITH {_URL_FIXTURE_SQL}, {_URL_CANON_SQL},
+    scored AS (
+      SELECT c.domain,
+             CASE WHEN length(regexp_split_to_array(trim(d.text), '\\s+')) = 0
+                  THEN 0.0
+                  ELSE length(list_filter(
+                         regexp_split_to_array(trim(d.text), '\\s+'),
+                         t -> t IN ({_STOPWORDS_SQL})))::DOUBLE
+                       / length(regexp_split_to_array(trim(d.text), '\\s+'))
+             END AS q
+      FROM canon c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT domain, count(*)::BIGINT AS n_docs,
+           round(avg(q), 6) AS mean_quality,
+           count(*) >= 3 AND round(avg(q), 6) < 0.05 AS flagged
+    FROM scored GROUP BY domain
+    """,
+)
+def corpus_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain QUALITY rollup (L64b — the FineWeb
+    domain-unit quality filter: domains are curated as units because
+    the domain signal is more robust than a single page's score):
+    mean stopword-ratio per domain, flagged when a domain with >= 3
+    docs falls below 0.05. One domain-keyed aggregate with map-side
+    partials; score-agnostic operator (any per-row quality Column
+    plugs in)."""
+    from isilon_hadoop_tools_spark.functions.text import stopword_ratio
+    from isilon_hadoop_tools_spark.operators.urls import (
+        domain_quality_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = _url_fixture(docs).join(docs.select("doc_id", "text"), "doc_id")
+    return domain_quality_report(
+        urls, "url", "doc_id",
+        quality_expr=stopword_ratio("text", _STOPWORDS),
+        min_quality=0.05, min_docs=3,
+    )

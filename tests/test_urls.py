@@ -232,3 +232,35 @@ def test_domain_caps_property_matches_python_replay(spark):
         for i in ds:
             want[i] = (dom, i in keep)
     assert got == want
+
+
+def test_domain_quality_report_flags_low_mean_domains(spark):
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.urls import (
+        domain_quality_report,
+    )
+
+    rows = [
+        # spam.org: 3 docs, mean quality 0.1 -> flagged
+        (1, "http://a.spam.org/x", 0.1),
+        (2, "http://b.spam.org/y", 0.1),
+        (3, "http://c.spam.org/z", 0.1),
+        # good.org: 3 docs, mean 0.6 -> kept
+        (4, "http://good.org/a", 0.5),
+        (5, "http://good.org/b", 0.6),
+        (6, "http://good.org/c", 0.7),
+        # thin.org: 2 low docs but < min_docs -> never flagged
+        (7, "http://thin.org/a", 0.0),
+        (8, "http://thin.org/b", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, q double")
+    got = {
+        r["domain"]: (r["n_docs"], r["mean_quality"], r["flagged"])
+        for r in domain_quality_report(
+            df, "url", "id", F.col("q"), min_quality=0.3, min_docs=3
+        ).collect()
+    }
+    assert got["spam.org"] == (3, 0.1, True)
+    assert got["good.org"] == (3, 0.6, False)
+    assert got["thin.org"] == (2, 0.0, False)
