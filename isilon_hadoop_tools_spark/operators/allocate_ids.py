@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
 
 def allocate_ids(
     names: DataFrame,
@@ -98,7 +100,7 @@ def allocate_ids_scalable(
     """
     spark = names.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        num_partitions = shuffle_partition_count(spark)
     distinct_names = names.select(name_col).distinct()
     parts = distinct_names.repartitionByRange(
         max(num_partitions, 1), name_col

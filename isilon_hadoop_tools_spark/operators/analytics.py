@@ -18,6 +18,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
 
 def sessionize(
     events: DataFrame,
@@ -1675,7 +1677,7 @@ def _ordered_cumsum(
 
     Adds ``_cum_<col>`` (long) for each of ``sum_cols``."""
     spark = df.sparkSession
-    npart = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    npart = max(2, shuffle_partition_count(spark))
     part = df.repartitionByRange(npart, key_col).sortWithinPartitions(
         key_col
     )

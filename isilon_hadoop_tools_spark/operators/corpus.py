@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
 from isilon_hadoop_tools_spark.functions.hashing import (
     fingerprint64,
     stable_hash32,
@@ -2243,7 +2245,7 @@ def _ordered_row_number(
     any partition-boundary sampling, so the output is deterministic
     even though ``repartitionByRange`` samples."""
     spark = df.sparkSession
-    npart = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    npart = max(2, shuffle_partition_count(spark))
     part = df.repartitionByRange(
         npart, key_col, *tie_cols
     ).sortWithinPartitions(key_col, *tie_cols)

@@ -47,6 +47,20 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _IPV4_RE = r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"
 
 
+def _host_of_hostport(hostport: Column) -> Column:
+    """Host part of an RFC 3986 authority's host[:port], handling
+    bracketed IPv6 literals (``[::1]``, ``[::1]:8080``): a ``[``
+    prefix means the host is the whole bracketed group (colons inside
+    are address bytes, not a port separator), otherwise everything
+    before the first ``:``. Without the bracket branch ``[::1]`` and
+    ``[::2]`` would both extract host ``[`` and falsely merge under
+    canonicalization (ADVICE r12)."""
+    return F.when(
+        hostport.startswith("["),
+        F.lower(F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)),
+    ).otherwise(F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)))
+
+
 def canonical_url_expr(url) -> Column:
     """Canonical form of a URL as ONE JVM-side expression:
 
@@ -73,7 +87,7 @@ def canonical_url_expr(url) -> Column:
     rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
     authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
     hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    host = _host_of_hostport(hostport)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     path0 = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
     path = F.when(path0 == "", F.lit("/")).otherwise(path0)
@@ -104,7 +118,7 @@ def host_expr(url) -> Column:
     rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
     authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
     hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
-    return F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    return _host_of_hostport(hostport)
 
 
 def registrable_domain_expr(host) -> Column:
@@ -119,7 +133,7 @@ def registrable_domain_expr(host) -> Column:
     last2 = F.array_join(F.slice(labels, -2, 2), ".")
     last3 = F.array_join(F.slice(labels, -3, 3), ".")
     return (
-        F.when(h.rlike(_IPV4_RE) | (n <= 2), h)
+        F.when(h.startswith("[") | h.rlike(_IPV4_RE) | (n <= 2), h)
         .when(last2.isin(*TWO_LEVEL_SUFFIXES), last3)
         .otherwise(last2)
     )
@@ -190,6 +204,11 @@ def domain_mix_report(
     Output: ``domain``, ``n_docs``, ``n_kept``, ``share_before``,
     ``share_after``.
     """
+    if cap < 1:
+        raise ValueError(
+            f"domain_mix_report requires cap >= 1 (got {cap}): with cap=0 "
+            "nothing is kept and the after-cap shares are undefined"
+        )
     per_doc = domain_caps(df, url_col, id_col, cap)
     agg = per_doc.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -206,9 +225,13 @@ def domain_mix_report(
         "n_docs",
         "n_kept",
         F.round(F.col("n_docs") / F.col("_tot"), 6).alias("share_before"),
-        F.round(F.col("n_kept") / F.col("_tot_kept"), 6).alias(
-            "share_after"
-        ),
+        # _tot_kept = 0 cannot happen with cap >= 1 on a non-empty
+        # corpus, but keep the share defined (0.0) rather than NULL
+        F.round(
+            F.when(F.col("_tot_kept") > 0, F.col("n_kept") / F.col("_tot_kept"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("share_after"),
     )
 
 

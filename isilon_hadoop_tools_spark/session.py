@@ -16,6 +16,20 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def shuffle_partition_count(spark: SparkSession, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating platforms
+    where the conf is the string ``"auto"`` (AQE auto-sizing, e.g.
+    Databricks): fall back to the cluster's default parallelism instead
+    of raising ValueError mid-query. Used by the two-phase
+    range-partitioned operators (`_ordered_cumsum`,
+    `_ordered_row_number`, ID allocation) that need an explicit
+    partition count for their driver-side offset pass."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (TypeError, ValueError):
+        return max(2, int(spark.sparkContext.defaultParallelism))
+
+
 def get_session(
     app_name: str = "isilon_hadoop_tools_spark",
     cpus: str | int | None = None,

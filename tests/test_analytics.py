@@ -1282,3 +1282,29 @@ def test_cvm_drift_hand_computed(spark):
         same, "value", F.col("cohort") == "b", F.col("cohort") == "c"
     ).collect()[0]
     assert z["cvm_stat"] == 0.0
+
+
+def test_shuffle_partition_count_tolerates_auto(spark):
+    # ADVICE r12: platforms with AQE auto-sizing set
+    # spark.sql.shuffle.partitions to the string 'auto'; the two-phase
+    # range operators must fall back instead of raising ValueError.
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    # OSS Spark rejects setting the conf to 'auto' live, so model the
+    # Databricks-style session with a stub exposing the same surface.
+    class _Conf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 8
+
+    class _Fake:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert shuffle_partition_count(_Fake()) == 8
+    # sane int confs still pass through verbatim
+    assert shuffle_partition_count(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

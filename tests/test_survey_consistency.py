@@ -194,3 +194,14 @@ def test_registration_order_is_fully_canonical():
     from isilon_hadoop_tools_spark.suite._shared import _CANONICAL_ORDER
 
     assert list(suite.REGISTRY) == list(_CANONICAL_ORDER)
+
+
+def test_survey_2_12_row_ids_unique():
+    # r12 VERDICT: the §2.12 table used `L16g` for two different rows
+    # (JPEG codec + audio fingerprint); the row id is how rounds refer
+    # to operators, so duplicates make the ledger ambiguous.
+    text = (REPO / "SURVEY.md").read_text()
+    sec = text.split("### 2.12")[1].split("## 3.")[0]
+    ids = re.findall(r"^\| ([A-Z][A-Za-z0-9]*) \|", sec, re.M)
+    dupes = {i for i in ids if ids.count(i) > 1}
+    assert not dupes, f"duplicate SURVEY §2.12 row ids: {sorted(dupes)}"

@@ -264,3 +264,40 @@ def test_domain_quality_report_flags_low_mean_domains(spark):
     assert got["spam.org"] == (3, 0.1, True)
     assert got["good.org"] == (3, 0.6, False)
     assert got["thin.org"] == (2, 0.0, False)
+
+
+def test_ipv6_bracketed_hosts_stay_distinct(spark):
+    # ADVICE r12: '[::1]' and '[::2]' must NOT both parse to host '['
+    # and falsely merge under url_keep_one / domain_caps.
+    rows = _canon(
+        spark,
+        [
+            "http://[::1]/x",
+            "http://[::2]/x",
+            "HTTP://[2001:DB8::1]:8080/y",
+            "http://[2001:db8::1]:80/y",   # non-default port for http? no: 80 IS default
+            "http://[::ffff:1.2.3.4]/z",
+        ],
+    )
+    assert rows[0]["host"] == "[::1]"
+    assert rows[1]["host"] == "[::2]"
+    assert rows[0]["canon_url"] == "http://[::1]/x"
+    assert rows[1]["canon_url"] == "http://[::2]/x"
+    assert rows[0]["canon_url"] != rows[1]["canon_url"]
+    # brackets keep the port separator unambiguous; non-default kept
+    assert rows[2]["canon_url"] == "http://[2001:db8::1]:8080/y"
+    # default port stripped even behind brackets
+    assert rows[3]["canon_url"] == "http://[2001:db8::1]/y"
+    # IPv4-mapped IPv6 contains dots: domain must stay the whole literal
+    assert rows[4]["domain"] == "[::ffff:1.2.3.4]"
+    assert rows[2]["domain"] == "[2001:db8::1]"
+
+
+def test_domain_mix_report_rejects_cap_zero(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x")], "id long, url string"
+    )
+    with _pytest.raises(ValueError, match="cap >= 1"):
+        domain_mix_report(df, "url", "id", 0)

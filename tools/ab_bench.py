@@ -110,8 +110,15 @@ def main() -> int:
         for n in both
         if ref_times[n] > 0
     }
-    geo = round(
-        math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
+    geo = (
+        round(
+            math.exp(
+                sum(math.log(r) for r in ratios.values()) / len(ratios)
+            ),
+            3,
+        )
+        if ratios
+        else None  # no comparable queries (empty shared set / 0s refs)
     )
     head_sum = round(sum(head_times[n] for n in both), 2)
     ref_sum = round(sum(ref_times[n] for n in both), 2)
