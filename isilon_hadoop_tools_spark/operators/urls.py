@@ -139,22 +139,163 @@ def registrable_domain_expr(host) -> Column:
     )
 
 
-def url_canonicalize(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+class PslRules:
+    """Parsed Public Suffix List rules, grouped by matched label count
+    for InSet evaluation: ``plain[k]`` / ``wild[k]`` / ``exc[k]`` are
+    frozensets of k-label suffix strings. Bounded driver state (the
+    full published PSL is ~10k rules — a few hundred KB), compiled
+    once into a single JVM-side when/InSet expression chain; no
+    broadcast join, no UDF, no shuffle."""
+
+    def __init__(
+        self,
+        plain: dict[int, frozenset[str]],
+        wild: dict[int, frozenset[str]],
+        exc: dict[int, frozenset[str]],
+    ) -> None:
+        self.plain = plain
+        self.wild = wild
+        self.exc = exc
+
+
+def parse_psl(lines) -> PslRules:
+    """Parse Public Suffix List file-format lines (one rule per line,
+    ``//`` comments, ``*.`` leftmost-wildcard rules, ``!`` exception
+    rules — publicsuffix.org/list semantics). Wildcards are stored by
+    the label count of their FIXED tail (``*.ck`` under k=1), since
+    that is the part matched by suffix equality."""
+    plain: dict[int, set[str]] = {}
+    wild: dict[int, set[str]] = {}
+    exc: dict[int, set[str]] = {}
+    for raw in lines:
+        rule = raw.strip().lower()
+        if not rule or rule.startswith("//"):
+            continue
+        if rule.startswith("!"):
+            tail = rule[1:]
+            exc.setdefault(tail.count(".") + 1, set()).add(tail)
+        elif rule.startswith("*."):
+            tail = rule[2:]
+            wild.setdefault(tail.count(".") + 1, set()).add(tail)
+        else:
+            plain.setdefault(rule.count(".") + 1, set()).add(rule)
+    return PslRules(
+        {k: frozenset(v) for k, v in plain.items()},
+        {k: frozenset(v) for k, v in wild.items()},
+        {k: frozenset(v) for k, v in exc.items()},
+    )
+
+
+def load_psl(path: str | None = None) -> PslRules:
+    """Load PSL rules from ``path`` (the published file format), or
+    the packaged pinned snapshot fixture when ``path`` is None.
+    Production: download the complete list once, pin it next to the
+    job, and pass its path — the parser and the expression compiler
+    are format-complete for the published file."""
+    import pathlib
+
+    if path is None:
+        path = str(
+            pathlib.Path(__file__).resolve().parent.parent
+            / "data"
+            / "public_suffix_snapshot.dat"
+        )
+    with open(path, encoding="utf-8") as fh:
+        return parse_psl(fh)
+
+
+def psl_match_plan(rules: PslRules) -> list[tuple[str, int, int]]:
+    """The rule-evaluation order shared by the Spark expression and
+    the DuckDB oracle generator: ``(kind, k, ps_len)`` tuples where
+    ``kind`` is 'exc'/'wild'/'plain', ``k`` is the suffix label count
+    matched by equality, and ``ps_len`` the public-suffix label count
+    when that branch wins. PSL precedence: exception rules first,
+    then most-labels-wins (a wildcard rule counts its ``*``, so
+    ``*.ck`` outranks plain ``ck``)."""
+    order: list[tuple[tuple[int, int], str, int, int]] = []
+    for k in rules.exc:
+        order.append(((1, k), "exc", k, k - 1))
+    for k in rules.wild:
+        order.append(((0, k + 1), "wild", k, k + 1))
+    for k in rules.plain:
+        order.append(((0, k), "plain", k, k))
+    order.sort(reverse=True)
+    return [(kind, k, ps) for _, kind, k, ps in order]
+
+
+def registrable_domain_psl_expr(host, rules: PslRules) -> Column:
+    """Registrable domain (eTLD+1) under full Public Suffix List
+    semantics — the production replacement for the
+    :data:`TWO_LEVEL_SUFFIXES` heuristic (r12 VERDICT #2: ``github.io``
+    / ``blogspot.*`` / wildcard+exception ccTLD registries mis-group
+    under any fixed two-level set).
+
+    Compiled as ONE when-chain over per-label-count InSet membership
+    tests (`last-k labels`.isin(rules)) ordered by PSL precedence; the
+    fallback is the list's implicit ``*`` rule (TLD itself public →
+    last two labels). Hosts that ARE a public suffix, IPv4 literals,
+    bracketed IPv6 and single labels pass through whole. Pure array
+    algebra + InSets — JVM-side, scan-bound, zero shuffle at 100 TB.
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+
+    def lastk(k: int) -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    out = F.when(h.startswith("[") | h.rlike(_IPV4_RE) | (n <= 1), h)
+    for kind, k, ps_len in psl_match_plan(rules):
+        vals = getattr(
+            rules, {"exc": "exc", "wild": "wild", "plain": "plain"}[kind]
+        )[k]
+        cond = lastk(k).isin(*sorted(vals))
+        if kind == "wild":
+            cond = cond & (n >= k + 1)
+        win = (
+            F.when(n > ps_len, lastk(ps_len + 1)).otherwise(h)
+            if ps_len >= 1
+            else h
+        )
+        out = out.when(cond, win)
+    return out.otherwise(F.when(n >= 2, lastk(2)).otherwise(h))
+
+
+def _domain_expr(host, psl: PslRules | None):
+    return (
+        registrable_domain_psl_expr(host, psl)
+        if psl is not None
+        else registrable_domain_expr(host)
+    )
+
+
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    psl: PslRules | None = None,
+) -> DataFrame:
     """Per-document URL canonicalization readout: ``id``, ``url``
-    (original), ``canon_url``, ``host``, ``domain`` (registrable).
-    One stateless projection — scan-bound at 100 TB, no shuffle."""
+    (original), ``canon_url``, ``host``, ``domain`` (registrable —
+    PSL longest-match when ``psl`` is given, else the two-level
+    heuristic). One stateless projection — scan-bound at 100 TB, no
+    shuffle."""
     host = host_expr(url_col)
     return df.select(
         F.col(id_col).alias("id"),
         F.col(url_col).alias("url"),
         canonical_url_expr(url_col).alias("canon_url"),
         host.alias("host"),
-        registrable_domain_expr(host).alias("domain"),
+        _domain_expr(host, psl).alias("domain"),
     )
 
 
 def domain_caps(
-    df: DataFrame, url_col: str, id_col: str, cap: int
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    cap: int,
+    psl: PslRules | None = None,
 ) -> DataFrame:
     """Per-registrable-domain frequency cap (the FineWeb per-domain
     discipline): keep at most ``cap`` documents per domain, keeping
@@ -176,7 +317,7 @@ def domain_caps(
     """
     d = df.select(
         F.col(id_col).alias("id"),
-        registrable_domain_expr(host_expr(url_col)).alias("domain"),
+        _domain_expr(host_expr(url_col), psl).alias("domain"),
     )
     counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("_n"))
     heavy = counts.filter(F.col("_n") > cap).select("domain")
@@ -193,7 +334,11 @@ def domain_caps(
 
 
 def domain_mix_report(
-    df: DataFrame, url_col: str, id_col: str, cap: int
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    cap: int,
+    psl: PslRules | None = None,
 ) -> DataFrame:
     """Per-domain corpus-mix report around the cap: for every
     registrable domain, the doc count before/after capping and each
@@ -209,7 +354,7 @@ def domain_mix_report(
             f"domain_mix_report requires cap >= 1 (got {cap}): with cap=0 "
             "nothing is kept and the after-cap shares are undefined"
         )
-    per_doc = domain_caps(df, url_col, id_col, cap)
+    per_doc = domain_caps(df, url_col, id_col, cap, psl=psl)
     agg = per_doc.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
@@ -269,6 +414,7 @@ def domain_quality_report(
     quality_expr,
     min_quality: float,
     min_docs: int = 1,
+    psl: PslRules | None = None,
 ) -> DataFrame:
     """Per-registrable-domain QUALITY rollup — the FineWeb domain-level
     discipline applied to content quality: web domains are curated as
@@ -291,7 +437,7 @@ def domain_quality_report(
     """
     d = df.select(
         F.col(id_col).alias("id"),
-        registrable_domain_expr(host_expr(url_col)).alias("domain"),
+        _domain_expr(host_expr(url_col), psl).alias("domain"),
         quality_expr.cast("double").alias("_q"),
     )
     return d.groupBy("domain").agg(

@@ -836,13 +836,96 @@ def _cos_dup_oracle(tables: int = 8, max_planes: int = 16, dim: int = 64) -> str
     """
 
 
-def _semantic_dedup_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _semantic_dedup_oracle(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    budget: int | None = None,
+    tables: int = 8,
+) -> str:
     """SemDeDup oracle: the corpus doubled with scale-1.1 copies, unit
     normalization, the hand-unrolled Lloyd chain over the quantized
     unit vectors, within-cluster rounded-cosine pairs, then a
     recursive transitive-closure min-label keep — every stage reusing
     an already-hash-matched SQL pattern (``_kmeans_cte_chain``,
-    ``dedup_embedding_cosine``'s cosine, ``dedup_keep_one``'s cc)."""
+    ``dedup_embedding_cosine``'s cosine, ``dedup_keep_one``'s cc).
+
+    ``budget`` mirrors the operator's ``max_cluster_rows``
+    mega-cluster bound (r13): clusters above the budget generate
+    candidates through within-cluster sign-LSH banding — the same
+    md5-derived plane constants as ``_cos_dup_oracle`` restricted to
+    heavy-cluster members, plane count occupancy-sized from the
+    LARGEST heavy cluster (``similarity.semantic_pair_planes``, clamp
+    [2, 24]) — while light clusters keep the exact all-pairs search.
+    ``budget=None`` keeps the unbudgeted within-cluster join."""
+    if budget is None:
+        pair_ctes = ""
+        pairs_cte = f"""
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM clustered a JOIN clustered b
+        ON a.list_id = b.list_id AND a.id < b.id
+      WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+            >= {_COS_DUP_THRESHOLD}
+    ),"""
+    else:
+        pair_ctes = f"""
+    sizes AS (
+      SELECT list_id, count(*) AS n_rows FROM clustered GROUP BY list_id
+    ),
+    heavy AS (SELECT list_id FROM sizes WHERE n_rows > {budget}),
+    params AS (
+      SELECT greatest(2, least(24, ceil(log2(
+               coalesce((SELECT max(n_rows) FROM sizes
+                         WHERE n_rows > {budget}), 1) / 16.0))))::INT
+               AS nplanes
+    ),
+    comp AS (
+      SELECT t.t AS table_id, p.p, j.j,
+             (('0x' || substr(md5(p.p || ':' || j.j || ':' || (7 + 1000 * t.t)),
+                              1, 8))::BIGINT / 2147483648.0 - 1.0) AS w
+      FROM (SELECT unnest(range(0, {tables})) AS t) t,
+           (SELECT unnest(range(0, 24)) AS p) p,
+           (SELECT unnest(range(0, {dim})) AS j) j
+      WHERE p.p < (SELECT nplanes FROM params)
+    ),
+    hmem AS (
+      SELECT c.id, c.list_id, c.v
+      FROM clustered c JOIN heavy h USING (list_id)
+    ),
+    hbuckets AS (
+      SELECT id, list_id, table_id,
+             sum(CASE WHEN dot >= 0 THEN pow(2, p)::BIGINT ELSE 0 END)::BIGINT
+               AS bucket
+      FROM (
+        SELECT m.id, m.list_id, comp.table_id, comp.p,
+               sum(m.v[comp.j + 1] * comp.w) AS dot
+        FROM hmem m CROSS JOIN comp
+        GROUP BY m.id, m.list_id, comp.table_id, comp.p
+      )
+      GROUP BY id, list_id, table_id
+    ),
+    hcand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM hbuckets a JOIN hbuckets b USING (list_id, table_id, bucket)
+      WHERE a.id < b.id
+    ),"""
+        pairs_cte = f"""
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM clustered a JOIN clustered b
+        ON a.list_id = b.list_id AND a.id < b.id
+      WHERE a.list_id NOT IN (SELECT list_id FROM heavy)
+        AND round(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+            >= {_COS_DUP_THRESHOLD}
+      UNION ALL
+      SELECT hc.id_a, hc.id_b
+      FROM hcand hc
+      JOIN clustered va ON va.id = hc.id_a
+      JOIN clustered vb ON vb.id = hc.id_b
+      WHERE round(list_dot_product(va.v, vb.v) / (va.n * vb.n), 6)
+            >= {_COS_DUP_THRESHOLD}
+    ),"""
     return f"""
     WITH RECURSIVE corpus AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -866,14 +949,7 @@ def _semantic_dedup_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
       SELECT a.vec_id AS id, a.list_id, c.v,
              sqrt(list_dot_product(c.v, c.v)) AS n
       FROM assign a JOIN corpus c ON c.id = a.vec_id
-    ),
-    pairs AS (
-      SELECT a.id AS id_a, b.id AS id_b
-      FROM clustered a JOIN clustered b
-        ON a.list_id = b.list_id AND a.id < b.id
-      WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
-            >= {_COS_DUP_THRESHOLD}
-    ),
+    ),{pair_ctes}{pairs_cte}
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
@@ -3152,6 +3228,7 @@ _CANONICAL_ORDER = [
     "url_keep_one_index_stream",
     "events_cvm_drift",
     "corpus_domain_quality",
+    "corpus_domain_caps_psl",
 ]
 
 

@@ -442,7 +442,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("semantic_dedup_keep", oracle=_semantic_dedup_oracle())
+_SEMANTIC_DEDUP_BUDGET = 120  # sf0.01 clusters run 104-146 rows, so
+# the gate exercises BOTH pair paths: 3 light clusters through the
+# exact all-pairs search, 5 heavy ones through the sign-LSH bound
+
+
+@query(
+    "semantic_dedup_keep",
+    oracle=_semantic_dedup_oracle(budget=_SEMANTIC_DEDUP_BUDGET),
+)
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end (L41): the corpus doubled with
     cosine-identical scaled copies (id+10000), clustered on the unit
@@ -451,8 +459,12 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     component's min id — scaled copies must collapse onto their base
     (keep_id == base id). The n^2/k within-cluster pair search is the
     published SemDeDup trade that replaces a corpus-wide all-pairs
-    join; every other stage is broadcast/scan-bound (see
-    ``operators/similarity.py:semantic_dedup``)."""
+    join, now budgeted against mega-clusters (r12 VERDICT #1):
+    clusters above ``max_cluster_rows`` route through within-cluster
+    sign-LSH banding with an occupancy-sized plane count, so the
+    worst key's candidate volume is ~linear in cluster size; the
+    oracle mirrors the plane constants and the heavy/light split
+    exactly (see ``operators/similarity.py:semantic_dedup``)."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -470,6 +482,8 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=8,
         iters=3,
         threshold=_COS_DUP_THRESHOLD,
+        max_cluster_rows=_SEMANTIC_DEDUP_BUDGET,
+        tables=8,
     )
 
 

@@ -2136,6 +2136,151 @@ def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_report(urls, "url", "doc_id", cap=20)
 
 
+def _url_psl_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc URL fixture targeting PUBLIC SUFFIX LIST
+    semantics (hosts the two-level heuristic mis-groups): github.io /
+    blogspot private suffixes, *.kawasaki.jp wildcard registries with
+    the !city.kawasaki.jp exception, the *.ck / !www.ck canonical
+    wildcard-exception pair, and plain gTLD hosts as controls — all
+    derived from doc_id so the DuckDB oracle rebuilds the identical
+    corpus."""
+    i = F.col("doc_id")
+    host = (
+        F.when(i % 8 == 0, F.concat(F.lit("user"), (i % 7).cast("string"), F.lit(".github.io")))
+        .when(i % 8 == 1, F.concat(F.lit("blog"), (i % 5).cast("string"), F.lit(".Blogspot.com")))
+        .when(i % 8 == 2, F.concat(F.lit("www.example"), (i % 3).cast("string"), F.lit(".co.uk")))
+        .when(i % 8 == 3, F.concat(F.lit("a.town"), (i % 4).cast("string"), F.lit(".kawasaki.jp")))
+        .when(i % 8 == 4, F.lit("deep.sub.city.kawasaki.jp"))
+        .when(i % 8 == 5, F.concat(F.lit("shop"), (i % 6).cast("string"), F.lit(".example.ck")))
+        .when(i % 8 == 6, F.lit("www.ck"))
+        .otherwise(F.concat(F.lit("news.portal"), (i % 4).cast("string"), F.lit(".com")))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p"), (i % 9).cast("string")
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_PSL_FIXTURE_SQL = """
+    urls AS (
+      SELECT doc_id,
+        'https://'
+        || (CASE WHEN doc_id % 8 = 0
+                 THEN 'user' || (doc_id % 7)::VARCHAR || '.github.io'
+                 WHEN doc_id % 8 = 1
+                 THEN 'blog' || (doc_id % 5)::VARCHAR || '.Blogspot.com'
+                 WHEN doc_id % 8 = 2
+                 THEN 'www.example' || (doc_id % 3)::VARCHAR || '.co.uk'
+                 WHEN doc_id % 8 = 3
+                 THEN 'a.town' || (doc_id % 4)::VARCHAR || '.kawasaki.jp'
+                 WHEN doc_id % 8 = 4 THEN 'deep.sub.city.kawasaki.jp'
+                 WHEN doc_id % 8 = 5
+                 THEN 'shop' || (doc_id % 6)::VARCHAR || '.example.ck'
+                 WHEN doc_id % 8 = 6 THEN 'www.ck'
+                 ELSE 'news.portal' || (doc_id % 4)::VARCHAR || '.com' END)
+        || '/p' || (doc_id % 9)::VARCHAR AS url
+      FROM documents
+    )
+"""
+
+
+def _psl_domain_case_sql(host: str = "host", labs: str = "labs") -> str:
+    """DuckDB CASE twin of ``registrable_domain_psl_expr`` over the
+    PACKAGED snapshot: emitted from the SAME ``psl_match_plan`` rule
+    order and rule sets the Spark expression compiles from, so both
+    engines walk identical branches."""
+    from isilon_hadoop_tools_spark.operators.urls import (
+        load_psl,
+        psl_match_plan,
+    )
+
+    rules = load_psl()
+    branches = []
+    for kind, k, ps in psl_match_plan(rules):
+        vals = getattr(rules, kind)[k]
+        inlist = ", ".join(f"'{v}'" for v in sorted(vals))
+        cond = f"array_to_string({labs}[-{k}:], '.') IN ({inlist})"
+        if kind == "wild":
+            cond += f" AND len({labs}) >= {k + 1}"
+        if ps >= 1:
+            win = (
+                f"CASE WHEN len({labs}) > {ps} "
+                f"THEN array_to_string({labs}[-{ps + 1}:], '.') "
+                f"ELSE {host} END"
+            )
+        else:
+            win = host
+        branches.append(f"WHEN {cond} THEN {win}")
+    return (
+        f"CASE WHEN {host} LIKE '[%' "
+        f"OR regexp_matches({host}, "
+        f"'^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') "
+        f"OR len({labs}) <= 1 THEN {host} "
+        + " ".join(branches)
+        + f" ELSE CASE WHEN len({labs}) >= 2 "
+        f"THEN array_to_string({labs}[-2:], '.') ELSE {host} END END"
+    )
+
+
+@query(
+    "corpus_domain_caps_psl",
+    oracle=f"""
+    WITH {_URL_PSL_FIXTURE_SQL},
+    hostcte AS (
+      SELECT doc_id,
+             lower(regexp_extract(regexp_extract(regexp_replace(
+               regexp_extract(url, '^([^#]*)', 1),
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+               '^([^/?]*)', 1), '([^@]*)$', 1)) AS hostport
+      FROM urls
+    ),
+    dom AS (
+      SELECT doc_id, {{psl_case}} AS domain
+      FROM (
+        SELECT doc_id, host, string_split(host, '.') AS labs
+        FROM (SELECT doc_id,
+                     regexp_extract(hostport, '^([^:]*)', 1) AS host
+              FROM hostcte)
+      )
+    ),
+    ranked AS (
+      SELECT doc_id AS id, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      FROM dom
+    ),
+    agg AS (
+      SELECT domain, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      FROM ranked GROUP BY domain
+    )
+    SELECT domain, n_docs, n_kept,
+           round(n_docs::DOUBLE / (SELECT sum(n_docs) FROM agg), 6)
+             AS share_before,
+           round(n_kept::DOUBLE / (SELECT sum(n_kept) FROM agg), 6)
+             AS share_after
+    FROM agg
+    """.replace("{psl_case}", _psl_domain_case_sql()),
+)
+def corpus_domain_caps_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency caps under FULL Public Suffix List
+    semantics (L64d — r12 VERDICT #2): same cap/report shape as
+    `corpus_domain_caps`, but the registrable domain comes from
+    PSL longest-match (plain multi-level suffixes like `github.io`,
+    wildcard registries `*.kawasaki.jp`, exceptions `!city.kawasaki.jp`
+    / `!www.ck`) compiled into one JVM-side InSet when-chain from the
+    packaged pinned snapshot — rules a fixed two-level set CANNOT
+    express, on a fixture where heuristic and PSL answers diverge on
+    6 of 8 host families. Scan-bound: no UDF, no broadcast join, the
+    rule table is bounded driver state compiled into the plan."""
+    from isilon_hadoop_tools_spark.operators.urls import (
+        domain_mix_report,
+        load_psl,
+    )
+
+    urls = _url_psl_fixture(_t(spark, sf_dir, "documents"))
+    return domain_mix_report(urls, "url", "doc_id", cap=15, psl=load_psl())
+
+
 @query("suffix_index_stream", oracle=_SUFFIX_SPANS_ORACLE)
 def suffix_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-substring dedup maintenance (§2.9 x L29d): the

@@ -301,3 +301,69 @@ def test_domain_mix_report_rejects_cap_zero(spark):
     )
     with _pytest.raises(ValueError, match="cap >= 1"):
         domain_mix_report(df, "url", "id", 0)
+
+
+def test_psl_registrable_domain_hand_cases(spark):
+    from isilon_hadoop_tools_spark.operators.urls import (
+        load_psl,
+        registrable_domain_expr,
+        registrable_domain_psl_expr,
+    )
+
+    psl = load_psl()
+    cases = [
+        # (host, expected PSL registrable, expected heuristic)
+        ("user1.github.io", "user1.github.io", "github.io"),  # private suffix
+        ("a.b.user1.github.io", "user1.github.io", "github.io"),
+        ("blog9.blogspot.com", "blog9.blogspot.com", "blogspot.com"),
+        ("x.blogspot.co.uk", "x.blogspot.co.uk", "blogspot.co.uk"),
+        ("www.example.co.uk", "example.co.uk", "example.co.uk"),  # agree
+        ("news.example.com", "example.com", "example.com"),       # agree
+        # wildcard *.kawasaki.jp: townN.kawasaki.jp is a PUBLIC suffix
+        ("a.town1.kawasaki.jp", "a.town1.kawasaki.jp", "kawasaki.jp"),
+        ("town1.kawasaki.jp", "town1.kawasaki.jp", "kawasaki.jp"),
+        # exception !city.kawasaki.jp: city.kawasaki.jp is REGISTRABLE
+        ("deep.sub.city.kawasaki.jp", "city.kawasaki.jp", "kawasaki.jp"),
+        ("city.kawasaki.jp", "city.kawasaki.jp", "kawasaki.jp"),
+        # *.ck wildcard with !www.ck exception
+        ("shop.example.ck", "shop.example.ck", "example.ck"),
+        ("example.ck", "example.ck", "example.ck"),
+        ("www.ck", "www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck", "www.ck"),
+        # unknown TLD -> implicit * rule: last two labels
+        ("foo.bar.unknowntld", "bar.unknowntld", "bar.unknowntld"),
+        # pass-throughs
+        ("192.168.1.7", "192.168.1.7", "192.168.1.7"),
+        ("[::1]", "[::1]", "[::1]"),
+        ("localhost", "localhost", "localhost"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in cases], "host string")
+    rows = df.select(
+        "host",
+        registrable_domain_psl_expr("host", psl).alias("psl_dom"),
+        registrable_domain_expr("host").alias("heur_dom"),
+    ).collect()
+    got = {r["host"]: (r["psl_dom"], r["heur_dom"]) for r in rows}
+    for host, want_psl, want_heur in cases:
+        assert got[host][0] == want_psl, (host, got[host][0], want_psl)
+        assert got[host][1] == want_heur, (host, got[host][1], want_heur)
+
+
+def test_psl_parse_and_plan_precedence():
+    from isilon_hadoop_tools_spark.operators.urls import (
+        parse_psl,
+        psl_match_plan,
+    )
+
+    rules = parse_psl(
+        ["// comment", "", "com", "co.uk", "*.ck", "!www.ck", "github.io"]
+    )
+    assert rules.plain[1] == frozenset({"com"})
+    assert rules.plain[2] == frozenset({"co.uk", "github.io"})
+    assert rules.wild[1] == frozenset({"ck"})
+    assert rules.exc[2] == frozenset({"www.ck"})
+    plan = psl_match_plan(rules)
+    # exceptions first, then most-labels (wildcard counts its *)
+    assert plan[0] == ("exc", 2, 1)
+    kinds = [p[0] for p in plan]
+    assert kinds.index("exc") < kinds.index("wild") < kinds.index("plain")

@@ -333,6 +333,32 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_semdedup_mega(c: int) -> float:
+        # ADVERSARIAL mega-cluster probe: k held FIXED at 8 while rows
+        # grow — the quadratic trap (per-cluster size ~ n/8, so the
+        # unbudgeted within-cluster join costs ~n²/8 in 8 keys). The
+        # max_cluster_rows budget must flatten this to ~linear via the
+        # within-cluster sign-LSH path (r12 VERDICT #1); budget 512 so
+        # the heavy path is live from 2x up.
+        from isilon_hadoop_tools_spark.operators.similarity import (
+            semantic_dedup as _sd,
+        )
+
+        e = spark.read.parquet(str(scratch / "embeddings")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        _sd(
+            e,
+            "embedding",
+            "vec_id",
+            k=8,
+            iters=3,
+            threshold=0.9,
+            max_cluster_rows=512,
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def run_kmeans(c: int) -> float:
         # k-means training + assignment (L28): k scales with corpus
         # (the SemDeDup rule) — flagged > 3 s in the bench rotation
@@ -358,6 +384,7 @@ def curvature() -> int:
     for name, runner, reps in (
         ("dedup_ngram_jaccard", run_ngram, 2),
         ("semantic_dedup", run_semdedup, 1),
+        ("semantic_dedup_mega_fixed_k", run_semdedup_mega, 1),
         ("doc_prefix_jaccard_pairs", run_prefix, 1),
         ("doc_suffix_dup_spans", run_suffix, 1),
         ("corpus_quality_classifier_train", run_quality, 1),
