@@ -1280,18 +1280,31 @@ def prefix_filter_jaccard_pairs(
         <= F.col("set_size")
         - F.ceil(F.lit(threshold) * F.col("set_size"))
         + F.lit(1)
-    ).select("id", "set_size", "shingle")
+    ).select("id", "set_size", "shingle", "df", "rn")
     a = prefix.select(
         F.col("id").alias("id_a"),
         F.col("set_size").alias("size_a"),
         "shingle",
+        "df",
+        F.col("rn").alias("rn_a"),
     )
     b = prefix.select(
         F.col("id").alias("id_b"),
         F.col("set_size").alias("size_b"),
         "shingle",
+        F.col("rn").alias("rn_b"),
     )
-    cand = (
+    # PPJoin POSITIONAL filter (Xiao et al., WWW'08 §3.2), distributed
+    # form: both docs sort their shingles by the same global (df,
+    # shingle) total order, so a candidate pair's minimum-order
+    # collision IS the pair's first common token overall (any earlier
+    # common token would sit at smaller positions in BOTH prefixes and
+    # therefore be a smaller collision row). For that token at 1-based
+    # positions (i, j), overlap <= 1 + min(size_a - i, size_b - j);
+    # jaccard >= t needs overlap >= ceil(t/(1+t) * (size_a + size_b)).
+    # The 1e-9 slack only ever UNDER-prunes on a float ceil edge —
+    # pruning-only, the exact verify below decides the output.
+    coll = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter — pruning only (exact verify follows), so the
@@ -1300,19 +1313,58 @@ def prefix_filter_jaccard_pairs(
             (F.lit(threshold) * F.col("size_a") <= F.col("size_b"))
             & (F.lit(threshold) * F.col("size_b") <= F.col("size_a"))
         )
-        .select("id_a", "id_b", "size_a", "size_b")
-        .distinct()
     )
-    pa = posts.select(F.col("id").alias("id_a"), "shingle")
-    pb = posts.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(pa, "id_a")
-        .join(pb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("size_a") + F.col("size_b"))
+        - F.lit(1e-9)
+    )
+    # the minimal-(df, shingle) collision within a pair is the row
+    # with minimal rn_a (a's rank order IS the (df, shingle) order, and
+    # rn_a is unique per collision row), so the positional argmin packs
+    # into ONE long min — a plain codegen HashAggregate, no struct
+    # ordering path
+    pack = F.col("rn_a").cast("long") * F.lit(2147483648) + F.col("rn_b")
+    cand = (
+        coll.groupBy("id_a", "id_b")
         .agg(
-            F.count(F.lit(1)).alias("n_inter"),
+            F.min(pack).alias("_pk"),
             F.first("size_a").alias("size_a"),
             F.first("size_b").alias("size_b"),
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("size_a") - F.expr("_pk div 2147483648"),
+                F.col("size_b") - F.pmod("_pk", F.lit(2147483648)),
+            )
+            >= alpha
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+    )
+    # verification: per-doc shingle ARRAYS + one array_intersect per
+    # candidate pair. The earlier exploded form (cand ⋈ posts on id_a,
+    # then ⋈ on (id_b, shingle), then a pair-keyed count) shuffled and
+    # re-aggregated |cand| · avg_set_size rows — ~390M at 10x sf0.1,
+    # the measured 59x-wall-at-30x superlinear stage of the r13 sweep;
+    # the array form moves the same bytes in |cand| rows through two
+    # hash joins and needs NO pair-keyed aggregation at all.
+    sets = posts.groupBy("id").agg(F.collect_list("shingle").alias("toks"))
+    inter = (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
         )
     )
     return (

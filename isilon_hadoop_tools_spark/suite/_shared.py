@@ -3229,6 +3229,8 @@ _CANONICAL_ORDER = [
     "events_cvm_drift",
     "corpus_domain_quality",
     "corpus_domain_caps_psl",
+    "doc_lang_id_trained",
+    "multimodal_pair_alignment",
 ]
 
 

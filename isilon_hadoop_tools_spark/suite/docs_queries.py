@@ -2281,6 +2281,204 @@ def corpus_domain_caps_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_report(urls, "url", "doc_id", cap=15, psl=load_psl())
 
 
+_ML_LANGS = ("de", "en", "es", "fr")
+
+# stopword-FREE language-typical vocabularies: every LANG_PROFILES
+# stopword is absent, so the heuristic identifier scores 0 on every
+# doc ('unknown') while char-3-gram heads separate the languages —
+# the fixture that makes "trained dominates heuristic" measurable
+_ML_VOCAB = {
+    "de": ("verwaltung", "gesellschaft", "wissenschaft", "geschichte",
+           "nachricht", "beziehung"),
+    "en": ("through", "thought", "nothing", "knights", "sharing",
+           "brought"),
+    "es": ("informacion", "situacion", "desarrollo", "gobierno",
+           "trabajo", "corazon"),
+    "fr": ("bureaux", "chateau", "travaux", "toujours", "beaucoup",
+           "nouveaux"),
+}
+
+
+def _multilang_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic multilingual corpus: doc_id % 4 picks the
+    language, the text is 8 vocabulary words cycled by
+    ``(doc_id + 3*j) % 6`` — both engines rebuild it bit-identically
+    (the `_url_fixture` synthesis pattern)."""
+    i = F.col("doc_id")
+
+    def pick(lang: str, j: int):
+        return F.element_at(
+            F.array(*[F.lit(w) for w in _ML_VOCAB[lang]]),
+            ((i + 3 * j) % 6 + 1).cast("int"),
+        )
+
+    words = [
+        F.when(i % 4 == 0, pick("de", j))
+        .when(i % 4 == 1, pick("en", j))
+        .when(i % 4 == 2, pick("es", j))
+        .otherwise(pick("fr", j))
+        for j in range(8)
+    ]
+    lang = (
+        F.when(i % 4 == 0, F.lit("de"))
+        .when(i % 4 == 1, F.lit("en"))
+        .when(i % 4 == 2, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id", lang.alias("lang"), F.concat_ws(" ", *words).alias("text")
+    )
+
+
+def _ml_vocab_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _ML_VOCAB[lang]) + "]"
+
+
+_ML_FIXTURE_SQL = f"""
+    ml AS (
+      SELECT doc_id AS id,
+             (CASE WHEN doc_id % 4 = 0 THEN 'de'
+                   WHEN doc_id % 4 = 1 THEN 'en'
+                   WHEN doc_id % 4 = 2 THEN 'es'
+                   ELSE 'fr' END) AS lang_y,
+             array_to_string(list_transform(range(0, 8), jj ->
+               (CASE WHEN doc_id % 4 = 0 THEN {_ml_vocab_sql("de")}
+                     WHEN doc_id % 4 = 1 THEN {_ml_vocab_sql("en")}
+                     WHEN doc_id % 4 = 2 THEN {_ml_vocab_sql("es")}
+                     ELSE {_ml_vocab_sql("fr")} END)
+               [((doc_id + 3 * jj) % 6) + 1]), ' ') AS text
+      FROM documents
+    )
+"""
+
+
+def _lang_id_trained_oracle(
+    n_buckets: int = 64,
+    rounds: int = 2,
+    scale: int = 1000,
+    lr_num: int = 1,
+    lr_den: int = 4,
+) -> str:
+    """Unrolled multi-class GD twin of ``lang_classifier_eval`` over
+    the multilingual fixture: char-3-gram hashed features, one
+    weights CTE per round per the `_quality_oracle` pattern but keyed
+    by (lang, j), holdout argmax prediction with the same
+    (margin DESC, lang ASC) tie order."""
+    four_s = 4 * scale
+    langs_sql = "[" + ", ".join(f"'{lg}'" for lg in _ML_LANGS) + "]"
+
+    def feats_cte(tag: str, where: str) -> str:
+        return f"""
+    grams_{tag} AS (
+      SELECT id, lang_y, substr(text, i::INT, 3) AS g
+      FROM (SELECT * FROM ml {where}) m,
+           unnest(range(1, length(text) - 1)) AS t(i)
+    ),
+    tf_{tag} AS (
+      SELECT id, lang_y,
+             (('0x' || substr(md5(g), 1, 8))::BIGINT % {n_buckets}) AS j,
+             count(*)::BIGINT AS x
+      FROM grams_{tag} GROUP BY id, lang_y, j
+    ),
+    feats_{tag} AS (
+      SELECT * FROM tf_{tag}
+      UNION ALL
+      SELECT id, lang_y, {n_buckets}::BIGINT AS j, 1::BIGINT AS x
+      FROM ml {where}
+    )"""
+
+    parts = [
+        f"""
+    WITH {_ML_FIXTURE_SQL},
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM ml WHERE id % 5 <> 0),
+    {feats_cte("tr", "WHERE id % 5 <> 0")},
+    langs AS (SELECT unnest({langs_sql}) AS lang),
+    w0 AS (
+      SELECT l.lang, j.j::BIGINT AS j, 0::HUGEINT AS w
+      FROM langs l, (SELECT unnest(range(0, {n_buckets + 1})) AS j) j
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    m{r} AS (
+      SELECT f.id, l.lang,
+             least({four_s}, greatest(0,
+                   {2 * scale} + sum(w.w * f.x))) AS N
+      FROM feats_tr f CROSS JOIN langs l
+      JOIN w{r - 1} w ON w.lang = l.lang AND w.j = f.j
+      GROUP BY f.id, l.lang
+    ),
+    g{r} AS (
+      SELECT m.lang, f.j,
+             sum((m.N - {four_s} * (CASE WHEN f.lang_y = m.lang
+                                         THEN 1 ELSE 0 END)) * f.x) AS G
+      FROM feats_tr f JOIN m{r} m ON m.id = f.id
+      GROUP BY m.lang, f.j
+    ),
+    w{r} AS (
+      SELECT w.lang, w.j,
+             w.w - ({lr_num} * coalesce(g.G, 0))
+                   // ({lr_den * 4} * n.n_docs) AS w
+      FROM w{r - 1} w LEFT JOIN g{r} g ON g.lang = w.lang AND g.j = w.j, n
+    )"""
+        )
+    parts.append(
+        f""",
+    {feats_cte("te", "WHERE id % 5 = 0")},
+    sc AS (
+      SELECT f.id, f.lang_y, l.lang, sum(w.w * f.x) AS m
+      FROM feats_te f CROSS JOIN langs l
+      JOIN w{rounds} w ON w.lang = l.lang AND w.j = f.j
+      GROUP BY f.id, f.lang_y, l.lang
+    ),
+    pred AS (
+      SELECT id, lang_y, lang AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY m DESC, lang ASC) AS rk
+        FROM sc
+      ) WHERE rk = 1
+    )
+    SELECT lang_y AS labeled_lang, predicted AS predicted_lang,
+           count(*)::BIGINT AS n,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY lang_y), 6) AS share
+    FROM pred GROUP BY labeled_lang, predicted_lang"""
+    )
+    return "".join(parts)
+
+
+@query("doc_lang_id_trained", oracle=_lang_id_trained_oracle())
+def doc_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identification (L15b — r12 VERDICT #4, the
+    CCNet/fastText upgrade of the stopword heuristic): one-vs-rest
+    integer-GD heads over hashed char-3-gram buckets, trained on the
+    doc_id%5!=0 slice of a deterministic multilingual fixture whose
+    vocabularies contain NO profile stopwords (the heuristic reads
+    'unknown' on every doc), evaluated as the holdout confusion
+    table. One scan per GD round with map-side partials; L x (D+1)
+    driver-held weights broadcast back as a map literal; prediction
+    is argmax margin with (margin DESC, lang ASC) ties — exact
+    integer arithmetic end to end, hash-identical to the unrolled
+    multi-class DuckDB twin."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        lang_classifier_eval,
+    )
+
+    docs = _multilang_fixture(_t(spark, sf_dir, "documents"))
+    return lang_classifier_eval(
+        docs,
+        "text",
+        "doc_id",
+        "lang",
+        list(_ML_LANGS),
+        F.col("doc_id") % 5 != 0,
+        n_buckets=64,
+        rounds=2,
+        ngram_n=3,
+    )
+
+
 @query("suffix_index_stream", oracle=_SUFFIX_SPANS_ORACLE)
 def suffix_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-substring dedup maintenance (§2.9 x L29d): the

@@ -1366,3 +1366,79 @@ def multimodal_jpeg_png_near_dups(
     return hamming_band_pairs(
         hashes, "ahash", "doc_id", bits=36, max_hamming=4, bands=6
     )
+
+
+@query(
+    "multimodal_pair_alignment",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS t FROM embeddings
+    ),
+    pairs AS (
+      SELECT id, t,
+        CASE WHEN id % 3 = 0
+          THEN list_transform(range(1, length(t) + 1),
+                 i -> CASE WHEN i % 2 = 1 THEN -t[i] ELSE t[i] END)
+          ELSE list_transform(range(1, length(t) + 1),
+                 i -> CASE WHEN i = 1 THEN t[i] + 0.25 ELSE t[i] END)
+        END AS img
+      FROM base
+    ),
+    scored AS (
+      SELECT id, img,
+             round(list_dot_product(img, t)
+                   / (sqrt(list_dot_product(img, img))
+                      * sqrt(list_dot_product(t, t))), 6) AS align_score
+      FROM pairs
+    ),
+    negs AS (SELECT t AS neg FROM base WHERE id % 97 = 0),
+    harder AS (
+      SELECT s.id,
+             sum(CASE WHEN round(list_dot_product(s.img, n.neg)
+                        / (sqrt(list_dot_product(s.img, s.img))
+                           * sqrt(list_dot_product(n.neg, n.neg))), 6)
+                      > s.align_score THEN 1 ELSE 0 END)::BIGINT AS n_harder
+      FROM scored s CROSS JOIN negs n GROUP BY s.id
+    )
+    SELECT s.id, s.align_score, s.align_score >= 0.28 AS keep,
+           coalesce(h.n_harder, 0) AS n_harder,
+           coalesce(h.n_harder, 0) = 0 AS top1
+    FROM scored s LEFT JOIN harder h USING (id)
+    """,
+)
+def multimodal_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score image-text alignment filter (L66 — r12 VERDICT #5,
+    the LAION curation stage after per-modality dedup): a
+    deterministic (image_emb, text_emb) pair fixture — two thirds
+    aligned (caption embedding with one nudged component -> high
+    cosine), one third mismatched (alternate components sign-flipped
+    -> decorrelated) — scored per pair with the 6-dp cosine, kept at
+    the LAION 0.28 threshold, plus the in-batch contrastive readout
+    (n_harder / top1) against a bounded ~1% sampled negative-caption
+    set. One scan + a broadcast K-negative sweep; no corpus
+    self-join anywhere (`operators/similarity.py pair_alignment`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    txt = F.col("embedding").cast("array<double>")
+    aligned = F.transform(
+        txt, lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x)
+    )
+    mis = F.transform(
+        txt, lambda x, i: F.when(i % 2 == 0, -x).otherwise(x)
+    )
+    pairs = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 3 == 0, mis).otherwise(aligned).alias(
+            "img_emb"
+        ),
+        txt.alias("txt_emb"),
+    )
+    negatives = emb.filter(F.col("vec_id") % 97 == 0)
+    return similarity.pair_alignment(
+        pairs,
+        "img_emb",
+        "txt_emb",
+        "vec_id",
+        threshold=0.28,
+        negatives=negatives,
+        neg_vec_col="embedding",
+    )

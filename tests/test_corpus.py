@@ -1400,3 +1400,62 @@ def test_decontaminate_cut_accounting_and_eval_excluded(spark):
     for r in out.values():
         n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert r["n_removed"] + n_clean == r["n_tokens"]
+
+
+def test_trained_lang_id_dominates_heuristic(spark):
+    # r12 VERDICT #4: on the stopword-free multilingual fixture the
+    # heuristic scores 0 on every doc ('unknown'), so its holdout
+    # accuracy is 0; the trained char-3-gram heads must be (near-)
+    # perfect on the cleanly-separated vocabularies.
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.functions.text import lang_id
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        lang_classifier_eval,
+        lang_classifier_train,
+    )
+    from isilon_hadoop_tools_spark.suite.docs_queries import (
+        _ML_LANGS,
+        _multilang_fixture,
+    )
+    from isilon_hadoop_tools_spark.sources import tpch
+
+    from conftest import SMOKE_SF_DIR
+
+    docs = _multilang_fixture(
+        tpch.load_table(spark, "documents", SMOKE_SF_DIR)
+    )
+    holdout = docs.filter(F.col("doc_id") % 5 == 0)
+    n_holdout = holdout.count()
+    assert n_holdout > 0
+
+    # heuristic: zero stopwords anywhere -> 'unknown' for every doc
+    heur = holdout.select(
+        (lang_id("text") == F.col("lang")).cast("long").alias("hit")
+    ).agg(F.sum("hit")).first()[0]
+    assert heur == 0
+
+    conf = lang_classifier_eval(
+        docs,
+        "text",
+        "doc_id",
+        "lang",
+        list(_ML_LANGS),
+        F.col("doc_id") % 5 != 0,
+        n_buckets=64,
+        rounds=2,
+        ngram_n=3,
+    ).collect()
+    correct = sum(
+        r["n"] for r in conf if r["labeled_lang"] == r["predicted_lang"]
+    )
+    total = sum(r["n"] for r in conf)
+    assert total == n_holdout
+    acc = correct / total
+    assert acc >= 0.95, (acc, conf)
+
+    # weights table shape: L x (D+2) rows, deterministic across runs
+    w1 = lang_classifier_train(
+        docs, "text", "doc_id", "lang", list(_ML_LANGS), rounds=1
+    ).collect()
+    assert len(w1) == len(_ML_LANGS) * 65  # D+1 features per head

@@ -782,3 +782,38 @@ def test_semantic_dedup_budget_keeps_scaled_copy_semantics(spark):
     assert len(out) == 80
     for i in range(40):
         assert out[i]["keep_id"] == out[1000 + i]["keep_id"]
+
+
+def test_pair_alignment_threshold_and_negatives(spark):
+    # hand-built pairs: an exactly-aligned pair (cos 1), an orthogonal
+    # pair (cos 0), and a negative bank containing one caption that
+    # beats the orthogonal pair's own caption
+    rows = [
+        (1, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),   # aligned
+        (2, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.6, 0.8, 0.0], [0.6, 0.8, 0.0]),   # aligned
+    ]
+    pairs = spark.createDataFrame(
+        rows, "id long, img array<double>, txt array<double>"
+    )
+    negs = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["id"]: r
+        for r in similarity.pair_alignment(
+            pairs, "img", "txt", "id", threshold=0.28, negatives=negs
+        ).collect()
+    }
+    assert out[1]["align_score"] == 1.0 and out[1]["keep"]
+    assert out[2]["align_score"] == 0.0 and not out[2]["keep"]
+    assert out[3]["align_score"] == 1.0 and out[3]["keep"]
+    # pair 2's image scores 1.0 against negative 100 (> 0.0): 1 harder
+    assert out[2]["n_harder"] == 1 and not out[2]["top1"]
+    # aligned pairs at cos 1.0 cannot be beaten strictly
+    assert out[1]["n_harder"] == 0 and out[1]["top1"]
+    assert out[3]["n_harder"] == 0 and out[3]["top1"]
+    # without negatives: 3-column shape
+    slim = similarity.pair_alignment(pairs, "img", "txt", "id").columns
+    assert slim == ["id", "align_score", "keep"]

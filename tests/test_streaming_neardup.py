@@ -813,3 +813,126 @@ def test_url_keep_one_stream_displacement_and_replay(spark, tmp_path):
     assert got[4] == ("http://example.com/a", 3, True)
     assert got[10] == ("http://example.com/a", 3, False)
     assert got[20][2] is True
+
+
+def test_domain_caps_partial_append_crash_replays_clean(spark, tmp_path):
+    """Crash simulation (r12 VERDICT #7): the batch-2 attempt dies
+    AFTER the dc_kept swap and AFTER half its dc_docs rows were
+    appended, BEFORE the dc_members commit. Replay must not count the
+    partially-appended docs twice into their domain and must converge
+    to the clean prefix answer."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.urls import (
+        domain_caps,
+        host_expr,
+        registrable_domain_expr,
+    )
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        domain_caps_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for rows in _DC_BATCHES[:2]:
+        domain_caps_apply_batch(
+            spark.createDataFrame(rows, "doc_id LONG, url STRING"),
+            state,
+            cap=3,
+        )
+    # simulate the crashed attempt of batch 2 (ids 5 and 31): kept
+    # already swapped to the post-batch snapshot, ONE of the two doc
+    # rows already appended, members NOT committed
+    seen_all = [r for b in _DC_BATCHES for r in b]
+    crashed_kept = domain_caps(
+        spark.createDataFrame(seen_all, "doc_id LONG, url STRING"),
+        "url",
+        "doc_id",
+        3,
+    ).select("id", "domain", "kept")
+    state.write("dc_kept", crashed_kept)
+    b2 = spark.createDataFrame(
+        _DC_BATCHES[2], "doc_id LONG, url STRING"
+    ).select(
+        F.col("doc_id").alias("id"),
+        registrable_domain_expr(host_expr("url")).alias("domain"),
+    )
+    state.append("dc_docs", b2.filter(F.col("id") == 5))
+    # replay the full batch through the normal path
+    domain_caps_apply_batch(
+        spark.createDataFrame(_DC_BATCHES[2], "doc_id LONG, url STRING"),
+        state,
+        cap=3,
+    )
+    assert _dc_state(state) == _dc_batch_answer(spark, seen_all, 3)
+    d = state.read("dc_docs", "id LONG, domain STRING")
+    assert d.count() == d.select("id").distinct().count()
+    assert state.read("dc_members", "id LONG").count() == len(seen_all)
+    # the displacement survived the crash-replay cycle
+    final = _dc_state(state)
+    assert final[5] == ("example.com", True)
+    assert final[12] == ("example.com", False)
+
+
+def test_url_keep_one_partial_append_crash_replays_clean(spark, tmp_path):
+    """Same crash matrix for the keep-one maintainer: kill between the
+    uk_kept swap and the uk_docs/uk_members appends (one of two doc
+    rows persisted). Replay must keep n_dups exact (a double-counted
+    doc would inflate its group) and converge to the batch answer."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.urls import (
+        canonical_url_expr,
+        url_keep_one,
+    )
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        UK_KEPT_SCHEMA,
+        url_keep_one_apply_batch,
+    )
+
+    batches = [
+        [(10, "http://Example.com/a?utm_source=x"), (20, "http://b.org/z")],
+        [(12, "http://example.com/a")],
+        [(4, "http://EXAMPLE.com/a#frag"), (21, "http://b.org/z?gclid=1")],
+    ]
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for rows in batches[:2]:
+        url_keep_one_apply_batch(
+            spark.createDataFrame(rows, "doc_id LONG, url STRING"), state
+        )
+    seen_all = [r for b in batches for r in b]
+    crashed_kept = url_keep_one(
+        spark.createDataFrame(seen_all, "doc_id LONG, url STRING"),
+        "url",
+        "doc_id",
+    ).select("id", "canon_url", "n_dups", "kept")
+    state.write("uk_kept", crashed_kept)
+    b2 = spark.createDataFrame(
+        batches[2], "doc_id LONG, url STRING"
+    ).select(
+        F.col("doc_id").alias("id"),
+        canonical_url_expr("url").alias("canon_url"),
+    )
+    state.append("uk_docs", b2.filter(F.col("id") == 4))
+    url_keep_one_apply_batch(
+        spark.createDataFrame(batches[2], "doc_id LONG, url STRING"), state
+    )
+    want = {
+        r["id"]: (r["canon_url"], r["n_dups"], r["kept"])
+        for r in url_keep_one(
+            spark.createDataFrame(seen_all, "doc_id LONG, url STRING"),
+            "url",
+            "doc_id",
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["canon_url"], r["n_dups"], r["kept"])
+        for r in state.read("uk_kept", UK_KEPT_SCHEMA).collect()
+    }
+    assert got == want
+    d = state.read("uk_docs", "id LONG, canon_url STRING")
+    assert d.count() == d.select("id").distinct().count()
+    assert state.read("uk_members", "id LONG").count() == len(seen_all)
+    # displacement + exact group size survived
+    assert got[4] == ("http://example.com/a", 3, True)
+    assert got[10] == ("http://example.com/a", 3, False)
+    assert got[21] == ("http://b.org/z", 2, False)

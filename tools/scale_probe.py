@@ -74,6 +74,18 @@ MULTIPLES = (1, 2, 4, 8, 10)
 _STRIDE = 1_000_000
 
 
+def _multiples() -> tuple[int, ...]:
+    """Curvature multiples, overridable via ``--multiples=1,2,...`` —
+    the r12 VERDICT #8 ask: 30x sweeps on the dedup family close the
+    10x->100x extrapolation gap on candidate-volume-driven operators."""
+    for arg in sys.argv[1:]:
+        if arg.startswith("--multiples="):
+            vals = tuple(int(v) for v in arg.split("=", 1)[1].split(","))
+            assert vals and vals[0] == 1, "multiples must start at 1"
+            return vals
+    return MULTIPLES
+
+
 def _build_copies(spark, scratch: Path, cmax: int) -> None:
     """Materialize cmax id-offset copies of the sf0.1 documents and
     embeddings tables, partitioned by copy so a c-multiple read prunes
@@ -162,7 +174,8 @@ def curvature() -> int:
 
     spark = get_session("curvature_probe")
     scratch = Path(__file__).resolve().parent.parent / ".scratch" / "curvature"
-    cmax = max(MULTIPLES)
+    multiples = _multiples()
+    cmax = max(multiples)
     if not (scratch / "embeddings" / f"copy={cmax - 1}").is_dir():
         _build_copies(spark, scratch, cmax)
 
@@ -399,20 +412,31 @@ def curvature() -> int:
             continue
         runner(1)  # warm plan/codegen before the measured sweep
         curve = {}
-        for c in MULTIPLES:
-            t = min(runner(c) for _ in range(reps))
+        for c in multiples:
+            if c == 1:
+                # the 1x point is every ratio's denominator: a single
+                # fast outlier there flags the whole curve (the r12
+                # prefix-jaccard rerun cycle) — stabilize with
+                # median-of-5
+                import statistics
+
+                t = statistics.median(
+                    sorted(runner(1) for _ in range(5))
+                )
+            else:
+                t = min(runner(c) for _ in range(reps))
             curve[str(c)] = round(t, 2)
             print(f"  {name} {c}x: {t:.2f}s", flush=True)
         t1 = curve["1"]
         superlinear = any(
-            curve[str(c)] > 1.3 * c * t1 for c in MULTIPLES if c > 1
+            curve[str(c)] > 1.3 * c * t1 for c in multiples if c > 1
         )
         if superlinear:
             bad = 1
         results[name] = curve
         pretty = "  ".join(
             f"{c}x={curve[str(c)]:.2f}s({curve[str(c)] / t1:.1f}r)"
-            for c in MULTIPLES
+            for c in multiples
         )
         flag = "  <== SUPERLINEAR" if superlinear else ""
         print(f"{name}: {pretty}{flag}")
