@@ -3150,3 +3150,137 @@ def lang_classifier_eval(
             ),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style PARAGRAPH-level exact dedup — the step CCNet runs
+    before anything else (Wenzek et al., 2020 §3.1 dedups paragraph
+    hashes across shards; navigation boilerplate, cookie banners, and
+    shared headers die here long before document-level passes): an
+    occurrence of a paragraph survives iff it is the corpus-wide
+    (min id, min pos) occurrence of that exact paragraph text; every
+    later occurrence is cut, and the cleaned document is re-assembled
+    in original paragraph order.
+
+    Scale shape: one posexplode scan -> one paragraph-keyed aggregate
+    (map-side partials; the ultra-hot boilerplate paragraph is ONE
+    group, and the representative join back is AQE-skew-handled, the
+    same discipline as ``url_keep_one``) -> one id-keyed re-assembly
+    aggregate. No windows over data-sized partitions, no UDFs.
+
+    Output: ``id``, ``n_paras``, ``n_kept``, ``text_clean`` (kept
+    paragraphs re-joined with ``sep``; empty string when everything
+    was cut).
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    first = paras.groupBy("para").agg(
+        F.min(F.struct("id", "pos")).alias("_f")
+    )
+    flagged = paras.join(first, "para").select(
+        "id",
+        "pos",
+        "para",
+        (
+            (F.col("id") == F.col("_f.id")) & (F.col("pos") == F.col("_f.pos"))
+        ).alias("keep"),
+    )
+    rebuilt = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"), F.struct("pos", "para")
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return df.select(F.col(id_col).alias("id")).join(
+        rebuilt, "id", "left"
+    ).select(
+        "id",
+        F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+def quality_threshold_sweep(
+    df: DataFrame,
+    score_expr,
+    weight_expr,
+    step_m: int = 5,
+) -> DataFrame:
+    """Filter-threshold calibration table (the FineWeb-Edu release
+    artifact: "keeping docs with score >= t retains X% of tokens"):
+    for every threshold t = k·step_m/100, how many documents and how
+    much token mass survive ``score >= t``. The curation team picks
+    the threshold off this curve instead of re-running the filter per
+    candidate t.
+
+    ONE corpus scan: scores bucketize to the step grid (map-side
+    combinable 21-row aggregate for step_m=5), the sweep is a reverse
+    cumulative sum over the GRID rows (a single-partition window over
+    ~21 rows — parameter-sized, not data-sized).
+
+    Output per threshold: ``threshold`` (6 dp), ``n_docs_kept``,
+    ``weight_kept``, ``weight_share`` (6 dp of total).
+    """
+    nbins = 100 // step_m
+    b = F.least(
+        F.lit(nbins),
+        F.greatest(
+            F.lit(0),
+            F.floor(score_expr.cast("double") * 100 / step_m).cast("int"),
+        ),
+    )
+    binned = (
+        df.select(b.alias("_b"), weight_expr.cast("long").alias("_w"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_w").alias("_ws"))
+    )
+    grid = df.sparkSession.range(0, nbins + 1).select(
+        F.col("id").cast("int").alias("_b")
+    )
+    full = grid.join(binned, "_b", "left").select(
+        "_b",
+        F.coalesce("_n", F.lit(0)).alias("_n"),
+        F.coalesce("_ws", F.lit(0)).alias("_ws"),
+    )
+    w = (
+        Window.orderBy(F.col("_b").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = full.agg(F.sum("_ws").alias("_t"))
+    return (
+        full.select(
+            F.round(F.col("_b") * step_m / 100.0, 6).alias("threshold"),
+            F.sum("_n").over(w).alias("n_docs_kept"),
+            F.sum("_ws").over(w).alias("weight_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_docs_kept",
+            "weight_kept",
+            F.round(
+                F.when(F.col("_t") > 0, F.col("weight_kept") / F.col("_t"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("weight_share"),
+        )
+    )

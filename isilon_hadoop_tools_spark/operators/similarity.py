@@ -2014,3 +2014,50 @@ def pair_alignment(
         )
         .withColumn("top1", F.col("n_harder") == 0)
     )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation: recall@k of exact
+    cosine search over PREFIX-truncated embeddings vs the full-dim
+    ground truth, per truncation dim — the readout behind "can we
+    serve the first 16 components and re-rank?" storage/latency
+    trades (Kusupati et al., 2022). Each dim is one broadcast-query
+    exact scan (the ``brute_force_topk`` shape); at 100 TB this runs
+    on an eval SAMPLE, never the full corpus — the operator exists to
+    calibrate, the IVF/PQ paths exist to serve.
+
+    Output: ``dim``, ``query_id``, ``n_hits``, ``recall`` (6 dp).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    truth = brute_force_topk(corpus, queries, vec_col, id_col, k=k).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    parts = []
+    for d in dims:
+        c_d = corpus.select(F.col(id_col), F.slice(vec, 1, d).alias("_v"))
+        q_d = queries.select(F.col(id_col), F.slice(vec, 1, d).alias("_v"))
+        approx = brute_force_topk(c_d, q_d, "_v", id_col, k=k).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        parts.append(
+            truth.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("_hit").alias("n_hits"))
+            .select(
+                F.lit(d).alias("dim"),
+                "query_id",
+                "n_hits",
+                F.round(F.col("n_hits") / k, 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3231,6 +3231,9 @@ _CANONICAL_ORDER = [
     "corpus_domain_caps_psl",
     "doc_lang_id_trained",
     "multimodal_pair_alignment",
+    "corpus_paragraph_dedup",
+    "doc_quality_threshold_sweep",
+    "embedding_matryoshka_recall",
 ]
 
 

@@ -786,3 +786,81 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", n_queries=5, topk=10,
         m=4, k=8, iters=2,
     )
+
+
+def _mrl_dim_sql(d: int, k: int = 10) -> str:
+    """Brute-force top-k CTEs over the first ``d`` embedding
+    components (DuckDB list slice is 1-based inclusive), same rounded
+    cosine + (cos DESC, id ASC) rank as the full-dim truth."""
+    return f"""
+    ap{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.v[1:{d}], c.v[1:{d}])
+                     / (sqrt(list_dot_product(q.v[1:{d}], q.v[1:{d}]))
+                        * sqrt(list_dot_product(c.v[1:{d}], c.v[1:{d}]))),
+                     6) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v[1:{d}], c.v[1:{d}])
+                     / (sqrt(list_dot_product(q.v[1:{d}], q.v[1:{d}]))
+                        * sqrt(list_dot_product(c.v[1:{d}], c.v[1:{d}]))),
+                     6) DESC, c.vec_id) AS rank
+        FROM mq q, mvecs c WHERE c.vec_id <> q.vec_id
+      ) WHERE rank <= {k}
+    ),
+    hits{d} AS (
+      SELECT t.query_id, count(a.neighbor_id)::BIGINT AS n_hits
+      FROM mtruth t LEFT JOIN ap{d} a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )"""
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle="""
+    WITH mvecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    mq AS (SELECT vec_id, v FROM mvecs WHERE vec_id < 5),
+    mtruth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                   c.vec_id) AS rank
+        FROM mq q, mvecs c WHERE c.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),"""
+    + ",".join(_mrl_dim_sql(d) for d in _MRL_DIMS)
+    + "\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT {d} AS dim, query_id, n_hits,"
+        f" round(n_hits::DOUBLE / 10, 6) AS recall FROM hits{d}"
+        for d in _MRL_DIMS
+    ),
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (L69 — MRL, Kusupati et al. 2022):
+    recall@10 of exact cosine search over prefix-truncated embeddings
+    (dims 8/16/32/64) vs the full-dim ground truth, per query — the
+    calibration readout behind serve-truncated-then-rerank storage
+    trades. Each dim is one broadcast-query exact scan; at 100 TB
+    this runs on an eval sample (`operators/similarity.py
+    matryoshka_recall`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_recall(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        "embedding",
+        "vec_id",
+        dims=_MRL_DIMS,
+        k=10,
+    )

@@ -2479,6 +2479,122 @@ def doc_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_paragraph_dedup",
+    oracle="""
+    WITH fx AS (
+      SELECT doc_id AS id,
+             'shared header ' || (doc_id % 25)::VARCHAR || chr(10)
+             || 'body section ' || ((doc_id * 7 + 3) % 40)::VARCHAR
+             || chr(10) || 'unique tail ' || doc_id::VARCHAR AS text
+      FROM documents
+    ),
+    prs AS (
+      SELECT id, i - 1 AS pos, ps[i] AS para
+      FROM (SELECT id, string_split(text, chr(10)) AS ps FROM fx),
+           unnest(range(1, len(ps) + 1)) AS t(i)
+    ),
+    f1 AS (SELECT para, min(id) AS fid FROM prs GROUP BY para),
+    f2 AS (
+      SELECT p.para, p.id AS fid, min(p.pos) AS fpos
+      FROM prs p JOIN f1 ON f1.para = p.para AND f1.fid = p.id
+      GROUP BY p.para, p.id
+    ),
+    flag AS (
+      SELECT p.id, p.pos, p.para,
+             (p.id = f2.fid AND p.pos = f2.fpos) AS keep
+      FROM prs p JOIN f2 ON f2.para = p.para
+    )
+    SELECT id, count(*)::BIGINT AS n_paras,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN para END, chr(10)
+                               ORDER BY pos), '') AS text_clean
+    FROM flag GROUP BY id
+    """,
+)
+def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-hash dedup (L67 — Wenzek et al. 2020 §3.1, the
+    FIRST pass of the CCNet pipeline): cross-corpus exact paragraph
+    dedup keeping only each paragraph's (min id, min pos) occurrence,
+    documents re-assembled in order. Fixture: 3-paragraph docs whose
+    header/body paragraphs are drawn from shared pools (25 / 40
+    variants — heavy cross-doc duplication, the boilerplate model)
+    and whose tail is unique. One paragraph-keyed aggregate + one
+    id-keyed re-assembly; the hottest boilerplate paragraph is a
+    single group (`operators/corpus.py paragraph_dedup`)."""
+    from isilon_hadoop_tools_spark.operators.corpus import paragraph_dedup
+
+    i = F.col("doc_id")
+    fx = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header "), (i % 25).cast("string"), F.lit("\n"),
+            F.lit("body section "), ((i * 7 + 3) % 40).cast("string"),
+            F.lit("\n"),
+            F.lit("unique tail "), i.cast("string"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(fx, "text", "doc_id")
+
+
+@query(
+    "doc_quality_threshold_sweep",
+    oracle=rf"""
+    WITH sc AS (
+      SELECT round(length(list_filter(
+                 regexp_split_to_array(trim(text), '\s+'),
+                 t -> t IN ({{sw}})))::DOUBLE
+               / length(regexp_split_to_array(trim(text), '\s+')), 4) AS s,
+             length(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS wt
+      FROM documents
+    ),
+    binned AS (
+      SELECT least(20, greatest(0, floor(s * 100 / 5)::INT)) AS b,
+             count(*)::BIGINT AS n, sum(wt)::BIGINT AS ws
+      FROM sc GROUP BY b
+    ),
+    grid AS (SELECT unnest(range(0, 21))::INT AS b),
+    full_g AS (
+      SELECT g.b, coalesce(n, 0) AS n, coalesce(ws, 0) AS ws
+      FROM grid g LEFT JOIN binned USING (b)
+    ),
+    cum AS (
+      SELECT b,
+             sum(n) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS n_docs_kept,
+             sum(ws) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS weight_kept
+      FROM full_g
+    )
+    SELECT round(b * 5 / 100.0, 6) AS threshold,
+           n_docs_kept, weight_kept,
+           round(CASE WHEN (SELECT sum(ws) FROM full_g) > 0
+                      THEN weight_kept::DOUBLE
+                           / (SELECT sum(ws) FROM full_g)
+                      ELSE 0.0 END, 6) AS weight_share
+    FROM cum
+    """.replace("{sw}", _STOPWORDS_SQL),
+)
+def doc_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold calibration sweep (L68 — the FineWeb-Edu
+    release artifact: token-retention vs score-threshold curve):
+    stopword-ratio score (4 dp, the shared doc_token_stats signal),
+    token-count weight, thresholds on a 0.05 grid. ONE corpus scan
+    into a 21-row grid aggregate; the cumulative sweep runs on the
+    grid rows only (`operators/corpus.py quality_threshold_sweep`)."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        quality_threshold_sweep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_threshold_sweep(
+        docs,
+        F.round(stopword_ratio("text", _STOPWORDS), 4),
+        token_count("text"),
+        step_m=5,
+    )
+
+
 @query("suffix_index_stream", oracle=_SUFFIX_SPANS_ORACLE)
 def suffix_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-substring dedup maintenance (§2.9 x L29d): the

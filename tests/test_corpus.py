@@ -1459,3 +1459,53 @@ def test_trained_lang_id_dominates_heuristic(spark):
         docs, "text", "doc_id", "lang", list(_ML_LANGS), rounds=1
     ).collect()
     assert len(w1) == len(_ML_LANGS) * 65  # D+1 features per head
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import paragraph_dedup
+
+    rows = [
+        (1, "alpha\nbody\ntail-1"),
+        (2, "alpha\nother\ntail-2"),   # 'alpha' dup of doc 1 pos 0
+        (3, "body\nbody\ntail-3"),     # within-doc dup + cross-doc dup
+        (4, "alpha\nalpha\nalpha"),    # everything cut
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in paragraph_dedup(df, "text", "id").collect()}
+    assert out[1]["text_clean"] == "alpha\nbody\ntail-1"
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["text_clean"] == "other\ntail-2"
+    assert out[2]["n_kept"] == 2
+    # doc 3: 'body' already kept in doc 1; both copies here cut
+    assert out[3]["text_clean"] == "tail-3"
+    assert out[3]["n_kept"] == 1
+    # doc 4: every paragraph already owned by doc 1
+    assert out[4]["text_clean"] == "" and out[4]["n_kept"] == 0
+    assert out[4]["n_paras"] == 3
+
+
+def test_quality_threshold_sweep_grid(spark):
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        quality_threshold_sweep,
+    )
+
+    # scores 0.0, 0.25, 0.5, 1.0 with weights 10, 20, 30, 40
+    df = spark.createDataFrame(
+        [(0.0, 10), (0.25, 20), (0.5, 30), (1.0, 40)],
+        "s double, w int",
+    )
+    out = {
+        r["threshold"]: r
+        for r in quality_threshold_sweep(
+            df, F.col("s"), F.col("w"), step_m=5
+        ).collect()
+    }
+    assert len(out) == 21
+    assert out[0.0]["n_docs_kept"] == 4 and out[0.0]["weight_kept"] == 100
+    assert out[0.0]["weight_share"] == 1.0
+    assert out[0.25]["n_docs_kept"] == 3 and out[0.25]["weight_kept"] == 90
+    assert out[0.3]["n_docs_kept"] == 2 and out[0.3]["weight_kept"] == 70
+    assert out[0.55]["n_docs_kept"] == 1 and out[0.55]["weight_kept"] == 40
+    assert out[1.0]["n_docs_kept"] == 1 and out[1.0]["weight_share"] == 0.4

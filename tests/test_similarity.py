@@ -817,3 +817,21 @@ def test_pair_alignment_threshold_and_negatives(spark):
     # without negatives: 3-column shape
     slim = similarity.pair_alignment(pairs, "img", "txt", "id").columns
     assert slim == ["id", "align_score", "keep"]
+
+
+def test_matryoshka_recall_full_dim_is_perfect(spark):
+    from conftest import SMOKE_SF_DIR
+    from isilon_hadoop_tools_spark.sources import tpch
+
+    emb = tpch.load_table(spark, "embeddings", SMOKE_SF_DIR)
+    out = similarity.matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") < 3), dims=(4, 64), k=5
+    ).collect()
+    by_dim = {}
+    for r in out:
+        by_dim.setdefault(r["dim"], []).append(r)
+    # full-dim truncation IS the ground truth: recall exactly 1.0
+    assert all(r["recall"] == 1.0 for r in by_dim[64])
+    # tiny prefix can only do worse or equal
+    assert all(r["recall"] <= 1.0 for r in by_dim[4])
+    assert len(by_dim[4]) == 3 and len(by_dim[64]) == 3
