@@ -252,6 +252,18 @@ def _family(name: str) -> str:
     return "other"
 
 
+def _load_curvature():
+    """Latest per-operator curvature curves (tools/scale_probe.py
+    --curvature merge-writes CURVATURE.json); None when no sweep has
+    run on this checkout."""
+    try:
+        return json.loads(
+            (Path(__file__).resolve().parent / "CURVATURE.json").read_text()
+        )
+    except (OSError, ValueError):
+        return None
+
+
 def _load_sidecar() -> dict:
     if SIDECAR.exists():
         try:
@@ -410,6 +422,7 @@ def main() -> int:
                     "end": _machine_state(),
                 },
                 "ab_note": ab_summary,
+                "curvature": _load_curvature(),
             },
             indent=1,
             sort_keys=True,

@@ -441,6 +441,17 @@ def curvature() -> int:
         flag = "  <== SUPERLINEAR" if superlinear else ""
         print(f"{name}: {pretty}{flag}")
     print(json.dumps({"metric": "curvature_sf0.1_multiples", "curves": results}))
+    # persist per-operator curves (merge, not clobber — partial sweeps
+    # keep other operators' latest results) so bench.py can embed them
+    # in the sidecar the judge reads
+    curv_path = Path(__file__).resolve().parent.parent / "CURVATURE.json"
+    try:
+        prior = json.loads(curv_path.read_text())
+    except (OSError, ValueError):
+        prior = {"metric": "curvature_sf0.1_multiples", "curves": {}}
+    prior["curves"].update(results)
+    prior["multiples_last_run"] = list(multiples)
+    curv_path.write_text(json.dumps(prior, indent=1, sort_keys=True) + "\n")
     return bad
 
 
