@@ -315,10 +315,17 @@ def domain_caps(
 
     Output: ``id``, ``domain``, ``kept``.
     """
+    # consumed by THREE branches (counts, light anti-join, heavy rank):
+    # pin the skinny (id, domain) projection or the domain expression —
+    # a ~60-branch InSet chain under PSL rules — re-derives per
+    # consumer (3 scans + 3 codegen passes of the giant CASE; measured
+    # 4.4 s -> 1.5 s at sf0.1 for the PSL variant). The materialized
+    # table is one skinny row per doc — far cheaper than re-scanning
+    # the corpus at 100 TB.
     d = df.select(
         F.col(id_col).alias("id"),
         _domain_expr(host_expr(url_col), psl).alias("domain"),
-    )
+    ).localCheckpoint(eager=False)
     counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("_n"))
     heavy = counts.filter(F.col("_n") > cap).select("domain")
     light = d.join(heavy, "domain", "left_anti").select(
