@@ -16,6 +16,8 @@ from isilon_hadoop_tools_spark.streaming.neardup import (
     simhash_index_apply_batch,
     simhash_stream_into_state,
     suffix_index_apply_batch,
+    paragraph_index_apply_batch,
+    paragraph_stream_into_state,
     suffix_stream_into_state,
     tagged_index_apply_batch,
     tagged_stream_into_state,
@@ -50,6 +52,8 @@ __all__ = [
     "simhash_index_apply_batch",
     "simhash_stream_into_state",
     "suffix_index_apply_batch",
+    "paragraph_index_apply_batch",
+    "paragraph_stream_into_state",
     "suffix_stream_into_state",
     "tagged_index_apply_batch",
     "tagged_stream_into_state",

@@ -945,3 +945,147 @@ def url_keep_one_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+PP_MEMBERS_SCHEMA = "id LONG"
+PP_PARAS_SCHEMA = "id LONG, pos INT, para STRING"
+PP_FIRST_SCHEMA = "para STRING, fid LONG, fpos INT"
+PP_KEPT_SCHEMA = "id LONG, n_paras LONG, n_kept LONG, text_clean STRING"
+
+
+def paragraph_index_apply_batch(
+    docs: DataFrame,
+    state: ParquetState,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold one micro-batch into the CCNet paragraph-dedup state —
+    the streaming twin of ``corpus.paragraph_dedup`` (L67) with the
+    displacement semantics of the other curation maintainers: a
+    paragraph occurrence is kept iff it is the (min id, min pos)
+    occurrence over EVERYTHING seen, so a later-arriving lower id
+    takes ownership of a boilerplate paragraph and every previously-
+    rebuilt document that contained it is re-assembled — replays and
+    backfills converge to the batch answer regardless of arrival
+    order.
+
+    Per batch, work is bounded by the TOUCHED paragraph set: the
+    ownership table updates only for the batch's paragraphs (an
+    idempotent min-merge), and only documents owning a touched
+    paragraph (plus the batch docs) re-assemble; everything else's
+    decision rows are byte-identical and untouched.
+
+    State: ``pp_members`` (replay no-op anti-join), ``pp_paras``
+    (the (id, pos, para) postings), ``pp_first`` (paragraph
+    ownership), ``pp_kept`` (the per-doc rebuilt snapshot). Write
+    order: kept (swap) -> first (swap, idempotent min) -> paras
+    (append, anti-joined) -> members (append, the commit point);
+    reads exclude the replaying ids so a partial paras append cannot
+    double-count an occurrence.
+    """
+    members = state.read("pp_members", PP_MEMBERS_SCHEMA)
+    new_docs = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .join(members, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if not new_docs.take(1):
+        return  # replayed or empty batch
+    new_ids = new_docs.select("id")
+    new_paras = new_docs.select(
+        "id", F.posexplode(F.split("text", sep)).alias("pos", "para")
+    ).localCheckpoint(eager=True)
+    paras_raw = state.read("pp_paras", PP_PARAS_SCHEMA)
+    old_paras = paras_raw.join(new_ids, "id", "left_anti")
+    touched = new_paras.select("para").distinct().localCheckpoint(eager=True)
+    first_raw = state.read("pp_first", PP_FIRST_SCHEMA)
+    new_first = new_paras.groupBy("para").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("_f")
+    ).select("para", F.col("_f.id").alias("fid"), F.col("_f.pos").alias("fpos"))
+    merged_touched = (
+        first_raw.join(touched, "para", "left_semi")
+        .unionByName(new_first)
+        .groupBy("para")
+        .agg(F.min(F.struct(F.col("fid"), F.col("fpos"))).alias("_f"))
+        .select(
+            "para", F.col("_f.fid").alias("fid"), F.col("_f.fpos").alias("fpos")
+        )
+    )
+    first_merged = (
+        first_raw.join(touched, "para", "left_anti")
+        .unionByName(merged_touched)
+        .localCheckpoint(eager=True)
+    )
+    affected = (
+        old_paras.join(touched, "para", "left_semi")
+        .select("id")
+        .unionByName(new_ids)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_affected_paras = (
+        old_paras.unionByName(new_paras)
+        .join(affected, "id", "left_semi")
+    )
+    flagged = all_affected_paras.join(first_merged, "para").select(
+        "id",
+        "pos",
+        "para",
+        ((F.col("id") == F.col("fid")) & (F.col("pos") == F.col("fpos"))).alias(
+            "keep"
+        ),
+    )
+    rebuilt = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    current = state.read("pp_kept", PP_KEPT_SCHEMA)
+    merged_kept = current.join(affected, "id", "left_anti").unionByName(
+        rebuilt
+    )
+    state.write("pp_kept", merged_kept)
+    state.write("pp_first", first_merged)
+    state.append(
+        "pp_paras",
+        new_paras.join(paras_raw.select("id", "pos"), ["id", "pos"], "left_anti"),
+    )
+    state.append("pp_members", new_ids)
+
+
+def paragraph_stream_into_state(
+    docs: DataFrame,
+    state: ParquetState,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a document stream through
+    :func:`paragraph_index_apply_batch` via ``foreachBatch`` with
+    ``trigger(availableNow)`` — replay-proof with or without a
+    checkpoint, the streaming twin of CCNet paragraph dedup."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        paragraph_index_apply_batch(
+            batch, state, sep=sep, text_col=text_col, id_col=id_col
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -3234,6 +3234,7 @@ _CANONICAL_ORDER = [
     "corpus_paragraph_dedup",
     "doc_quality_threshold_sweep",
     "embedding_matryoshka_recall",
+    "paragraph_index_stream",
 ]
 
 

@@ -2560,10 +2560,12 @@ def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cum AS (
       SELECT b,
-             sum(n) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED
-                          PRECEDING AND CURRENT ROW) AS n_docs_kept,
-             sum(ws) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED
-                           PRECEDING AND CURRENT ROW) AS weight_kept
+             (sum(n) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW))::BIGINT
+               AS n_docs_kept,
+             (sum(ws) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW))::BIGINT
+               AS weight_kept
       FROM full_g
     )
     SELECT round(b * 5 / 100.0, 6) AS threshold,
@@ -2593,6 +2595,97 @@ def doc_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text"),
         step_m=5,
     )
+
+
+_PARA_DEDUP_ORACLE = """
+    WITH fx AS (
+      SELECT doc_id AS id,
+             'shared header ' || (doc_id % 25)::VARCHAR || chr(10)
+             || 'body section ' || ((doc_id * 7 + 3) % 40)::VARCHAR
+             || chr(10) || 'unique tail ' || doc_id::VARCHAR AS text
+      FROM documents
+    ),
+    prs AS (
+      SELECT id, i - 1 AS pos, ps[i] AS para
+      FROM (SELECT id, string_split(text, chr(10)) AS ps FROM fx),
+           unnest(range(1, len(ps) + 1)) AS t(i)
+    ),
+    f1 AS (SELECT para, min(id) AS fid FROM prs GROUP BY para),
+    f2 AS (
+      SELECT p.para, p.id AS fid, min(p.pos) AS fpos
+      FROM prs p JOIN f1 ON f1.para = p.para AND f1.fid = p.id
+      GROUP BY p.para, p.id
+    ),
+    flag AS (
+      SELECT p.id, p.pos, p.para,
+             (p.id = f2.fid AND p.pos = f2.fpos) AS keep
+      FROM prs p JOIN f2 ON f2.para = p.para
+    )
+    SELECT id, count(*)::BIGINT AS n_paras,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN para END, chr(10)
+                               ORDER BY pos), '') AS text_clean
+    FROM flag GROUP BY id
+"""
+
+
+@query("paragraph_index_stream", oracle=_PARA_DEDUP_ORACLE)
+def paragraph_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CCNet paragraph-dedup maintenance (§2.9 x L67): the
+    3-paragraph fixture arrives as three micro-batches ordered so a
+    LATER batch carries lower doc ids (doc_id%3 descending order ->
+    displacement is exercised: boilerplate ownership moves to the
+    lower id and previously-rebuilt docs re-assemble). Drained twice
+    without a checkpoint (replays no-op) and the final per-doc
+    snapshot must hash-match the batch `corpus_paragraph_dedup`
+    oracle on the same corpus."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+
+    i = F.col("doc_id")
+    fx = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header "), (i % 25).cast("string"), F.lit("\n"),
+            F.lit("body section "), ((i * 7 + 3) % 40).cast("string"),
+            F.lit("\n"),
+            F.lit("unique tail "), i.cast("string"),
+        ).alias("text"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = f"{_SCRATCH}/paragraph_index_stream_src_{tag}"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for b in range(3):
+        # batch b carries doc_id % 3 == 2 - b: later batches bring
+        # LOWER residues, so cross-batch displacement happens
+        tmp = f"{stream_dir}.slice{b}"
+        fx.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2 - b).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"b{b}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        shutil.rmtree(tmp)
+    state = _fresh_state(spark, "paragraph_index_stream")
+    schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/b*.parquet")
+        )
+        streaming.paragraph_stream_into_state(
+            stream, state, text_col="text", id_col="doc_id"
+        )
+    from isilon_hadoop_tools_spark.streaming.neardup import PP_KEPT_SCHEMA
+
+    return state.read("pp_kept", PP_KEPT_SCHEMA)
 
 
 @query("suffix_index_stream", oracle=_SUFFIX_SPANS_ORACLE)

@@ -936,3 +936,111 @@ def test_url_keep_one_partial_append_crash_replays_clean(spark, tmp_path):
     assert got[4] == ("http://example.com/a", 3, True)
     assert got[10] == ("http://example.com/a", 3, False)
     assert got[21] == ("http://b.org/z", 2, False)
+
+
+# ---- streaming CCNet paragraph-dedup maintenance (L67 twin) ----
+
+_PP_BATCHES = [
+    [(10, "alpha\nbody-A\ntail-10"), (20, "beta\nbody-B\ntail-20")],
+    [(12, "alpha\nbody-C\ntail-12")],          # 'alpha' stays owned by 10
+    [(5, "alpha\nbody-B\ntail-5")],            # DISPLACES 10's alpha AND 20's body-B
+]
+
+
+def _pp_state(state):
+    from isilon_hadoop_tools_spark.streaming.neardup import PP_KEPT_SCHEMA
+
+    return {
+        r["id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+        for r in state.read("pp_kept", PP_KEPT_SCHEMA).collect()
+    }
+
+
+def _pp_batch_answer(spark, rows):
+    from isilon_hadoop_tools_spark.operators.corpus import paragraph_dedup
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    return {
+        r["id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+        for r in paragraph_dedup(df, "text", "doc_id").collect()
+    }
+
+
+def test_paragraph_stream_displacement_and_prefix_equivalence(
+    spark, tmp_path
+):
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        paragraph_index_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    seen = []
+    for rows in _PP_BATCHES:
+        seen += rows
+        paragraph_index_apply_batch(
+            spark.createDataFrame(rows, "doc_id LONG, text STRING"), state
+        )
+        assert _pp_state(state) == _pp_batch_answer(spark, seen)
+    final = _pp_state(state)
+    # doc 5 (lowest id) now owns 'alpha' and 'body-B'
+    assert final[5] == (3, 3, "alpha\nbody-B\ntail-5")
+    # doc 10 lost 'alpha' on displacement
+    assert final[10] == (3, 2, "body-A\ntail-10")
+    # doc 20 lost 'body-B'
+    assert final[20] == (3, 2, "beta\ntail-20")
+    assert final[12] == (3, 2, "body-C\ntail-12")
+
+
+def test_paragraph_stream_replay_and_partial_append_crash(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        paragraph_index_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for rows in _PP_BATCHES[:2]:
+        paragraph_index_apply_batch(
+            spark.createDataFrame(rows, "doc_id LONG, text STRING"), state
+        )
+    # crashed attempt of batch 2 (doc 5): kept + first already swapped,
+    # ONE of its three paragraph postings appended, members NOT
+    # committed — replay must not double-count and must converge
+    seen_all = [r for b in _PP_BATCHES for r in b]
+    crashed = _pp_batch_answer(spark, seen_all)
+    state.write(
+        "pp_kept",
+        spark.createDataFrame(
+            [(i, n, k, t) for i, (n, k, t) in crashed.items()],
+            "id LONG, n_paras LONG, n_kept LONG, text_clean STRING",
+        ),
+    )
+    # pp_first swaps BEFORE the paras append in the write order, so the
+    # crashed snapshot must carry the post-batch ownership too
+    first = {}
+    for did, text in seen_all:
+        for pos, para in enumerate(text.split("\n")):
+            if para not in first or (did, pos) < first[para]:
+                first[para] = (did, pos)
+    state.write(
+        "pp_first",
+        spark.createDataFrame(
+            [(p, f[0], f[1]) for p, f in first.items()],
+            "para STRING, fid LONG, fpos INT",
+        ),
+    )
+    state.append(
+        "pp_paras",
+        spark.createDataFrame(
+            [(5, 0, "alpha")], "id LONG, pos INT, para STRING"
+        ),
+    )
+    # replay the full batch, then a full second sweep (pure replays)
+    for rows in [_PP_BATCHES[2]] + _PP_BATCHES:
+        paragraph_index_apply_batch(
+            spark.createDataFrame(rows, "doc_id LONG, text STRING"), state
+        )
+    assert _pp_state(state) == crashed
+    p = state.read("pp_paras", "id LONG, pos INT, para STRING")
+    assert p.count() == p.distinct().count() == 3 * len(seen_all)
+    assert state.read("pp_members", "id LONG").count() == len(seen_all)
