@@ -891,7 +891,27 @@ def _lzw_compress(indices, min_code_size: int) -> bytes:
 
     table = {(i,): i for i in range(clear)}
     next_code = end + 1
+    # Code WIDTH is driven by a counter of emitted DATA codes, not by
+    # the encoder's table adds: the decoder's (lagged) table add while
+    # processing the final flush code has no encoder-side add, so an
+    # add-driven width under-grows at exactly that tail and the end
+    # code is written narrower than it is read. The per-emission
+    # counter (giflib's RunningCode rule) is provably equal to the
+    # table-add rule everywhere a table add exists, covers the tail,
+    # and also fixes the first-code KwKwK edge at min_code_size 1
+    # where code end+2 must be emittable one step early. The decoder
+    # below advances the identical counter per data code read, so the
+    # two can never disagree on a boundary.
+    wc = end + 1
     width = min_code_size + 1
+
+    def after_data_emit() -> None:
+        nonlocal wc, width
+        if wc < 4096:
+            wc += 1
+            if wc > (1 << width) and width < 12:
+                width += 1
+
     emit(clear, width)
     w: tuple = ()
     for k in indices:
@@ -901,18 +921,19 @@ def _lzw_compress(indices, min_code_size: int) -> bytes:
             w = wk
             continue
         emit(table[w], width)
+        after_data_emit()
         table[wk] = next_code
         next_code += 1
-        if next_code > (1 << width) and width < 12:
-            width += 1
         if next_code == 4096:
             emit(clear, width)
             table = {(i,): i for i in range(clear)}
             next_code = end + 1
+            wc = end + 1
             width = min_code_size + 1
         w = (k,)
     if w:
         emit(table[w], width)
+        after_data_emit()
     emit(end, width)
     if nbits:
         out.append(buf & 0xFF)
@@ -934,6 +955,11 @@ def _lzw_decompress(
     end = clear + 1
     table: dict[int, tuple] = {i: (i,) for i in range(clear)}
     next_code = end + 1
+    # Width driven by the per-data-code counter mirroring the encoder
+    # (see _lzw_compress): equal to the table-add rule wherever an add
+    # exists, but also correct at the flush-code tail and the
+    # min_code_size-1 KwKwK first step, where no add happens.
+    wc = end + 1
     width = min_code_size + 1
     out: list = []
     prev: tuple | None = None
@@ -955,6 +981,7 @@ def _lzw_decompress(
         if code == clear:
             table = {i: (i,) for i in range(clear)}
             next_code = end + 1
+            wc = end + 1
             width = min_code_size + 1
             prev = None
             continue
@@ -973,7 +1000,9 @@ def _lzw_decompress(
         if prev is not None and next_code < 4096:
             table[next_code] = prev + (entry[0],)
             next_code += 1
-            if next_code == (1 << width) and width < 12:
+        if wc < 4096:
+            wc += 1
+            if wc > (1 << width) and width < 12:
                 width += 1
         out.extend(entry)
         prev = entry

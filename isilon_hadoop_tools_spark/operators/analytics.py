@@ -1274,6 +1274,64 @@ def k_anonymity_report(
     )
 
 
+def dp_laplace_counts(
+    df: DataFrame,
+    key_cols: list,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Differentially-private histogram release under the Laplace
+    mechanism (Dwork et al. 2006) — the missing MECHANISM next to the
+    privacy AUDITS (k-anonymity/l-diversity/t-closeness measure a
+    release; this produces one): per-group counts plus
+    ``Laplace(Δf/ε)`` noise with sensitivity Δf = 1 (one individual
+    changes one count by one), released as a clamped non-negative
+    integer.
+
+    DETERMINISM CAVEAT, stated loudly: the noise here derives from a
+    seeded :func:`stable_hash32` of the group key via the inverse
+    CDF — ``u = (h + ½)/2³²``, ``x = −b·sign(u−½)·ln(1−2|u−½|)`` —
+    so the oracle can recompute it bit-for-bit and tests can assert
+    the numerical pipeline. A REAL release must swap the hash for
+    true randomness (hash-seeded noise is NOT differentially private:
+    the adversary can recompute it); everything else — sensitivity,
+    scale b = 1/ε, clamping, the post-processing invariance of the
+    released integer — is the production pipeline unchanged.
+
+    Keys must be non-null (they key a histogram release; nulls would
+    silently merge under ``concat_ws``).
+
+    Shape: ONE scan into a group-keyed count with map-side partials;
+    the noise is column algebra on the group table. Output: the key
+    columns, ``n_true`` (kept for audit — drop it for an actual
+    release), ``noise`` (6 dp), ``noisy_count`` (6 dp), ``released``
+    (long, ≥ 0).
+    """
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0; got {epsilon}")
+    b = 1.0 / epsilon
+    keys = [F.col(c) for c in key_cols]
+    groups = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_true"))
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    u = (stable_hash32(key_str, seed) + 0.5) / F.lit(4294967296.0)
+    noise = F.round(
+        (F.lit(-b) * F.signum(u - 0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - 0.5)),
+        6,
+    )
+    out = groups.withColumn("noise", noise).withColumn(
+        "noisy_count", F.round(F.col("n_true") + F.col("noise"), 6)
+    )
+    return out.withColumn(
+        "released",
+        F.greatest(
+            F.floor(F.col("noisy_count") + 0.5), F.lit(0)
+        ).cast("long"),
+    )
+
+
 def l_diversity_report(
     df: DataFrame,
     quasi_cols: list,
@@ -1658,6 +1716,72 @@ def psi_readout(counts: DataFrame, n_bands: int) -> DataFrame:
         F.round(q, 6).alias("p_cur"),
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(wall), 6).alias("psi_total"),
+    )
+
+
+def js_divergence_drift(
+    df: DataFrame,
+    value_col: str,
+    in_base,
+    in_cur,
+    breaks: list,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two cohorts of one table —
+    the bounded, symmetric companion to :func:`psi_drift`:
+    ``JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M)`` with ``M = (P+Q)/2``, over
+    the same FIXED value bands. Unlike PSI (unbounded, blows up on
+    near-empty bands even with smoothing), JS is capped at ``ln 2``
+    ≈ 0.693 nats, which makes the gate threshold portable across
+    corpora — the reason The Pile / RedPajama drift reports quote JS
+    rather than raw KL.
+
+    Determinism: identical to :func:`psi_drift` — literal breaks,
+    add-one smoothing so p, q (and hence m) are strictly positive
+    rationals both engines compute identically, per-band terms and
+    the total rounded to 6 dp.
+
+    Shape: ONE fact scan (band key + two conditional sums with
+    map-side partials), then B-row band-table work only (spine join,
+    window totals). The fact table never moves twice.
+
+    Output per band: ``band``, ``n_base``, ``n_cur``, ``p_base``,
+    ``p_cur``, ``js_term``, and the repeated ``js_total`` with the
+    gate read (<0.02 stable, >0.1 shifted is a common calibration).
+    """
+    nb = len(breaks) + 1
+    band = band_index_expr(value_col, breaks).cast("int")
+    counts = (
+        df.select(
+            band.alias("band"),
+            in_base.cast("long").alias("_b"),
+            in_cur.cast("long").alias("_c"),
+        )
+        .groupBy("band")
+        .agg(F.sum("_b").alias("n_base"), F.sum("_c").alias("n_cur"))
+    )
+    spark = counts.sparkSession
+    spine = spark.range(nb).select(F.col("id").cast("int").alias("band"))
+    full = (
+        spine.join(counts, "band", "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    wall = Window.partitionBy()
+    p = (F.col("n_base") + 1).cast("double") / (
+        F.sum("n_base").over(wall) + nb
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.sum("n_cur").over(wall) + nb
+    ).cast("double")
+    m = (p + q) / 2.0
+    term = (p * F.log(p / m) + q * F.log(q / m)) / 2.0
+    return full.select(
+        "band",
+        "n_base",
+        "n_cur",
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("p_cur"),
+        F.round(term, 6).alias("js_term"),
+        F.round(F.sum(term).over(wall), 6).alias("js_total"),
     )
 
 

@@ -2746,7 +2746,20 @@ def lm_perplexity_buckets(
     Output: ``id``, ``n_bigrams``, ``ppl_bits`` (6 dp), ``bucket``
     (head / middle / tail / short).
     """
-    scored = _lm_scored(df, text_col, id_col)
+    return _ppl_terciles(df, _lm_scored(df, text_col, id_col), id_col)
+
+
+def _ppl_terciles(
+    df: DataFrame, scored: DataFrame, id_col: str
+) -> DataFrame:
+    """The CCNet head/middle/tail readout shared by
+    :func:`lm_perplexity_buckets` (add-one bigram LM) and
+    :func:`kn_perplexity_buckets` (interpolated Kneser–Ney): exact
+    global rank of the per-doc ``ppl_bits`` via
+    :func:`_ordered_row_number` ((bits, id) ties, no single-partition
+    window), tercile thresholds at ⌊n/3⌋ and ⌊2n/3⌋, and a left join
+    back to the full corpus so sub-2-token docs surface as bucket
+    ``'short'`` instead of silently vanishing."""
     ranked = _ordered_row_number(
         scored.withColumn("_key", F.col("ppl_bits")), "_key", ["id"],
         out="_rk",
@@ -2771,6 +2784,104 @@ def lm_perplexity_buckets(
             "ppl_bits",
             F.coalesce("bucket", F.lit("short")).alias("bucket"),
         )
+    )
+
+
+def _kn_scored(
+    df: DataFrame, text_col: str, id_col: str, discount: float
+) -> DataFrame:
+    """The scoring stage of :func:`kn_perplexity_buckets` — per-doc
+    ``(id, n_bigrams, ppl_bits)`` under an interpolated Kneser–Ney
+    bigram LM — exposed separately so the plan audit can assert the
+    count-table joins carry NO broadcast hint (same discipline as
+    :func:`_lm_scored`; the rank stage checkpoints, which would hide
+    these joins from the final plan).
+
+    Model (Kneser & Ney 1995; Chen & Goodman 1999 interpolated form —
+    the smoothing KenLM ships and CCNet's scorer actually uses):
+
+      P(w2|w1) = (c(w1,w2) − D)/c(w1•)
+                 + D·N1+(w1,•)/c(w1•) · N1+(•,w2)/N1+(•,•)
+
+    with context token counts ``c(w1•) = Σ_w2 c(w1,w2)`` (NOT raw
+    unigram counts — the last token of each doc is never a context),
+    forward continuation types ``N1+(w1,•)``, backward continuation
+    types ``N1+(•,w2)``, and total distinct bigram types as the
+    continuation normalizer. Every scored bigram is observed
+    (c ≥ 1 > D), so the discounted term is strictly positive and the
+    ``max(·,0)`` of the textbook form is vacuous here.
+
+    Determinism: both engines evaluate the identically-parenthesized
+    double expression (D = 0.75 is exactly representable), per-bigram
+    ``-log2`` pre-rounded to 9 decimals, per-doc mean to 6.
+    """
+    pe = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        pe.select(
+            "id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    big = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).localCheckpoint(eager=False)
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nf")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    types = big.agg(F.count(F.lit(1)).alias("t"))
+    d = F.lit(discount)
+    p = (F.col("c12") - d) / F.col("c1") + (
+        d * F.col("nf") / F.col("c1")
+    ) * (F.col("nb") / F.col("t"))
+    bits = F.round(-F.log2(p), 9)
+    return (
+        bigrams.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(bits), 6).alias("ppl_bits"),
+        )
+    )
+
+
+def kn_perplexity_buckets(
+    df: DataFrame, text_col: str, id_col: str, discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser–Ney LM quality scoring — the smoothing
+    KenLM implements and the CCNet pipeline's scorer actually runs
+    (the add-one variant :func:`lm_perplexity_buckets` is the
+    pedagogical baseline; KN's continuation-probability backoff is
+    what separates "San Francisco" from "San glasses" at equal
+    unigram frequency). Scores every document by mean bigram
+    surprisal under a corpus-trained interpolated-KN bigram LM, then
+    buckets into CCNet's head / middle / tail terciles by exact
+    global rank.
+
+    Shape: the bigram table checkpoints once and feeds FOUR
+    aggregates (pair counts, forward context stats, backward
+    continuation types, total types) — all plain equi-joins with NO
+    broadcast hint except the 1-row types aggregate; on raw web text
+    the distinct-bigram table is corpus-scale and the w1/w2 vocab
+    tables unbounded, so AQE picks the join strategy. Rank via the
+    two-phase :func:`_ordered_row_number` — no single-partition
+    window anywhere.
+
+    Output: ``id``, ``n_bigrams``, ``ppl_bits`` (6 dp), ``bucket``
+    (head / middle / tail / short).
+    """
+    return _ppl_terciles(
+        df, _kn_scored(df, text_col, id_col, discount), id_col
     )
 
 
@@ -3283,4 +3394,107 @@ def quality_threshold_sweep(
                 6,
             ).alias("weight_share"),
         )
+    )
+
+
+def doremi_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_col: str,
+    eta: float = 0.5,
+    eps: float = 0.1,
+    iters: int = 5,
+) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023 — the mixture
+    optimizer behind the Pile-weights result): iterate multiplicative
+    weights over DOMAINS using per-domain excess loss, so
+    hard-for-the-reference domains gain sampling mass and the final
+    weights feed the mixture planner in place of hand-tuned shares.
+
+    The loss stand-in is deterministic so the oracle can recompute
+    it: per-domain mean token surprisal under the corpus unigram LM
+    (the :func:`unigram_surprisal` term, 9-dp pre-rounded), and the
+    reference loss is the global mean — ``excess_d =
+    max(loss_d − loss_global, 0)`` (6 dp), DoReMi's clipped excess.
+    Each of the ``iters`` rounds then runs the paper's update with
+    uniform smoothing::
+
+        u_d   = w_d · exp(η · excess_d)
+        w'_d  = round((1 − ε) · u_d / Σu + ε/k, 9)
+
+    The ε-mix with uniform keeps every domain sampled (the paper's
+    regularization) AND makes the fixed point non-trivial, so the
+    unrolled iterations genuinely move — a pure multiplicative
+    update with static losses would collapse to one exp().
+
+    Shape: one corpus token scan into vocabulary-keyed counts (plain
+    equi-join, NO broadcast hint — whitespace vocabulary is unbounded
+    on web text; only the 1-row totals broadcast), one domain-keyed
+    aggregate, then every iteration runs on the k-row domain table
+    (window sums over parameter-sized data — the PSI band-table
+    discipline).
+
+    Output: ``domain``, ``n_docs``, ``n_tokens``, ``loss_bits``,
+    ``excess_bits``, ``weight`` (final, 6 dp; sums to 1).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1; got {iters}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf_total"))
+    totals = freq.agg(
+        F.sum("tf_total").alias("t_tokens"),
+        F.count(F.lit(1)).alias("v_terms"),
+    )
+    bits = F.round(
+        -F.log2(
+            (F.col("tf_total") + 1.0)
+            / (F.col("t_tokens") + F.col("v_terms"))
+        ),
+        9,
+    )
+    scored = toks.join(freq, "term").crossJoin(F.broadcast(totals))
+    dom = scored.groupBy("domain").agg(
+        F.count_distinct("id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(bits), 6).alias("loss_bits"),
+    )
+    ref = scored.agg(F.round(F.avg(bits), 6).alias("ref_bits"))
+    wall = Window.partitionBy()
+    k = F.count(F.lit(1)).over(wall)
+    cur = (
+        dom.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "excess_bits",
+            F.round(
+                F.greatest(
+                    F.col("loss_bits") - F.col("ref_bits"), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn("weight", F.lit(1.0) / k)
+    )
+    for _ in range(iters):
+        cur = cur.withColumn(
+            "_u", F.col("weight") * F.exp(F.lit(eta) * F.col("excess_bits"))
+        ).withColumn(
+            "weight",
+            F.round(
+                F.lit(1.0 - eps) * F.col("_u") / F.sum("_u").over(wall)
+                + F.lit(eps) / k,
+                9,
+            ),
+        ).drop("_u")
+    return cur.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        "loss_bits",
+        "excess_bits",
+        F.round("weight", 6).alias("weight"),
     )

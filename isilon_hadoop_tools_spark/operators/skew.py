@@ -17,7 +17,7 @@ so it is a targeted tool for measured skew, not a default.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,6 +48,81 @@ def salted_count(df: DataFrame, key: str, salt: int = 8) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_partial"))
         .groupBy(key)
         .agg(F.sum("_partial").alias("count"))
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance op
+    (Delta OPTIMIZE / Iceberg rewrite_data_files) a 100 TB table
+    needs continuously: a streaming ingest that commits every minute
+    leaves thousands of KB-scale files per partition, and each one
+    costs a task launch + a footer read at scan time. Given a file
+    listing ``(partition, file, size)``, assign every file to an
+    output bin under size-ordered NEXT-FIT: within each table
+    partition, files sorted by (size DESC, file id) accumulate into
+    the current bin until the running total crosses ``target_bytes``
+    (descending order is the classical first-fit-decreasing
+    approximation restricted to a single open bin — deterministic,
+    one pass, no driver state).
+
+    Bin ids are pure integer arithmetic over the running sum: a file
+    is binned by where its byte range STARTS — ``(cum − size) div
+    target + 1`` — so both engines agree exactly (both truncate
+    non-negative division), and a file larger than the target always
+    has its assigned bin to itself: the next file starts ≥ target
+    bytes later and lands in a later id. A jumbo's cumsum jump skips
+    intermediate ids, which is why ``bin_seq``/``n_files_after``
+    count DISTINCT bins via dense rank, not max id.
+
+    Shape: the input is a file LISTING (metadata scale — ~10⁶ rows
+    for a 100 TB table, not the data itself); one partition-keyed
+    shuffle, then per-partition windows bounded by files-per-
+    partition. The planner emits assignments; executing the rewrite
+    is a per-bin coalesce the caller runs.
+
+    Output per file: ``partition``, ``file``, ``size_bytes``,
+    ``cum_bytes``, ``bin_seq`` (dense 1..k within the partition),
+    plus the partition summary ``n_files_before`` / ``n_files_after``
+    repeated on every row.
+    """
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1; got {target_bytes}")
+    part = F.col(partition_col)
+    w_ord = (
+        Window.partitionBy(part)
+        .orderBy(F.col(size_col).desc(), F.col(file_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size_col).over(w_ord)
+    assigned = files.select(
+        part.alias("partition"),
+        F.col(file_col).alias("file"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+        cum.cast("long").alias("cum_bytes"),
+    ).withColumn(
+        # `div` = exact integer division on longs (no double detour)
+        "_bin",
+        F.expr(
+            f"(cum_bytes - size_bytes) div {int(target_bytes)}"
+        ) + 1,
+    )
+    w_bin = Window.partitionBy("partition").orderBy("_bin")
+    w_all = Window.partitionBy("partition")
+    seq = F.dense_rank().over(w_bin)
+    return assigned.select(
+        "partition",
+        "file",
+        "size_bytes",
+        "cum_bytes",
+        seq.alias("bin_seq"),
+        F.count(F.lit(1)).over(w_all).alias("n_files_before"),
+        F.max(seq).over(w_all).alias("n_files_after"),
     )
 
 

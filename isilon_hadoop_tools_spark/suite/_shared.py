@@ -3098,6 +3098,7 @@ _CANONICAL_ORDER = [
     "corpus_mixture_plan",
     "events_zorder_skipping",
     "events_zorder_layout",
+    "events_compaction_plan",
     "multimodal_resize_stub",
     "multimodal_feature_stub",
     "multimodal_resize_real",
@@ -3128,6 +3129,7 @@ _CANONICAL_ORDER = [
     "events_linear_attribution",
     "events_time_decay_attribution",
     "events_psi_drift",
+    "events_js_divergence",
     "events_psi_stream",
     "events_ks_drift",
     "events_ordered_funnel",
@@ -3158,6 +3160,7 @@ _CANONICAL_ORDER = [
     "events_quantile_sketch",
     "lineitem_orders_join_size_cms",
     "customer_k_anonymity",
+    "customer_dp_histogram",
     "customer_l_diversity",
     "customer_t_closeness",
     "events_bloom_zone_skipping",
@@ -3191,6 +3194,7 @@ _CANONICAL_ORDER = [
     "events_interval_overlap_pairs",
     "events_value_equidepth_hist",
     "corpus_temperature_mixture",
+    "corpus_doremi_weights",
     "dedup_component_sizes",
     "events_value_trend",
     "lineitem_corr_matrix",
@@ -3213,6 +3217,7 @@ _CANONICAL_ORDER = [
     "doc_curation_pipeline",
     "multimodal_jpeg_png_near_dups",
     "doc_lm_perplexity",
+    "doc_kn_perplexity",
     "corpus_decontaminate_neardup",
     "events_mann_whitney",
     "doc_url_canonicalize",

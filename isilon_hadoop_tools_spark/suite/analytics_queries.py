@@ -1081,6 +1081,55 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_dp_histogram",
+    oracle=f"""
+    WITH groups AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n_true
+      FROM customer GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT *,
+             (({stable_hash32_sql(
+                 "concat_ws('|', c_mktsegment, c_nationkey::VARCHAR)",
+                 seed=13,
+             )} + 0.5) / 4294967296.0) AS u
+      FROM groups
+    ),
+    noised AS (
+      SELECT c_mktsegment, c_nationkey, n_true,
+             round((-1.0 * sign(u - 0.5))
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+      FROM uni
+    )
+    SELECT c_mktsegment, c_nationkey, n_true, noise,
+           round(n_true + noise, 6) AS noisy_count,
+           greatest(floor(round(n_true + noise, 6) + 0.5), 0)::BIGINT
+             AS released
+    FROM noised
+    """,
+)
+def customer_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism DP histogram (EA31; Dwork et al. 2006) —
+    the release MECHANISM completing the privacy family's audits:
+    per-(segment, nation) customer counts + Laplace(1/ε) noise at
+    ε=1, clamped non-negative integer release. Noise is
+    seeded-hash inverse-CDF so the oracle recomputes it exactly
+    (stated caveat: a real release swaps in true randomness — the
+    rest of the pipeline is unchanged). One scan, group-table
+    column algebra after."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        dp_laplace_counts,
+    )
+
+    return dp_laplace_counts(
+        _t(spark, sf_dir, "customer"),
+        ["c_mktsegment", "c_nationkey"],
+        epsilon=1.0,
+        seed=13,
+    )
+
+
+@query(
     "customer_l_diversity",
     oracle="""
     WITH cells AS (

@@ -1669,6 +1669,74 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_doremi_weights",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, source AS domain,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS tf_total FROM toks GROUP BY term),
+    totals AS (
+      SELECT sum(tf_total)::BIGINT AS t_tokens, count(*) AS v_terms
+      FROM freq
+    ),
+    scored AS (
+      SELECT id, domain,
+             round(-log2((tf_total + 1.0) / (t_tokens + v_terms)), 9)
+               AS bits
+      FROM toks JOIN freq USING (term) CROSS JOIN totals
+    ),
+    dom AS (
+      SELECT domain, count(DISTINCT id) AS n_docs,
+             count(*) AS n_tokens, round(avg(bits), 6) AS loss_bits
+      FROM scored GROUP BY domain
+    ),
+    ref AS (SELECT round(avg(bits), 6) AS ref_bits FROM scored),
+    it0 AS (
+      SELECT domain, n_docs, n_tokens, loss_bits,
+             round(greatest(loss_bits - ref_bits, 0.0), 6) AS excess_bits,
+             1.0 / count(*) OVER () AS w,
+             count(*) OVER () AS k
+      FROM dom CROSS JOIN ref
+    ),
+    it1 AS (SELECT * REPLACE (round((1.0 - 0.1) * (w * exp(0.5 * excess_bits))
+              / sum(w * exp(0.5 * excess_bits)) OVER () + 0.1 / k, 9) AS w)
+            FROM it0),
+    it2 AS (SELECT * REPLACE (round((1.0 - 0.1) * (w * exp(0.5 * excess_bits))
+              / sum(w * exp(0.5 * excess_bits)) OVER () + 0.1 / k, 9) AS w)
+            FROM it1),
+    it3 AS (SELECT * REPLACE (round((1.0 - 0.1) * (w * exp(0.5 * excess_bits))
+              / sum(w * exp(0.5 * excess_bits)) OVER () + 0.1 / k, 9) AS w)
+            FROM it2),
+    it4 AS (SELECT * REPLACE (round((1.0 - 0.1) * (w * exp(0.5 * excess_bits))
+              / sum(w * exp(0.5 * excess_bits)) OVER () + 0.1 / k, 9) AS w)
+            FROM it3),
+    it5 AS (SELECT * REPLACE (round((1.0 - 0.1) * (w * exp(0.5 * excess_bits))
+              / sum(w * exp(0.5 * excess_bits)) OVER () + 0.1 / k, 9) AS w)
+            FROM it4)
+    SELECT domain, n_docs, n_tokens, loss_bits, excess_bits,
+           round(w, 6) AS weight
+    FROM it5
+    """,
+)
+def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (L71; Xie et al. 2023): 5 unrolled
+    multiplicative-weights rounds over the 5 `source` domains, driven
+    by clipped excess loss (per-domain mean unigram-LM token
+    surprisal vs the global mean) with ε=0.1 uniform smoothing and
+    η=0.5 — the learned mixture that replaces hand-tuned Pile
+    weights. One corpus token scan (hint-free vocab join), one
+    domain aggregate; every iteration is k-row window work. Oracle
+    unrolls identical iterations as chained CTEs."""
+    from isilon_hadoop_tools_spark.operators.corpus import doremi_weights
+
+    return doremi_weights(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "source"
+    )
+
+
 @query("corpus_quality_classifier_train", oracle=_quality_oracle())
 def corpus_quality_classifier_train(
     spark: SparkSession, sf_dir: str
@@ -1881,6 +1949,75 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return lm_perplexity_buckets(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@query(
+    "doc_kn_perplexity",
+    oracle=r"""
+    WITH arrs AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*) AS nf
+            FROM big GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS nb FROM big GROUP BY w2),
+    types AS (SELECT count(*) AS t FROM big),
+    scored AS (
+      SELECT b.id, count(*) AS n_bigrams,
+             round(avg(round(-log2(
+               (g.c12 - 0.75) / x.c1
+               + (0.75 * x.nf / x.c1) * (n.nb / y.t)
+             ), 9)), 6) AS ppl_bits
+      FROM bigrams b
+      JOIN big g USING (w1, w2)
+      JOIN ctx x USING (w1)
+      JOIN cont n USING (w2)
+      CROSS JOIN types y
+      GROUP BY b.id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY ppl_bits, id) AS rk,
+             count(*) OVER () AS n
+      FROM scored
+    ),
+    bucketed AS (
+      SELECT id, n_bigrams, ppl_bits,
+             CASE WHEN rk <= n // 3 THEN 'head'
+                  WHEN rk <= 2 * n // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked
+    )
+    SELECT d.doc_id AS id,
+           coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+           b.ppl_bits,
+           coalesce(b.bucket, 'short') AS bucket
+    FROM documents d LEFT JOIN bucketed b ON b.id = d.doc_id
+    """,
+)
+def doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney LM scoring (L70; Kneser & Ney 1995,
+    Chen & Goodman 1999 — the smoothing KenLM ships and CCNet's
+    perplexity filter actually runs): mean bigram surprisal under a
+    corpus-trained interpolated-KN bigram LM — discounted observed
+    mass plus continuation-probability backoff
+    ``N1+(•,w2)/N1+(•,•)`` — bucketed into CCNet head/middle/tail
+    terciles by exact two-phase global rank. Context counts are
+    bigram-derived (``c(w1•)``, not raw unigram counts); the four
+    count tables join with NO broadcast hint (corpus-scale on web
+    text; only the 1-row types aggregate broadcasts); short docs
+    surface as bucket='short'."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        kn_perplexity_buckets,
+    )
+
+    return kn_perplexity_buckets(
         _t(spark, sf_dir, "documents"), "text", "doc_id"
     )
 

@@ -680,6 +680,67 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT ts::DATE AS partition, user_id % 40 AS file,
+             (count(*) * 1024 + sum(length(event_type)))::BIGINT
+               AS size_bytes
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT partition, file, size_bytes,
+             sum(size_bytes) OVER (
+               PARTITION BY partition
+               ORDER BY size_bytes DESC, file
+               ROWS UNBOUNDED PRECEDING
+             )::BIGINT AS cum_bytes
+      FROM files
+    ),
+    binned AS (
+      SELECT *, (cum_bytes - size_bytes) // 65536 + 1 AS bin
+      FROM cum
+    ),
+    seqd AS (
+      SELECT partition, file, size_bytes, cum_bytes,
+             dense_rank() OVER (
+               PARTITION BY partition ORDER BY bin
+             )::INT AS bin_seq,
+             count(*) OVER (PARTITION BY partition) AS n_files_before
+      FROM binned
+    )
+    SELECT partition, file, size_bytes, cum_bytes, bin_seq,
+           n_files_before,
+           max(bin_seq) OVER (PARTITION BY partition) AS n_files_after
+    FROM seqd
+    """,
+)
+def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (SC9) — the lakehouse
+    maintenance op (Delta OPTIMIZE / Iceberg rewrite_data_files) a
+    streaming-ingested 100 TB table needs continuously: a synthetic
+    per-day file listing (40 ingest writers x 30 days, sizes derived
+    from the events they hold) packed into 64 KiB output bins under
+    size-ordered next-fit. Integer-exact bin ids (`div`, no double
+    detour), dense-ranked so a jumbo file's skipped ids don't inflate
+    the after-count. The listing is METADATA scale (~10^6 rows for
+    100 TB) — one partition-keyed shuffle, windows bounded by
+    files-per-partition."""
+    from isilon_hadoop_tools_spark.operators.skew import compaction_plan
+
+    ev = _t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(40)).alias("file_no"),
+    ).agg(
+        (
+            F.count(F.lit(1)) * 1024 + F.sum(F.length("event_type"))
+        ).alias("size_bytes")
+    )
+    return compaction_plan(files, "day", "file_no", "size_bytes", 65536)
+
+
+@query(
     "events_funnel_conversion",
     oracle="""
     WITH first_view AS (
@@ -1409,6 +1470,70 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     boundary = F.lit("2024-01-16").cast("timestamp")
     return psi_drift(
+        ev,
+        "value",
+        in_base=F.col("ts") < boundary,
+        in_cur=F.col("ts") >= boundary,
+        breaks=[50, 100, 150, 200, 250, 300, 350, 400, 450],
+    )
+
+
+@query(
+    "events_js_divergence",
+    oracle="""
+    WITH banded AS (
+      SELECT CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1
+                  WHEN value < 150 THEN 2 WHEN value < 200 THEN 3
+                  WHEN value < 250 THEN 4 WHEN value < 300 THEN 5
+                  WHEN value < 350 THEN 6 WHEN value < 400 THEN 7
+                  WHEN value < 450 THEN 8 ELSE 9 END AS band,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS b,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS c
+      FROM events
+    ),
+    counts AS (
+      SELECT band, sum(b)::BIGINT AS n_base, sum(c)::BIGINT AS n_cur
+      FROM banded GROUP BY band
+    ),
+    spine AS (SELECT unnest(generate_series(0, 9))::INT AS band),
+    filled AS (
+      SELECT s.band, coalesce(n_base, 0) AS n_base,
+             coalesce(n_cur, 0) AS n_cur
+      FROM spine s LEFT JOIN counts USING (band)
+    ),
+    tot AS (SELECT sum(n_base)::BIGINT AS tb, sum(n_cur)::BIGINT AS tc
+            FROM filled),
+    terms AS (
+      SELECT band, n_base, n_cur,
+             (n_base + 1) / (tb + 10)::DOUBLE AS p,
+             (n_cur + 1) / (tc + 10)::DOUBLE AS q
+      FROM filled, tot
+    )
+    SELECT band, n_base, n_cur,
+           round(p, 6) AS p_base, round(q, 6) AS p_cur,
+           round((p * ln(p / ((p + q) / 2))
+                  + q * ln(q / ((p + q) / 2))) / 2, 6) AS js_term,
+           round(sum((p * ln(p / ((p + q) / 2))
+                      + q * ln(q / ((p + q) / 2))) / 2) OVER (), 6)
+             AS js_total
+    FROM terms
+    """,
+)
+def events_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence drift gate (EA29h) — the bounded,
+    symmetric companion to `events_psi_drift` on the same 10 fixed
+    value bands and month-half cohorts: ``½KL(P‖M) + ½KL(Q‖M)``,
+    capped at ln 2 so the gate threshold is portable across corpora
+    (the form drift reports for The Pile / RedPajama quote). One fact
+    scan with map-side partial counts; everything after runs on the
+    10-row band table."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        js_divergence_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    return js_divergence_drift(
         ev,
         "value",
         in_base=F.col("ts") < boundary,

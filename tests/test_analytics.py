@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from isilon_hadoop_tools_spark.operators.analytics import (
@@ -939,6 +940,94 @@ def test_psi_drift_planted_shift_and_identity(spark):
         assert by_band[b]["p_cur"] > 0.0
     # shares are the add-one rationals
     assert by_band[3]["p_cur"] == round(1001 / 1004, 6)
+
+
+def test_js_divergence_identity_bound_and_symmetry(spark):
+    """Identical cohorts give JS exactly 0 per band; a total mass
+    shift approaches but never exceeds the ln 2 bound; swapping the
+    cohorts leaves every term unchanged (JS is symmetric, unlike
+    PSI's directional log-ratio terms which merely cancel in pairs)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        js_divergence_drift,
+    )
+
+    rows = [(float(v % 100), "base") for v in range(1000)]
+    rows += [(float(v % 100), "cur") for v in range(1000)]
+    df = spark.createDataFrame(rows, "value double, cohort string")
+    same = js_divergence_drift(
+        df, "value",
+        in_base=F.col("cohort") == "base",
+        in_cur=F.col("cohort") == "cur",
+        breaks=[25, 50, 75],
+    ).collect()
+    assert len(same) == 4
+    assert all(r["js_term"] == 0.0 and r["js_total"] == 0.0 for r in same)
+    # disjoint supports: JS saturates toward (but below) ln 2
+    rows2 = [(10.0, "base")] * 1000 + [(90.0, "cur")] * 1000
+    df2 = spark.createDataFrame(rows2, "value double, cohort string")
+    kw = dict(
+        in_base=F.col("cohort") == "base",
+        in_cur=F.col("cohort") == "cur",
+        breaks=[25, 50, 75],
+    )
+    out = js_divergence_drift(df2, "value", **kw).collect()
+    total = out[0]["js_total"]
+    assert 0.6 < total < math.log(2)
+    # symmetry: swap the cohort predicates, terms are identical
+    swapped = js_divergence_drift(
+        df2, "value",
+        in_base=F.col("cohort") == "cur",
+        in_cur=F.col("cohort") == "base",
+        breaks=[25, 50, 75],
+    ).collect()
+    a = {r["band"]: r["js_term"] for r in out}
+    b = {r["band"]: r["js_term"] for r in swapped}
+    assert a == b
+
+
+def test_dp_laplace_counts_pipeline_and_hand_check(spark):
+    """The Laplace pipeline hand-verified for one group key (md5 →
+    uniform → inverse CDF, b = 1/ε), plus the release invariants:
+    released = clamp(floor(noisy+½), 0) ≥ 0, scale shrinks as ε
+    grows, ε ≤ 0 rejected."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        dp_laplace_counts,
+    )
+
+    rows = [(f"g{i % 50}", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    out = {r["grp"]: r for r in dp_laplace_counts(
+        df, ["grp"], epsilon=1.0, seed=7
+    ).collect()}
+    assert len(out) == 50
+    # hand-replicate the noise for one key
+    h = int(hashlib.md5(b"7:g3").hexdigest()[:8], 16)
+    u = (h + 0.5) / 4294967296.0
+    want = round((-1.0 * math.copysign(1.0, u - 0.5))
+                 * math.log(1.0 - 2.0 * abs(u - 0.5)), 6)
+    assert out["g3"]["noise"] == pytest.approx(want, abs=1e-9)
+    assert out["g3"]["n_true"] == 10
+    for r in out.values():
+        assert r["released"] >= 0
+        assert r["released"] == max(
+            math.floor(round(r["n_true"] + r["noise"], 6) + 0.5), 0
+        )
+    # higher epsilon -> strictly smaller |noise| for the same key
+    tight = {r["grp"]: r for r in dp_laplace_counts(
+        df, ["grp"], epsilon=10.0, seed=7
+    ).collect()}
+    assert abs(tight["g3"]["noise"]) < abs(out["g3"]["noise"])
+    with pytest.raises(ValueError):
+        dp_laplace_counts(df, ["grp"], epsilon=0.0)
 
 
 def test_last_touch_attribution_window_and_tiebreak(spark):

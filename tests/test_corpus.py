@@ -1319,6 +1319,94 @@ def test_lm_perplexity_fluency_ordering_and_buckets(spark):
     assert buckets.count("tail") == 2
 
 
+def test_kn_perplexity_hand_computed(spark):
+    """Interpolated Kneser–Ney bigram probabilities on a corpus small
+    enough to hand-compute: big = {(a,b):2, (b,a):1, (a,c):1}, so
+    c(a•)=3, N1+(a,•)=2, c(b•)=1, N1+(b,•)=1, N1+(•,·)=1 each,
+    types=3.
+
+      P(b|a) = (2−.75)/3 + (.75·2/3)(1/3) = 7/12
+      P(a|b) = (1−.75)/1 + (.75·1/1)(1/3) = 1/2
+      P(c|a) = (1−.75)/3 + (.75·2/3)(1/3) = 1/4
+
+    Doc 'a b a b' → mean of round9(−log2) over [7/12, 1/2, 7/12] =
+    0.851738; doc 'a c' → exactly 2.0 bits. Observed continuation
+    mass from context 'a' sums to 7/12+1/4 < 1 (the rest is KN's
+    reserve for unseen continuations). Sub-2-token docs surface as
+    'short' with NULL bits."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        kn_perplexity_buckets,
+    )
+
+    rows = [(1, "a b a b"), (2, "a c"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in kn_perplexity_buckets(
+        df, "text", "doc_id"
+    ).collect()}
+    assert out[3]["bucket"] == "short"
+    assert out[3]["n_bigrams"] == 0 and out[3]["ppl_bits"] is None
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
+    assert out[1]["ppl_bits"] == pytest.approx(0.851738, abs=1e-6)
+    assert out[2]["ppl_bits"] == pytest.approx(2.0, abs=1e-9)
+    assert out[1]["ppl_bits"] < out[2]["ppl_bits"]
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The Kneser–Ney signature: a token frequent ONLY in one context
+    ('francisco' always after 'san') gets a LOW continuation
+    probability, so a NOVEL pairing with it scores worse under KN
+    backoff than an equally-frequent token observed after many
+    contexts. Both probe bigrams occur once with the same context
+    count; only the continuation factor differs — the add-one LM
+    would score them identically when unigram counts tie."""
+    from isilon_hadoop_tools_spark.operators.corpus import _kn_scored
+
+    rows = [
+        # 'francisco' 4x, always after 'san' (1 continuation type)
+        (1, "san francisco san francisco san francisco san francisco"),
+        # 'tea' 4x after 4 DIFFERENT contexts (4 continuation types)
+        (2, "green tea black tea iced tea herbal tea"),
+        # probe docs: one novel bigram each, same probe context 'odd'
+        (10, "odd francisco"),
+        (11, "odd tea"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in _kn_scored(
+        df, "text", "doc_id", 0.75
+    ).collect()}
+    assert out[11]["ppl_bits"] < out[10]["ppl_bits"]
+
+
+def test_doremi_weights_hard_domain_gains_mass(spark):
+    """A domain of rare one-off tokens (high surprisal = high excess
+    loss) must end with MORE weight than the boilerplate domain made
+    of the corpus's dominant tokens; weights stay a distribution
+    (sum 1) and every domain keeps at least the ε/k uniform floor —
+    DoReMi's no-domain-starves regularization."""
+    from isilon_hadoop_tools_spark.operators.corpus import doremi_weights
+
+    common = "the cat sat on the mat " * 3
+    rows = (
+        [(i, "easy", common) for i in range(4)]
+        + [(10, "hard", "zeta qux vorp glim blat krun vex jorum")]
+        + [(11, "hard", "smelt quoin fyrd welkin gnomon pleach")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {r["domain"]: r for r in doremi_weights(
+        df, "text", "doc_id", "src"
+    ).collect()}
+    assert out["hard"]["excess_bits"] > 0.0
+    assert out["easy"]["excess_bits"] == 0.0  # below-global clips to 0
+    assert out["hard"]["weight"] > out["easy"]["weight"]
+    total = sum(r["weight"] for r in out.values())
+    assert total == pytest.approx(1.0, abs=1e-5)
+    k = len(out)
+    assert all(r["weight"] >= 0.1 / k - 1e-6 for r in out.values())
+    assert out["easy"]["n_docs"] == 4 and out["hard"]["n_docs"] == 2
+    with pytest.raises(ValueError):
+        doremi_weights(df, "text", "doc_id", "src", iters=0)
+
+
 def test_decontaminate_neardup_flags_paraphrased_leakage(spark):
     """A training doc that is a lightly-edited copy of an eval doc
     must be flagged (shares minhash bands); an unrelated doc must

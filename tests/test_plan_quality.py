@@ -470,6 +470,37 @@ def test_lm_perplexity_bigram_join_not_forced_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def test_kn_perplexity_count_joins_not_forced_broadcast(spark):
+    """Same discipline as _lm_scored for the Kneser–Ney scorer: the
+    pair/context/continuation count tables are corpus-scale on web
+    text — no broadcast HINT anywhere (assert zero BroadcastHashJoin
+    at threshold -1); only the 1-row types aggregate crossJoin may
+    broadcast."""
+    from isilon_hadoop_tools_spark.operators.corpus import _kn_scored
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        docs = spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+        scored = _kn_scored(docs, "text", "doc_id", 0.75)
+        plan = scored._sc._jvm.PythonSQLUtils.explainString(
+            scored._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row types
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_js_divergence_single_scan_band_table_work(spark):
+    """The JS gate shares PSI's shape contract: ONE events scan with
+    map-side partial counts; everything after runs on the 10-row
+    band table (the only other scan is the band spine Range)."""
+    plan = _plan(spark, "events_js_divergence")
+    assert _tree_scans(plan) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_url_canonicalize_scan_bound(spark):
     """URL canonicalization is pure column algebra: ONE scan, ZERO
     exchanges, no Python, no joins — anything else would mean the

@@ -223,3 +223,35 @@ def test_bloom_zone_report_beats_minmax_on_spread_keys(spark):
     r2 = bloom_zone_report(df, "zone", "skey", 999_999).collect()[0]
     assert r2["rows_matching"] == 0
     assert r2["certificate_ok"]
+
+
+def test_compaction_plan_hand_built_listing(spark):
+    """Hand-built file listing, target 100: partition 'a' packs
+    [100, 60, 50, 30] (size-desc order) into start-offset bins
+    [1, 2, 2, 3] -> 4 files become 3 (bin 2 = 60+50 = 110: a bin
+    accepts files whose start offset falls inside it, so it can
+    overflow by at most one file -- the same rule Spark's own
+    maxPartitionBytes file coalescing uses); partition 'b' has a jumbo
+    (350) that keeps its assigned bin to itself -- the 10-byte file
+    starts at offset 350 and lands in a LATER bin -- and dense_rank
+    collapses the jumbo's skipped ids so n_files_after counts real
+    output files."""
+    from isilon_hadoop_tools_spark.operators.skew import compaction_plan
+
+    rows = [
+        ("a", 1, 60), ("a", 2, 100), ("a", 3, 30), ("a", 4, 50),
+        ("b", 1, 350), ("b", 2, 10),
+    ]
+    df = spark.createDataFrame(rows, "part string, f int, sz long")
+    out = compaction_plan(df, "part", "f", "sz", 100)
+    got = {(r["partition"], r["file"]): r for r in out.collect()}
+    a = [got[("a", 2)], got[("a", 1)], got[("a", 4)], got[("a", 3)]]
+    assert [r["cum_bytes"] for r in a] == [100, 160, 210, 240]
+    assert [r["bin_seq"] for r in a] == [1, 2, 2, 3]
+    assert all(r["n_files_before"] == 4 and r["n_files_after"] == 3
+               for r in a)
+    jumbo, small = got[("b", 1)], got[("b", 2)]
+    assert jumbo["bin_seq"] == 1 and small["bin_seq"] == 2
+    assert jumbo["n_files_after"] == 2  # dense: ids 1 and 4 -> seq 1, 2
+    with pytest.raises(ValueError):
+        compaction_plan(df, "part", "f", "sz", 0)
