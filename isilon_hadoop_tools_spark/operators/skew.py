@@ -51,6 +51,55 @@ def salted_count(df: DataFrame, key: str, salt: int = 8) -> DataFrame:
     )
 
 
+def hilbert_key(cols: list, bits: int = 8):
+    """Hilbert-curve key for two dimensions — the space-filling curve
+    behind Delta liquid clustering and Iceberg's hilbert ordering,
+    and the better z-order: Morton interleaving has long diagonal
+    jumps (adjacent keys up to a full grid apart), while the Hilbert
+    curve is continuous (consecutive keys are ALWAYS grid neighbors),
+    so equal-width key zones cover tighter spatial rectangles and
+    min/max skipping prunes more on both dimensions.
+
+    The classical per-level rotate-and-reflect walk (Warren, Hacker's
+    Delight §16; the standard xy2d formulation) over the low ``bits``
+    bits of each coordinate, expressed as ONE ``F.aggregate`` fold
+    over the literal level array with a struct accumulator — linear
+    expression size (a naive per-level ``withColumn`` unroll
+    duplicates the x/y subtrees exponentially), pure JVM integer
+    math, no Python. Two dimensions only (the rotation table is
+    dimension-specific); callers bucket higher-cardinality keys into
+    the ``2^bits`` range first, like :func:`zorder_key`.
+    """
+    if len(cols) != 2:
+        raise ValueError(f"hilbert_key takes exactly 2 columns; got {len(cols)}")
+    mask = (1 << bits) - 1
+    xc, yc = [
+        (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(
+            F.lit(mask)
+        )
+        for c in cols
+    ]
+    levels = F.array(*[F.lit(1 << i) for i in reversed(range(bits))])
+    init = F.struct(
+        xc.alias("x"), yc.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+
+    def step(acc, s):
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = (x.bitwiseAND(s) > 0).cast("long")
+        ry = (y.bitwiseAND(s) > 0).cast("long")
+        nd = d + s * s * (3 * rx).bitwiseXOR(ry)
+        nx = F.when(
+            ry == 0, F.when(rx == 1, s - 1 - y).otherwise(y)
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0, F.when(rx == 1, s - 1 - x).otherwise(x)
+        ).otherwise(y)
+        return F.struct(nx.alias("x"), ny.alias("y"), nd.alias("d"))
+
+    return F.aggregate(levels, init, step)["d"]
+
+
 def compaction_plan(
     files: DataFrame,
     partition_col: str,

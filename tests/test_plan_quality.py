@@ -501,6 +501,15 @@ def test_js_divergence_single_scan_band_table_work(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_hilbert_skipping_jvm_only_single_scan_per_layout(spark):
+    """The Hilbert key fold is F.aggregate (JVM, outside codegen but
+    never Python): no Arrow/Python eval nodes; one events scan per
+    layout branch of the union (2 total)."""
+    plan = _plan(spark, "events_hilbert_skipping")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert _tree_scans(plan) == 2
+
+
 def test_url_canonicalize_scan_bound(spark):
     """URL canonicalization is pure column algebra: ONE scan, ZERO
     exchanges, no Python, no joins — anything else would mean the

@@ -255,3 +255,49 @@ def test_compaction_plan_hand_built_listing(spark):
     assert jumbo["n_files_after"] == 2  # dense: ids 1 and 4 -> seq 1, 2
     with pytest.raises(ValueError):
         compaction_plan(df, "part", "f", "sz", 0)
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    """hilbert_key equals the classical xy2d rotate-and-reflect walk
+    on random order-8 points; at order 2 it is a bijection onto
+    0..15 whose consecutive keys are ALWAYS grid neighbors (the
+    continuity property Morton lacks -- the reason Hilbert zones
+    prune tighter); 2-column arity is enforced."""
+    import random
+
+    import pytest as _pytest
+
+    from isilon_hadoop_tools_spark.operators.skew import hilbert_key
+
+    def ref_xy2d(order, x, y):
+        d, s = 0, order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = random.Random(3)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(200)]
+    pts += [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["d"] for r in df.select(
+        "x", "y", hilbert_key(["x", "y"], 8).alias("d")
+    ).collect()}
+    assert all(got[(x, y)] == ref_xy2d(256, x, y) for x, y in pts)
+    small = {(r["x"], r["y"]): r["d"] for r in df.filter(
+        "x < 4 and y < 4"
+    ).select("x", "y", hilbert_key(["x", "y"], 2).alias("d")).collect()}
+    assert sorted(small.values()) == list(range(16))
+    inv = {d: xy for xy, d in small.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(15)
+    )
+    with _pytest.raises(ValueError):
+        hilbert_key(["x"], 8)
