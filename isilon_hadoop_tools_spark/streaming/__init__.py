@@ -9,6 +9,8 @@ reference's idempotent sinks (S9) onto ``foreachBatch`` merges.
 """
 
 from isilon_hadoop_tools_spark.streaming.neardup import (
+    compaction_apply_batch,
+    compaction_stream_into_state,
     domain_caps_apply_batch,
     domain_caps_stream_into_state,
     minhash_index_apply_batch,
@@ -54,6 +56,8 @@ __all__ = [
     "suffix_index_apply_batch",
     "paragraph_index_apply_batch",
     "paragraph_stream_into_state",
+    "compaction_apply_batch",
+    "compaction_stream_into_state",
     "suffix_stream_into_state",
     "tagged_index_apply_batch",
     "tagged_stream_into_state",

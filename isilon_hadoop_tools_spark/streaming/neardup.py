@@ -1089,3 +1089,113 @@ def paragraph_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+CP_MEMBERS_SCHEMA = "partition STRING, file LONG"
+CP_FILES_SCHEMA = "partition STRING, file LONG, size_bytes LONG"
+CP_PLAN_SCHEMA = (
+    "partition STRING, file LONG, size_bytes LONG, cum_bytes LONG,"
+    " bin_seq INT, n_files_before LONG, n_files_after INT"
+)
+
+
+def compaction_apply_batch(
+    files: DataFrame,
+    state: ParquetState,
+    target_bytes: int,
+    partition_col: str = "partition",
+    file_col: str = "file",
+    size_col: str = "size_bytes",
+) -> None:
+    """Fold one micro-batch of FILE-LISTING rows into the compaction
+    plan — the streaming twin of the batch ``skew.compaction_plan``
+    (SC9), keeping the BATCH semantics exactly: the plan for every
+    table partition equals the size-ordered start-offset binning over
+    ALL files seen so far. A newly-arrived large file RESORTS its
+    partition (size-DESC order changes), displacing every previous
+    bin assignment there — so plans for touched partitions are
+    REPLACED per batch, never patched, and the snapshot converges to
+    one answer regardless of arrival order (the continuous OPTIMIZE
+    loop a streaming-ingested lakehouse table runs).
+
+    Per batch, the plan recomputes ONLY for TOUCHED partitions
+    (partitions present in the batch); untouched partitions' listings
+    are unchanged, so their plans are already exact. Files are
+    immutable storage objects, so a re-appearing (partition, file)
+    key is a REPLAY, not an update — the members anti-join no-ops it.
+
+    State: ``cp_members`` (replay no-op), ``cp_files`` (the
+    accumulated listing), ``cp_plan`` (the decision snapshot). Write
+    order: plan (swap) → files (append, anti-joined) → members
+    (append, the commit point); reads exclude the replaying keys so
+    a partial append cannot double-count a file into its partition.
+    """
+    from isilon_hadoop_tools_spark.operators.skew import compaction_plan
+
+    batch = files.select(
+        F.col(partition_col).cast("string").alias("partition"),
+        F.col(file_col).cast("long").alias("file"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+    )
+    members = state.read("cp_members", CP_MEMBERS_SCHEMA)
+    key = ["partition", "file"]
+    new_files = batch.join(members, key, "left_anti").localCheckpoint(
+        eager=True
+    )
+    if not new_files.take(1):
+        return  # replayed or empty batch
+    files_raw = state.read("cp_files", CP_FILES_SCHEMA)
+    old_files = files_raw.join(new_files.select(*key), key, "left_anti")
+    touched = new_files.select("partition").distinct().localCheckpoint(
+        eager=True
+    )
+    cand = (
+        old_files.join(touched, "partition", "left_semi")
+        .unionByName(new_files)
+    )
+    plan = compaction_plan(
+        cand, "partition", "file", "size_bytes", target_bytes
+    )
+    current = state.read("cp_plan", CP_PLAN_SCHEMA)
+    merged = current.join(touched, "partition", "left_anti").unionByName(
+        plan
+    )
+    state.write("cp_plan", merged)
+    state.append(
+        "cp_files",
+        new_files.join(files_raw.select(*key), key, "left_anti"),
+    )
+    state.append("cp_members", new_files.select(*key))
+
+
+def compaction_stream_into_state(
+    files: DataFrame,
+    state: ParquetState,
+    target_bytes: int,
+    partition_col: str = "partition",
+    file_col: str = "file",
+    size_col: str = "size_bytes",
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a file-listing stream through
+    :func:`compaction_apply_batch` via ``foreachBatch`` with
+    ``trigger(availableNow)`` — replay-proof with or without a
+    checkpoint, the streaming twin of the batch compaction planner."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        compaction_apply_batch(
+            batch,
+            state,
+            target_bytes=target_bytes,
+            partition_col=partition_col,
+            file_col=file_col,
+            size_col=size_col,
+        )
+
+    writer = files.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

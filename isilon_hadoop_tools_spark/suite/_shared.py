@@ -3161,6 +3161,7 @@ _CANONICAL_ORDER = [
     "events_hilbert_skipping",
     "events_zorder_layout",
     "events_compaction_plan",
+    "compaction_index_stream",
     "multimodal_resize_stub",
     "multimodal_feature_stub",
     "multimodal_resize_real",

@@ -789,6 +789,95 @@ def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "compaction_index_stream",
+    oracle="""
+    WITH files AS (
+      SELECT ts::DATE::VARCHAR AS partition, user_id % 40 AS file,
+             (count(*) * 1024 + sum(length(event_type)))::BIGINT
+               AS size_bytes
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT partition, file, size_bytes,
+             sum(size_bytes) OVER (
+               PARTITION BY partition
+               ORDER BY size_bytes DESC, file
+               ROWS UNBOUNDED PRECEDING
+             )::BIGINT AS cum_bytes
+      FROM files
+    ),
+    binned AS (
+      SELECT *, (cum_bytes - size_bytes) // 65536 + 1 AS bin
+      FROM cum
+    ),
+    seqd AS (
+      SELECT partition, file, size_bytes, cum_bytes,
+             dense_rank() OVER (
+               PARTITION BY partition ORDER BY bin
+             )::INT AS bin_seq,
+             count(*) OVER (PARTITION BY partition) AS n_files_before
+      FROM binned
+    )
+    SELECT partition, file, size_bytes, cum_bytes, bin_seq,
+           n_files_before,
+           max(bin_seq) OVER (PARTITION BY partition) AS n_files_after
+    FROM seqd
+    """,
+)
+def compaction_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming compaction-plan maintenance (§2.9 x SC9): the same
+    40-writers-x-30-days file listing as `events_compaction_plan`
+    arrives as three micro-batches keyed file_no % 3 in DESCENDING
+    residue order — every partition is touched repeatedly and each
+    later batch RESORTS it (size-desc order changes), displacing the
+    previous bin assignments — and the drained-twice plan snapshot
+    must hash-match the batch planner over the whole listing."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.streaming.neardup import CP_PLAN_SCHEMA
+
+    ev = _t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.to_date("ts").cast("string").alias("partition"),
+        F.pmod(F.col("user_id"), F.lit(40)).alias("file"),
+    ).agg(
+        (
+            F.count(F.lit(1)) * 1024 + F.sum(F.length("event_type"))
+        ).alias("size_bytes")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = f"{_SCRATCH}/compaction_stream_src_{tag}"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for n, i in enumerate((2, 1, 0)):
+        tmp = f"{stream_dir}.slice{i}"
+        files.filter(F.pmod(F.col("file"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"b{n}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + n, 1_700_000_000 + n))
+        shutil.rmtree(tmp)
+    state = _fresh_state(spark, "compaction_index_stream")
+    schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/b*.parquet")
+        )
+        streaming.compaction_stream_into_state(
+            stream, state, target_bytes=65536
+        )
+    return state.read("cp_plan", CP_PLAN_SCHEMA)
+
+
+@query(
     "events_funnel_conversion",
     oracle="""
     WITH first_view AS (

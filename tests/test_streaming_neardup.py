@@ -1044,3 +1044,119 @@ def test_paragraph_stream_replay_and_partial_append_crash(spark, tmp_path):
     p = state.read("pp_paras", "id LONG, pos INT, para STRING")
     assert p.count() == p.distinct().count() == 3 * len(seen_all)
     assert state.read("pp_members", "id LONG").count() == len(seen_all)
+
+
+_CP_BATCHES = [
+    [("p1", 1, 100), ("p2", 1, 500)],
+    [("p1", 2, 300)],                     # resorts p1: 300 > 100
+    [("p1", 3, 50), ("p2", 2, 10)],
+]
+_CP_SCHEMA = "partition STRING, file LONG, size_bytes LONG"
+
+
+def _cp_batch_answer(spark, rows, target):
+    from isilon_hadoop_tools_spark.operators.skew import compaction_plan
+
+    return {
+        (r["partition"], r["file"]): (
+            r["size_bytes"], r["cum_bytes"], r["bin_seq"],
+            r["n_files_before"], r["n_files_after"],
+        )
+        for r in compaction_plan(
+            spark.createDataFrame(rows, _CP_SCHEMA),
+            "partition", "file", "size_bytes", target,
+        ).collect()
+    }
+
+
+def _cp_state(state):
+    from isilon_hadoop_tools_spark.streaming.neardup import CP_PLAN_SCHEMA
+
+    return {
+        (r["partition"], r["file"]): (
+            r["size_bytes"], r["cum_bytes"], r["bin_seq"],
+            r["n_files_before"], r["n_files_after"],
+        )
+        for r in state.read("cp_plan", CP_PLAN_SCHEMA).collect()
+    }
+
+
+def test_compaction_stream_displacement_prefix_and_replay(spark, tmp_path):
+    """Compaction maintenance: after every micro-batch the plan
+    snapshot equals the batch planner over the prefix; a
+    later-arriving larger file RESORTS its partition and displaces
+    the earlier file's bin; a full replay sweep is a no-op."""
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        compaction_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    seen = []
+    for sweep in range(2):
+        for rows in _CP_BATCHES:
+            if sweep == 0:
+                seen += rows
+            compaction_apply_batch(
+                spark.createDataFrame(rows, _CP_SCHEMA), state, 256
+            )
+            if sweep == 0:
+                assert _cp_state(state) == _cp_batch_answer(
+                    spark, seen, 256
+                )
+    all_rows = [r for b in _CP_BATCHES for r in b]
+    final = _cp_state(state)
+    assert final == _cp_batch_answer(spark, all_rows, 256)
+    # displacement: p1 file 1 was bin 1 alone; file 2 (300 B) sorts
+    # first and pushes it to start offset 300 -> bin 2
+    assert final[("p1", 2)][2] == 1
+    assert final[("p1", 1)][2] == 2
+    members = state.read("cp_members", "partition STRING, file LONG")
+    assert members.count() == len(all_rows)
+
+
+def test_compaction_partial_append_crash_replays_clean(spark, tmp_path):
+    """Crash simulation (the suffix/domain-caps matrix): the batch-3
+    attempt dies AFTER the cp_plan swap and AFTER one of its two
+    cp_files rows appended, BEFORE the cp_members commit. Replay must
+    not double-count the partially-appended file into its partition
+    and must converge to the clean full answer."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        CP_FILES_SCHEMA,
+        compaction_apply_batch,
+    )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for rows in _CP_BATCHES[:2]:
+        compaction_apply_batch(
+            spark.createDataFrame(rows, _CP_SCHEMA), state, 256
+        )
+    all_rows = [r for b in _CP_BATCHES for r in b]
+    # crashed attempt: plan already swapped to the post-batch answer,
+    # ONE of the two file rows appended, members NOT committed
+    from isilon_hadoop_tools_spark.operators.skew import compaction_plan
+
+    state.write(
+        "cp_plan",
+        compaction_plan(
+            spark.createDataFrame(all_rows, _CP_SCHEMA),
+            "partition", "file", "size_bytes", 256,
+        ),
+    )
+    state.append(
+        "cp_files",
+        spark.createDataFrame(_CP_BATCHES[2], _CP_SCHEMA).filter(
+            F.col("file") == 3
+        ),
+    )
+    # replay batch 3 through the normal path
+    compaction_apply_batch(
+        spark.createDataFrame(_CP_BATCHES[2], _CP_SCHEMA), state, 256
+    )
+    assert _cp_state(state) == _cp_batch_answer(spark, all_rows, 256)
+    f = state.read("cp_files", CP_FILES_SCHEMA)
+    assert f.count() == f.select("partition", "file").distinct().count()
+    assert f.count() == len(all_rows)
+    members = state.read("cp_members", "partition STRING, file LONG")
+    assert members.count() == len(all_rows)
