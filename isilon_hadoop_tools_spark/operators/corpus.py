@@ -3498,3 +3498,65 @@ def doremi_weights(
         "excess_bits",
         F.round("weight", 6).alias("weight"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    context_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Cross-document SEQUENCE PACKING for pretraining batches — the
+    multipack / first-fit-decreasing packing finetuning stacks run
+    (HF TRL's ``packing=True``, axolotl's multipack sampler; distinct
+    from :func:`pack_chunks`, which chunks WITHIN one document):
+    whole documents are binned into fixed ``context_len``-token
+    training sequences so short documents share a context window
+    instead of wasting it on padding.
+
+    Documents are token-capped at ``context_len`` first (the standard
+    truncate-to-context step — an over-length doc would occupy a
+    sequence alone anyway), sharded by ``id mod n_shards`` (shards =
+    the parallel packing domains a distributed sampler uses; packing
+    is per-shard so no global sort exists), then packed per shard by
+    the size-ordered start-offset rule shared with
+    :func:`skew.compaction_plan` — one partition-keyed shuffle,
+    windows bounded by docs-per-shard. A sequence accepts documents
+    whose start offset falls inside it, so fill can exceed 1.0 by at
+    most one document's tail; the trainer's concat-and-slice consumes
+    the overflow (reported honestly in ``fill_frac``).
+
+    Output per packed sequence: ``shard``, ``seq_no``, ``n_docs``,
+    ``n_tokens`` (capped sum), ``fill_frac`` (6 dp), plus the
+    shard-level ``n_seqs`` so the padding-saved readout is one
+    aggregate away.
+    """
+    from isilon_hadoop_tools_spark.functions.text import token_count
+    from isilon_hadoop_tools_spark.operators.skew import compaction_plan
+
+    toks = df.select(
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        F.col(id_col).alias("id"),
+        F.least(token_count(text_col), F.lit(context_len)).cast(
+            "long"
+        ).alias("n_tok"),
+    )
+    plan = compaction_plan(toks, "shard", "id", "n_tok", context_len)
+    per_seq = plan.groupBy(
+        F.col("partition").alias("shard"), F.col("bin_seq").alias("seq_no")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("size_bytes").alias("n_tokens"),
+    )
+    w_shard = Window.partitionBy("shard")
+    return per_seq.select(
+        "shard",
+        "seq_no",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.lit(float(context_len)), 6).alias(
+            "fill_frac"
+        ),
+        F.count(F.lit(1)).over(w_shard).alias("n_seqs"),
+    )

@@ -3258,6 +3258,7 @@ _CANONICAL_ORDER = [
     "events_value_equidepth_hist",
     "corpus_temperature_mixture",
     "corpus_doremi_weights",
+    "doc_pack_sequences",
     "dedup_component_sizes",
     "events_value_trend",
     "lineitem_corr_matrix",

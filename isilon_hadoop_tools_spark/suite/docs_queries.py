@@ -1737,6 +1737,60 @@ def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id % 8 AS shard, doc_id AS id,
+             least(length(regexp_split_to_array(trim(text), '\s+')),
+                   512)::BIGINT AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT shard, id, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY shard ORDER BY n_tok DESC, id
+               ROWS UNBOUNDED PRECEDING
+             )::BIGINT AS cum
+      FROM toks
+    ),
+    binned AS (SELECT *, (cum - n_tok) // 512 + 1 AS bin FROM cum),
+    seqd AS (
+      SELECT shard, id, n_tok,
+             dense_rank() OVER (
+               PARTITION BY shard ORDER BY bin
+             )::INT AS seq_no
+      FROM binned
+    ),
+    agg AS (
+      SELECT shard, seq_no, count(*)::BIGINT AS n_docs,
+             sum(n_tok)::BIGINT AS n_tokens
+      FROM seqd GROUP BY 1, 2
+    )
+    SELECT shard, seq_no, n_docs, n_tokens,
+           round(n_tokens / 512.0, 6) AS fill_frac,
+           count(*) OVER (PARTITION BY shard) AS n_seqs
+    FROM agg
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sequence packing (L72 — HF TRL packing /
+    axolotl multipack; distinct from `doc_pack_chunks`, which chunks
+    WITHIN a document): whole docs binned into 512-token training
+    sequences per id-mod-8 shard by the size-ordered start-offset
+    rule shared with the SC9 compaction planner, so short documents
+    share context windows instead of wasting them on padding. Per
+    packed sequence: doc count, capped token sum, fill fraction
+    (can pass 1.0 by at most one doc's tail — the trainer's
+    concat-and-slice consumes it), shard sequence count."""
+    from isilon_hadoop_tools_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        context_len=512, n_shards=8,
+    )
+
+
 @query("corpus_quality_classifier_train", oracle=_quality_oracle())
 def corpus_quality_classifier_train(
     spark: SparkSession, sf_dir: str

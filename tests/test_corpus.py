@@ -1407,6 +1407,37 @@ def test_doremi_weights_hard_domain_gains_mass(spark):
         doremi_weights(df, "text", "doc_id", "src", iters=0)
 
 
+def test_pack_sequences_fills_and_caps(spark):
+    """Hand-built shard: docs of 300/150/62/60 tokens at context 512
+    pack as [300+150+62 = 512, fill exactly 1.0] then [60] — the
+    fourth doc's start offset (512) opens the next sequence; an
+    over-length doc is capped at the context and sits alone at fill
+    1.0; short docs share windows (the padding the packer saves)."""
+    from isilon_hadoop_tools_spark.operators.corpus import pack_sequences
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    rows = [
+        (0, words(300)), (8, words(150)), (16, words(62)),
+        (24, words(60)),
+        (1, words(700)),  # shard 1: capped at 512, alone
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["shard"], r["seq_no"]): r for r in pack_sequences(
+        df, "text", "doc_id", context_len=512, n_shards=8
+    ).collect()}
+    s0_first = out[(0, 1)]
+    assert s0_first["n_docs"] == 3 and s0_first["n_tokens"] == 512
+    assert s0_first["fill_frac"] == 1.0
+    s0_second = out[(0, 2)]
+    assert s0_second["n_docs"] == 1 and s0_second["n_tokens"] == 60
+    assert s0_first["n_seqs"] == 2 and s0_second["n_seqs"] == 2
+    s1 = out[(1, 1)]
+    assert s1["n_docs"] == 1 and s1["n_tokens"] == 512
+    assert s1["fill_frac"] == 1.0 and s1["n_seqs"] == 1
+
+
 def test_decontaminate_neardup_flags_paraphrased_leakage(spark):
     """A training doc that is a lightly-edited copy of an eval doc
     must be flagged (shares minhash bands); an unrelated doc must
