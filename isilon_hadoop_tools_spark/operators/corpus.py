@@ -3458,12 +3458,26 @@ def doremi_weights(
         9,
     )
     scored = toks.join(freq, "term").crossJoin(F.broadcast(totals))
-    dom = scored.groupBy("domain").agg(
-        F.count_distinct("id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg(bits), 6).alias("loss_bits"),
+    # ONE corpus pass for both the per-domain losses AND the global
+    # reference: rollup emits the k domain rows plus the grand-total
+    # row in the same aggregation (separate dom/ref aggregates would
+    # recompute the token-join pipeline twice — the audit caught 31
+    # scans); the k+1-row result checkpoints (bounded), so the five
+    # iteration selects never reach back into the corpus lineage.
+    agg = (
+        scored.rollup("domain")
+        .agg(
+            F.grouping_id().alias("_gid"),
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(bits), 6).alias("loss_bits"),
+        )
+        .localCheckpoint(eager=False)
     )
-    ref = scored.agg(F.round(F.avg(bits), 6).alias("ref_bits"))
+    dom = agg.filter(F.col("_gid") == 0).drop("_gid")
+    ref = agg.filter(F.col("_gid") == 1).select(
+        F.col("loss_bits").alias("ref_bits")
+    )
     wall = Window.partitionBy()
     k = F.count(F.lit(1)).over(wall)
     cur = (

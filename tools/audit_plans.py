@@ -70,6 +70,9 @@ def main() -> int:
         # crossJoining four 1-row count aggregates
         "dedup_lsh_recall",
         "multimodal_hash_recall",
+        # 1-row broadcasts: the unigram totals onto the token join
+        # and the global reference loss onto the k-row domain table
+        "corpus_doremi_weights",
     }
     for name in names:
         c = audit(spark, name, sf_dir)
