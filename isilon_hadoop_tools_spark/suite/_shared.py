@@ -1056,6 +1056,41 @@ def _lsh_cand_cte(planes: int = 4, tables: int = 8, dim: int = 64) -> str:
     )"""
 
 
+def _binary_ann_oracle(rerank: int = 40) -> str:
+    """DuckDB twin of ``binary_hamming_topk``: sign bits packed into
+    two 32-bit words (MSB-first, weight ``1 << (32 - i)`` — exactly
+    the Spark ``acc·2 + bit`` fold), Hamming candidates via
+    ``bit_count(xor(..))``, exact-cosine rerank through the shared
+    score/rank tail."""
+    word = (
+        "list_sum(list_transform(generate_series(1, 32), i ->"
+        " CASE WHEN v[i + {off}] >= 0 THEN (1::BIGINT << (32 - i))"
+        " ELSE 0 END))::BIGINT"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    words AS (
+      SELECT vec_id,
+             {word.format(off=0)} AS lo,
+             {word.format(off=32)} AS hi
+      FROM vecs
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.lo, c.lo))
+                          + bit_count(xor(q.hi, c.hi)), c.vec_id
+               ) AS hrk
+        FROM words q JOIN words c
+          ON q.vec_id < {_ANN_QUERIES} AND c.vec_id <> q.vec_id
+      ) WHERE hrk <= {rerank}
+    ),
+    {_ANN_SCORE_RANK_SQL}
+    """
+
+
 def _lsh_ann_oracle(planes: int = 4, tables: int = 8, dim: int = 64) -> str:
     """DuckDB twin of ``lsh_ann_topk`` (see :func:`_lsh_cand_cte`)."""
     return f"""
@@ -3129,6 +3164,7 @@ _CANONICAL_ORDER = [
     "ann_brute_force_cosine",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
+    "ann_binary_hamming",
     "ann_ivf_probed",
     "doc_dup_spans",
     "doc_dup_span_merged",

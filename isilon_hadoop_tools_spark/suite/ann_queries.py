@@ -147,6 +147,7 @@ from isilon_hadoop_tools_spark.suite._shared import (  # noqa: F401
     _lang_score_sql,
     _le_hex,
     _lpa_oracle,
+    _binary_ann_oracle,
     _lsh_ann_oracle,
     _lsh_cand_cte,
     _lsh_multiprobe_oracle,
@@ -506,6 +507,24 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K, planes=4
+    )
+
+
+@query("ann_binary_hamming", oracle=_binary_ann_oracle())
+def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (L11c — RaBitQ-style sign-bit
+    compression, the 1-bit index every 2024-era vector store ships):
+    64-dim vectors collapse to two 32-bit sign words (32x footprint
+    cut), candidates rank by pure-integer Hamming distance
+    (bit_count(xor)) with queries broadcast so the scan streams
+    map-side comparing two longs per row, and the top-40 candidates
+    rerank by exact cosine. Deterministic end to end, so the SQL
+    oracle recomputes the identical words and candidate cut;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.binary_hamming_topk(
+        emb, emb.filter(F.col("vec_id") < _ANN_QUERIES),
+        k=_ANN_K, rerank=40,
     )
 
 

@@ -388,6 +388,26 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_kn(c: int) -> float:
+        # interpolated Kneser-Ney scoring (L70): four count
+        # aggregates off one checkpointed bigram table + the
+        # two-phase global rank — salted copies grow the distinct
+        # bigram/vocab tables ~linearly, so a linear wall curve
+        # certifies the hint-free join fan doesn't blow up when the
+        # count tables stop being broadcastable
+        from isilon_hadoop_tools_spark.operators.corpus import (
+            kn_perplexity_buckets,
+        )
+
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        kn_perplexity_buckets(d, "text", "doc_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
     only = {a for a in sys.argv[1:] if not a.startswith("--")}
     bad = 0
     results: dict[str, dict[str, float]] = {}
@@ -407,6 +427,7 @@ def curvature() -> int:
         ("events_ks_drift", run_ks, 1),
         ("events_mann_whitney", run_mw, 1),
         ("events_cvm_drift", run_cvm, 1),
+        ("doc_kn_perplexity", run_kn, 1),
     ):
         if only and name not in only:
             continue
