@@ -1785,6 +1785,117 @@ def js_divergence_drift(
     )
 
 
+def ad_drift(
+    df: DataFrame,
+    value_col: str,
+    in_base,
+    in_cur,
+) -> DataFrame:
+    """Two-sample Anderson–Darling drift gate — the TAIL-WEIGHTED
+    member completing the ECDF battery (KS = sup gap, CvM = mean
+    squared gap, this = squared gap weighted by ``1/(B·(N−B))``, so
+    distribution-edge drift that KS/CvM average away dominates the
+    statistic — the reason AD is the standard "did the tails move"
+    test). The k=2 case of Scholz & Stephens 1987 eq. 3 in the
+    right-continuous discrete form (SciPy's ``midrank=False``):
+
+        A² = Σ_{i∈{b,c}} (1/n_i) Σ_j l_j·(N·M_ij − n_i·B_j)²
+                                       / (N·B_j·(N−B_j))
+
+    over pooled distinct values (the largest excluded — its weight
+    is 1/0), with l_j the pooled count, B_j the pooled cumulative,
+    M_ij sample i's cumulative.
+
+    For k = 2 the two samples' deviations are exact negatives
+    (``N·M_c − tc·B = −(N·M_b − tb·B)``), so the pair of terms
+    collapses to ONE: ``A² = (1/(tb·tc)) Σ_j l_j·d_j² /
+    (B_j·(N−B_j))`` with ``d = N·M_b − tb·B``.
+
+    Determinism with NO double anywhere near a big integer: a
+    DECIMAL→DOUBLE (or HUGEINT→DOUBLE) cast above 2⁵³ is double-
+    rounded differently across engines (measured: a 1-ulp flip in
+    the 6th decimal), so every per-value term is an exact scaled
+    integer — ``q_j = ⌊l·d²·10⁶ / (B·(N−B))⌋`` via decimal floor
+    division (:func:`_dec_floordiv`) — summed exactly in
+    DECIMAL(38,0) (order-independent), and the final statistic is
+    one more exact floor division to 6-dp micro-units before the
+    only double cast, which then sits far below 2⁵³. Bound:
+    ``l·d²·10⁶ ≤ 10³⁸`` needs N ≲ 10⁶ — pre-quantize beyond (the
+    KS/CvM advice, one decade tighter for the 10⁶ scale factor).
+    The 10⁻⁶-per-term truncation changes the statistic by < V·10⁻⁶/
+    (tb·tc) ≪ the 6th decimal; both engines truncate identically.
+
+    Shape identical to :func:`ks_drift` / :func:`cvm_drift`: one
+    fact scan with map-side combine onto the V-row distinct-value
+    table, cumulatives via the two-phase :func:`_ordered_cumsum`,
+    totals broadcast.
+
+    Output (one row): ``n_base``, ``n_cur``, ``ad_stat`` (6 dp).
+    """
+    counts = (
+        df.select(
+            F.col(value_col).alias("v"),
+            in_base.cast("long").alias("_b"),
+            in_cur.cast("long").alias("_c"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.sum("_b").alias("nb"), F.sum("_c").alias("nc"))
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    totals = counts.agg(
+        F.sum("nb").cast(dec).alias("tb"),
+        F.sum("nc").cast(dec).alias("tc"),
+    )
+    cum = (
+        _ordered_cumsum(counts, "v", ["nb", "nc"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (F.col("nb") + F.col("nc")).cast(dec).alias("l"),
+            F.col("_cum_nb").cast(dec).alias("mb"),
+            F.col("_cum_nc").cast(dec).alias("mc"),
+            "tb",
+            "tc",
+        )
+    )
+    n_tot = F.col("tb") + F.col("tc")
+    bj = F.col("mb") + F.col("mc")
+    kept = cum.filter(bj < n_tot)
+    d = n_tot * F.col("mb") - F.col("tb") * bj
+    scale = F.lit(1_000_000).cast(dec)
+    q = _dec_floordiv(
+        F.col("l") * d * d * scale, bj * (n_tot - bj)
+    )
+    agg = kept.groupBy("tb", "tc").agg(F.sum(q).alias("s"))
+    # micro-units of the statistic: round(s / (tb·tc)) as one exact
+    # floor division of positives — (2s + tbtc) // (2·tbtc)
+    tbtc = F.col("tb") * F.col("tc")
+    micro = _dec_floordiv(
+        F.lit(2).cast(dec) * F.col("s") + tbtc,
+        F.lit(2).cast(dec) * tbtc,
+    )
+    return agg.select(
+        F.col("tb").cast("long").alias("n_base"),
+        F.col("tc").cast("long").alias("n_cur"),
+        F.round(micro.cast("double") / 1_000_000.0, 6).alias("ad_stat"),
+    )
+
+
+def _dec_floordiv(a, b):
+    """Exact ⌊a/b⌋ for non-negative DECIMAL(38,0) columns. Spark's
+    ``div`` silently casts its operands to LONG (wrapping above
+    2⁶³), so floor division is emulated: the decimal divide is
+    correctly rounded at its derived scale (within ½·10⁻⁶ of the
+    true quotient — the integer cast then lands on ⌊a/b⌋ or
+    ⌊a/b⌋+1), and one exact-remainder comparison fixes up the
+    rounded-up case. DuckDB's twin is plain HUGEINT ``//``."""
+    dec = "decimal(38,0)"
+    q0 = (a / b).cast(dec)
+    r = a - q0 * b
+    return F.when(r < 0, q0 - F.lit(1).cast(dec)).otherwise(q0)
+
+
 def _ordered_cumsum(
     df: DataFrame, key_col: str, sum_cols: list[str]
 ) -> DataFrame:

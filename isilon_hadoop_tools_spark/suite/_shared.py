@@ -3332,6 +3332,7 @@ _CANONICAL_ORDER = [
     "domain_caps_index_stream",
     "url_keep_one_index_stream",
     "events_cvm_drift",
+    "events_ad_drift",
     "corpus_domain_quality",
     "corpus_domain_caps_psl",
     "doc_lang_id_trained",

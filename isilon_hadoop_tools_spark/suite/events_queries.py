@@ -3121,3 +3121,61 @@ def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_base=F.col("ts") < boundary,
         in_cur=F.col("ts") >= boundary,
     )
+
+
+@query(
+    "events_ad_drift",
+    oracle="""
+    WITH counts AS (
+      SELECT value AS v,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN 1 ELSE 0 END)::HUGEINT AS nb,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN 1 ELSE 0 END)::HUGEINT AS nc
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    cum AS (
+      SELECT nb + nc AS l,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS mb,
+             sum(nc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS mc,
+             sum(nb) OVER () AS tb,
+             sum(nc) OVER () AS tc
+      FROM counts
+    ),
+    devs AS (
+      SELECT tb, tc, l, mb + mc AS b,
+             (tb + tc) * mb - tb * (mb + mc) AS d
+      FROM cum WHERE mb + mc < tb + tc
+    ),
+    terms AS (
+      SELECT tb, tc,
+             (l * d * d * 1000000) // (b * (tb + tc - b)) AS q
+      FROM devs
+    )
+    SELECT tb::BIGINT AS n_base, tc::BIGINT AS n_cur,
+           round(((2 * sum(q) + tb * tc) // (2 * tb * tc))::DOUBLE
+                 / 1000000.0, 6) AS ad_stat
+    FROM terms GROUP BY tb, tc
+    """,
+)
+def events_ad_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling gate (EA29i) — the TAIL-WEIGHTED
+    ECDF member on the same cohort split as KS/CvM: the squared gap
+    is weighted by 1/(B·(N−B)), so edge-of-distribution drift the
+    averaged gates dilute dominates the statistic. Per-value terms
+    are exact-DECIMAL integer ratios through one 9-dp double
+    division each; the V-row term sum runs in DECIMAL(38,9) so
+    partition order can never wiggle the result; same two-phase
+    cumulative discipline."""
+    from isilon_hadoop_tools_spark.operators.analytics import ad_drift
+
+    ev = _t(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    return ad_drift(
+        ev,
+        "value",
+        in_base=F.col("ts") < boundary,
+        in_cur=F.col("ts") >= boundary,
+    )

@@ -440,7 +440,12 @@ def test_ks_and_mann_whitney_no_single_partition_window(spark):
     `Exchange SinglePartition` here sorts the whole table in one
     task at 100x. The global totals ride a broadcast 1-row
     crossJoin, not a whole-table window."""
-    for name in ("events_ks_drift", "events_mann_whitney", "events_cvm_drift"):
+    for name in (
+        "events_ks_drift",
+        "events_mann_whitney",
+        "events_cvm_drift",
+        "events_ad_drift",
+    ):
         plan = _plan(spark, name)
         assert "Exchange SinglePartition" not in plan, (name, plan)
 
