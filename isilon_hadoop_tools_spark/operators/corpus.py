@@ -2788,7 +2788,11 @@ def _ppl_terciles(
 
 
 def _kn_scored(
-    df: DataFrame, text_col: str, id_col: str, discount: float
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """The scoring stage of :func:`kn_perplexity_buckets` — per-doc
     ``(id, n_bigrams, ppl_bits)`` under an interpolated Kneser–Ney
@@ -2814,44 +2818,58 @@ def _kn_scored(
     Determinism: both engines evaluate the identically-parenthesized
     double expression (D = 0.75 is exactly representable), per-bigram
     ``-log2`` pre-rounded to 9 decimals, per-doc mean to 6.
+
+    With ``lang_col`` set, every count table is additionally keyed by
+    the language — PER-LANGUAGE KN LMs, which is what CCNet actually
+    trains (one KenLM per language); the types normalizer becomes a
+    languages-count row set (still tiny — broadcast equi-join instead
+    of the 1-row crossJoin), and the output carries ``lang``.
     """
-    pe = df.select(
+    sel = [
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
-    )
+    ]
+    g = ["g"] if lang_col else []
+    if lang_col:
+        sel.insert(1, F.col(lang_col).alias("g"))
+    pe = df.select(*sel)
     w = Window.partitionBy("id").orderBy("pos")
     bigrams = (
         pe.select(
             "id",
+            *g,
             F.col("tok").alias("w1"),
             F.lead("tok", 1).over(w).alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
         .localCheckpoint(eager=False)
     )
-    big = bigrams.groupBy("w1", "w2").agg(
+    big = bigrams.groupBy(*g, "w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     ).localCheckpoint(eager=False)
-    ctx = big.groupBy("w1").agg(
+    ctx = big.groupBy(*g, "w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nf")
     )
-    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
-    types = big.agg(F.count(F.lit(1)).alias("t"))
+    cont = big.groupBy(*g, "w2").agg(F.count(F.lit(1)).alias("nb"))
     d = F.lit(discount)
     p = (F.col("c12") - d) / F.col("c1") + (
         d * F.col("nf") / F.col("c1")
     ) * (F.col("nb") / F.col("t"))
     bits = F.round(-F.log2(p), 9)
-    return (
-        bigrams.join(big, ["w1", "w2"])
-        .join(ctx, "w1")
-        .join(cont, "w2")
-        .crossJoin(F.broadcast(types))
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(bits), 6).alias("ppl_bits"),
-        )
+    joined = (
+        bigrams.join(big, g + ["w1", "w2"])
+        .join(ctx, g + ["w1"])
+        .join(cont, g + ["w2"])
+    )
+    if lang_col:
+        types = big.groupBy("g").agg(F.count(F.lit(1)).alias("t"))
+        joined = joined.join(F.broadcast(types), "g")
+    else:
+        types = big.agg(F.count(F.lit(1)).alias("t"))
+        joined = joined.crossJoin(F.broadcast(types))
+    return joined.groupBy("id", *g).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(bits), 6).alias("ppl_bits"),
     )
 
 
@@ -3573,4 +3591,82 @@ def pack_sequences(
             "fill_frac"
         ),
         F.count(F.lit(1)).over(w_shard).alias("n_seqs"),
+    )
+
+
+def ccnet_pipeline(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """The CCNet pipeline END TO END (Wenzek et al. 2020) — the
+    capstone composing the three stages the paper runs, in the
+    paper's order, from operators this engine already ships:
+
+      1. paragraph-hash dedup (:func:`paragraph_dedup`) — boilerplate
+         dies corpus-wide before anything looks at content;
+      2. language ID on the CLEANED text (the stopword-profile
+         heuristic — CCNet runs fastText here; the argmax shape is
+         identical);
+      3. per-LANGUAGE interpolated-KN perplexity
+         (:func:`_kn_scored` with ``lang_col`` — CCNet trains one
+         KenLM per language) bucketed into head/middle/tail terciles
+         WITHIN each language.
+
+    Per-language terciles without a data-sized window: ONE two-phase
+    global rank ordered by (lang, ppl_bits, id)
+    (:func:`_ordered_row_number`), then the within-language rank is
+    the global rank minus the language's cumulative offset — the
+    offset/threshold table is languages-count rows (parameter-sized
+    window), so no partition ever holds one language's whole corpus.
+
+    Output: ``id``, ``lang``, ``n_paras``, ``n_kept``,
+    ``n_bigrams``, ``ppl_bits``, ``bucket`` (head / middle / tail
+    within the doc's language; 'short' below 2 cleaned tokens).
+    """
+    from isilon_hadoop_tools_spark.functions.text import lang_id
+
+    clean = paragraph_dedup(df, text_col, id_col, sep).localCheckpoint(
+        eager=False
+    )
+    langd = clean.withColumn("lang", lang_id(F.col("text_clean")))
+    scored = _kn_scored(langd, "text_clean", "id", 0.75, lang_col="lang")
+    ranked = _ordered_row_number(
+        scored.withColumnRenamed("g", "lang"),
+        "lang",
+        ["ppl_bits", "id"],
+        out="_rn",
+    ).localCheckpoint(eager=False)
+    counts = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    w_prev = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "lang",
+        "_n",
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).alias("_off"),
+    )
+    rk = F.col("_rn") - F.col("_off")
+    bucketed = ranked.join(F.broadcast(offsets), "lang").select(
+        "id",
+        "n_bigrams",
+        "ppl_bits",
+        F.when(rk <= F.floor(F.col("_n") / 3), F.lit("head"))
+        .when(rk <= F.floor(2 * F.col("_n") / 3), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return (
+        langd.select("id", "lang", "n_paras", "n_kept")
+        .join(bucketed, "id", "left")
+        .select(
+            "id",
+            "lang",
+            "n_paras",
+            "n_kept",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "ppl_bits",
+            F.coalesce("bucket", F.lit("short")).alias("bucket"),
+        )
     )

@@ -3295,6 +3295,7 @@ _CANONICAL_ORDER = [
     "corpus_temperature_mixture",
     "corpus_doremi_weights",
     "doc_pack_sequences",
+    "doc_ccnet_pipeline",
     "dedup_component_sizes",
     "events_value_trend",
     "lineitem_corr_matrix",

@@ -1791,6 +1791,139 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ccnet_oracle() -> str:
+    """DuckDB twin of ``ccnet_pipeline``: the paragraph-dedup fixture
+    CTEs, the stopword-profile lang argmax over the CLEANED text, the
+    per-language KN CTE chain (every count table keyed by lang), and
+    per-language tercile windows."""
+    from isilon_hadoop_tools_spark.functions.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    scores = ",\n             ".join(
+        f"{_lang_score_sql(lang)} AS s_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    chain = "\n                  ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs
+    )
+    return rf"""
+    WITH fx AS (
+      SELECT doc_id AS id,
+             'shared header ' || (doc_id % 25)::VARCHAR || chr(10) || text
+               AS text
+      FROM documents
+    ),
+    prs AS (
+      SELECT id, i - 1 AS pos, ps[i] AS para
+      FROM (SELECT id, string_split(text, chr(10)) AS ps FROM fx),
+           unnest(range(1, len(ps) + 1)) AS t(i)
+    ),
+    f1 AS (SELECT para, min(id) AS fid FROM prs GROUP BY para),
+    f2 AS (
+      SELECT p.para, p.id AS fid, min(p.pos) AS fpos
+      FROM prs p JOIN f1 ON f1.para = p.para AND f1.fid = p.id
+      GROUP BY p.para, p.id
+    ),
+    flag AS (
+      SELECT p.id, p.pos, p.para,
+             (p.id = f2.fid AND p.pos = f2.fpos) AS keep
+      FROM prs p JOIN f2 ON f2.para = p.para
+    ),
+    clean AS (
+      SELECT id, count(*)::BIGINT AS n_paras,
+             sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             coalesce(string_agg(CASE WHEN keep THEN para END, chr(10)
+                                 ORDER BY pos), '') AS text
+      FROM flag GROUP BY id
+    ),
+    langd AS (
+      SELECT id, n_paras, n_kept, text,
+             CASE WHEN m = 0 THEN 'unknown'
+                  {chain}
+                  ELSE 'unknown' END AS lang
+      FROM (
+        SELECT *, {best} AS m FROM (
+          SELECT id, n_paras, n_kept, text,
+             {scores}
+          FROM clean
+        )
+      )
+    ),
+    arrs AS (
+      SELECT id, lang AS g,
+             regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM langd WHERE trim(text) <> ''
+    ),
+    bigrams AS (
+      SELECT id, g, arr[i] AS w1, arr[i + 1] AS w2
+      FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+    ),
+    big AS (SELECT g, w1, w2, count(*) AS c12 FROM bigrams
+            GROUP BY g, w1, w2),
+    ctx AS (SELECT g, w1, sum(c12)::BIGINT AS c1, count(*) AS nf
+            FROM big GROUP BY g, w1),
+    cont AS (SELECT g, w2, count(*) AS nb FROM big GROUP BY g, w2),
+    types AS (SELECT g, count(*) AS t FROM big GROUP BY g),
+    scored AS (
+      SELECT b.id, b.g, count(*) AS n_bigrams,
+             round(avg(round(-log2(
+               (x.c12 - 0.75) / c.c1
+               + (0.75 * c.nf / c.c1) * (n.nb / y.t)
+             ), 9)), 6) AS ppl_bits
+      FROM bigrams b
+      JOIN big x USING (g, w1, w2)
+      JOIN ctx c USING (g, w1)
+      JOIN cont n USING (g, w2)
+      JOIN types y USING (g)
+      GROUP BY b.id, b.g
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY g
+                                   ORDER BY ppl_bits, id) AS rk,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM scored
+    ),
+    bucketed AS (
+      SELECT id, n_bigrams, ppl_bits,
+             CASE WHEN rk <= n // 3 THEN 'head'
+                  WHEN rk <= 2 * n // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked
+    )
+    SELECT l.id, l.lang, l.n_paras, l.n_kept,
+           coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+           b.ppl_bits,
+           coalesce(b.bucket, 'short') AS bucket
+    FROM langd l LEFT JOIN bucketed b ON b.id = l.id
+    """
+
+
+@query("doc_ccnet_pipeline", oracle=_ccnet_oracle())
+def doc_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet pipeline end to end (L73 — Wenzek et al. 2020), the
+    capstone composing three shipped stages in the paper's order:
+    corpus-wide paragraph-hash dedup (boilerplate header pool of 25
+    dies here), language ID over the CLEANED text, and PER-LANGUAGE
+    interpolated-KN perplexity (one LM per language, as CCNet trains
+    one KenLM per language) bucketed head/middle/tail WITHIN each
+    language. Per-language terciles ride one two-phase global rank
+    ordered (lang, bits, id) plus a languages-count offset table --
+    no data-sized window anywhere."""
+    from isilon_hadoop_tools_spark.operators.corpus import ccnet_pipeline
+
+    i = F.col("doc_id")
+    fx = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header "),
+            F.pmod(i, F.lit(25)).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return ccnet_pipeline(fx, "text", "doc_id")
+
+
 @query("corpus_quality_classifier_train", oracle=_quality_oracle())
 def corpus_quality_classifier_train(
     spark: SparkSession, sf_dir: str

@@ -1438,6 +1438,43 @@ def test_pack_sequences_fills_and_caps(spark):
     assert s1["fill_frac"] == 1.0 and s1["n_seqs"] == 1
 
 
+def test_ccnet_pipeline_stages_compose(spark):
+    """End-to-end CCNet: the shared header paragraph survives only on
+    the lowest id; a fully-duplicate doc empties to bucket='short'
+    with lang 'unknown'; languages bucket INDEPENDENTLY (3 en docs →
+    one head/middle/tail each; 2 de docs → middle + tail, never
+    head — ⌊2/3⌋ = 0)."""
+    from isilon_hadoop_tools_spark.operators.corpus import ccnet_pipeline
+
+    hdr = "the menu bar"
+    rows = [
+        (1, hdr + "\nthe cat sat on the mat and the dog sat too"),
+        (2, hdr + "\nthe cat sat on the mat and the cat sat again"),
+        (3, hdr + "\nzorp glim vex the strange tokens here of the"),
+        (10, hdr + "\nthe cat sat on the mat and the dog sat too"),
+        (20, "der hund und die katze und das haus\nder mann und die frau"),
+        (21, "die sonne und der mond und das meer\nund der wind die wolke"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in ccnet_pipeline(
+        df, "text", "doc_id"
+    ).collect()}
+    # full duplicate of doc 1 (both paragraphs seen) -> empty clean
+    assert out[10]["n_kept"] == 0
+    assert out[10]["bucket"] == "short" and out[10]["lang"] == "unknown"
+    # header kept only on doc 1
+    assert out[1]["n_kept"] == 2
+    assert out[2]["n_kept"] == 1 and out[3]["n_kept"] == 1
+    # languages identified on CLEANED text
+    assert all(out[i]["lang"] == "en" for i in (1, 2, 3))
+    assert all(out[i]["lang"] == "de" for i in (20, 21))
+    # per-language terciles: en has 3 ranked docs, de has 2
+    assert sorted(out[i]["bucket"] for i in (1, 2, 3)) == [
+        "head", "middle", "tail",
+    ]
+    assert sorted(out[i]["bucket"] for i in (20, 21)) == ["middle", "tail"]
+
+
 def test_decontaminate_neardup_flags_paraphrased_leakage(spark):
     """A training doc that is a lightly-edited copy of an eval doc
     must be flagged (shares minhash bands); an unrelated doc must
