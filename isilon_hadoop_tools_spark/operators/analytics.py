@@ -2168,13 +2168,19 @@ def t_closeness_report(
     )
     groups = joined.groupBy(*qnames).agg(
         F.sum("_n").alias("_rows"),
-        (
+        # 6-dp BEFORE any comparison: the raw float sum's last ulp
+        # depends on accumulation order, so an exact-boundary class
+        # (true t-statistic == t) could flip sides between runs /
+        # engines — hypothesis found exactly that (a class at
+        # t = 1/10 counted above on one side, not on the other)
+        F.round(
             0.5
             * (
                 F.sum(F.abs(F.col("_p") - F.col("_q")))
                 + 1.0
                 - F.sum("_q")
-            )
+            ),
+            6,
         ).alias("_t"),
     )
     above = F.col("_t") > t

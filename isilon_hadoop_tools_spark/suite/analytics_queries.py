@@ -1203,7 +1203,7 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     groups AS (
       SELECT c_nationkey, bal_band, sum(n)::BIGINT AS rows_n,
-             0.5 * (sum(abs(p - q)) + 1.0 - sum(q)) AS t
+             round(0.5 * (sum(abs(p - q)) + 1.0 - sum(q)), 6) AS t
       FROM joined GROUP BY 1, 2
     )
     SELECT sum(rows_n)::BIGINT AS n_rows,

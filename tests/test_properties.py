@@ -1492,10 +1492,18 @@ def test_t_closeness_matches_python_reference(spark, rows, t):
     ts = {}
     for q, cnt in classes.items():
         cn = sum(cnt.values())
-        ts[q] = 0.5 * (
-            sum(abs(cnt[s] / cn - total[s] / n) for s in cnt)
-            + 1.0
-            - sum(total[s] / n for s in cnt)
+        # 6-dp before comparing, mirroring the operator: the raw
+        # float sum's last ulp is accumulation-order-dependent, so an
+        # exact-boundary class (true statistic == t) would otherwise
+        # flip sides between this reference and the engine
+        ts[q] = round(
+            0.5
+            * (
+                sum(abs(cnt[s] / cn - total[s] / n) for s in cnt)
+                + 1.0
+                - sum(total[s] / n for s in cnt)
+            ),
+            6,
         )
     assert r["n_groups"] == len(classes)
     assert r["max_t"] == round(max(ts.values()), 6)

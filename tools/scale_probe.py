@@ -408,6 +408,25 @@ def curvature() -> int:
         ).mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_binary(c: int) -> float:
+        # binary-quantization ANN (L11c): the Hamming candidate scan
+        # is two longs per corpus row against a fixed 5-query
+        # broadcast — linear by construction; the sweep certifies the
+        # per-query top-rerank window doesn't regress superlinearly
+        from isilon_hadoop_tools_spark.operators.similarity import (
+            binary_hamming_topk,
+        )
+
+        e = spark.read.parquet(str(scratch / "embeddings")).filter(
+            F.col("copy") < c
+        )
+        q = e.filter(F.col("vec_id") < 5)
+        t0 = time.perf_counter()
+        binary_hamming_topk(e, q, k=10, rerank=40).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
     only = {a for a in sys.argv[1:] if not a.startswith("--")}
     bad = 0
     results: dict[str, dict[str, float]] = {}
@@ -428,6 +447,7 @@ def curvature() -> int:
         ("events_mann_whitney", run_mw, 1),
         ("events_cvm_drift", run_cvm, 1),
         ("doc_kn_perplexity", run_kn, 1),
+        ("ann_binary_hamming", run_binary, 1),
     ):
         if only and name not in only:
             continue
