@@ -73,6 +73,14 @@ def main() -> int:
         # 1-row broadcasts: the unigram totals onto the token join
         # and the global reference loss onto the k-row domain table
         "corpus_doremi_weights",
+        # the ECDF drift gates crossJoin their 1-row (tb, tc) totals
+        # onto the V-row distinct-value table — the scalar-subquery
+        # pattern; which of the four shows the BNLJ in its FINAL plan
+        # depends on where the checkpoint truncates lineage
+        "events_ks_drift",
+        "events_mann_whitney",
+        "events_cvm_drift",
+        "events_ad_drift",
     }
     for name in names:
         c = audit(spark, name, sf_dir)
