@@ -364,3 +364,81 @@ def bloom_zone_report(
             F.sum(F.when(~scan_b, F.col("_nm")).otherwise(F.lit(0))) == 0
         ).alias("certificate_ok"),
     )
+
+
+def compaction_execute(
+    df: DataFrame,
+    plan: DataFrame,
+    partition_expr,
+    file_expr,
+    out_dir: str,
+    checksum_cols: list[str],
+) -> DataFrame:
+    """EXECUTE a compaction plan — the rewrite half of
+    :func:`compaction_plan` (Delta OPTIMIZE's second phase): every
+    fact row joins its (partition, file) key to the plan's bin
+    assignment, the table shuffles on (partition, bin) so each output
+    bin is exactly one task's write, and a dynamic-partitioned
+    parquet commit lays one file per bin on disk. Then the rewrite
+    PROVES itself: the order-independent XOR checksum
+    (:func:`analytics.table_checksum`) of the read-back equals the
+    original's — content invariance is verified, not assumed (the
+    zone-map certificate discipline applied to maintenance) — and
+    the physical file count is compared against the plan's bin
+    count.
+
+    The four verification aggregates are 1-row reports (bounded
+    driver state, like the cardinality guards). Output (one row):
+    ``n_rows``, ``checksum_before``, ``checksum_after``,
+    ``checksums_match``, ``n_files_before``, ``n_files_after``
+    (plan bins), ``files_written`` (on disk), ``layout_matches_plan``.
+    """
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        table_checksum,
+    )
+
+    spark = df.sparkSession
+    assign = plan.select(
+        F.col("partition").cast("string").alias("_p"),
+        F.col("file").alias("_f"),
+        "bin_seq",
+    )
+    tagged = (
+        df.withColumn("_p", partition_expr.cast("string"))
+        .withColumn("_f", file_expr.cast("long"))
+        .join(assign, ["_p", "_f"])
+    )
+    (
+        tagged.repartition(F.col("_p"), F.col("bin_seq"))
+        .write.partitionBy("_p", "bin_seq")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    before = table_checksum(df, checksum_cols).collect()[0]
+    back = spark.read.parquet(out_dir)
+    after = table_checksum(back, checksum_cols).collect()[0]
+    files_written = (
+        back.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    n_files_before = assign.count()
+    n_files_after = assign.select("_p", "bin_seq").distinct().count()
+    row = (
+        int(before["n_rows"]),
+        int(before["checksum"]),
+        int(after["checksum"]),
+        bool(
+            before["checksum"] == after["checksum"]
+            and before["n_rows"] == after["n_rows"]
+        ),
+        int(n_files_before),
+        int(n_files_after),
+        int(files_written),
+        bool(files_written == n_files_after),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows LONG, checksum_before LONG, checksum_after LONG,"
+        " checksums_match BOOLEAN, n_files_before LONG,"
+        " n_files_after LONG, files_written LONG,"
+        " layout_matches_plan BOOLEAN",
+    )

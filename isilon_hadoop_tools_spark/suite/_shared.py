@@ -3198,6 +3198,7 @@ _CANONICAL_ORDER = [
     "events_zorder_layout",
     "events_compaction_plan",
     "compaction_index_stream",
+    "events_compaction_execute",
     "multimodal_resize_stub",
     "multimodal_feature_stub",
     "multimodal_resize_real",

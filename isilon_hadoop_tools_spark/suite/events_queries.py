@@ -878,6 +878,90 @@ def compaction_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_compaction_execute",
+    oracle=f"""
+    WITH files AS (
+      SELECT ts::DATE::VARCHAR AS partition, user_id % 40 AS file,
+             (count(*) * 1024 + sum(length(event_type)))::BIGINT
+               AS size_bytes
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT partition, file, size_bytes,
+             sum(size_bytes) OVER (
+               PARTITION BY partition
+               ORDER BY size_bytes DESC, file
+               ROWS UNBOUNDED PRECEDING
+             )::BIGINT AS cum_bytes
+      FROM files
+    ),
+    binned AS (
+      SELECT partition, (cum_bytes - size_bytes) // 65536 + 1 AS bin
+      FROM cum
+    ),
+    bins AS (
+      SELECT (SELECT count(*) FROM files) AS n_before,
+             count(*) AS n_after
+      FROM (SELECT partition, bin FROM binned GROUP BY 1, 2)
+    ),
+    chk AS (
+      SELECT bit_xor({FINGERPRINT64_SQL.format(
+          expr="event_id::VARCHAR || '|' || user_id::VARCHAR"
+               " || '|' || event_type"
+      )}) AS c, count(*) AS n
+      FROM events
+    )
+    SELECT n AS n_rows, c AS checksum_before, c AS checksum_after,
+           true AS checksums_match, n_before AS n_files_before,
+           n_after AS n_files_after, n_after AS files_written,
+           true AS layout_matches_plan
+    FROM chk, bins
+    """,
+)
+def events_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction EXECUTION with a self-certifying rewrite (SC9b —
+    Delta OPTIMIZE's second phase): the SC9 plan is actually applied —
+    rows shuffle on (partition, bin) and a dynamic-partitioned
+    parquet commit lays ONE file per plan bin on disk — then the
+    order-independent XOR checksum of the read-back must equal the
+    original's (content invariance verified, not assumed) and the
+    physical file count must equal the plan's bin count. The oracle
+    predicts both certificates analytically: the checksum is
+    content-derived (so before == after by definition of a correct
+    rewrite) and files_written equals the plan's distinct-bin
+    count."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.skew import (
+        compaction_execute,
+        compaction_plan,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.to_date("ts").cast("string").alias("partition"),
+        F.pmod(F.col("user_id"), F.lit(40)).alias("file"),
+    ).agg(
+        (
+            F.count(F.lit(1)) * 1024 + F.sum(F.length("event_type"))
+        ).alias("size_bytes")
+    )
+    plan = compaction_plan(files, "partition", "file", "size_bytes", 65536)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"{_SCRATCH}/compaction_exec_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return compaction_execute(
+        ev,
+        plan,
+        partition_expr=F.to_date("ts"),
+        file_expr=F.pmod(F.col("user_id"), F.lit(40)),
+        out_dir=out_dir,
+        checksum_cols=["event_id", "user_id", "event_type"],
+    )
+
+
+@query(
     "events_funnel_conversion",
     oracle="""
     WITH first_view AS (
