@@ -1545,16 +1545,12 @@ def _zone_stats_sql(
       )"""
 
 
-def _hilbert_stats_sql(
-    bits: int = 8, lo: int = 90, hi: int = 140, width: int = 128
-) -> str:
-    """The Hilbert layout's zone-map stats as a WITH-chain — the
-    rotate-and-reflect walk has per-level state (x, y mutate), so
-    unlike Morton's closed-form shift sum it can't inline into
-    ``_zone_stats_sql``; each CTE level is the same (rx, ry, rotate,
-    quadrant-add) step ``hilbert_key`` folds in F.aggregate."""
+def _hilbert_chain(bits: int = 8) -> str:
+    """The per-level Hilbert CTE chain (l0..lN carrying event_id, the
+    user bucket, and the evolving x/y/d state) shared by the
+    zone-stats oracle and the footer-verified layout writer."""
     parts = [
-        "l0 AS (SELECT (user_id % 256)::BIGINT AS x0,"
+        "l0 AS (SELECT event_id, (user_id % 256)::BIGINT AS x0,"
         " ((hour(ts) * 60 + minute(ts)) % 256)::BIGINT AS y0,"
         " 0::BIGINT AS d0,"
         " user_id % 256 AS ub FROM events)"
@@ -1565,7 +1561,7 @@ def _hilbert_stats_sql(
         rx = f"(CASE WHEN (x{p} & {s}) > 0 THEN 1 ELSE 0 END)"
         ry = f"(CASE WHEN (y{p} & {s}) > 0 THEN 1 ELSE 0 END)"
         parts.append(
-            f"l{c} AS (SELECT ub,\n"
+            f"l{c} AS (SELECT event_id, ub,\n"
             f"  CASE WHEN (y{p} & {s}) = 0 THEN"
             f" CASE WHEN (x{p} & {s}) > 0 THEN {s - 1} - y{p}"
             f" ELSE y{p} END ELSE x{p} END AS x{c},\n"
@@ -1575,7 +1571,18 @@ def _hilbert_stats_sql(
             f"  d{p} + {s * s} * xor(3 * {rx}, {ry}) AS d{c}\n"
             f"  FROM l{p})"
         )
-    chain = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _hilbert_stats_sql(
+    bits: int = 8, lo: int = 90, hi: int = 140, width: int = 128
+) -> str:
+    """The Hilbert layout's zone-map stats as a WITH-chain — the
+    rotate-and-reflect walk has per-level state (x, y mutate), so
+    unlike Morton's closed-form shift sum it can't inline into
+    ``_zone_stats_sql``; each CTE level is the same (rx, ry, rotate,
+    quadrant-add) step ``hilbert_key`` folds in F.aggregate."""
+    chain = _hilbert_chain(bits)
     return f"""
       WITH {chain},
       hzones AS (
@@ -3195,6 +3202,7 @@ _CANONICAL_ORDER = [
     "corpus_mixture_plan",
     "events_zorder_skipping",
     "events_hilbert_skipping",
+    "events_hilbert_write_skipping",
     "events_zorder_layout",
     "events_compaction_plan",
     "compaction_index_stream",

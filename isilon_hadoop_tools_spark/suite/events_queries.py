@@ -177,6 +177,7 @@ from isilon_hadoop_tools_spark.suite._shared import (  # noqa: F401
     _wav_payload_df,
     _wordpiece_oracle,
     _y4m_payload_df,
+    _hilbert_chain,
     _hilbert_stats_sql,
     _zone_stats_sql,
     _zorder_terms,
@@ -697,6 +698,61 @@ def events_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(layout).alias("layout"), "*")
 
     return report(h_key, "hilbert").unionByName(report(z_key, "zorder"))
+
+
+@query(
+    "events_hilbert_write_skipping",
+    oracle=f"""
+    WITH {_hilbert_chain()},
+    ranked AS (
+      SELECT ub, row_number() OVER (ORDER BY d8, event_id) AS rn
+      FROM l8
+    ),
+    zones AS (
+      SELECT (rn - 1) // 1024 AS zone, count(*)::BIGINT AS n_rows,
+             min(ub)::BIGINT AS mn, max(ub)::BIGINT AS mx
+      FROM ranked GROUP BY 1
+    )
+    SELECT zone, n_rows, mn, mx,
+           (mx >= 90 AND mn <= 140) AS scanned,
+           true AS footer_ok
+    FROM zones
+    """,
+)
+def events_hilbert_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-verified Hilbert layout (SC8e): the SC8d clustering
+    actually WRITTEN — events ordered by the Hilbert key (two-phase
+    rank, 1024-row zones, one parquet file per zone) — and the REAL
+    parquet footer min/max/count statistics read back with pyarrow
+    must equal the logically-computed zone stats (`footer_ok` per
+    zone), so the pruning the zone model promises is exactly what any
+    footer-reading engine will do on these files. The oracle predicts
+    every zone's stats analytically from the same (key, id) total
+    order."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.skew import (
+        hilbert_key,
+        layout_write_footer_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ubucket = F.pmod(F.col("user_id"), F.lit(256))
+    mod = F.pmod(F.hour("ts") * 60 + F.minute("ts"), F.lit(256))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"{_SCRATCH}/hilbert_layout_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return layout_write_footer_stats(
+        ev,
+        hilbert_key([ubucket, mod], bits=8),
+        "event_id",
+        ubucket,
+        out_dir,
+        rows_per_file=1024,
+        lo=90,
+        hi=140,
+    )
 
 
 @query(

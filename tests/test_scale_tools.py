@@ -294,6 +294,38 @@ def test_compaction_execute_rewrites_and_certifies(spark, tmp_path):
     assert r["n_files_before"] == 10
 
 
+def test_layout_write_footer_stats_real_footers(spark, tmp_path):
+    """3000 rows keyed by id in 1024-row zones: the parquet FOOTER
+    stats (read via pyarrow) must equal the logically-computed zone
+    stats (footer_ok everywhere), zones are contiguous value ranges
+    on the clustered column, and only the zones intersecting the
+    predicate are marked scanned."""
+    from isilon_hadoop_tools_spark.operators.skew import (
+        layout_write_footer_stats,
+    )
+
+    df = spark.range(3000).select(F.col("id"))
+    out = layout_write_footer_stats(
+        df,
+        F.col("id"),
+        "id",
+        F.col("id"),
+        str(tmp_path / "zones"),
+        rows_per_file=1024,
+        lo=1100,
+        hi=1200,
+    ).collect()
+    rows = {r["zone"]: r for r in out}
+    assert sorted(rows) == [0, 1, 2]
+    assert [rows[z]["n_rows"] for z in (0, 1, 2)] == [1024, 1024, 952]
+    assert all(r["footer_ok"] for r in out)
+    assert (rows[0]["mn"], rows[0]["mx"]) == (0, 1023)
+    assert (rows[1]["mn"], rows[1]["mx"]) == (1024, 2047)
+    assert (rows[2]["mn"], rows[2]["mx"]) == (2048, 2999)
+    # predicate [1100, 1200] lives entirely in zone 1
+    assert [rows[z]["scanned"] for z in (0, 1, 2)] == [False, True, False]
+
+
 def test_hilbert_key_matches_reference_walk(spark):
     """hilbert_key equals the classical xy2d rotate-and-reflect walk
     on random order-8 points; at order 2 it is a bijection onto
