@@ -2650,3 +2650,113 @@ def cvm_drift(
             6,
         ).alias("cvm_stat"),
     )
+
+
+def fellegi_sunter_em(
+    df: DataFrame,
+    id_col: str,
+    block_col,
+    comparisons: list,
+    iters: int = 3,
+    p0: float = 0.01,
+    m0: float = 0.9,
+    u0: float = 0.1,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (1969) with EM
+    parameter estimation (Winkler 1988) — the model behind Splink and
+    every production entity-resolution stack, next to the
+    deterministic EA6/EA7 linkage ops: candidate pairs within blocks
+    are reduced to AGREEMENT PATTERNS ``γ ∈ {0,1}^K`` over the field
+    comparisons, and EM learns per-field match/unmatch agreement
+    probabilities ``m_k = P(γ_k=1 | match)``, ``u_k = P(γ_k=1 |
+    unmatch)``, and the match prior ``p`` — no labels required.
+
+    E-step per pattern: ``w = p·Π m-terms / (p·Π m-terms +
+    (1−p)·Π u-terms)``; M-step: pattern-count-weighted re-estimates.
+    Everything after the pair aggregation runs on the ≤ 2^K-row
+    PATTERN table (patterns are counted once — the classical sufficient
+    statistic — so EM cost is independent of pair count), with every
+    parameter re-rounded to 9 dp per iteration (the PSI band-table
+    float discipline: identical inputs → identical doubles → identical
+    rounded params cross-engine).
+
+    Shape: one blocked self-join (the EA6 candidate shape — callers
+    bound block sizes), one pattern aggregation with map-side
+    partials; the EM iterations are 1-row × 2^K-row crossJoin work.
+
+    Output per observed pattern: the K ``g<i>`` bits, ``n_pairs``,
+    and ``match_w`` (posterior match probability, 6 dp) — the
+    thresholdable linkage score Splink calls match weight.
+    """
+    k = len(comparisons)
+    if not 1 <= k <= 8:
+        raise ValueError(f"1..8 comparisons supported; got {k}")
+    blk = block_col if not isinstance(block_col, str) else F.col(block_col)
+    left = df.select(
+        F.col(id_col).alias("_ida"),
+        blk.alias("_blk"),
+        *[c.alias(f"_a{i}") for i, (_, c) in enumerate(comparisons)],
+    )
+    right = df.select(
+        F.col(id_col).alias("_idb"),
+        blk.alias("_blk"),
+        *[c.alias(f"_b{i}") for i, (_, c) in enumerate(comparisons)],
+    )
+    pairs = left.join(right, "_blk").filter(F.col("_ida") < F.col("_idb"))
+    gcols = [
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int").alias(f"g{i + 1}")
+        for i in range(k)
+    ]
+    pat = (
+        pairs.select(*gcols)
+        .groupBy(*[f"g{i + 1}" for i in range(k)])
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .localCheckpoint(eager=False)
+    )
+    spark = df.sparkSession
+    params = spark.createDataFrame(
+        [tuple([p0] + [m0] * k + [u0] * k)],
+        ", ".join(
+            ["p DOUBLE"]
+            + [f"m{i + 1} DOUBLE" for i in range(k)]
+            + [f"u{i + 1} DOUBLE" for i in range(k)]
+        ),
+    )
+
+    def lik(prefix: str):
+        acc = F.col("p") if prefix == "m" else (1.0 - F.col("p"))
+        for i in range(k):
+            g = F.col(f"g{i + 1}")
+            q = F.col(f"{prefix}{i + 1}")
+            acc = acc * F.when(g == 1, q).otherwise(1.0 - q)
+        return acc
+
+    for _ in range(iters):
+        e = pat.crossJoin(F.broadcast(params)).withColumn(
+            "_w", F.round(lik("m") / (lik("m") + lik("u")), 9)
+        )
+        wn = F.col("_w") * F.col("n_pairs")
+        vn = (1.0 - F.col("_w")) * F.col("n_pairs")
+        params = e.agg(
+            F.round(F.sum(wn) / F.sum("n_pairs"), 9).alias("p"),
+            *[
+                F.round(
+                    F.sum(wn * F.col(f"g{i + 1}")) / F.sum(wn), 9
+                ).alias(f"m{i + 1}")
+                for i in range(k)
+            ],
+            *[
+                F.round(
+                    F.sum(vn * F.col(f"g{i + 1}")) / F.sum(vn), 9
+                ).alias(f"u{i + 1}")
+                for i in range(k)
+            ],
+        )
+    return (
+        pat.crossJoin(F.broadcast(params))
+        .select(
+            *[f"g{i + 1}" for i in range(k)],
+            "n_pairs",
+            F.round(lik("m") / (lik("m") + lik("u")), 6).alias("match_w"),
+        )
+    )

@@ -3269,6 +3269,7 @@ _CANONICAL_ORDER = [
     "lineitem_orders_join_size_cms",
     "customer_k_anonymity",
     "customer_dp_histogram",
+    "customer_fs_linkage_em",
     "customer_l_diversity",
     "customer_t_closeness",
     "events_bloom_zone_skipping",

@@ -1080,6 +1080,95 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_em_oracle(iters: int = 3) -> str:
+    """DuckDB twin of ``fellegi_sunter_em`` on the customer linkage
+    fixture: pattern counts once, then the EM iterations unrolled as
+    alternating E/M CTEs with the identical expression shapes and
+    9-dp per-iteration parameter rounding."""
+
+    def lik(prefix: str) -> str:
+        head = "p" if prefix == "m" else "(1.0 - p)"
+        terms = [
+            f"(CASE WHEN g{i} = 1 THEN {prefix}{i}"
+            f" ELSE 1.0 - {prefix}{i} END)"
+            for i in (1, 2, 3)
+        ]
+        return head + " * " + " * ".join(terms)
+
+    w = f"round(({lik('m')}) / (({lik('m')}) + ({lik('u')})), 9)"
+    parts = [
+        """pairs AS (
+      SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment
+                  THEN 1 ELSE 0 END AS g1,
+             CASE WHEN floor(a.c_acctbal / 1000)
+                       = floor(b.c_acctbal / 1000)
+                  THEN 1 ELSE 0 END AS g2,
+             CASE WHEN right(a.c_name, 1) = right(b.c_name, 1)
+                  THEN 1 ELSE 0 END AS g3
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+    )""",
+        """pat AS (SELECT g1, g2, g3, count(*)::BIGINT AS n_pairs
+            FROM pairs GROUP BY 1, 2, 3)""",
+        """p0 AS (SELECT 0.01 AS p, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+                    0.1 AS u1, 0.1 AS u2, 0.1 AS u3)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"e{t} AS (SELECT pat.*, {w} AS w FROM pat, p{t - 1})"
+        )
+        ms = ", ".join(
+            f"round(sum(w * n_pairs * g{i}) / sum(w * n_pairs), 9)"
+            f" AS m{i}"
+            for i in (1, 2, 3)
+        )
+        us = ", ".join(
+            f"round(sum((1.0 - w) * n_pairs * g{i})"
+            f" / sum((1.0 - w) * n_pairs), 9) AS u{i}"
+            for i in (1, 2, 3)
+        )
+        parts.append(
+            f"p{t} AS (SELECT round(sum(w * n_pairs) / sum(n_pairs), 9)"
+            f" AS p, {ms}, {us} FROM e{t})"
+        )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT g1, g2, g3, n_pairs,
+           round(({lik("m")}) / (({lik("m")}) + ({lik("u")})), 6)
+             AS match_w
+    FROM pat, p{iters}
+    """
+
+
+@query("customer_fs_linkage_em", oracle=_fs_em_oracle())
+def customer_fs_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage with EM (EA32; Fellegi &
+    Sunter 1969, Winkler 1988 -- the model behind Splink): customer
+    pairs blocked by nation reduce to 2^3 agreement patterns over
+    (segment, balance-band, name-last-digit), and three unrolled EM
+    rounds learn m/u/prior with no labels; each pattern gets its
+    posterior match weight. EM cost is independent of pair count
+    (the pattern table is the sufficient statistic)."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        fellegi_sunter_em,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return fellegi_sunter_em(
+        cust,
+        "c_custkey",
+        "c_nationkey",
+        [
+            ("segment", F.col("c_mktsegment")),
+            ("bal_band", F.floor(F.col("c_acctbal") / 1000)),
+            ("name_tail", F.substring(F.col("c_name"), -1, 1)),
+        ],
+        iters=3,
+    )
+
+
 @query(
     "customer_dp_histogram",
     oracle=f"""

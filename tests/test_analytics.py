@@ -1068,6 +1068,61 @@ def test_ad_drift_hand_computed_identity_and_tails(spark):
     assert ad_ratio > cvm
 
 
+def test_fellegi_sunter_em_planted_duplicates(spark):
+    """Planted linkage: 30 entities each duplicated with all three
+    fields agreeing, embedded among non-matching pairs that agree
+    only by chance. EM must drive the all-agree pattern's posterior
+    near 1 and the all-disagree pattern's near 0, with the match
+    weight monotone in agreement count."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        fellegi_sunter_em,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for e in range(60):
+        # twin records: same block, all fields agree; fields drawn
+        # independently of the block (modular-arithmetic fixtures
+        # correlate fields with blocks and EM happily converges to
+        # THAT split instead -- the classic identifiability trap)
+        f1, f2, f3 = (
+            f"s{rng.randrange(6)}", rng.randrange(8),
+            f"t{rng.randrange(9)}",
+        )
+        for twin in (0, 1):
+            rows.append((e * 100 + twin, e % 3, f1, f2, f3))
+    for i in range(200):
+        rows.append((
+            10_000 + i, rng.randrange(3), f"s{rng.randrange(6)}",
+            rng.randrange(8), f"t{rng.randrange(9)}",
+        ))
+    df = spark.createDataFrame(
+        rows, "rid long, blk int, f1 string, f2 long, f3 string"
+    )
+    out = {(r["g1"], r["g2"], r["g3"]): r for r in fellegi_sunter_em(
+        df, "rid", "blk",
+        [("f1", F.col("f1")), ("f2", F.col("f2")), ("f3", F.col("f3"))],
+        iters=6,
+    ).collect()}
+    # ~60 true-match pairs vs ~16 chance all-agree pairs among ~7000:
+    # the ideal posterior for the all-agree pattern is ~0.79
+    assert out[(1, 1, 1)]["match_w"] > 0.6
+    assert out[(0, 0, 0)]["match_w"] < 0.01
+    # monotone in each agreement bit
+    for a, b in [((1, 1, 1), (0, 1, 1)), ((1, 1, 0), (1, 0, 0)),
+                 ((0, 1, 1), (0, 0, 1))]:
+        if a in out and b in out:
+            assert out[a]["match_w"] >= out[b]["match_w"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fellegi_sunter_em(df, "rid", "blk", [], iters=3)
+
+
 def test_last_touch_attribution_window_and_tiebreak(spark):
     """Hand-built journey: purchase credits the most recent touch
     inside the lookback; an expired touch goes 'direct'; a touch at
