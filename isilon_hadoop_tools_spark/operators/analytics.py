@@ -1314,7 +1314,24 @@ def dp_laplace_counts(
     b = 1.0 / epsilon
     keys = [F.col(c) for c in key_cols]
     groups = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_true"))
-    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    # enforce the non-null contract at execution time: a NULL key
+    # component would merge with the empty string under concat_ws, so
+    # two distinct groups would silently draw IDENTICAL noise — fail
+    # loudly instead (the band_index_expr discipline)
+    guarded = [
+        F.when(
+            F.col(c).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"dp_laplace_counts: NULL in key column {c!r} — "
+                    "null keys collide in the noise derivation; filter "
+                    "or fill them first"
+                )
+            ).cast("string"),
+        ).otherwise(F.col(c).cast("string"))
+        for c in key_cols
+    ]
+    key_str = F.concat_ws("|", *guarded)
     u = (stable_hash32(key_str, seed) + 0.5) / F.lit(4294967296.0)
     noise = F.round(
         (F.lit(-b) * F.signum(u - 0.5))
@@ -1867,7 +1884,15 @@ def ad_drift(
     q = _dec_floordiv(
         F.col("l") * d * d * scale, bj * (n_tot - bj)
     )
-    agg = kept.groupBy("tb", "tc").agg(F.sum(q).alias("s"))
+    # overflow guard (ADVICE r13): beyond the documented N ≲ 10⁶
+    # bound the DECIMAL(38,0) product l·d²·10⁶ overflows to NULL
+    # under non-ANSI Spark and F.sum would SKIP it, silently
+    # understating the statistic — count the NULL terms and raise at
+    # execution instead
+    agg = kept.groupBy("tb", "tc").agg(
+        F.sum(q).alias("s"),
+        F.sum(q.isNull().cast("long")).alias("_overflowed"),
+    )
     # micro-units of the statistic: round(s / (tb·tc)) as one exact
     # floor division of positives — (2s + tbtc) // (2·tbtc)
     tbtc = F.col("tb") * F.col("tc")
@@ -1875,10 +1900,22 @@ def ad_drift(
         F.lit(2).cast(dec) * F.col("s") + tbtc,
         F.lit(2).cast(dec) * tbtc,
     )
+    stat = F.round(micro.cast("double") / 1_000_000.0, 6)
     return agg.select(
         F.col("tb").cast("long").alias("n_base"),
         F.col("tc").cast("long").alias("n_cur"),
-        F.round(micro.cast("double") / 1_000_000.0, 6).alias("ad_stat"),
+        F.when(
+            F.col("_overflowed") > 0,
+            F.raise_error(
+                F.lit(
+                    "ad_drift: decimal overflow in the exact term "
+                    "sum (N beyond the ~1e6 bound) — pre-quantize "
+                    "the value column before the gate"
+                )
+            ).cast("double"),
+        )
+        .otherwise(stat)
+        .alias("ad_stat"),
     )
 
 
@@ -2661,6 +2698,7 @@ def fellegi_sunter_em(
     p0: float = 0.01,
     m0: float = 0.9,
     u0: float = 0.1,
+    max_block_rows: int = 100_000,
 ) -> DataFrame:
     """Fellegi–Sunter probabilistic record linkage (1969) with EM
     parameter estimation (Winkler 1988) — the model behind Splink and
@@ -2680,9 +2718,31 @@ def fellegi_sunter_em(
     float discipline: identical inputs → identical doubles → identical
     rounded params cross-engine).
 
-    Shape: one blocked self-join (the EA6 candidate shape — callers
-    bound block sizes), one pattern aggregation with map-side
-    partials; the EM iterations are 1-row × 2^K-row crossJoin work.
+    Shape: one blocked self-join (the EA6 candidate shape), one
+    pattern aggregation with map-side partials; the EM iterations are
+    1-row × 2^K-row crossJoin work.
+
+    SKEW BOUND (``max_block_rows``): a block bigger than the budget
+    would contribute O(n²) candidate pairs from a SINGLE join key —
+    the hot-block explosion the blocked self-join is otherwise naked
+    against (blocking on a 25-value key makes one block O((n/25)²)
+    at 100×). Oversized blocks are SALTED into ``ceil(n /
+    max_block_rows)`` sub-blocks by a deterministic id hash and pairs
+    are generated only within a sub-block — a uniform ~1/s subsample
+    of that block's pairs (the Splink-style cap; pattern FREQUENCIES
+    are preserved in expectation, which is all EM consumes), so no
+    single join key ever exceeds the budget. Blocks within budget get
+    ``s = 1`` and are EXACT — the salt join key is constant 0 and the
+    result is bit-identical to the unsalted plan. Pair a run with
+    :func:`linkage_block_audit` to forecast the cut before running.
+
+    Degeneracy guard: every EM parameter is clamped into
+    ``[1e-6, 1 - 1e-6]`` and every pattern posterior into
+    ``[1e-9, 1 - 1e-9]`` after its 9-dp rounding (Splink's clamping
+    discipline), so a constant comparison bit or degenerate fixture
+    can never drive an M-step denominator to 0 (which non-ANSI Spark
+    would silently turn into NULL params and NULL match weights).
+    On non-degenerate data the clamps are numeric no-ops.
 
     Output per observed pattern: the K ``g<i>`` bits, ``n_pairs``,
     and ``match_w`` (posterior match probability, 6 dp) — the
@@ -2691,18 +2751,46 @@ def fellegi_sunter_em(
     k = len(comparisons)
     if not 1 <= k <= 8:
         raise ValueError(f"1..8 comparisons supported; got {k}")
+    if max_block_rows < 2:
+        raise ValueError(f"max_block_rows must be >= 2; got {max_block_rows}")
     blk = block_col if not isinstance(block_col, str) else F.col(block_col)
+    # Per-block sub-block counts: one map-side-combined agg to a
+    # ≤#blocks-row table, broadcast back onto both join sides. A block
+    # under budget gets _ns = 1 (salt constant → exact semantics).
+    sizes = (
+        df.select(blk.alias("_blk"))
+        .groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            "_blk",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_bn") / F.lit(max_block_rows)),
+            )
+            .cast("int")
+            .alias("_ns"),
+        )
+    )
     left = df.select(
         F.col(id_col).alias("_ida"),
         blk.alias("_blk"),
         *[c.alias(f"_a{i}") for i, (_, c) in enumerate(comparisons)],
-    )
+    ).join(F.broadcast(sizes), "_blk")
     right = df.select(
         F.col(id_col).alias("_idb"),
         blk.alias("_blk"),
         *[c.alias(f"_b{i}") for i, (_, c) in enumerate(comparisons)],
+    ).join(F.broadcast(sizes), "_blk")
+    sub = lambda idc: F.pmod(F.xxhash64(F.col(idc)), F.col("_ns")).cast("int")
+    pairs = (
+        left.withColumn("_sub", sub("_ida"))
+        .drop("_ns")
+        .join(
+            right.withColumn("_sub", sub("_idb")).drop("_ns"),
+            ["_blk", "_sub"],
+        )
+        .filter(F.col("_ida") < F.col("_idb"))
     )
-    pairs = left.join(right, "_blk").filter(F.col("_ida") < F.col("_idb"))
     gcols = [
         (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int").alias(f"g{i + 1}")
         for i in range(k)
@@ -2731,23 +2819,34 @@ def fellegi_sunter_em(
             acc = acc * F.when(g == 1, q).otherwise(1.0 - q)
         return acc
 
+    # Splink-style clamps: params away from {0,1} so no M-step
+    # denominator can vanish into a silent non-ANSI NULL; no-ops on
+    # non-degenerate data. Identical literals on the DuckDB side.
+    def clamp(col, eps: float):
+        return F.least(F.greatest(col, F.lit(eps)), F.lit(1.0 - eps))
+
     for _ in range(iters):
         e = pat.crossJoin(F.broadcast(params)).withColumn(
-            "_w", F.round(lik("m") / (lik("m") + lik("u")), 9)
+            "_w",
+            clamp(F.round(lik("m") / (lik("m") + lik("u")), 9), 1e-9),
         )
         wn = F.col("_w") * F.col("n_pairs")
         vn = (1.0 - F.col("_w")) * F.col("n_pairs")
         params = e.agg(
-            F.round(F.sum(wn) / F.sum("n_pairs"), 9).alias("p"),
+            clamp(
+                F.round(F.sum(wn) / F.sum("n_pairs"), 9), 1e-6
+            ).alias("p"),
             *[
-                F.round(
-                    F.sum(wn * F.col(f"g{i + 1}")) / F.sum(wn), 9
+                clamp(
+                    F.round(F.sum(wn * F.col(f"g{i + 1}")) / F.sum(wn), 9),
+                    1e-6,
                 ).alias(f"m{i + 1}")
                 for i in range(k)
             ],
             *[
-                F.round(
-                    F.sum(vn * F.col(f"g{i + 1}")) / F.sum(vn), 9
+                clamp(
+                    F.round(F.sum(vn * F.col(f"g{i + 1}")) / F.sum(vn), 9),
+                    1e-6,
                 ).alias(f"u{i + 1}")
                 for i in range(k)
             ],
@@ -2759,4 +2858,66 @@ def fellegi_sunter_em(
             "n_pairs",
             F.round(lik("m") / (lik("m") + lik("u")), 6).alias("match_w"),
         )
+    )
+
+
+def linkage_block_audit(
+    df: DataFrame,
+    block_col,
+    max_block_rows: int = 100_000,
+) -> DataFrame:
+    """Per-block pair-count forecast for blocked linkage (EA6 /
+    EA32 / entity resolution) — the audit a Splink-class user runs
+    BEFORE a linkage job on real data, because candidate generation
+    is quadratic PER BLOCK and one hot block can dominate the whole
+    join: for each blocking-key value reports the row count, the
+    exact within-block pair count C(n,2), the sub-block split the
+    ``max_block_rows`` budget would impose (``n_sub``), the pair
+    budget after an even split into ``n_sub`` parts (``r`` parts of
+    size ``q+1`` and ``n_sub − r`` of ``q`` where ``q = n div
+    n_sub``, ``r = n mod n_sub`` — the analytic floor of what the
+    salted subsample retains), and each block's share of total pairs.
+
+    Cost: ONE map-side-combined aggregation on the block key — the
+    output is #blocks rows, never pairs. All arithmetic is exact
+    integer math below 2^63 pairs, so it hash-matches any engine.
+    """
+    if max_block_rows < 2:
+        raise ValueError(f"max_block_rows must be >= 2; got {max_block_rows}")
+    blk = block_col if not isinstance(block_col, str) else F.col(block_col)
+    b = (
+        df.select(blk.alias("block"))
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    n = F.col("n_rows")
+    s = F.greatest(
+        F.lit(1), F.ceil(n / F.lit(max_block_rows))
+    ).cast("long")
+    q = F.floor(n / s).cast("long")
+    r = (n - q * s).cast("long")
+    pairs_exact = (n * (n - F.lit(1)) / F.lit(2)).cast("long")
+    pairs_budget = (
+        r * ((q + 1) * q / F.lit(2)).cast("long")
+        + (s - r) * (q * (q - F.lit(1)) / F.lit(2)).cast("long")
+    ).cast("long")
+    b = b.select(
+        "block",
+        "n_rows",
+        pairs_exact.alias("pairs_exact"),
+        s.alias("n_sub"),
+        pairs_budget.alias("pairs_budget"),
+    )
+    total = b.agg(
+        F.sum("pairs_exact").cast("double").alias("_tot")
+    )
+    return b.crossJoin(F.broadcast(total)).select(
+        "block",
+        "n_rows",
+        "pairs_exact",
+        "n_sub",
+        "pairs_budget",
+        F.round(F.col("pairs_exact") / F.col("_tot"), 6).alias(
+            "pair_share"
+        ),
     )

@@ -1095,7 +1095,13 @@ def _fs_em_oracle(iters: int = 3) -> str:
         ]
         return head + " * " + " * ".join(terms)
 
-    w = f"round(({lik('m')}) / (({lik('m')}) + ({lik('u')})), 9)"
+    # Splink-style degeneracy clamps, mirrored from the Spark side:
+    # posteriors into [1e-9, 1-1e-9], params into [1e-6, 1-1e-6] —
+    # numeric no-ops on this fixture, identical literals both engines.
+    w = (
+        f"least(greatest(round(({lik('m')}) / (({lik('m')}) +"
+        f" ({lik('u')})), 9), 1e-9), 1.0 - 1e-9)"
+    )
     parts = [
         """pairs AS (
       SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment
@@ -1118,19 +1124,28 @@ def _fs_em_oracle(iters: int = 3) -> str:
         parts.append(
             f"e{t} AS (SELECT pat.*, {w} AS w FROM pat, p{t - 1})"
         )
+        def cl(expr: str) -> str:
+            return f"least(greatest({expr}, 1e-6), 1.0 - 1e-6)"
+
         ms = ", ".join(
-            f"round(sum(w * n_pairs * g{i}) / sum(w * n_pairs), 9)"
-            f" AS m{i}"
+            cl(
+                f"round(sum(w * n_pairs * g{i}) / sum(w * n_pairs), 9)"
+            )
+            + f" AS m{i}"
             for i in (1, 2, 3)
         )
         us = ", ".join(
-            f"round(sum((1.0 - w) * n_pairs * g{i})"
-            f" / sum((1.0 - w) * n_pairs), 9) AS u{i}"
+            cl(
+                f"round(sum((1.0 - w) * n_pairs * g{i})"
+                f" / sum((1.0 - w) * n_pairs), 9)"
+            )
+            + f" AS u{i}"
             for i in (1, 2, 3)
         )
         parts.append(
-            f"p{t} AS (SELECT round(sum(w * n_pairs) / sum(n_pairs), 9)"
-            f" AS p, {ms}, {us} FROM e{t})"
+            f"p{t} AS (SELECT "
+            + cl("round(sum(w * n_pairs) / sum(n_pairs), 9)")
+            + f" AS p, {ms}, {us} FROM e{t})"
         )
     chain = ",\n    ".join(parts)
     return f"""
@@ -1167,6 +1182,55 @@ def customer_fs_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         iters=3,
     )
+
+
+@query(
+    "customer_linkage_block_audit",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey AS block, count(*)::BIGINT AS n_rows
+      FROM customer GROUP BY 1
+    ),
+    e AS (
+      SELECT block, n_rows,
+             CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) AS pairs_exact,
+             CAST(greatest(1, ceil(n_rows / 25.0)) AS BIGINT) AS n_sub
+      FROM b
+    ),
+    f AS (
+      SELECT *,
+             CAST(floor(n_rows / n_sub) AS BIGINT) AS q
+      FROM e
+    ),
+    g AS (
+      SELECT *, n_rows - q * n_sub AS r FROM f
+    )
+    SELECT block, n_rows, pairs_exact, n_sub,
+           CAST(r * CAST((q + 1) * q / 2 AS BIGINT)
+                + (n_sub - r) * CAST(q * (q - 1) / 2 AS BIGINT)
+                AS BIGINT) AS pairs_budget,
+           round(pairs_exact
+                 / (SELECT sum(pairs_exact)::DOUBLE FROM e),
+                 6) AS pair_share
+    FROM g
+    """,
+)
+def customer_linkage_block_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocked-linkage pre-flight audit (pairs with EA32/EA6): per
+    nation block of the customer linkage, the exact C(n,2) candidate
+    pair count, the sub-block split a 25-row budget would impose, the
+    even-split pair budget after salting, and the block's share of
+    total pairs -- the forecast a Splink-class user reads BEFORE
+    launching the quadratic candidate join at 100 TB. One map-side
+    agg; output is #blocks rows."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        linkage_block_audit,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return linkage_block_audit(cust, "c_nationkey", max_block_rows=25)
 
 
 @query(

@@ -1030,6 +1030,56 @@ def test_dp_laplace_counts_pipeline_and_hand_check(spark):
         dp_laplace_counts(df, ["grp"], epsilon=0.0)
 
 
+def test_dp_laplace_counts_null_key_raises(spark):
+    """ADVICE guard: a NULL key component used to merge with the
+    empty string under concat_ws, so two distinct groups silently
+    drew IDENTICAL noise. Now the plan raises at execution."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        dp_laplace_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "grp string, x long"
+    )
+    with pytest.raises(Exception, match="NULL in key column"):
+        dp_laplace_counts(df, ["grp"]).collect()
+    # non-null frames are unaffected
+    ok = dp_laplace_counts(df.filter("grp IS NOT NULL"), ["grp"]).collect()
+    assert len(ok) == 2
+
+
+def test_ad_drift_overflow_raises_not_understates(spark):
+    """ADVICE guard: beyond the documented N bound the DECIMAL(38,0)
+    term product overflows to NULL and F.sum would silently SKIP it,
+    understating the statistic. Inflated per-row weights push the
+    totals past the bound; the gate must now raise, not return a
+    too-small number."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import ad_drift
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 9)], "v double"
+    )
+    big = F.lit(10_000_000_000_000).cast("long")  # 1e13 rows' worth
+    # ANSI mode (the Spark 4 default) raises NUMERIC_VALUE_OUT_OF_RANGE
+    # at the multiply; non-ANSI reaches the operator's own NULL-count
+    # guard ("decimal overflow"). Either way: loud, never understated.
+    with pytest.raises(
+        Exception,
+        match="decimal overflow|NUMERIC_VALUE_OUT_OF_RANGE|"
+        "cannot be represented",
+    ):
+        # disjoint cohorts so the ECDF gap d is ~1e27 and d² blows
+        # past DECIMAL(38,0)
+        ad_drift(
+            df,
+            "v",
+            in_base=big * (F.col("v") <= 4).cast("long"),
+            in_cur=big * (F.col("v") > 4).cast("long"),
+        ).collect()
+
+
 def test_ad_drift_hand_computed_identity_and_tails(spark):
     """base=[1,2] vs cur=[2,3]: pooled values 1,2 (3 excluded, B=N),
     d=2 at both, A² = ¼·(4/3 + 8/3) = exactly 1.0 through the
@@ -1121,6 +1171,100 @@ def test_fellegi_sunter_em_planted_duplicates(spark):
 
     with _pytest.raises(ValueError):
         fellegi_sunter_em(df, "rid", "blk", [], iters=3)
+
+
+def test_fellegi_sunter_em_hot_block_bounded(spark):
+    """Planted hot block: one blocking key holds 30% of all rows.
+    With a max_block_rows budget the candidate stage must stay
+    bounded (total pairs <= the analytic even-split budget from
+    linkage_block_audit, far below exact C(n,2)), and a budget
+    larger than every block must reproduce the unbounded result
+    bit-for-bit (s=1 salt is exact)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        fellegi_sunter_em,
+        linkage_block_audit,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # hot block 0: 300 rows; 20 cold blocks of 35 rows each
+    for i in range(300):
+        rows.append((i, 0, f"s{rng.randrange(4)}", rng.randrange(5)))
+    for b in range(1, 21):
+        for i in range(35):
+            rows.append((
+                10_000 + b * 100 + i, b,
+                f"s{rng.randrange(4)}", rng.randrange(5),
+            ))
+    df = spark.createDataFrame(rows, "rid long, blk int, f1 string, f2 long")
+    comps = [("f1", F.col("f1")), ("f2", F.col("f2"))]
+
+    audit = {r["block"]: r for r in
+             linkage_block_audit(df, "blk", max_block_rows=50).collect()}
+    assert audit[0]["n_rows"] == 300
+    assert audit[0]["pairs_exact"] == 300 * 299 // 2
+    assert audit[0]["n_sub"] == 6
+    assert audit[0]["pairs_budget"] == 6 * (50 * 49 // 2)
+    assert audit[1]["n_sub"] == 1
+    assert audit[1]["pairs_budget"] == audit[1]["pairs_exact"] == 35 * 34 // 2
+    assert abs(sum(r["pair_share"] for r in audit.values()) - 1.0) < 1e-3
+
+    capped = fellegi_sunter_em(
+        df, "rid", "blk", comps, iters=2, max_block_rows=50
+    ).collect()
+    budget_total = sum(r["pairs_budget"] for r in audit.values())
+    exact_total = sum(r["pairs_exact"] for r in audit.values())
+    got = sum(r["n_pairs"] for r in capped)
+    # the hash split is not perfectly even, so allow slack above the
+    # even-split floor, but it must sit far below the quadratic total
+    assert got <= budget_total * 1.5
+    assert got < exact_total * 0.5
+
+    wide = fellegi_sunter_em(
+        df, "rid", "blk", comps, iters=2, max_block_rows=10_000
+    ).collect()
+    uncapped = fellegi_sunter_em(
+        df, "rid", "blk", comps, iters=2, max_block_rows=100_000
+    ).collect()
+    key = lambda r: (r["g1"], r["g2"])
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, uncapped))
+    assert sum(r["n_pairs"] for r in wide) == exact_total
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fellegi_sunter_em(df, "rid", "blk", comps, max_block_rows=1)
+    with _pytest.raises(ValueError):
+        linkage_block_audit(df, "blk", max_block_rows=0)
+
+
+def test_fellegi_sunter_em_degenerate_bit_no_nulls(spark):
+    """ADVICE guard: a CONSTANT comparison bit used to be able to
+    drive an M-step denominator to 0, which non-ANSI Spark silently
+    turns into NULL params and NULL match weights. With the clamps
+    every output must be a finite non-null probability."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        fellegi_sunter_em,
+    )
+
+    # g1 always agrees (constant field); g2 never agrees (unique)
+    rows = [(i, 0, "same", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "rid long, blk int, f1 string, f2 long")
+    out = fellegi_sunter_em(
+        df, "rid", "blk",
+        [("f1", F.col("f1")), ("f2", F.col("f2"))],
+        iters=8,
+    ).collect()
+    assert out, "patterns expected"
+    for r in out:
+        assert r["match_w"] is not None
+        assert 0.0 <= r["match_w"] <= 1.0
 
 
 def test_last_touch_attribution_window_and_tiebreak(spark):
