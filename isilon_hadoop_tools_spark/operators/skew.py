@@ -387,6 +387,16 @@ def compaction_execute(
     the physical file count is compared against the plan's bin
     count.
 
+    ATOMIC since r14: the rewrite lands in a fresh VERSIONED data
+    directory and becomes visible only through the snapshot-manifest
+    pointer swap (:mod:`..operators.snapshots` — one ``os.replace``),
+    so a reader concurrent with the rewrite resolves the OLD snapshot
+    until the new one is fully written, a crash mid-write leaves a
+    torn-but-invisible directory that replay overwrites, and the
+    previous layout stays readable as ``version=N-1`` time travel.
+    The verification reads back THROUGH the committed manifest (the
+    exact file list), never by listing the directory.
+
     The four verification aggregates are 1-row reports (bounded
     driver state, like the cardinality guards). Output (one row):
     ``n_rows``, ``checksum_before``, ``checksum_after``,
@@ -395,6 +405,10 @@ def compaction_execute(
     """
     from isilon_hadoop_tools_spark.operators.analytics import (
         table_checksum,
+    )
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_write,
     )
 
     spark = df.sparkSession
@@ -408,14 +422,13 @@ def compaction_execute(
         .withColumn("_f", file_expr.cast("long"))
         .join(assign, ["_p", "_f"])
     )
-    (
-        tagged.repartition(F.col("_p"), F.col("bin_seq"))
-        .write.partitionBy("_p", "bin_seq")
-        .mode("overwrite")
-        .parquet(out_dir)
+    version = snapshot_write(
+        tagged.repartition(F.col("_p"), F.col("bin_seq")),
+        out_dir,
+        partition_by=["_p", "bin_seq"],
     )
     before = table_checksum(df, checksum_cols).collect()[0]
-    back = spark.read.parquet(out_dir)
+    back = snapshot_read(spark, out_dir, version)
     after = table_checksum(back, checksum_cols).collect()[0]
     files_written = (
         back.select(F.input_file_name().alias("f")).distinct().count()
@@ -489,12 +502,19 @@ def layout_write_footer_stats(
     zoned = ranked.withColumn(
         "_zone", F.expr(f"(_rn - 1) div {int(rows_per_file)}")
     )
-    (
-        zoned.select("vb", "_zone")
-        .repartition(F.col("_zone"))
-        .write.partitionBy("_zone")
-        .mode("overwrite")
-        .parquet(out_dir)
+    # atomic snapshot commit (r14): the zone files become visible only
+    # through the manifest pointer swap, and the footer walk below
+    # reads the MANIFEST's file list — a torn concurrent write or a
+    # stray file in the directory can never leak into the stats
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        read_manifest,
+        snapshot_write,
+    )
+
+    version = snapshot_write(
+        zoned.select("vb", "_zone").repartition(F.col("_zone")),
+        out_dir,
+        partition_by=["_zone"],
     )
     computed = {
         r["_zone"]: (r["n"], r["mn"], r["mx"])
@@ -510,8 +530,11 @@ def layout_write_footer_stats(
 
     import pyarrow.parquet as pq
 
+    m = read_manifest(out_dir, version)
+    data_dir = pathlib.Path(out_dir) / m["data_dir"]
     rows = []
-    for p in pathlib.Path(out_dir).rglob("part-*.parquet"):
+    for rel in m["files"]:
+        p = data_dir / rel
         zone = int(p.parent.name.split("=", 1)[1])
         md = pq.ParquetFile(str(p)).metadata
         n = md.num_rows

@@ -1018,6 +1018,71 @@ def events_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_snapshot_time_travel",
+    oracle=f"""
+    SELECT 1 AS version, count(*)::BIGINT AS n_rows,
+           bit_xor({FINGERPRINT64_SQL.format(
+               expr="event_id::VARCHAR || '|' || user_id::VARCHAR"
+                    " || '|' || event_type"
+           )}) AS checksum,
+           false AS is_latest
+    FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT 2, count(*)::BIGINT,
+           bit_xor({FINGERPRINT64_SQL.format(
+               expr="event_id::VARCHAR || '|' || user_id::VARCHAR"
+                    " || '|' || event_type"
+           )}),
+           true
+    FROM events
+    """,
+)
+def events_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-manifest commits with time travel (SC10): two
+    successive atomic snapshot writes of an events projection (v1 =
+    the view events, v2 = the full table), then BOTH versions read
+    back THROUGH their manifests after v2 committed — proving the
+    pointer swap kept v1 readable (time travel) and that reads
+    resolve the manifest's exact file list, not the directory. Each
+    version is certified by the order-independent XOR checksum the
+    oracle recomputes from the base table."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        table_checksum,
+    )
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        latest_version,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type"]
+    proj = ev.select(*cols)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_table_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    snapshot_write(proj.filter(F.col("event_type") == "view"), table_dir)
+    snapshot_write(proj, table_dir)
+    latest = latest_version(table_dir)
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            table_checksum(
+                snapshot_read(spark, table_dir, v), cols
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "checksum",
+                F.lit(v == latest).alias("is_latest"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@query(
     "events_funnel_conversion",
     oracle="""
     WITH first_view AS (
