@@ -1,0 +1,54 @@
+"""Full-registry cartesian audit (VERDICT r13 #5): the CARTESIAN flag
+used to false-positive on 1-row scalar broadcasts outside a
+headline-only allowlist, so the one signal that catches a real
+cartesian was noisy exactly where nobody looks. This sweep asserts
+the classifier (tools/audit_plans.py) reports ZERO unexplained cross
+joins across EVERY registered query.
+
+Cost control: a real cartesian always appears in the INITIAL physical
+plan (AQE never invents a condition-less join that wasn't in the
+logical plan — it only changes join strategies for equi-joins), so
+queries whose pre-AQE plan shows no cross node are cleared without
+executing them; only the ones that do show a cross are run so the
+executed-plan classifier (which needs broadcast metrics) can rule on
+the build side.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+import audit_plans  # noqa: E402
+
+from isilon_hadoop_tools_spark import suite  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_no_unexplained_cross_join_anywhere_in_registry(spark):
+    flagged: dict[str, list[str]] = {}
+    screened = executed = 0
+    for name, spec in suite.REGISTRY.items():
+        df = spec.spark(spark, SF_DIR)
+        initial = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        screened += 1
+        if (
+            "BroadcastNestedLoopJoin" not in initial
+            and "CartesianProduct" not in initial
+        ):
+            continue
+        executed += 1
+        df.collect()
+        bad = audit_plans.unexplained_crosses(df)
+        if bad and name not in audit_plans.SCALAR_BNLJ_OK:
+            flagged[name] = bad
+    assert screened == len(suite.REGISTRY)
+    assert not flagged, (
+        f"unexplained cross joins in {len(flagged)} queries "
+        f"(executed {executed} of {screened}): {flagged}"
+    )

@@ -7,9 +7,21 @@ the round-5 recompute bugs were found (a sizes-join recomputing the
 ngram posting pipeline 3x, an Arrow bucketer running once per
 self-join side, a funnel re-scanning the corpus per stage count).
 
+Cartesian classification (r14): a ``BroadcastNestedLoopJoin`` whose
+build side is PROVABLY bounded at any scale (a no-grouping-key
+aggregate => exactly 1 row; a literal local relation => compile-time
+constant size; a global limit) or OBSERVABLY tiny (executed broadcast
+``numOutputRows`` <= 128 — deliberate query batches are tens of rows,
+a real accidental cartesian builds a data-scaled side) is the
+scalar-subquery / bounded-batch pattern and is exempt, so the
+CARTESIAN flag only fires on real unbounded crosses. The named
+allowlist that remains covers deliberate broadcasts bigger than the
+observed bound.
+
 Usage::
 
     python tools/audit_plans.py [sf_dir] [query ...]   # default: headline set
+    python tools/audit_plans.py [sf_dir] --all         # full registry sweep
 """
 
 from __future__ import annotations
@@ -21,6 +33,111 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from isilon_hadoop_tools_spark import suite  # noqa: E402
 from isilon_hadoop_tools_spark.session import get_session  # noqa: E402
+
+_STAGES = {
+    "BroadcastQueryStageExec",
+    "ShuffleQueryStageExec",
+    "TableCacheQueryStageExec",
+    "ResultQueryStageExec",
+}
+
+# row-count-preserving (or reducing) wrappers a 1-row proof may walk
+# through on the build path; anything else (join, generate, expand,
+# union, ...) can multiply rows and stops the walk
+_NON_EXPANDING = {
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "ProjectExec",
+    "FilterExec",
+    "SortExec",
+    "BroadcastExchangeExec",
+    "ShuffleExchangeExec",
+    "CoalesceExec",
+    "ColumnarToRowExec",
+    "AQEShuffleReadExec",
+}
+
+
+def _kids(node) -> list:
+    cn = node.getClass().getSimpleName()
+    if cn in _STAGES:
+        return [node.plan()]
+    if cn == "ReusedExchangeExec":
+        return [node.child()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+# observed-build-size exemption bound: a deliberate broadcast of a
+# bounded batch (query sets, band tables) is tens of rows; a real
+# accidental cartesian builds a data-scaled side — thousands even at
+# the sf0.001 audit scale
+_OBSERVED_BUILD_OK = 128
+
+
+def _bounded_build(node) -> bool:
+    """True if this (build-side) subtree is provably bounded at any
+    scale (a no-grouping-key aggregate => exactly 1 row; a local
+    constant relation => compile-time size; a global limit) or
+    observably tiny (executed broadcast numOutputRows <=
+    ``_OBSERVED_BUILD_OK``)."""
+    cn = node.getClass().getSimpleName()
+    if "Aggregate" in cn:
+        try:
+            if node.groupingExpressions().isEmpty():
+                return True  # no-keys aggregate: exactly 1 row, any scale
+        except Exception:
+            pass
+        # keyed aggregate: bounded only if its input is
+        return any(_bounded_build(c) for c in _kids(node))
+    if cn == "LocalTableScanExec":
+        return True  # literal relation: size is a compile-time constant
+    if cn in ("GlobalLimitExec", "CollectLimitExec",
+              "TakeOrderedAndProjectExec"):
+        return True  # bounded by the limit constant at any scale
+    if cn == "BroadcastExchangeExec":
+        try:
+            if (
+                node.metrics().apply("numOutputRows").value()
+                <= _OBSERVED_BUILD_OK
+            ):
+                return True
+        except Exception:
+            pass
+    if cn in _STAGES or cn == "ReusedExchangeExec" or cn in _NON_EXPANDING:
+        return any(_bounded_build(c) for c in _kids(node))
+    return False
+
+
+def _walk(node, out: list) -> None:
+    out.append(node)
+    for c in _kids(node):
+        _walk(c, out)
+
+
+def unexplained_crosses(df) -> list[str]:
+    """Names of cross-join nodes in the EXECUTED plan whose build side
+    is not provably/observably <= 1 row. Run after an action."""
+    try:
+        ep = df._jdf.queryExecution().executedPlan()
+        if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            ep = ep.finalPhysicalPlan()
+    except Exception:
+        return ["<plan-walk-failed>"]
+    nodes: list = []
+    _walk(ep, nodes)
+    bad = []
+    for n in nodes:
+        cn = n.getClass().getSimpleName()
+        if cn == "CartesianProductExec":
+            bad.append("CartesianProduct")
+        elif cn == "BroadcastNestedLoopJoinExec":
+            side = n.buildSide().toString()
+            ch = n.children()
+            build = ch.apply(1) if side == "BuildRight" else ch.apply(0)
+            if not _bounded_build(build):
+                bad.append(f"BNLJ {side}")
+    return bad
 
 
 def audit(spark, name: str, sf_dir: str) -> dict:
@@ -38,12 +155,26 @@ def audit(spark, name: str, sf_dir: str) -> dict:
         "python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
         "cartesian": plan.count("CartesianProduct")
         + plan.count("BroadcastNestedLoopJoin"),
+        "unexplained": unexplained_crosses(df),
     }
+
+
+# named escape hatch for deliberate BroadcastNestedLoopJoins the
+# classifier cannot clear. EMPTY as of r14: the bounded-build
+# classification (1-row aggregates, literal relations, limits,
+# observed tiny broadcasts) clears every deliberate shape in the
+# registry — including the former members (query-batch ANN
+# broadcasts, drift-gate scalar totals). Add a name here ONLY with a
+# justification comment; tests/test_full_plan_audit.py sweeps the
+# whole registry against this.
+SCALAR_BNLJ_OK: set[str] = set()
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    if len(sys.argv) > 2:
+    if len(sys.argv) > 2 and sys.argv[2] == "--all":
+        names = list(suite.REGISTRY)
+    elif len(sys.argv) > 2:
         names = sys.argv[2:]
     else:
         import bench
@@ -51,46 +182,16 @@ def main() -> int:
         names = [n for n in bench.HEADLINE if n in suite.REGISTRY]
     spark = get_session("audit_plans")
     worst = 0
-    # deliberate BroadcastNestedLoopJoins: the query-batch broadcast
-    # (brute-force ANN) and 1-row scalar broadcasts (tf-idf corpus
-    # count, PageRank per-iteration dangling mass) — each is a scalar-
-    # subquery pattern, not an accidental cross product
-    scalar_bnlj_ok = {
-        "ann_brute_force_cosine",
-        # same query-batch broadcast shape as brute-force ANN: the
-        # 5-row query side broadcasts against the corpus scan (the
-        # label-mismatch filter is not an equi-key)
-        "embedding_hard_negatives",
-        "doc_tfidf_topk",
-        "nation_trade_pagerank",
-        # 1-row aggregate broadcast onto the keyed table (total/mean
-        # scalars for the share and x-mean columns)
-        "events_skew_report",
-        # recall evals: the one-row report row is assembled by
-        # crossJoining four 1-row count aggregates
-        "dedup_lsh_recall",
-        "multimodal_hash_recall",
-        # 1-row broadcasts: the unigram totals onto the token join
-        # and the global reference loss onto the k-row domain table
-        "corpus_doremi_weights",
-        # the ECDF drift gates crossJoin their 1-row (tb, tc) totals
-        # onto the V-row distinct-value table — the scalar-subquery
-        # pattern; which of the four shows the BNLJ in its FINAL plan
-        # depends on where the checkpoint truncates lineage
-        "events_ks_drift",
-        "events_mann_whitney",
-        "events_cvm_drift",
-        "events_ad_drift",
-    }
     for name in names:
         c = audit(spark, name, sf_dir)
         flag = ""
-        if c["cartesian"] and name not in scalar_bnlj_ok:
-            flag = "  <== CARTESIAN"
+        if c["unexplained"] and name not in SCALAR_BNLJ_OK:
+            flag = f"  <== CARTESIAN {c['unexplained']}"
             worst = 1
         print(
             f"{name}: exch={c['exchanges']} reuse={c['reused']} "
-            f"scans={c['scans']} py={c['python']}{flag}"
+            f"scans={c['scans']} py={c['python']} "
+            f"cross={c['cartesian']}{flag}"
         )
     return worst
 
