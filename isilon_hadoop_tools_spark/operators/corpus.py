@@ -3670,3 +3670,115 @@ def ccnet_pipeline(
             F.coalesce("bucket", F.lit("short")).alias("bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction (L74): the stage every real web pipeline runs FIRST
+# ---------------------------------------------------------------------------
+
+_HTML_DROP_PATTERNS = [
+    # invisible content: scripts, styles, comments, the whole <head>
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?is)<!--.*?-->",
+    r"(?is)<head\b[^>]*>.*?</head>",
+]
+
+# block-LEVEL tags become block boundaries; inline tags (<a>, <b>,
+# <span>, ...) are stripped in place so their text stays in the block
+_HTML_BLOCK_TAG = (
+    r"(?is)</?(?:p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|"
+    r"tr|td|th|blockquote|pre|section|article|header|footer|nav|aside|"
+    r"form|figure|figcaption|main|hr|body|html)\b[^>]*>"
+)
+
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&copy;", "©"),
+    ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+]
+
+
+def html_extract(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_words: int = 5,
+    max_anchor_ratio: float = 0.2,
+) -> DataFrame:
+    """HTML text extraction + block-level boilerplate removal — the
+    FIRST stage of every web-corpus pipeline the §2.12 family mirrors
+    (C4/CCNet/RefinedWeb/FineWeb all start at crawled HTML, not clean
+    text; Kohlschütter 2010 boilerpipe / Pomikálek 2011 jusText are
+    the block-density models this distills): invisible content
+    (scripts, styles, comments, the whole ``<head>``) is cut, BLOCK-
+    level tags become block boundaries, inline tags are stripped in
+    place, entities are decoded, and each block is kept only if it
+    reads like prose — at least ``min_words`` words and an anchor
+    density (``<a>`` tags per word, the jusText link-density signal)
+    of at most ``max_anchor_ratio``; nav bars, share buttons, and
+    link-farm footers fail one or both.
+
+    Everything is stateless per-row column algebra (regex chains +
+    array higher-order functions, all JVM-side — the ``redact_pii``
+    discipline): the plan is ONE scan-bound projection with no
+    shuffle, no UDF, and no state, so it pipelines at any scale and
+    composes in front of the curation capstones. The anchor-density
+    comparison is exact integer math (``anchors·100 ≤
+    words·round(ratio·100)``) so any engine replays it bit-for-bit.
+
+    Output per doc: ``extracted_text`` (kept blocks joined by
+    newline, whitespace-normalized), ``n_blocks`` (non-empty text
+    blocks seen), ``n_kept``.
+    """
+    pct = int(round(max_anchor_ratio * 100))
+    h = F.col(html_col)
+    for pat in _HTML_DROP_PATTERNS:
+        h = F.regexp_replace(h, pat, "")
+    # block boundaries via a control-char marker, NOT "\n": raw
+    # newlines inside a paragraph are intra-block whitespace (HTML
+    # semantics), not block splits
+    h = F.regexp_replace(h, _HTML_BLOCK_TAG, "\u001e")
+    blocks = F.split(h, "\u001e")
+
+    def clean(b):
+        t = F.regexp_replace(b, r"(?s)<[^>]*>", "")
+        for ent, rep in _HTML_ENTITIES:
+            t = F.replace(t, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+    structs = F.transform(
+        blocks,
+        lambda b: F.struct(
+            clean(b).alias("txt"),
+            F.regexp_count(b, F.lit(r"(?i)<a[\s>]")).alias("anchors"),
+        ),
+    )
+    structs = F.transform(
+        structs,
+        lambda s: F.struct(
+            s["txt"].alias("txt"),
+            s["anchors"].alias("anchors"),
+            F.when(s["txt"] == "", F.lit(0))
+            .otherwise(F.size(F.split(s["txt"], " ")))
+            .alias("words"),
+        ),
+    )
+    nonempty = F.filter(structs, lambda s: s["txt"] != "")
+    kept = F.filter(
+        nonempty,
+        lambda s: (s["words"] >= F.lit(int(min_words)))
+        & (s["anchors"] * F.lit(100) <= s["words"] * F.lit(pct)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda s: s["txt"]), "\n"
+        ).alias("extracted_text"),
+        F.size(nonempty).alias("n_blocks"),
+        F.size(kept).alias("n_kept"),
+    )

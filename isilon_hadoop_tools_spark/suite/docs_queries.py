@@ -3491,3 +3491,49 @@ def corpus_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_expr=stopword_ratio("text", _STOPWORDS),
         min_quality=0.05, min_docs=3,
     )
+
+
+@query(
+    "doc_html_extract",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(trim(text), '\\s+', ' ', 'g')
+             AS extracted_text,
+           5 AS n_blocks, 1 AS n_kept
+    FROM documents
+    """,
+)
+def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction + boilerplate removal (L74 — the first
+    stage of C4/CCNet/RefinedWeb/FineWeb, which all start at crawled
+    HTML): each document is wrapped in a deterministic page template
+    with planted boilerplate (nav bar, short header, share buttons,
+    link-farm footer, a <head> with scripts) around the real text in
+    a <p> block, and ``html_extract`` must cut every boilerplate
+    block and recover EXACTLY the whitespace-normalized article text
+    — the oracle predicts the full output analytically (5 non-empty
+    blocks per page, 1 kept, extracted == normalized source text),
+    so the extraction is verified against ground truth instead of a
+    re-implementation. One scan-bound projection, no shuffle, no
+    UDF."""
+    from isilon_hadoop_tools_spark.operators.corpus import html_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><style>.x{c:1}</style>'
+            "<script>var x = 1 < 2;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/p">Products</a> '
+            '<a href="/c">Contact</a></nav>'
+            "<h1>Synthetic Fixture</h1><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            '</p><div><a href="/s">Share</a> <a href="/t">Tweet</a> '
+            "now</div><footer>&copy; 2024 "
+            '<a href="/a">About</a> <a href="/pr">Privacy</a> '
+            '<a href="/te">Terms</a></footer></body></html>'
+        ),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return html_extract(pages, "doc_id", "html")

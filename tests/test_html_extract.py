@@ -1,0 +1,89 @@
+"""html_extract (L74): tag stripping, entity decoding, comment/script
+/style/head removal, block segmentation, and the jusText-style
+min-words + anchor-density boilerplate gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from isilon_hadoop_tools_spark.operators.corpus import html_extract
+
+PAGE = (
+    "<HTML><head><title>Ignore Me</title><style>.x{a:1}</style>"
+    '<script>if (1 < 2) { alert("</p>fake"); }</script></head><body>'
+    '<NAV><a href="/">Home</a><a href="/p">Products</a>'
+    '<a href="/c">Contact</a></NAV>'
+    "<h1>Short Header</h1>"
+    "<!-- a comment with <p>fake tags</p> -->"
+    "<p>This is the real article body with &amp; plenty of words to "
+    "keep\nand an <b>inline</b> bold plus one "
+    '<a href="/ref">reference link</a> inside.</p>'
+    '<div class="share"><a href="/s">Share</a> <a href="/t">Tweet</a>'
+    " now</div>"
+    '<footer>&copy; 2024 <a href="/a">About</a> <a href="/pr">Privacy'
+    '</a> <a href="/te">Terms</a></footer></body></html>'
+)
+
+
+def _one(spark, html, **kw):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return html_extract(df, "doc_id", "html", **kw).collect()[0]
+
+
+def test_boilerplate_blocks_dropped_article_kept(spark):
+    r = _one(spark, PAGE)
+    assert r["n_blocks"] == 5  # nav, h1, p, share-div, footer
+    assert r["n_kept"] == 1
+    assert r["extracted_text"] == (
+        "This is the real article body with & plenty of words to keep "
+        "and an inline bold plus one reference link inside."
+    )
+
+
+def test_script_style_comment_head_invisible(spark):
+    # the script's "1 < 2" and the comment's fake </p> must not leak
+    # or split blocks; the <head> title never appears
+    r = _one(spark, PAGE)
+    assert "Ignore Me" not in r["extracted_text"]
+    assert "alert" not in r["extracted_text"]
+    assert "fake" not in r["extracted_text"]
+
+
+def test_entities_decoded_amp_last(spark):
+    r = _one(spark, "<p>a &amp;lt; b &lt; c &copy; &#39;q&#39; word</p>")
+    # &amp;lt; -> literal "&lt;" (NOT "<"): &amp; decodes last
+    assert r["extracted_text"] == "a &lt; b < c © 'q' word"
+
+
+def test_min_words_and_anchor_density_gates(spark):
+    short = _one(spark, "<p>too short here</p>")
+    assert short["n_blocks"] == 1 and short["n_kept"] == 0
+    linky = _one(
+        spark,
+        '<p>visit <a href="/1">one</a> <a href="/2">two</a> '
+        '<a href="/3">three</a> four five six</p>',
+    )
+    # 9 words, 3 anchors -> 33 per 100 words > 20: dropped
+    assert linky["n_kept"] == 0
+    # same block passes with a looser ratio
+    loose = _one(
+        spark,
+        '<p>visit <a href="/1">one</a> <a href="/2">two</a> '
+        '<a href="/3">three</a> four five six</p>',
+        max_anchor_ratio=0.5,
+    )
+    assert loose["n_kept"] == 1
+
+
+def test_tagless_text_passes_through_normalized(spark):
+    r = _one(spark, "  plain   text with    enough words here  ")
+    assert r["extracted_text"] == "plain text with enough words here"
+    assert r["n_blocks"] == r["n_kept"] == 1
+
+
+def test_plan_is_scan_bound_no_shuffle_no_udf(spark):
+    df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
+    plan = html_extract(df, "doc_id", "html")._jdf.queryExecution()
+    s = plan.executedPlan().toString()
+    assert "Exchange" not in s
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
