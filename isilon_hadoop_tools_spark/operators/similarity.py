@@ -2108,6 +2108,19 @@ def binary_hamming_topk(
     reason binary quantization wins at 100 TB; only the
     ``rerank``-sized candidate set ever touches float vectors again.
 
+    The candidate cut is RADIUS-BOUNDED, not a full-pair window
+    (ADVICE r13): pass 1 aggregates the Hamming HISTOGRAM per query —
+    map-side combinable into at most ``dim+1`` buckets per query, so
+    the shuffle is |Q|·(dim+1) tiny rows — and derives each query's
+    smallest radius R whose cumulative count reaches ``rerank``;
+    pass 2 re-streams the same map-side scan, keeps only ``hamming ≤
+    R`` BEFORE any exchange, and ranks the survivors (~rerank + ties
+    at R per query) with the row_number window. The result is
+    bit-identical to ranking the full pair set — the radius is exact,
+    not approximate — but the windowed shuffle no longer carries
+    |corpus|×|queries| rows. The packing scan runs twice; scans are
+    the cheap leg, the shuffle was the bottleneck.
+
     Output: ``query_id``, ``neighbor_id``, ``cos_sim`` (6 dp),
     ``rank`` — the shared ANN result shape, so ``ann_recall`` plugs
     in unchanged.
@@ -2126,13 +2139,32 @@ def binary_hamming_topk(
         F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
         + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
     )
+    pairs = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+    )
+    # pass 1: per-query Hamming histogram (≤ dim+1 buckets, map-side
+    # partials) → exact radius R = max bucket whose PRECEDING
+    # cumulative is < rerank, i.e. the smallest R covering the top
+    # rerank; the per-query window spans ≤ dim+1 rows
+    w_cum = Window.partitionBy("query_id").orderBy("hamming")
+    radius = (
+        pairs.groupBy("query_id", "hamming")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_cum", F.sum("_n").over(w_cum))
+        .filter(F.col("_cum") - F.col("_n") < rerank)
+        .groupBy("query_id")
+        .agg(F.max("hamming").alias("_radius"))
+    )
+    # pass 2: map-side radius filter BEFORE the exchange, then the
+    # exact rank over the ~rerank(+ties-at-R) survivors per query
     w_ham = Window.partitionBy("query_id").orderBy(
         F.col("hamming"), F.col("neighbor_id")
     )
     cand = (
-        c.join(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", ham.alias("hamming"))
+        pairs.join(F.broadcast(radius), "query_id")
+        .filter(F.col("hamming") <= F.col("_radius"))
         .withColumn("_hrk", F.row_number().over(w_ham))
         .filter(F.col("_hrk") <= rerank)
         .select("query_id", "neighbor_id")

@@ -129,6 +129,68 @@ def test_binary_hamming_recall_and_word_packing(spark, embeddings):
         similarity._sign_words(F.col("embedding"), 32)
 
 
+def test_binary_hamming_radius_cut_equals_full_window(spark):
+    """ADVICE r13: the candidate cut is now radius-bounded (per-query
+    Hamming histogram -> exact radius -> map-side filter) instead of
+    a full |corpus|x|queries| window shuffle. The radius is EXACT, so
+    the result must equal the brute-force (hamming, id) top-rerank —
+    including at a tie-heavy boundary where many corpus vectors share
+    the radius bucket."""
+    import random
+
+    rng = random.Random(5)
+    # 8 tight clusters of near-identical sign patterns => huge Hamming
+    # ties exactly at the radius
+    base = [[rng.choice([-1.0, 1.0]) for _ in range(64)] for _ in range(8)]
+    rows = []
+    for i in range(240):
+        v = list(base[i % 8])
+        j = rng.randrange(64)
+        v[j] += 0.5 * rng.random() * (1 if v[j] < 0 else -1)
+        rows.append((i, [x + 0.01 * rng.random() for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = similarity.binary_hamming_topk(
+        emb, queries, k=5, rerank=20
+    ).collect()
+    # reference: exact top-rerank by (hamming, neighbor_id), then
+    # exact cosine top-k — recomputed in pure python
+    data = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def words(v):
+        bits = [1 if x > 0 else 0 for x in v]
+        return bits
+
+    def hamm(a, b):
+        return sum(x != y for x, y in zip(words(a), words(b)))
+
+    import math
+
+    for qid in (0, 1, 2):
+        cands = sorted(
+            ((hamm(data[qid], v), i) for i, v in data.items() if i != qid)
+        )[:20]
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            )
+        want = sorted(
+            ((round(cos(data[qid], data[i]), 6), -i) for _, i in cands),
+            reverse=True,
+        )[:5]
+        want_ids = [-x[1] for x in want]
+        got_ids = [
+            r["neighbor_id"]
+            for r in sorted(
+                (r for r in got if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got_ids == want_ids, f"query {qid}: {got_ids} != {want_ids}"
+
+
 def test_cosine_near_dup_pairs_finds_scaled_duplicates(spark):
     rows = [
         (i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)]) for i in range(20)
