@@ -3352,6 +3352,9 @@ _CANONICAL_ORDER = [
     "doc_quality_threshold_sweep",
     "embedding_matryoshka_recall",
     "paragraph_index_stream",
+    "customer_linkage_block_audit",
+    "events_snapshot_time_travel",
+    "doc_html_extract",
 ]
 
 
