@@ -2975,6 +2975,7 @@ def web_curation_pipeline(
     cap: int,
     is_eval,
     n: int = 3,
+    html_col: str | None = None,
 ) -> DataFrame:
     """WEB-corpus curation capstone — the URL-family sibling of
     :func:`curation_pipeline` (which composes the quality/substring
@@ -3005,10 +3006,20 @@ def web_curation_pipeline(
         url_keep_one,
     )
 
+    # HTML front door (r14): pass html_col instead of clean text and
+    # the L74 extraction runs INLINE in this same projection (scan-
+    # fused column algebra, no extra join or shuffle) — every stage
+    # downstream tokenizes on whitespace, so extracted text composes
+    # unchanged. This is where a real crawl enters the pipeline.
+    text_expr = (
+        html_extracted_text(html_col)
+        if html_col is not None
+        else F.col(text_col)
+    )
     d = df.select(
         F.col(id_col).alias("id"),
         F.col(url_col).alias("url"),
-        F.col(text_col).alias("text"),
+        text_expr.alias("text"),
     )
     train = d.filter(~is_eval).localCheckpoint(eager=False)
     ku = url_keep_one(train, "url", "id").select(
@@ -3735,6 +3746,22 @@ def html_extract(
     newline, whitespace-normalized), ``n_blocks`` (non-empty text
     blocks seen), ``n_kept``.
     """
+    nonempty, kept = _html_blocks(html_col, min_words, max_anchor_ratio)
+    return df.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda s: s["txt"]), "\n"
+        ).alias("extracted_text"),
+        F.size(nonempty).alias("n_blocks"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
+def _html_blocks(html_col: str, min_words: int, max_anchor_ratio: float):
+    """The (non-empty-blocks, kept-blocks) array Columns behind
+    :func:`html_extract` — exposed so composers (the web-curation
+    capstone's HTML front door) inline the extraction into their own
+    scan instead of paying a join."""
     pct = int(round(max_anchor_ratio * 100))
     h = F.col(html_col)
     for pat in _HTML_DROP_PATTERNS:
@@ -3774,11 +3801,16 @@ def html_extract(
         lambda s: (s["words"] >= F.lit(int(min_words)))
         & (s["anchors"] * F.lit(100) <= s["words"] * F.lit(pct)),
     )
-    return df.select(
-        F.col(id_col),
-        F.array_join(
-            F.transform(kept, lambda s: s["txt"]), "\n"
-        ).alias("extracted_text"),
-        F.size(nonempty).alias("n_blocks"),
-        F.size(kept).alias("n_kept"),
-    )
+    return nonempty, kept
+
+
+def html_extracted_text(
+    html_col: str,
+    min_words: int = 5,
+    max_anchor_ratio: float = 0.2,
+) -> Column:
+    """``extracted_text`` as a single Column expression over an HTML
+    column — :func:`html_extract`'s payload for inlining into a wider
+    projection (scan-fused, no join)."""
+    _, kept = _html_blocks(html_col, min_words, max_anchor_ratio)
+    return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")

@@ -108,6 +108,7 @@ def snapshot_write(
     df: DataFrame,
     table_dir: str | os.PathLike,
     partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and atomically commit
     it. Returns the committed version number.
@@ -115,7 +116,13 @@ def snapshot_write(
     The data write is a normal distributed parquet job into the fresh
     versioned directory; everything after it is bounded driver-side
     METADATA work (one file listing of that directory, two small-file
-    renames) — nothing scales with row count."""
+    renames) — nothing scales with row count.
+
+    ``stats_cols``: record per-file min/max for these columns in the
+    manifest (read from the real parquet FOOTERS with pyarrow — the
+    Iceberg manifest-stats idea), enabling :func:`snapshot_scan` to
+    prune files at PLANNING time without opening them. The footer
+    walk is driver-side metadata work bounded by the file count."""
     table = _table(table_dir)
     version = _next_version(table)
     data_rel = f"data/v{version:05d}"
@@ -156,6 +163,8 @@ def snapshot_write(
         "partition_by": partition_by or [],
         "schema": schema,
     }
+    if stats_cols:
+        manifest["file_stats"] = _footer_stats(data_dir, files, stats_cols)
     (table / _MANIFESTS).mkdir(parents=True, exist_ok=True)
     _atomic_write_text(
         _manifest_path(table, version), json.dumps(manifest, indent=1)
@@ -169,6 +178,110 @@ def _read_files(
 ) -> DataFrame:
     paths = [str(data_dir / f) for f in files]
     return spark.read.option("basePath", str(data_dir)).parquet(*paths)
+
+
+def _footer_stats(
+    data_dir: pathlib.Path, files: list[str], cols: list[str]
+) -> dict:
+    """Per-file [min, max] for ``cols`` out of the parquet footers —
+    real statistics any engine agrees on, not recomputed from data."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in files:
+        md = pq.ParquetFile(str(data_dir / rel)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in cols:
+            if col not in names:
+                continue  # partition column: not in the data footer
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    mns, mxs = [], []
+                    break
+                mns.append(st.min)
+                mxs.append(st.max)
+            if mns:
+                stats[col] = [min(mns), max(mxs)]
+        out[rel] = stats
+    return out
+
+
+def snapshot_prune(
+    table_dir: str | os.PathLike,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Manifest-stats file pruning (the Iceberg planning-time prune):
+    the files of a committed snapshot whose footer ``[min, max]`` for
+    ``col`` intersects ``[lo, hi]``, plus the total file count. Pure
+    driver-side manifest work — no file is opened. Files without
+    recorded stats for ``col`` are conservatively kept."""
+    table = _table(table_dir)
+    if version is None:
+        version = latest_version(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot in {table}")
+    m = read_manifest(table, version)
+    stats = m.get("file_stats", {})
+    kept = []
+    for rel in m["files"]:
+        s = stats.get(rel, {}).get(col)
+        if s is None or (s[1] >= lo and s[0] <= hi):
+            kept.append(rel)
+    return kept, len(m["files"])
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    table_dir: str | os.PathLike,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan THROUGH the manifest stats: only files whose footer
+    range intersects ``[lo, hi]`` are handed to the reader (planning-
+    time pruning — the skipped files are never opened), and the exact
+    residual filter is applied on top, so the result equals a full
+    scan + filter at a fraction of the I/O when the layout clusters
+    ``col`` (write with :func:`snapshot_write` ``stats_cols`` after a
+    range repartition — the SC8 zone-map discipline, now carried by
+    the table format instead of a side report)."""
+    table = _table(table_dir)
+    if version is None:
+        version = latest_version(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot in {table}")
+    kept, _total = snapshot_prune(table, col, lo, hi, version)
+    m = read_manifest(table, version)
+    if not kept:
+        return snapshot_read(spark, table, version).filter(F.lit(False))
+    df = _read_files(spark, table / m["data_dir"], kept)
+    return df.filter(F.col(col).between(lo, hi))
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str | os.PathLike,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Multiset CDC diff between two committed snapshots: rows only
+    in ``v_to`` tagged ``'added'``, rows only in ``v_from`` tagged
+    ``'removed'`` (bag semantics via ``exceptAll`` — a row present
+    twice-then-once yields one ``removed``). One shuffle per side on
+    the full row; this IS the honest cost of exporting a CDC stream
+    from snapshots that don't carry row lineage."""
+    a = snapshot_read(spark, table_dir, v_from)
+    b = snapshot_read(spark, table_dir, v_to)
+    added = b.exceptAll(a).withColumn("change", F.lit("added"))
+    removed = a.exceptAll(b).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
 
 
 def snapshot_read(

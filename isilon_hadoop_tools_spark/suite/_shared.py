@@ -3355,6 +3355,9 @@ _CANONICAL_ORDER = [
     "customer_linkage_block_audit",
     "events_snapshot_time_travel",
     "doc_html_extract",
+    "doc_web_curation_from_html",
+    "events_snapshot_pruned_scan",
+    "events_snapshot_diff",
 ]
 
 

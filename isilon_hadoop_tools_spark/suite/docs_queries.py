@@ -3537,3 +3537,53 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select("doc_id", page.alias("html"))
     return html_extract(pages, "doc_id", "html")
+
+
+# SAME oracle as doc_web_curation_pipeline — deliberately: the HTML
+# front door must change NOTHING downstream (every stage tokenizes on
+# whitespace, and the L74 extraction recovers exactly the whitespace-
+# normalized article text from the planted-boilerplate page).
+@query(
+    "doc_web_curation_from_html",
+    oracle=REGISTRY["doc_web_curation_pipeline"].oracle,
+)
+def doc_web_curation_from_html(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEB-curation capstone fed RAW HTML (L65 + L74 — how a real
+    crawl enters the pipeline): each doc's text is wrapped in the
+    deterministic boilerplate page template, and
+    ``web_curation_pipeline(html_col=...)`` runs the L74 extraction
+    INLINE (scan-fused, no extra join) before URL keep-one → domain
+    cap → decontamination cut. Hash-checked against the clean-text
+    pipeline's oracle VERBATIM: boilerplate in, identical curation
+    ledger out."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        web_curation_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><style>.x{c:1}</style>'
+            "<script>var x = 1 < 2;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/p">Products</a> '
+            '<a href="/c">Contact</a></nav>'
+            "<h1>Synthetic Fixture</h1><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            '</p><div><a href="/s">Share</a> <a href="/t">Tweet</a> '
+            "now</div><footer>&copy; 2024 "
+            '<a href="/a">About</a> <a href="/pr">Privacy</a> '
+            '<a href="/te">Terms</a></footer></body></html>'
+        ),
+    )
+    urls = _url_dedup_fixture(docs).join(
+        docs.select("doc_id", page.alias("html")), "doc_id"
+    )
+    return web_curation_pipeline(
+        urls, "url", "html", "doc_id", cap=5,
+        is_eval=F.pmod(F.col("id"), F.lit(97)) == 0, n=3,
+        html_col="html",
+    )

@@ -3384,3 +3384,120 @@ def events_ad_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_base=F.col("ts") < boundary,
         in_cur=F.col("ts") >= boundary,
     )
+
+
+@query(
+    "events_snapshot_pruned_scan",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             row_number() OVER (ORDER BY user_id, event_id) AS rn
+      FROM events
+    ),
+    zs AS (
+      SELECT (rn - 1) // 1024 AS z, min(user_id) AS mn,
+             max(user_id) AS mx
+      FROM ranked GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_files_total,
+           sum(CASE WHEN mx >= 100 AND mn <= 160
+               THEN 1 ELSE 0 END)::BIGINT AS files_scanned,
+           (SELECT count(*) FROM events
+            WHERE user_id BETWEEN 100 AND 160)::BIGINT AS n_rows_match,
+           true AS certificate_ok
+    FROM zs
+    """,
+)
+def events_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file pruning (SC10b — the Iceberg planning-time
+    prune carried by the snapshot layer): events are range-laid-out
+    on user_id (two-phase global rank, 1024-row zones, one file per
+    zone), committed with per-file footer min/max in the MANIFEST,
+    and a [100, 160] range scan must open only the files whose
+    recorded range intersects — the oracle predicts file counts and
+    the matching row count analytically from the same total order,
+    and the certificate re-checks the pruned scan against a full
+    filter. Pruning is pure driver-side manifest work; skipped files
+    are never opened."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        _ordered_row_number,
+    )
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_prune,
+        snapshot_read,
+        snapshot_scan,
+        snapshot_write,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    ranked = _ordered_row_number(ev, "user_id", ["event_id"], out="_rn")
+    zoned = ranked.withColumn(
+        "_zone", F.expr("(_rn - 1) div 1024")
+    ).select("user_id", "event_id", "_zone")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_pruned_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    v = snapshot_write(
+        zoned.repartition(F.col("_zone")),
+        table_dir,
+        partition_by=["_zone"],
+        stats_cols=["user_id"],
+    )
+    lo, hi = 100, 160
+    _kept, total = snapshot_prune(table_dir, "user_id", lo, hi, v)
+    pruned_n = snapshot_scan(spark, table_dir, "user_id", lo, hi, v).count()
+    full_n = (
+        snapshot_read(spark, table_dir, v)
+        .filter(F.col("user_id").between(lo, hi))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(total), int(len(_kept)), int(pruned_n), pruned_n == full_n)],
+        "n_files_total LONG, files_scanned LONG, n_rows_match LONG,"
+        " certificate_ok BOOLEAN",
+    )
+
+
+@query(
+    "events_snapshot_diff",
+    oracle="""
+    SELECT event_id, user_id, event_type, 'added' AS change
+    FROM events WHERE event_type <> 'view'
+    UNION ALL
+    SELECT event_id, user_id, event_type, 'removed'
+    FROM events WHERE event_type = 'view' AND event_id % 50 = 0
+    """,
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC diff (SC10c): two committed versions — v1 = the
+    view events, v2 = everything except every 50th view — and
+    ``snapshot_diff`` exports the multiset delta: the non-view rows
+    as 'added', the dropped views as 'removed' (bag semantics via
+    exceptAll). The honest CDC-export cost for snapshots without row
+    lineage: one full-row shuffle per side."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_diff_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    snapshot_write(ev.filter(F.col("event_type") == "view"), table_dir)
+    snapshot_write(
+        ev.filter(
+            (F.col("event_type") != "view")
+            | (F.pmod(F.col("event_id"), F.lit(50)) != 0)
+        ),
+        table_dir,
+    )
+    return snapshot_diff(spark, table_dir, 1, 2)

@@ -154,3 +154,91 @@ def test_compaction_execute_crash_replay_converges(spark, tmp_path):
     assert latest_version(out) == 2
     # and version 1 is still readable time travel
     assert snapshot_read(spark, out, 1).count() == 400
+
+
+def test_snapshot_prune_and_scan_exact(spark, tmp_path):
+    """Manifest-stats pruning: a range-clustered layout records per-
+    file footer min/max; a range scan opens only intersecting files
+    and equals the full filter; a range falling in a between-file gap
+    prunes everything; files without stats are conservatively kept."""
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        read_manifest,
+        snapshot_prune,
+        snapshot_read,
+        snapshot_scan,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    # three clusters with gaps: [0..99], [500..599], [900..999]
+    df = spark.range(300).select(
+        (
+            F.when(F.col("id") < 100, F.col("id"))
+            .when(F.col("id") < 200, F.col("id") + 400)
+            .otherwise(F.col("id") + 700)
+        ).alias("k"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+    )
+    zoned = df.withColumn("_zone", (F.col("k") / 400).cast("int"))
+    v = snapshot_write(
+        zoned.repartition(F.col("_zone")),
+        t,
+        partition_by=["_zone"],
+        stats_cols=["k"],
+    )
+    m = read_manifest(t, v)
+    assert m["n_files"] == 3 and all(
+        "k" in s for s in m["file_stats"].values()
+    )
+    kept, total = snapshot_prune(t, "k", 510, 560, v)
+    assert total == 3 and len(kept) == 1
+    got = sorted(
+        r["k"] for r in snapshot_scan(spark, t, "k", 510, 560, v).collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in snapshot_read(spark, t, v)
+        .filter(F.col("k").between(510, 560))
+        .collect()
+    )
+    assert got == want and len(got) == 51
+    # the gap between clusters prunes every file
+    kept, _ = snapshot_prune(t, "k", 150, 350, v)
+    assert kept == []
+    assert snapshot_scan(spark, t, "k", 150, 350, v).count() == 0
+    # a column with no recorded stats keeps everything (conservative)
+    kept, _ = snapshot_prune(t, "bucket", 0, 0, v)
+    assert len(kept) == 3
+
+
+def test_snapshot_diff_multiset_semantics(spark, tmp_path):
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b"), (3, "c"), (4, "d")], "k long, s string"
+    )
+    snapshot_write(v1, t)
+    snapshot_write(v2, t)
+    out = sorted(
+        (r["k"], r["s"], r["change"])
+        for r in snapshot_diff(spark, t, 1, 2).collect()
+    )
+    # (2,b) present twice then once -> ONE removed (bag semantics)
+    assert out == [
+        (1, "a", "removed"),
+        (2, "b", "removed"),
+        (4, "d", "added"),
+    ]
+    # reverse direction swaps the tags
+    rev = sorted(
+        (r["k"], r["change"])
+        for r in snapshot_diff(spark, t, 2, 1).collect()
+    )
+    assert rev == [(1, "added"), (2, "added"), (4, "removed")]
