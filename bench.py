@@ -217,6 +217,13 @@ HEADLINE = (
     # the capstone composition: classifier + rank cut + exact
     # substring cut + dedup, end-to-end
     "doc_curation_pipeline",
+    # round-14 additions: the HTML extraction scan (regex + array
+    # HOFs, the heaviest pure-projection path) and the web-curation
+    # capstone fed raw HTML (extraction inline in the capstone scan).
+    # (The snapshot queries measure parquet-write + driver metadata,
+    # not throughput — unbenched like the other write-path queries.)
+    "doc_html_extract",
+    "doc_web_curation_from_html",
 )
 
 

@@ -2921,3 +2921,83 @@ def linkage_block_audit(
             "pair_share"
         ),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator (1958) with right censoring —
+    the time-to-event READOOUT the drift/attribution family lacks
+    (churn, time-to-conversion, time-to-failure): one row per subject
+    with an integer ``duration`` and an ``observed`` flag (False =
+    censored at that duration), out comes the survival curve at every
+    observed event time::
+
+        S(t_i) = Π_{j ≤ i} (1 − d_j / n_j)
+
+    with ``d_j`` events at t_j and ``n_j`` the at-risk count
+    (subjects with duration ≥ t_j — censored rows leave the risk set
+    after their time, the estimator's whole point).
+
+    Shape: ONE duration-keyed aggregate with map-side partials onto
+    the V-row distinct-duration table; at-risk counts come from the
+    two-phase :func:`_ordered_cumsum` (never an unpartitioned
+    window), totals broadcast. The cumulative PRODUCT is computed as
+    exp of a running sum of per-step ``round(ln(1 − d/n)·10⁹)``
+    scaled integers — the log-sum is order-independent and the 9-dp
+    quantization makes every partial engine-replayable (the PSI float
+    discipline applied to a product); a step that empties the risk
+    set contributes the capped term ln = −50 (exp ≈ 2·10⁻²², i.e.
+    survival 0 at 6 dp, without a −inf in the stream).
+
+    Output per observed event time: ``duration``, ``n_risk``,
+    ``n_events``, ``n_censored`` (censored AT that time),
+    ``survival`` (6 dp).
+    """
+    base = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(observed_col).cast("boolean").alias("_obs"),
+    ).filter(F.col("t").isNotNull())
+    counts = (
+        base.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.col("_obs").cast("long")).alias("d"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(F.sum("n_all").alias("_N"))
+    cum = (
+        _ordered_cumsum(counts, "t", ["n_all"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "t",
+            "d",
+            (F.col("n_all") - F.col("d")).alias("n_censored"),
+            (
+                F.col("_N") - (F.col("_cum_n_all") - F.col("n_all"))
+            ).alias("n_risk"),
+        )
+    )
+    ev = cum.filter(F.col("d") > 0)
+    term = F.when(
+        F.col("d") >= F.col("n_risk"), F.lit(-50_000_000_000)
+    ).otherwise(
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+            * 1e9
+        ).cast("long")
+    )
+    ranked = _ordered_cumsum(ev.withColumn("_term", term), "t", ["_term"])
+    return ranked.select(
+        F.col("t").alias("duration"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        "n_censored",
+        F.round(F.exp(F.col("_cum__term") / 1e9), 6).alias("survival"),
+    )

@@ -3358,6 +3358,7 @@ _CANONICAL_ORDER = [
     "doc_web_curation_from_html",
     "events_snapshot_pruned_scan",
     "events_snapshot_diff",
+    "events_survival_km",
 ]
 
 

@@ -3501,3 +3501,103 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_dir,
     )
     return snapshot_diff(spark, table_dir, 1, 2)
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS t0
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN fv USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.t0
+      GROUP BY 1
+    ),
+    le AS (SELECT user_id, max(ts) AS tl FROM events GROUP BY 1),
+    subj AS (
+      SELECT fv.user_id,
+             CASE WHEN tp IS NOT NULL
+                  THEN floor(epoch(tp))::BIGINT - floor(epoch(t0))::BIGINT
+                  ELSE floor(epoch(tl))::BIGINT - floor(epoch(t0))::BIGINT
+             END AS t,
+             tp IS NOT NULL AS obs
+      FROM fv LEFT JOIN fp USING (user_id) JOIN le USING (user_id)
+    ),
+    counts AS (
+      SELECT t, count(*)::BIGINT AS n_all, sum(obs::INT)::BIGINT AS d
+      FROM subj GROUP BY t
+    ),
+    cum AS (
+      SELECT *, sum(n_all) OVER (ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS cum_all
+      FROM counts
+    ),
+    ev AS (
+      SELECT t,
+             (SELECT sum(n_all) FROM counts)::BIGINT
+               - (cum_all - n_all) AS n_risk,
+             d, n_all - d AS n_censored
+      FROM cum WHERE d > 0
+    ),
+    terms AS (
+      SELECT *,
+             CASE WHEN d >= n_risk THEN -50000000000
+                  ELSE round(ln(1 - d / n_risk::DOUBLE) * 1e9)::BIGINT
+             END AS term
+      FROM ev
+    ),
+    s AS (
+      SELECT *, sum(term) OVER (ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS cterm
+      FROM terms
+    )
+    SELECT t AS duration, n_risk, d AS n_events, n_censored,
+           round(exp(cterm / 1e9), 6) AS survival
+    FROM s
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (EA33; Kaplan & Meier
+    1958): per user, seconds from first view to first purchase at or
+    after it -- users who never purchase are right-CENSORED at their
+    last event (they leave the risk set without converting, which is
+    exactly what naive conversion-time averages get wrong). Survival
+    at every observed conversion time via the exact at-risk
+    cumulative and the 9-dp-quantized log-sum product; the oracle
+    recomputes the identical chain."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        kaplan_meier,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    fp = (
+        ev.join(fv, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    le = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    subj = (
+        fv.join(fp, "user_id", "left")
+        .join(le, "user_id")
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.unix_timestamp("tp") - F.unix_timestamp("t0"),
+            )
+            .otherwise(F.unix_timestamp("tl") - F.unix_timestamp("t0"))
+            .alias("t"),
+            F.col("tp").isNotNull().alias("obs"),
+        )
+    )
+    return kaplan_meier(subj, "t", "obs")

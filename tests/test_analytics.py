@@ -1634,3 +1634,33 @@ def test_shuffle_partition_count_tolerates_auto(spark):
     assert shuffle_partition_count(spark) == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_kaplan_meier_hand_computed_textbook(spark):
+    """Classic 6-subject example: events at 1,2,4,6; censored at 3,5.
+    S(1)=5/6, S(2)=2/3, S(4)=4/9 (the censor at 3 shrank the risk
+    set WITHOUT an event — the estimator's whole point), S(6)=0."""
+    from isilon_hadoop_tools_spark.operators.analytics import kaplan_meier
+
+    rows = [(1, True), (2, True), (3, False), (4, True), (5, False),
+            (6, True)]
+    df = spark.createDataFrame(rows, "t long, obs boolean")
+    out = {r["duration"]: r for r in kaplan_meier(df, "t", "obs").collect()}
+    assert sorted(out) == [1, 2, 4, 6]  # censored times emit no row
+    assert (out[1]["n_risk"], out[1]["n_events"]) == (6, 1)
+    assert out[1]["survival"] == pytest.approx(5 / 6, abs=1e-6)
+    assert out[2]["survival"] == pytest.approx(2 / 3, abs=1e-6)
+    assert (out[4]["n_risk"], out[4]["survival"]) == (
+        3, pytest.approx(4 / 9, abs=1e-6))
+    # last subject converts: risk set empties -> survival exactly 0
+    assert (out[6]["n_risk"], out[6]["survival"]) == (1, 0.0)
+    # ties + censored-at-event-time: both counted at risk AT t, the
+    # censored one leaves after
+    rows2 = [(2, True), (2, True), (2, False), (5, True)]
+    df2 = spark.createDataFrame(rows2, "t long, obs boolean")
+    out2 = {r["duration"]: r
+            for r in kaplan_meier(df2, "t", "obs").collect()}
+    assert (out2[2]["n_risk"], out2[2]["n_events"],
+            out2[2]["n_censored"]) == (4, 2, 1)
+    assert out2[2]["survival"] == pytest.approx(0.5, abs=1e-6)
+    assert out2[5]["survival"] == 0.0
