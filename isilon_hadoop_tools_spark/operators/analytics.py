@@ -2722,6 +2722,12 @@ def fellegi_sunter_em(
     pattern aggregation with map-side partials; the EM iterations are
     1-row × 2^K-row crossJoin work.
 
+    ``block_col`` may be a LIST of blocking expressions (Splink's
+    multi-rule union): each rule contributes its (budgeted)
+    within-block pairs and the union is deduped on the pair key —
+    several NARROW rules recover the recall a single broad rule buys
+    with a hot block, at bounded per-rule cost.
+
     SKEW BOUND (``max_block_rows``): a block bigger than the budget
     would contribute O(n²) candidate pairs from a SINGLE join key —
     the hot-block explosion the blocked self-join is otherwise naked
@@ -2753,44 +2759,25 @@ def fellegi_sunter_em(
         raise ValueError(f"1..8 comparisons supported; got {k}")
     if max_block_rows < 2:
         raise ValueError(f"max_block_rows must be >= 2; got {max_block_rows}")
-    blk = block_col if not isinstance(block_col, str) else F.col(block_col)
-    # Per-block sub-block counts: one map-side-combined agg to a
-    # ≤#blocks-row table, broadcast back onto both join sides. A block
-    # under budget gets _ns = 1 (salt constant → exact semantics).
-    sizes = (
-        df.select(blk.alias("_blk"))
-        .groupBy("_blk")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .select(
-            "_blk",
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.col("_bn") / F.lit(max_block_rows)),
-            )
-            .cast("int")
-            .alias("_ns"),
-        )
+    # Splink-style MULTI-RULE blocking: a list of blocking expressions
+    # unions each rule's (budgeted) within-block pairs and dedups on
+    # the pair key — several NARROW rules recover the recall a single
+    # broad rule buys with a hot block, at a bounded per-rule cost.
+    rules = (
+        list(block_col)
+        if isinstance(block_col, (list, tuple))
+        else [block_col]
     )
-    left = df.select(
-        F.col(id_col).alias("_ida"),
-        blk.alias("_blk"),
-        *[c.alias(f"_a{i}") for i, (_, c) in enumerate(comparisons)],
-    ).join(F.broadcast(sizes), "_blk")
-    right = df.select(
-        F.col(id_col).alias("_idb"),
-        blk.alias("_blk"),
-        *[c.alias(f"_b{i}") for i, (_, c) in enumerate(comparisons)],
-    ).join(F.broadcast(sizes), "_blk")
-    sub = lambda idc: F.pmod(F.xxhash64(F.col(idc)), F.col("_ns")).cast("int")
-    pairs = (
-        left.withColumn("_sub", sub("_ida"))
-        .drop("_ns")
-        .join(
-            right.withColumn("_sub", sub("_idb")).drop("_ns"),
-            ["_blk", "_sub"],
-        )
-        .filter(F.col("_ida") < F.col("_idb"))
-    )
+    if not rules:
+        raise ValueError("at least one blocking rule required")
+    pairs = None
+    for rule in rules:
+        p = _salted_block_pairs(df, id_col, rule, comparisons, max_block_rows)
+        pairs = p if pairs is None else pairs.unionByName(p)
+    if len(rules) > 1:
+        # comparison fields are functions of the ids, so dedup on the
+        # pair key alone is exact
+        pairs = pairs.dropDuplicates(["_ida", "_idb"])
     gcols = [
         (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int").alias(f"g{i + 1}")
         for i in range(k)
@@ -2858,6 +2845,56 @@ def fellegi_sunter_em(
             "n_pairs",
             F.round(lik("m") / (lik("m") + lik("u")), 6).alias("match_w"),
         )
+    )
+
+
+def _salted_block_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col,
+    comparisons: list,
+    max_block_rows: int,
+) -> DataFrame:
+    """One blocking rule's candidate pairs with the hot-block salt
+    (see :func:`fellegi_sunter_em`): per-block sub-block counts via
+    one map-side-combined agg to a ≤#blocks-row table, broadcast back
+    onto both join sides; a block under budget gets ``_ns = 1`` (salt
+    constant → exact semantics)."""
+    blk = block_col if not isinstance(block_col, str) else F.col(block_col)
+    sizes = (
+        df.select(blk.alias("_blk"))
+        .groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            "_blk",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_bn") / F.lit(max_block_rows)),
+            )
+            .cast("int")
+            .alias("_ns"),
+        )
+    )
+    left = df.select(
+        F.col(id_col).alias("_ida"),
+        blk.alias("_blk"),
+        *[c.alias(f"_a{i}") for i, (_, c) in enumerate(comparisons)],
+    ).join(F.broadcast(sizes), "_blk")
+    right = df.select(
+        F.col(id_col).alias("_idb"),
+        blk.alias("_blk"),
+        *[c.alias(f"_b{i}") for i, (_, c) in enumerate(comparisons)],
+    ).join(F.broadcast(sizes), "_blk")
+    sub = lambda idc: F.pmod(F.xxhash64(F.col(idc)), F.col("_ns")).cast("int")
+    return (
+        left.withColumn("_sub", sub("_ida"))
+        .drop("_ns")
+        .join(
+            right.withColumn("_sub", sub("_idb")).drop("_ns"),
+            ["_blk", "_sub"],
+        )
+        .filter(F.col("_ida") < F.col("_idb"))
+        .drop("_blk", "_sub")
     )
 
 

@@ -265,6 +265,55 @@ def snapshot_scan(
     return df.filter(F.col(col).between(lo, hi))
 
 
+def snapshot_vacuum(
+    table_dir: str | os.PathLike,
+    keep_last: int = 2,
+) -> dict:
+    """Reclaim data files referenced ONLY by expired snapshots — the
+    Delta VACUUM / Iceberg expire-snapshots maintenance step that
+    bounds the time-travel window. Keeps the newest ``keep_last``
+    committed versions (pointer version and below) plus any orphaned
+    manifests ABOVE the pointer (a concurrent writer's crash window
+    is not ours to collect); a data file is deleted only when NO kept
+    manifest references it, so readers pinned to a kept version are
+    never torn. Expired manifests are removed after their files, so a
+    crash mid-vacuum leaves manifests whose ``readable`` flag in
+    :func:`snapshot_history` reports the damage honestly and a rerun
+    converges. Pure driver-side metadata work.
+
+    Returns ``{"files_deleted": n, "versions_expired": [...]}``.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1; got {keep_last}")
+    table = _table(table_dir)
+    latest = latest_version(table)
+    if latest is None:
+        return {"files_deleted": 0, "versions_expired": []}
+    mdir = table / _MANIFESTS
+    versions = sorted(
+        int(f.stem) for f in mdir.glob("*.json") if f.stem.isdigit()
+    )
+    committed = [v for v in versions if v <= latest]
+    expired = committed[:-keep_last] if len(committed) > keep_last else []
+    kept = [v for v in versions if v not in expired]
+    live: set[pathlib.Path] = set()
+    for v in kept:
+        m = read_manifest(table, v)
+        live.update((table / m["data_dir"] / f).resolve() for f in m["files"])
+    deleted = 0
+    for v in expired:
+        m = read_manifest(table, v)
+        data_dir = table / m["data_dir"]
+        for rel in m["files"]:
+            p = (data_dir / rel).resolve()
+            if p not in live and p.is_file():
+                p.unlink()
+                deleted += 1
+    for v in expired:  # manifests last: a mid-vacuum crash stays visible
+        _manifest_path(table, v).unlink(missing_ok=True)
+    return {"files_deleted": deleted, "versions_expired": expired}
+
+
 def snapshot_diff(
     spark: SparkSession,
     table_dir: str | os.PathLike,

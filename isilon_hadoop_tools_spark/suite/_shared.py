@@ -3359,6 +3359,7 @@ _CANONICAL_ORDER = [
     "events_snapshot_pruned_scan",
     "events_snapshot_diff",
     "events_survival_km",
+    "customer_fs_linkage_multirule",
 ]
 
 

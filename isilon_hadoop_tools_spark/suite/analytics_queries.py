@@ -1080,7 +1080,53 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fs_em_oracle(iters: int = 3) -> str:
+_FS_PAIRS_SINGLE = """pairs AS (
+      SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment
+                  THEN 1 ELSE 0 END AS g1,
+             CASE WHEN floor(a.c_acctbal / 1000)
+                       = floor(b.c_acctbal / 1000)
+                  THEN 1 ELSE 0 END AS g2,
+             CASE WHEN right(a.c_name, 1) = right(b.c_name, 1)
+                  THEN 1 ELSE 0 END AS g3
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+    )"""
+
+# Splink-style multi-rule union: nation-block pairs UNION balance-
+# band-block pairs, deduped on the pair key (UNION set semantics —
+# the comparison bits are functions of the ids, so whole-row dedup
+# == pair dedup)
+_FS_PAIRS_MULTI = """pairs AS (
+      SELECT g1, g2, g3 FROM (
+        SELECT a.c_custkey AS ia, b.c_custkey AS ib,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS g1,
+               CASE WHEN floor(a.c_acctbal / 1000)
+                         = floor(b.c_acctbal / 1000)
+                    THEN 1 ELSE 0 END AS g2,
+               CASE WHEN right(a.c_name, 1) = right(b.c_name, 1)
+                    THEN 1 ELSE 0 END AS g3
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT a.c_custkey, b.c_custkey,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END,
+               CASE WHEN floor(a.c_acctbal / 1000)
+                         = floor(b.c_acctbal / 1000)
+                    THEN 1 ELSE 0 END,
+               CASE WHEN right(a.c_name, 1) = right(b.c_name, 1)
+                    THEN 1 ELSE 0 END
+        FROM customer a JOIN customer b
+          ON floor(a.c_acctbal / 500) = floor(b.c_acctbal / 500)
+         AND a.c_custkey < b.c_custkey
+      )
+    )"""
+
+
+def _fs_em_oracle(iters: int = 3, pairs_sql: str | None = None) -> str:
     """DuckDB twin of ``fellegi_sunter_em`` on the customer linkage
     fixture: pattern counts once, then the EM iterations unrolled as
     alternating E/M CTEs with the identical expression shapes and
@@ -1103,18 +1149,7 @@ def _fs_em_oracle(iters: int = 3) -> str:
         f" ({lik('u')})), 9), 1e-9), 1.0 - 1e-9)"
     )
     parts = [
-        """pairs AS (
-      SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment
-                  THEN 1 ELSE 0 END AS g1,
-             CASE WHEN floor(a.c_acctbal / 1000)
-                       = floor(b.c_acctbal / 1000)
-                  THEN 1 ELSE 0 END AS g2,
-             CASE WHEN right(a.c_name, 1) = right(b.c_name, 1)
-                  THEN 1 ELSE 0 END AS g3
-      FROM customer a JOIN customer b
-        ON a.c_nationkey = b.c_nationkey
-       AND a.c_custkey < b.c_custkey
-    )""",
+        pairs_sql or _FS_PAIRS_SINGLE,
         """pat AS (SELECT g1, g2, g3, count(*)::BIGINT AS n_pairs
             FROM pairs GROUP BY 1, 2, 3)""",
         """p0 AS (SELECT 0.01 AS p, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
@@ -1175,6 +1210,38 @@ def customer_fs_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust,
         "c_custkey",
         "c_nationkey",
+        [
+            ("segment", F.col("c_mktsegment")),
+            ("bal_band", F.floor(F.col("c_acctbal") / 1000)),
+            ("name_tail", F.substring(F.col("c_name"), -1, 1)),
+        ],
+        iters=3,
+    )
+
+
+@query(
+    "customer_fs_linkage_multirule",
+    oracle=_fs_em_oracle(pairs_sql=_FS_PAIRS_MULTI),
+)
+def customer_fs_linkage_multirule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter linkage with MULTI-RULE blocking (EA32 +
+    Splink's blocking-rule union): candidate pairs from nation blocks
+    UNION 500-wide balance-band blocks, deduped on the pair key, then
+    the same unrolled EM over the pattern table -- several narrow
+    rules recover recall without any single rule's hot block. The
+    oracle unions both rules' pairs with set semantics and replays
+    the identical E/M chain."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        fellegi_sunter_em,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return fellegi_sunter_em(
+        cust,
+        "c_custkey",
+        [F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 500)],
         [
             ("segment", F.col("c_mktsegment")),
             ("bal_band", F.floor(F.col("c_acctbal") / 1000)),

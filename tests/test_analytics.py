@@ -1664,3 +1664,44 @@ def test_kaplan_meier_hand_computed_textbook(spark):
             out2[2]["n_censored"]) == (4, 2, 1)
     assert out2[2]["survival"] == pytest.approx(0.5, abs=1e-6)
     assert out2[5]["survival"] == 0.0
+
+
+def test_fellegi_sunter_multirule_union_recall(spark):
+    """Multi-rule blocking: pairs co-blocked by EITHER rule appear
+    exactly once (pair-key dedup), so the union's pattern counts
+    equal the brute-force distinct-pair counts over rule1 OR rule2."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        fellegi_sunter_em,
+    )
+
+    rows = [
+        (i, i % 3, i % 4, f"s{i % 2}", i % 5) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "rid long, b1 int, b2 int, f1 string, f2 long")
+    comps = [("f1", F.col("f1")), ("f2", F.col("f2"))]
+    out = fellegi_sunter_em(
+        df, "rid", [F.col("b1"), F.col("b2")], comps, iters=2
+    ).collect()
+    # brute-force reference pattern counts
+    want: dict = {}
+    for (ia, b1a, b2a, f1a, f2a), (ib, b1b, b2b, f1b, f2b) in (
+        itertools.combinations(rows, 2)
+    ):
+        if b1a == b1b or b2a == b2b:
+            g = (int(f1a == f1b), int(f2a == f2b))
+            want[g] = want.get(g, 0) + 1
+    got = {(r["g1"], r["g2"]): r["n_pairs"] for r in out}
+    assert got == want
+    # single-rule call still accepts the scalar form
+    single = fellegi_sunter_em(df, "rid", "b1", comps, iters=2).collect()
+    assert sum(r["n_pairs"] for r in single) == sum(
+        1 for (a, b) in itertools.combinations(rows, 2) if a[1] == b[1]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fellegi_sunter_em(df, "rid", [], comps)

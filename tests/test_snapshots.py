@@ -242,3 +242,36 @@ def test_snapshot_diff_multiset_semantics(spark, tmp_path):
         for r in snapshot_diff(spark, t, 2, 1).collect()
     )
     assert rev == [(1, "added"), (2, "added"), (4, "removed")]
+
+
+def test_snapshot_vacuum_expires_and_preserves(spark, tmp_path):
+    """Vacuum keeps the last N committed versions' files intact,
+    deletes only files referenced solely by expired versions, removes
+    expired manifests after their files, and a rerun converges."""
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_history,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    for n, tag in ((5, "a"), (8, "b"), (3, "c")):
+        snapshot_write(_df(spark, n, tag), t)
+    r = snapshot_vacuum(t, keep_last=2)
+    assert r["versions_expired"] == [1]
+    assert r["files_deleted"] > 0
+    hist = {h["version"]: h for h in snapshot_history(spark, t).collect()}
+    assert sorted(hist) == [2, 3]
+    assert hist[2]["readable"] and hist[3]["readable"]
+    assert _rows(snapshot_read(spark, t, 2)) == _rows(_df(spark, 8, "b"))
+    assert _rows(snapshot_read(spark, t)) == _rows(_df(spark, 3, "c"))
+    # rerun: nothing left to collect
+    r2 = snapshot_vacuum(t, keep_last=2)
+    assert r2 == {"files_deleted": 0, "versions_expired": []}
+    # orphaned manifest above the pointer is never collected
+    (pathlib.Path(t) / "_LATEST").write_text("2")
+    r3 = snapshot_vacuum(t, keep_last=1)
+    assert r3["versions_expired"] == []  # only v2 committed now, kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_vacuum(t, keep_last=0)
