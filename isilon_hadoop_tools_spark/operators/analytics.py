@@ -2991,7 +2991,10 @@ def kaplan_meier(
 
     Output per observed event time: ``duration``, ``n_risk``,
     ``n_events``, ``n_censored`` (censored AT that time),
-    ``survival`` (6 dp).
+    ``survival`` (6 dp), and the Nelson–Aalen cumulative hazard
+    ``cum_hazard`` = Σ d_j/n_j (6 dp; same 9-dp-quantized running-sum
+    discipline — the hazard-scale twin the survival curve's
+    derivative-readers want).
     """
     base = df.select(
         F.col(duration_col).cast("long").alias("t"),
@@ -3030,11 +3033,117 @@ def kaplan_meier(
             * 1e9
         ).cast("long")
     )
-    ranked = _ordered_cumsum(ev.withColumn("_term", term), "t", ["_term"])
+    haz = F.round(
+        F.col("d").cast("double") / F.col("n_risk").cast("double") * 1e9
+    ).cast("long")
+    ranked = _ordered_cumsum(
+        ev.withColumn("_term", term).withColumn("_haz", haz),
+        "t",
+        ["_term", "_haz"],
+    )
     return ranked.select(
         F.col("t").alias("duration"),
         "n_risk",
         F.col("d").alias("n_events"),
         "n_censored",
         F.round(F.exp(F.col("_cum__term") / 1e9), 6).alias("survival"),
+        F.round(F.col("_cum__haz") / 1e9, 6).alias("cum_hazard"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    in_a,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — the hypothesis test
+    over :func:`kaplan_meier` curves (the time-to-event A/B readout:
+    "did cohort A convert/churn on a different clock than B?", which
+    a means test on durations gets wrong under censoring): at every
+    pooled event time, group A's observed events ``d1`` are compared
+    with the hypergeometric expectation ``d·n1/n`` under H0, and
+
+        χ² = (Σd1 − ΣE)² / ΣV,   V = d·(n1/n)·(1 − n1/n)·(n−d)/(n−1)
+
+    Shape: the :func:`kaplan_meier` template with a group axis — ONE
+    duration-keyed map-side aggregate (pooled + group-A counts), the
+    two-phase :func:`_ordered_cumsum` for both at-risk series, totals
+    broadcast; E and V accumulate as 9-dp-quantized scaled-integer
+    sums (order-independent, engine-replayable). Times where the
+    pooled risk set is a single subject contribute V = 0 and are
+    skipped, per the estimator.
+
+    Output (one row): ``n_a``, ``n_b`` (subjects), ``observed_a``,
+    ``expected_a`` (6 dp), ``variance`` (6 dp), ``chi_sq`` (6 dp).
+    """
+    base = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(observed_col).cast("boolean").alias("_obs"),
+        in_a.cast("boolean").alias("_a"),
+    ).filter(F.col("t").isNotNull())
+    counts = (
+        base.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.col("_a").cast("long")).alias("n1_all"),
+            F.sum(F.col("_obs").cast("long")).alias("d"),
+            F.sum((F.col("_obs") & F.col("_a")).cast("long")).alias("d1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.sum("n_all").alias("_N"), F.sum("n1_all").alias("_N1")
+    )
+    cum = (
+        _ordered_cumsum(counts, "t", ["n_all", "n1_all"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "t",
+            "d",
+            "d1",
+            (F.col("_N") - (F.col("_cum_n_all") - F.col("n_all"))).alias(
+                "n"
+            ),
+            (
+                F.col("_N1") - (F.col("_cum_n1_all") - F.col("n1_all"))
+            ).alias("n1"),
+            "_N",
+            "_N1",
+        )
+    )
+    ev = cum.filter((F.col("d") > 0) & (F.col("n") > 1))
+    nd, n1d, dd = (
+        F.col("n").cast("double"),
+        F.col("n1").cast("double"),
+        F.col("d").cast("double"),
+    )
+    e_term = F.round(dd * n1d / nd * 1e9).cast("long")
+    v_term = F.round(
+        dd
+        * (n1d / nd)
+        * (1.0 - n1d / nd)
+        * (nd - dd)
+        / (nd - 1.0)
+        * 1e9
+    ).cast("long")
+    agg = ev.groupBy("_N", "_N1").agg(
+        F.sum("d1").alias("o1"),
+        F.sum(e_term).alias("_e"),
+        F.sum(v_term).alias("_v"),
+    )
+    e = F.col("_e") / 1e9
+    v = F.col("_v") / 1e9
+    return agg.select(
+        F.col("_N1").alias("n_a"),
+        (F.col("_N") - F.col("_N1")).alias("n_b"),
+        F.col("o1").alias("observed_a"),
+        F.round(e, 6).alias("expected_a"),
+        F.round(v, 6).alias("variance"),
+        F.round(
+            (F.col("o1").cast("double") - e)
+            * (F.col("o1").cast("double") - e)
+            / v,
+            6,
+        ).alias("chi_sq"),
     )

@@ -3360,6 +3360,7 @@ _CANONICAL_ORDER = [
     "events_snapshot_diff",
     "events_survival_km",
     "customer_fs_linkage_multirule",
+    "events_survival_logrank",
 ]
 
 

@@ -3546,16 +3546,20 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *,
              CASE WHEN d >= n_risk THEN -50000000000
                   ELSE round(ln(1 - d / n_risk::DOUBLE) * 1e9)::BIGINT
-             END AS term
+             END AS term,
+             round(d / n_risk::DOUBLE * 1e9)::BIGINT AS hterm
       FROM ev
     ),
     s AS (
       SELECT *, sum(term) OVER (ORDER BY t
-                                ROWS UNBOUNDED PRECEDING) AS cterm
+                                ROWS UNBOUNDED PRECEDING) AS cterm,
+                sum(hterm) OVER (ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS chaz
       FROM terms
     )
     SELECT t AS duration, n_risk, d AS n_events, n_censored,
-           round(exp(cterm / 1e9), 6) AS survival
+           round(exp(cterm / 1e9), 6) AS survival,
+           round(chaz / 1e9, 6) AS cum_hazard
     FROM s
     """,
 )
@@ -3601,3 +3605,111 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kaplan_meier(subj, "t", "obs")
+
+
+@query(
+    "events_survival_logrank",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS t0
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN fv USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.t0
+      GROUP BY 1
+    ),
+    le AS (SELECT user_id, max(ts) AS tl FROM events GROUP BY 1),
+    subj AS (
+      SELECT fv.user_id,
+             CASE WHEN tp IS NOT NULL
+                  THEN floor(epoch(tp))::BIGINT - floor(epoch(t0))::BIGINT
+                  ELSE floor(epoch(tl))::BIGINT - floor(epoch(t0))::BIGINT
+             END AS t,
+             tp IS NOT NULL AS obs,
+             fv.user_id % 2 = 0 AS a
+      FROM fv LEFT JOIN fp USING (user_id) JOIN le USING (user_id)
+    ),
+    counts AS (
+      SELECT t, count(*)::BIGINT AS n_all,
+             sum(a::INT)::BIGINT AS n1_all,
+             sum(obs::INT)::BIGINT AS d,
+             sum((obs AND a)::INT)::BIGINT AS d1
+      FROM subj GROUP BY t
+    ),
+    cum AS (
+      SELECT *,
+             sum(n_all) OVER w AS c_all,
+             sum(n1_all) OVER w AS c1_all
+      FROM counts
+      WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+      SELECT sum(n_all)::BIGINT AS N, sum(n1_all)::BIGINT AS N1
+      FROM counts
+    ),
+    ev AS (
+      SELECT t, d, d1,
+             N - (c_all - n_all) AS nr,
+             N1 - (c1_all - n1_all) AS nr1,
+             N AS nt, N1 AS nt1
+      FROM cum, tot
+      WHERE d > 0 AND N - (c_all - n_all) > 1
+    ),
+    terms AS (
+      SELECT *,
+             round(d * nr1 / nr::DOUBLE * 1e9)::BIGINT AS e_term,
+             round(d * (nr1 / nr::DOUBLE) * (1 - nr1 / nr::DOUBLE)
+                   * (nr - d) / (nr - 1)::DOUBLE * 1e9)::BIGINT AS v_term
+      FROM ev
+    )
+    SELECT nt1 AS n_a, nt - nt1 AS n_b,
+           sum(d1)::BIGINT AS observed_a,
+           round(sum(e_term) / 1e9, 6) AS expected_a,
+           round(sum(v_term) / 1e9, 6) AS variance,
+           round((sum(d1) - sum(e_term) / 1e9)
+                 * (sum(d1) - sum(e_term) / 1e9)
+                 / (sum(v_term) / 1e9), 6) AS chi_sq
+    FROM terms GROUP BY nt, nt1
+    """,
+)
+def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (EA33b; Mantel 1966): even-user-id
+    viewers vs odd, on the same censored time-to-conversion fixture
+    as events_survival_km -- the time-to-event A/B readout a means
+    test on durations gets wrong under censoring. Hypergeometric
+    expectation and variance accumulate as 9-dp-quantized scaled
+    integers; the oracle replays the chain."""
+    from isilon_hadoop_tools_spark.operators.analytics import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    fp = (
+        ev.join(fv, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    le = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    subj = (
+        fv.join(fp, "user_id", "left")
+        .join(le, "user_id")
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.unix_timestamp("tp") - F.unix_timestamp("t0"),
+            )
+            .otherwise(F.unix_timestamp("tl") - F.unix_timestamp("t0"))
+            .alias("t"),
+            F.col("tp").isNotNull().alias("obs"),
+            (F.pmod(F.col("user_id"), F.lit(2)) == 0).alias("a"),
+        )
+    )
+    return logrank_test(subj, "t", "obs", F.col("a"))

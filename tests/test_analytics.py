@@ -1654,6 +1654,11 @@ def test_kaplan_meier_hand_computed_textbook(spark):
         3, pytest.approx(4 / 9, abs=1e-6))
     # last subject converts: risk set empties -> survival exactly 0
     assert (out[6]["n_risk"], out[6]["survival"]) == (1, 0.0)
+    # Nelson-Aalen cumulative hazard alongside: H = sum d/n
+    assert out[1]["cum_hazard"] == pytest.approx(1 / 6, abs=1e-6)
+    assert out[2]["cum_hazard"] == pytest.approx(1 / 6 + 1 / 5, abs=1e-6)
+    assert out[6]["cum_hazard"] == pytest.approx(
+        1 / 6 + 1 / 5 + 1 / 3 + 1.0, abs=1e-6)
     # ties + censored-at-event-time: both counted at risk AT t, the
     # censored one leaves after
     rows2 = [(2, True), (2, True), (2, False), (5, True)]
@@ -1705,3 +1710,29 @@ def test_fellegi_sunter_multirule_union_recall(spark):
 
     with _pytest.raises(ValueError):
         fellegi_sunter_em(df, "rid", [], comps)
+
+
+def test_logrank_hand_computed(spark):
+    """4 subjects, A converts at 1,2; B at 3,4 (all observed):
+    t=1: E=1/2, V=1/4; t=2: E=1/3, V=2/9; t=3: E=V=0; t=4 skipped
+    (pooled risk set of one). O=2, E=5/6, V=17/36,
+    chi = (7/6)^2 / (17/36) = 49/17."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.analytics import logrank_test
+
+    rows = [(1, True, True), (2, True, True),
+            (3, True, False), (4, True, False)]
+    df = spark.createDataFrame(rows, "t long, obs boolean, a boolean")
+    r = logrank_test(df, "t", "obs", F.col("a")).collect()[0]
+    assert (r["n_a"], r["n_b"], r["observed_a"]) == (2, 2, 2)
+    assert r["expected_a"] == pytest.approx(5 / 6, abs=1e-6)
+    assert r["variance"] == pytest.approx(17 / 36, abs=1e-6)
+    assert r["chi_sq"] == pytest.approx(49 / 17, abs=1e-4)
+    # censoring shrinks the risk set without an event: censor one B
+    # subject at t=1 (ties: event counted with the censor at risk)
+    rows2 = rows + [(1, False, False)]
+    df2 = spark.createDataFrame(rows2, "t long, obs boolean, a boolean")
+    r2 = logrank_test(df2, "t", "obs", F.col("a")).collect()[0]
+    # t=1: n=5, n1=2 -> E=0.4 (was 0.5); later times unchanged
+    assert r2["expected_a"] == pytest.approx(0.4 + 1 / 3, abs=1e-6)
