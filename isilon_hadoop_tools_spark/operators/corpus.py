@@ -3814,3 +3814,30 @@ def html_extracted_text(
     projection (scan-fused, no join)."""
     _, kept = _html_blocks(html_col, min_words, max_anchor_ratio)
     return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")
+
+
+def html_links(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Outlink extraction (L74b) — the other half of what a crawl
+    yields besides text: every ``<a href="...">`` target in the raw
+    HTML, one ``(id, href)`` row per occurrence (duplicates kept —
+    multiplicity IS the edge weight upstream of the web-graph ops).
+    Anchors inside scripts/comments/head are NOT links and are cut
+    first with the L74 drop passes.
+
+    One scan-bound projection (regex extract-all + explode, JVM-side)
+    — composes with :func:`..graph.pagerank` / the domain-caps family
+    for the crawl-frontier and link-spam readouts every web pipeline
+    runs beside text curation."""
+    h = F.col(html_col)
+    for pat in _HTML_DROP_PATTERNS:
+        h = F.regexp_replace(h, pat, "")
+    hrefs = F.regexp_extract_all(
+        h, F.lit(r'(?i)<a\s[^>]*href="([^"]*)"'), 1
+    )
+    return df.select(
+        F.col(id_col), F.explode(hrefs).alias("href")
+    )

@@ -1921,15 +1921,7 @@ def _pboot_oracle(
     """
 
 
-def _pagerank_oracle(iterations: int = 5) -> str:
-    """Unrolled-iteration DuckDB twin of `operators/graph.py`
-    `pagerank` on the nation trade graph. Expressions (not rounded
-    constants) are mirrored — e.g. ``(1.0 - 0.85)`` on both engines —
-    so IEEE results agree bit-for-bit before the per-iteration
-    round(…, 10)."""
-    parts = [
-        """
-    WITH rev AS (
+_PAGERANK_NATION_EDGES = """rev AS (
       SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS w
       FROM lineitem l
@@ -1937,7 +1929,25 @@ def _pagerank_oracle(iterations: int = 5) -> str:
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _pagerank_oracle(
+    iterations: int = 5,
+    edges_sql: str | None = None,
+    out_col: str = "nationkey",
+) -> str:
+    """Unrolled-iteration DuckDB twin of `operators/graph.py`
+    `pagerank`; ``edges_sql`` is a CTE named ``rev`` with (src, dst,
+    w) — defaults to the nation trade graph. Expressions (not rounded
+    constants) are mirrored — e.g. ``(1.0 - 0.85)`` on both engines —
+    so IEEE results agree bit-for-bit before the per-iteration
+    round(…, 10)."""
+    parts = [
+        "\n    WITH "
+        + (edges_sql or _PAGERANK_NATION_EDGES)
+        + ","
+        + """
     verts AS (SELECT DISTINCT src AS v FROM rev),
     fedges AS (
       SELECT e.src, e.dst, e.w FROM rev e JOIN verts t ON e.dst = t.v
@@ -1970,7 +1980,7 @@ def _pagerank_oracle(iterations: int = 5) -> str:
     """
         )
     parts.append(
-        f"SELECT v AS nationkey, r AS pagerank FROM r{iterations}"
+        f"SELECT v AS {out_col}, r AS pagerank FROM r{iterations}"
     )
     return "".join(parts)
 
@@ -3361,6 +3371,7 @@ _CANONICAL_ORDER = [
     "events_survival_km",
     "customer_fs_linkage_multirule",
     "events_survival_logrank",
+    "doc_link_pagerank",
 ]
 
 

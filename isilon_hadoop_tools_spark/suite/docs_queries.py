@@ -3587,3 +3587,78 @@ def doc_web_curation_from_html(
         is_eval=F.pmod(F.col("id"), F.lit(97)) == 0, n=3,
         html_col="html",
     )
+
+
+_LINK_EDGES_SQL = """rev AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 7 + u.k) % (SELECT count(*) FROM documents)
+               AS dst,
+             count(*)::DOUBLE AS w
+      FROM documents d, unnest([1, 2, 3]) AS u(k)
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "doc_link_pagerank",
+    oracle=_pagerank_oracle(5, edges_sql=_LINK_EDGES_SQL, out_col="doc_id"),
+)
+def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web link graph end to end (L74b + G1): each document's page
+    plants three outlinks ``/doc/<(id*7+k) % N>`` among the L74
+    boilerplate (nav/share/footer anchors that must NOT become
+    edges), ``html_links`` extracts every anchor from the raw HTML,
+    the ``/doc/<n>`` targets become weighted edges, and 5 rounds of
+    weighted PageRank rank the corpus — the crawl-side composition
+    (extract -> graph -> rank) running entirely on the engine's own
+    operators. The oracle builds the SAME edge set analytically from
+    the planting rule and replays the unrolled PageRank chain, so the
+    extraction is verified against ground truth."""
+    from isilon_hadoop_tools_spark.operators.corpus import html_links
+    from isilon_hadoop_tools_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    outlinks = F.concat_ws(
+        " ",
+        *[
+            F.format_string(
+                '<a href="/doc/%d">ref</a>',
+                F.pmod(F.col("doc_id") * 7 + F.lit(k), F.col("_n")),
+            )
+            for k in (1, 2, 3)
+        ],
+    )
+    page = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title>'
+            "<script>var x = 1 < 2;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/p">Products</a></nav>'
+            "<p>"
+        ),
+        F.col("text"),
+        F.lit(" "),
+        outlinks,
+        F.lit(
+            '</p><footer>&copy; 2024 <a href="/a">About</a></footer>'
+            "</body></html>"
+        ),
+    )
+    pages = docs.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id", page.alias("html")
+    )
+    edges = (
+        html_links(pages, "doc_id", "html")
+        .filter(F.col("href").rlike(r"^/doc/\d+$"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("href", r"/doc/(\d+)", 1)
+            .cast("long")
+            .alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(edges, "src", "dst", "w", iterations=5).select(
+        F.col("v").alias("doc_id"), "pagerank"
+    )

@@ -87,3 +87,22 @@ def test_plan_is_scan_bound_no_shuffle_no_udf(spark):
     s = plan.executedPlan().toString()
     assert "Exchange" not in s
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
+def test_html_links_extraction_and_invisible_anchors(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import html_links
+
+    html = (
+        '<head><script>var s = \'<a href="/not-a-link">\';</script></head>'
+        '<!-- <a href="/commented">x</a> -->'
+        '<body><A HREF="/one">1</A> text <a class="x" href="/two">2</a>'
+        ' <a href="/one">again</a><p>no href <a name="anchor">n</a></p>'
+        "</body>"
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    out = sorted(
+        (r["doc_id"], r["href"]) for r in html_links(df).collect()
+    )
+    # duplicates kept (multiplicity is the edge weight); script and
+    # comment anchors invisible; bare <a name=...> has no href
+    assert out == [(7, "/one"), (7, "/one"), (7, "/two")]
