@@ -594,3 +594,62 @@ def kmv_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+def cdc_stream_into_snapshots(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming CDC maintenance committing THROUGH the snapshot
+    layer (§2.9 × SC10) — ``cdc_stream_into_state``'s merge algebra
+    with ``operators/snapshots``' atomic manifest commit as the sink:
+    every micro-batch merges its per-key latest rows into the LAST
+    COMMITTED snapshot and commits the merged table as the next
+    version, so downstream readers get (a) never-torn state — a
+    reader concurrent with a batch resolves the previous manifest
+    until the pointer swaps, (b) per-batch TIME TRAVEL of the CDC
+    state for free, and (c) the crash matrix of the snapshot layer: a
+    batch killed mid-write leaves an invisible torn directory and the
+    replayed batch converges, because the per-key (ts, event_id)
+    max_by merge is idempotent — re-merging a replayed batch into
+    already-merged state is a no-op on content (a new version with
+    identical rows and checksum).
+    """
+    from pyspark.sql.types import StructType
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        order = F.struct(
+            F.col("ts").alias("_t"), F.col("event_id").alias("_tb")
+        )
+        payload = F.struct("ts", "event_id", "event_type", "value")
+        delta = batch.groupBy("user_id").agg(
+            F.max_by(payload, order).alias("_p")
+        ).select("user_id", "_p.*")
+        try:
+            current = snapshot_read(spark, table_dir)
+        except FileNotFoundError:
+            current = spark.createDataFrame(
+                [], StructType.fromDDL(CDC_STATE_SCHEMA)
+            )
+        merged = (
+            current.unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.max_by(payload, order).alias("_p"))
+            .select("user_id", "_p.*")
+        )
+        snapshot_write(merged, table_dir)
+
+    writer = events.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

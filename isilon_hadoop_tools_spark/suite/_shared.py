@@ -3372,6 +3372,7 @@ _CANONICAL_ORDER = [
     "customer_fs_linkage_multirule",
     "events_survival_logrank",
     "doc_link_pagerank",
+    "events_snapshot_cdc_stream",
 ]
 
 

@@ -3713,3 +3713,51 @@ def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return logrank_test(subj, "t", "obs", F.col("a"))
+
+
+@query(
+    "events_snapshot_cdc_stream",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             max(ts) OVER (PARTITION BY user_id) AS last_ts
+      FROM events
+    )
+    SELECT user_id, value, last_ts
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def events_snapshot_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC maintenance committed THROUGH the snapshot layer
+    (SC10s = events_cdc_stream's algebra x SC10's atomic manifests):
+    each micro-batch merges per-key latest rows into the last
+    committed snapshot and commits the merged table as the next
+    version — never-torn reads, per-batch time travel, crash-replay
+    convergence from the max_by idempotence. The stream is drained
+    TWICE (replay) and the final committed snapshot must equal the
+    batch CDC oracle exactly."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_read,
+    )
+    from isilon_hadoop_tools_spark.streaming.events import (
+        cdc_stream_into_snapshots,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_cdc_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        cdc_stream_into_snapshots(ev, table_dir)
+    st = snapshot_read(spark, table_dir)
+    return st.filter(F.col("event_type") != "error").select(
+        "user_id", "value", F.col("ts").alias("last_ts")
+    )

@@ -275,3 +275,92 @@ def test_snapshot_vacuum_expires_and_preserves(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         snapshot_vacuum(t, keep_last=0)
+
+
+def test_streaming_cdc_snapshots_versions_and_crash_replay(
+    spark, tmp_path
+):
+    """SC10s: each micro-batch commits one snapshot version; a torn
+    directory planted between drains (the crash window) is invisible
+    and the replayed drain converges to the batch CDC answer; earlier
+    versions remain time-travel readable per-batch state."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        latest_version,
+        snapshot_read,
+    )
+    from isilon_hadoop_tools_spark.streaming.events import (
+        cdc_stream_into_snapshots,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+
+    def batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "event_id": pa.array(
+                        [r[2] for r in rows], pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        [r[3] for r in rows], pa.string()
+                    ),
+                    "value": pa.array(
+                        [float(r[4]) for r in rows], pa.float64()
+                    ),
+                }
+            ),
+            os.path.join(d, name),
+        )
+        import time as _time
+
+        _time.sleep(0.05)
+
+    batch("b1.parquet", [(1, t0, 10, "view", 1.0), (2, t0 + m, 11, "view", 2.0)])
+    batch("b2.parquet", [(1, t0 + 2 * m, 12, "purchase", 5.0)])
+
+    def stream():
+        schema = (
+            "user_id LONG, ts TIMESTAMP, event_id LONG,"
+            " event_type STRING, value DOUBLE"
+        )
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    table = str(tmp_path / "cdc_snap")
+    cdc_stream_into_snapshots(stream(), table)
+    assert latest_version(table) == 2  # one commit per micro-batch
+    # per-batch time travel: after batch 1, user 1 was still a 'view'
+    v1 = {r["user_id"]: r["event_type"]
+          for r in snapshot_read(spark, table, 1).collect()}
+    assert v1 == {1: "view", 2: "view"}
+    final = {r["user_id"]: r["event_type"]
+             for r in snapshot_read(spark, table).collect()}
+    assert final == {1: "purchase", 2: "view"}
+
+    # crash window: torn versioned dir with no manifest, then REPLAY
+    # the whole stream (no checkpoint) — max_by merge is idempotent
+    torn = pathlib.Path(table) / "data" / "v00003"
+    torn.mkdir(parents=True)
+    (torn / "part-00000-torn.parquet").write_bytes(b"torn")
+    assert latest_version(table) == 2  # reader: still the committed one
+    cdc_stream_into_snapshots(stream(), table)
+    assert latest_version(table) == 4  # two more commits, past the torn dir
+    replay = {r["user_id"]: (r["event_type"], r["value"])
+              for r in snapshot_read(spark, table).collect()}
+    assert replay == {1: ("purchase", 5.0), 2: ("view", 2.0)}
