@@ -3841,3 +3841,71 @@ def html_links(
     return df.select(
         F.col(id_col), F.explode(hrefs).alias("href")
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    stopwords: tuple = ("the", "be", "to", "of", "and", "that", "have", "with"),
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, table A1 — the rule set
+    every later pipeline starts from; RefinedWeb and FineWeb both
+    ship a variant): the NON-repetition document filters as explicit
+    per-rule booleans — word-count window, mean word length window,
+    symbol-to-word ratio (``#``/``…`` weirdness), alphabetic-word
+    ratio, and the must-contain-N-of-the-common-stopwords rule (the
+    cheap "is this prose at all" gate) — plus the conjunction
+    ``passes``. Keeping each rule a COLUMN (not a pre-folded flag) is
+    deliberate: threshold sweeps (L68) and funnel reports (L20)
+    consume the per-rule bits.
+
+    One scan-bound projection, pure column algebra over the split
+    token array (counts, lengths, regex classes) — no shuffle, no
+    UDF; ratios compared as exact integer cross-products (``sym·w ≤
+    ratio·chars`` scaled by 100) so any engine replays the booleans
+    bit-for-bit.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    w = F.size(toks)
+    chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # mean word length window as exact integer cross-products
+    mwl_lo = chars * F.lit(10) >= w * F.lit(int(min_mean_word_len * 10))
+    mwl_hi = chars * F.lit(10) <= w * F.lit(int(max_mean_word_len * 10))
+    symbols = F.size(F.filter(toks, lambda t: t.rlike("[#…]")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: F.lower(t).isin(*stopwords),
+        )
+    )
+    rules = {
+        "word_count_ok": (w >= F.lit(min_words)) & (w <= F.lit(max_words)),
+        "mean_word_len_ok": mwl_lo & mwl_hi,
+        "symbol_ratio_ok": symbols * F.lit(100)
+        <= w * F.lit(int(max_symbol_ratio * 100)),
+        "alpha_word_ratio_ok": alpha_words * F.lit(100)
+        >= w * F.lit(int(min_alpha_word_ratio * 100)),
+        "stopword_rule_ok": stop_hits >= F.lit(min_stop_hits),
+    }
+    out = df.select(
+        F.col(id_col),
+        w.alias("n_words"),
+        *[c.alias(n) for n, c in rules.items()],
+    )
+    passes = None
+    for n in rules:
+        passes = F.col(n) if passes is None else (passes & F.col(n))
+    return out.withColumn("passes", passes)

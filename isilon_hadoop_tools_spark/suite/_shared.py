@@ -3373,6 +3373,7 @@ _CANONICAL_ORDER = [
     "events_survival_logrank",
     "doc_link_pagerank",
     "events_snapshot_cdc_stream",
+    "doc_gopher_quality",
 ]
 
 

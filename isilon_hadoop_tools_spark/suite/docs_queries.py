@@ -3662,3 +3662,58 @@ def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, "src", "dst", "w", iterations=5).select(
         F.col("v").alias("doc_id"), "pagerank"
     )
+
+
+@query(
+    "doc_gopher_quality",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS w,
+             list_sum(list_transform(toks, t -> length(t)))::BIGINT
+               AS chars,
+             len(list_filter(toks,
+                             t -> regexp_matches(t, '[#…]')))::BIGINT
+               AS sym,
+             len(list_filter(toks,
+                             t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
+               AS alpha,
+             len(list_filter(toks,
+                 t -> list_contains(['the','be','to','of','and','that',
+                                     'have','with'], lower(t))))::BIGINT
+               AS stop
+      FROM base
+    )
+    SELECT doc_id, w AS n_words,
+           w >= 50 AND w <= 100000 AS word_count_ok,
+           chars * 10 >= w * 30 AND chars * 10 <= w * 100
+             AS mean_word_len_ok,
+           sym * 100 <= w * 10 AS symbol_ratio_ok,
+           alpha * 100 >= w * 80 AS alpha_word_ratio_ok,
+           stop >= 2 AS stopword_rule_ok,
+           (w >= 50 AND w <= 100000)
+             AND (chars * 10 >= w * 30 AND chars * 10 <= w * 100)
+             AND sym * 100 <= w * 10
+             AND alpha * 100 >= w * 80
+             AND stop >= 2 AS passes
+    FROM m
+    """,
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (L75; Rae et al. 2021 table A1 —
+    the rule set RefinedWeb/FineWeb variants descend from): word-count
+    window, mean-word-length window, symbol-to-word ratio,
+    alphabetic-word ratio, and the N-common-stopwords prose gate,
+    each as a per-rule boolean column plus the conjunction — kept
+    unfolded so L68 threshold sweeps and L20 funnels consume the
+    bits. Pure scan-bound column algebra with exact integer ratio
+    comparisons; the oracle replays every rule."""
+    from isilon_hadoop_tools_spark.operators.corpus import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))

@@ -106,3 +106,31 @@ def test_html_links_extraction_and_invisible_anchors(spark):
     # duplicates kept (multiplicity is the edge weight); script and
     # comment anchors invisible; bare <a name=...> has no href
     assert out == [(7, "/one"), (7, "/one"), (7, "/two")]
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    from isilon_hadoop_tools_spark.operators.corpus import gopher_quality
+
+    good = "the quick brown fox and the lazy dog have gone to town " * 6
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short text only"),                      # word count
+        (3, "a b c d " * 20 + "the of"),             # mean word len low
+        (4, ("# " * 30 + "the of and to be " * 12)), # symbol ratio
+        (5, ("12 34 " * 40 + "the of and that")),    # alpha ratio
+        (6, ("zebra quartz " * 30)),                 # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["word_count_ok"] and not out[2]["passes"]
+    assert not out[3]["mean_word_len_ok"]
+    assert not out[4]["symbol_ratio_ok"]
+    assert not out[5]["alpha_word_ratio_ok"]
+    assert not out[6]["stopword_rule_ok"]
+    # every rule is a visible column for sweep/funnel consumers
+    assert set(out[1].asDict()) == {
+        "doc_id", "n_words", "word_count_ok", "mean_word_len_ok",
+        "symbol_ratio_ok", "alpha_word_ratio_ok", "stopword_rule_ok",
+        "passes",
+    }
