@@ -3537,8 +3537,8 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ev AS (
       SELECT t,
-             (SELECT sum(n_all) FROM counts)::BIGINT
-               - (cum_all - n_all) AS n_risk,
+             ((SELECT sum(n_all) FROM counts)
+               - (cum_all - n_all))::BIGINT AS n_risk,
              d, n_all - d AS n_censored
       FROM cum WHERE d > 0
     ),
@@ -3651,8 +3651,8 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ev AS (
       SELECT t, d, d1,
-             N - (c_all - n_all) AS nr,
-             N1 - (c1_all - n1_all) AS nr1,
+             (N - (c_all - n_all))::BIGINT AS nr,
+             (N1 - (c1_all - n1_all))::BIGINT AS nr1,
              N AS nt, N1 AS nt1
       FROM cum, tot
       WHERE d > 0 AND N - (c_all - n_all) > 1
@@ -3664,7 +3664,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * (nr - d) / (nr - 1)::DOUBLE * 1e9)::BIGINT AS v_term
       FROM ev
     )
-    SELECT nt1 AS n_a, nt - nt1 AS n_b,
+    SELECT nt1::BIGINT AS n_a, (nt - nt1)::BIGINT AS n_b,
            sum(d1)::BIGINT AS observed_a,
            round(sum(e_term) / 1e9, 6) AS expected_a,
            round(sum(v_term) / 1e9, 6) AS variance,
