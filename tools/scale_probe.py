@@ -484,6 +484,37 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_html(c: int) -> float:
+        # HTML extraction (L74, new headline path): pure scan-bound
+        # regex + array-HOF projection — linear by construction; the
+        # sweep certifies the per-row regex chains don't regress
+        # superlinearly when page counts grow 30x
+        from pyspark.sql import functions as FF
+
+        from isilon_hadoop_tools_spark.operators.corpus import html_extract
+
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        page = FF.concat(
+            FF.lit(
+                "<html><head><script>var x=1<2;</script></head><body>"
+                '<nav><a href="/">H</a> <a href="/p">P</a></nav><p>'
+            ),
+            FF.col("text"),
+            FF.lit(
+                '</p><footer>&copy; <a href="/a">A</a> '
+                '<a href="/b">B</a> <a href="/c">C</a></footer>'
+                "</body></html>"
+            ),
+        )
+        pages = d.select("doc_id", page.alias("html"))
+        t0 = time.perf_counter()
+        html_extract(pages, "doc_id", "html").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     only = {a for a in sys.argv[1:] if not a.startswith("--")}
     bad = 0
     results: dict[str, dict[str, float]] = {}
@@ -508,6 +539,7 @@ def curvature() -> int:
         ("ann_ivf_pq", run_ivf_pq, 1),
         ("ann_ivf_pq_rerank", run_ivf_pq_rerank, 1),
         ("customer_fs_linkage_em_hotblock", run_fs_em, 1),
+        ("doc_html_extract", run_html, 1),
     ):
         if only and name not in only:
             continue
