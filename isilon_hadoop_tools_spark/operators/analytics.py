@@ -2699,6 +2699,7 @@ def fellegi_sunter_em(
     m0: float = 0.9,
     u0: float = 0.1,
     max_block_rows: int = 100_000,
+    over_budget: str = "raise",
 ) -> DataFrame:
     """Fellegi–Sunter probabilistic record linkage (1969) with EM
     parameter estimation (Winkler 1988) — the model behind Splink and
@@ -2732,15 +2733,24 @@ def fellegi_sunter_em(
     would contribute O(n²) candidate pairs from a SINGLE join key —
     the hot-block explosion the blocked self-join is otherwise naked
     against (blocking on a 25-value key makes one block O((n/25)²)
-    at 100×). Oversized blocks are SALTED into ``ceil(n /
-    max_block_rows)`` sub-blocks by a deterministic id hash and pairs
-    are generated only within a sub-block — a uniform ~1/s subsample
-    of that block's pairs (the Splink-style cap; pattern FREQUENCIES
-    are preserved in expectation, which is all EM consumes), so no
-    single join key ever exceeds the budget. Blocks within budget get
-    ``s = 1`` and are EXACT — the salt join key is constant 0 and the
-    result is bit-identical to the unsalted plan. Pair a run with
-    :func:`linkage_block_audit` to forecast the cut before running.
+    at 100×). What happens to an oversized block is ``over_budget``:
+
+    - ``"raise"`` (default — the fail-loudly discipline): the job
+      errors at the candidate stage naming the hot block and its
+      size, so a silent approximation can never be mistaken for the
+      exact result. Run :func:`linkage_block_audit` first to forecast
+      the cut, then opt in below.
+    - ``"subsample"`` (explicit opt-in): oversized blocks are SALTED
+      into ``ceil(n / max_block_rows)`` sub-blocks by a deterministic
+      id hash and pairs are generated only within a sub-block — a
+      uniform ~1/s subsample of that block's pairs (the Splink-style
+      cap; pattern FREQUENCIES are preserved in expectation, which is
+      all EM consumes), so no single join key ever exceeds the budget.
+
+    Either way blocks within budget get ``s = 1`` and are EXACT — the
+    salt join key is constant 0 and the result is bit-identical to
+    the unsalted plan, so ``"raise"`` mode never changes a result, it
+    only refuses to approximate one.
 
     Degeneracy guard: every EM parameter is clamped into
     ``[1e-6, 1 - 1e-6]`` and every pattern posterior into
@@ -2759,6 +2769,10 @@ def fellegi_sunter_em(
         raise ValueError(f"1..8 comparisons supported; got {k}")
     if max_block_rows < 2:
         raise ValueError(f"max_block_rows must be >= 2; got {max_block_rows}")
+    if over_budget not in ("raise", "subsample"):
+        raise ValueError(
+            f"over_budget must be 'raise' or 'subsample'; got {over_budget!r}"
+        )
     # Splink-style MULTI-RULE blocking: a list of blocking expressions
     # unions each rule's (budgeted) within-block pairs and dedups on
     # the pair key — several NARROW rules recover the recall a single
@@ -2772,7 +2786,9 @@ def fellegi_sunter_em(
         raise ValueError("at least one blocking rule required")
     pairs = None
     for rule in rules:
-        p = _salted_block_pairs(df, id_col, rule, comparisons, max_block_rows)
+        p = _salted_block_pairs(
+            df, id_col, rule, comparisons, max_block_rows, over_budget
+        )
         pairs = p if pairs is None else pairs.unionByName(p)
     if len(rules) > 1:
         # comparison fields are functions of the ids, so dedup on the
@@ -2854,26 +2870,44 @@ def _salted_block_pairs(
     block_col,
     comparisons: list,
     max_block_rows: int,
+    over_budget: str = "raise",
 ) -> DataFrame:
     """One blocking rule's candidate pairs with the hot-block salt
     (see :func:`fellegi_sunter_em`): per-block sub-block counts via
     one map-side-combined agg to a ≤#blocks-row table, broadcast back
     onto both join sides; a block under budget gets ``_ns = 1`` (salt
-    constant → exact semantics)."""
+    constant → exact semantics). ``over_budget="raise"`` folds a
+    runtime ``assert_true`` into ``_ns`` so an oversized block fails
+    the job loudly (naming block and size) instead of silently
+    subsampling — the guard is a no-op term (NULL → 0) while every
+    block fits the budget, so exact results stay bit-identical."""
     blk = block_col if not isinstance(block_col, str) else F.col(block_col)
+    ns = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("_bn") / F.lit(max_block_rows)),
+    ).cast("int")
+    if over_budget == "raise":
+        guard = F.assert_true(
+            F.col("_bn") <= F.lit(int(max_block_rows)),
+            F.concat(
+                F.lit("fellegi_sunter_em: block "),
+                F.col("_blk").cast("string"),
+                F.lit(" has "),
+                F.col("_bn").cast("string"),
+                F.lit(
+                    f" rows > max_block_rows={max_block_rows}; run "
+                    "linkage_block_audit to forecast the cut, then "
+                    "opt in with over_budget='subsample' or raise "
+                    "the budget"
+                ),
+            ),
+        )
+        ns = ns + F.coalesce(guard.cast("int"), F.lit(0))
     sizes = (
         df.select(blk.alias("_blk"))
         .groupBy("_blk")
         .agg(F.count(F.lit(1)).alias("_bn"))
-        .select(
-            "_blk",
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.col("_bn") / F.lit(max_block_rows)),
-            )
-            .cast("int")
-            .alias("_ns"),
-        )
+        .select("_blk", ns.alias("_ns"))
     )
     left = df.select(
         F.col(id_col).alias("_ida"),
@@ -2927,17 +2961,30 @@ def linkage_block_audit(
         .groupBy("block")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+    # all INTEGER arithmetic (div / halved-even-factor products):
+    # double division would lose exactness above 2^53 pairs, and the
+    # op's whole purpose is forecasting hot blocks where n·(n−1)/2
+    # easily exceeds that. C(n,2) is computed as (n div 2)·(n−1) or
+    # n·((n−1) div 2) — halving the even factor FIRST keeps the
+    # intermediate product equal to the result, so everything below
+    # 2^63 pairs is exact.
+    def _c2(m):
+        return F.when(
+            m % F.lit(2) == 0, (m.cast("long") / F.lit(2)).cast("long") * (m - F.lit(1))
+        ).otherwise(
+            m * ((m - F.lit(1)).cast("long") / F.lit(2)).cast("long")
+        ).cast("long")
+
     n = F.col("n_rows")
+    mbr = F.lit(int(max_block_rows)).cast("long")
     s = F.greatest(
-        F.lit(1), F.ceil(n / F.lit(max_block_rows))
+        F.lit(1).cast("long"),
+        ((n + mbr - F.lit(1)) - F.pmod(n + mbr - F.lit(1), mbr)) / mbr,
     ).cast("long")
-    q = F.floor(n / s).cast("long")
+    q = ((n - F.pmod(n, s)) / s).cast("long")
     r = (n - q * s).cast("long")
-    pairs_exact = (n * (n - F.lit(1)) / F.lit(2)).cast("long")
-    pairs_budget = (
-        r * ((q + 1) * q / F.lit(2)).cast("long")
-        + (s - r) * (q * (q - F.lit(1)) / F.lit(2)).cast("long")
-    ).cast("long")
+    pairs_exact = _c2(n)
+    pairs_budget = (r * _c2(q + F.lit(1)) + (s - r) * _c2(q)).cast("long")
     b = b.select(
         "block",
         "n_rows",

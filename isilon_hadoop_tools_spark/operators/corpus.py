@@ -3763,7 +3763,10 @@ def _html_blocks(html_col: str, min_words: int, max_anchor_ratio: float):
     capstone's HTML front door) inline the extraction into their own
     scan instead of paying a join."""
     pct = int(round(max_anchor_ratio * 100))
-    h = F.col(html_col)
+    # real crawls carry binary junk: a pre-existing U+001E in the
+    # input would read as a spurious block boundary below, so cut it
+    # first (same scan-fused regexp chain, no extra stage)
+    h = F.regexp_replace(F.col(html_col), "\u001e", "")
     for pat in _HTML_DROP_PATTERNS:
         h = F.regexp_replace(h, pat, "")
     # block boundaries via a control-char marker, NOT "\n": raw

@@ -109,6 +109,8 @@ def snapshot_write(
     table_dir: str | os.PathLike,
     partition_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    kind: str = "full",
+    base_version: int | None = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and atomically commit
     it. Returns the committed version number.
@@ -122,9 +124,26 @@ def snapshot_write(
     manifest (read from the real parquet FOOTERS with pyarrow — the
     Iceberg manifest-stats idea), enabling :func:`snapshot_scan` to
     prune files at PLANNING time without opening them. The footer
-    walk is driver-side metadata work bounded by the file count."""
+    walk is driver-side metadata work bounded by the file count.
+
+    ``kind``: ``"full"`` (default — the snapshot IS the table) or
+    ``"delta"`` (merge-on-read: the snapshot holds only NEW rows and
+    ``base_version`` names the committed version it extends — the
+    LSM discipline that turns an O(state) rewrite per commit into an
+    O(batch) append; see :func:`delta_chain` /
+    :func:`snapshot_read_chain` for reconstruction). A delta with
+    ``base_version=None`` extends the empty table. Manifests written
+    before this field existed read as ``"full"``."""
+    if kind not in ("full", "delta"):
+        raise ValueError(f"kind must be 'full' or 'delta'; got {kind!r}")
     table = _table(table_dir)
     version = _next_version(table)
+    if base_version is not None and not _manifest_path(
+        table, base_version
+    ).is_file():
+        raise FileNotFoundError(
+            f"base_version {base_version} has no manifest in {table}"
+        )
     data_rel = f"data/v{version:05d}"
     data_dir = table / data_rel
     writer = df.write.mode("overwrite")
@@ -162,6 +181,8 @@ def snapshot_write(
         "checksum": checksum,
         "partition_by": partition_by or [],
         "schema": schema,
+        "kind": kind,
+        "base_version": base_version,
     }
     if stats_cols:
         manifest["file_stats"] = _footer_stats(data_dir, files, stats_cols)
@@ -265,6 +286,56 @@ def snapshot_scan(
     return df.filter(F.col(col).between(lo, hi))
 
 
+def delta_chain(
+    table_dir: str | os.PathLike, version: int | None = None
+) -> list[int]:
+    """The versions whose UNION reconstructs the table state at
+    ``version`` under merge-on-read: walk ``base_version`` links from
+    ``version`` back through ``"delta"`` manifests until (and
+    including) the first ``"full"`` snapshot, oldest first. A full
+    snapshot is its own chain of one. Pure driver-side manifest
+    reads, bounded by chain length (the merge-on-read writer bounds
+    that with its compaction budget)."""
+    table = _table(table_dir)
+    if version is None:
+        version = latest_version(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot in {table}")
+    chain: list[int] = []
+    v: int | None = version
+    while v is not None:
+        m = read_manifest(table, v)
+        chain.append(v)
+        if m.get("kind", "full") == "full":
+            break
+        v = m.get("base_version")
+    chain.reverse()
+    return chain
+
+
+def snapshot_read_chain(
+    spark: SparkSession,
+    table_dir: str | os.PathLike,
+    version: int | None = None,
+    with_version_col: str | None = None,
+) -> DataFrame:
+    """Union of every snapshot in :func:`delta_chain` — the raw
+    merge-on-read input BEFORE the caller's merge algebra collapses
+    it (per-key ``max_by`` for CDC, ``distinct`` for append-only
+    sets). ``with_version_col`` adds the contributing version as a
+    column for merges that need commit ORDER rather than an
+    order-independent key."""
+    table = _table(table_dir)
+    chain = delta_chain(table, version)
+    out: DataFrame | None = None
+    for v in chain:
+        part = snapshot_read(spark, table, v)
+        if with_version_col:
+            part = part.withColumn(with_version_col, F.lit(v))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def snapshot_vacuum(
     table_dir: str | os.PathLike,
     keep_last: int = 2,
@@ -296,6 +367,17 @@ def snapshot_vacuum(
     committed = [v for v in versions if v <= latest]
     expired = committed[:-keep_last] if len(committed) > keep_last else []
     kept = [v for v in versions if v not in expired]
+    # merge-on-read closure: a kept DELTA version is unreadable
+    # without its base chain, so every chain member of a kept version
+    # is kept too (its manifest and files survive the vacuum)
+    keep_closure: set[int] = set(kept)
+    for v in kept:
+        try:
+            keep_closure.update(delta_chain(table, v))
+        except FileNotFoundError:
+            pass  # broken chain (already vacuumed ancestor): keep v itself
+    expired = [v for v in expired if v not in keep_closure]
+    kept = sorted(keep_closure)
     live: set[pathlib.Path] = set()
     for v in kept:
         m = read_manifest(table, v)
@@ -355,6 +437,136 @@ def snapshot_read(
             [], StructType.fromJson(json.loads(m["schema"]))
         )
     return _read_files(spark, table / m["data_dir"], m["files"])
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table_dir: str | os.PathLike,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+    delete_when=None,
+) -> int:
+    """MERGE INTO through an atomic snapshot commit — the Delta/
+    Iceberg upsert verb over the manifest layer: join the CURRENT
+    committed snapshot with ``source`` on ``key_cols`` and commit the
+    merged table as the next FULL version (copy-on-write MERGE), so a
+    reader concurrent with the merge resolves the old manifest until
+    the pointer swaps and version N−1 time travel survives.
+
+    Clauses (the ANSI MERGE surface a warehouse user expects):
+
+    - matched rows: ``when_matched="update"`` takes the SOURCE row,
+      ``"keep"`` keeps the target row (insert-if-absent semantics);
+      with ``delete_when`` (a callable ``(t, s) -> Column`` where
+      ``t``/``s`` map a column name to the target/source side of the
+      joined row, e.g. ``lambda t, s: s("op") == "D"``), matched rows
+      satisfying it are DELETED.
+    - unmatched source rows: inserted when ``insert_not_matched``.
+
+    One shuffle join target×source on the merge key; the write is
+    O(table) — MERGE is copy-on-write by design here (the
+    merge-on-read delta path is :func:`snapshot_write`
+    ``kind="delta"`` + a reader-side algebra, for streams).
+    Duplicate SOURCE keys are rejected loudly (ANSI MERGE's
+    nondeterministic-update error) via a 1-row guard aggregate.
+    """
+    if when_matched not in ("update", "keep"):
+        raise ValueError(
+            f"when_matched must be 'update' or 'keep'; got {when_matched!r}"
+        )
+    target = snapshot_read(spark, table_dir)
+    cols = target.columns
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != "
+            f"target columns {sorted(cols)}"
+        )
+    # ANSI MERGE rejects a source that matches one target row twice.
+    # One bounded pre-action (distributed agg, <=1 row to the driver)
+    # — a lazy assert column would be pruned away as unused.
+    ndup = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .count()
+    )
+    if ndup:
+        raise ValueError(
+            "snapshot_merge: duplicate keys in source — ANSI MERGE "
+            "forbids a source row set that updates one target row "
+            "twice (nondeterministic update)"
+        )
+    s = source.select(*[F.col(c).alias(f"_s_{c}") for c in cols])
+    on = [F.col(k) == F.col(f"_s_{k}") for k in key_cols]
+    j = target.join(s, on, "full_outer")
+    matched = F.col(f"_s_{key_cols[0]}").isNotNull() & F.col(
+        key_cols[0]
+    ).isNotNull()
+    src_only = F.col(key_cols[0]).isNull()
+    if delete_when is not None:
+        cond = delete_when(
+            lambda c: F.col(c), lambda c: F.col(f"_s_{c}")
+        )
+        j = j.filter(~(matched & cond))
+    out_cols = []
+    for c in cols:
+        sc = F.col(f"_s_{c}")
+        tc = F.col(c)
+        if when_matched == "update":
+            v = F.when(matched | src_only, sc).otherwise(tc)
+        else:
+            v = F.when(src_only, sc).otherwise(tc)
+        out_cols.append(v.alias(c))
+    merged = j.select(*out_cols)
+    if not insert_not_matched:
+        merged = j.filter(~src_only).select(*out_cols)
+    return snapshot_write(merged, table_dir)
+
+
+def snapshot_read_evolved(
+    spark: SparkSession,
+    table_dir: str | os.PathLike,
+    version: int | None = None,
+) -> DataFrame:
+    """Merge-on-read chain read WITH SCHEMA EVOLUTION: versions in a
+    chain may have been written with different (add-column) schemas —
+    the reader reconciles by NAME against the newest chain member's
+    manifest schema, filling columns a version predates with NULL
+    (Iceberg's add-column semantics: old files simply lack the
+    column). Rename/retype are deliberately NOT supported without a
+    field-ID layer — those raise via the final select."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    table = _table(table_dir)
+    chain = delta_chain(table, version)
+    newest = StructType.fromJson(
+        _json.loads(read_manifest(table, chain[-1])["schema"])
+    )
+    out: DataFrame | None = None
+    for v in chain:
+        part = snapshot_read(spark, table, v)
+        missing = [f for f in newest.fields if f.name not in part.columns]
+        extra = [c for c in part.columns if c not in newest.fieldNames()]
+        if extra:
+            raise ValueError(
+                f"version {v} has columns {extra} absent from the "
+                f"newest schema — drop-column evolution needs a "
+                f"field-ID layer this format does not carry"
+            )
+        part = part.select(
+            *part.columns,
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in missing
+            ],
+        ).select(*newest.fieldNames())
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def snapshot_history(

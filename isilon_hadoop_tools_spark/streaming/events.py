@@ -596,55 +596,130 @@ def kmv_stream_into_state(
     q.awaitTermination()
 
 
+def _cdc_latest(df: DataFrame) -> DataFrame:
+    """Per-key latest row under the (ts, event_id) total order — the
+    CDC merge algebra shared by the state writer and the
+    merge-on-read reader. Order-independent and idempotent:
+    ``latest(A ∪ B) == latest(latest(A) ∪ latest(B))``."""
+    order = F.struct(F.col("ts").alias("_t"), F.col("event_id").alias("_tb"))
+    payload = F.struct("ts", "event_id", "event_type", "value")
+    return (
+        df.groupBy("user_id")
+        .agg(F.max_by(payload, order).alias("_p"))
+        .select("user_id", "_p.*")
+    )
+
+
+def cdc_state_from_snapshots(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The CDC state table at ``version`` (default: latest) under the
+    merge-on-read discipline: union the :func:`delta_chain` members
+    and collapse with the per-key max_by merge. A version whose chain
+    is a single FULL snapshot (a compaction commit, or rewrite mode)
+    is returned as-is — already merged, no aggregate paid."""
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        delta_chain,
+        snapshot_read,
+        snapshot_read_chain,
+    )
+
+    chain = delta_chain(table_dir, version)
+    if len(chain) == 1:
+        return snapshot_read(spark, table_dir, chain[0])
+    return _cdc_latest(snapshot_read_chain(spark, table_dir, version))
+
+
 def cdc_stream_into_snapshots(
     events: DataFrame,
     table_dir: str,
     checkpoint: str | None = None,
+    mode: str = "merge_on_read",
+    compact_every: int = 4,
+    vacuum_keep: int | None = None,
 ) -> None:
     """Streaming CDC maintenance committing THROUGH the snapshot
     layer (§2.9 × SC10) — ``cdc_stream_into_state``'s merge algebra
     with ``operators/snapshots``' atomic manifest commit as the sink:
-    every micro-batch merges its per-key latest rows into the LAST
-    COMMITTED snapshot and commits the merged table as the next
-    version, so downstream readers get (a) never-torn state — a
-    reader concurrent with a batch resolves the previous manifest
-    until the pointer swaps, (b) per-batch TIME TRAVEL of the CDC
-    state for free, and (c) the crash matrix of the snapshot layer: a
-    batch killed mid-write leaves an invisible torn directory and the
-    replayed batch converges, because the per-key (ts, event_id)
-    max_by merge is idempotent — re-merging a replayed batch into
-    already-merged state is a no-op on content (a new version with
-    identical rows and checksum).
+    downstream readers get (a) never-torn state — a reader concurrent
+    with a batch resolves the previous manifest until the pointer
+    swaps, (b) per-batch TIME TRAVEL of the CDC state
+    (:func:`cdc_state_from_snapshots` with ``version=``), and (c) the
+    crash matrix of the snapshot layer: a batch killed mid-write
+    leaves an invisible torn directory and the replayed batch
+    converges, because the per-key (ts, event_id) max_by merge is
+    idempotent.
+
+    ``mode`` picks the write amplification trade (ADVICE r14 — the
+    old behavior rewrote the ENTIRE merged state every micro-batch,
+    an O(state × batches) copy-on-write cost with unbounded
+    versions/files):
+
+    - ``"merge_on_read"`` (default): each batch commits ONLY its
+      per-key latest rows as a ``kind="delta"`` snapshot — O(batch)
+      written per commit — and every ``compact_every``-th commit
+      folds the chain into a ``kind="full"`` compaction snapshot, so
+      a chain is never longer than ``compact_every`` and the read
+      cost (union + one aggregate) stays bounded. Readers use
+      :func:`cdc_state_from_snapshots`, never a raw
+      ``snapshot_read`` of a delta version.
+    - ``"rewrite"``: the old behavior — every commit is a full
+      snapshot. Reads are a bare ``snapshot_read``; writes are
+      O(state) per batch. Only sensible for small state or rare
+      batches.
+
+    Either way, pair a long-running stream with vacuum: pass
+    ``vacuum_keep=N`` to expire all but the last N versions after
+    each compaction (merge-on-read keeps every kept version's chain
+    readable — the vacuum closure), or run ``snapshot_vacuum``
+    yourself on a maintenance schedule. Without it versions and
+    files accrue without bound — that is the documented cost of
+    time travel, not a leak.
     """
+    if mode not in ("merge_on_read", "rewrite"):
+        raise ValueError(
+            f"mode must be 'merge_on_read' or 'rewrite'; got {mode!r}"
+        )
+    if compact_every < 2:
+        raise ValueError(f"compact_every must be >= 2; got {compact_every}")
     from pyspark.sql.types import StructType
 
     from isilon_hadoop_tools_spark.operators.snapshots import (
-        snapshot_read,
+        delta_chain,
+        latest_version,
+        snapshot_vacuum,
         snapshot_write,
     )
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
-        order = F.struct(
-            F.col("ts").alias("_t"), F.col("event_id").alias("_tb")
-        )
-        payload = F.struct("ts", "event_id", "event_type", "value")
-        delta = batch.groupBy("user_id").agg(
-            F.max_by(payload, order).alias("_p")
-        ).select("user_id", "_p.*")
-        try:
-            current = snapshot_read(spark, table_dir)
-        except FileNotFoundError:
-            current = spark.createDataFrame(
-                [], StructType.fromDDL(CDC_STATE_SCHEMA)
+        delta = _cdc_latest(batch)
+        if mode == "rewrite":
+            try:
+                current = cdc_state_from_snapshots(spark, table_dir)
+            except FileNotFoundError:
+                current = spark.createDataFrame(
+                    [], StructType.fromDDL(CDC_STATE_SCHEMA)
+                )
+            snapshot_write(
+                _cdc_latest(current.unionByName(delta)), table_dir
             )
-        merged = (
-            current.unionByName(delta)
-            .groupBy("user_id")
-            .agg(F.max_by(payload, order).alias("_p"))
-            .select("user_id", "_p.*")
-        )
-        snapshot_write(merged, table_dir)
+            return
+        base = latest_version(table_dir)
+        chain = delta_chain(table_dir) if base is not None else []
+        if len(chain) + 1 > compact_every:
+            merged = _cdc_latest(
+                cdc_state_from_snapshots(spark, table_dir).unionByName(
+                    delta
+                )
+            )
+            snapshot_write(merged, table_dir, kind="full")
+            if vacuum_keep is not None:
+                snapshot_vacuum(table_dir, keep_last=vacuum_keep)
+        else:
+            snapshot_write(
+                delta, table_dir, kind="delta", base_version=base
+            )
 
     writer = events.writeStream.foreachBatch(apply_batch).trigger(
         availableNow=True

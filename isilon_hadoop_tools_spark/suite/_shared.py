@@ -3374,6 +3374,8 @@ _CANONICAL_ORDER = [
     "doc_link_pagerank",
     "events_snapshot_cdc_stream",
     "doc_gopher_quality",
+    "orders_snapshot_merge_upsert",
+    "events_snapshot_schema_evolution",
 ]
 
 

@@ -1734,3 +1734,95 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark.operators.analytics import corr_matrix
 
     return corr_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+@query(
+    "orders_snapshot_merge_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             round(o_totalprice::DOUBLE, 2) AS tp
+      FROM orders
+    ),
+    s AS (
+      SELECT k, 'U' AS st, round(tp + 1000.0, 2) AS tp
+      FROM t WHERE k % 10 = 0
+      UNION ALL
+      SELECT k, 'D', 0.0 FROM t WHERE k % 10 = 5
+      UNION ALL
+      SELECT k + 600000000, 'N', tp FROM t WHERE k % 10 = 3
+    )
+    SELECT coalesce(s.k, t.k) AS o_orderkey,
+           CASE WHEN s.k IS NOT NULL THEN s.st ELSE t.st END
+             AS o_orderstatus,
+           CASE WHEN s.k IS NOT NULL THEN s.tp ELSE t.tp END
+             AS o_totalprice
+    FROM t FULL JOIN s ON t.k = s.k
+    WHERE NOT (s.k IS NOT NULL AND t.k IS NOT NULL AND s.st = 'D')
+    """,
+)
+def orders_snapshot_merge_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE INTO through the snapshot layer (SC10f - the Delta/
+    Iceberg upsert verb): the orders projection is committed as v1,
+    then ONE merge applies the three ANSI clauses at once - matched
+    keys ending in 0 are UPDATED (price bump, status 'U'), matched
+    keys ending in 5 are DELETED (source-side 'D' condition), and
+    source keys ending in 3 re-keyed past the table are INSERTED -
+    committed atomically as v2 with v1 still time-travel readable.
+    The oracle replays the identical full-outer merge algebra."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias(
+            "o_totalprice"
+        ),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_merge_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    snapshot_write(target, table_dir)
+    k = F.col("o_orderkey")
+    source = (
+        target.filter(k % 10 == 0)
+        .select(
+            k.alias("o_orderkey"),
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias(
+                "o_totalprice"
+            ),
+        )
+        .unionByName(
+            target.filter(k % 10 == 5).select(
+                k.alias("o_orderkey"),
+                F.lit("D").alias("o_orderstatus"),
+                F.lit(0.0).alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            target.filter(k % 10 == 3).select(
+                (k + F.lit(600000000)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    snapshot_merge(
+        spark,
+        table_dir,
+        source,
+        ["o_orderkey"],
+        delete_when=lambda t, s: s("o_orderstatus") == "D",
+    )
+    return snapshot_read(spark, table_dir)

@@ -3731,21 +3731,22 @@ def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_snapshot_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC maintenance committed THROUGH the snapshot layer
-    (SC10s = events_cdc_stream's algebra x SC10's atomic manifests):
-    each micro-batch merges per-key latest rows into the last
-    committed snapshot and commits the merged table as the next
-    version — never-torn reads, per-batch time travel, crash-replay
-    convergence from the max_by idempotence. The stream is drained
-    TWICE (replay) and the final committed snapshot must equal the
-    batch CDC oracle exactly."""
+    (SC10s = events_cdc_stream's algebra x SC10's atomic manifests),
+    MERGE-ON-READ (ADVICE r14): each micro-batch commits only its
+    per-key latest rows as a delta snapshot — O(batch) written per
+    commit instead of the old O(state) full rewrite — and every
+    compact_every-th commit folds the chain into a full compaction
+    snapshot, with vacuum expiring versions behind it. Never-torn
+    reads, per-batch time travel through cdc_state_from_snapshots,
+    crash-replay convergence from the max_by idempotence. The stream
+    is drained TWICE (replay) and the reconstructed state must equal
+    the batch CDC oracle exactly."""
     import os
     import shutil
 
     from isilon_hadoop_tools_spark import streaming
-    from isilon_hadoop_tools_spark.operators.snapshots import (
-        snapshot_read,
-    )
     from isilon_hadoop_tools_spark.streaming.events import (
+        cdc_state_from_snapshots,
         cdc_stream_into_snapshots,
     )
 
@@ -3756,8 +3757,59 @@ def events_snapshot_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = streaming.read_events_stream(spark, sf_dir).select(
             "user_id", "ts", "event_id", "event_type", "value"
         )
-        cdc_stream_into_snapshots(ev, table_dir)
-    st = snapshot_read(spark, table_dir)
+        cdc_stream_into_snapshots(
+            ev, table_dir, compact_every=4, vacuum_keep=6
+        )
+    st = cdc_state_from_snapshots(spark, table_dir)
     return st.filter(F.col("event_type") != "error").select(
         "user_id", "value", F.col("ts").alias("last_ts")
     )
+
+
+@query(
+    "events_snapshot_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id, NULL::DOUBLE AS value
+    FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def events_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADD-COLUMN schema evolution over a merge-on-read chain (SC10e
+    - Iceberg's add-column semantics): v1 commits the view events
+    WITHOUT a value column, a delta then commits the purchase events
+    WITH one, and snapshot_read_evolved reconciles the chain by NAME
+    against the newest manifest schema - rows from the old version
+    surface the column a version predates as NULL, with NO rewrite of
+    v1's files. The oracle predicts the union analytically."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_read_evolved,
+        snapshot_write,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_evolve_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    snapshot_write(
+        ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id"
+        ),
+        table_dir,
+    )
+    snapshot_write(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "value"
+        ),
+        table_dir,
+        kind="delta",
+        base_version=1,
+    )
+    return snapshot_read_evolved(spark, table_dir)

@@ -1213,8 +1213,19 @@ def test_fellegi_sunter_em_hot_block_bounded(spark):
     assert audit[1]["pairs_budget"] == audit[1]["pairs_exact"] == 35 * 34 // 2
     assert abs(sum(r["pair_share"] for r in audit.values()) - 1.0) < 1e-3
 
+    import pytest as _pytest
+
+    # default is fail-loudly: a hot block over the budget RAISES
+    # (naming the block) instead of silently subsampling
+    with _pytest.raises(Exception) as ei:
+        fellegi_sunter_em(
+            df, "rid", "blk", comps, iters=2, max_block_rows=50
+        ).collect()
+    assert "max_block_rows" in str(ei.value)
+
     capped = fellegi_sunter_em(
-        df, "rid", "blk", comps, iters=2, max_block_rows=50
+        df, "rid", "blk", comps, iters=2, max_block_rows=50,
+        over_budget="subsample",
     ).collect()
     budget_total = sum(r["pairs_budget"] for r in audit.values())
     exact_total = sum(r["pairs_exact"] for r in audit.values())

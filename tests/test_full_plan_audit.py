@@ -30,6 +30,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_no_unexplained_cross_join_anywhere_in_registry(spark):
     flagged: dict[str, list[str]] = {}
+    unnamed_observed: dict[str, list[str]] = {}
     screened = executed = 0
     for name, spec in suite.REGISTRY.items():
         df = spec.spark(spark, SF_DIR)
@@ -44,11 +45,24 @@ def test_no_unexplained_cross_join_anywhere_in_registry(spark):
             continue
         executed += 1
         df.collect()
-        bad = audit_plans.unexplained_crosses(df)
+        bad, observed = audit_plans.classify_crosses(df)
         if bad and name not in audit_plans.SCALAR_BNLJ_OK:
             flagged[name] = bad
+        # ADVICE r14: the numOutputRows<=128 metric is measured at
+        # the sf0.001 audit scale, where a data-scaled build side can
+        # slip under the bound — so an observation-ONLY clear is not
+        # proof and must be individually named with a justification.
+        if observed and name not in audit_plans.OBSERVED_BNLJ_OK:
+            unnamed_observed[name] = observed
     assert screened == len(suite.REGISTRY)
     assert not flagged, (
         f"unexplained cross joins in {len(flagged)} queries "
         f"(executed {executed} of {screened}): {flagged}"
     )
+    assert not unnamed_observed, (
+        "BNLJ build sides cleared ONLY by the audit-scale broadcast "
+        f"metric and not named in OBSERVED_BNLJ_OK: {unnamed_observed}"
+    )
+    # the named list cannot grow stale entries silently
+    stale = set(audit_plans.OBSERVED_BNLJ_OK) - set(suite.REGISTRY)
+    assert not stale, f"OBSERVED_BNLJ_OK names unknown queries: {stale}"

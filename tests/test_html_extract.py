@@ -134,3 +134,31 @@ def test_gopher_quality_rules_fire_individually(spark):
         "symbol_ratio_ok", "alpha_word_ratio_ok", "stopword_rule_ok",
         "passes",
     }
+
+
+def test_html_extract_input_u001e_is_not_a_block_split(spark):
+    """ADVICE r14: real crawls carry binary junk - a pre-existing
+    U+001E (the internal block-boundary marker) in the input HTML
+    must NOT split blocks or inflate n_blocks; it is stripped before
+    the marker pass."""
+    from isilon_hadoop_tools_spark.operators.corpus import html_extract
+
+    body = (
+        "<html><body><p>alpha\u001ebeta gamma delta epsilon zeta"
+        "</p></body></html>"
+    )
+    clean = (
+        "<html><body><p>alphabeta gamma delta epsilon zeta"
+        "</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, body), (2, clean)], "doc_id long, html string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in html_extract(df, "doc_id", "html").collect()
+    }
+    # junk byte removed, NOT a boundary: identical to the clean page
+    assert out[1]["n_blocks"] == out[2]["n_blocks"] == 1
+    assert out[1]["extracted_text"] == out[2]["extracted_text"]
+    assert out[1]["n_kept"] == 1

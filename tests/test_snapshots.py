@@ -342,16 +342,34 @@ def test_streaming_cdc_snapshots_versions_and_crash_replay(
             .parquet(d)
         )
 
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        delta_chain,
+        read_manifest,
+    )
+    from isilon_hadoop_tools_spark.streaming.events import (
+        cdc_state_from_snapshots,
+    )
+
     table = str(tmp_path / "cdc_snap")
     cdc_stream_into_snapshots(stream(), table)
     assert latest_version(table) == 2  # one commit per micro-batch
+    # merge-on-read: each commit is a DELTA holding only its batch's
+    # per-key latest rows (O(batch) written, not O(state))
+    assert read_manifest(table, 1)["kind"] == "delta"
+    assert read_manifest(table, 2)["kind"] == "delta"
+    assert read_manifest(table, 2)["base_version"] == 1
+    assert delta_chain(table) == [1, 2]
     # per-batch time travel: after batch 1, user 1 was still a 'view'
     v1 = {r["user_id"]: r["event_type"]
-          for r in snapshot_read(spark, table, 1).collect()}
+          for r in cdc_state_from_snapshots(spark, table, 1).collect()}
     assert v1 == {1: "view", 2: "view"}
     final = {r["user_id"]: r["event_type"]
-             for r in snapshot_read(spark, table).collect()}
+             for r in cdc_state_from_snapshots(spark, table).collect()}
     assert final == {1: "purchase", 2: "view"}
+    # a raw read of the LATEST delta is just the batch — the reader
+    # contract is cdc_state_from_snapshots, which merges the chain
+    assert {r["user_id"] for r in snapshot_read(spark, table).collect()} \
+        == {1}
 
     # crash window: torn versioned dir with no manifest, then REPLAY
     # the whole stream (no checkpoint) — max_by merge is idempotent
@@ -362,5 +380,178 @@ def test_streaming_cdc_snapshots_versions_and_crash_replay(
     cdc_stream_into_snapshots(stream(), table)
     assert latest_version(table) == 4  # two more commits, past the torn dir
     replay = {r["user_id"]: (r["event_type"], r["value"])
-              for r in snapshot_read(spark, table).collect()}
+              for r in cdc_state_from_snapshots(spark, table).collect()}
     assert replay == {1: ("purchase", 5.0), 2: ("view", 2.0)}
+
+
+def test_streaming_cdc_snapshots_compaction_and_vacuum(spark, tmp_path):
+    """Merge-on-read write amplification stays bounded (ADVICE r14):
+    every compact_every-th commit folds the delta chain into a FULL
+    compaction snapshot (chain length never exceeds the budget), the
+    reconstructed state equals the per-key latest at every step, and
+    vacuum_keep expires versions behind the compaction while the
+    vacuum closure keeps every kept version's chain readable."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        delta_chain,
+        latest_version,
+        read_manifest,
+        snapshot_history,
+    )
+    from isilon_hadoop_tools_spark.streaming.events import (
+        cdc_state_from_snapshots,
+        cdc_stream_into_snapshots,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    for i in range(6):  # 6 micro-batches, one row each, same user set
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([i % 2], pa.int64()),
+                    "ts": pa.array([t0 + i * m], pa.timestamp("us")),
+                    "event_id": pa.array([100 + i], pa.int64()),
+                    "event_type": pa.array(
+                        ["purchase" if i == 5 else "view"], pa.string()
+                    ),
+                    "value": pa.array([float(i)], pa.float64()),
+                }
+            ),
+            os.path.join(d, f"b{i}.parquet"),
+        )
+
+    schema = (
+        "user_id LONG, ts TIMESTAMP, event_id LONG,"
+        " event_type STRING, value DOUBLE"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    table = str(tmp_path / "cdc_mor")
+    cdc_stream_into_snapshots(
+        stream, table, compact_every=3, vacuum_keep=1
+    )
+    # commits: v1 d, v2 d, v3 d (chain hits the budget), v4 FULL
+    # (compaction + vacuum), v5 d, v6 d
+    assert latest_version(table) == 6
+    assert read_manifest(table, 4)["kind"] == "full"  # compaction
+    assert read_manifest(table, 4)["base_version"] is None
+    assert read_manifest(table, 6)["kind"] == "delta"
+    # the live chain is bounded by the budget and rooted at the
+    # compaction snapshot
+    assert delta_chain(table) == [4, 5, 6]
+    # state correct after compaction + vacuum
+    state = {r["user_id"]: (r["event_type"], r["value"])
+             for r in cdc_state_from_snapshots(spark, table).collect()}
+    assert state == {0: ("view", 4.0), 1: ("purchase", 5.0)}
+    # vacuum at the compaction expired the pre-compaction deltas
+    # (their manifests are gone) and every SURVIVING version is still
+    # chain-readable — the vacuum closure never tears a kept chain
+    hist = {r["version"]: r for r in snapshot_history(spark, table).collect()}
+    assert set(hist) == {4, 5, 6}
+    for v in hist:
+        assert hist[v]["readable"], f"version {v} torn by vacuum"
+        chain = delta_chain(table, v)
+        assert read_manifest(table, chain[0])["kind"] == "full"
+    # intermediate time travel within the live chain still works
+    v5 = {r["user_id"]: r["value"]
+          for r in cdc_state_from_snapshots(spark, table, 5).collect()}
+    assert v5 == {0: 4.0, 1: 3.0}
+
+
+def test_snapshot_merge_upsert_delete_and_time_travel(spark, tmp_path):
+    """MERGE INTO through an atomic snapshot commit (SC10f): update
+    matched, insert unmatched, delete on a source-side condition --
+    and the pre-merge version stays time-travel readable."""
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "merge_tbl")
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    assert snapshot_write(target, table) == 1
+
+    source = spark.createDataFrame(
+        [(2, "B", 22.0), (3, "D", 0.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    v = snapshot_merge(
+        spark, table, source, ["k"],
+        delete_when=lambda t, s: s("s") == "D",
+    )
+    assert v == 2
+    got = {r["k"]: (r["s"], r["v"])
+           for r in snapshot_read(spark, table).collect()}
+    # 1 kept, 2 updated, 3 deleted, 4 inserted
+    assert got == {1: ("a", 10.0), 2: ("B", 22.0), 4: ("d", 40.0)}
+    # pre-merge version intact (time travel)
+    old = {r["k"] for r in snapshot_read(spark, table, 1).collect()}
+    assert old == {1, 2, 3}
+
+    # when_matched="keep" = insert-if-absent
+    src2 = spark.createDataFrame(
+        [(1, "X", 0.0), (5, "e", 50.0)], "k long, s string, v double"
+    )
+    snapshot_merge(spark, table, src2, ["k"], when_matched="keep")
+    got = {r["k"]: r["s"] for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "a", 2: "B", 4: "d", 5: "e"}
+
+    # duplicate source keys are rejected loudly (ANSI MERGE error)
+    dup = spark.createDataFrame(
+        [(1, "p", 1.0), (1, "q", 2.0)], "k long, s string, v double"
+    )
+    with pytest.raises(Exception) as ei:
+        snapshot_merge(spark, table, dup, ["k"])
+    assert "duplicate keys" in str(ei.value)
+
+
+def test_snapshot_read_evolved_add_column_chain(spark, tmp_path):
+    """Schema evolution over a merge-on-read chain (SC10e): a delta
+    written with an ADDED column unions with its base; the reader
+    fills the column a version predates with NULL (Iceberg
+    add-column semantics). Drop-column reads raise loudly."""
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_read_evolved,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "evolve_tbl")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    snapshot_write(v1, table)  # full, schema (k, s)
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "k long, s string, score double"
+    )
+    snapshot_write(v2, table, kind="delta", base_version=1)
+
+    got = {r["k"]: (r["s"], r["score"])
+           for r in snapshot_read_evolved(spark, table).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # reading AT the old version needs no evolution and stays exact
+    got1 = {r["k"] for r in snapshot_read_evolved(spark, table, 1).collect()}
+    assert got1 == {1, 2}
+
+    # a version with a column the newest schema dropped: loud error
+    v3 = spark.createDataFrame([(4, 1.0)], "k long, gone double")
+    snapshot_write(v3, table, kind="delta", base_version=2)
+    with pytest.raises(ValueError) as ei:
+        snapshot_read_evolved(spark, table)
+    assert "field-ID" in str(ei.value)

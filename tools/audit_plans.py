@@ -75,38 +75,66 @@ def _kids(node) -> list:
 _OBSERVED_BUILD_OK = 128
 
 
-def _bounded_build(node) -> bool:
-    """True if this (build-side) subtree is provably bounded at any
-    scale (a no-grouping-key aggregate => exactly 1 row; a local
-    constant relation => compile-time size; a global limit) or
-    observably tiny (executed broadcast numOutputRows <=
-    ``_OBSERVED_BUILD_OK``)."""
+def _build_tier(node) -> str | None:
+    """Classify a (build-side) subtree: ``"proven"`` if it is bounded
+    at ANY scale by structure alone (a no-grouping-key aggregate =>
+    exactly 1 row; a local constant relation => compile-time size; a
+    global limit), ``"observed"`` if the only evidence is the executed
+    broadcast's numOutputRows <= ``_OBSERVED_BUILD_OK`` — which is
+    measured at the AUDIT scale, where a data-scaled side can fall
+    under the bound and a genuinely unbounded BNLJ would be cleared
+    (ADVICE r14) — or ``None`` if neither. Observed-only clears are
+    surfaced as warnings and must be named in ``OBSERVED_BNLJ_OK``;
+    they are never silently trusted."""
     cn = node.getClass().getSimpleName()
     if "Aggregate" in cn:
         try:
             if node.groupingExpressions().isEmpty():
-                return True  # no-keys aggregate: exactly 1 row, any scale
+                return "proven"  # no-keys aggregate: exactly 1 row
         except Exception:
             pass
         # keyed aggregate: bounded only if its input is
-        return any(_bounded_build(c) for c in _kids(node))
+        return _best_tier(_kids(node))
     if cn == "LocalTableScanExec":
-        return True  # literal relation: size is a compile-time constant
+        return "proven"  # literal relation: compile-time constant size
+    if cn == "RDDScanExec":
+        # "Scan ExistingRDD": a driver-local createDataFrame (EM
+        # params, query batches, centroid tables). Its contents were
+        # materialized IN THE DRIVER before the plan existed, so the
+        # build side cannot grow with cluster data — the failure mode
+        # the cartesian flag hunts (a data-scaled parquet side) shows
+        # up as a file-source scan leaf, never as an ExistingRDD.
+        return "proven"
     if cn in ("GlobalLimitExec", "CollectLimitExec",
               "TakeOrderedAndProjectExec"):
-        return True  # bounded by the limit constant at any scale
+        return "proven"  # bounded by the limit constant at any scale
+    observed = None
     if cn == "BroadcastExchangeExec":
         try:
             if (
                 node.metrics().apply("numOutputRows").value()
                 <= _OBSERVED_BUILD_OK
             ):
-                return True
+                observed = "observed"
         except Exception:
             pass
     if cn in _STAGES or cn == "ReusedExchangeExec" or cn in _NON_EXPANDING:
-        return any(_bounded_build(c) for c in _kids(node))
-    return False
+        deeper = _best_tier(_kids(node))
+        if deeper == "proven":
+            return "proven"
+        return deeper or observed
+    return observed
+
+
+def _best_tier(nodes) -> str | None:
+    best = None
+    for c in nodes:
+        t = _build_tier(c)
+        if t == "proven":
+            return "proven"
+        if t == "observed":
+            best = "observed"
+    return best
 
 
 def _walk(node, out: list) -> None:
@@ -115,18 +143,24 @@ def _walk(node, out: list) -> None:
         _walk(c, out)
 
 
-def unexplained_crosses(df) -> list[str]:
-    """Names of cross-join nodes in the EXECUTED plan whose build side
-    is not provably/observably <= 1 row. Run after an action."""
+def classify_crosses(df) -> tuple[list[str], list[str]]:
+    """(unexplained, observed_only) cross-join nodes in the EXECUTED
+    plan. ``unexplained``: build side neither provably bounded nor
+    observably tiny — a real cartesian. ``observed_only``: cleared
+    ONLY by the executed broadcast metric at audit scale — reported
+    as a warning and required to be named in ``OBSERVED_BNLJ_OK``
+    (a data-scaled side can fall under the bound at sf0.001, so the
+    metric alone is not proof). Run after an action."""
     try:
         ep = df._jdf.queryExecution().executedPlan()
         if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
             ep = ep.finalPhysicalPlan()
     except Exception:
-        return ["<plan-walk-failed>"]
+        return ["<plan-walk-failed>"], []
     nodes: list = []
     _walk(ep, nodes)
-    bad = []
+    bad: list[str] = []
+    observed: list[str] = []
     for n in nodes:
         cn = n.getClass().getSimpleName()
         if cn == "CartesianProductExec":
@@ -135,9 +169,18 @@ def unexplained_crosses(df) -> list[str]:
             side = n.buildSide().toString()
             ch = n.children()
             build = ch.apply(1) if side == "BuildRight" else ch.apply(0)
-            if not _bounded_build(build):
+            tier = _build_tier(build)
+            if tier is None:
                 bad.append(f"BNLJ {side}")
-    return bad
+            elif tier == "observed":
+                observed.append(f"BNLJ {side}")
+    return bad, observed
+
+
+def unexplained_crosses(df) -> list[str]:
+    """Names of cross-join nodes in the EXECUTED plan whose build side
+    is not provably/observably <= 1 row. Run after an action."""
+    return classify_crosses(df)[0]
 
 
 def audit(spark, name: str, sf_dir: str) -> dict:
@@ -146,6 +189,7 @@ def audit(spark, name: str, sf_dir: str) -> dict:
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    bad, observed = classify_crosses(df)
     return {
         "exchanges": plan.count("Exchange ("),
         "reused": plan.count("ReusedExchange"),
@@ -155,7 +199,8 @@ def audit(spark, name: str, sf_dir: str) -> dict:
         "python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
         "cartesian": plan.count("CartesianProduct")
         + plan.count("BroadcastNestedLoopJoin"),
-        "unexplained": unexplained_crosses(df),
+        "unexplained": bad,
+        "observed_only": observed,
     }
 
 
@@ -168,6 +213,47 @@ def audit(spark, name: str, sf_dir: str) -> dict:
 # justification comment; tests/test_full_plan_audit.py sweeps the
 # whole registry against this.
 SCALAR_BNLJ_OK: set[str] = set()
+
+# OBSERVATION-only clears (ADVICE r14): a BNLJ build side whose only
+# boundedness evidence is the executed broadcast's numOutputRows at
+# the sf0.001 audit scale. That metric CAN clear a genuinely
+# data-scaled side (supplier is ~10 rows at sf0.001), so every such
+# clear must be NAMED here with the reason the build side is bounded
+# at any scale; tests/test_full_plan_audit.py fails on an unnamed
+# observation-only clear, and main() prints them as warnings either
+# way. name -> justification.
+#
+# The recurring shape below is the ANN/eval QUERY BATCH:
+# ``emb.filter(vec_id < K)`` with a literal K on the table's unique
+# key — exactly K rows at ANY scale, but the proof needs vec_id's
+# uniqueness, which the physical plan does not carry, so the
+# classifier cannot promote it past "observed".
+OBSERVED_BNLJ_OK: dict[str, str] = {
+    q: "query batch = filter(vec_id < K) on the unique embeddings "
+    "key: <= K rows at any scale (uniqueness not visible to the plan)"
+    for q in (
+        "ann_brute_force_cosine",
+        "ann_binary_hamming",
+        "ann_recall_eval",
+        "embedding_knn_probe",
+        "embedding_hard_negatives",
+        "embedding_matryoshka_recall",
+    )
+} | {
+    "doc_hybrid_rrf": (
+        "dense-retrieval query vector = filter(vec_id < K) on the "
+        "unique embeddings key: <= K rows at any scale"
+    ),
+    "events_hll_overlap": (
+        "two 1-row HLL register sketches unioned before the overlap "
+        "fold; register width is a constant (2^p), independent of "
+        "row count"
+    ),
+    "multimodal_pair_alignment": (
+        "calibration batch = filter(id < K) on the unique pair id: "
+        "<= K rows at any scale"
+    ),
+}
 
 
 def main() -> int:
@@ -188,6 +274,19 @@ def main() -> int:
         if c["unexplained"] and name not in SCALAR_BNLJ_OK:
             flag = f"  <== CARTESIAN {c['unexplained']}"
             worst = 1
+        elif c["observed_only"]:
+            if name in OBSERVED_BNLJ_OK:
+                flag = (
+                    f"  (observed-only BNLJ, named: "
+                    f"{OBSERVED_BNLJ_OK[name]})"
+                )
+            else:
+                flag = (
+                    f"  <== OBSERVED-ONLY {c['observed_only']} "
+                    f"(unnamed — add to OBSERVED_BNLJ_OK or prove "
+                    f"the build side)"
+                )
+                worst = 1
         print(
             f"{name}: exch={c['exchanges']} reuse={c['reused']} "
             f"scans={c['scans']} py={c['python']} "

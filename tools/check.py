@@ -114,18 +114,24 @@ def main() -> int:
     return 1 if failures else 0
 
 
-def gate_freshness_stale(max_age: int = 5) -> list[str]:
+def gate_freshness_stale(max_age: int | None = None) -> list[str]:
     """The rotation's self-check (VERDICT r10 ask 8): with ~50 driver
     checks per round and least-recently-verified ordering, every
     registered query must re-earn a green driver row at least every
-    ``ceil(n/50)`` rounds (= 5 at the current registry size). A query
-    whose latest green row is older than ``current_round − max_age``
-    means the driver window silently missed it — surface that as a
-    LOCAL failure instead of trusting a stale green. Queries with no
-    driver row at all are new (they sort to the window's front next
-    round) and are exempt."""
+    ``ceil(n/50)`` rounds — the bound TRACKS the registry size (a
+    fixed constant went stale the moment the registry outgrew
+    50·constant and started flagging queries the rotation was
+    serving exactly on schedule). A query whose latest green row is
+    older than ``current_round − max_age`` means the driver window
+    silently missed it — surface that as a LOCAL failure instead of
+    trusting a stale green. Queries with no driver row at all are new
+    (they sort to the window's front next round) and are exempt."""
     from isilon_hadoop_tools_spark import suite
 
+    if max_age is None:
+        # full rotation cycle + 1 round of slack for window jitter
+        # (the driver window is "~50", not exactly 50)
+        max_age = -(-len(suite.REGISTRY) // 50) + 1
     last = suite._driver_last_green()
     if not last:
         return []

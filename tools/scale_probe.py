@@ -481,6 +481,7 @@ def curvature() -> int:
             [("f1", F.col("f1")), ("f2", F.col("f2"))],
             iters=2,
             max_block_rows=1000,
+            over_budget="subsample",
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
