@@ -3194,3 +3194,102 @@ def logrank_test(
             6,
         ).alias("chi_sq"),
     )
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental JOIN-view maintenance under insert-only deltas
+    (EA34 -- the delta-join algebra every IVM engine implements, and
+    the only way a 100 TB materialized join survives a daily feed):
+    for the view ``V = A JOIN B``, the increment is exactly
+
+        dV = (dA JOIN B_old)  UNION ALL  (A_old JOIN dB)
+             UNION ALL  (dA JOIN dB)
+
+    so the maintained view is ``V_old UNION ALL dV`` and the big
+    A_old JOIN B_old is NEVER re-executed -- every join here has a
+    delta on at least one side, so the work scales with the
+    increment, not the table. Correctness is the distributivity of
+    join over union: (A_old + dA) JOIN (B_old + dB) expands to four
+    terms, of which A_old JOIN B_old is already materialized.
+
+    Shape: three equi-joins on the view key; with daily deltas the
+    delta sides broadcast and only A_old/B_old's matching partitions
+    shuffle (at scale, bucket both bases on the join key and all
+    three joins are exchange-free on the base side).
+    """
+    key = [on] if isinstance(on, str) else list(on)
+    return (
+        a_delta.join(b_old, key)
+        .unionByName(a_old.join(b_delta, key))
+        .unionByName(a_delta.join(b_delta, key))
+    )
+
+
+def cuped_readout(
+    df: DataFrame,
+    unit_col: str,
+    metric_col: str,
+    covariate_col: str,
+    arm_col,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (EA35; Deng,
+    Xu, Kohavi & Walker, WSDM 2013 -- the pre-period adjustment every
+    mature A/B platform applies before reading a lift): with Y the
+    experiment metric and X a pre-experiment covariate unaffected by
+    treatment,
+
+        theta = cov(X, Y) / var(X)
+        Y_adj = Y - theta * (X - mean(X))
+
+    which keeps every arm's expected mean (mean(Y_adj) == mean(Y) in
+    expectation) while removing the X-explained variance -- the
+    readout reports per-arm means before/after plus the realized
+    variance-reduction ratio 1 - var(Y_adj)/var(Y).
+
+    theta and mean(X) are estimated POOLED over all units (the
+    standard CUPED estimator: using a treatment-blind adjustment
+    keeps the arms comparable), rounded to 9 dp before the row-level
+    adjustment so both engines replay identical doubles (the PSI
+    float discipline); readout stats round to 6 dp.
+
+    Shape: one unit-keyed aggregate is assumed already done by the
+    caller (``df`` is one row per unit); here: ONE no-key aggregate
+    for (theta, mean_x) broadcast as a 1-row side, then ONE arm-keyed
+    aggregate -- both map-side combined, nothing scales past the
+    unit count.
+    """
+    arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    u = df.select(
+        F.col(unit_col).alias("_u"),
+        F.col(metric_col).cast("double").alias("_y"),
+        F.col(covariate_col).cast("double").alias("_x"),
+        arm.alias("arm"),
+    )
+    g = u.agg(
+        F.round(
+            F.covar_samp("_x", "_y") / F.var_samp("_x"), 9
+        ).alias("_theta"),
+        F.round(F.avg("_x"), 9).alias("_mx"),
+    )
+    adj = u.crossJoin(F.broadcast(g)).withColumn(
+        "_ya",
+        F.col("_y") - F.col("_theta") * (F.col("_x") - F.col("_mx")),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.round(F.avg("_y"), 6).alias("mean_y"),
+            F.round(F.avg("_ya"), 6).alias("mean_y_adj"),
+            F.round(
+                F.lit(1.0) - F.var_samp("_ya") / F.var_samp("_y"), 6
+            ).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )

@@ -3912,3 +3912,35 @@ def gopher_quality(
     for n in rules:
         passes = F.col(n) if passes is None else (passes & F.col(n))
     return out.withColumn("passes", passes)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf rank-frequency fit (L77 -- the corpus-health diagnostic
+    every tokenizer/corpus paper reports): natural text follows
+    freq(rank) ~ C * rank^(-s) with s near 1, so the OLS line of
+    ln(freq) on ln(rank) over the top-``top_n`` vocabulary summarizes
+    whether a corpus looks like language (slope ~ -1, high R^2) or
+    like templated/degenerate data (flat or cliffy). Duplicated
+    boilerplate shows up as a plateau; truncated vocab as a cliff.
+
+    Composes :func:`vocab_topk` (one (doc, term) partial agg + one
+    term agg; the ranking window runs over the bounded top-``top_n``
+    table, never the corpus) and finishes with ONE no-key regression
+    aggregate (``regr_slope``/``regr_intercept``/``regr_r2`` -- all
+    JVM-side). Output (1 row): ``n_terms``, ``slope``, ``intercept``,
+    ``r2``, all 6 dp.
+    """
+    top = vocab_topk(df, text_col, id_col, k=top_n)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("tf_total").cast("double"))
+    return top.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

@@ -3376,6 +3376,9 @@ _CANONICAL_ORDER = [
     "doc_gopher_quality",
     "orders_snapshot_merge_upsert",
     "events_snapshot_schema_evolution",
+    "orders_lineitem_incremental_join",
+    "events_cuped_ab",
+    "corpus_zipf_fit",
 ]
 
 

@@ -1826,3 +1826,58 @@ def orders_snapshot_merge_upsert(
         delete_when=lambda t, s: s("o_orderstatus") == "D",
     )
     return snapshot_read(spark, table_dir)
+
+
+@query(
+    "orders_lineitem_incremental_join",
+    oracle="""
+    WITH ao AS (SELECT * FROM orders   WHERE o_orderkey % 7 <> 0),
+         ad AS (SELECT * FROM orders   WHERE o_orderkey % 7 = 0),
+         bo AS (SELECT * FROM lineitem WHERE l_suppkey % 5 <> 0),
+         bd AS (SELECT * FROM lineitem WHERE l_suppkey % 5 = 0),
+         dv AS (
+           SELECT o_orderpriority, l_quantity
+           FROM ad JOIN bo ON o_orderkey = l_orderkey
+           UNION ALL
+           SELECT o_orderpriority, l_quantity
+           FROM ao JOIN bd ON o_orderkey = l_orderkey
+           UNION ALL
+           SELECT o_orderpriority, l_quantity
+           FROM ad JOIN bd ON o_orderkey = l_orderkey
+         )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_rows,
+           round(sum(l_quantity)::DOUBLE, 2) AS sum_qty
+    FROM dv GROUP BY o_orderpriority
+    """,
+)
+def orders_lineitem_incremental_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental JOIN-view maintenance (EA34 - the IVM delta-join
+    algebra): orders and lineitem are each split into a materialized
+    base and an insert delta, and the view increment dV = dA JOIN B
+    UNION A JOIN dB UNION dA JOIN dB is computed WITHOUT re-joining
+    the two bases - the property that keeps a 100 TB materialized
+    join maintainable under a daily feed. The readout aggregates dV
+    per order priority; the oracle replays the same three-way
+    union."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        incremental_join_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_suppkey", "l_quantity"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    a_delta = orders.filter(F.col("o_orderkey") % 7 == 0)
+    b_old = li.filter(F.col("l_suppkey") % 5 != 0)
+    b_delta = li.filter(F.col("l_suppkey") % 5 == 0)
+    dv = incremental_join_delta(a_old, a_delta, b_old, b_delta, "o_orderkey")
+    return dv.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+    )

@@ -3717,3 +3717,36 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark.operators.corpus import gopher_quality
 
     return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term, count(*)::BIGINT AS tf_total FROM toks GROUP BY term
+    ),
+    top AS (
+      SELECT tf_total,
+             row_number() OVER (ORDER BY tf_total DESC, term) AS rnk
+      FROM stats QUALIFY rnk <= 200
+    )
+    SELECT count(*)::BIGINT AS n_terms,
+           round(regr_slope(ln(tf_total), ln(rnk)), 6) AS slope,
+           round(regr_intercept(ln(tf_total), ln(rnk)), 6) AS intercept,
+           round(regr_r2(ln(tf_total), ln(rnk)), 6) AS r2
+    FROM top
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary (L77): OLS
+    of ln(freq) on ln(rank) over the top-200 terms - the corpus-
+    health diagnostic (slope near -1 and high R^2 for natural text;
+    plateaus flag duplicated boilerplate). One vocabulary aggregate
+    plus one regression aggregate over the bounded top table."""
+    from isilon_hadoop_tools_spark.operators.corpus import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text", "doc_id", 200)

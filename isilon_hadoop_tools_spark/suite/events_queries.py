@@ -3813,3 +3813,62 @@ def events_snapshot_schema_evolution(
         base_version=1,
     )
     return snapshot_read_evolved(spark, table_dir)
+
+
+@query(
+    "events_cuped_ab",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END)
+               AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS y,
+             user_id % 2 AS arm
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT round(covar_samp(x, y) / var_samp(x), 9) AS theta,
+             round(avg(x), 9) AS mx
+      FROM u
+    ),
+    adj AS (
+      SELECT arm, y, y - theta * (x - mx) AS ya FROM u, g
+    )
+    SELECT arm, count(*)::BIGINT AS n_units,
+           round(avg(y), 6) AS mean_y,
+           round(avg(ya), 6) AS mean_y_adj,
+           round(1 - var_samp(ya) / var_samp(y), 6) AS var_reduction
+    FROM adj GROUP BY arm ORDER BY arm
+    """,
+)
+def events_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (EA35; Deng et al. 2013):
+    per user, the experiment metric is purchase value and the
+    pre-period covariate is view value; the pooled theta =
+    cov(X,Y)/var(X) adjustment removes the covariate-explained
+    variance from each arm's mean without moving its expectation -
+    the smaller-CI lift readout every mature experimentation platform
+    ships. Deterministic arms via user_id parity; theta and mean(X)
+    rounded to 9 dp before the row-level adjustment (the PSI float
+    discipline)."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        cuped_readout,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("value")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(F.lit(0.0))
+        ).alias("y"),
+    )
+    return cuped_readout(
+        units, "user_id", "y", "x", F.pmod(F.col("user_id"), F.lit(2))
+    )

@@ -1747,3 +1747,66 @@ def test_logrank_hand_computed(spark):
     r2 = logrank_test(df2, "t", "obs", F.col("a")).collect()[0]
     # t=1: n=5, n1=2 -> E=0.4 (was 0.5); later times unchanged
     assert r2["expected_a"] == pytest.approx(0.4 + 1 / 3, abs=1e-6)
+
+
+def test_incremental_join_delta_equals_full_join(spark):
+    """EA34 algebraic identity: V_old UNION dV == (A_old+dA) JOIN
+    (B_old+dB) -- the correctness contract of delta-join maintenance,
+    checked on a fixture with keys in every old/delta combination."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        incremental_join_delta,
+    )
+
+    a = spark.createDataFrame(
+        [(k, f"a{k}{i}") for k in range(6) for i in range(2)],
+        "k long, av string",
+    )
+    b = spark.createDataFrame(
+        [(k, f"b{k}{i}") for k in range(2, 8) for i in range(3)],
+        "k long, bv string",
+    )
+    a_old, a_delta = a.filter("k % 2 = 0"), a.filter("k % 2 = 1")
+    b_old, b_delta = b.filter("k % 3 = 0"), b.filter("k % 3 <> 0")
+    v_old = a_old.join(b_old, "k")
+    dv = incremental_join_delta(a_old, a_delta, b_old, b_delta, "k")
+    maintained = sorted(
+        map(tuple, v_old.unionByName(dv).collect())
+    )
+    full = sorted(map(tuple, a.join(b, "k").collect()))
+    assert maintained == full and len(full) > 0
+
+
+def test_cuped_readout_reduces_variance_keeps_means(spark):
+    """EA35: a covariate correlated with the metric must shrink
+    per-arm variance; the pooled adjustment must leave the pooled
+    mean intact (and per-arm means when arms share the covariate
+    distribution)."""
+    import random
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        cuped_readout,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for u in range(400):
+        x = rng.gauss(50.0, 10.0)
+        eps = rng.gauss(0.0, 2.0)
+        arm = u % 2
+        y = 0.8 * x + eps + (1.5 if arm == 1 else 0.0)
+        rows.append((u, round(x, 6), round(y, 6)))
+    df = spark.createDataFrame(rows, "u long, x double, y double")
+    out = {
+        r["arm"]: r
+        for r in cuped_readout(
+            df, "u", "y", "x", (F.col("u") % 2).cast("int")
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    for arm in (0, 1):
+        assert out[arm]["var_reduction"] > 0.9  # X explains most of Y
+        # adjustment is mean-preserving up to covariate imbalance
+        assert abs(out[arm]["mean_y_adj"] - out[arm]["mean_y"]) < 1.0
+    # the true +1.5 lift survives adjustment (and gets cleaner)
+    lift_adj = out[1]["mean_y_adj"] - out[0]["mean_y_adj"]
+    assert 1.0 < lift_adj < 2.0

@@ -1665,3 +1665,28 @@ def test_quality_threshold_sweep_grid(spark):
     assert out[0.3]["n_docs_kept"] == 2 and out[0.3]["weight_kept"] == 70
     assert out[0.55]["n_docs_kept"] == 1 and out[0.55]["weight_kept"] == 40
     assert out[1.0]["n_docs_kept"] == 1 and out[1.0]["weight_share"] == 0.4
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """L77: a corpus built with freq(rank) = C / rank must fit slope
+    ~ -1 with near-perfect R^2; a uniform (templated) corpus fits a
+    flat slope."""
+    from isilon_hadoop_tools_spark.operators.corpus import zipf_fit
+
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:03d}"] * max(1, round(4000 / r))
+    zipf_doc = " ".join(words)
+    flat_doc = " ".join([f"u{r:03d}" for r in range(1, 41)] * 10)
+    df = spark.createDataFrame(
+        [(1, zipf_doc)], "doc_id long, text string"
+    )
+    row = zipf_fit(df, "text", "doc_id", top_n=40).collect()[0]
+    assert row["n_terms"] == 40
+    assert -1.05 < row["slope"] < -0.95
+    assert row["r2"] > 0.999
+    flat = zipf_fit(
+        spark.createDataFrame([(1, flat_doc)], "doc_id long, text string"),
+        "text", "doc_id", top_n=40,
+    ).collect()[0]
+    assert abs(flat["slope"]) < 1e-6  # all counts equal: flat line
