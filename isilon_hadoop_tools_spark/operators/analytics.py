@@ -3293,3 +3293,91 @@ def cuped_readout(
         )
         .orderBy("arm")
     )
+
+
+def sprt_decision(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    success_col,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over an ordered
+    Bernoulli stream (EA36; Wald 1945 -- the always-valid early-stop
+    readout batch A/B tests lack: instead of fixing n, stop the
+    moment the evidence crosses a bound). Observations in
+    (ts, id) order contribute log-likelihood-ratio increments
+
+        x=1:  ln(p1/p0)        x=0:  ln((1-p1)/(1-p0))
+
+    and the FIRST time the running sum exits [ln(beta/(1-alpha)),
+    ln((1-beta)/alpha)] decides: upper crossing accepts H1 (p = p1),
+    lower accepts H0 (p = p0); no crossing reports 'continue' with
+    the final statistic.
+
+    Determinism: the two increments and both bounds are computed
+    ONCE driver-side and quantized to 9-dp scaled integers, so the
+    running sum is an exact integer any engine replays bit-for-bit
+    (the L70/EA33 scaled-log discipline); the cumulative sum is the
+    two-phase :func:`_ordered_cumsum` over the (ts, id) total order
+    -- never a single-partition window; the first crossing is a
+    1-row min-aggregate over the (rare) crossing rows.
+
+    Output (1 row): ``decision`` ('accept_h1' / 'accept_h0' /
+    'continue'), ``n_obs`` (observations consumed at the decision,
+    or total), ``llr`` (the statistic there, 6 dp).
+    """
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError(f"need 0 < p0 != p1 < 1; got {p0}, {p1}")
+    import math
+
+    s1 = int(round(math.log(p1 / p0) * 1_000_000_000))
+    s0 = int(round(math.log((1.0 - p1) / (1.0 - p0)) * 1_000_000_000))
+    up = int(round(math.log((1.0 - beta) / alpha) * 1_000_000_000))
+    lo = int(round(math.log(beta / (1.0 - alpha)) * 1_000_000_000))
+    key = F.format_string(
+        "%019d|%019d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(id_col).cast("long"),
+    )
+    obs = df.select(
+        key.alias("_k"),
+        F.when(success_col, F.lit(s1)).otherwise(F.lit(s0)).alias("_inc"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    cum = _ordered_cumsum(obs, "_k", ["_inc", "_one"])
+    crossed = cum.filter(
+        (F.col("_cum__inc") >= up) | (F.col("_cum__inc") <= lo)
+    )
+    first = crossed.agg(
+        F.min_by(
+            F.struct(
+                F.col("_cum__one").alias("n"),
+                F.col("_cum__inc").alias("s"),
+            ),
+            F.col("_cum__one"),
+        ).alias("_f")
+    ).select(F.col("_f.n").alias("n"), F.col("_f.s").alias("s"))
+    total = cum.agg(
+        F.max("_cum__one").alias("n_total"),
+        F.max_by(F.col("_cum__inc"), F.col("_cum__one")).alias("s_total"),
+    )
+    return (
+        first.crossJoin(F.broadcast(total))
+        .select(
+            F.when(F.col("n").isNotNull() & (F.col("s") >= up),
+                   F.lit("accept_h1"))
+            .when(F.col("n").isNotNull(), F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+            F.coalesce(F.col("n"), F.col("n_total")).alias("n_obs"),
+            F.round(
+                F.coalesce(F.col("s"), F.col("s_total"))
+                / F.lit(1_000_000_000.0),
+                6,
+            ).alias("llr"),
+        )
+    )

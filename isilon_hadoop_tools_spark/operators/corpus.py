@@ -3944,3 +3944,56 @@ def zipf_fit(
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (L78 -- Zipf's companion
+    diagnostic): natural text grows vocabulary as V(N) ~ K * N^beta
+    with beta ~ 0.4-0.6 over token count N, so the OLS of ln(V) on
+    ln(N) across the corpus in document order separates organic text
+    (sublinear, stable beta) from templated data (beta -> 0 fast) and
+    id-like noise (beta -> 1). Zipf (L77) reads the frequency AXIS;
+    this reads the growth CURVE -- corpora can pass one and fail the
+    other.
+
+    Exactness: V and N are exact integer cumulatives -- each term is
+    attributed to its FIRST document (min doc id), per-document new-
+    term and token counts cumulate via the two-phase ordered cumsum
+    (no single-partition window), and only the final regression
+    aggregate touches doubles (6 dp). Shape: one (doc, term) partial
+    agg, one term-keyed min, one doc-keyed count, the range-
+    partitioned cumsum, ONE no-key regr aggregate.
+
+    Output (1 row): ``n_docs``, ``n_tokens``, ``n_terms``, ``beta``
+    (the Heaps exponent = slope), ``ln_k`` (intercept), ``r2``.
+    """
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        _ordered_cumsum,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    n_toks = toks.groupBy("id").agg(F.count(F.lit(1)).alias("_nt"))
+    first = toks.groupBy("term").agg(F.min("id").alias("id"))
+    v_new = first.groupBy("id").agg(F.count(F.lit(1)).alias("_nv"))
+    per_doc = n_toks.join(v_new, "id", "left").select(
+        "id",
+        F.col("_nt"),
+        F.coalesce(F.col("_nv"), F.lit(0)).alias("_nv"),
+    )
+    cum = _ordered_cumsum(per_doc, "id", ["_nt", "_nv"])
+    x = F.log(F.col("_cum__nt").cast("double"))
+    y = F.log(F.col("_cum__nv").cast("double"))
+    return cum.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("_cum__nt").alias("n_tokens"),
+        F.max("_cum__nv").alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("beta"),
+        F.round(F.regr_intercept(y, x), 6).alias("ln_k"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

@@ -560,3 +560,70 @@ def layout_write_footer_stats(
         "zone LONG, n_rows LONG, mn LONG, mx LONG,"
         " scanned BOOLEAN, footer_ok BOOLEAN",
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    small_key_col: str | None = None,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+    seed_base: int = 97,
+) -> DataFrame:
+    """Semi-join reduction via a driver-folded Bloom bitmap (SC11 --
+    "sideways information passing", the LIP/bloom-join every warehouse
+    engine applies when a big probe side meets a selective build
+    side): the small side's DISTINCT keys fold into an ``m_bits``-wide
+    bitmap on the driver (bounded by ``m_bits``, never by data size --
+    the collect is of distinct BIT POSITIONS, <= m_bits rows), and the
+    big side then streams through a PURE PROJECTION testing
+    ``k_hashes`` md5-derived bit positions per key: the overwhelming
+    majority of non-matching rows are dropped map-side BEFORE any
+    exchange. Only the (rare) Bloom-passing rows meet the exact key
+    set, so the result equals the exact left-semi join -- false
+    positives are verified away, never returned.
+
+    This generalizes the L38 gram-level prefilter
+    (``corpus.decontaminate_bloom``) to the relational surface: at
+    100 TB the probe side never shuffles its misses, which is the
+    entire cost of a naive semi join with a non-broadcastable right
+    side.
+    """
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+    skey = small_key_col or key_col
+    keys = small.select(F.col(skey).cast("string").alias("_k")).distinct()
+
+    def bit_positions(col):
+        return [
+            F.pmod(stable_hash32(col, seed_base + j), F.lit(m_bits))
+            for j in range(k_hashes)
+        ]
+
+    set_bits = {
+        r["bit"]
+        for r in keys.select(
+            F.explode(F.array(*bit_positions(F.col("_k")))).alias("bit")
+        )
+        .distinct()
+        .collect()
+    }
+    bitmap = F.expr(
+        "array("
+        + ",".join(
+            "true" if b in set_bits else "false" for b in range(m_bits)
+        )
+        + ")"
+    )
+    probe = F.col(key_col).cast("string")
+    cond = None
+    for bit in bit_positions(probe):
+        t = F.get(bitmap, bit.cast("int"))
+        cond = t if cond is None else (cond & t)
+    candidates = big.filter(cond)
+    return candidates.join(
+        keys.select(F.col("_k")),
+        probe == F.col("_k"),
+        "left_semi",
+    )

@@ -3379,6 +3379,9 @@ _CANONICAL_ORDER = [
     "orders_lineitem_incremental_join",
     "events_cuped_ab",
     "corpus_zipf_fit",
+    "events_sprt_decision",
+    "orders_lineitem_bloom_semi_join",
+    "corpus_heaps_fit",
 ]
 
 

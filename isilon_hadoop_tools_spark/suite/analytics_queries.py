@@ -1881,3 +1881,38 @@ def orders_lineitem_incremental_join(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
     )
+
+
+@query(
+    "orders_lineitem_bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+           round(sum(l_quantity)::DOUBLE, 2) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def orders_lineitem_bloom_semi_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom semi-join reduction (SC11 - sideways information
+    passing): the selective order set (price > 400k) folds into a
+    driver-side Bloom bitmap and the lineitem probe side drops its
+    misses MAP-SIDE before any exchange; Bloom survivors verify
+    against the exact key set, so the readout equals the plain
+    left-semi join the oracle runs - at 100 TB the probe side never
+    shuffles rows that cannot match."""
+    from isilon_hadoop_tools_spark.operators.skew import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    hi = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select("o_orderkey")
+    reduced = bloom_semi_join(li, hi, "l_orderkey", "o_orderkey")
+    return reduced.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+    )

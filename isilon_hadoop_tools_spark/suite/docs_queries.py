@@ -3750,3 +3750,46 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark.operators.corpus import zipf_fit
 
     return zipf_fit(_t(spark, sf_dir, "documents"), "text", "doc_id", 200)
+
+
+@query(
+    "corpus_heaps_fit",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tkf AS (SELECT id, term FROM tk WHERE term <> ''),
+    nt AS (SELECT id, count(*) AS nt FROM tkf GROUP BY id),
+    fst AS (SELECT term, min(id) AS id FROM tkf GROUP BY term),
+    nv AS (SELECT id, count(*) AS nv FROM fst GROUP BY id),
+    per AS (
+      SELECT nt.id, nt.nt, coalesce(nv.nv, 0) AS nv
+      FROM nt LEFT JOIN nv ON nt.id = nv.id
+    ),
+    cum AS (
+      SELECT sum(nt) OVER (ORDER BY id) AS cnt,
+             sum(nv) OVER (ORDER BY id) AS cnv
+      FROM per
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           max(cnt)::BIGINT AS n_tokens,
+           max(cnv)::BIGINT AS n_terms,
+           round(regr_slope(ln(cnv), ln(cnt)), 6) AS beta,
+           round(regr_intercept(ln(cnv), ln(cnt)), 6) AS ln_k,
+           round(regr_r2(ln(cnv), ln(cnt)), 6) AS r2
+    FROM cum
+    """,
+)
+def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (L78, Zipf's companion): each
+    term attributed to its FIRST document, exact integer cumulative
+    (tokens, vocabulary) curves in document order via the two-phase
+    ordered cumsum, then ONE regression aggregate of ln(V) on ln(N) -
+    organic text grows sublinearly (beta ~ 0.4-0.6); templated or
+    id-like corpora fall outside. Reads the growth CURVE where L77
+    reads the frequency axis."""
+    from isilon_hadoop_tools_spark.operators.corpus import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"), "text", "doc_id")

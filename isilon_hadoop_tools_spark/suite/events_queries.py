@@ -3872,3 +3872,56 @@ def events_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_readout(
         units, "user_id", "y", "x", F.pmod(F.col("user_id"), F.lit(2))
     )
+
+
+def _sprt_oracle() -> str:
+    import math
+
+    s1 = int(round(math.log(0.2 / 0.1) * 1_000_000_000))
+    s0 = int(round(math.log(0.8 / 0.9) * 1_000_000_000))
+    up = int(round(math.log(0.95 / 0.05) * 1_000_000_000))
+    lo = int(round(math.log(0.05 / 0.95) * 1_000_000_000))
+    return f"""
+    WITH obs AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN {s1}
+                  ELSE {s0} END AS inc,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    cum AS (SELECT rn, sum(inc) OVER (ORDER BY rn) AS s FROM obs),
+    crossed AS (
+      SELECT rn, s FROM cum WHERE s >= {up} OR s <= {lo}
+      ORDER BY rn LIMIT 1
+    ),
+    tot AS (
+      SELECT max(rn) AS n_total, arg_max(s, rn) AS s_total FROM cum
+    )
+    SELECT CASE WHEN c.rn IS NOT NULL AND c.s >= {up} THEN 'accept_h1'
+                WHEN c.rn IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           coalesce(c.rn, t.n_total)::BIGINT AS n_obs,
+           round(coalesce(c.s, t.s_total) / 1000000000.0, 6) AS llr
+    FROM tot t LEFT JOIN crossed c ON TRUE
+    """
+
+
+@query("events_sprt_decision", oracle=_sprt_oracle())
+def events_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the ordered event stream (EA36): is the
+    purchase rate p0=0.1 or p1=0.2? Each event in (ts, event_id)
+    order contributes a 9-dp-quantized integer LLR increment and the
+    FIRST bound crossing decides - the always-valid sequential
+    readout that stops as soon as the evidence suffices instead of
+    at a fixed n. Increments and bounds are driver-computed scaled
+    integers both engines replay exactly; the running sum is the
+    two-phase ordered cumsum."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        sprt_decision,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return sprt_decision(
+        ev, "ts", "event_id",
+        F.col("event_type") == "purchase",
+        p0=0.1, p1=0.2, alpha=0.05, beta=0.05,
+    )

@@ -1810,3 +1810,50 @@ def test_cuped_readout_reduces_variance_keeps_means(spark):
     # the true +1.5 lift survives adjustment (and gets cleaner)
     lift_adj = out[1]["mean_y_adj"] - out[0]["mean_y_adj"]
     assert 1.0 < lift_adj < 2.0
+
+
+def test_sprt_decision_hand_computed_crossings(spark):
+    """EA36 on a hand-computable fixture: p0=0.2 vs p1=0.8 gives
+    symmetric increments ln(4) = 1.3863; with alpha=beta=0.05 the
+    bounds are +-ln(19) = 2.9444, so three successes in a row cross
+    UP at exactly n=3 (2*1.3863 < 2.9444 < 3*1.3863), three failures
+    cross DOWN at n=3, and a short balanced stream never decides."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        sprt_decision,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def stream(bits):
+        return spark.createDataFrame(
+            [
+                (t0 + dt.timedelta(seconds=i), i, b)
+                for i, b in enumerate(bits)
+            ],
+            "ts timestamp, event_id long, hit boolean",
+        )
+
+    kw = dict(p0=0.2, p1=0.8, alpha=0.05, beta=0.05)
+    up = sprt_decision(
+        stream([True] * 10), "ts", "event_id", F.col("hit"), **kw
+    ).collect()[0]
+    assert (up["decision"], up["n_obs"]) == ("accept_h1", 3)
+    assert abs(up["llr"] - 3 * 1.386294) < 1e-5
+    dn = sprt_decision(
+        stream([False] * 10), "ts", "event_id", F.col("hit"), **kw
+    ).collect()[0]
+    assert (dn["decision"], dn["n_obs"]) == ("accept_h0", 3)
+    mid = sprt_decision(
+        stream([True, False, True, False]), "ts", "event_id",
+        F.col("hit"), **kw
+    ).collect()[0]
+    assert (mid["decision"], mid["n_obs"]) == ("continue", 4)
+    # the decision is FIRST-crossing: successes after an early
+    # crossing cannot change it
+    late = sprt_decision(
+        stream([True] * 3 + [False] * 7), "ts", "event_id",
+        F.col("hit"), **kw
+    ).collect()[0]
+    assert (late["decision"], late["n_obs"]) == ("accept_h1", 3)

@@ -1690,3 +1690,32 @@ def test_zipf_fit_recovers_power_law(spark):
         "text", "doc_id", top_n=40,
     ).collect()[0]
     assert abs(flat["slope"]) < 1e-6  # all counts equal: flat line
+
+
+def test_heaps_fit_linear_and_saturated_corpora(spark):
+    """L78 exact regimes: a corpus where every doc introduces only
+    new terms grows V = N (beta 1, r2 1, ln_k 0); a fully templated
+    corpus saturates immediately (beta ~ 0)."""
+    from isilon_hadoop_tools_spark.operators.corpus import heaps_fit
+
+    fresh = spark.createDataFrame(
+        [
+            (d, " ".join(f"w{d:02d}_{i}" for i in range(10)))
+            for d in range(1, 21)
+        ],
+        "doc_id long, text string",
+    )
+    row = heaps_fit(fresh, "text", "doc_id").collect()[0]
+    assert row["n_docs"] == 20
+    assert row["n_tokens"] == row["n_terms"] == 200
+    assert abs(row["beta"] - 1.0) < 1e-9
+    assert abs(row["ln_k"]) < 1e-9
+    assert row["r2"] == 1.0
+
+    templated = spark.createDataFrame(
+        [(d, "a b c d e f g h i j") for d in range(1, 21)],
+        "doc_id long, text string",
+    )
+    t = heaps_fit(templated, "text", "doc_id").collect()[0]
+    assert t["n_terms"] == 10 and t["n_tokens"] == 200
+    assert abs(t["beta"]) < 1e-9  # vocabulary never grows

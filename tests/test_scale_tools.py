@@ -370,3 +370,39 @@ def test_hilbert_key_matches_reference_walk(spark):
     )
     with _pytest.raises(ValueError):
         hilbert_key(["x"], 8)
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    """SC11: the Bloom prefilter must be INVISIBLE in the result -
+    false positives are verified away - even with a deliberately
+    tiny bitmap (high FP rate), and an empty small side yields an
+    empty result."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.skew import bloom_semi_join
+
+    big = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("payload")
+    )
+    small = spark.createDataFrame(
+        [(i * 37,) for i in range(20)], "sk long"
+    )
+    exact = sorted(
+        map(tuple, big.join(
+            small, big["k"] == small["sk"], "left_semi"
+        ).collect())
+    )
+    got = sorted(map(tuple, bloom_semi_join(
+        big, small, "k", "sk"
+    ).collect()))
+    assert got == exact and len(exact) > 0
+    # tiny bitmap: every probe likely passes the Bloom, the exact
+    # verification still removes every false positive
+    noisy = sorted(map(tuple, bloom_semi_join(
+        big, small, "k", "sk", m_bits=8, k_hashes=2
+    ).collect()))
+    assert noisy == exact
+    empty = bloom_semi_join(
+        big, small.filter(F.lit(False)), "k", "sk"
+    ).count()
+    assert empty == 0
