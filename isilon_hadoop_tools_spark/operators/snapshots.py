@@ -111,9 +111,18 @@ def snapshot_write(
     stats_cols: list[str] | None = None,
     kind: str = "full",
     base_version: int | None = None,
+    publish: bool = True,
 ) -> int:
     """Write ``df`` as the table's next snapshot and atomically commit
     it. Returns the committed version number.
+
+    ``publish=False`` STAGES the snapshot instead (write-audit-publish,
+    the Iceberg WAP pattern): data and manifest land normally but the
+    pointer does NOT swap, so no reader sees the version until
+    :func:`snapshot_publish` promotes it — audit queries read the
+    staged version explicitly (``snapshot_read(..., version=v)``),
+    and an abandoned stage is just an orphaned manifest the vacuum's
+    orphan rule already respects and replay allocates past.
 
     The data write is a normal distributed parquet job into the fresh
     versioned directory; everything after it is bounded driver-side
@@ -190,6 +199,30 @@ def snapshot_write(
     _atomic_write_text(
         _manifest_path(table, version), json.dumps(manifest, indent=1)
     )
+    if publish:
+        _atomic_write_text(table / _POINTER, str(version))
+    return version
+
+
+def snapshot_publish(table_dir: str | os.PathLike, version: int) -> int:
+    """Promote a STAGED snapshot (written with ``publish=False``) to
+    the committed version — the PUBLISH step of write-audit-publish:
+    one atomic pointer swap after the audit passed, so a bad batch
+    never becomes visible and a good one becomes visible all at once.
+    Raises if the version has no manifest or is already behind the
+    pointer (publishing backwards would un-commit later data)."""
+    table = _table(table_dir)
+    if not _manifest_path(table, version).is_file():
+        raise FileNotFoundError(
+            f"no staged manifest for version {version} in {table}"
+        )
+    current = latest_version(table)
+    if current is not None and version <= current:
+        raise ValueError(
+            f"version {version} is not ahead of the committed "
+            f"pointer {current}; publishing backwards would "
+            f"un-commit newer data"
+        )
     _atomic_write_text(table / _POINTER, str(version))
     return version
 

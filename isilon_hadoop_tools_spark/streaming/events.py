@@ -728,3 +728,144 @@ def cdc_stream_into_snapshots(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+SPRT_STATE_SCHEMA = (
+    "last_batch LONG, n_obs LONG, llr_scaled LONG, decision STRING,"
+    " n_at_decision LONG, llr_at_decision LONG"
+)
+
+
+def sprt_stream_into_state(
+    events: DataFrame,
+    state,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    checkpoint: str | None = None,
+    table: str = "sprt",
+) -> None:
+    """Streaming SPRT monitor (EA36s — the §2.9 twin of
+    ``analytics.sprt_decision``): the continuous-experiment readout
+    that watches a LIVE stream and LATCHES the first bound crossing,
+    so an experiment stops the moment the evidence suffices instead
+    of at the next batch job. Each micro-batch's observations are
+    ordered (ts, id) within the batch, their 9-dp scaled-integer LLR
+    increments cumulated on top of the carried state, and the first
+    in-batch crossing (if any) freezes the decision — later batches
+    are no-ops on a latched state (Wald's stopping rule).
+
+    Exactly-once across replays WITHOUT relying on sink idempotence:
+    the state row carries ``last_batch`` and a replayed/duplicate
+    micro-batch id is skipped (the foreachBatch transactional-sink
+    recipe) — LLR accumulation is a running sum, so at-least-once
+    delivery would otherwise double-count.
+
+    Ordering contract, stated loudly: the SPRT statistic is defined
+    over the OBSERVATION ORDER; this maintainer assumes batches
+    arrive in event-time order (the sequential-testing setting).
+    Within a batch the (ts, id) sort makes the cumsum total-ordered;
+    across batches the carried sum imposes arrival order.
+    """
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError(f"need 0 < p0 != p1 < 1; got {p0}, {p1}")
+    import math
+
+    s1 = int(round(math.log(p1 / p0) * 1_000_000_000))
+    s0 = int(round(math.log((1.0 - p1) / (1.0 - p0)) * 1_000_000_000))
+    up = int(round(math.log((1.0 - beta) / alpha) * 1_000_000_000))
+    lo = int(round(math.log(beta / (1.0 - alpha)) * 1_000_000_000))
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from isilon_hadoop_tools_spark.operators.analytics import (
+            _ordered_cumsum,
+        )
+
+        spark = batch.sparkSession
+        cur = state.read(table, SPRT_STATE_SCHEMA).collect()
+        row = cur[0] if cur else None
+        if row is not None and batch_id <= row["last_batch"]:
+            return  # replayed batch: already applied (exactly-once)
+        if row is not None and row["decision"] != "continue":
+            # latched: record the consumed batch id, nothing else
+            state.write(
+                table,
+                spark.createDataFrame(
+                    [
+                        (
+                            batch_id,
+                            row["n_obs"],
+                            row["llr_scaled"],
+                            row["decision"],
+                            row["n_at_decision"],
+                            row["llr_at_decision"],
+                        )
+                    ],
+                    SPRT_STATE_SCHEMA,
+                ),
+            )
+            return
+        base_n = row["n_obs"] if row else 0
+        base_s = row["llr_scaled"] if row else 0
+        key = F.format_string(
+            "%019d|%019d",
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            F.col("event_id").cast("long"),
+        )
+        obs = batch.select(
+            key.alias("_k"),
+            F.when(F.col("_hit"), F.lit(s1)).otherwise(F.lit(s0)).alias(
+                "_inc"
+            ),
+            F.lit(1).cast("long").alias("_one"),
+        )
+        cum = _ordered_cumsum(obs, "_k", ["_inc", "_one"])
+        s_total = F.col("_cum__inc") + F.lit(base_s)
+        crossed = cum.filter((s_total >= up) | (s_total <= lo))
+        first = crossed.agg(
+            F.min_by(
+                F.struct(
+                    (F.col("_cum__one") + F.lit(base_n)).alias("n"),
+                    s_total.alias("s"),
+                ),
+                F.col("_cum__one"),
+            ).alias("_f")
+        ).collect()[0]["_f"]
+        totals = cum.agg(
+            F.coalesce(F.max("_cum__one"), F.lit(0)).alias("n"),
+            F.coalesce(
+                F.max_by(F.col("_cum__inc"), F.col("_cum__one")), F.lit(0)
+            ).alias("s"),
+        ).collect()[0]
+        if first is not None:
+            decision = "accept_h1" if first["s"] >= up else "accept_h0"
+            new = (
+                batch_id,
+                base_n + totals["n"],
+                base_s + totals["s"],
+                decision,
+                first["n"],
+                first["s"],
+            )
+        else:
+            new = (
+                batch_id,
+                base_n + totals["n"],
+                base_s + totals["s"],
+                "continue",
+                None,
+                None,
+            )
+        state.write(
+            table, spark.createDataFrame([new], SPRT_STATE_SCHEMA)
+        )
+
+    src = events.withColumn("_hit", F.col("event_type") == "purchase")
+    writer = src.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -3382,6 +3382,8 @@ _CANONICAL_ORDER = [
     "events_sprt_decision",
     "orders_lineitem_bloom_semi_join",
     "corpus_heaps_fit",
+    "orders_wap_publish",
+    "events_sprt_stream",
 ]
 
 

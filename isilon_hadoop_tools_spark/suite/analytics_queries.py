@@ -1916,3 +1916,71 @@ def orders_lineitem_bloom_semi_join(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
     )
+
+
+@query(
+    "orders_wap_publish",
+    oracle="""
+    SELECT o_orderkey,
+           round(round(o_totalprice::DOUBLE, 2) + 10.0, 2)
+             AS o_totalprice
+    FROM orders
+    """,
+)
+def orders_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish staging (SC10g - the Iceberg WAP pattern):
+    a BAD batch (negated prices) is STAGED with publish=False, its
+    audit (a negative-price expectation on the staged version) fails,
+    and it is never published - readers keep resolving v1 throughout;
+    a GOOD batch then stages, passes the same audit, and ONE atomic
+    pointer swap publishes it. The committed table the oracle sees
+    contains only the audited data; the bad version remains an
+    orphaned manifest the vacuum's orphan rule respects."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        latest_version,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias(
+            "o_totalprice"
+        ),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_wap_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    snapshot_write(target, table_dir)  # v1: the committed base
+
+    def audit(version: int) -> bool:
+        staged = snapshot_read(spark, table_dir, version)
+        bad = staged.filter(F.col("o_totalprice") < 0).limit(1).count()
+        return bad == 0
+
+    # bad batch: stage, audit, REJECT (never published)
+    bad = target.withColumn(
+        "o_totalprice",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(3)) == 0,
+            -F.col("o_totalprice"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    v_bad = snapshot_write(bad, table_dir, publish=False)
+    assert not audit(v_bad)
+    assert latest_version(table_dir) == 1  # stage invisible
+
+    # good batch: stage, audit, publish
+    good = target.withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 10.0, 2)
+    )
+    v_good = snapshot_write(good, table_dir, publish=False)
+    assert audit(v_good)
+    assert latest_version(table_dir) == 1  # still invisible pre-publish
+    snapshot_publish(table_dir, v_good)
+    return snapshot_read(spark, table_dir)

@@ -3925,3 +3925,37 @@ def events_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase",
         p0=0.1, p1=0.2, alpha=0.05, beta=0.05,
     )
+
+
+# SAME oracle as the batch SPRT - the streaming monitor must latch the
+# identical first crossing when the stream arrives in event-time order.
+@query("events_sprt_stream", oracle=REGISTRY["events_sprt_decision"].oracle)
+def events_sprt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SPRT monitor (EA36s): the sequential test as a live
+    maintainer - each micro-batch's 9-dp scaled LLR increments
+    cumulate on the carried state and the first crossing LATCHES the
+    decision (Wald's stopping rule); replayed batch ids are skipped
+    (the foreachBatch transactional-state recipe), so the stream is
+    drained TWICE and must still equal the batch decision."""
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.streaming.events import (
+        SPRT_STATE_SCHEMA,
+        sprt_stream_into_state,
+    )
+
+    state = _fresh_state(spark, "sprt_stream")
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir).select(
+            "ts", "event_id", "event_type"
+        )
+        sprt_stream_into_state(ev, state, p0=0.1, p1=0.2)
+    st = state.read("sprt", SPRT_STATE_SCHEMA)
+    return st.select(
+        F.col("decision"),
+        F.coalesce(F.col("n_at_decision"), F.col("n_obs")).alias("n_obs"),
+        F.round(
+            F.coalesce(F.col("llr_at_decision"), F.col("llr_scaled"))
+            / F.lit(1_000_000_000.0),
+            6,
+        ).alias("llr"),
+    )

@@ -555,3 +555,39 @@ def test_snapshot_read_evolved_add_column_chain(spark, tmp_path):
     with pytest.raises(ValueError) as ei:
         snapshot_read_evolved(spark, table)
     assert "field-ID" in str(ei.value)
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """SC10g write-audit-publish: a staged version is invisible until
+    snapshot_publish swaps the pointer; publishing backwards or a
+    version with no manifest raises; an abandoned stage stays an
+    orphaned manifest that replay allocates past."""
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        latest_version,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "wap")
+    snapshot_write(_df(spark, 5, "a"), t)  # v1 committed
+    v2 = snapshot_write(_df(spark, 8, "bad"), t, publish=False)
+    assert v2 == 2
+    assert latest_version(t) == 1  # staged: invisible
+    # audit reads the staged version explicitly
+    assert snapshot_read(spark, t, v2).count() == 8
+    # abandon v2 (audit failed); stage and publish v3
+    v3 = snapshot_write(_df(spark, 3, "good"), t, publish=False)
+    assert latest_version(t) == 1
+    snapshot_publish(t, v3)
+    assert latest_version(t) == 3
+    assert _rows(snapshot_read(spark, t)) == _rows(_df(spark, 3, "good"))
+    # the abandoned stage is still addressable (until vacuumed) ...
+    assert snapshot_read(spark, t, 2).count() == 8
+    # ... but cannot be published behind the pointer
+    with pytest.raises(ValueError):
+        snapshot_publish(t, 2)
+    with pytest.raises(FileNotFoundError):
+        snapshot_publish(t, 99)

@@ -583,3 +583,81 @@ def test_banded_count_stream_checkpointed_restart_and_compaction(
         if r["row_id"] <= -1
     ]
     assert markers == [(-2, 1)]
+
+
+def test_sprt_stream_latches_across_batches_and_replays(spark, tmp_path):
+    """EA36s: the crossing can happen mid-stream (batch 2 of 3), the
+    decision latches (batch 3 changes nothing), and a full re-drain
+    without checkpoint is a no-op via the batch-id guard."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.events import (
+        SPRT_STATE_SCHEMA,
+        sprt_stream_into_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+
+    def write(name, rows, order):
+        path = os.path.join(d, name)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+        # the file source batches by MODIFICATION TIME; the SPRT
+        # contract is event-time-ordered arrival, so pin mtimes
+        # explicitly (same-ms ties would scramble the batch order)
+        os.utime(path, (1_700_000_000 + order, 1_700_000_000 + order))
+
+    # p0=0.2 vs p1=0.8: inc = +-ln(4); bounds +-ln(19) => 3rd success
+    # crosses. Batch 1: one success (no crossing). Batch 2: two more
+    # successes (crossing at global n=3). Batch 3: failures (latched).
+    s = dt.timedelta(seconds=1)
+    write("b1.parquet", [(t0, 1, "purchase")], 1)
+    write(
+        "b2.parquet",
+        [(t0 + s, 2, "purchase"), (t0 + 2 * s, 3, "purchase")],
+        2,
+    )
+    write("b3.parquet", [(t0 + 3 * s, 4, "view"), (t0 + 4 * s, 5, "view")], 3)
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "ts timestamp, event_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    state = ParquetState(spark, str(tmp_path / "state"))
+    sprt_stream_into_state(
+        stream(), state, p0=0.2, p1=0.8, alpha=0.05, beta=0.05
+    )
+    row = state.read("sprt", SPRT_STATE_SCHEMA).collect()[0]
+    assert row["decision"] == "accept_h1"
+    assert row["n_at_decision"] == 3
+    assert row["n_obs"] == 3  # accumulation stops at the latch (Wald stop)
+    assert abs(row["llr_at_decision"] / 1e9 - 3 * 1.386294) < 1e-5
+
+    # full re-drain, fresh query, no checkpoint: batch ids replay from
+    # 0 and are skipped -- state must be bit-identical
+    before = row
+    sprt_stream_into_state(
+        stream(), state, p0=0.2, p1=0.8, alpha=0.05, beta=0.05
+    )
+    after = state.read("sprt", SPRT_STATE_SCHEMA).collect()[0]
+    assert after == before
