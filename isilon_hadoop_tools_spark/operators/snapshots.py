@@ -42,10 +42,14 @@ files in the data directory are invisible by construction, and any
 previous version stays readable until its files are vacuumed — which
 is what makes ``version=N-1`` time travel free.
 
-Single-writer assumption, stated loudly: ``os.replace`` arbitrates
-nothing between two concurrent writers (Delta uses the object store's
-put-if-absent for that); this layer targets the single-maintenance-job
-pattern of the reference tool.
+Concurrent writers (r15): version allocation is arbitrated by
+put-if-absent reservation markers (``O_CREAT|O_EXCL`` — the same
+primitive Delta borrows from the object store), the pointer swap is
+flock-serialized and monotonic, and read-modify-write commits take a
+compare-and-swap (``expect_latest=``) that fails loudly with
+``ConcurrentSnapshotError`` instead of silently losing an update. On
+an object store without POSIX rename/flock, substitute its native
+put-if-absent — the requirement is stated, not hidden.
 """
 
 from __future__ import annotations
@@ -90,18 +94,65 @@ def read_manifest(table_dir: str | os.PathLike, version: int) -> dict:
 
 
 def _next_version(table_dir: str | os.PathLike) -> int:
-    """1 + the highest manifest on disk (NOT the pointer): an orphaned
-    manifest from a crash-before-pointer-swap must never be reused for
-    different content, so replay allocates past it."""
+    """1 + the highest manifest OR reservation on disk (NOT the
+    pointer): an orphaned manifest from a crash-before-pointer-swap
+    must never be reused for different content, so replay allocates
+    past it; a crashed writer's reservation likewise parks its number
+    forever (numbers are cheap, reuse is not)."""
     mdir = _table(table_dir) / _MANIFESTS
     if not mdir.is_dir():
         return 1
     vs = [
         int(f.stem)
-        for f in mdir.glob("*.json")
+        for f in list(mdir.glob("*.json")) + list(mdir.glob("*.reserved"))
         if f.stem.isdigit()
     ]
     return max(vs, default=0) + 1
+
+
+def _reserve_version(table: pathlib.Path) -> int:
+    """Allocate the next version number with PUT-IF-ABSENT semantics
+    (``O_CREAT|O_EXCL`` — atomic on POSIX): two concurrent writers can
+    never own the same version, so they can never clobber each other's
+    ``data/v<N>`` directory. The reservation marker is removed once
+    the manifest lands; a crashed writer leaves a marker that simply
+    parks its number (replay allocates past it)."""
+    (table / _MANIFESTS).mkdir(parents=True, exist_ok=True)
+    while True:
+        v = _next_version(table)
+        marker = table / _MANIFESTS / f"{v:05d}.reserved"
+        try:
+            fd = os.open(str(marker), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race for this number: take the next
+        os.close(fd)
+        return v
+
+
+def _swap_pointer_monotonic(table: pathlib.Path, version: int) -> bool:
+    """Publish ``version`` iff it is ahead of the current pointer,
+    serialized by an advisory ``flock`` (works across processes AND
+    threads — each caller opens its own descriptor): a slower writer
+    that finishes after a newer commit must NOT move the pointer
+    backwards. Returns whether the swap happened; a False is not a
+    failure — the version is committed history (manifest ≤ latest),
+    just never was the tip."""
+    import fcntl
+
+    lock = table / (_POINTER + ".lock")
+    with open(lock, "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        cur = latest_version(table)
+        if cur is None or version > cur:
+            _atomic_write_text(table / _POINTER, str(version))
+            return True
+        return False
+
+
+class ConcurrentSnapshotError(RuntimeError):
+    """Raised by a compare-and-swap commit (``expect_latest=``) when
+    the table advanced past the version the writer read — the
+    read-modify-write (MERGE, compaction) must re-read and retry."""
 
 
 def snapshot_write(
@@ -112,9 +163,23 @@ def snapshot_write(
     kind: str = "full",
     base_version: int | None = None,
     publish: bool = True,
+    expect_latest: int | None = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and atomically commit
     it. Returns the committed version number.
+
+    CONCURRENCY: version numbers are allocated with put-if-absent
+    reservations (two writers can never own the same ``data/v<N>``
+    directory) and the pointer swap is flock-serialized and MONOTONIC
+    (a slow writer finishing after a newer commit keeps its version as
+    committed history but never moves the pointer backwards) — blind
+    appends from concurrent writers are safe on any shared POSIX
+    filesystem. Read-modify-write writers (MERGE, compaction) pass
+    ``expect_latest=<version they read>`` for a compare-and-swap
+    commit: if the table advanced, ``ConcurrentSnapshotError`` is
+    raised (the stage becomes an orphaned manifest) and the caller
+    re-reads and retries. Object stores without rename/flock need
+    their native put-if-absent instead — stated, not hidden.
 
     ``publish=False`` STAGES the snapshot instead (write-audit-publish,
     the Iceberg WAP pattern): data and manifest land normally but the
@@ -146,12 +211,17 @@ def snapshot_write(
     if kind not in ("full", "delta"):
         raise ValueError(f"kind must be 'full' or 'delta'; got {kind!r}")
     table = _table(table_dir)
-    version = _next_version(table)
+    version = _reserve_version(table)
     if base_version is not None and not _manifest_path(
         table, base_version
     ).is_file():
         raise FileNotFoundError(
             f"base_version {base_version} has no manifest in {table}"
+        )
+    if expect_latest is not None and latest_version(table) != expect_latest:
+        raise ConcurrentSnapshotError(
+            f"table advanced past expected version {expect_latest} "
+            f"(now {latest_version(table)}); re-read and retry"
         )
     data_rel = f"data/v{version:05d}"
     data_dir = table / data_rel
@@ -196,11 +266,41 @@ def snapshot_write(
     if stats_cols:
         manifest["file_stats"] = _footer_stats(data_dir, files, stats_cols)
     (table / _MANIFESTS).mkdir(parents=True, exist_ok=True)
+    if expect_latest is not None:
+        # CAS commit for read-modify-write writers (MERGE, compaction):
+        # serialize the final check-and-swap so a concurrent commit
+        # between the early check and this point is still caught; the
+        # data/manifest of a losing writer stay an orphaned stage.
+        import fcntl
+
+        with open(table / (_POINTER + ".lock"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            if latest_version(table) != expect_latest:
+                (table / _MANIFESTS / f"{version:05d}.reserved").unlink(
+                    missing_ok=True
+                )
+                raise ConcurrentSnapshotError(
+                    f"table advanced past expected version "
+                    f"{expect_latest} (now {latest_version(table)}); "
+                    f"re-read and retry"
+                )
+            _atomic_write_text(
+                _manifest_path(table, version),
+                json.dumps(manifest, indent=1),
+            )
+            if publish:
+                _atomic_write_text(table / _POINTER, str(version))
+        (table / _MANIFESTS / f"{version:05d}.reserved").unlink(
+            missing_ok=True
+        )
+        return version
     _atomic_write_text(
         _manifest_path(table, version), json.dumps(manifest, indent=1)
     )
+    # reservation served its purpose once the manifest exists
+    (table / _MANIFESTS / f"{version:05d}.reserved").unlink(missing_ok=True)
     if publish:
-        _atomic_write_text(table / _POINTER, str(version))
+        _swap_pointer_monotonic(table, version)
     return version
 
 
@@ -216,14 +316,12 @@ def snapshot_publish(table_dir: str | os.PathLike, version: int) -> int:
         raise FileNotFoundError(
             f"no staged manifest for version {version} in {table}"
         )
-    current = latest_version(table)
-    if current is not None and version <= current:
+    if not _swap_pointer_monotonic(table, version):
         raise ValueError(
             f"version {version} is not ahead of the committed "
-            f"pointer {current}; publishing backwards would "
-            f"un-commit newer data"
+            f"pointer {latest_version(table)}; publishing backwards "
+            f"would un-commit newer data"
         )
-    _atomic_write_text(table / _POINTER, str(version))
     return version
 
 
@@ -509,7 +607,34 @@ def snapshot_merge(
         raise ValueError(
             f"when_matched must be 'update' or 'keep'; got {when_matched!r}"
         )
-    target = snapshot_read(spark, table_dir)
+    # MERGE is read-modify-write: pin the version being merged into and
+    # commit with compare-and-swap — a concurrent commit between the
+    # read and the swap triggers a re-read and retry instead of a
+    # silent lost update.
+    for _attempt in range(4):
+        base = latest_version(table_dir)
+        try:
+            return _merge_once(
+                spark, table_dir, source, key_cols, when_matched,
+                insert_not_matched, delete_when, base,
+            )
+        except ConcurrentSnapshotError:
+            if _attempt == 3:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _merge_once(
+    spark: SparkSession,
+    table_dir: str | os.PathLike,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched: str,
+    insert_not_matched: bool,
+    delete_when,
+    base: int | None,
+) -> int:
+    target = snapshot_read(spark, table_dir, base)
     cols = target.columns
     if sorted(source.columns) != sorted(cols):
         raise ValueError(
@@ -556,7 +681,7 @@ def snapshot_merge(
     merged = j.select(*out_cols)
     if not insert_not_matched:
         merged = j.filter(~src_only).select(*out_cols)
-    return snapshot_write(merged, table_dir)
+    return snapshot_write(merged, table_dir, expect_latest=base)
 
 
 def snapshot_read_evolved(

@@ -591,3 +591,81 @@ def test_wap_stage_audit_publish(spark, tmp_path):
         snapshot_publish(t, 2)
     with pytest.raises(FileNotFoundError):
         snapshot_publish(t, 99)
+
+
+def test_concurrent_writers_never_collide(spark, tmp_path):
+    """r15 multi-writer upgrade: 8 threads blind-append concurrently;
+    every writer gets a DISTINCT version (put-if-absent reservation),
+    the pointer ends at the maximum (monotonic flock swap), and every
+    committed version reads back intact."""
+    import threading
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        latest_version,
+        read_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "concurrent")
+    got: list[int] = []
+    errs: list[Exception] = []
+
+    def writer(tag: int) -> None:
+        try:
+            got.append(
+                snapshot_write(_df(spark, 10 + tag, f"w{tag}"), t)
+            )
+        except Exception as e:  # pragma: no cover - fail loudly below
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert sorted(got) == list(range(1, 9))  # distinct versions
+    assert latest_version(t) == 8
+    for v in got:
+        m = read_manifest(t, v)
+        assert snapshot_read(spark, t, v).count() == m["n_rows"]
+    # no reservation markers left behind
+    import pathlib as _pl
+
+    assert not list((_pl.Path(t) / "_manifests").glob("*.reserved"))
+
+
+def test_merge_cas_detects_concurrent_commit(spark, tmp_path):
+    """A MERGE that read version N must NOT commit over a table that
+    advanced to N+1 (lost update): the CAS raises, and the public
+    snapshot_merge retries against the new tip and converges."""
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        ConcurrentSnapshotError,
+        _merge_once,
+        latest_version,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "cas")
+    snapshot_write(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), t
+    )
+    src = spark.createDataFrame([(1, 11.0), (2, 20.0)], "k long, v double")
+    # simulate: merge pinned to version 1, but the table advances
+    snapshot_write(
+        spark.createDataFrame([(3, 30.0)], "k long, v double"), t
+    )
+    with pytest.raises(ConcurrentSnapshotError):
+        _merge_once(
+            spark, t, src, ["k"], "update", True, None, base=1
+        )
+    # the public API retries against the tip and converges
+    snapshot_merge(spark, t, src, ["k"])
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, t).collect()}
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0}
+    assert latest_version(t) >= 4

@@ -176,7 +176,29 @@ def curvature() -> int:
     scratch = Path(__file__).resolve().parent.parent / ".scratch" / "curvature"
     multiples = _multiples()
     cmax = max(multiples)
-    if not (scratch / "embeddings" / f"copy={cmax - 1}").is_dir():
+    # corpus-copy scaffolding is only needed by the documents/
+    # embeddings runners; purely synthetic runners (spark.range
+    # fixtures) skip the expensive build
+    _needs_copies = {
+        "dedup_ngram_jaccard",
+        "semantic_dedup",
+        "semantic_dedup_mega_fixed_k",
+        "doc_prefix_jaccard_pairs",
+        "doc_suffix_dup_spans",
+        "corpus_quality_classifier_train",
+        "dedup_keep_one",
+        "embedding_kmeans_assign",
+        "suffix_boilerplate_adversarial",
+        "doc_kn_perplexity",
+        "ann_binary_hamming",
+        "ann_ivf_pq",
+        "ann_ivf_pq_rerank",
+        "doc_html_extract",
+    }
+    _sel = {a for a in sys.argv[1:] if not a.startswith("--")}
+    if (not _sel or _sel & _needs_copies) and not (
+        scratch / "embeddings" / f"copy={cmax - 1}"
+    ).is_dir():
         _build_copies(spark, scratch, cmax)
 
     def run_ngram(c: int) -> float:
@@ -485,6 +507,78 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_inc_join(c: int) -> float:
+        # EA34 incremental join maintenance: both deltas and bases
+        # grow linearly in c, so the three delta-dominated joins must
+        # stay linear (the base-x-base join is never executed at all)
+        from isilon_hadoop_tools_spark.operators.analytics import (
+            incremental_join_delta,
+        )
+
+        n = 100_000 * c
+        a = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("pa")
+        )
+        b = spark.range(4 * n).select(
+            (F.col("id") % n).alias("k"), (F.col("id") % 31).alias("pb")
+        )
+        a_old, a_delta = a.filter("k % 7 <> 0"), a.filter("k % 7 = 0")
+        b_old, b_delta = b.filter("pb % 5 <> 0"), b.filter("pb % 5 = 0")
+        t0 = time.perf_counter()
+        incremental_join_delta(
+            a_old, a_delta, b_old, b_delta, "k"
+        ).groupBy("pa").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    def run_bloom_semi(c: int) -> float:
+        # SC11 Bloom semi-join: the bitmap build is constant-size (500
+        # keys), the probe side grows linearly and drops its misses
+        # map-side — the wall curve must track the probe scan
+        from isilon_hadoop_tools_spark.operators.skew import (
+            bloom_semi_join,
+        )
+
+        big = spark.range(200_000 * c).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("payload")
+        )
+        small = spark.range(500).select((F.col("id") * 101).alias("sk"))
+        t0 = time.perf_counter()
+        bloom_semi_join(big, small, "k", "sk").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    def run_snapshot_merge(c: int) -> float:
+        # SC10f MERGE INTO is copy-on-write: O(table) per commit BY
+        # DESIGN — the sweep certifies it is O(table) and not worse
+        # (no accidental quadratic in the full-outer clause algebra)
+        import shutil
+
+        from isilon_hadoop_tools_spark.operators.snapshots import (
+            snapshot_merge,
+            snapshot_write,
+        )
+
+        n = 100_000 * c
+        tdir = scratch / f"merge_tbl_{c}"
+        shutil.rmtree(tdir, ignore_errors=True)
+        target = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+        snapshot_write(target, str(tdir))
+        source = spark.range(n // 10).select(
+            (F.col("id") * 10).alias("k"),
+            F.lit(-1.0).alias("v"),
+        )
+        t0 = time.perf_counter()
+        snapshot_merge(spark, str(tdir), source, ["k"])
+        dt = time.perf_counter() - t0
+        shutil.rmtree(tdir, ignore_errors=True)
+        return dt
+
     def run_html(c: int) -> float:
         # HTML extraction (L74, new headline path): pure scan-bound
         # regex + array-HOF projection — linear by construction; the
@@ -541,6 +635,9 @@ def curvature() -> int:
         ("ann_ivf_pq_rerank", run_ivf_pq_rerank, 1),
         ("customer_fs_linkage_em_hotblock", run_fs_em, 1),
         ("doc_html_extract", run_html, 1),
+        ("orders_lineitem_incremental_join", run_inc_join, 1),
+        ("orders_lineitem_bloom_semi_join", run_bloom_semi, 1),
+        ("orders_snapshot_merge_upsert", run_snapshot_merge, 1),
     ):
         if only and name not in only:
             continue
