@@ -3381,3 +3381,179 @@ def sprt_decision(
             ).alias("llr"),
         )
     )
+
+
+def dp_laplace_mean(
+    df: DataFrame,
+    key_cols: list,
+    value_col: str,
+    lo: float,
+    hi: float,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Differentially-private bounded MEAN under the Laplace
+    mechanism (EA31b -- the release every survey/metrics platform
+    needs next to EA31's histogram): each contribution is CLAMPED
+    into ``[lo, hi]`` first (without a bound the mean's sensitivity
+    is unbounded and no finite noise is private), then the privacy
+    budget splits ε/2 + ε/2 across the two sub-queries the mean is
+    post-processed from:
+
+        noisy_sum   = Σ clamp(x) + Laplace((hi−lo) / (ε/2))
+        noisy_count = n          + Laplace(1 / (ε/2))
+        released    = clamp(noisy_sum / max(noisy_count, 1), lo, hi)
+
+    Same determinism caveat as :func:`dp_laplace_counts`, stated
+    loudly: noise derives from a seeded hash of the group key (sum
+    and count draw from DISTINCT seeds) so the oracle replays it
+    bit-for-bit; a real release swaps in true randomness -- the
+    sensitivity analysis, budget split, clamping, and post-processing
+    are the production pipeline unchanged. NULL keys fail loudly
+    (they would collide in the noise derivation); NULL values are
+    excluded before clamping (a NULL is no contribution, not a
+    ``lo`` contribution).
+
+    Shape: ONE scan into a group-keyed (sum, count) with map-side
+    partials; noise is column algebra on the group table. The true
+    sum is rounded to 6 dp BEFORE noising so both engines replay
+    identical doubles.
+    """
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0; got {epsilon}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi; got {lo}, {hi}")
+    b_sum = (hi - lo) / (epsilon / 2.0)
+    b_cnt = 1.0 / (epsilon / 2.0)
+    v = F.col(value_col).cast("double")
+    clamped = F.least(F.greatest(v, F.lit(float(lo))), F.lit(float(hi)))
+    groups = (
+        df.filter(v.isNotNull())
+        .groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.round(F.sum(clamped), 6).alias("sum_true"),
+            F.count(F.lit(1)).alias("n_true"),
+        )
+    )
+    guarded = [
+        F.when(
+            F.col(c).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"dp_laplace_mean: NULL in key column {c!r} — "
+                    "null keys collide in the noise derivation; "
+                    "filter or fill them first"
+                )
+            ).cast("string"),
+        ).otherwise(F.col(c).cast("string"))
+        for c in key_cols
+    ]
+    key_str = F.concat_ws("|", *guarded)
+
+    def lap(u, b):
+        return F.round(
+            (F.lit(-b) * F.signum(u - 0.5))
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - 0.5)),
+            6,
+        )
+
+    u_sum = (stable_hash32(key_str, seed) + 0.5) / F.lit(4294967296.0)
+    u_cnt = (stable_hash32(key_str, seed + 1) + 0.5) / F.lit(4294967296.0)
+    out = groups.withColumn(
+        "noisy_sum", F.round(F.col("sum_true") + lap(u_sum, b_sum), 6)
+    ).withColumn(
+        "noisy_count", F.round(F.col("n_true") + lap(u_cnt, b_cnt), 6)
+    )
+    mean = F.col("noisy_sum") / F.greatest(F.col("noisy_count"), F.lit(1.0))
+    return out.withColumn(
+        "released_mean",
+        F.least(
+            F.greatest(F.round(mean, 6), F.lit(float(lo))),
+            F.lit(float(hi)),
+        ),
+    )
+
+
+def weekday_seasonality(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekday-seasonality decomposition of DAILY VOLUME per group
+    (EA37 -- the STL-lite readout completing the trend family: EA23
+    fits a level slope, EA23c finds a break; this separates the
+    WEEKLY RHYTHM from both): daily counts decompose into per-weekday
+    means (the seasonal profile) plus a residual, and the readout per
+    group reports
+
+    - ``seasonal_strength`` = 1 - var(residual)/var(daily) (the STL
+      strength statistic: ~1 when the weekday profile explains the
+      series, ~0 when volume is weekday-blind),
+    - ``trend_slope`` -- OLS of the DESEASONALIZED residual on the
+      epoch day (a trend the weekday profile cannot absorb),
+    - ``peak_dow`` / ``trough_dow`` -- argmax/argmin weekday (0 =
+      Monday, ISO), ties to the earliest weekday.
+
+    Weekday means are rounded to 9 dp before the residual (the PSI
+    float discipline); readout at 6 dp. Shape: one scan to daily
+    counts, one (group, dow)-keyed aggregate, one bounded 7-row-per-
+    group window for the argmax, one group-keyed regression aggregate
+    -- everything after the first aggregate is day-grain, never
+    row-grain.
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"),
+        F.date_trunc("day", F.col(ts_col)).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.select(
+        "g",
+        "n",
+        F.weekday("d").alias("dow"),
+        F.datediff("d", F.lit("1970-01-01").cast("date")).alias("epoch_d"),
+    )
+    wmean = daily.groupBy("g", "dow").agg(
+        F.round(F.avg("n"), 9).alias("wm")
+    )
+    joined = daily.join(wmean, ["g", "dow"]).withColumn(
+        "resid", F.col("n") - F.col("wm")
+    )
+    stats = joined.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.lit(1.0)
+            - F.var_samp("resid") / F.nullif(F.var_samp("n"), F.lit(0.0)),
+            6,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.regr_slope(F.col("resid"), F.col("epoch_d")), 6
+        ).alias("trend_slope"),
+    )
+    w_pk = Window.partitionBy("g").orderBy(
+        F.col("wm").desc(), F.col("dow").asc()
+    )
+    w_tr = Window.partitionBy("g").orderBy(
+        F.col("wm").asc(), F.col("dow").asc()
+    )
+    ranked = wmean.withColumn("_rp", F.row_number().over(w_pk)).withColumn(
+        "_rt", F.row_number().over(w_tr)
+    )
+    peaks = (
+        ranked.filter(F.col("_rp") == 1)
+        .select("g", F.col("dow").alias("peak_dow"))
+        .join(
+            ranked.filter(F.col("_rt") == 1).select(
+                "g", F.col("dow").alias("trough_dow")
+            ),
+            "g",
+        )
+    )
+    return stats.join(peaks, "g").select(
+        F.col("g").alias(group_col),
+        "n_days",
+        "seasonal_strength",
+        "trend_slope",
+        "peak_dow",
+        "trough_dow",
+    )

@@ -3997,3 +3997,46 @@ def heaps_fit(
         F.round(F.regr_intercept(y, x), 6).alias("ln_k"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Positional inverted-index phrase search (L79 -- the IR
+    primitive BM25 (L42) cannot express: "these tokens, adjacent, in
+    this order"): the corpus explodes into a positional posting table
+    ``(id, term, pos)``, each phrase term keeps only ITS postings
+    (the selective filters push into the scan -- this is an index
+    probe, not a text rescan), and k-1 equi-joins on
+    ``(id, pos + offset)`` stitch adjacent positions back into
+    occurrences. Overlapping matches count separately, exactly as a
+    positional index answers.
+
+    Shape: one (id, term, pos) explode, then k-1 joins keyed on
+    (id, pos) whose inputs are per-term posting lists (corpus
+    frequency of that term, not corpus size); final per-doc count
+    with map-side partials. Output: ``(id_col, n_matches)`` for
+    documents with >= 1 occurrence.
+    """
+    terms = phrase.split()
+    if len(terms) < 2:
+        raise ValueError(f"phrase needs >= 2 tokens; got {phrase!r}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    out = toks.filter(F.col("term") == terms[0]).select("id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.filter(F.col("term") == t).select(
+            F.col("id").alias("_id"), (F.col("pos") - i).alias("_p")
+        )
+        out = out.join(
+            nxt,
+            (F.col("id") == F.col("_id")) & (F.col("pos") == F.col("_p")),
+        ).select("id", "pos")
+    return out.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

@@ -3384,6 +3384,9 @@ _CANONICAL_ORDER = [
     "corpus_heaps_fit",
     "orders_wap_publish",
     "events_sprt_stream",
+    "events_dp_mean",
+    "events_weekday_seasonality",
+    "doc_phrase_search",
 ]
 
 

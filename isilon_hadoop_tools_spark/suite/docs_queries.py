@@ -3793,3 +3793,36 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark.operators.corpus import heaps_fit
 
     return heaps_fit(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "doc_phrase_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
+             unnest(generate_series(
+               1, len(regexp_split_to_array(trim(text), '\s+'))
+             )) AS pos
+      FROM documents
+    )
+    SELECT t1.id AS doc_id, count(*)::BIGINT AS n_matches
+    FROM toks t1
+    JOIN toks t2 ON t2.id = t1.id AND t2.pos = t1.pos + 1
+    JOIN toks t3 ON t3.id = t1.id AND t3.pos = t1.pos + 2
+    WHERE t1.term = 'slow' AND t2.term = 'hash' AND t3.term = 'batch'
+    GROUP BY t1.id
+    """,
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (L79): per-term posting lists joined
+    on (doc, pos + offset) stitch the exact phrase 'slow hash batch'
+    back together - the adjacency-and-order IR primitive BM25 cannot
+    express; per-doc occurrence counts, overlaps counted as a
+    positional index does."""
+    from isilon_hadoop_tools_spark.operators.corpus import phrase_search
+
+    return phrase_search(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        "slow hash batch",
+    )

@@ -3959,3 +3959,120 @@ def events_sprt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("llr"),
     )
+
+
+def _dp_mean_oracle() -> str:
+    from isilon_hadoop_tools_spark.functions.hashing import (
+        stable_hash32_sql,
+    )
+
+    us = stable_hash32_sql("concat_ws('|', event_type)", seed=29)
+    uc = stable_hash32_sql("concat_ws('|', event_type)", seed=30)
+    return f"""
+    WITH groups AS (
+      SELECT event_type,
+             round(sum(least(greatest(value, 0.0), 50.0)), 6)
+               AS sum_true,
+             count(*) AS n_true
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    uni AS (
+      SELECT *,
+             (({us} + 0.5) / 4294967296.0) AS us,
+             (({uc} + 0.5) / 4294967296.0) AS uc
+      FROM groups
+    ),
+    noised AS (
+      SELECT event_type, sum_true, n_true,
+             round(sum_true + round((-100.0 * sign(us - 0.5))
+                   * ln(1.0 - 2.0 * abs(us - 0.5)), 6), 6) AS noisy_sum,
+             round(n_true + round((-2.0 * sign(uc - 0.5))
+                   * ln(1.0 - 2.0 * abs(uc - 0.5)), 6), 6) AS noisy_count
+      FROM uni
+    )
+    SELECT event_type, sum_true, n_true, noisy_sum, noisy_count,
+           least(greatest(
+             round(noisy_sum / greatest(noisy_count, 1.0), 6), 0.0
+           ), 50.0) AS released_mean
+    FROM noised
+    """
+
+
+@query("events_dp_mean", oracle=_dp_mean_oracle())
+def events_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism DP bounded mean (EA31b): per-event-type mean
+    value with contributions clamped into [0, 50], the privacy budget
+    split across the sum and count sub-queries, and the released mean
+    post-processed back into the clamp range. Seeded-hash noise so
+    the oracle replays it exactly (caveat stated in the operator: a
+    real release swaps in true randomness)."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        dp_laplace_mean,
+    )
+
+    return dp_laplace_mean(
+        _t(spark, sf_dir, "events"), ["event_type"], "value",
+        lo=0.0, hi=50.0, epsilon=1.0, seed=29,
+    )
+
+
+@query(
+    "events_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, date_trunc('day', ts) AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT g, n, isodow(d) - 1 AS dow,
+             datediff('day', DATE '1970-01-01', d::DATE) AS epoch_d
+      FROM daily
+    ),
+    wm AS (
+      SELECT g, dow, round(avg(n), 9) AS wm
+      FROM dd GROUP BY g, dow
+    ),
+    j AS (
+      SELECT dd.g, dd.n, dd.dow, dd.epoch_d, wm.wm,
+             dd.n - wm.wm AS resid
+      FROM dd JOIN wm ON dd.g = wm.g AND dd.dow = wm.dow
+    ),
+    stats AS (
+      SELECT g, count(*) AS n_days,
+             round(1.0 - var_samp(resid) / nullif(var_samp(n), 0.0), 6)
+               AS seasonal_strength,
+             round(regr_slope(resid, epoch_d), 6) AS trend_slope
+      FROM j GROUP BY g
+    ),
+    ranked AS (
+      SELECT g, dow,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY wm DESC, dow ASC) AS rp,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY wm ASC, dow ASC) AS rt
+      FROM wm
+    ),
+    pk AS (SELECT g, dow AS peak_dow FROM ranked WHERE rp = 1),
+    tr AS (SELECT g, dow AS trough_dow FROM ranked WHERE rt = 1)
+    SELECT stats.g AS event_type, n_days, seasonal_strength,
+           trend_slope, peak_dow, trough_dow
+    FROM stats JOIN pk ON stats.g = pk.g JOIN tr ON stats.g = tr.g
+    """,
+)
+def events_weekday_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday-seasonality decomposition per event type (EA37, the
+    STL-lite readout): daily volume splits into a per-weekday profile
+    plus residual; the readout reports the STL seasonal-strength
+    statistic, the deseasonalized trend slope, and the peak/trough
+    weekday - the rhythm the level-trend (EA23) and changepoint
+    (EA23c) readouts cannot see."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        weekday_seasonality,
+    )
+
+    return weekday_seasonality(
+        _t(spark, sf_dir, "events"), "event_type", "ts"
+    )

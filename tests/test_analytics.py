@@ -1857,3 +1857,74 @@ def test_sprt_decision_hand_computed_crossings(spark):
         F.col("hit"), **kw
     ).collect()[0]
     assert (late["decision"], late["n_obs"]) == ("accept_h1", 3)
+
+
+def test_dp_laplace_mean_clamps_budget_and_bounds(spark):
+    """EA31b: contributions clamp into [lo, hi] before the sum, NULL
+    values are no contribution, the released mean stays inside the
+    clamp range, and NULL keys fail loudly."""
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        dp_laplace_mean,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 100.0), ("g", -5.0), ("g", None)],
+        "k string, v double",
+    )
+    row = dp_laplace_mean(
+        df, ["k"], "v", lo=0.0, hi=50.0, epsilon=1.0, seed=7
+    ).collect()[0]
+    assert row["sum_true"] == 60.0  # 10 + 50 (clamped) + 0 (clamped)
+    assert row["n_true"] == 3  # NULL value excluded
+    assert 0.0 <= row["released_mean"] <= 50.0
+    # deterministic: same seed, same release
+    again = dp_laplace_mean(
+        df, ["k"], "v", lo=0.0, hi=50.0, epsilon=1.0, seed=7
+    ).collect()[0]
+    assert again == row
+    # distinct seeds drive the sum and count draws
+    assert row["noisy_sum"] - row["sum_true"] != pytest.approx(
+        (row["noisy_count"] - row["n_true"]) * 50.0
+    )
+    bad = spark.createDataFrame(
+        [(None, 1.0), ("g", 2.0)], "k string, v double"
+    )
+    with pytest.raises(Exception) as ei:
+        dp_laplace_mean(bad, ["k"], "v", 0.0, 50.0).collect()
+    assert "NULL in key column" in str(ei.value)
+    with pytest.raises(ValueError):
+        dp_laplace_mean(df, ["k"], "v", 5.0, 5.0)
+    with pytest.raises(ValueError):
+        dp_laplace_mean(df, ["k"], "v", 0.0, 50.0, epsilon=0.0)
+
+
+def test_weekday_seasonality_perfect_weekly_pattern(spark):
+    """EA37: a perfectly periodic series (Friday runs 15/day, every
+    other day 10/day, 8 full weeks) must read strength 1, slope 0,
+    peak Friday (dow 4), trough Monday (earliest tie at 10)."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        weekday_seasonality,
+    )
+
+    start = dt.date(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    for day in range(56):
+        d = start + dt.timedelta(days=day)
+        n = 15 if d.weekday() == 4 else 10
+        for i in range(n):
+            rows.append(
+                ("x", dt.datetime(d.year, d.month, d.day, 12, 0, i), eid)
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "g string, ts timestamp, eid long")
+    out = weekday_seasonality(df, "g", "ts").collect()[0]
+    assert out["n_days"] == 56
+    assert out["seasonal_strength"] == 1.0  # residual variance is 0
+    assert out["trend_slope"] == 0.0
+    assert out["peak_dow"] == 4  # Friday
+    assert out["trough_dow"] == 0  # Monday (earliest of the 10s)

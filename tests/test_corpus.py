@@ -1719,3 +1719,33 @@ def test_heaps_fit_linear_and_saturated_corpora(spark):
     t = heaps_fit(templated, "text", "doc_id").collect()[0]
     assert t["n_terms"] == 10 and t["n_tokens"] == 200
     assert abs(t["beta"]) < 1e-9  # vocabulary never grows
+
+
+def test_phrase_search_overlaps_order_and_length(spark):
+    """L79: overlapping occurrences count separately (positional
+    semantics), order matters, and 3-token phrases stitch through two
+    joins."""
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),
+            (2, "a b a"),
+            (3, "x a a y a a"),
+            (4, "b a"),
+        ],
+        "doc_id long, text string",
+    )
+    two = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(df, "text", "doc_id", "a a").collect()}
+    assert two == {1: 2, 3: 2}  # overlaps in doc 1 count separately
+    rev = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(df, "text", "doc_id", "b a").collect()}
+    assert rev == {2: 1, 4: 1}  # order-sensitive
+    tri = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(df, "text", "doc_id", "a a b").collect()}
+    assert tri == {1: 1}
+    with pytest.raises(ValueError):
+        phrase_search(df, "text", "doc_id", "solo")
