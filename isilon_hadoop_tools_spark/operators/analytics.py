@@ -3270,7 +3270,10 @@ def cuped_readout(
         F.col(metric_col).cast("double").alias("_y"),
         F.col(covariate_col).cast("double").alias("_x"),
         arm.alias("arm"),
-    )
+    # consumed by the pooled (theta, mean_x) aggregate AND the
+    # adjusted readout: pin the unit-grain table so the upstream
+    # per-unit aggregation runs once
+    ).localCheckpoint(eager=False)
     g = u.agg(
         F.round(
             F.covar_samp("_x", "_y") / F.var_samp("_x"), 9
@@ -3349,24 +3352,32 @@ def sprt_decision(
         F.lit(1).cast("long").alias("_one"),
     )
     cum = _ordered_cumsum(obs, "_k", ["_inc", "_one"])
-    crossed = cum.filter(
-        (F.col("_cum__inc") >= up) | (F.col("_cum__inc") <= lo)
+    # ONE aggregate finds the first crossing AND the stream totals
+    # (min_by/max_by skip NULL ordering keys, so the crossing branch
+    # simply contributes nothing on a never-crossing stream) — the
+    # cumsum is consumed once, no second pass, no checkpoint needed
+    crossing_n = F.when(
+        (F.col("_cum__inc") >= up) | (F.col("_cum__inc") <= lo),
+        F.col("_cum__one"),
     )
-    first = crossed.agg(
+    agg = cum.agg(
         F.min_by(
             F.struct(
                 F.col("_cum__one").alias("n"),
                 F.col("_cum__inc").alias("s"),
             ),
-            F.col("_cum__one"),
-        ).alias("_f")
-    ).select(F.col("_f.n").alias("n"), F.col("_f.s").alias("s"))
-    total = cum.agg(
+            crossing_n,
+        ).alias("_f"),
         F.max("_cum__one").alias("n_total"),
         F.max_by(F.col("_cum__inc"), F.col("_cum__one")).alias("s_total"),
     )
     return (
-        first.crossJoin(F.broadcast(total))
+        agg.select(
+            F.col("_f.n").alias("n"),
+            F.col("_f.s").alias("s"),
+            "n_total",
+            "s_total",
+        )
         .select(
             F.when(F.col("n").isNotNull() & (F.col("s") >= up),
                    F.lit("accept_h1"))
@@ -3512,10 +3523,14 @@ def weekday_seasonality(
         "n",
         F.weekday("d").alias("dow"),
         F.datediff("d", F.lit("1970-01-01").cast("date")).alias("epoch_d"),
-    )
+    # consumed by the weekday means AND the residual join: pin the
+    # day-grain table so the fact scan runs once
+    ).localCheckpoint(eager=False)
     wmean = daily.groupBy("g", "dow").agg(
         F.round(F.avg("n"), 9).alias("wm")
-    )
+    # consumed by the residual join AND both argmax windows: pin the
+    # (group x 7)-row profile
+    ).localCheckpoint(eager=False)
     joined = daily.join(wmean, ["g", "dow"]).withColumn(
         "resid", F.col("n") - F.col("wm")
     )
