@@ -3572,3 +3572,118 @@ def weekday_seasonality(
         "peak_dow",
         "trough_dow",
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Weekday-profile anomaly detection (EA37b -- the alerting
+    readout composed from :func:`weekday_seasonality`'s decomposition:
+    a Monday that looks like a Friday): each day's volume is compared
+    to ITS WEEKDAY's mean, and days whose deseasonalized residual
+    exceeds ``z`` residual standard deviations are flagged -- the
+    day-of-week-aware outlier gate a raw z-score over daily volume
+    gets wrong whenever volume has a weekly rhythm (every Friday
+    would alert).
+
+    Determinism: weekday means and the residual stddev round to 9 dp
+    before the score (the PSI discipline); ``z_score`` at 6 dp.
+    Zero residual variance (a perfectly periodic series) flags
+    nothing (nullif guard). Shape: day-grain after one scan; the
+    profile and stddev tables are (group x 7) and (group) sized.
+
+    Output per FLAGGED day: group, ``day``, ``n`` (observed),
+    ``expected`` (the weekday mean), ``z_score``.
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("g"),
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dow", F.weekday("d"))
+        .localCheckpoint(eager=False)
+    )
+    wmean = daily.groupBy("g", "dow").agg(
+        F.round(F.avg("n"), 9).alias("wm")
+    )
+    joined = daily.join(wmean, ["g", "dow"]).withColumn(
+        "resid", F.col("n") - F.col("wm")
+    ).localCheckpoint(eager=False)
+    sd = joined.groupBy("g").agg(
+        F.round(F.stddev_samp("resid"), 9).alias("sd")
+    )
+    scored = joined.join(sd, "g").withColumn(
+        "z_score",
+        F.round(F.col("resid") / F.nullif(F.col("sd"), F.lit(0.0)), 6),
+    )
+    return scored.filter(F.abs(F.col("z_score")) > z).select(
+        F.col("g").alias(group_col),
+        F.col("d").cast("date").alias("day"),
+        "n",
+        F.col("wm").alias("expected"),
+        "z_score",
+    )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    horizon_days: int = 28,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest (EA38 -- the baseline every
+    forecasting effort must beat, and the capacity-planning sanity
+    readout on its own): forecast(day) = volume(day - 7), evaluated
+    per group over the LAST ``horizon_days`` days that have a
+    7-days-earlier reference. Reports MAE and sMAPE (the scale-free
+    twin) -- if a fancy model cannot beat these numbers, ship the
+    naive.
+
+    Shape: one scan to daily counts, ONE self-join on (group, d-7)
+    (day-grain), a broadcast per-group max-day to cut the evaluation
+    window, one group-keyed aggregate. Output per group: ``n_eval``,
+    ``mae`` (6 dp), ``smape`` (6 dp, 0..200).
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("g"),
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    lagged = daily.select(
+        F.col("g").alias("_g"),
+        F.date_add(F.col("d").cast("date"), 7).alias("_d7"),
+        F.col("n").alias("n_pred"),
+    )
+    maxd = daily.groupBy("g").agg(F.max("d").alias("_mx"))
+    ev = (
+        daily.join(
+            lagged,
+            (F.col("g") == F.col("_g"))
+            & (F.col("d").cast("date") == F.col("_d7")),
+        )
+        .join(F.broadcast(maxd), "g")
+        .filter(
+            F.col("d")
+            > F.col("_mx") - F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+        )
+    )
+    err = F.abs(F.col("n") - F.col("n_pred"))
+    return ev.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.round(F.avg(err), 6).alias("mae"),
+        F.round(
+            F.avg(
+                F.lit(200.0)
+                * err
+                / (F.col("n") + F.col("n_pred")).cast("double")
+            ),
+            6,
+        ).alias("smape"),
+    )

@@ -590,25 +590,79 @@ def bloom_semi_join(
     entire cost of a naive semi join with a non-broadcastable right
     side.
     """
-    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
-
     skey = small_key_col or key_col
     keys = small.select(F.col(skey).cast("string").alias("_k")).distinct()
+    set_bits = bloom_build_bits(
+        keys, "_k", m_bits=m_bits, k_hashes=k_hashes, seed_base=seed_base
+    )
+    probe = F.col(key_col).cast("string")
+    candidates = big.filter(
+        bloom_probe_cond(
+            probe, set_bits,
+            m_bits=m_bits, k_hashes=k_hashes, seed_base=seed_base,
+        )
+    )
+    return candidates.join(
+        keys.select(F.col("_k")),
+        probe == F.col("_k"),
+        "left_semi",
+    )
 
-    def bit_positions(col):
-        return [
-            F.pmod(stable_hash32(col, seed_base + j), F.lit(m_bits))
-            for j in range(k_hashes)
-        ]
 
-    set_bits = {
+def _bloom_bit_positions(col, m_bits: int, k_hashes: int, seed_base: int):
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+    return [
+        F.pmod(stable_hash32(col, seed_base + j), F.lit(m_bits))
+        for j in range(k_hashes)
+    ]
+
+
+def bloom_build_bits(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+    seed_base: int = 97,
+) -> set:
+    """The SC11 bitmap's SET-BIT set, folded on the driver: the
+    collect is of distinct BIT POSITIONS (<= m_bits rows), never of
+    keys — bounded by the bitmap regardless of build-side size."""
+    return {
         r["bit"]
         for r in keys.select(
-            F.explode(F.array(*bit_positions(F.col("_k")))).alias("bit")
+            F.explode(
+                F.array(
+                    *_bloom_bit_positions(
+                        F.col(key_col).cast("string"),
+                        m_bits, k_hashes, seed_base,
+                    )
+                )
+            ).alias("bit")
         )
         .distinct()
         .collect()
     }
+
+
+def bloom_probe_cond(
+    probe_col,
+    set_bits: set,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+    seed_base: int = 97,
+):
+    """The map-side Bloom test over a probe column: ``k_hashes`` bit
+    lookups against the bitmap embedded as ONE parsed literal array
+    (the hyperplane-literal precedent — element-wise F.lit assembly
+    costs m driver->JVM round-trips; a parsed string costs one).
+    Composable with any probe plan; also consumes a bitmap maintained
+    by the STREAMING index (``streaming.neardup.bloom_index_*``)."""
+    probe = (
+        F.col(probe_col).cast("string")
+        if isinstance(probe_col, str)
+        else probe_col.cast("string")
+    )
     bitmap = F.expr(
         "array("
         + ",".join(
@@ -616,14 +670,8 @@ def bloom_semi_join(
         )
         + ")"
     )
-    probe = F.col(key_col).cast("string")
     cond = None
-    for bit in bit_positions(probe):
+    for bit in _bloom_bit_positions(probe, m_bits, k_hashes, seed_base):
         t = F.get(bitmap, bit.cast("int"))
         cond = t if cond is None else (cond & t)
-    candidates = big.filter(cond)
-    return candidates.join(
-        keys.select(F.col("_k")),
-        probe == F.col("_k"),
-        "left_semi",
-    )
+    return cond

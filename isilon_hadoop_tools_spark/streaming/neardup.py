@@ -1199,3 +1199,73 @@ def compaction_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+BLOOM_BITS_SCHEMA = "bit INT"
+
+
+def bloom_index_apply_batch(
+    keys: DataFrame,
+    state: ParquetState,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+    seed_base: int = 97,
+) -> None:
+    """Fold one micro-batch of build-side keys into the SC11 Bloom
+    bitmap's SET-BIT table — the streaming twin of
+    ``skew.bloom_semi_join``'s driver fold, for the case where the
+    selective build side is itself a stream (e.g. an arriving
+    blocklist): per batch, the batch keys' bit positions union into
+    the state with ``distinct`` — set-union is idempotent and
+    commutative, so replayed or re-ordered batches converge to the
+    same bitmap, and the state is bounded by ``m_bits`` rows forever.
+    A probe side then prefilters with the CURRENT bitmap exactly as
+    the batch operator does (false positives verified away by the
+    exact join)."""
+    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
+
+    k = F.col(key_col).cast("string")
+    bits = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        stable_hash32(k, seed_base + j), F.lit(m_bits)
+                    ).cast("int")
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("bit")
+    ).distinct()
+    current = state.read("bloom_bits", BLOOM_BITS_SCHEMA)
+    state.write("bloom_bits", current.unionByName(bits).distinct())
+
+
+def bloom_stream_into_state(
+    keys: DataFrame,
+    state: ParquetState,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+    seed_base: int = 97,
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a build-side key stream through
+    :func:`bloom_index_apply_batch` via ``foreachBatch`` with
+    ``trigger(availableNow)`` — replay-proof with or without a
+    checkpoint (the set-bit union is idempotent)."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        bloom_index_apply_batch(
+            batch, state, key_col,
+            m_bits=m_bits, k_hashes=k_hashes, seed_base=seed_base,
+        )
+
+    writer = keys.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -3387,6 +3387,10 @@ _CANONICAL_ORDER = [
     "events_dp_mean",
     "events_weekday_seasonality",
     "doc_phrase_search",
+    "orders_bloom_index_stream",
+    "events_seasonal_anomalies",
+    "events_seasonal_naive_backtest",
+    "events_snapshot_changes_feed",
 ]
 
 

@@ -1984,3 +1984,59 @@ def orders_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert latest_version(table_dir) == 1  # still invisible pre-publish
     snapshot_publish(table_dir, v_good)
     return snapshot_read(spark, table_dir)
+
+
+# SAME oracle as the batch Bloom semi-join: the stream-maintained
+# bitmap must reduce the probe side to the identical exact result.
+@query(
+    "orders_bloom_index_stream",
+    oracle=REGISTRY["orders_lineitem_bloom_semi_join"].oracle,
+)
+def orders_bloom_index_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Bloom-bitmap maintenance (SC11s): the selective
+    build side (orders > 400k) arrives AS A STREAM and its bit
+    positions fold into a bounded state table (<= m_bits rows
+    forever; set-union is idempotent, so the stream is drained TWICE
+    and must converge); the lineitem probe side then prefilters
+    map-side with the maintained bitmap and verifies against the
+    exact key set - identical result to the batch SC11 join."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.skew import bloom_probe_cond
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        BLOOM_BITS_SCHEMA,
+        bloom_stream_into_state,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{_SCRATCH}/bloom_stream_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    state = ParquetState(spark, root)
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    for _ in range(2):
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/orders.*")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        bloom_stream_into_state(src, state, "o_orderkey")
+    bits = {
+        r["bit"]
+        for r in state.read("bloom_bits", BLOOM_BITS_SCHEMA).collect()
+    }
+    li = _t(spark, sf_dir, "lineitem")
+    hi = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select(F.col("o_orderkey").cast("string").alias("_k"))
+    reduced = li.filter(bloom_probe_cond("l_orderkey", bits)).join(
+        hi, F.col("l_orderkey").cast("string") == F.col("_k"), "left_semi"
+    )
+    return reduced.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+    )

@@ -4076,3 +4076,131 @@ def events_weekday_seasonality(
     return weekday_seasonality(
         _t(spark, sf_dir, "events"), "event_type", "ts"
     )
+
+
+@query(
+    "events_seasonal_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, date_trunc('day', ts) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS (SELECT g, d, n, isodow(d) - 1 AS dow FROM daily),
+    wm AS (
+      SELECT g, dow, round(avg(n), 9) AS wm FROM dd GROUP BY g, dow
+    ),
+    j AS (
+      SELECT dd.g, dd.d, dd.n, wm.wm, dd.n - wm.wm AS resid
+      FROM dd JOIN wm ON dd.g = wm.g AND dd.dow = wm.dow
+    ),
+    sd AS (
+      SELECT g, round(stddev_samp(resid), 9) AS sd FROM j GROUP BY g
+    ),
+    scored AS (
+      SELECT j.g, j.d, j.n, j.wm,
+             round(j.resid / nullif(sd.sd, 0.0), 6) AS z_score
+      FROM j JOIN sd ON j.g = sd.g
+    )
+    SELECT g AS event_type, d::DATE AS day, n, wm AS expected,
+           z_score
+    FROM scored WHERE abs(z_score) > 2.0
+    """,
+)
+def events_seasonal_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday-profile anomaly flags (EA37b): days whose volume
+    deviates from THEIR WEEKDAY's mean by more than z residual
+    standard deviations - the day-of-week-aware alert a raw daily
+    z-score gets wrong whenever volume has a weekly rhythm (every
+    Friday would page)."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        seasonal_anomalies,
+    )
+
+    return seasonal_anomalies(
+        _t(spark, sf_dir, "events"), "event_type", "ts", z=2.0
+    )
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, date_trunc('day', ts) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT a.g, a.d, a.n, b.n AS n_pred, mx.mx
+      FROM daily a
+      JOIN daily b ON b.g = a.g AND b.d + INTERVAL 7 DAY = a.d
+      JOIN (SELECT g, max(d) AS mx FROM daily GROUP BY g) mx
+        ON mx.g = a.g
+      WHERE a.d > mx.mx - INTERVAL 28 DAY
+    )
+    SELECT g AS event_type, count(*)::BIGINT AS n_eval,
+           round(avg(abs(n - n_pred)), 6) AS mae,
+           round(avg(200.0 * abs(n - n_pred)
+                     / (n + n_pred)), 6) AS smape
+    FROM ev GROUP BY g
+    """,
+)
+def events_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest (EA38): forecast(day) =
+    volume(day - 7), scored with MAE and sMAPE per event type over
+    the last 28 evaluable days - the baseline every forecasting model
+    must beat, and the capacity-planning sanity readout on its own."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        seasonal_naive_backtest,
+    )
+
+    return seasonal_naive_backtest(
+        _t(spark, sf_dir, "events"), "event_type", "ts", horizon_days=28
+    )
+
+
+@query(
+    "events_snapshot_changes_feed",
+    oracle="""
+    SELECT event_id, event_type, 'added' AS change,
+           2 AS _commit_version
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, event_type, 'added', 3
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def events_snapshot_changes_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental changes feed over a merge-on-read history (SC10h -
+    the Delta CDF / Iceberg incremental-read verb): three delta
+    commits land (views, purchases, clicks) and a consumer that last
+    saw version 1 reads EXACTLY the purchase and click appends,
+    tagged with their commit versions, straight from the delta files
+    - no diff computed, no base scanned (the append fast path; a
+    rewrite in the history would fall back to the honest multiset
+    diff)."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_changes_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    prev = None
+    for et in ("view", "purchase", "click"):
+        prev = snapshot_write(
+            ev.filter(F.col("event_type") == et),
+            table_dir,
+            kind="delta",
+            base_version=prev,
+        )
+    return snapshot_changes(spark, table_dir, since_version=1)

@@ -1928,3 +1928,72 @@ def test_weekday_seasonality_perfect_weekly_pattern(spark):
     assert out["trend_slope"] == 0.0
     assert out["peak_dow"] == 4  # Friday
     assert out["trough_dow"] == 0  # Monday (earliest of the 10s)
+
+
+def test_seasonal_anomalies_flags_only_the_planted_spike(spark):
+    """EA37b: with a weekly rhythm plus ONE spiked Wednesday, only
+    the spike flags (its weekday mean absorbs part of it, the rest is
+    > z residual sigmas); a perfectly periodic series flags nothing
+    (zero residual variance -> nullif guard)."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        seasonal_anomalies,
+    )
+
+    start = dt.date(2024, 1, 1)  # Monday
+    rows = []
+    eid = 0
+    spike_day = start + dt.timedelta(days=23)  # a Wednesday
+    for day in range(56):
+        d = start + dt.timedelta(days=day)
+        n = 30 if d == spike_day else 10
+        for i in range(n):
+            rows.append(("x", dt.datetime(d.year, d.month, d.day, 8, 0, i), eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "g string, ts timestamp, eid long")
+    out = seasonal_anomalies(df, "g", "ts", z=3.0).collect()
+    assert len(out) == 1
+    assert out[0]["day"] == spike_day
+    assert out[0]["n"] == 30
+    assert abs(out[0]["expected"] - 12.5) < 1e-9  # (7*10 + 30)/8
+    assert out[0]["z_score"] > 3.0
+
+    flat = spark.createDataFrame(
+        [("x", dt.datetime(2024, 1, 1 + d % 27, 8, 0, i), d * 100 + i)
+         for d in range(27) for i in range(10)],
+        "g string, ts timestamp, eid long",
+    )
+    assert seasonal_anomalies(flat, "g", "ts", z=3.0).count() == 0
+
+
+def test_seasonal_naive_backtest_perfect_and_trending(spark):
+    """EA38: a perfectly weekly series backtests to MAE = sMAPE = 0;
+    a +7/week trend has MAE exactly 7; the window only evaluates days
+    with a 7-day-earlier reference inside the horizon."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        seasonal_naive_backtest,
+    )
+
+    start = dt.date(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(28):
+        d = start + dt.timedelta(days=day)
+        periodic = 10 + (d.weekday() % 3)
+        trending = 10 + day  # +7 per week
+        for i in range(periodic):
+            rows.append(("p", dt.datetime(d.year, d.month, d.day, 8, 0, i), eid))
+            eid += 1
+        for i in range(trending):
+            rows.append(("t", dt.datetime(d.year, d.month, d.day, 9, 0, i), eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "g string, ts timestamp, eid long")
+    out = {r["g"]: r for r in
+           seasonal_naive_backtest(df, "g", "ts", horizon_days=28).collect()}
+    assert out["p"]["n_eval"] == 21  # 28 days, first 7 lack a reference
+    assert out["p"]["mae"] == 0.0 and out["p"]["smape"] == 0.0
+    assert out["t"]["mae"] == 7.0
+    assert out["t"]["smape"] > 0.0

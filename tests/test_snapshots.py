@@ -669,3 +669,42 @@ def test_merge_cas_detects_concurrent_commit(spark, tmp_path):
     got = {r["k"]: r["v"] for r in snapshot_read(spark, t).collect()}
     assert got == {1: 11.0, 2: 20.0, 3: 30.0}
     assert latest_version(t) >= 4
+
+
+def test_snapshot_changes_append_fast_path_and_rewrite_diff(spark, tmp_path):
+    """SC10h: deltas stream out as 'added' straight from their files;
+    a full rewrite in the history falls back to the multiset diff
+    (added + removed); an empty window returns an empty typed frame."""
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "feed")
+    v1 = snapshot_write(_df(spark, 3, "a"), t, kind="delta")
+    v2 = snapshot_write(
+        _df(spark, 2, "b"), t, kind="delta", base_version=v1
+    )
+    # full rewrite: drops one 'a' row, keeps the rest, adds a 'c'
+    rewritten = (
+        _df(spark, 3, "a").filter(F.col("k") < 2)
+        .unionByName(_df(spark, 2, "b"))
+        .unionByName(_df(spark, 1, "c"))
+    )
+    snapshot_write(rewritten, t, kind="full")
+
+    # consumer at v1: v2's append arrives from its files, v3 as a diff
+    ch = snapshot_changes(spark, t, since_version=1).collect()
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r["_commit_version"], []).append(
+            (r["k"], r["tag"], r["change"])
+        )
+    assert sorted(by_ver[2]) == [(0, "b", "added"), (1, "b", "added")]
+    # the rewrite's diff vs the CHAIN-state... v2 alone (raw reads):
+    # diff(v2, v3) = everything in v3 not in v2's files and vice versa
+    assert (2, "a", "removed") not in by_ver[3]  # k=2 'a' was in v1, not v2
+    assert (0, "c", "added") in by_ver[3]
+    empty = snapshot_changes(spark, t, since_version=3)
+    assert empty.count() == 0
+    assert "change" in empty.columns and "_commit_version" in empty.columns

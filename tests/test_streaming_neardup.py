@@ -1160,3 +1160,67 @@ def test_compaction_partial_append_crash_replays_clean(spark, tmp_path):
     assert f.count() == len(all_rows)
     members = state.read("cp_members", "partition STRING, file LONG")
     assert members.count() == len(all_rows)
+
+
+def test_bloom_index_stream_converges_and_stays_bounded(spark, tmp_path):
+    """SC11s: set-bit union is idempotent — a double drain converges
+    to the batch-built bitmap; the state is bounded by m_bits rows
+    regardless of key volume; the maintained bitmap prefilters a
+    probe to the exact semi-join result."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.skew import (
+        bloom_build_bits,
+        bloom_probe_cond,
+    )
+    from isilon_hadoop_tools_spark.plans.state import ParquetState
+    from isilon_hadoop_tools_spark.streaming.neardup import (
+        BLOOM_BITS_SCHEMA,
+        bloom_stream_into_state,
+    )
+
+    d = str(tmp_path / "keys")
+    os.makedirs(d)
+    for b in range(3):
+        pq.write_table(
+            pa.table({"k": pa.array(
+                [b * 100 + i * 7 for i in range(40)], pa.int64()
+            )}),
+            os.path.join(d, f"b{b}.parquet"),
+        )
+    state = ParquetState(spark, str(tmp_path / "state"))
+    for _ in range(2):  # replay without checkpoint: must converge
+        stream = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        bloom_stream_into_state(stream, state, "k", m_bits=256)
+    got = {r["bit"] for r in
+           state.read("bloom_bits", BLOOM_BITS_SCHEMA).collect()}
+    want = bloom_build_bits(
+        spark.read.parquet(d).select(F.col("k").alias("_k")),
+        "_k", m_bits=256,
+    )
+    assert got == want
+    assert len(got) <= 256
+
+    big = spark.range(1000).select(F.col("id").alias("pk"))
+    keys = spark.read.parquet(d).select(
+        F.col("k").cast("string").alias("_k")
+    ).distinct()
+    reduced = big.filter(
+        bloom_probe_cond("pk", got, m_bits=256)
+    ).join(big.select(F.col("pk").cast("string").alias("_k"))
+           .join(keys, "_k", "left_semi"),
+           F.col("pk").cast("string") == F.col("_k"), "left_semi")
+    exact = big.join(
+        keys, F.col("pk").cast("string") == F.col("_k"), "left_semi"
+    )
+    assert sorted(r["pk"] for r in reduced.collect()) == sorted(
+        r["pk"] for r in exact.collect()
+    )
