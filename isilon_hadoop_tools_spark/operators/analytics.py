@@ -3687,3 +3687,204 @@ def seasonal_naive_backtest(
             6,
         ).alias("smape"),
     )
+
+
+def rfm_segmentation(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation (EA39 — the
+    classic customer-value readout every CRM/CDP ships): per user,
+    days since last event (relative to the corpus max — deterministic,
+    no wall clock), event count, and value sum, each scored 1..5
+    against the user population's exact quintile THRESHOLDS —
+    ``score = 1 + Σ (x > q20/q40/q60/q80)`` — rather than ntile
+    (ntile needs a total order over all users: an unpartitioned
+    corpus-scale window AND tie-order ambiguity; threshold compares
+    are order-free and engine-exact). Recency is inverted (recent =
+    5). Segment labels follow the standard grid: champions (R≥4,
+    F≥4, M≥4), loyal (F≥4), big_spender (M≥4), at_risk (R≤2, F≥3),
+    hibernating (R≤2), otherwise regular.
+
+    Shape: one user-keyed aggregate; quintile thresholds from ONE
+    no-key exact-percentile aggregate broadcast as a 1-row side; the
+    scoring is a pure projection. Output: one row per user.
+    """
+    per_user = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(F.col(ts_col)).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col(value_col).cast("double")), 6).alias(
+            "monetary"
+        ),
+    ).localCheckpoint(eager=False)
+    gmax = per_user.agg(F.max("_last").alias("_gmax"))
+    base = per_user.crossJoin(F.broadcast(gmax)).withColumn(
+        "recency_days",
+        F.datediff(F.col("_gmax"), F.col("_last")),
+    ).localCheckpoint(eager=False)
+    qs = base.agg(
+        *[
+            F.round(
+                F.percentile(F.col(c).cast("double"), F.lit(q / 100.0)),
+                9,
+            ).alias(f"_{c}_{q}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (20, 40, 60, 80)
+        ]
+    )
+
+    def score(c: str, invert: bool):
+        s = F.lit(1)
+        for q in (20, 40, 60, 80):
+            s = s + (
+                F.col(c).cast("double") > F.col(f"_{c}_{q}")
+            ).cast("int")
+        return (F.lit(6) - s) if invert else s
+
+    scored = base.crossJoin(F.broadcast(qs)).select(
+        F.col("u").alias(user_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", invert=True).alias("r_score"),
+        score("frequency", invert=False).alias("f_score"),
+        score("monetary", invert=False).alias("m_score"),
+    )
+    r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    return scored.withColumn(
+        "segment",
+        F.when((r >= 4) & (f >= 4) & (m >= 4), "champions")
+        .when(f >= 4, "loyal")
+        .when(m >= 4, "big_spender")
+        .when((r <= 2) & (f >= 3), "at_risk")
+        .when(r <= 2, "hibernating")
+        .otherwise("regular"),
+    )
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Association rules over EA7's pair mining (EA7b — the
+    support/confidence/lift readout that turns co-occurrence counts
+    into rankable rules): for every directed rule a→b with the pair
+    seen in ≥ ``min_pair_count`` baskets,
+
+        support    = n_ab / n_baskets
+        confidence = n_ab / n_a
+        lift       = n_ab · n_baskets / (n_a · n_b)
+
+    lift > 1 = genuinely associated, < 1 = substitutes; confidence
+    alone is popularity-confounded, which is why lift ships next to
+    it. Both directions emitted (confidence is asymmetric).
+
+    Shape: one basket-item distinct, one within-basket self-join on
+    the basket key (the EA7 candidate shape — bound the hot basket
+    upstream if baskets can be huge), item and pair aggregates with
+    map-side partials, a broadcast 1-row basket total. 6-dp metrics.
+    """
+    bi = (
+        df.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = bi.select("b").distinct().count()
+    items = bi.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    pairs = (
+        bi.alias("x")
+        .join(bi.alias("y"), "b")
+        .filter(F.col("x.i") < F.col("y.i"))
+        .groupBy(
+            F.col("x.i").alias("ia"), F.col("y.i").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "n_ab"
+        )
+    )
+    out = (
+        both.join(items.select(F.col("i").alias("ia"), F.col("n_i").alias("n_a")), "ia")
+        .join(items.select(F.col("i").alias("ib"), F.col("n_i").alias("n_b")), "ib")
+    )
+    nb = F.lit(float(n_baskets))
+    return out.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "n_ab",
+        F.round(F.col("n_ab") / nb, 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+        F.round(
+            F.col("n_ab") * nb / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    )
+
+
+def range_partition_audit(
+    df: DataFrame,
+    key_col: str,
+    n_parts: int,
+) -> DataFrame:
+    """Range-partition balance audit (SC12 — the pre-flight check
+    before a 100 TB ``repartitionByRange``/sort: Spark samples
+    boundaries, and a skewed or low-cardinality key silently lands
+    half the table in one task): computes the EXACT percentile
+    boundaries a perfect range split would use and reports each
+    would-be partition's true row count plus the skew ratio
+    (max/mean) — a ratio near 1 certifies the layout; a big ratio
+    says salt or pick another key BEFORE paying the shuffle.
+
+    A heavily duplicated key collapses adjacent boundaries; duplicate
+    boundaries merge buckets (their ids skip), which is exactly the
+    pathology the audit exists to surface — the merged bucket's count
+    shows the pile-up.
+
+    Shape: one no-key exact-percentile aggregate (broadcast, 1 row),
+    one projection bucketing each row by boundary compares, one
+    bucket-keyed count — never a global sort. Output per non-empty
+    bucket: ``part_id`` (0-based), ``n_rows``, and the group-level
+    ``skew_ratio`` repeated (6 dp).
+    """
+    if n_parts < 2:
+        raise ValueError(f"n_parts must be >= 2; got {n_parts}")
+    k = F.col(key_col).cast("double")
+    bounds = df.agg(
+        *[
+            F.round(F.percentile(k, F.lit(i / n_parts)), 9).alias(
+                f"_b{i}"
+            )
+            for i in range(1, n_parts)
+        ]
+    )
+    bucket = F.lit(0)
+    for i in range(1, n_parts):
+        bucket = bucket + (k > F.col(f"_b{i}")).cast("int")
+    counts = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = counts.agg(
+        F.max("n_rows").alias("_mx"),
+        F.sum("n_rows").alias("_tot"),
+    )
+    # mean over the INTENDED n_parts, not over non-empty buckets —
+    # collapsed (empty) buckets are precisely the pathology, so they
+    # must drag the mean down, not vanish from it
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "part_id",
+        "n_rows",
+        F.round(
+            F.col("_mx") * F.lit(float(n_parts)) / F.col("_tot"), 6
+        ).alias("skew_ratio"),
+    )

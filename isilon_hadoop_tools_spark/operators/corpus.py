@@ -4040,3 +4040,36 @@ def phrase_search(
     return out.groupBy(F.col("id").alias(id_col)).agg(
         F.count(F.lit(1)).alias("n_matches")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    vocab_col: str = "term",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage report (L54f — the pre-training
+    check run against every trained vocabulary: a tokenizer whose
+    vocab misses the corpus explodes sequence lengths through
+    fallback): per document, total whitespace tokens, how many are
+    OUT of the vocabulary, and the OOV rate (6 dp).
+
+    Shape: one (doc, token) explode, ONE broadcast left-anti-style
+    membership join against the vocabulary (vocab tables are bounded
+    by construction — they were built with a top-k cut), per-doc
+    aggregate with map-side partials.
+    """
+    v = vocab.select(F.col(vocab_col).alias("_v")).distinct()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    flagged = toks.join(
+        F.broadcast(v), F.col("term") == F.col("_v"), "left"
+    ).select("id", F.col("_v").isNull().cast("int").alias("_oov"))
+    return flagged.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_oov").alias("n_oov"),
+        F.round(F.sum("_oov") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )

@@ -3391,6 +3391,10 @@ _CANONICAL_ORDER = [
     "events_seasonal_anomalies",
     "events_seasonal_naive_backtest",
     "events_snapshot_changes_feed",
+    "events_rfm_segments",
+    "events_range_partition_audit",
+    "lineitem_brand_rules",
+    "doc_vocab_coverage",
 ]
 
 

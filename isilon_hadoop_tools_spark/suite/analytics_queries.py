@@ -2040,3 +2040,49 @@ def orders_bloom_index_stream(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
     )
+
+
+@query(
+    "lineitem_brand_rules",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+    items AS (SELECT i, count(*) AS n_i FROM bi GROUP BY i),
+    pairs AS (
+      SELECT x.i AS ia, y.i AS ib, count(*) AS n_ab
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY x.i, y.i HAVING count(*) >= 50
+    ),
+    bothdir AS (
+      SELECT ia, ib, n_ab FROM pairs
+      UNION ALL SELECT ib, ia, n_ab FROM pairs
+    )
+    SELECT bothdir.ia AS antecedent, bothdir.ib AS consequent, n_ab,
+           round(n_ab / nb.n, 6) AS support,
+           round(n_ab / a.n_i, 6) AS confidence,
+           round(n_ab * nb.n / (a.n_i * c.n_i), 6) AS lift
+    FROM bothdir
+    JOIN items a ON a.i = bothdir.ia
+    JOIN items c ON c.i = bothdir.ib
+    CROSS JOIN nb
+    """,
+)
+def lineitem_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets of part BRANDS (EA7b -
+    support / confidence / lift on EA7's pair-mining shape): lift
+    separates genuine association from popularity confounding, which
+    confidence alone cannot; both rule directions emitted (confidence
+    is asymmetric)."""
+    from isilon_hadoop_tools_spark.operators.analytics import basket_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        part, li["l_partkey"] == part["p_partkey"]
+    ).select("l_orderkey", "p_brand")
+    return basket_rules(
+        baskets, "l_orderkey", "p_brand", min_pair_count=50
+    )

@@ -3826,3 +3826,48 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         "slow hash batch",
     )
+
+
+@query(
+    "doc_vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tkf AS (SELECT id, term FROM toks WHERE term <> ''),
+    stats AS (
+      SELECT term, count(*) AS tf_total FROM tkf GROUP BY term
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term,
+               row_number() OVER (ORDER BY tf_total DESC, term) AS rnk
+        FROM stats
+      ) WHERE rnk <= 50
+    ),
+    flagged AS (
+      SELECT tkf.id, (vocab.term IS NULL)::INT AS oov
+      FROM tkf LEFT JOIN vocab ON tkf.term = vocab.term
+    )
+    SELECT id AS doc_id, count(*)::BIGINT AS n_tokens,
+           sum(oov)::BIGINT AS n_oov,
+           round(sum(oov) / count(*), 6) AS oov_rate
+    FROM flagged GROUP BY id
+    """,
+)
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage (L54f): OOV rate per document
+    against the corpus's own top-50 vocabulary - the pre-training
+    check that catches a vocab whose misses would explode sequence
+    lengths through byte fallback. One explode + one broadcast
+    membership join + one per-doc aggregate."""
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        vocab_coverage,
+        vocab_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_topk(docs, "text", "doc_id", k=50).select("term")
+    return vocab_coverage(docs, "text", "doc_id", vocab)

@@ -4204,3 +4204,118 @@ def events_snapshot_changes_feed(
             base_version=prev,
         )
     return snapshot_changes(spark, table_dir, since_version=1)
+
+
+def _rfm_oracle() -> str:
+    qcols = ", ".join(
+        f"round(quantile_cont({c}::DOUBLE, 0.{q}), 9) AS _{c}_{q}"
+        for c in ("recency_days", "frequency", "monetary")
+        for q in (20, 40, 60, 80)
+    )
+
+    def sc(c: str, invert: bool) -> str:
+        s = " + ".join(
+            f"(({c}::DOUBLE) > _{c}_{q})::INT" for q in (20, 40, 60, 80)
+        )
+        return f"(6 - (1 + {s}))" if invert else f"(1 + {s})"
+
+    r = sc("recency_days", True)
+    f = sc("frequency", False)
+    m = sc("monetary", False)
+    return f"""
+    WITH pu AS (
+      SELECT user_id, max(ts) AS _last, count(*) AS frequency,
+             round(sum(value), 6) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    g AS (SELECT max(_last) AS _gmax FROM pu),
+    base AS (
+      SELECT user_id,
+             date_diff('day', _last::DATE, _gmax::DATE) AS recency_days,
+             frequency, monetary
+      FROM pu, g
+    ),
+    q AS (SELECT {qcols} FROM base),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             {r} AS r_score, {f} AS f_score, {m} AS m_score
+      FROM base, q
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champions'
+             WHEN f_score >= 4 THEN 'loyal'
+             WHEN m_score >= 4 THEN 'big_spender'
+             WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+             WHEN r_score <= 2 THEN 'hibernating'
+             ELSE 'regular'
+           END AS segment
+    FROM scored
+    """
+
+
+@query("events_rfm_segments", oracle=_rfm_oracle())
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events (EA39): per-user recency
+    (vs the corpus max - no wall clock), frequency, monetary; each
+    scored 1..5 against exact population quintile THRESHOLDS (order-
+    free and engine-exact where ntile would need an unpartitioned
+    corpus-scale window plus tie-order luck), then the standard
+    segment grid. One user aggregate + a broadcast 1-row threshold
+    side."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        rfm_segmentation,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return rfm_segmentation(ev, "user_id", "ts", "value")
+
+
+@query(
+    "events_range_partition_audit",
+    oracle="""
+    WITH q AS (
+      SELECT round(quantile_cont(value, 0.125), 9) AS b1,
+             round(quantile_cont(value, 0.25), 9) AS b2,
+             round(quantile_cont(value, 0.375), 9) AS b3,
+             round(quantile_cont(value, 0.5), 9) AS b4,
+             round(quantile_cont(value, 0.625), 9) AS b5,
+             round(quantile_cont(value, 0.75), 9) AS b6,
+             round(quantile_cont(value, 0.875), 9) AS b7
+      FROM events
+    ),
+    buckets AS (
+      SELECT ((value > b1)::INT + (value > b2)::INT + (value > b3)::INT
+            + (value > b4)::INT + (value > b5)::INT + (value > b6)::INT
+            + (value > b7)::INT) AS part_id
+      FROM events, q
+    ),
+    counts AS (
+      SELECT part_id, count(*) AS n_rows FROM buckets GROUP BY part_id
+    ),
+    t AS (SELECT max(n_rows) AS mx, sum(n_rows) AS tot FROM counts)
+    SELECT part_id, n_rows, round(mx * 8.0 / tot, 6) AS skew_ratio
+    FROM counts, t
+    """,
+)
+def events_range_partition_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range-partition balance audit (SC12): before paying a 100 TB
+    repartitionByRange/sort on `value`, compute the exact percentile
+    boundaries a perfect 8-way range split would use and report each
+    would-be partition's true row count + the max/mean skew ratio -
+    near 1 certifies the layout, big says salt or re-key BEFORE the
+    shuffle. No global sort: one percentile aggregate + a bucketing
+    projection + one count."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        range_partition_audit,
+    )
+
+    return range_partition_audit(
+        _t(spark, sf_dir, "events"), "value", n_parts=8
+    )

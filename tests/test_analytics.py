@@ -1997,3 +1997,92 @@ def test_seasonal_naive_backtest_perfect_and_trending(spark):
     assert out["p"]["mae"] == 0.0 and out["p"]["smape"] == 0.0
     assert out["t"]["mae"] == 7.0
     assert out["t"]["smape"] > 0.0
+
+
+def test_rfm_segmentation_thresholds_and_segments(spark):
+    """EA39: scores come from exact quintile thresholds (not ntile),
+    recency is inverted, and the segment grid assigns the planted
+    archetypes correctly."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        rfm_segmentation,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 20 users with increasing activity: user u has u+1 events of
+    # value 10*(u+1), most recent at day u (user 19 = most recent,
+    # most frequent, highest value -> champion; user 0 = hibernating)
+    eid = 0
+    for u in range(20):
+        for i in range(u + 1):
+            rows.append(
+                (u, t0 + dt.timedelta(days=u, minutes=i), 10.0 * (u + 1), eid)
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, eid long")
+    out = {r["user_id"]: r for r in
+           rfm_segmentation(df, "user_id", "ts", "value").collect()}
+    assert len(out) == 20
+    top = out[19]
+    assert (top["r_score"], top["f_score"], top["m_score"]) == (5, 5, 5)
+    assert top["segment"] == "champions"
+    assert top["recency_days"] == 0 and top["frequency"] == 20
+    low = out[0]
+    assert low["r_score"] == 1 and low["segment"] == "hibernating"
+    assert low["recency_days"] == 19
+    # monotone: scores never decrease with u
+    for u in range(1, 20):
+        assert out[u]["f_score"] >= out[u - 1]["f_score"]
+        assert out[u]["m_score"] >= out[u - 1]["m_score"]
+
+
+def test_basket_rules_support_confidence_lift(spark):
+    """EA7b hand-computed: 4 baskets, A in all, B in 2 (always with
+    A), C alone once. Rule B->A: conf 1, lift 1; A->B: conf 0.5,
+    lift 1. Directions differ; min_pair_count filters."""
+    from isilon_hadoop_tools_spark.operators.analytics import basket_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "A"), (1, "B"),
+            (2, "A"), (2, "B"),
+            (3, "A"),
+            (4, "A"), (4, "C"),
+        ],
+        "b long, i string",
+    )
+    rules = {(r["antecedent"], r["consequent"]): r
+             for r in basket_rules(df, "b", "i", min_pair_count=2).collect()}
+    # (A,C) seen once: filtered out by min_pair_count=2
+    assert set(rules) == {("A", "B"), ("B", "A")}
+    ba = rules[("B", "A")]
+    assert ba["n_ab"] == 2
+    assert ba["support"] == 0.5
+    assert ba["confidence"] == 1.0  # every B basket has A
+    assert ba["lift"] == 1.0  # A is in every basket: no information
+    ab = rules[("A", "B")]
+    assert ab["confidence"] == 0.5
+
+
+def test_range_partition_audit_balanced_and_skewed(spark):
+    """SC12: a uniform key audits near ratio 1 over 8 buckets; a
+    90%-constant key collapses boundaries and the audit surfaces the
+    pile-up as a big skew ratio."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        range_partition_audit,
+    )
+
+    uni = spark.range(8000).select((F.col("id") % 1000).alias("k"))
+    rows = range_partition_audit(uni, "k", 8).collect()
+    assert sum(r["n_rows"] for r in rows) == 8000
+    assert all(abs(r["skew_ratio"] - 1.0) < 0.1 for r in rows)
+
+    skew = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    srows = range_partition_audit(skew, "k", 8).collect()
+    assert sum(r["n_rows"] for r in srows) == 1000
+    assert max(r["skew_ratio"] for r in srows) > 3.0
+    assert max(r["n_rows"] for r in srows) >= 900  # the pile-up bucket

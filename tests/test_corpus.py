@@ -1749,3 +1749,20 @@ def test_phrase_search_overlaps_order_and_length(spark):
     assert tri == {1: 1}
     with pytest.raises(ValueError):
         phrase_search(df, "text", "doc_id", "solo")
+
+
+def test_vocab_coverage_oov_rates(spark):
+    """L54f: tokens outside the supplied vocabulary count as OOV;
+    full-coverage docs read 0; empty-vocab reads 1."""
+    from isilon_hadoop_tools_spark.operators.corpus import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a x y z")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "term string")
+    out = {r["doc_id"]: r for r in
+           vocab_coverage(docs, "text", "doc_id", vocab).collect()}
+    assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
+    assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 3
+    assert out[2]["oov_rate"] == 0.75
