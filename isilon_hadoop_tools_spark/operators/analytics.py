@@ -3888,3 +3888,230 @@ def range_partition_audit(
             F.col("_mx") * F.lit(float(n_parts)) / F.col("_tot"), 6
         ).alias("skew_ratio"),
     )
+
+
+def huber_mean(
+    df: DataFrame,
+    key: str,
+    col: str,
+    c: float = 1.345,
+    iters: int = 3,
+) -> DataFrame:
+    """Huber M-estimator of the per-group mean via unrolled IRLS
+    (EA26c — completing the robust-location family: EA8b flags with
+    median/MAD, EA26 is median-of-means, EA26b trims; Huber is the
+    statistically EFFICIENT middle ground — full weight inside
+    ``c·σ``, linear down-weighting outside, 95% Gaussian efficiency
+    at the classical c=1.345): start at the exact median with the
+    MAD-derived robust scale ``σ = MAD/0.6745``, then ``iters``
+    reweighting rounds
+
+        w_i = min(1, c·σ / |x_i − μ_t|),   μ_{t+1} = Σ w x / Σ w
+
+    with every ``μ_t`` rounded to 9 dp (the unrolled-EM float
+    discipline: identical doubles per iteration on any engine).
+    A degenerate group (MAD = 0) keeps its median — the weights are
+    undefined there and the median IS the robust answer.
+
+    Shape: two percentile aggregates (median, MAD) + ``iters``
+    fact-scan reweighting aggregates, all map-side-partialed, stats
+    broadcast back per round; cost is iters+2 scans — the honest
+    IRLS price, stated (μ depends on data-dependent weights, so no
+    single-scan form exists).
+
+    Output per group: ``n``, ``median`` (6 dp), ``huber_mean``
+    (6 dp), ``mean`` (6 dp, for contrast).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1; got {iters}")
+    med = df.groupBy(key).agg(
+        F.expr(f"percentile({col}, 0.5)").alias("_med"),
+    )
+    stats = (
+        df.join(F.broadcast(med), key)
+        .groupBy(key)
+        .agg(
+            F.first("_med").alias("_med"),
+            F.round(
+                F.expr(f"percentile(abs({col} - _med), 0.5)") / 0.6745,
+                9,
+            ).alias("_sigma"),
+        )
+        .withColumn("_mu", F.round(F.col("_med"), 9))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        scored = df.join(F.broadcast(stats), key)
+        w = F.when(
+            F.col("_sigma") == 0, F.lit(1.0)
+        ).otherwise(
+            F.least(
+                F.lit(1.0),
+                F.lit(c)
+                * F.col("_sigma")
+                / F.nullif(
+                    F.abs(F.col(col) - F.col("_mu")), F.lit(0.0)
+                ),
+            )
+        )
+        w = F.coalesce(w, F.lit(1.0))  # x == mu: full weight
+        nxt = scored.groupBy(key).agg(
+            F.first("_med").alias("_med"),
+            F.first("_sigma").alias("_sigma"),
+            F.round(
+                F.when(
+                    F.first("_sigma") == 0, F.first("_med")
+                ).otherwise(
+                    F.sum(w * F.col(col)) / F.sum(w)
+                ),
+                9,
+            ).alias("_mu"),
+        )
+        stats = nxt.localCheckpoint(eager=False)
+    final = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(col), 6).alias("mean"),
+    )
+    return final.join(stats, key).select(
+        key,
+        "n",
+        F.round(F.col("_med"), 6).alias("median"),
+        F.round(F.col("_mu"), 6).alias("huber_mean"),
+        "mean",
+    )
+
+
+def benford_test(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Benford first-digit conformance test (EA40 — the
+    fraud/fabrication screen auditors run on any naturally-scaled
+    positive quantity): observed leading-digit counts vs the Benford
+    expectation ``log10(1 + 1/d)``, with the chi-square statistic
+    over the 9 digits. Zero and non-positive values carry no leading
+    digit and are excluded (stated; Benford only applies to
+    scale-spanning positive data).
+
+    Determinism: expected probabilities are driver-computed literals
+    (same libm both engines), counts are exact integers, chi-square
+    at 6 dp. ONE scan into a 9-row digit aggregate.
+
+    Output per digit: ``digit``, ``n_obs``, ``expected_p`` (6 dp),
+    ``observed_p`` (6 dp), plus the group-level ``chi_square``
+    repeated (6 dp).
+    """
+    import math
+
+    probs = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    v = F.col(col).cast("double")
+    # leading digit = v / 10^floor(log10 v) — same libm expression on
+    # both engines (log10 of an exact power of ten is exact in IEEE,
+    # so decade boundaries classify identically)
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast(
+        "int"
+    )
+    counts = (
+        df.filter(v > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    exp_p = F.lit(None).cast("double")
+    for d, p in probs.items():
+        exp_p = F.when(F.col("digit") == d, F.lit(round(p, 9))).otherwise(
+            exp_p
+        )
+    tot = counts.agg(F.sum("n_obs").alias("_n"))
+    scored = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("expected_p", exp_p)
+        .withColumn(
+            "observed_p", F.round(F.col("n_obs") / F.col("_n"), 6)
+        )
+        .withColumn(
+            "_chi_term",
+            F.pow(
+                F.col("n_obs") - F.col("expected_p") * F.col("_n"), 2
+            )
+            / (F.col("expected_p") * F.col("_n")),
+        )
+    )
+    chi = scored.agg(F.round(F.sum("_chi_term"), 6).alias("chi_square"))
+    return scored.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        "n_obs",
+        F.round("expected_p", 6).alias("expected_p"),
+        "observed_p",
+        "chi_square",
+    )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    revenue_when,
+) -> DataFrame:
+    """Cohort lifetime-value curves (EA41 — the revenue twin of the
+    EA1 retention readout: retention answers "do they come back",
+    this answers "what are they WORTH by age"): users cohort by the
+    ISO week of their FIRST event (any event — activity defines the
+    cohort), revenue rows (``revenue_when``) accumulate by cohort-age
+    in weeks, and the curve reports cumulative revenue per cohort
+    member at each age — the payback-period readout growth teams
+    plot against acquisition cost.
+
+    Shape: one user-keyed min (first event), one (cohort, age)-keyed
+    revenue aggregate, cohort sizes broadcast, and the cumulative sum
+    runs per cohort over the BOUNDED age axis (weeks since cohort —
+    window width is corpus age in weeks, never row count). Ages with
+    no revenue emit no row (stated).
+
+    Output per (cohort_week, age_week): ``n_users`` (cohort size),
+    ``week_value`` (6 dp), ``cum_value`` (6 dp), ``ltv`` =
+    cum_value / n_users (6 dp).
+    """
+    firsts = (
+        df.groupBy(F.col(user_col).alias("u"))
+        .agg(F.date_trunc("week", F.min(ts_col)).alias("cohort"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        df.filter(revenue_when)
+        .select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("week", F.col(ts_col)).alias("wk"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .join(firsts, "u")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort")) / F.lit(7)
+            ).cast("int").alias("age_week"),
+            "v",
+        )
+        .groupBy("cohort", "age_week")
+        .agg(F.round(F.sum("v"), 6).alias("week_value"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = rev.withColumn(
+        "cum_value", F.round(F.sum("week_value").over(w), 6)
+    ).join(F.broadcast(sizes), "cohort")
+    return out.select(
+        F.col("cohort").cast("date").alias("cohort_week"),
+        "age_week",
+        "n_users",
+        "week_value",
+        "cum_value",
+        F.round(F.col("cum_value") / F.col("n_users"), 6).alias("ltv"),
+    )

@@ -3395,6 +3395,9 @@ _CANONICAL_ORDER = [
     "events_range_partition_audit",
     "lineitem_brand_rules",
     "doc_vocab_coverage",
+    "events_huber_mean",
+    "events_benford",
+    "events_cohort_ltv",
 ]
 
 

@@ -4319,3 +4319,155 @@ def events_range_partition_audit(
     return range_partition_audit(
         _t(spark, sf_dir, "events"), "value", n_parts=8
     )
+
+
+def _huber_oracle(c: float = 1.345, iters: int = 3) -> str:
+    prev = "it0"
+    its = """
+    it0 AS (
+      SELECT event_type, med, sigma, round(med, 9) AS mu FROM st
+    )"""
+    for t in range(1, iters + 1):
+        its += f""",
+    it{t} AS (
+      SELECT e.event_type,
+             any_value(s.med) AS med,
+             any_value(s.sigma) AS sigma,
+             round(CASE WHEN any_value(s.sigma) = 0
+                        THEN any_value(s.med)
+                        ELSE sum(coalesce(
+                               CASE WHEN s.sigma = 0 THEN 1.0
+                                    ELSE least(1.0, {c} * s.sigma
+                                      / nullif(abs(e.value - s.mu), 0.0))
+                               END, 1.0) * e.value)
+                           / sum(coalesce(
+                               CASE WHEN s.sigma = 0 THEN 1.0
+                                    ELSE least(1.0, {c} * s.sigma
+                                      / nullif(abs(e.value - s.mu), 0.0))
+                               END, 1.0))
+                   END, 9) AS mu
+      FROM events e JOIN {prev} s USING (event_type)
+      GROUP BY e.event_type
+    )"""
+        prev = f"it{t}"
+    return f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    st AS (
+      SELECT e.event_type, any_value(m.med) AS med,
+             round(quantile_cont(abs(e.value - m.med), 0.5) / 0.6745, 9)
+               AS sigma
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    ),{its},
+    fin AS (
+      SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean
+      FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, f.n, round(s.med, 6) AS median,
+           round(s.mu, 6) AS huber_mean, f.mean
+    FROM fin f JOIN {prev} s USING (event_type)
+    """
+
+
+@query("events_huber_mean", oracle=_huber_oracle())
+def events_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the per-type mean value via 3 unrolled
+    IRLS rounds (EA26c - the efficient middle of the robust-location
+    family: full weight inside c*sigma, linear down-weighting
+    outside, 95% Gaussian efficiency at c=1.345); starts at the exact
+    median with the MAD-derived scale, every iterate rounded to 9 dp
+    so both engines replay identical doubles."""
+    from isilon_hadoop_tools_spark.operators.analytics import huber_mean
+
+    return huber_mean(
+        _t(spark, sf_dir, "events"), "event_type", "value",
+        c=1.345, iters=3,
+    )
+
+
+@query(
+    "events_benford",
+    oracle="""
+    WITH counts AS (
+      SELECT floor(value / power(10.0, floor(log10(value))))::INT
+               AS digit,
+             count(*) AS n_obs
+      FROM events WHERE value > 0 GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_obs) AS n FROM counts),
+    scored AS (
+      SELECT digit, n_obs,
+             (CASE digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 WHEN 9 THEN 0.045757491 END)::DOUBLE AS ep,
+             n FROM counts, tot
+    ),
+    chi AS (
+      SELECT round(sum(pow(n_obs - ep * n, 2) / (ep * n)), 6)
+               AS chi_square
+      FROM scored
+    )
+    SELECT digit, n_obs, round(ep, 6) AS expected_p,
+           round(n_obs / n, 6) AS observed_p, chi_square
+    FROM scored, chi
+""",
+)
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance (EA40): observed leading-digit
+    shares of event values vs log10(1 + 1/d), with the chi-square
+    statistic - the fabrication screen auditors run on any
+    scale-spanning positive quantity. One scan into a 9-row digit
+    aggregate; expected probabilities are driver-computed literals
+    shared with the oracle."""
+    from isilon_hadoop_tools_spark.operators.analytics import benford_test
+
+    return benford_test(_t(spark, sf_dir, "events"), "value")
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort, count(*) AS n_users FROM firsts GROUP BY cohort
+    ),
+    rev AS (
+      SELECT f.cohort,
+             (date_diff('day', f.cohort,
+                        date_trunc('week', e.ts)) // 7)::INT
+               AS age_week,
+             round(sum(e.value), 6) AS week_value
+      FROM events e JOIN firsts f ON f.u = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, age_week, week_value,
+             round(sum(week_value) OVER (
+               PARTITION BY cohort ORDER BY age_week
+               ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+      FROM rev
+    )
+    SELECT c.cohort::DATE AS cohort_week, c.age_week, s.n_users,
+           c.week_value, c.cum_value,
+           round(c.cum_value / s.n_users, 6) AS ltv
+    FROM cum c JOIN sizes s USING (cohort)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (EA41 - the revenue twin of the
+    EA1 retention readout): users cohort by first-activity ISO week,
+    purchase value accumulates by cohort-age in weeks, and the curve
+    reports cumulative revenue per cohort member - the payback-period
+    plot growth teams hold against acquisition cost."""
+    from isilon_hadoop_tools_spark.operators.analytics import cohort_ltv
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_ltv(
+        ev, "user_id", "ts", "value",
+        F.col("event_type") == "purchase",
+    )

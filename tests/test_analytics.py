@@ -2086,3 +2086,89 @@ def test_range_partition_audit_balanced_and_skewed(spark):
     assert sum(r["n_rows"] for r in srows) == 1000
     assert max(r["skew_ratio"] for r in srows) > 3.0
     assert max(r["n_rows"] for r in srows) >= 900  # the pile-up bucket
+
+
+def test_huber_mean_downweights_outliers(spark):
+    """EA26c: a single huge outlier drags the mean far but moves the
+    Huber estimate only slightly off the clean center; a degenerate
+    (constant) group keeps its median."""
+    from isilon_hadoop_tools_spark.operators.analytics import huber_mean
+
+    rows = [("g", float(v)) for v in
+            [10, 11, 9, 10, 12, 8, 10, 11, 9, 10_000]]
+    rows += [("const", 5.0)] * 6
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = {r["k"]: r for r in
+           huber_mean(df, "k", "value", c=1.345, iters=3).collect()}
+    g = out["g"]
+    assert g["mean"] > 1000  # dragged by the outlier
+    assert 9.0 < g["huber_mean"] < 12.5  # robust center holds
+    assert abs(out["const"]["huber_mean"] - 5.0) < 1e-9  # MAD=0 path
+    assert out["const"]["n"] == 6
+
+
+def test_benford_conforming_vs_uniform(spark):
+    """EA40: a geometric (scale-spanning) sample conforms (small
+    chi-square, digit-1 share near .301); values with a single
+    leading digit concentrate mass and blow the statistic up;
+    non-positive values are excluded."""
+    import math
+
+    from isilon_hadoop_tools_spark.operators.analytics import benford_test
+
+    geo = spark.range(2000).select(
+        F.pow(F.lit(10.0), (F.col("id") % 1000) / F.lit(1000.0) * 3).alias("v")
+    )
+    rows = benford_test(geo, "v").collect()
+    assert sum(r["n_obs"] for r in rows) == 2000
+    d1 = next(r for r in rows if r["digit"] == 1)
+    assert abs(d1["observed_p"] - math.log10(2)) < 0.02
+    assert rows[0]["chi_square"] < 20.0
+
+    bad = spark.range(500).select(
+        (F.lit(7.0) + (F.col("id") % 10) / F.lit(100.0)).alias("v")
+    )
+    brows = benford_test(bad, "v").collect()
+    assert len(brows) == 1 and brows[0]["digit"] == 7
+    assert brows[0]["chi_square"] > 1000.0
+    withneg = spark.createDataFrame(
+        [(1.5,), (-3.0,), (0.0,)], "v double"
+    )
+    assert sum(r["n_obs"] for r in benford_test(withneg, "v").collect()) == 1
+
+
+def test_cohort_ltv_hand_computed(spark):
+    """EA41 on a 2-cohort fixture: cohort sizes from ALL activity,
+    revenue accumulates per cohort-age week, ltv = cum/size."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import cohort_ltv
+
+    t0 = dt.datetime(2024, 1, 1)  # Monday: week truncation anchor
+    wk = dt.timedelta(days=7)
+    rows = [
+        # cohort A (week 0): users 1, 2 (user 2 never buys)
+        (1, t0, "view", 0.0, 1),
+        (2, t0 + dt.timedelta(days=2), "view", 0.0, 2),
+        (1, t0 + dt.timedelta(days=3), "purchase", 10.0, 3),
+        (1, t0 + wk, "purchase", 30.0, 4),
+        # cohort B (week 1): user 3
+        (3, t0 + wk, "view", 0.0, 5),
+        (3, t0 + 2 * wk, "purchase", 8.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string,"
+        " value double, eid long"
+    )
+    out = {(str(r["cohort_week"]), r["age_week"]): r for r in cohort_ltv(
+        df, "user_id", "ts", "value",
+        F.col("event_type") == "purchase",
+    ).collect()}
+    a0 = out[("2024-01-01", 0)]
+    assert a0["n_users"] == 2 and a0["week_value"] == 10.0
+    assert a0["ltv"] == 5.0
+    a1 = out[("2024-01-01", 1)]
+    assert a1["cum_value"] == 40.0 and a1["ltv"] == 20.0
+    b1 = out[("2024-01-08", 1)]
+    assert b1["n_users"] == 1 and b1["ltv"] == 8.0
+    assert len(out) == 3  # no zero-revenue filler rows
