@@ -4073,3 +4073,68 @@ def vocab_coverage(
         F.sum("_oov").alias("n_oov"),
         F.round(F.sum("_oov") / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+def gram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_reference,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY score against a reference split
+    (L80 — the memorization/overlap-rate metric of Lee et al. 2022
+    and the train-side mirror of L25's decontamination: decontaminate
+    FLAGS overlap with an eval set, this MEASURES how much of each
+    candidate document is n-gram-new relative to what the model will
+    already have seen): for every non-reference document, the number
+    of its n-grams (with multiplicity — a document that repeats a
+    stale gram is stale twice) absent from the reference's distinct
+    gram set, and the novelty rate.
+
+    Shape: the L2 shingle machinery builds both sides' posting lists
+    in one pass; the reference side collapses to DISTINCT grams
+    (reference-vocabulary-sized) and the membership join is a
+    LEFT join on the gram key — at a large reference, swap in the
+    SC11 Bloom prefilter exactly as L38 does for the eval side.
+    Output per candidate doc: ``n_grams``, ``n_novel``,
+    ``novelty_rate`` (6 dp).
+    """
+    from isilon_hadoop_tools_spark.operators.dedup import (
+        shingle_posting_list,
+    )
+
+    pe = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+        is_reference.alias("_ref"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, n)
+    ]
+    grams = (
+        pe.select(
+            "id",
+            "_ref",
+            F.concat_ws(" ", *parts).alias("g"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .localCheckpoint(eager=False)
+    )
+    ref = grams.filter(F.col("_ref")).select(
+        F.col("g").alias("_rg")
+    ).distinct()
+    cand = grams.filter(~F.col("_ref"))
+    flagged = cand.join(
+        ref, cand["g"] == ref["_rg"], "left"
+    ).select("id", F.col("_rg").isNull().cast("int").alias("_novel"))
+    return flagged.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_novel").alias("n_novel"),
+        F.round(F.sum("_novel") / F.count(F.lit(1)), 6).alias(
+            "novelty_rate"
+        ),
+    )

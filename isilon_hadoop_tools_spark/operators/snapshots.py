@@ -164,6 +164,7 @@ def snapshot_write(
     base_version: int | None = None,
     publish: bool = True,
     expect_latest: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and atomically commit
     it. Returns the committed version number.
@@ -263,6 +264,14 @@ def snapshot_write(
         "kind": kind,
         "base_version": base_version,
     }
+    if meta:
+        # caller-supplied COMMIT METADATA (e.g. the streaming writer's
+        # batch id for exactly-once replay detection); reserved keys
+        # cannot be shadowed
+        clash = set(meta) & set(manifest)
+        if clash:
+            raise ValueError(f"meta shadows manifest keys: {sorted(clash)}")
+        manifest.update(meta)
     if stats_cols:
         manifest["file_stats"] = _footer_stats(data_dir, files, stats_cols)
     (table / _MANIFESTS).mkdir(parents=True, exist_ok=True)

@@ -869,3 +869,59 @@ def sprt_stream_into_state(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+def append_stream_into_snapshots(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Exactly-once streaming APPEND into the snapshot table format
+    (§2.9 × SC10 — the plain ingest path next to the CDC merge: a
+    fact stream lands as an ever-growing table, not per-key state):
+    every micro-batch commits its rows as a ``kind="delta"`` snapshot
+    — O(batch) written, never-torn reads, per-batch time travel — and
+    the micro-batch id is recorded IN THE MANIFEST (``batch_id``), so
+    a replayed batch is detected by one driver-side manifest walk and
+    skipped: append has no merge algebra to absorb duplicates (unlike
+    the CDC max_by), so exactly-once must come from the commit layer.
+    Readers reconstruct the table with ``snapshot_read_chain``.
+    """
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        _MANIFESTS,
+        latest_version,
+        read_manifest,
+        snapshot_write,
+    )
+    import pathlib as _pl
+
+    def applied_batch_ids() -> set:
+        mdir = _pl.Path(table_dir) / _MANIFESTS
+        out = set()
+        if mdir.is_dir():
+            for f in mdir.glob("*.json"):
+                if not f.stem.isdigit():
+                    continue
+                b = read_manifest(table_dir, int(f.stem)).get("batch_id")
+                if b is not None:
+                    out.add(int(b))
+        return out
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in applied_batch_ids():
+            return  # replayed micro-batch: already committed
+        snapshot_write(
+            batch,
+            table_dir,
+            kind="delta",
+            base_version=latest_version(table_dir),
+            meta={"batch_id": int(batch_id)},
+        )
+
+    writer = events.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -3398,6 +3398,8 @@ _CANONICAL_ORDER = [
     "events_huber_mean",
     "events_benford",
     "events_cohort_ltv",
+    "events_snapshot_append_stream",
+    "doc_gram_novelty",
 ]
 
 

@@ -3871,3 +3871,48 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     vocab = vocab_topk(docs, "text", "doc_id", k=50).select("term")
     return vocab_coverage(docs, "text", "doc_id", vocab)
+
+
+@query(
+    "doc_gram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             unnest(generate_series(1, len(
+               regexp_split_to_array(trim(text), '\s+')))) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT t1.id, doc_id % 10 = 0 AS ref,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+      FROM toks t1
+      JOIN toks t2 ON t2.id = t1.id AND t2.pos = t1.pos + 1
+      JOIN toks t3 ON t3.id = t1.id AND t3.pos = t1.pos + 2
+      JOIN documents d ON d.doc_id = t1.id
+    ),
+    ref AS (SELECT DISTINCT g FROM grams WHERE ref),
+    cand AS (SELECT id, g FROM grams WHERE NOT ref),
+    flagged AS (
+      SELECT cand.id, (ref.g IS NULL)::INT AS novel
+      FROM cand LEFT JOIN ref ON cand.g = ref.g
+    )
+    SELECT id AS doc_id, count(*)::BIGINT AS n_grams,
+           sum(novel)::BIGINT AS n_novel,
+           round(sum(novel) / count(*), 6) AS novelty_rate
+    FROM flagged GROUP BY id
+    """,
+)
+def doc_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty vs a reference split (L80, Lee et
+    al. 2022's overlap-rate metric - the train-side mirror of L25
+    decontamination: how much of each candidate is n-gram-NEW
+    relative to what the model has already seen; every 10th doc plays
+    the reference). Grams counted with multiplicity; the reference
+    collapses to distinct grams before one membership join."""
+    from isilon_hadoop_tools_spark.operators.corpus import gram_novelty
+
+    return gram_novelty(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0, n=3,
+    )

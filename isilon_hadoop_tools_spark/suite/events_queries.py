@@ -4471,3 +4471,41 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "value",
         F.col("event_type") == "purchase",
     )
+
+
+@query(
+    "events_snapshot_append_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def events_snapshot_append_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming APPEND into the snapshot format (SC10i
+    - the plain fact-ingest path next to the CDC merge): each
+    micro-batch commits as a delta snapshot with its batch id in the
+    manifest; the stream is drained TWICE and the replay commits
+    NOTHING (append has no merge algebra to absorb duplicates, so
+    exactly-once comes from the commit layer) - the chain read must
+    equal the source table exactly."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_read_chain,
+    )
+    from isilon_hadoop_tools_spark.streaming.events import (
+        append_stream_into_snapshots,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_append_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_stream_into_snapshots(ev, table_dir)
+    return snapshot_read_chain(spark, table_dir)

@@ -1766,3 +1766,31 @@ def test_vocab_coverage_oov_rates(spark):
     assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
     assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 3
     assert out[2]["oov_rate"] == 0.75
+
+
+def test_gram_novelty_multiplicity_and_rates(spark):
+    """L80: candidate grams count with multiplicity, reference grams
+    dedupe, and rates are exact on a hand fixture."""
+    from pyspark.sql import functions as F
+
+    from isilon_hadoop_tools_spark.operators.corpus import gram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c d"),          # reference: grams {a b c, b c d}
+            (1, "a b c x"),           # grams: 'a b c'(stale), 'b c x'(new)
+            (2, "a b c a b c d"),     # stale twice + 2 bridge grams + stale
+            (3, "p q r s"),           # all new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gram_novelty(
+        docs, "text", "doc_id", F.col("doc_id") >= 10, n=3
+    ).collect()}
+    assert 10 not in out  # reference docs are not scored
+    assert out[1]["n_grams"] == 2 and out[1]["n_novel"] == 1
+    assert out[1]["novelty_rate"] == 0.5
+    # doc 2 grams: 'a b c','b c a','c a b','a b c','b c d' ->
+    # stale: 1st, 4th, 5th; novel: 2
+    assert out[2]["n_grams"] == 5 and out[2]["n_novel"] == 2
+    assert out[3]["novelty_rate"] == 1.0

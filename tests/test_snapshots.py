@@ -708,3 +708,78 @@ def test_snapshot_changes_append_fast_path_and_rewrite_diff(spark, tmp_path):
     empty = snapshot_changes(spark, t, since_version=3)
     assert empty.count() == 0
     assert "change" in empty.columns and "_commit_version" in empty.columns
+
+
+def test_append_stream_exactly_once_and_time_travel(spark, tmp_path):
+    """SC10i: per-batch delta commits with the batch id in the
+    manifest; a full no-checkpoint re-drain commits NOTHING (append
+    has no merge algebra — exactly-once comes from the commit layer);
+    per-batch time travel via the chain read."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        latest_version,
+        read_manifest,
+        snapshot_read_chain,
+    )
+    from isilon_hadoop_tools_spark.streaming.events import (
+        append_stream_into_snapshots,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    for b in range(3):
+        path = os.path.join(d, f"b{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        [b * 10 + i for i in range(4)], pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [t0 + dt.timedelta(seconds=b * 10 + i)
+                         for i in range(4)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    def stream():
+        return (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    table = str(tmp_path / "append_tbl")
+    append_stream_into_snapshots(stream(), table)
+    assert latest_version(table) == 3
+    assert read_manifest(table, 2)["kind"] == "delta"
+    assert read_manifest(table, 2)["batch_id"] == 1
+    got = sorted(
+        r["event_id"] for r in snapshot_read_chain(spark, table).collect()
+    )
+    assert got == sorted(b * 10 + i for b in range(3) for i in range(4))
+    # time travel: the table as of batch 2
+    v2 = sorted(
+        r["event_id"]
+        for r in snapshot_read_chain(spark, table, 2).collect()
+    )
+    assert v2 == sorted(b * 10 + i for b in range(2) for i in range(4))
+
+    # full re-drain without checkpoint: batch ids replay and are
+    # skipped — no new versions, identical content
+    append_stream_into_snapshots(stream(), table)
+    assert latest_version(table) == 3
+    again = sorted(
+        r["event_id"] for r in snapshot_read_chain(spark, table).collect()
+    )
+    assert again == got
