@@ -4115,3 +4115,148 @@ def cohort_ltv(
         "cum_value",
         F.round(F.col("cum_value") / F.col("n_users"), 6).alias("ltv"),
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend test on DAILY VOLUME per group (EA23d —
+    the significance twin completing the trend family: EA23 fits an
+    OLS slope, EA23b a robust slope, EA23c finds the break; this says
+    whether a monotone trend EXISTS at all, with no distributional
+    assumption): over the day-grain series,
+
+        S = Σ_{i<j} sign(x_j − x_i)
+        var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie-corrected)
+        z = (S ∓ 1) / sqrt(var)   (continuity-corrected, 0 at S=0)
+
+    All integer math until the final z (6 dp) — S, the tie spectrum,
+    and both var terms are exact bigints any engine replays.
+
+    Shape: one scan to daily counts, then a per-group self-join on
+    the DAY-GRAIN table — O(days²) per group, bounded by calendar
+    time, never by row count (10 years ≈ 13M pairs); tie spectrum
+    from one (group, value)-keyed aggregate. Output per group:
+    ``n_days``, ``s_stat``, ``var_s``, ``z`` (6 dp), ``trend``
+    ('increasing' / 'decreasing' / 'none' at |z| > 1.96).
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("g"),
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        F.col("g"), F.col("d").alias("_da"), F.col("n").alias("_na")
+    )
+    b = daily.select(
+        F.col("g").alias("_g2"),
+        F.col("d").alias("_db"),
+        F.col("n").alias("_nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("g") == F.col("_g2")) & (F.col("_da") < F.col("_db")),
+    )
+    s = pairs.groupBy("g").agg(
+        F.sum(F.signum(F.col("_nb") - F.col("_na")).cast("long")).alias(
+            "s_stat"
+        )
+    )
+    nd = daily.groupBy("g").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("g", "n")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (2 * F.col("_t") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    out = nd.join(s, "g").join(ties, "g")
+    n = F.col("n_days")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tie_term")
+    ) / F.lit(18.0)
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s)) \
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s)) \
+        .otherwise(F.lit(0.0))
+    z = F.round(
+        F.when(var_s > 0, z).otherwise(F.lit(0.0)), 6
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_days",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        z.alias("z"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of per-unit value within each group (EA42 —
+    the concentration readout behind "what share of revenue do the
+    top customers carry": 0 = perfectly even, →1 = one unit owns
+    everything; the scalar the Lorenz curve integrates to): with the
+    group's per-unit totals sorted ascending and ranked 1..n,
+
+        G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n
+
+    Ties are rank-order-invariant (equal x contribute the same sum
+    under any tie permutation), so the per-group sort is
+    deterministic without a tiebreak convention. Negative values are
+    rejected loudly (Gini is undefined there); an all-zero group
+    reads NULL (no concentration to measure).
+
+    Shape: one unit-keyed aggregate, one PER-GROUP-partitioned rank
+    window (partitioned by the group — scales with executors, unlike
+    a global ntile), one group aggregate. Output per group:
+    ``n_units``, ``total_value`` (6 dp), ``gini`` (6 dp).
+    """
+    per_unit = df.groupBy(
+        F.col(group_col).alias("g"), F.col(unit_col).alias("u")
+    ).agg(F.round(F.sum(F.col(value_col).cast("double")), 9).alias("x"))
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("x") >= 0,
+            F.lit("gini_concentration: negative per-unit value"),
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    per_unit = per_unit.withColumn("x", F.col("x") + guard)
+    w = Window.partitionBy("g").orderBy(F.col("x").asc(), F.col("u").asc())
+    ranked = per_unit.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.round(F.sum("x"), 6).alias("total_value"),
+        F.sum(F.col("i") * F.col("x")).alias("_ix"),
+    )
+    n = F.col("n_units").cast("double")
+    g = (
+        F.lit(2.0) * F.col("_ix") / (n * F.col("total_value"))
+        - (n + 1) / n
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_units",
+        "total_value",
+        F.round(
+            F.when(F.col("total_value") > 0, g), 6
+        ).alias("gini"),
+    )

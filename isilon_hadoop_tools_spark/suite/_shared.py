@@ -3400,6 +3400,8 @@ _CANONICAL_ORDER = [
     "events_cohort_ltv",
     "events_snapshot_append_stream",
     "doc_gram_novelty",
+    "events_mann_kendall",
+    "events_revenue_gini",
 ]
 
 

@@ -4509,3 +4509,98 @@ def events_snapshot_append_stream(
         )
         append_stream_into_snapshots(ev, table_dir)
     return snapshot_read_chain(spark, table_dir)
+
+
+@query(
+    "events_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, date_trunc('day', ts) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT a.g, sign(b.n - a.n)::BIGINT AS s
+      FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+    ),
+    s AS (SELECT g, sum(s)::BIGINT AS s_stat FROM pr GROUP BY g),
+    nd AS (SELECT g, count(*)::BIGINT AS n_days FROM daily GROUP BY g),
+    ties AS (
+      SELECT g, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie
+      FROM (SELECT g, n, count(*)::BIGINT AS t FROM daily GROUP BY g, n)
+      GROUP BY g
+    ),
+    j AS (
+      SELECT nd.g, n_days, s_stat,
+             (n_days * (n_days - 1) * (2 * n_days + 5) - tie) / 18.0
+               AS var_s
+      FROM nd JOIN s ON nd.g = s.g JOIN ties ON nd.g = ties.g
+    ),
+    zc AS (
+      SELECT g, n_days, s_stat, round(var_s, 6) AS var_s,
+             round(CASE WHEN var_s <= 0 THEN 0.0
+                        WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                        WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                        ELSE 0.0 END, 6) AS z
+      FROM j
+    )
+    SELECT g AS event_type, n_days, s_stat, var_s, z,
+           CASE WHEN z > 1.96 THEN 'increasing'
+                WHEN z < -1.96 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM zc
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily volume per event
+    type (EA23d - the nonparametric significance twin of the EA23
+    slope fits): exact integer S over day pairs, tie-corrected
+    variance, continuity-corrected z - bounded by calendar time
+    (days^2 per group), never by row count."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        mann_kendall_trend,
+    )
+
+    return mann_kendall_trend(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+@query(
+    "events_revenue_gini",
+    oracle="""
+    WITH pu AS (
+      SELECT event_type AS g, user_id AS u,
+             round(sum(value), 9) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT g, x,
+             row_number() OVER (PARTITION BY g ORDER BY x ASC, u ASC)
+               AS i
+      FROM pu
+    ),
+    agg AS (
+      SELECT g, count(*)::BIGINT AS n_units,
+             round(sum(x), 6) AS total_value,
+             sum(i * x) AS ix
+      FROM ranked GROUP BY g
+    )
+    SELECT g AS event_type, n_units, total_value,
+           round(CASE WHEN total_value > 0
+                 THEN 2.0 * ix / (n_units * total_value)
+                      - (n_units + 1.0) / n_units
+                 END, 6) AS gini
+    FROM agg
+    """,
+)
+def events_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user value within each event type
+    (EA42): the scalar behind 'what share of value do the top users
+    carry' - 0 even, near 1 winner-takes-all. Per-GROUP-partitioned
+    rank window (scales with executors; no global ntile), exact tie
+    invariance."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    return gini_concentration(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", "value"
+    )

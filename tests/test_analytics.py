@@ -2172,3 +2172,58 @@ def test_cohort_ltv_hand_computed(spark):
     b1 = out[("2024-01-08", 1)]
     assert b1["n_users"] == 1 and b1["ltv"] == 8.0
     assert len(out) == 3  # no zero-revenue filler rows
+
+
+def test_mann_kendall_directions_and_ties(spark):
+    """EA23d: a strictly increasing daily series reads S = C(n,2) and
+    'increasing'; strictly decreasing mirrors it; a constant series
+    has S = 0, all-tie variance 0, trend 'none'."""
+    import datetime as dt
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        mann_kendall_trend,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(12):
+        d = t0 + dt.timedelta(days=day)
+        for g, n in (("up", 5 + day), ("down", 30 - day), ("flat", 7)):
+            for i in range(n):
+                rows.append((g, d + dt.timedelta(seconds=i), eid))
+                eid += 1
+    df = spark.createDataFrame(rows, "g string, ts timestamp, eid long")
+    out = {r["g"]: r for r in mann_kendall_trend(df, "g", "ts").collect()}
+    assert out["up"]["s_stat"] == 66  # C(12,2): every pair increases
+    assert out["up"]["trend"] == "increasing"
+    assert out["down"]["s_stat"] == -66
+    assert out["down"]["trend"] == "decreasing"
+    assert out["flat"]["s_stat"] == 0
+    assert out["flat"]["var_s"] == 0.0  # one 12-deep tie group
+    assert out["flat"]["z"] == 0.0 and out["flat"]["trend"] == "none"
+
+
+def test_gini_concentration_extremes(spark):
+    """EA42: an equal-split group reads 0; one-unit-owns-everything
+    approaches (n-1)/n; negative values fail loudly; an all-zero
+    group reads NULL."""
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    rows = [("even", u, 10.0) for u in range(10)]
+    rows += [("one", 0, 100.0)] + [("one", u, 0.0) for u in range(1, 10)]
+    rows += [("zero", u, 0.0) for u in range(4)]
+    df = spark.createDataFrame(rows, "g string, u long, v double")
+    out = {r["g"]: r for r in
+           gini_concentration(df, "g", "u", "v").collect()}
+    assert out["even"]["gini"] == 0.0
+    assert abs(out["one"]["gini"] - 0.9) < 1e-9  # (n-1)/n at n=10
+    assert out["zero"]["gini"] is None
+    bad = spark.createDataFrame([("g", 1, -5.0)], "g string, u long, v double")
+    with pytest.raises(Exception) as ei:
+        gini_concentration(bad, "g", "u", "v").collect()
+    assert "negative" in str(ei.value)
