@@ -3769,6 +3769,8 @@ def basket_rules(
     basket_col: str,
     item_col: str,
     min_pair_count: int = 2,
+    max_basket_items: int = 500,
+    oversized: str = "raise",
 ) -> DataFrame:
     """Association rules over EA7's pair mining (EA7b — the
     support/confidence/lift readout that turns co-occurrence counts
@@ -3783,27 +3785,73 @@ def basket_rules(
     alone is popularity-confounded, which is why lift ships next to
     it. Both directions emitted (confidence is asymmetric).
 
-    Shape: one basket-item distinct, one within-basket self-join on
-    the basket key (the EA7 candidate shape — bound the hot basket
-    upstream if baskets can be huge), item and pair aggregates with
-    map-side partials, a broadcast 1-row basket total. 6-dp metrics.
+    HOT-BASKET BOUND (a mechanism, not advice): pair fan-out is
+    quadratic PER BASKET, so one degenerate mega-basket (a crawler
+    account, a batch import) can dominate the whole job. Baskets
+    above ``max_basket_items`` distinct items either fail the job
+    loudly naming the basket (``oversized="raise"``, default) or are
+    DROPPED as noise (``oversized="drop"`` — the standard
+    market-basket treatment: a basket with everything in it carries
+    no association signal anyway, it only inflates every pair).
+
+    Shape: EA7's single-pipeline form — ONE shuffle on the basket key
+    collects each basket's deduped sorted item set, pairs explode IN
+    PLACE (no self-join, no second exchange of the fact), then item
+    and pair aggregates with map-side partials and a broadcast 1-row
+    basket total. 6-dp metrics.
     """
-    bi = (
+    if oversized not in ("raise", "drop"):
+        raise ValueError(
+            f"oversized must be 'raise' or 'drop'; got {oversized!r}"
+        )
+    baskets = (
         df.select(
             F.col(basket_col).alias("b"), F.col(item_col).alias("i")
         )
-        .distinct()
-        .localCheckpoint(eager=False)
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_set("i")).alias("_items"))
     )
-    n_baskets = bi.select("b").distinct().count()
-    items = bi.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
-    pairs = (
-        bi.alias("x")
-        .join(bi.alias("y"), "b")
-        .filter(F.col("x.i") < F.col("y.i"))
-        .groupBy(
-            F.col("x.i").alias("ia"), F.col("y.i").alias("ib")
+    if oversized == "raise":
+        guard = F.coalesce(
+            F.assert_true(
+                F.size("_items") <= max_basket_items,
+                F.concat(
+                    F.lit("basket_rules: basket "),
+                    F.col("b").cast("string"),
+                    F.lit(
+                        f" has more than {max_basket_items} distinct "
+                        "items; drop it (oversized='drop') or raise "
+                        "max_basket_items"
+                    ),
+                ),
+            ).cast("int"),
+            F.lit(0),
         )
+        baskets = baskets.withColumn(
+            "_items", F.slice("_items", 1, F.size("_items") + guard)
+        )
+    else:
+        baskets = baskets.filter(
+            F.size("_items") <= max_basket_items
+        )
+    baskets = baskets.localCheckpoint(eager=False)
+    n_baskets = baskets.count()
+    items = baskets.select(
+        F.explode("_items").alias("i")
+    ).groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    pair_structs = F.flatten(
+        F.transform(
+            "_items",
+            lambda x, i: F.transform(
+                F.slice("_items", i + 2, F.size("_items")),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.filter(F.size("_items") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_count)
     )

@@ -2227,3 +2227,31 @@ def test_gini_concentration_extremes(spark):
     with pytest.raises(Exception) as ei:
         gini_concentration(bad, "g", "u", "v").collect()
     assert "negative" in str(ei.value)
+
+
+def test_basket_rules_hot_basket_mechanism(spark):
+    """EA7b's quadratic-per-basket fan-out is bounded by a MECHANISM:
+    an oversized basket fails loudly by default (naming the basket)
+    and is droppable as noise on explicit opt-in — same discipline as
+    the FS-EM hot-block budget."""
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.analytics import basket_rules
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B")]
+    rows += [(9, f"i{j}") for j in range(30)]  # the mega-basket
+    df = spark.createDataFrame(rows, "b long, i string")
+    with pytest.raises(Exception) as ei:
+        basket_rules(df, "b", "i", min_pair_count=1,
+                     max_basket_items=10).collect()
+    assert "basket 9" in str(ei.value)
+    dropped = basket_rules(
+        df, "b", "i", min_pair_count=1,
+        max_basket_items=10, oversized="drop",
+    ).collect()
+    got = {(r["antecedent"], r["consequent"]) for r in dropped}
+    assert got == {("A", "B"), ("B", "A")}  # mega-basket pairs gone
+    # support denominator excludes the dropped basket
+    assert all(r["support"] == 1.0 for r in dropped)
+    with pytest.raises(ValueError):
+        basket_rules(df, "b", "i", oversized="sample")
