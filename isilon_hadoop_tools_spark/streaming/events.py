@@ -249,6 +249,57 @@ def view_purchase_interval_join(
     )
 
 
+def view_purchase_left_outer_join(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    horizon_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (§2.9 — the
+    outer-join half the inner J9 join lacks, and the semantically
+    hard one: "views that did NOT convert" requires PROVING absence,
+    which a stream can only do once the watermark closes the view's
+    join window): each view joins the same user's purchases within
+    the following ``horizon_sec``; a view with no purchase emits a
+    NULL-extended row — but only AFTER the watermark passes
+    ``view_ts + horizon`` (until then a matching purchase could still
+    arrive), which is exactly Spark's state-store eviction point.
+
+    Contract stated loudly: under ``availableNow`` the FINAL
+    watermark is max(event_ts) − delay, so views whose window has not
+    closed by end-of-stream emit NOTHING (neither matched nor null) —
+    the honest streaming answer, NOT the batch left join; the batch
+    equivalence holds exactly for views with
+    ``view_ts + horizon < final_watermark``. Output: ``user_id``,
+    ``view_ts``, ``purchase_ts`` (NULL = proven unconverted),
+    ``value``.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")
+        )
+    )
+    return views.join(purchases, cond, "left_outer").select(
+        F.col("v_user").alias("user_id"), "view_ts", "purchase_ts", "value"
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

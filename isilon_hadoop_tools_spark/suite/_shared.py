@@ -3402,6 +3402,7 @@ _CANONICAL_ORDER = [
     "doc_gram_novelty",
     "events_mann_kendall",
     "events_revenue_gini",
+    "events_stream_left_outer_join",
 ]
 
 

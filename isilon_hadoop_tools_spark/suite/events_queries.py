@@ -4604,3 +4604,78 @@ def events_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(
         _t(spark, sf_dir, "events"), "event_type", "user_id", "value"
     )
+
+
+@query(
+    "events_stream_left_outer_join",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               max(CASE WHEN event_type = 'view' THEN ts END),
+               max(CASE WHEN event_type = 'purchase' THEN ts END)
+             ) - INTERVAL 10 MINUTE AS w
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, ts AS view_ts FROM events
+      WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id AS p_user, ts AS purchase_ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.view_ts, p.purchase_ts, p.value
+    FROM v
+    LEFT JOIN p ON p.p_user = v.user_id
+      AND p.purchase_ts >= v.view_ts
+      AND p.purchase_ts <= v.view_ts + INTERVAL 3600 SECOND
+    CROSS JOIN wm
+    WHERE v.view_ts + INTERVAL 3660 SECOND < wm.w
+    """,
+)
+def events_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (§2.9's hard half:
+    'views that did NOT convert' requires PROVING absence, which a
+    stream can only do once the watermark closes the view's window -
+    exactly Spark's state eviction point): matched pairs emit as they
+    join; NULL rows emit at window close; views whose window is still
+    open at end-of-stream emit nothing. Both engines restrict to
+    views whose window PROVABLY closed (a 60 s safety margin below
+    the final watermark keeps eviction-boundary ties out of the
+    contract), where the stream equals the batch left join
+    exactly."""
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.streaming.events import (
+        run_available_now,
+        view_purchase_left_outer_join,
+    )
+
+    batch = _t(spark, sf_dir, "events")
+    # the GLOBAL watermark is the MIN over the query's watermark
+    # nodes: each join side advances on ITS OWN stream's max event
+    # time, so the slower stream (purchases trail views) gates null
+    # emission for both
+    final_wm = batch.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                ),
+            )
+            - F.expr("INTERVAL 10 MINUTES")
+        ).alias("w")
+    ).collect()[0]["w"]
+    ev = streaming.read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        view_purchase_left_outer_join(
+            ev, watermark="10 minutes", horizon_sec=3600
+        ),
+        output_mode="append",
+    )
+    return out.filter(
+        F.col("view_ts") + F.expr("INTERVAL 3660 SECONDS")
+        < F.lit(final_wm)
+    )

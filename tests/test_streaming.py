@@ -661,3 +661,51 @@ def test_sprt_stream_latches_across_batches_and_replays(spark, tmp_path):
     )
     after = state.read("sprt", SPRT_STATE_SCHEMA).collect()[0]
     assert after == before
+
+
+def test_stream_stream_left_outer_join_proves_absence(spark, tmp_path):
+    """Left-outer interval join: a matched view carries its purchase;
+    an unconverted view emits a NULL row only once the watermark has
+    CLOSED its window; a view whose window is still open at
+    end-of-stream emits nothing — the honest streaming answer."""
+    from isilon_hadoop_tools_spark.streaming.events import (
+        run_available_now,
+        view_purchase_left_outer_join,
+    )
+
+    d = str(tmp_path / "lo_events")
+    rows = [
+        # user 1: view at 12:00, purchase at 12:30 (matched)
+        (1, T0, 1, "view", 0.0),
+        (2, T0 + dt.timedelta(minutes=30), 1, "purchase", 9.5),
+        # user 2: view at 12:00, NO purchase; its window [12:00,13:00]
+        # closes once the watermark passes 13:00 -> NULL row
+        (3, T0, 2, "view", 0.0),
+        # user 3: view near end-of-stream; window still open at final
+        # watermark -> emits nothing
+        (4, T0 + dt.timedelta(hours=5), 3, "view", 0.0),
+        # watermark drivers: the GLOBAL watermark is the MIN over
+        # both sides' nodes, so BOTH streams need a late row (a
+        # 'click' would drive neither); global wm = min(5h, 8h) - 10m
+        (5, T0 + dt.timedelta(hours=8), 9, "purchase", 0.001),
+    ]
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(d)
+    ev = spark.readStream.schema(schema).parquet(d)
+    out = run_available_now(
+        view_purchase_left_outer_join(
+            ev, watermark="10 minutes", horizon_sec=3600
+        ),
+        output_mode="append",
+    ).collect()
+    got = {(r["user_id"], r["purchase_ts"] is not None) for r in out}
+    # user 1 matched; user 2 proven unconverted; user 3's window is
+    # still open (global wm = 5h - 10m < view+1h) -> absent; user 9's
+    # watermark-driver purchase has no view at all -> absent (left
+    # outer preserves the VIEW side only)
+    assert got == {(1, True), (2, False)}
+    matched = next(r for r in out if r["user_id"] == 1)
+    assert matched["value"] == 9.5
