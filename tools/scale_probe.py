@@ -194,6 +194,8 @@ def curvature() -> int:
         "ann_ivf_pq",
         "ann_ivf_pq_rerank",
         "doc_html_extract",
+        "doc_phrase_search",
+        "doc_gram_novelty",
     }
     _sel = {a for a in sys.argv[1:] if not a.startswith("--")}
     if (not _sel or _sel & _needs_copies) and not (
@@ -507,6 +509,43 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_phrase(c: int) -> float:
+        # L79 positional phrase search: per-term posting lists are
+        # corpus-linear and the (id, pos) joins are equi — the sweep
+        # certifies the probe scans stay output/posting-bound (salted
+        # copies cannot match the phrase, so the ANSWER is constant
+        # while the scanned corpus grows 30x)
+        from isilon_hadoop_tools_spark.operators.corpus import (
+            phrase_search,
+        )
+
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        phrase_search(
+            d, "text", "doc_id", "slow hash batch"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_novelty(c: int) -> float:
+        # L80 gram novelty: reference grams and candidate grams both
+        # grow linearly (disjoint salted gram spaces per copy), the
+        # membership join is equi — wall must track the gram volume
+        from isilon_hadoop_tools_spark.operators.corpus import (
+            gram_novelty,
+        )
+
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        gram_novelty(
+            d, "text", "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(10)) == 0, n=3,
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def run_inc_join(c: int) -> float:
         # EA34 incremental join maintenance: both deltas and bases
         # grow linearly in c, so the three delta-dominated joins must
@@ -638,6 +677,8 @@ def curvature() -> int:
         ("orders_lineitem_incremental_join", run_inc_join, 1),
         ("orders_lineitem_bloom_semi_join", run_bloom_semi, 1),
         ("orders_snapshot_merge_upsert", run_snapshot_merge, 1),
+        ("doc_phrase_search", run_phrase, 1),
+        ("doc_gram_novelty", run_novelty, 1),
     ):
         if only and name not in only:
             continue
