@@ -201,16 +201,22 @@ def snapshot_write(
     prune files at PLANNING time without opening them. The footer
     walk is driver-side metadata work bounded by the file count.
 
-    ``kind``: ``"full"`` (default — the snapshot IS the table) or
+    ``kind``: ``"full"`` (default — the snapshot IS the table),
     ``"delta"`` (merge-on-read: the snapshot holds only NEW rows and
     ``base_version`` names the committed version it extends — the
     LSM discipline that turns an O(state) rewrite per commit into an
     O(batch) append; see :func:`delta_chain` /
-    :func:`snapshot_read_chain` for reconstruction). A delta with
+    :func:`snapshot_read_chain` for reconstruction), or ``"delete"``
+    (an EQUALITY-DELETE file — Iceberg's merge-on-read row delete:
+    the snapshot holds only the KEY columns of deleted rows, and
+    :func:`snapshot_read_mor` applies deletes by commit order, so a
+    row re-appended AFTER a delete survives). A delta with
     ``base_version=None`` extends the empty table. Manifests written
     before this field existed read as ``"full"``."""
-    if kind not in ("full", "delta"):
-        raise ValueError(f"kind must be 'full' or 'delta'; got {kind!r}")
+    if kind not in ("full", "delta", "delete"):
+        raise ValueError(
+            f"kind must be 'full', 'delta' or 'delete'; got {kind!r}"
+        )
     table = _table(table_dir)
     version = _reserve_version(table)
     if base_version is not None and not _manifest_path(
@@ -447,7 +453,7 @@ def delta_chain(
         m = read_manifest(table, v)
         chain.append(v)
         if m.get("kind", "full") == "full":
-            break
+            break  # delta AND delete versions both chain to a base
         v = m.get("base_version")
     chain.reverse()
     return chain
@@ -711,6 +717,12 @@ def snapshot_read_evolved(
 
     table = _table(table_dir)
     chain = delta_chain(table, version)
+    for v in chain:
+        if read_manifest(table, v).get("kind", "full") == "delete":
+            raise ValueError(
+                "snapshot_read_evolved is for append-only chains; "
+                "a delete version needs snapshot_read_mor"
+            )
     newest = StructType.fromJson(
         _json.loads(read_manifest(table, chain[-1])["schema"])
     )
@@ -734,6 +746,57 @@ def snapshot_read_evolved(
         ).select(*newest.fieldNames())
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def snapshot_read_mor(
+    spark: SparkSession,
+    table_dir: str | os.PathLike,
+    key_cols: list[str],
+    version: int | None = None,
+) -> DataFrame:
+    """Merge-on-read reader applying EQUALITY-DELETE files (SC10j —
+    Iceberg's v2 row-delete semantics over this manifest layer): the
+    chain's full/delta versions contribute rows, its ``"delete"``
+    versions contribute deleted KEYS, and a row survives iff no
+    delete with a LATER commit version names its key — so deleting a
+    key and appending it again re-materializes the row (sequence-
+    number semantics), a delete costs O(deleted keys) written instead
+    of rewriting the table, and compaction (a later ``"full"``
+    commit) resets the chain as always.
+
+    Shape: chain union + ONE broadcastable aggregate of max delete
+    version per key + ONE left join — deletes are small by nature
+    (they were enumerated); if a delete set ever rivals the table,
+    compact instead.
+    """
+    table = _table(table_dir)
+    chain = delta_chain(table, version)
+    rows: DataFrame | None = None
+    dels: DataFrame | None = None
+    for v in chain:
+        m = read_manifest(table, v)
+        part = snapshot_read(spark, table, v).withColumn(
+            "_v", F.lit(v)
+        )
+        if m.get("kind", "full") == "delete":
+            missing = [k for k in key_cols if k not in part.columns]
+            if missing:
+                raise ValueError(
+                    f"delete version {v} lacks key columns {missing}"
+                )
+            part = part.select(*key_cols, "_v")
+            dels = part if dels is None else dels.unionByName(part)
+        else:
+            rows = part if rows is None else rows.unionByName(part)
+    if rows is None:
+        raise FileNotFoundError(f"no row-bearing snapshot in {table}")
+    if dels is None:
+        return rows.drop("_v")
+    dmax = dels.groupBy(*key_cols).agg(F.max("_v").alias("_dv"))
+    out = rows.join(F.broadcast(dmax), key_cols, "left").filter(
+        F.col("_dv").isNull() | (F.col("_v") > F.col("_dv"))
+    )
+    return out.drop("_v", "_dv")
 
 
 def snapshot_history(
@@ -814,9 +877,18 @@ def snapshot_changes(
     out: DataFrame | None = None
     for v in versions:
         m = read_manifest(table, v)
-        if m.get("kind", "full") == "delta":
+        kind = m.get("kind", "full")
+        if kind == "delta":
             part = snapshot_read(spark, table, v).withColumn(
                 "change", F.lit("added")
+            )
+        elif kind == "delete":
+            # an equality-delete file's changes ARE its key rows —
+            # emitted as 'removed' straight from the files (columns
+            # the keys lack surface as NULL via the allow-missing
+            # union below)
+            part = snapshot_read(spark, table, v).withColumn(
+                "change", F.lit("removed")
             )
         else:
             prev = v - 1
@@ -829,7 +901,11 @@ def snapshot_changes(
             else:
                 part = snapshot_diff(spark, table, prev, v)
         part = part.withColumn("_commit_version", F.lit(v))
-        out = part if out is None else out.unionByName(part)
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
     if out is None:
         base = snapshot_read(spark, table, to_version)
         return base.withColumn("change", F.lit("added")).withColumn(

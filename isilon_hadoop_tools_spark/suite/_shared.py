@@ -3403,6 +3403,7 @@ _CANONICAL_ORDER = [
     "events_mann_kendall",
     "events_revenue_gini",
     "events_stream_left_outer_join",
+    "events_snapshot_row_deletes",
 ]
 
 

@@ -4679,3 +4679,58 @@ def events_stream_left_outer_join(
         F.col("view_ts") + F.expr("INTERVAL 3660 SECONDS")
         < F.lit(final_wm)
     )
+
+
+@query(
+    "events_snapshot_row_deletes",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type NOT IN ('error', 'click')
+    UNION ALL
+    SELECT event_id, user_id, event_type, round(value + 1000.0, 2)
+    FROM events WHERE event_type = 'error' AND event_id % 2 = 0
+    """,
+)
+def events_snapshot_row_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equality-delete files with sequence-number semantics (SC10j -
+    Iceberg v2 merge-on-read row deletes): v1 commits the full table,
+    v2 deletes the error rows BY KEY (O(deleted keys) written, no
+    rewrite), v3 re-appends half of them corrected, v4 deletes the
+    click rows - and the MoR reader applies deletes by COMMIT ORDER,
+    so the re-appended rows survive the earlier delete while the
+    clicks (deleted after their append) do not. Oracle enumerates the
+    surviving set analytically."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_read_mor,
+        snapshot_write,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value"), 2).alias("value"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_rowdel_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    v1 = snapshot_write(ev, table_dir)
+    v2 = snapshot_write(
+        ev.filter(F.col("event_type") == "error").select("event_id"),
+        table_dir, kind="delete", base_version=v1,
+    )
+    v3 = snapshot_write(
+        ev.filter(
+            (F.col("event_type") == "error")
+            & (F.pmod(F.col("event_id"), F.lit(2)) == 0)
+        ).withColumn("value", F.round(F.col("value") + 1000.0, 2)),
+        table_dir, kind="delta", base_version=v2,
+    )
+    snapshot_write(
+        ev.filter(F.col("event_type") == "click").select("event_id"),
+        table_dir, kind="delete", base_version=v3,
+    )
+    return snapshot_read_mor(spark, table_dir, ["event_id"])

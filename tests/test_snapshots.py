@@ -783,3 +783,67 @@ def test_append_stream_exactly_once_and_time_travel(spark, tmp_path):
         r["event_id"] for r in snapshot_read_chain(spark, table).collect()
     )
     assert again == got
+
+
+def test_equality_deletes_sequence_semantics(spark, tmp_path):
+    """SC10j: deletes apply by commit order (re-append after delete
+    survives; delete after append removes); the changes feed emits
+    delete keys as 'removed' straight from the files; the evolved
+    reader refuses delete chains; vacuum closure keeps delete
+    manifests a kept version needs."""
+    import pytest
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        delta_chain,
+        snapshot_changes,
+        snapshot_read_evolved,
+        snapshot_read_mor,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "rowdel")
+    base = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(8)], "k long, payload string"
+    )
+    v1 = snapshot_write(base, t)
+    v2 = snapshot_write(
+        spark.createDataFrame([(2,), (3,), (5,)], "k long"),
+        t, kind="delete", base_version=v1,
+    )
+    v3 = snapshot_write(
+        spark.createDataFrame([(3, "r3-fixed")], "k long, payload string"),
+        t, kind="delta", base_version=v2,
+    )
+    v4 = snapshot_write(
+        spark.createDataFrame([(7,)], "k long"),
+        t, kind="delete", base_version=v3,
+    )
+    assert delta_chain(t) == [1, 2, 3, 4]
+    got = {r["k"]: r["payload"]
+           for r in snapshot_read_mor(spark, t, ["k"]).collect()}
+    # 2, 5 deleted; 3 deleted then re-appended fixed; 7 deleted last
+    assert got == {0: "r0", 1: "r1", 3: "r3-fixed", 4: "r4", 6: "r6"}
+    # time travel: state as of v2 (before the re-append)
+    v2state = {r["k"] for r in
+               snapshot_read_mor(spark, t, ["k"], version=2).collect()}
+    assert v2state == {0, 1, 4, 6, 7}
+
+    ch = snapshot_changes(spark, t, since_version=1).collect()
+    removed = {(r["k"], r["_commit_version"]) for r in ch
+               if r["change"] == "removed"}
+    assert removed == {(2, 2), (3, 2), (5, 2), (7, 4)}
+    added = {(r["k"], r["_commit_version"]) for r in ch
+             if r["change"] == "added"}
+    assert added == {(3, 3)}
+
+    with pytest.raises(ValueError):
+        snapshot_read_evolved(spark, t)
+    with pytest.raises(ValueError):
+        snapshot_read_mor(spark, t, ["missing_col"])
+
+    # vacuum keeps the whole chain (v1 is the base of kept deltas)
+    res = snapshot_vacuum(t, keep_last=1)
+    assert res["versions_expired"] == []
+    assert {r["k"] for r in
+            snapshot_read_mor(spark, t, ["k"]).collect()} == set(got)
