@@ -4064,6 +4064,9 @@ def benford_test(
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
+        # <= 9 rows feeding three consumers (total, scores, chi):
+        # pin so the fact scan runs once
+        .localCheckpoint(eager=False)
     )
     exp_p = F.lit(None).cast("double")
     for d, p in probs.items():
