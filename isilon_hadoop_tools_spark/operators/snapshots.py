@@ -799,6 +799,81 @@ def snapshot_read_mor(
     return out.drop("_v", "_dv")
 
 
+def snapshot_gc(
+    table_dir: str | os.PathLike,
+    stale_after_sec: float = 86400.0,
+) -> dict:
+    """Garbage-collect CRASHED-WRITER debris the vacuum deliberately
+    leaves alone: a writer that died between its version reservation
+    and its manifest leaves (a) a ``.reserved`` marker that parks the
+    number forever and (b) possibly a torn ``data/v<N>`` directory no
+    manifest will ever reference. Both are invisible to readers, but
+    they accrue.
+
+    Liveness is decided by AGE (stated assumption, the standard
+    object-store janitor contract): a reservation older than
+    ``stale_after_sec`` whose manifest never appeared belongs to a
+    dead writer — no commit takes a day. Its marker and torn data
+    directory are removed; fresh reservations (a writer still in
+    flight) are untouched, as are versioned dirs WITH manifests and
+    legacy torn dirs younger than the TTL.
+
+    Returns ``{"reservations_removed": n, "torn_dirs_removed": n}``.
+    Pure driver-side metadata work; idempotent; safe to run on a
+    schedule next to :func:`snapshot_vacuum`.
+    """
+    import shutil
+    import time as _time
+
+    table = _table(table_dir)
+    mdir = table / _MANIFESTS
+    now = _time.time()
+    res_removed = 0
+    torn_removed = 0
+    if mdir.is_dir():
+        for marker in mdir.glob("*.reserved"):
+            if not marker.stem.isdigit():
+                continue
+            if now - marker.stat().st_mtime < stale_after_sec:
+                continue  # writer may still be in flight
+            v = int(marker.stem)
+            if _manifest_path(table, v).is_file():
+                # commit landed but the unlink was lost: just clean
+                marker.unlink(missing_ok=True)
+                res_removed += 1
+                continue
+            torn = table / "data" / f"v{v:05d}"
+            if torn.is_dir():
+                shutil.rmtree(torn, ignore_errors=True)
+                torn_removed += 1
+            marker.unlink(missing_ok=True)
+            res_removed += 1
+    # legacy torn dirs (no reservation ever existed): collect only
+    # when old AND unreferenced by any manifest
+    ddir = table / "data"
+    referenced = set()
+    if mdir.is_dir():
+        for f in mdir.glob("*.json"):
+            if f.stem.isdigit():
+                referenced.add(read_manifest(table, int(f.stem))["data_dir"])
+    if ddir.is_dir():
+        for sub in ddir.iterdir():
+            rel = f"data/{sub.name}"
+            if rel in referenced or not sub.is_dir():
+                continue
+            v = sub.name.lstrip("v")
+            if v.isdigit() and (mdir / f"{int(v):05d}.reserved").is_file():
+                continue  # handled (or protected) above
+            if now - sub.stat().st_mtime < stale_after_sec:
+                continue
+            shutil.rmtree(sub, ignore_errors=True)
+            torn_removed += 1
+    return {
+        "reservations_removed": res_removed,
+        "torn_dirs_removed": torn_removed,
+    }
+
+
 def snapshot_history(
     spark: SparkSession, table_dir: str | os.PathLike
 ) -> DataFrame:

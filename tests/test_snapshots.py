@@ -847,3 +847,50 @@ def test_equality_deletes_sequence_semantics(spark, tmp_path):
     assert res["versions_expired"] == []
     assert {r["k"] for r in
             snapshot_read_mor(spark, t, ["k"]).collect()} == set(got)
+
+
+def test_snapshot_gc_collects_only_stale_debris(spark, tmp_path):
+    """Crashed-writer GC: stale reservations + their torn dirs and
+    old unreferenced legacy dirs are collected; fresh reservations
+    (in-flight writers) and manifest-referenced dirs are untouched;
+    committed data stays readable."""
+    import os
+    import pathlib as _pl
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_gc,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "gc")
+    snapshot_write(_df(spark, 5, "a"), t)
+    root = _pl.Path(t)
+    old = 1_600_000_000
+    # stale reservation + its torn dir (writer died mid-commit)
+    stale = root / "_manifests" / "00007.reserved"
+    stale.touch()
+    os.utime(stale, (old, old))
+    torn7 = root / "data" / "v00007"
+    torn7.mkdir(parents=True)
+    (torn7 / "part-x.parquet").write_bytes(b"torn")
+    # fresh reservation (writer in flight): must survive
+    fresh = root / "_manifests" / "00008.reserved"
+    fresh.touch()
+    torn8 = root / "data" / "v00008"
+    torn8.mkdir(parents=True)
+    # legacy torn dir, old, never reserved: collected
+    legacy = root / "data" / "v00005"
+    legacy.mkdir(parents=True)
+    os.utime(legacy, (old, old))
+
+    res = snapshot_gc(t, stale_after_sec=3600)
+    assert res == {"reservations_removed": 1, "torn_dirs_removed": 2}
+    assert not stale.exists() and not torn7.exists()
+    assert fresh.exists() and torn8.exists()  # in-flight protected
+    assert not legacy.exists()
+    assert snapshot_read(spark, t).count() == 5  # committed untouched
+    # idempotent
+    assert snapshot_gc(t, stale_after_sec=3600) == {
+        "reservations_removed": 0, "torn_dirs_removed": 0,
+    }
