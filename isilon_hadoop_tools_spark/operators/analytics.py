@@ -4311,3 +4311,67 @@ def gini_concentration(
             F.when(F.col("total_value") > 0, g), 6
         ).alias("gini"),
     )
+
+
+def conversion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    arm_col,
+    converted_when,
+) -> DataFrame:
+    """Two-proportion z-test on CONVERSION (EA25b — the binary-metric
+    twin of EA25's Welch mean test: "did B convert more users", the
+    other half of every experiment readout): per unit, converted =
+    any row satisfies ``converted_when``; then with pooled
+    p̂ = (c0+c1)/(n0+n1),
+
+        z = (p1 − p0) / sqrt(p̂(1−p̂)(1/n0 + 1/n1))
+
+    plus the MINIMUM DETECTABLE EFFECT at the current sample sizes
+    (α=0.05 two-sided, power 0.8 — the "was this test even big
+    enough" column analysts need BEFORE trusting a null):
+    ``mde_abs = (z_{α/2} + z_{β}) · sqrt(2·p̂(1−p̂)/harmonic_n)``
+    with the normal quantiles as driver-side literals (1.959964,
+    0.841621).
+
+    Output (1 row): ``n_0/1``, ``conv_0/1``, ``rate_0/1`` (6 dp),
+    ``lift_abs`` (6 dp), ``z`` (6 dp), ``significant`` (|z| > 1.96),
+    ``mde_abs`` (6 dp). Shape: one unit-keyed any-aggregate, one
+    1-row arm pivot — nothing past the unit count.
+    """
+    arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    units = df.groupBy(F.col(unit_col).alias("_u")).agg(
+        F.max(arm.cast("int")).alias("_arm"),
+        F.max(converted_when.cast("int")).alias("_c"),
+    )
+    g = units.agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("n_0"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_1"),
+        F.sum(
+            F.when(F.col("_arm") == 0, F.col("_c")).otherwise(0)
+        ).alias("conv_0"),
+        F.sum(
+            F.when(F.col("_arm") == 1, F.col("_c")).otherwise(0)
+        ).alias("conv_1"),
+    )
+    n0, n1 = F.col("n_0").cast("double"), F.col("n_1").cast("double")
+    c0, c1 = F.col("conv_0").cast("double"), F.col("conv_1").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    z = F.round((p1 - p0) / F.nullif(se, F.lit(0.0)), 6)
+    harm = 2.0 / (1.0 / n0 + 1.0 / n1)
+    mde = F.round(
+        F.lit(1.959964 + 0.841621)
+        * F.sqrt(2.0 * pp * (1.0 - pp) / harm),
+        6,
+    )
+    return g.select(
+        "n_0", "n_1", "conv_0", "conv_1",
+        F.round(p0, 6).alias("rate_0"),
+        F.round(p1, 6).alias("rate_1"),
+        F.round(p1 - p0, 6).alias("lift_abs"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+        mde.alias("mde_abs"),
+    )

@@ -3404,6 +3404,7 @@ _CANONICAL_ORDER = [
     "events_revenue_gini",
     "events_stream_left_outer_join",
     "events_snapshot_row_deletes",
+    "events_conversion_ztest",
 ]
 
 

@@ -4734,3 +4734,62 @@ def events_snapshot_row_deletes(
         table_dir, kind="delete", base_version=v3,
     )
     return snapshot_read_mor(spark, table_dir, ["event_id"])
+
+
+@query(
+    "events_conversion_ztest",
+    oracle="""
+    WITH units AS (
+      SELECT user_id, max(user_id % 2) AS arm,
+             max((event_type = 'purchase')::INT) AS c
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT sum((arm = 0)::INT)::BIGINT AS n_0,
+             sum((arm = 1)::INT)::BIGINT AS n_1,
+             sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS conv_0,
+             sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS conv_1
+      FROM units
+    ),
+    m AS (
+      SELECT *,
+             conv_0 / (n_0 * 1.0) AS p0, conv_1 / (n_1 * 1.0) AS p1,
+             (conv_0 + conv_1) / ((n_0 + n_1) * 1.0) AS pp
+      FROM g
+    ),
+    zc AS (
+      SELECT *,
+             round((p1 - p0) / nullif(
+               sqrt(pp * (1.0 - pp) * (1.0 / n_0 + 1.0 / n_1)), 0.0
+             ), 6) AS z,
+             round((1.959964 + 0.841621) * sqrt(
+               2.0 * pp * (1.0 - pp)
+               / (2.0 / (1.0 / n_0 + 1.0 / n_1))
+             ), 6) AS mde_abs
+      FROM m
+    )
+    SELECT n_0, n_1, conv_0, conv_1,
+           round(p0, 6) AS rate_0, round(p1, 6) AS rate_1,
+           round(p1 - p0, 6) AS lift_abs, z,
+           abs(z) > 1.96 AS significant, mde_abs
+    FROM zc
+    """,
+)
+def events_conversion_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion conversion z-test with MDE (EA25b - the binary
+    twin of EA25's Welch mean test): per-user converted-at-all flag,
+    pooled-variance z on the rate difference, and the minimum
+    detectable effect at the CURRENT sample sizes (alpha .05 / power
+    .8, driver-literal normal quantiles) - the 'was this test even
+    big enough' column a null result is worthless without."""
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        conversion_ztest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return conversion_ztest(
+        ev, "user_id", F.pmod(F.col("user_id"), F.lit(2)),
+        F.col("event_type") == "purchase",
+    )

@@ -2255,3 +2255,45 @@ def test_basket_rules_hot_basket_mechanism(spark):
     assert all(r["support"] == 1.0 for r in dropped)
     with pytest.raises(ValueError):
         basket_rules(df, "b", "i", oversized="sample")
+
+
+def test_conversion_ztest_hand_computed(spark):
+    """EA25b on a hand fixture: 100 units per arm, 20% vs 35%
+    conversion -> z ~ 2.37 (significant); equal rates -> z = 0, not
+    significant, with a sane MDE at n=100/arm."""
+    import math
+
+    from isilon_hadoop_tools_spark.operators.analytics import (
+        conversion_ztest,
+    )
+
+    rows = []
+    for u in range(200):
+        arm = u % 2
+        converted = (u // 2) < (35 if arm == 1 else 20)
+        rows.append((u, arm, "purchase" if converted else "view"))
+        rows.append((u, arm, "view"))  # extra activity row per unit
+    df = spark.createDataFrame(rows, "u long, arm int, et string")
+    out = conversion_ztest(
+        df, "u", F.col("arm"), F.col("et") == "purchase"
+    ).collect()[0]
+    assert (out["n_0"], out["n_1"]) == (100, 100)
+    assert (out["conv_0"], out["conv_1"]) == (20, 35)
+    assert out["rate_0"] == 0.2 and out["rate_1"] == 0.35
+    p = 55 / 200
+    z = 0.15 / math.sqrt(p * (1 - p) * (2 / 100))
+    assert abs(out["z"] - round(z, 6)) < 1e-9
+    assert out["significant"]
+    mde = (1.959964 + 0.841621) * math.sqrt(2 * p * (1 - p) / 100)
+    assert abs(out["mde_abs"] - round(mde, 6)) < 1e-9
+
+    allconv = spark.createDataFrame(
+        [(u, u % 2, "purchase") for u in range(40)],
+        "u long, arm int, et string",
+    )
+    eq = conversion_ztest(
+        allconv, "u", F.col("arm"), F.col("et") == "purchase"
+    ).collect()[0]
+    assert eq["rate_0"] == eq["rate_1"] == 1.0
+    # pooled p = 1 -> zero variance -> z NULL -> not significant
+    assert eq["z"] is None and eq["significant"] is None
