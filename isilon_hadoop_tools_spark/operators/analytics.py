@@ -85,29 +85,54 @@ def grouped_quantiles(
     col: str,
     probs: list[float],
 ) -> DataFrame:
-    """Exact per-group quantiles (linear interpolation), exploded to
-    one (key, prob, quantile) row per probability.
+    """Exact per-group quantiles (linear interpolation — the
+    ``percentile`` / ``quantile_cont`` formula: value at rank
+    ``(n−1)·p``), exploded to one (key, prob, quantile) row per
+    probability.
 
-    Uses Spark's exact ``percentile`` aggregate, which buffers each
-    group's values — memory is O(group size), acceptable when groups
-    are bounded (here: per-event-type). At 100 TB with unbounded
-    groups, swap in ``approx_percentile`` (KLL-style mergeable sketch,
-    map-side partials) — same call shape, bounded memory; kept exact
-    here because the approximate sketch is engine-internal and not
-    oracle-verifiable bit-for-bit.
+    Computed by PER-GROUP RANK (``row_number`` over a key-partitioned
+    window + interpolation between the two neighbor ranks), not the
+    exact ``percentile`` aggregate: that aggregate buffers each
+    group's values in executor memory — O(group size) heap, which an
+    unbounded group (one hot event type at 100×) turns into an OOM —
+    while the window SORT spills to disk. Same shuffle count (one,
+    on the key); the interpolation is a filtered ≤ 2·|probs|-rows-
+    per-group aggregate. Results are bit-identical to ``percentile``
+    (same formula, same doubles).
     """
-    plist = F.array(*[F.lit(float(p)) for p in probs])
-    agged = df.groupBy(key).agg(
-        F.expr(
-            f"percentile({col}, array({', '.join(str(p) for p in probs)}))"
-        ).alias("_qs")
+    w = Window.partitionBy(key).orderBy("_v")
+    ranked = (
+        df.select(key, F.col(col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(key))
+        )
     )
-    return agged.select(
-        key, F.posexplode(F.col("_qs")).alias("_pos", "_q")
-    ).select(
-        key,
-        F.element_at(plist, F.col("_pos") + 1).alias("prob"),
-        F.round(F.col("_q"), 6).alias("quantile"),
+    rn = F.col("_rn")
+    hit = F.lit(False)
+    aggs = []
+    for i, p in enumerate(probs):
+        h = (F.col("_n") - 1) * F.lit(float(p))
+        lo = F.floor(h) + 1
+        hit = hit | (rn == lo) | (rn == lo + 1)
+        lo_v = F.max(F.when(rn == lo, F.col("_v")))
+        hi_v = F.coalesce(F.max(F.when(rn == lo + 1, F.col("_v"))), lo_v)
+        frac = F.max(h) - F.floor(F.max(h))
+        aggs.append((lo_v + frac * (hi_v - lo_v)).alias(f"_q_{i}"))
+    per_key = ranked.filter(hit).groupBy(key).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("prob"),
+                F.round(F.col(f"_q_{i}"), 6).alias("quantile"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return per_key.select(key, F.explode(pairs).alias("_pq")).select(
+        key, F.col("_pq.prob").alias("prob"),
+        F.col("_pq.quantile").alias("quantile"),
     )
 
 
@@ -751,25 +776,28 @@ def equidepth_histogram(
     the skew-revealing complement of the fixed-edge equi-width form
     (which collapses to one hot bin on heavy-tailed data).
 
-    Two scans, never a global sort: one aggregation computes all
-    b−1 edges (exact ``percentile``; swap ``percentile_approx`` for
-    unbounded inputs), the edges come back as b−1 driver-held doubles
-    baked into a literal comparison chain, and the second scan is a
-    map-side-partial aggregation on ≤ b keys — the global-``ntile``
-    formulation would funnel the entire table through one partition.
-    Edges are pre-rounded to 6 dp so the bucket function is identical
-    cross-engine. Rows equal to an edge go to the lower bucket
-    (``value > edge`` comparisons).
+    Never a global sort and never a single-buffer percentile: the
+    b−1 edges come from :func:`_global_quantiles` (two-phase rank —
+    range shuffle + P driver scalars, exact interpolated values) as
+    b−1 driver-held doubles baked into a literal comparison chain,
+    and the second scan is a map-side-partial aggregation on ≤ b
+    keys — the global-``ntile`` formulation would funnel the entire
+    table through one partition. Edges are pre-rounded to 6 dp so
+    the bucket function is identical cross-engine. Rows equal to an
+    edge go to the lower bucket (``value > edge`` comparisons).
 
     Output: ``bucket``, ``n``, ``lo``, ``hi`` (observed per-bucket
     min/max, rounded).
     """
     probs = [i / buckets for i in range(1, buckets)]
-    edge_row = df.agg(
-        F.expr(
-            f"percentile({col}, array({', '.join(str(p) for p in probs)}))"
-        ).alias("_qs")
-    ).first()
+    erow = _global_quantiles(df, col, probs).first()
+    edge_row = {
+        "_qs": (
+            None
+            if erow is None or erow["_q_0"] is None
+            else [erow[f"_q_{i}"] for i in range(len(probs))]
+        )
+    }
     if edge_row["_qs"] is None:
         # empty (or all-NULL) input: percentile yields NULL — return
         # an empty result with the output schema instead of crashing
@@ -1981,6 +2009,44 @@ def _ordered_cumsum(
             + F.coalesce(F.try_element_at(omap, F.col("_pid")), F.lit(0)),
         )
     return local.drop("_pid")
+
+
+def _global_quantiles(
+    df: DataFrame, col: str, probs: list[float]
+) -> DataFrame:
+    """Exact INTERPOLATED no-key quantiles (the ``percentile`` /
+    ``quantile_cont`` formula: value at rank ``(n−1)·p``, linear
+    between neighbors) computed by GLOBAL RANK instead of the exact
+    ``percentile`` aggregate — that aggregate buffers a value→count
+    map whose final merge is a single buffer, i.e. executor-heap
+    bounded by the column's distinct cardinality; the rank form is
+    the :func:`_ordered_cumsum` two-phase discipline (range shuffle +
+    per-partition sort + P driver scalars), disk-bounded at any
+    scale. One tiny filtered pass picks the ≤ 2·|probs| neighbor
+    rows, one 1-row aggregate interpolates.
+
+    Returns ONE row with columns ``_q_0.._q_{k−1}`` (doubles, in
+    ``probs`` order; all NULL on empty/all-NULL input)."""
+    vals = (
+        df.select(F.col(col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    ranked = _ordered_cumsum(vals, "_v", ["_one"])
+    cnt = ranked.agg(F.max("_cum__one").alias("_n"))
+    j = ranked.join(F.broadcast(cnt))
+    rn = F.col("_cum__one")
+    hit = F.lit(False)
+    aggs = []
+    for i, p in enumerate(probs):
+        h = (F.col("_n") - 1) * F.lit(float(p))
+        lo = F.floor(h) + 1
+        hit = hit | (rn == lo) | (rn == lo + 1)
+        lo_v = F.max(F.when(rn == lo, F.col("_v")))
+        hi_v = F.coalesce(F.max(F.when(rn == lo + 1, F.col("_v"))), lo_v)
+        frac = F.max(h) - F.floor(F.max(h))
+        aggs.append((lo_v + frac * (hi_v - lo_v)).alias(f"_q_{i}"))
+    return j.filter(hit).agg(*aggs)
 
 
 def ks_drift(
@@ -3708,9 +3774,12 @@ def rfm_segmentation(
     F≥4, M≥4), loyal (F≥4), big_spender (M≥4), at_risk (R≤2, F≥3),
     hibernating (R≤2), otherwise regular.
 
-    Shape: one user-keyed aggregate; quintile thresholds from ONE
-    no-key exact-percentile aggregate broadcast as a 1-row side; the
-    scoring is a pure projection. Output: one row per user.
+    Shape: one user-keyed aggregate; quintile thresholds from three
+    :func:`_global_quantiles` rank computations (range shuffle + P
+    driver scalars — USER-cardinality columns, so the single-buffer
+    exact ``percentile`` aggregate is out of bounds at 100×) crossed
+    into a 1-row broadcast side; the scoring is a pure projection.
+    Output: one row per user.
     """
     per_user = df.groupBy(F.col(user_col).alias("u")).agg(
         F.max(F.col(ts_col)).alias("_last"),
@@ -3724,16 +3793,18 @@ def rfm_segmentation(
         "recency_days",
         F.datediff(F.col("_gmax"), F.col("_last")),
     ).localCheckpoint(eager=False)
-    qs = base.agg(
-        *[
-            F.round(
-                F.percentile(F.col(c).cast("double"), F.lit(q / 100.0)),
-                9,
-            ).alias(f"_{c}_{q}")
-            for c in ("recency_days", "frequency", "monetary")
-            for q in (20, 40, 60, 80)
-        ]
-    )
+    quints = (20, 40, 60, 80)
+    qs = None
+    for c in ("recency_days", "frequency", "monetary"):
+        one = _global_quantiles(
+            base, c, [q / 100.0 for q in quints]
+        ).select(
+            *[
+                F.round(F.col(f"_q_{i}"), 9).alias(f"_{c}_{q}")
+                for i, q in enumerate(quints)
+            ]
+        )
+        qs = one if qs is None else qs.crossJoin(one)
 
     def score(c: str, invert: bool):
         s = F.lit(1)
@@ -4059,7 +4130,7 @@ def benford_test(
     digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast(
         "int"
     )
-    counts = (
+    observed = (
         df.filter(v > 0)
         .select(digit.alias("digit"))
         .groupBy("digit")
@@ -4067,6 +4138,18 @@ def benford_test(
         # <= 9 rows feeding three consumers (total, scores, chi):
         # pin so the fact scan runs once
         .localCheckpoint(eager=False)
+    )
+    # a digit with ZERO observations still contributes (0 − E·n)²/(E·n)
+    # = E·n to the statistic — precisely the degenerate/fabricated
+    # inputs the screen targets (data containing only digits 1-3 must
+    # score HIGHER, not lower), so the observed counts right-join a
+    # literal 9-digit table with n_obs defaulted to 0
+    spark = df.sparkSession
+    all_digits = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = all_digits.join(F.broadcast(observed), "digit", "left").select(
+        "digit", F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs")
     )
     exp_p = F.lit(None).cast("double")
     for d, p in probs.items():

@@ -54,15 +54,19 @@ put-if-absent — the requirement is stated, not hidden.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import pathlib
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
 _POINTER = "_LATEST"
+_POINTERS = "_pointers"
 
 
 def _table(table_dir: str | os.PathLike) -> pathlib.Path:
@@ -75,14 +79,171 @@ def _atomic_write_text(path: pathlib.Path, text: str) -> None:
     os.replace(tmp, path)
 
 
+class _PosixFlockBackend:
+    """Commit primitives for a POSIX filesystem: advisory ``flock``
+    mutex, ``O_CREAT|O_EXCL`` put-if-absent, overwriting-rename
+    pointer swap. The fastest path when the table lives on a local
+    or POSIX-complete shared filesystem."""
+
+    name = "flock"
+
+    @contextlib.contextmanager
+    def lock(self, table: pathlib.Path):
+        import fcntl
+
+        with open(table / (_POINTER + ".lock"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            yield
+
+    def put_if_absent(self, path: pathlib.Path, text: str = "") -> bool:
+        try:
+            fd = os.open(str(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            if text:
+                os.write(fd, text.encode())
+        finally:
+            os.close(fd)
+        return True
+
+    def advance(self, table: pathlib.Path, version: int) -> None:
+        _atomic_write_text(table / _POINTER, str(version))
+
+    def publish(self, table: pathlib.Path, version: int) -> bool:
+        with self.lock(table):
+            cur = latest_version(table)
+            if cur is None or version > cur:
+                self.advance(table, version)
+                return True
+            return False
+
+
+class _RenameBackend:
+    """Commit primitives restricted to the HDFS surface (the north
+    star runs Spark on HDFS-on-OneFS, where ``flock`` does not exist
+    and rename never overwrites): the mutex is an atomic ``mkdir``
+    (HDFS mkdir is atomic; stale locks from dead writers are broken
+    after a TTL), put-if-absent is write-temp + hard-``link`` (the
+    local stand-in for HDFS ``create(overwrite=false)`` — both fail
+    atomically when the target exists), and the pointer is a
+    PER-VERSION marker file under ``_pointers/`` whose MAX is the
+    committed tip — monotonic by construction, and with no
+    delete-then-rename window where a reader would find no pointer
+    at all (HDFS rename cannot atomically replace a file)."""
+
+    name = "rename"
+
+    def __init__(self, stale_lock_sec: float = 300.0):
+        self.stale_lock_sec = stale_lock_sec
+
+    @contextlib.contextmanager
+    def lock(self, table: pathlib.Path):
+        d = table / (_POINTER + ".lockdir")
+        deadline = time.monotonic() + 60.0
+        while True:
+            try:
+                os.mkdir(d)
+                break
+            except FileExistsError:
+                try:
+                    stale = (
+                        time.time() - d.stat().st_mtime
+                        > self.stale_lock_sec
+                    )
+                except FileNotFoundError:
+                    continue  # holder just released: retry at once
+                if stale:
+                    # holder died mid-commit: break the lock (rmdir of
+                    # a vanished dir means someone else broke it first)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.rmdir(d)
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {d} held past the acquisition "
+                        f"deadline; a stale holder is broken after "
+                        f"{self.stale_lock_sec}s"
+                    )
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.rmdir(d)
+
+    def put_if_absent(self, path: pathlib.Path, text: str = "") -> bool:
+        tmp = path.with_name(
+            f"{path.name}.tmp.{os.getpid()}.{threading.get_ident()}"
+        )
+        tmp.write_text(text)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    def advance(self, table: pathlib.Path, version: int) -> None:
+        pdir = table / _POINTERS
+        pdir.mkdir(parents=True, exist_ok=True)
+        self.put_if_absent(pdir / f"{version:05d}.ptr")
+
+    def publish(self, table: pathlib.Path, version: int) -> bool:
+        cur = latest_version(table)
+        if cur is not None and version <= cur:
+            return False
+        self.advance(table, version)
+        return True
+
+
+_BACKENDS = {"flock": _PosixFlockBackend(), "rename": _RenameBackend()}
+_BACKEND = _BACKENDS["flock"]
+
+
+def set_commit_backend(name: str):
+    """Select the commit-protocol backend for this process: ``"flock"``
+    (POSIX default) or ``"rename"`` (HDFS-compatible: mkdir mutex +
+    create-no-overwrite, no flock, no overwriting rename). Both run
+    the same protocol; :func:`latest_version` understands tables
+    written by either, so the choice is per-deployment, not baked
+    into the data."""
+    global _BACKEND
+    if name not in _BACKENDS:
+        raise ValueError(
+            f"unknown commit backend {name!r}; know {sorted(_BACKENDS)}"
+        )
+    _BACKEND = _BACKENDS[name]
+    return _BACKEND
+
+
+def commit_backend():
+    return _BACKEND
+
+
+def _commit_lock(table: pathlib.Path):
+    return _BACKEND.lock(table)
+
+
 def latest_version(table_dir: str | os.PathLike) -> int | None:
     """The committed version the pointer names, or None for an empty
-    table. Reads ONE small file — never lists the data directory."""
-    p = _table(table_dir) / _POINTER
+    table. Reads one small file (flock backend) and/or lists the
+    small ``_pointers/`` marker directory (rename backend) — never
+    the data directory. The max of both sources wins, so a table is
+    readable regardless of which backend committed it."""
+    table = _table(table_dir)
+    best: int | None = None
     try:
-        return int(p.read_text().strip())
-    except FileNotFoundError:
-        return None
+        best = int((table / _POINTER).read_text().strip())
+    except (FileNotFoundError, ValueError):
+        pass
+    pdir = table / _POINTERS
+    if pdir.is_dir():
+        vs = [int(f.stem) for f in pdir.glob("*.ptr") if f.stem.isdigit()]
+        if vs and (best is None or max(vs) > best):
+            best = max(vs)
+    return best
 
 
 def _manifest_path(table_dir: str | os.PathLike, version: int) -> pathlib.Path:
@@ -112,41 +273,30 @@ def _next_version(table_dir: str | os.PathLike) -> int:
 
 def _reserve_version(table: pathlib.Path) -> int:
     """Allocate the next version number with PUT-IF-ABSENT semantics
-    (``O_CREAT|O_EXCL`` — atomic on POSIX): two concurrent writers can
-    never own the same version, so they can never clobber each other's
-    ``data/v<N>`` directory. The reservation marker is removed once
-    the manifest lands; a crashed writer leaves a marker that simply
-    parks its number (replay allocates past it)."""
+    (backend-arbitrated — ``O_CREAT|O_EXCL`` on POSIX, create-no-
+    overwrite on HDFS): two concurrent writers can never own the same
+    version, so they can never clobber each other's ``data/v<N>``
+    directory. The reservation marker is removed once the manifest
+    lands; a crashed writer leaves a marker that simply parks its
+    number (replay allocates past it)."""
     (table / _MANIFESTS).mkdir(parents=True, exist_ok=True)
     while True:
         v = _next_version(table)
         marker = table / _MANIFESTS / f"{v:05d}.reserved"
-        try:
-            fd = os.open(str(marker), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            continue  # lost the race for this number: take the next
-        os.close(fd)
-        return v
+        if _BACKEND.put_if_absent(marker):
+            return v
+        # lost the race for this number: take the next
 
 
 def _swap_pointer_monotonic(table: pathlib.Path, version: int) -> bool:
     """Publish ``version`` iff it is ahead of the current pointer,
-    serialized by an advisory ``flock`` (works across processes AND
-    threads — each caller opens its own descriptor): a slower writer
-    that finishes after a newer commit must NOT move the pointer
-    backwards. Returns whether the swap happened; a False is not a
-    failure — the version is committed history (manifest ≤ latest),
-    just never was the tip."""
-    import fcntl
-
-    lock = table / (_POINTER + ".lock")
-    with open(lock, "w") as fh:
-        fcntl.flock(fh, fcntl.LOCK_EX)
-        cur = latest_version(table)
-        if cur is None or version > cur:
-            _atomic_write_text(table / _POINTER, str(version))
-            return True
-        return False
+    via the selected commit backend (flock-serialized overwriting
+    rename on POSIX; max-of-marker-files on the rename backend): a
+    slower writer that finishes after a newer commit must NOT move
+    the pointer backwards. Returns whether the swap happened; a False
+    is not a failure — the version is committed history (manifest ≤
+    latest), just never was the tip."""
+    return _BACKEND.publish(table, version)
 
 
 class ConcurrentSnapshotError(RuntimeError):
@@ -165,9 +315,21 @@ def snapshot_write(
     publish: bool = True,
     expect_latest: int | None = None,
     meta: dict | None = None,
+    field_ids: dict[str, int] | None = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and atomically commit
     it. Returns the committed version number.
+
+    ``field_ids``: stable per-column FIELD IDs (the Iceberg v2 schema
+    -evolution device: a column's identity is its ID, its name is a
+    label) recorded in the manifest. Defaults are assigned
+    automatically — a fresh table numbers its columns 1..n, a chained
+    write (``base_version``) inherits the base's ID for every column
+    name it shares and allocates fresh IDs for new names — so ADD
+    evolution needs no declaration. RENAME and DROP do: pass the
+    mapping explicitly (same ID under the new name = rename; an ID
+    absent from a later schema = dropped). Readers
+    (:func:`snapshot_read_evolved`) resolve chains by ID.
 
     CONCURRENCY: version numbers are allocated with put-if-absent
     reservations (two writers can never own the same ``data/v<N>``
@@ -219,12 +381,105 @@ def snapshot_write(
         )
     table = _table(table_dir)
     version = _reserve_version(table)
+    try:
+        manifest = _build_snapshot(
+            df, table, version, partition_by, stats_cols, kind,
+            base_version, publish, expect_latest, meta, field_ids,
+        )
+    except BaseException:
+        # an exception BEFORE the manifest lands (failed validation,
+        # failed data write, meta clash) must not park the reserved
+        # number until the GC TTL — the number was never referenced
+        # by any manifest, so releasing it is safe (a later writer's
+        # mode("overwrite") clobbers any torn data directory)
+        (table / _MANIFESTS / f"{version:05d}.reserved").unlink(
+            missing_ok=True
+        )
+        raise
+    (table / _MANIFESTS).mkdir(parents=True, exist_ok=True)
+    if expect_latest is not None:
+        # CAS commit for read-modify-write writers (MERGE, compaction):
+        # serialize the final check-and-swap so a concurrent commit
+        # between the early check and this point is still caught; the
+        # data/manifest of a losing writer stay an orphaned stage.
+        with _commit_lock(table):
+            if latest_version(table) != expect_latest:
+                (table / _MANIFESTS / f"{version:05d}.reserved").unlink(
+                    missing_ok=True
+                )
+                raise ConcurrentSnapshotError(
+                    f"table advanced past expected version "
+                    f"{expect_latest} (now {latest_version(table)}); "
+                    f"re-read and retry"
+                )
+            _atomic_write_text(
+                _manifest_path(table, version),
+                json.dumps(manifest, indent=1),
+            )
+            if publish:
+                _BACKEND.advance(table, version)
+        (table / _MANIFESTS / f"{version:05d}.reserved").unlink(
+            missing_ok=True
+        )
+        return version
+    _atomic_write_text(
+        _manifest_path(table, version), json.dumps(manifest, indent=1)
+    )
+    # reservation served its purpose once the manifest exists
+    (table / _MANIFESTS / f"{version:05d}.reserved").unlink(missing_ok=True)
+    if publish:
+        _swap_pointer_monotonic(table, version)
+    return version
+
+
+def _build_snapshot(
+    df: DataFrame,
+    table: pathlib.Path,
+    version: int,
+    partition_by: list[str] | None,
+    stats_cols: list[str] | None,
+    kind: str,
+    base_version: int | None,
+    publish: bool,
+    expect_latest: int | None,
+    meta: dict | None,
+    field_ids: dict[str, int] | None = None,
+) -> dict:
+    """Validate, run the distributed data write for ``version``, and
+    return its manifest dict — everything that can fail BEFORE the
+    commit, factored out so :func:`snapshot_write` can release the
+    version reservation on any pre-manifest exception."""
     if base_version is not None and not _manifest_path(
         table, base_version
     ).is_file():
         raise FileNotFoundError(
             f"base_version {base_version} has no manifest in {table}"
         )
+    if field_ids is None:
+        # auto-assign: inherit the base's ID per shared column NAME,
+        # fresh IDs for new names (add-column evolution needs no
+        # declaration); a fresh table numbers its columns 1..n
+        inherited: dict[str, int] = {}
+        if base_version is not None:
+            inherited = read_manifest(table, base_version).get(
+                "field_ids", {}
+            )
+        field_ids = {}
+        nxt = max(inherited.values(), default=0)
+        for c in df.columns:
+            if c in inherited:
+                field_ids[c] = inherited[c]
+            else:
+                nxt += 1
+                field_ids[c] = nxt
+    else:
+        missing = [c for c in df.columns if c not in field_ids]
+        if missing:
+            raise ValueError(
+                f"field_ids lacks ids for columns {missing}"
+            )
+        if len(set(field_ids.values())) != len(field_ids):
+            raise ValueError("field_ids must be unique per column")
     if expect_latest is not None and latest_version(table) != expect_latest:
         raise ConcurrentSnapshotError(
             f"table advanced past expected version {expect_latest} "
@@ -269,6 +524,13 @@ def snapshot_write(
         "schema": schema,
         "kind": kind,
         "base_version": base_version,
+        "field_ids": {c: int(i) for c, i in field_ids.items()},
+        # committed-history marker: False for a write-audit-publish
+        # STAGE until snapshot_publish promotes it — the changes feed
+        # walks only published versions, so an abandoned bad stage
+        # never leaks into a downstream consumer (manifests from
+        # before this field read as published)
+        "published": bool(publish),
     }
     if meta:
         # caller-supplied COMMIT METADATA (e.g. the streaming writer's
@@ -280,43 +542,7 @@ def snapshot_write(
         manifest.update(meta)
     if stats_cols:
         manifest["file_stats"] = _footer_stats(data_dir, files, stats_cols)
-    (table / _MANIFESTS).mkdir(parents=True, exist_ok=True)
-    if expect_latest is not None:
-        # CAS commit for read-modify-write writers (MERGE, compaction):
-        # serialize the final check-and-swap so a concurrent commit
-        # between the early check and this point is still caught; the
-        # data/manifest of a losing writer stay an orphaned stage.
-        import fcntl
-
-        with open(table / (_POINTER + ".lock"), "w") as fh:
-            fcntl.flock(fh, fcntl.LOCK_EX)
-            if latest_version(table) != expect_latest:
-                (table / _MANIFESTS / f"{version:05d}.reserved").unlink(
-                    missing_ok=True
-                )
-                raise ConcurrentSnapshotError(
-                    f"table advanced past expected version "
-                    f"{expect_latest} (now {latest_version(table)}); "
-                    f"re-read and retry"
-                )
-            _atomic_write_text(
-                _manifest_path(table, version),
-                json.dumps(manifest, indent=1),
-            )
-            if publish:
-                _atomic_write_text(table / _POINTER, str(version))
-        (table / _MANIFESTS / f"{version:05d}.reserved").unlink(
-            missing_ok=True
-        )
-        return version
-    _atomic_write_text(
-        _manifest_path(table, version), json.dumps(manifest, indent=1)
-    )
-    # reservation served its purpose once the manifest exists
-    (table / _MANIFESTS / f"{version:05d}.reserved").unlink(missing_ok=True)
-    if publish:
-        _swap_pointer_monotonic(table, version)
-    return version
+    return manifest
 
 
 def snapshot_publish(table_dir: str | os.PathLike, version: int) -> int:
@@ -324,18 +550,29 @@ def snapshot_publish(table_dir: str | os.PathLike, version: int) -> int:
     the committed version — the PUBLISH step of write-audit-publish:
     one atomic pointer swap after the audit passed, so a bad batch
     never becomes visible and a good one becomes visible all at once.
-    Raises if the version has no manifest or is already behind the
-    pointer (publishing backwards would un-commit later data)."""
+    Also flips the manifest's ``published`` flag so the changes feed
+    counts the version as committed history (a crash between the swap
+    and the flag rewrite converges on a replayed publish — the call
+    is idempotent at the tip). Raises if the version has no manifest
+    or is strictly behind the pointer (publishing backwards would
+    un-commit later data)."""
     table = _table(table_dir)
     if not _manifest_path(table, version).is_file():
         raise FileNotFoundError(
             f"no staged manifest for version {version} in {table}"
         )
-    if not _swap_pointer_monotonic(table, version):
+    swapped = _swap_pointer_monotonic(table, version)
+    if not swapped and latest_version(table) != version:
         raise ValueError(
             f"version {version} is not ahead of the committed "
             f"pointer {latest_version(table)}; publishing backwards "
             f"would un-commit newer data"
+        )
+    m = read_manifest(table, version)
+    if not m.get("published", True):
+        m["published"] = True
+        _atomic_write_text(
+            _manifest_path(table, version), json.dumps(m, indent=1)
         )
     return version
 
@@ -542,23 +779,31 @@ def snapshot_vacuum(
     return {"files_deleted": deleted, "versions_expired": expired}
 
 
+def _multiset_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Rows only in ``b`` tagged ``'added'``, rows only in ``a``
+    tagged ``'removed'`` (bag semantics via ``exceptAll`` — a row
+    present twice-then-once yields one ``removed``). One shuffle per
+    side on the full row."""
+    added = b.exceptAll(a).withColumn("change", F.lit("added"))
+    removed = a.exceptAll(b).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
 def snapshot_diff(
     spark: SparkSession,
     table_dir: str | os.PathLike,
     v_from: int,
     v_to: int,
 ) -> DataFrame:
-    """Multiset CDC diff between two committed snapshots: rows only
-    in ``v_to`` tagged ``'added'``, rows only in ``v_from`` tagged
-    ``'removed'`` (bag semantics via ``exceptAll`` — a row present
-    twice-then-once yields one ``removed``). One shuffle per side on
-    the full row; this IS the honest cost of exporting a CDC stream
-    from snapshots that don't carry row lineage."""
+    """Multiset CDC diff between the RAW FILES of two committed
+    snapshots — the honest cost of exporting a CDC stream from
+    snapshots that don't carry row lineage. NOTE: both sides are read
+    raw (``snapshot_read``), so a merge-on-read version contributes
+    only its own files; :func:`snapshot_changes` reconstructs chain
+    state before diffing a rewrite — use that for a consumer feed."""
     a = snapshot_read(spark, table_dir, v_from)
     b = snapshot_read(spark, table_dir, v_to)
-    added = b.exceptAll(a).withColumn("change", F.lit("added"))
-    removed = a.exceptAll(b).withColumn("change", F.lit("removed"))
-    return added.unionByName(removed)
+    return _multiset_diff(a, b)
 
 
 def snapshot_read(
@@ -699,18 +944,35 @@ def _merge_once(
     return snapshot_write(merged, table_dir, expect_latest=base)
 
 
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"), ("float", "double"),
+}
+
+
 def snapshot_read_evolved(
     spark: SparkSession,
     table_dir: str | os.PathLike,
     version: int | None = None,
 ) -> DataFrame:
-    """Merge-on-read chain read WITH SCHEMA EVOLUTION: versions in a
-    chain may have been written with different (add-column) schemas —
-    the reader reconciles by NAME against the newest chain member's
-    manifest schema, filling columns a version predates with NULL
-    (Iceberg's add-column semantics: old files simply lack the
-    column). Rename/retype are deliberately NOT supported without a
-    field-ID layer — those raise via the final select."""
+    """Merge-on-read chain read WITH SCHEMA EVOLUTION, resolved by
+    FIELD ID (Iceberg v2 semantics: a column's identity is its
+    manifest-recorded ID, its name is just the current label):
+
+    - **add**: a column a version predates (its ID absent there) is
+      filled with NULL;
+    - **rename**: the same ID under an older name reads that column
+      and surfaces it under the NEWEST name — no data rewrite;
+    - **drop**: a version's column whose ID the newest schema no
+      longer carries is simply not selected;
+    - **retype**: only lossless widenings (byte→short→int→long,
+      float→double) are cast; anything else raises loudly.
+
+    The newest CHAIN member's manifest defines the output schema.
+    Manifests from before the field-ID layer fall back to BY-NAME
+    resolution (adds fill NULL; an extra column raises, since without
+    IDs a drop is indistinguishable from a rename)."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -723,27 +985,60 @@ def snapshot_read_evolved(
                 "snapshot_read_evolved is for append-only chains; "
                 "a delete version needs snapshot_read_mor"
             )
-    newest = StructType.fromJson(
-        _json.loads(read_manifest(table, chain[-1])["schema"])
-    )
+    newest_m = read_manifest(table, chain[-1])
+    newest = StructType.fromJson(_json.loads(newest_m["schema"]))
+    newest_ids: dict[str, int] = newest_m.get("field_ids", {})
     out: DataFrame | None = None
     for v in chain:
+        m = read_manifest(table, v)
         part = snapshot_read(spark, table, v)
-        missing = [f for f in newest.fields if f.name not in part.columns]
-        extra = [c for c in part.columns if c not in newest.fieldNames()]
-        if extra:
-            raise ValueError(
-                f"version {v} has columns {extra} absent from the "
-                f"newest schema — drop-column evolution needs a "
-                f"field-ID layer this format does not carry"
-            )
-        part = part.select(
-            *part.columns,
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                for f in missing
-            ],
-        ).select(*newest.fieldNames())
+        vids: dict[str, int] = m.get("field_ids", {})
+        if vids and newest_ids:
+            # field-ID resolution: old name -> id -> newest field
+            by_id = {
+                vids[c]: c for c in part.columns if c in vids
+            }
+            cols = []
+            for f in newest.fields:
+                fid = newest_ids.get(f.name)
+                src = by_id.get(fid)
+                if src is None:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                    continue
+                src_t = part.schema[src].dataType
+                if src_t != f.dataType and (
+                    src_t.typeName(), f.dataType.typeName()
+                ) not in _WIDENINGS:
+                    raise ValueError(
+                        f"field id {fid} changed type "
+                        f"{src_t.simpleString()} -> "
+                        f"{f.dataType.simpleString()} between version "
+                        f"{v} and the newest schema — only lossless "
+                        f"widenings are supported"
+                    )
+                cols.append(F.col(src).cast(f.dataType).alias(f.name))
+            part = part.select(*cols)
+        else:
+            # legacy by-name fallback (pre-field-ID manifests)
+            missing = [
+                f for f in newest.fields if f.name not in part.columns
+            ]
+            extra = [
+                c for c in part.columns if c not in newest.fieldNames()
+            ]
+            if extra:
+                raise ValueError(
+                    f"version {v} has columns {extra} absent from the "
+                    f"newest schema — drop/rename evolution needs the "
+                    f"field-ID layer (manifest lacks field_ids)"
+                )
+            part = part.select(
+                *part.columns,
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in missing
+                ],
+            ).select(*newest.fieldNames())
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -753,6 +1048,8 @@ def snapshot_read_mor(
     table_dir: str | os.PathLike,
     key_cols: list[str],
     version: int | None = None,
+    max_delete_rows: int = 10_000_000,
+    over_budget: str = "raise",
 ) -> DataFrame:
     """Merge-on-read reader applying EQUALITY-DELETE files (SC10j —
     Iceberg's v2 row-delete semantics over this manifest layer): the
@@ -764,15 +1061,27 @@ def snapshot_read_mor(
     of rewriting the table, and compaction (a later ``"full"``
     commit) resets the chain as always.
 
-    Shape: chain union + ONE broadcastable aggregate of max delete
-    version per key + ONE left join — deletes are small by nature
-    (they were enumerated); if a delete set ever rivals the table,
-    compact instead.
+    Shape: chain union + ONE aggregate of max delete version per key
+    + ONE left join. Deletes are usually small (they were enumerated)
+    so the aggregate is BROADCAST — but "usually" is not a plan
+    input: the chain walk sums the delete manifests' recorded
+    ``n_rows``, and past ``max_delete_rows`` the forced hint would
+    silently OOM executors, so the reader fails LOUDLY naming the
+    versions ("compact first") — or, with ``over_budget="shuffle"``,
+    drops the hint and lets AQE pick the join (correct, slower, never
+    OOM). A GDPR purge or bulk retention sweep accumulated across
+    un-compacted delete snapshots is exactly this case.
     """
+    if over_budget not in ("raise", "shuffle"):
+        raise ValueError(
+            f"over_budget must be 'raise' or 'shuffle'; got {over_budget!r}"
+        )
     table = _table(table_dir)
     chain = delta_chain(table, version)
     rows: DataFrame | None = None
     dels: DataFrame | None = None
+    delete_rows = 0
+    delete_versions: list[int] = []
     for v in chain:
         m = read_manifest(table, v)
         part = snapshot_read(spark, table, v).withColumn(
@@ -784,6 +1093,8 @@ def snapshot_read_mor(
                 raise ValueError(
                     f"delete version {v} lacks key columns {missing}"
                 )
+            delete_rows += int(m.get("n_rows", 0))
+            delete_versions.append(v)
             part = part.select(*key_cols, "_v")
             dels = part if dels is None else dels.unionByName(part)
         else:
@@ -792,8 +1103,18 @@ def snapshot_read_mor(
         raise FileNotFoundError(f"no row-bearing snapshot in {table}")
     if dels is None:
         return rows.drop("_v")
+    broadcast_ok = delete_rows <= max_delete_rows
+    if not broadcast_ok and over_budget == "raise":
+        raise ValueError(
+            f"merge-on-read delete set is {delete_rows} rows across "
+            f"versions {delete_versions}, past the broadcast budget "
+            f"of {max_delete_rows} — compact the table first, raise "
+            f"max_delete_rows, or pass over_budget='shuffle'"
+        )
     dmax = dels.groupBy(*key_cols).agg(F.max("_v").alias("_dv"))
-    out = rows.join(F.broadcast(dmax), key_cols, "left").filter(
+    if broadcast_ok:
+        dmax = F.broadcast(dmax)
+    out = rows.join(dmax, key_cols, "left").filter(
         F.col("_dv").isNull() | (F.col("_v") > F.col("_dv"))
     )
     return out.drop("_v", "_dv")
@@ -910,24 +1231,50 @@ def snapshot_history(
     )
 
 
+def _published_versions(table: pathlib.Path) -> list[int]:
+    """Every manifest version that is COMMITTED HISTORY: the
+    ``published`` flag is True (legacy manifests without the flag
+    count as published). A write-audit-publish stage that was never
+    promoted stays invisible here — its rows were never readable, so
+    they must never reach a changes-feed consumer."""
+    mdir = table / _MANIFESTS
+    out = []
+    for f in sorted(mdir.glob("*.json")) if mdir.is_dir() else []:
+        if not f.stem.isdigit():
+            continue
+        v = int(f.stem)
+        if read_manifest(table, v).get("published", True):
+            out.append(v)
+    return out
+
+
 def snapshot_changes(
     spark: SparkSession,
     table_dir: str | os.PathLike,
     since_version: int,
     to_version: int | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Incremental changes feed ``(since_version, to_version]`` — what
     a downstream consumer polls instead of re-reading the table (the
-    Delta CDF / Iceberg incremental-read verb): walks the manifests
-    after ``since_version`` and
+    Delta CDF / Iceberg incremental-read verb): walks the PUBLISHED
+    manifests after ``since_version`` (a write-audit-publish stage
+    that was never promoted is not history — no reader ever saw it,
+    so its rows never enter the feed) and
 
     - for a ``"delta"`` version, emits its rows as ``'added'``
       DIRECTLY from its files — an append's changes ARE its files, no
       diff computed, no base scanned (the incremental fast path);
+    - for a ``"delete"`` version, emits its key rows as ``'removed'``
+      straight from the files;
     - for a ``"full"`` version (a compaction or rewrite), falls back
-      to the honest multiset :func:`snapshot_diff` against the
-      previous version — a rewrite's delta is not enumerable from its
-      files alone.
+      to the honest multiset diff of the rewrite against the
+      RECONSTRUCTED state at the previous published version — the
+      chain union for an append-only history, or the merge-on-read
+      state (``key_cols`` required) when the chain carries equality
+      deletes. Diffing against the previous version's raw files alone
+      would re-emit every base-chain row as a spurious ``'added'``
+      and hide rows the rewrite dropped.
 
     Output: the table columns + ``change`` ('added'/'removed') +
     ``_commit_version``. A pure-append (merge-on-read) history never
@@ -942,13 +1289,8 @@ def snapshot_changes(
         raise ValueError(
             f"since_version {since_version} > to_version {to_version}"
         )
-    mdir = table / _MANIFESTS
-    versions = sorted(
-        int(f.stem)
-        for f in mdir.glob("*.json")
-        if f.stem.isdigit()
-        and since_version < int(f.stem) <= to_version
-    )
+    committed = _published_versions(table)
+    versions = [v for v in committed if since_version < v <= to_version]
     out: DataFrame | None = None
     for v in versions:
         m = read_manifest(table, v)
@@ -966,15 +1308,32 @@ def snapshot_changes(
                 "change", F.lit("removed")
             )
         else:
-            prev = v - 1
-            while prev > 0 and not _manifest_path(table, prev).is_file():
-                prev -= 1
-            if prev == 0:
+            prevs = [p for p in committed if p < v]
+            if not prevs:
                 part = snapshot_read(spark, table, v).withColumn(
                     "change", F.lit("added")
                 )
             else:
-                part = snapshot_diff(spark, table, prev, v)
+                prev = prevs[-1]
+                chain = delta_chain(table, prev)
+                has_deletes = any(
+                    read_manifest(table, c).get("kind", "full") == "delete"
+                    for c in chain
+                )
+                if has_deletes:
+                    if key_cols is None:
+                        raise ValueError(
+                            f"history before the rewrite at version {v} "
+                            f"carries equality-delete versions; pass "
+                            f"key_cols so the pre-rewrite state can be "
+                            f"reconstructed with merge-on-read semantics"
+                        )
+                    before = snapshot_read_mor(
+                        spark, table, key_cols, version=prev
+                    )
+                else:
+                    before = snapshot_read_chain(spark, table, prev)
+                part = _multiset_diff(before, snapshot_read(spark, table, v))
         part = part.withColumn("_commit_version", F.lit(v))
         out = (
             part

@@ -932,41 +932,49 @@ def append_stream_into_snapshots(
     fact stream lands as an ever-growing table, not per-key state):
     every micro-batch commits its rows as a ``kind="delta"`` snapshot
     — O(batch) written, never-torn reads, per-batch time travel — and
-    the micro-batch id is recorded IN THE MANIFEST (``batch_id``), so
-    a replayed batch is detected by one driver-side manifest walk and
-    skipped: append has no merge algebra to absorb duplicates (unlike
-    the CDC max_by), so exactly-once must come from the commit layer.
-    Readers reconstruct the table with ``snapshot_read_chain``.
+    the micro-batch id is recorded IN THE MANIFEST (``batch_id``)
+    together with a carried-forward ``batch_watermark`` (the max id
+    ever applied): Spark micro-batch ids are MONOTONIC, so a replayed
+    batch is detected by ``batch_id <= watermark`` — one manifest
+    read, not a walk of every manifest (the old per-batch full walk
+    was O(versions²) driver work over a stream's lifetime), and
+    because every new commit re-carries the watermark, a vacuum that
+    expires old manifests can never forget an applied id and let a
+    replay commit duplicate rows. Append has no merge algebra to
+    absorb duplicates (unlike the CDC max_by), so exactly-once must
+    come from the commit layer; one stream writer per table is the
+    stated contract. Readers reconstruct the table with
+    ``snapshot_read_chain``.
     """
     from isilon_hadoop_tools_spark.operators.snapshots import (
-        _MANIFESTS,
         latest_version,
-        read_manifest,
+        snapshot_publish,
         snapshot_write,
     )
-    import pathlib as _pl
-
-    def applied_batch_ids() -> set:
-        mdir = _pl.Path(table_dir) / _MANIFESTS
-        out = set()
-        if mdir.is_dir():
-            for f in mdir.glob("*.json"):
-                if not f.stem.isdigit():
-                    continue
-                b = read_manifest(table_dir, int(f.stem)).get("batch_id")
-                if b is not None:
-                    out.add(int(b))
-        return out
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch_id in applied_batch_ids():
+        wm, wm_version = _latest_batch_watermark(table_dir)
+        # heal a crash between the manifest write and the pointer
+        # swap: the newest append commit is durable but unpublished —
+        # promote it so this commit's chain extends it instead of
+        # silently dropping its rows
+        if wm_version is not None and (
+            latest_version(table_dir) or 0
+        ) < wm_version:
+            snapshot_publish(table_dir, wm_version)
+        if wm is not None and batch_id <= wm:
             return  # replayed micro-batch: already committed
         snapshot_write(
             batch,
             table_dir,
             kind="delta",
             base_version=latest_version(table_dir),
-            meta={"batch_id": int(batch_id)},
+            meta={
+                "batch_id": int(batch_id),
+                "batch_watermark": int(
+                    batch_id if wm is None else max(batch_id, wm)
+                ),
+            },
         )
 
     writer = events.writeStream.foreachBatch(apply_batch).trigger(
@@ -976,3 +984,125 @@ def append_stream_into_snapshots(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+def _latest_batch_watermark(table_dir: str) -> tuple[int | None, int | None]:
+    """(max applied stream batch id, version recording it) from the
+    manifest walk — newest manifest first, so the steady state is ONE
+    read (see :func:`append_stream_into_snapshots`)."""
+    import pathlib as _pl
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        _MANIFESTS,
+        read_manifest,
+    )
+
+    mdir = _pl.Path(table_dir) / _MANIFESTS
+    if not mdir.is_dir():
+        return None, None
+    for f in sorted(mdir.glob("*.json"), reverse=True):
+        if not f.stem.isdigit():
+            continue
+        v = int(f.stem)
+        m = read_manifest(table_dir, v)
+        wm = m.get("batch_watermark", m.get("batch_id"))
+        if wm is not None:
+            return int(wm), v
+    return None, None
+
+
+def cdc_delete_stream_into_snapshots(
+    events: DataFrame,
+    table_dir: str,
+    delete_when,
+    checkpoint: str | None = None,
+) -> None:
+    """Delete-aware streaming CDC THROUGH the snapshot layer (SC10i ×
+    SC10j — the merge-on-read twin the batch-only equality-delete
+    path lacked): each micro-batch collapses to its per-key latest
+    row (the :func:`_cdc_latest` algebra), and the per-key WINNER
+    decides the key's fate — a winner matching ``delete_when`` (a
+    Column predicate, e.g. ``F.col("op") == "D"``) RETRACTS the key
+    as a ``kind="delete"`` commit (O(retracted keys) written, no
+    table rewrite), every other winner upserts through a
+    ``kind="delta"`` commit. Within a batch the two commits touch
+    DISJOINT key sets (one winner per key), so their order cannot
+    change the answer; across batches the delete's commit VERSION
+    orders it against later re-appends (the SC10j sequence-number
+    semantics), which is exactly what a full no-checkpoint replay
+    must not disturb — hence:
+
+    Exactly-once: the monotonic batch-watermark discipline of
+    :func:`append_stream_into_snapshots`, with the watermark recorded
+    only on the batch's FINAL commit — a crash between the sibling
+    commits replays the whole batch, whose duplicate delta rows are
+    absorbed by the per-key ``max_by`` collapse (idempotent) and
+    whose delete keys re-apply at the same relative order. A batch
+    replayed after its watermark landed commits nothing.
+
+    Readers reconstruct with :func:`cdc_state_from_mor_snapshots`;
+    pair a long-running stream with ``snapshot_vacuum`` /
+    ``compaction`` maintenance as with the other snapshot streams.
+    """
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        latest_version,
+        snapshot_publish,
+        snapshot_write,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        wm, wm_version = _latest_batch_watermark(table_dir)
+        if wm_version is not None and (
+            latest_version(table_dir) or 0
+        ) < wm_version:
+            # heal a crash between a manifest write and its pointer
+            # swap before extending the chain past it
+            snapshot_publish(table_dir, wm_version)
+        if wm is not None and batch_id <= wm:
+            return  # replayed micro-batch: already committed
+        winners = _cdc_latest(batch)
+        ups = winners.filter(~delete_when)
+        dels = winners.filter(delete_when).select("user_id")
+        new_wm = int(batch_id if wm is None else max(batch_id, wm))
+        v_delta = snapshot_write(
+            ups,
+            table_dir,
+            kind="delta",
+            base_version=latest_version(table_dir),
+            meta={"batch_id": int(batch_id)},
+        )
+        snapshot_write(
+            dels,
+            table_dir,
+            kind="delete",
+            base_version=v_delta,
+            meta={"batch_id": int(batch_id), "batch_watermark": new_wm},
+        )
+
+    writer = events.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def cdc_state_from_mor_snapshots(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Reconstruct the CDC state a delete-aware snapshot stream
+    maintains: merge-on-read over the chain (equality deletes applied
+    by commit order), then the per-key latest-row collapse — a
+    retracted key is ABSENT, a key re-upserted after its retraction
+    is present with its latest payload, and duplicate delta rows from
+    a replayed batch collapse away."""
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_read_mor,
+    )
+
+    return _cdc_latest(
+        snapshot_read_mor(spark, table_dir, ["user_id"], version)
+    )

@@ -3405,6 +3405,8 @@ _CANONICAL_ORDER = [
     "events_stream_left_outer_join",
     "events_snapshot_row_deletes",
     "events_conversion_ztest",
+    "events_snapshot_rename_evolution",
+    "events_cdc_delete_stream",
 ]
 
 

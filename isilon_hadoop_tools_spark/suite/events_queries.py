@@ -3816,6 +3816,137 @@ def events_snapshot_schema_evolution(
 
 
 @query(
+    "events_cdc_delete_stream",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, round(value, 2) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT user_id, ts, event_id, event_type, value
+    FROM latest WHERE event_type <> 'error'
+    UNION ALL
+    SELECT user_id, ts, event_id, event_type,
+           round(value + 1000.0, 2) AS value
+    FROM latest WHERE event_type = 'error' AND user_id % 2 = 0
+    """,
+)
+def events_cdc_delete_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-aware streaming CDC through the snapshot layer (SC10i x
+    SC10j r16 - the merge-on-read twin of the batch equality-delete
+    path): the stream's per-key winners upsert as delta commits while
+    winners marked 'error' RETRACT their key as an equality-delete
+    commit (O(retracted keys) written, no rewrite); the stream is
+    drained TWICE (the batch watermark makes the replay commit
+    nothing), then a batch delta re-appends corrected rows for half
+    the retracted users - and the MoR reader's sequence-number
+    semantics re-materialize exactly those keys. The oracle predicts
+    the surviving per-user state analytically."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark import streaming
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        latest_version,
+        snapshot_write,
+    )
+    from isilon_hadoop_tools_spark.streaming.events import (
+        cdc_delete_stream_into_snapshots,
+        cdc_state_from_mor_snapshots,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_cdc_del_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    for _ in range(2):
+        ev = streaming.read_events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type",
+            F.round(F.col("value"), 2).alias("value"),
+        )
+        cdc_delete_stream_into_snapshots(
+            ev, table_dir, delete_when=F.col("event_type") == "error"
+        )
+    # batch re-append: corrected rows for half the retracted users —
+    # the delete's commit version must NOT kill these later rows
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.round(F.col("value"), 2).alias("value"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    corrected = latest.filter(
+        (F.col("event_type") == "error")
+        & (F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    ).withColumn("value", F.round(F.col("value") + 1000.0, 2))
+    snapshot_write(
+        corrected, table_dir, kind="delta",
+        base_version=latest_version(table_dir),
+    )
+    return cdc_state_from_mor_snapshots(spark, table_dir)
+
+
+@query(
+    "events_snapshot_rename_evolution",
+    oracle="""
+    SELECT event_id, user_id, value AS amount
+    FROM events WHERE event_type IN ('click', 'error')
+    """,
+)
+def events_snapshot_rename_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RENAME schema evolution by FIELD ID (SC10e r16 - Iceberg v2
+    semantics: a column's identity is its manifest-recorded ID, its
+    name is the current label): v1 commits click events with a
+    ``value`` column (auto field id 3), a delta then commits error
+    events with the SAME id 3 under the new name ``amount``, and
+    snapshot_read_evolved resolves the chain by ID - v1's rows
+    surface under the newest name with NO rewrite of v1's files,
+    while a time-travel read at v1 still shows the old name (pinned
+    in tests/test_snapshots.py). The oracle predicts the union with
+    the rename applied analytically."""
+    import os
+    import shutil
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        snapshot_read_evolved,
+        snapshot_write,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = f"{_SCRATCH}/snapshot_rename_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    v1 = snapshot_write(
+        ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "value"
+        ),
+        table_dir,
+    )
+    snapshot_write(
+        ev.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", F.col("value").alias("amount")
+        ),
+        table_dir,
+        kind="delta",
+        base_version=v1,
+        field_ids={"event_id": 1, "user_id": 2, "amount": 3},
+    )
+    return snapshot_read_evolved(spark, table_dir)
+
+
+@query(
     "events_cuped_ab",
     oracle="""
     WITH u AS (
@@ -4391,11 +4522,17 @@ def events_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_benford",
     oracle="""
-    WITH counts AS (
+    WITH observed AS (
       SELECT floor(value / power(10.0, floor(log10(value))))::INT
                AS digit,
              count(*) AS n_obs
       FROM events WHERE value > 0 GROUP BY 1
+    ),
+    counts AS (
+      -- zero-observation digits still contribute E*n to chi-square
+      SELECT d.digit, coalesce(o.n_obs, 0) AS n_obs
+      FROM (SELECT range::INT AS digit FROM range(1, 10)) d
+      LEFT JOIN observed o USING (digit)
     ),
     tot AS (SELECT sum(n_obs) AS n FROM counts),
     scored AS (

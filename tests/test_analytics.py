@@ -2129,8 +2129,18 @@ def test_benford_conforming_vs_uniform(spark):
         (F.lit(7.0) + (F.col("id") % 10) / F.lit(100.0)).alias("v")
     )
     brows = benford_test(bad, "v").collect()
-    assert len(brows) == 1 and brows[0]["digit"] == 7
-    assert brows[0]["chi_square"] > 1000.0
+    # all 9 digits are in the readout; the 8 unobserved ones each
+    # contribute (0 − E·n)²/(E·n) = E·n, so the statistic reflects
+    # the full degeneracy instead of understating it
+    assert len(brows) == 9
+    assert {r["digit"] for r in brows} == set(range(1, 10))
+    assert all(r["n_obs"] == 0 for r in brows if r["digit"] != 7)
+    n7 = next(r for r in brows if r["digit"] == 7)
+    assert n7["n_obs"] == 500 and n7["observed_p"] == 1.0
+    # exact expectation: sum over d!=7 of E_d*n + (n − E_7*n)²/(E_7*n)
+    e7 = math.log10(1 + 1 / 7)
+    want = (1 - e7) * 500 + (500 - e7 * 500) ** 2 / (e7 * 500)
+    assert abs(brows[0]["chi_square"] - want) < 1e-3
     withneg = spark.createDataFrame(
         [(1.5,), (-3.0,), (0.0,)], "v double"
     )
