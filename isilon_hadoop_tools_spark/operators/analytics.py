@@ -79,6 +79,45 @@ def sessionize(
     )
 
 
+def _grouped_quantiles_rank(
+    df: DataFrame, key: str, col, probs: list[float]
+) -> DataFrame:
+    """Exact interpolated per-group quantiles (the ``percentile`` /
+    ``quantile_cont`` formula: value at rank ``(n−1)·p``) by PER-GROUP
+    RANK — ``row_number`` over a key-partitioned window plus
+    interpolation between the two neighbor ranks. The window SORT
+    spills to disk, so group size is storage-bounded, not
+    executor-heap-bounded like the exact ``percentile`` aggregate's
+    value buffer (VERDICT r15 #7 — the scale-safe exact form, shared
+    by every keyed quantile consumer). ``col`` may be any Column
+    expression. One shuffle on the key; NULLs excluded; a group with
+    only NULLs is absent (matching ``percentile``'s NULL → dropped
+    after explode). Returns one row per key with ``_q_0.._q_{k−1}``
+    doubles in ``probs`` order."""
+    colx = F.col(col) if isinstance(col, str) else col
+    w = Window.partitionBy(key).orderBy("_v")
+    ranked = (
+        df.select(key, colx.cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(key))
+        )
+    )
+    rn = F.col("_rn")
+    hit = F.lit(False)
+    aggs = []
+    for i, p in enumerate(probs):
+        h = (F.col("_n") - 1) * F.lit(float(p))
+        lo = F.floor(h) + 1
+        hit = hit | (rn == lo) | (rn == lo + 1)
+        lo_v = F.max(F.when(rn == lo, F.col("_v")))
+        hi_v = F.coalesce(F.max(F.when(rn == lo + 1, F.col("_v"))), lo_v)
+        frac = F.max(h) - F.floor(F.max(h))
+        aggs.append((lo_v + frac * (hi_v - lo_v)).alias(f"_q_{i}"))
+    return ranked.filter(hit).groupBy(key).agg(*aggs)
+
+
 def grouped_quantiles(
     df: DataFrame,
     key: str,
@@ -100,27 +139,7 @@ def grouped_quantiles(
     per-group aggregate. Results are bit-identical to ``percentile``
     (same formula, same doubles).
     """
-    w = Window.partitionBy(key).orderBy("_v")
-    ranked = (
-        df.select(key, F.col(col).cast("double").alias("_v"))
-        .filter(F.col("_v").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy(key))
-        )
-    )
-    rn = F.col("_rn")
-    hit = F.lit(False)
-    aggs = []
-    for i, p in enumerate(probs):
-        h = (F.col("_n") - 1) * F.lit(float(p))
-        lo = F.floor(h) + 1
-        hit = hit | (rn == lo) | (rn == lo + 1)
-        lo_v = F.max(F.when(rn == lo, F.col("_v")))
-        hi_v = F.coalesce(F.max(F.when(rn == lo + 1, F.col("_v"))), lo_v)
-        frac = F.max(h) - F.floor(F.max(h))
-        aggs.append((lo_v + frac * (hi_v - lo_v)).alias(f"_q_{i}"))
-    per_key = ranked.filter(hit).groupBy(key).agg(*aggs)
+    per_key = _grouped_quantiles_rank(df, key, col, probs)
     pairs = F.array(
         *[
             F.struct(
@@ -651,22 +670,23 @@ def mad_outliers(
     z-score ``0.6745·(x - median)/MAD`` exceeds ``threshold``
     (Iglewicz–Hoaglin's 3.5 default).
 
-    Three passes over the fact (median agg → broadcast back for the
-    deviation median → broadcast back for the count), each a
-    map-side-partial aggregation plus an explicit broadcast of the
-    group-count-sized stats — never a per-group window. Exact medians
-    buffer each group (the oracle-checkable form); at unbounded group
-    sizes swap ``percentile`` for ``percentile_approx`` exactly as
-    :func:`grouped_quantiles_approx` does. Constant groups (MAD=0)
-    yield 0 outliers on both engines via the nullif guard.
+    Three passes over the fact (median rank → broadcast back for the
+    deviation-median rank → broadcast back for the count), the
+    group-count-sized stats explicitly broadcast. Exact medians come
+    from the :func:`_grouped_quantiles_rank` window form (r16 — the
+    old exact ``percentile`` aggregate buffered each group's values
+    in executor heap, O(group size); the window sort spills), same
+    interpolation formula, bit-identical results. Constant groups
+    (MAD=0) yield 0 outliers on both engines via the nullif guard.
     """
-    med = events.groupBy(key).agg(
-        F.expr(f"percentile({col}, 0.5)").alias("_med"),
+    med = _grouped_quantiles_rank(events, key, col, [0.5]).select(
+        key, F.col("_q_0").alias("_med")
     )
     dev = events.join(F.broadcast(med), key)
-    stats = dev.groupBy(key).agg(
-        F.first("_med").alias("_med"),
-        F.expr(f"percentile(abs({col} - _med), 0.5)").alias("_mad"),
+    stats = _grouped_quantiles_rank(
+        dev, key, F.abs(F.col(col) - F.col("_med")), [0.5]
+    ).select(key, F.col("_q_0").alias("_mad")).join(
+        F.broadcast(med), key
     )
     scored = events.join(F.broadcast(stats), key).withColumn(
         "_rz",
@@ -1450,17 +1470,21 @@ def trimmed_mean(
     latency).
 
     Exact interpolated percentiles (same cross-engine ``percentile``
-    semantics as EA3) computed in one grouped aggregation, broadcast
-    back onto the fact (the EA8 stat-join shape — never a per-group
-    window), then one conditional aggregation: two fact scans total,
-    both map-side-partial.
+    semantics as EA3) from the :func:`_grouped_quantiles_rank` window
+    form (r16 — sort-spill instead of the per-group value buffer the
+    exact ``percentile`` aggregate holds in executor heap), broadcast
+    back onto the fact (the EA8 stat-join shape), then one
+    conditional aggregation.
 
     Output per group: ``n``, ``n_kept``, ``mean``,
     ``trimmed_mean`` (both 6 dp).
     """
-    bounds = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, {trim})").alias("_lo"),
-        F.expr(f"percentile({value_col}, {1 - trim})").alias("_hi"),
+    bounds = _grouped_quantiles_rank(
+        df, group_col, value_col, [trim, 1 - trim]
+    ).select(
+        group_col,
+        F.col("_q_0").alias("_lo"),
+        F.col("_q_1").alias("_hi"),
     )
     keep = (F.col(value_col) >= F.col("_lo")) & (
         F.col(value_col) <= F.col("_hi")
@@ -3967,8 +3991,11 @@ def range_partition_audit(
     pathology the audit exists to surface — the merged bucket's count
     shows the pile-up.
 
-    Shape: one no-key exact-percentile aggregate (broadcast, 1 row),
-    one projection bucketing each row by boundary compares, one
+    Shape: one :func:`_global_quantiles` two-phase rank (r16 — the
+    key being audited is data-cardinality by definition, exactly
+    where the single-buffer exact ``percentile`` aggregate's final
+    merge would blow the executor heap; broadcast, 1 row), one
+    projection bucketing each row by boundary compares, one
     bucket-keyed count — never a global sort. Output per non-empty
     bucket: ``part_id`` (0-based), ``n_rows``, and the group-level
     ``skew_ratio`` repeated (6 dp).
@@ -3976,11 +4003,12 @@ def range_partition_audit(
     if n_parts < 2:
         raise ValueError(f"n_parts must be >= 2; got {n_parts}")
     k = F.col(key_col).cast("double")
-    bounds = df.agg(
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = _global_quantiles(
+        df.select(k.alias("_k")), "_k", probs
+    ).select(
         *[
-            F.round(F.percentile(k, F.lit(i / n_parts)), 9).alias(
-                f"_b{i}"
-            )
+            F.round(F.col(f"_q_{i - 1}"), 9).alias(f"_b{i}")
             for i in range(1, n_parts)
         ]
     )
@@ -4032,30 +4060,32 @@ def huber_mean(
     A degenerate group (MAD = 0) keeps its median — the weights are
     undefined there and the median IS the robust answer.
 
-    Shape: two percentile aggregates (median, MAD) + ``iters``
-    fact-scan reweighting aggregates, all map-side-partialed, stats
-    broadcast back per round; cost is iters+2 scans — the honest
-    IRLS price, stated (μ depends on data-dependent weights, so no
-    single-scan form exists).
+    Shape: two :func:`_grouped_quantiles_rank` medians (r16 — the
+    rank/window form instead of the heap-buffering exact
+    ``percentile`` aggregate) + ``iters`` fact-scan reweighting
+    aggregates, all map-side-partialed, stats broadcast back per
+    round; cost is iters+2 scans — the honest IRLS price, stated
+    (μ depends on data-dependent weights, so no single-scan form
+    exists).
 
     Output per group: ``n``, ``median`` (6 dp), ``huber_mean``
     (6 dp), ``mean`` (6 dp, for contrast).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1; got {iters}")
-    med = df.groupBy(key).agg(
-        F.expr(f"percentile({col}, 0.5)").alias("_med"),
+    med = _grouped_quantiles_rank(df, key, col, [0.5]).select(
+        key, F.col("_q_0").alias("_med")
     )
+    dev = df.join(F.broadcast(med), key)
     stats = (
-        df.join(F.broadcast(med), key)
-        .groupBy(key)
-        .agg(
-            F.first("_med").alias("_med"),
-            F.round(
-                F.expr(f"percentile(abs({col} - _med), 0.5)") / 0.6745,
-                9,
-            ).alias("_sigma"),
+        _grouped_quantiles_rank(
+            dev, key, F.abs(F.col(col) - F.col("_med")), [0.5]
         )
+        .select(
+            key,
+            F.round(F.col("_q_0") / 0.6745, 9).alias("_sigma"),
+        )
+        .join(F.broadcast(med), key)
         .withColumn("_mu", F.round(F.col("_med"), 9))
         .localCheckpoint(eager=False)
     )

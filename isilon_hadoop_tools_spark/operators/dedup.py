@@ -1264,7 +1264,13 @@ def prefix_filter_jaccard_pairs(
     lists) → verification joins keyed on id_a / (id_b, shingle) —
     every stage a hash join on a bounded-skew key.
     """
+    # the posting list feeds THREE consumers (document frequencies,
+    # the size+rank window, and the verification arrays); without a
+    # materialization each re-runs the posexplode + lead-window +
+    # distinct build — the exchange shapes differ per consumer, so
+    # ReusedExchange cannot kick in. One localCheckpoint = one build.
     posts = shingle_posting_list(df, text_col, id_col, k, max_df=None)
+    posts = posts.localCheckpoint(eager=False)
     dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sized = posts.withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy("id"))
@@ -1323,22 +1329,46 @@ def prefix_filter_jaccard_pairs(
     # with minimal rn_a (a's rank order IS the (df, shingle) order, and
     # rn_a is unique per collision row), so the positional argmin packs
     # into ONE long min — a plain codegen HashAggregate, no struct
-    # ordering path
+    # ordering path. The same packing's MAX is the LAST collision,
+    # feeding the PPJoin+-style suffix bound below.
     pack = F.col("rn_a").cast("long") * F.lit(2147483648) + F.col("rn_b")
+    # SUFFIX bound (the PPJoin+ §3.3 idea in its distributed form):
+    # both docs order their shingles by the same global (df, shingle)
+    # total order, and each PREFIX is a prefix of that order — so the
+    # collision set is a PREFIX of the pair's common-token sequence
+    # (if a common token is in both prefixes, every earlier common
+    # token is too). Hence with C collision rows and the LAST
+    # collision at 1-based positions (i_l, j_l), every further common
+    # token sits past i_l in a AND past j_l in b:
+    #   overlap <= C + min(size_a - i_l, size_b - j_l)
+    # — tighter than the first-collision bound whenever C > 1, and
+    # pruning-only (the exact verify below decides the output).
     cand = (
         coll.groupBy("id_a", "id_b")
         .agg(
             F.min(pack).alias("_pk"),
+            F.max(pack).alias("_pl"),
+            F.count(F.lit(1)).alias("_c"),
             F.first("size_a").alias("size_a"),
             F.first("size_b").alias("size_b"),
         )
         .filter(
-            F.lit(1)
-            + F.least(
-                F.col("size_a") - F.expr("_pk div 2147483648"),
-                F.col("size_b") - F.pmod("_pk", F.lit(2147483648)),
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("size_a") - F.expr("_pk div 2147483648"),
+                    F.col("size_b") - F.pmod("_pk", F.lit(2147483648)),
+                )
+                >= alpha
             )
-            >= alpha
+            & (
+                F.col("_c")
+                + F.least(
+                    F.col("size_a") - F.expr("_pl div 2147483648"),
+                    F.col("size_b") - F.pmod("_pl", F.lit(2147483648)),
+                )
+                >= alpha
+            )
         )
         .select("id_a", "id_b", "size_a", "size_b")
     )

@@ -1051,6 +1051,89 @@ def test_append_stream_exactly_once_and_time_travel(spark, tmp_path):
     assert again == got
 
 
+def test_append_stream_heals_orphaned_commit(spark, tmp_path):
+    """A crash between an append commit's manifest write and its
+    pointer swap leaves the batch durable but unpublished; on the
+    next drain the writer PUBLISHES the orphan before extending the
+    chain, so its rows are never silently dropped — and the replayed
+    batch ids at or below the orphan's watermark commit nothing."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from isilon_hadoop_tools_spark.operators.snapshots import (
+        latest_version,
+        snapshot_read_chain,
+        snapshot_write,
+    )
+    from isilon_hadoop_tools_spark.streaming.events import (
+        append_stream_into_snapshots,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = str(tmp_path / "heal_src")
+    os.makedirs(d)
+    for b in range(3):
+        path = os.path.join(d, f"b{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        [b * 10 + i for i in range(2)], pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [t0 + dt.timedelta(seconds=b * 10 + i)
+                         for i in range(2)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    table = str(tmp_path / "heal_tbl")
+    # simulate the crash window: batch 0 fully committed, batch 1's
+    # manifest durable but the pointer swap lost (publish=False is
+    # the same on-disk state)
+    mk = "event_id long, ts timestamp"
+    snapshot_write(
+        spark.createDataFrame(
+            [(0, t0), (1, t0 + dt.timedelta(seconds=1))], mk
+        ),
+        table, kind="delta",
+        meta={"batch_id": 0, "batch_watermark": 0},
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(10, t0 + dt.timedelta(seconds=10)),
+             (11, t0 + dt.timedelta(seconds=11))], mk
+        ),
+        table, kind="delta", base_version=1, publish=False,
+        meta={"batch_id": 1, "batch_watermark": 1},
+    )
+    assert latest_version(table) == 1  # orphan not visible yet
+
+    def stream():
+        return (
+            spark.readStream.schema(mk)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    append_stream_into_snapshots(stream(), table)
+    # batches 0 and 1 replayed -> skipped; the orphan was published
+    # first, so batch 2 extends IT and no rows are lost
+    assert latest_version(table) == 3
+    got = sorted(
+        r["event_id"]
+        for r in snapshot_read_chain(spark, table).collect()
+    )
+    assert got == [0, 1, 10, 11, 20, 21]
+
+
 def test_cdc_delete_stream_matches_batch_mor_answer(spark, tmp_path):
     """SC10i × SC10j: the delete-aware CDC stream commits per-batch
     winners as delta + equality-delete siblings; a full no-checkpoint
