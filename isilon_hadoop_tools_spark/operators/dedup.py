@@ -1264,13 +1264,15 @@ def prefix_filter_jaccard_pairs(
     lists) → verification joins keyed on id_a / (id_b, shingle) —
     every stage a hash join on a bounded-skew key.
     """
-    # the posting list feeds THREE consumers (document frequencies,
-    # the size+rank window, and the verification arrays); without a
-    # materialization each re-runs the posexplode + lead-window +
-    # distinct build — the exchange shapes differ per consumer, so
-    # ReusedExchange cannot kick in. One localCheckpoint = one build.
+    # the posting list feeds three consumers (document frequencies,
+    # the size+rank window, and the verification arrays), each
+    # re-running the posexplode + lead-window build. Measured
+    # interleaved on one session, materializing it (localCheckpoint
+    # OR DISK_ONLY persist) is NEUTRAL at 1× and REGRESSIVE at 3×+
+    # (a MEMORY_AND_DISK copy thrashes the block manager once the
+    # row-format postings outgrow storage memory — the 30× sweep ran
+    # 1.7× slower), so the rebuilds from the columnar scan stay.
     posts = shingle_posting_list(df, text_col, id_col, k, max_df=None)
-    posts = posts.localCheckpoint(eager=False)
     dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sized = posts.withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy("id"))
