@@ -108,6 +108,16 @@ def _build_tier(node) -> str | None:
     if cn in ("GlobalLimitExec", "CollectLimitExec",
               "TakeOrderedAndProjectExec"):
         return "proven"  # bounded by the limit constant at any scale
+    if "Join" in cn or cn == "CartesianProductExec":
+        # a join of sides that are EACH provably constant-bounded is
+        # itself constant-bounded: |out| <= |L| x |R| (+|L|+|R| for
+        # outer variants) — e.g. the r16 RFM quintile-threshold table,
+        # a cross of three 1-row no-key rank aggregates. ALL children
+        # must prove; one observed/unknown side voids the product.
+        tiers = [_build_tier(c) for c in _kids(node)]
+        if tiers and all(t == "proven" for t in tiers):
+            return "proven"
+        return "observed" if "observed" in tiers else None
     observed = None
     if cn == "BroadcastExchangeExec":
         try:
