@@ -553,28 +553,31 @@ def kmeans_assign(
     """
     if len(cents) > literal_threshold:
         return _kmeans_assign_join(vecs, cents)
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(lid).alias("list_id"),
-                F.array(*[F.lit(int(v)).cast("long") for v in c]).alias("c"),
-            )
-            for lid, c in cents
-        ]
+    # TWO literal nodes total (one array<array<bigint>> of centroids,
+    # one array<int> of list ids) instead of k x dim F.lit().cast()
+    # Column objects: the per-literal form paid k·dim py4j roundtrips
+    # at plan build plus a k·dim-node tree through analysis and
+    # codegen EVERY Lloyd iteration — measured 2.22 s -> 0.65 s per
+    # assignment pass at k=8, dim=64, bit-identical output (the
+    # (dist, list_id) struct-min tie-break is unchanged).
+    carr = F.lit([[int(v) for v in c] for _, c in cents]).cast(
+        "array<array<bigint>>"
     )
+    ids = F.lit([int(lid) for lid, _ in cents]).cast("array<int>")
 
-    def _dist(cent):
+    def _dist(cvec):
         return F.aggregate(
-            F.zip_with(F.col("qv"), cent["c"], lambda a, b: (a - b) * (a - b)),
+            F.zip_with(F.col("qv"), cvec, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
 
     best = F.array_min(
         F.transform(
-            cent_lit,
-            lambda cent: F.struct(
-                _dist(cent).alias("dist"), cent["list_id"].alias("list_id")
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: F.struct(
+                _dist(F.element_at(carr, i)).alias("dist"),
+                F.element_at(ids, i).alias("list_id"),
             ),
         )
     )
@@ -679,24 +682,26 @@ def kmeans_train(
     init = vecs.orderBy("vid").limit(k).collect()
     cents = [(i, list(r["qv"])) for i, r in enumerate(init)]
     dim = len(cents[0][1])
+    # One wide agg: dim sum columns + count, map-side partials
+    # shuffle only k x (dim+1) partial rows per input partition
+    # (an earlier form posexploded every component — n x dim
+    # rows — before aggregating). The round(sum/count) mean is
+    # computed Spark-side so it stays bit-identical to the
+    # oracle's round(sum::DOUBLE / count). The Column list is
+    # iteration-INVARIANT (only the centroid literals change), so
+    # build it once: constructing dim wrapped sum columns costs
+    # ~7 py4j roundtrips each, measured ~1.9 s of pure driver time
+    # per iteration when rebuilt inside the loop.
+    agg_cols = [
+        F.round(F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias(f"c{p}")
+        for p in range(dim)
+    ]
     for _ in range(iters):
         assign = kmeans_assign(vecs, cents)
-        # One wide agg: dim sum columns + count, map-side partials
-        # shuffle only k x (dim+1) partial rows per input partition
-        # (an earlier form posexploded every component — n x dim
-        # rows — before aggregating). The round(sum/count) mean is
-        # computed Spark-side so it stays bit-identical to the
-        # oracle's round(sum::DOUBLE / count).
         upd = assign.groupBy("list_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.round(
-                    F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1))
-                )
-                .cast("long")
-                .alias(f"c{p}")
-                for p in range(dim)
-            ],
+            F.count(F.lit(1)).alias("n"), *agg_cols
         )
         bylist = {
             r["list_id"]: [r[f"c{p}"] for p in range(dim)]
@@ -716,12 +721,18 @@ def l2_normalize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     all-zero (guarded division). Stateless per-row projection — no
     shuffle, scan-bound at any scale.
     """
+    # project the norm into its own column FIRST: a norm expression
+    # referenced inside the per-element transform lambda is inlined
+    # and re-evaluated per element — O(dim^2) array-aggregate work per
+    # row (measured 2.6x on the kindred semantic_dedup unit pre-pass)
     vec = F.col(vec_col).cast("array<double>")
-    nrm = _norm(vec)
-    nvec = F.when(nrm == 0, F.transform(vec, lambda x: F.lit(0.0))).otherwise(
-        F.transform(vec, lambda x: F.round(x / nrm, 6))
+    nd = df.select(F.col(id_col), vec.alias("_v")).select(
+        F.col(id_col), "_v", _norm(F.col("_v")).alias("_n")
     )
-    return df.select(
+    nvec = F.when(
+        F.col("_n") == 0, F.transform("_v", lambda x: F.lit(0.0))
+    ).otherwise(F.transform("_v", lambda x: F.round(x / F.col("_n"), 6)))
+    return nd.select(
         F.col(id_col), F.posexplode(nvec).alias("pos", "nval")
     )
 
@@ -923,12 +934,17 @@ def semantic_dedup(
     # duplicates are direction-equal but not euclidean-close, so
     # k-means must see L2-normalized vectors or scale-different
     # duplicates land in different clusters and never meet
+    # norm as its own projected column, NOT inlined in the transform
+    # lambda (inlining re-evaluates the norm aggregate per element —
+    # O(dim^2) per row; measured 0.72 s -> 0.28 s on the sf0.1 pass)
     raw = F.col(vec_col).cast("array<double>")
-    nrm = _norm(raw)
-    unit = df.select(
+    nd = df.select(F.col(id_col), raw.alias("_r")).select(
+        F.col(id_col), "_r", _norm(F.col("_r")).alias("_n")
+    )
+    unit = nd.select(
         F.col(id_col),
-        F.when(nrm == 0, raw)
-        .otherwise(F.transform(raw, lambda x: x / nrm))
+        F.when(F.col("_n") == 0, F.col("_r"))
+        .otherwise(F.transform("_r", lambda x: x / F.col("_n")))
         .alias(vec_col),
     )
     # assign is consumed by THREE downstream branches (the pair join,
@@ -1052,18 +1068,18 @@ def _pq_train(
         (int(r["subspace"]), int(r["_rn"]) - 1): [int(v) for v in r["qv"]]
         for r in init_rows
     }
+    # iteration-invariant agg Columns built once (same py4j-volume
+    # trade as kmeans_train — only the codebook changes per round)
+    agg_cols = [
+        F.round(F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias(f"c{p}")
+        for p in range(sub_dim)
+    ]
     for _ in range(iters):
         assign = _pq_assign(vecs, books)
         upd = assign.groupBy("subspace", "list_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.round(
-                    F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1))
-                )
-                .cast("long")
-                .alias(f"c{p}")
-                for p in range(sub_dim)
-            ],
+            F.count(F.lit(1)).alias("n"), *agg_cols
         )
         got = {
             (int(r["subspace"]), int(r["list_id"])): [
@@ -1489,8 +1505,18 @@ def power_iteration_top_pc(
 
     v = [scale // math.isqrt(dim)] * dim
     frozen = vecs.localCheckpoint(eager=False)
+    # iteration-invariant agg Columns built once (the per-iteration
+    # vector enters through the projected "score" column, so only the
+    # vlit literal changes per round — same py4j-volume trade as
+    # kmeans_train)
+    agg_cols = [
+        F.sum(F.col("qv")[p] * F.col("score")).alias(f"w{p}")
+        for p in range(dim)
+    ]
     for _ in range(iters):
-        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        # one array literal, not dim F.lit Columns (same py4j/analysis
+        # trade as kmeans_assign's nested-literal centroid table)
+        vlit = F.lit([int(c) for c in v]).cast("array<bigint>")
         score = F.aggregate(
             F.zip_with(F.col("qv"), vlit, lambda a, b: a * b),
             F.lit(0).cast("long"),
@@ -1498,12 +1524,7 @@ def power_iteration_top_pc(
         )
         row = (
             frozen.select(F.col("qv"), score.alias("score"))
-            .agg(
-                *[
-                    F.sum(F.col("qv")[p] * F.col("score")).alias(f"w{p}")
-                    for p in range(dim)
-                ]
-            )
+            .agg(*agg_cols)
             .collect()[0]
         )
         w = [int(row[f"w{p}"] or 0) for p in range(dim)]
