@@ -18,6 +18,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from isilon_hadoop_tools_spark.functions.litmap import lit_map
 from isilon_hadoop_tools_spark.session import shuffle_partition_count
 
 
@@ -2023,9 +2024,11 @@ def _ordered_cumsum(
             offsets[c][r["_pid"]] = acc[c]
             acc[c] += r[c] or 0
     for c in sum_cols:
-        omap = F.create_map(
-            *[x for pid, off in sorted(offsets[c].items())
-              for x in (F.lit(pid), F.lit(off))]
+        omap = lit_map(
+            [int(p) for p in sorted(offsets[c])],
+            [int(offsets[c][p]) for p in sorted(offsets[c])],
+            "int",
+            "bigint",
         )
         local = local.withColumn(
             f"_cum_{c}",

@@ -27,6 +27,7 @@ from isilon_hadoop_tools_spark.functions.hashing import (
     fingerprint64,
     stable_hash32,
 )
+from isilon_hadoop_tools_spark.functions.litmap import lit_long_map, lit_map
 from isilon_hadoop_tools_spark.functions.text import tokens
 
 
@@ -1607,12 +1608,11 @@ def _viterbi_segment(
     Returns the piece ARRAY decoded from the final mask — the mask IS
     the segmentation, so no backpointer pass is needed.
     """
-    cmap = F.create_map(
-        *[
-            x
-            for p, c in sorted(costs.items())
-            for x in (F.lit(p), F.lit(c).cast("long"))
-        ]
+    cmap = lit_map(
+        [p for p, _ in sorted(costs.items())],
+        [int(c) for _, c in sorted(costs.items())],
+        "string",
+        "bigint",
     )
     wl = F.length(w)
     bigc = F.lit(big).cast("long")
@@ -2090,13 +2090,7 @@ def _quality_gd(
     four_s = 4 * scale
     w = {j: 0 for j in range(n_buckets + 1)}
     for _ in range(rounds):
-        wmap = F.create_map(
-            *[
-                x
-                for j, v in sorted(w.items())
-                for x in (F.lit(j).cast("long"), F.lit(v).cast("long"))
-            ]
-        )
+        wmap = lit_long_map(w)
         margins = (
             feats.withColumn(
                 "_w",
@@ -2201,13 +2195,7 @@ def quality_scores(
         scale,
     )
     feats = _quality_features(df, text_col, id_col, label, n_buckets)
-    wmap = F.create_map(
-        *[
-            x
-            for j, v in sorted(w.items())
-            for x in (F.lit(j).cast("long"), F.lit(v).cast("long"))
-        ]
-    )
+    wmap = lit_long_map(w)
     four_s = 4 * scale
     return (
         feats.withColumn(
@@ -2263,9 +2251,11 @@ def _ordered_row_number(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    omap = F.create_map(
-        *[x for pid, off in sorted(offsets.items())
-          for x in (F.lit(pid), F.lit(off))]
+    omap = lit_map(
+        [int(p) for p in sorted(offsets)],
+        [int(offsets[p]) for p in sorted(offsets)],
+        "int",
+        "bigint",
     )
     return local.withColumn(
         out, F.col(out) + F.coalesce(F.try_element_at(omap, F.col("_pid")), F.lit(0))
@@ -2554,13 +2544,7 @@ def quality_classifier_eval(
         scale,
     )
     feats = _quality_features(test, text_col, id_col, label, n_buckets)
-    wmap = F.create_map(
-        *[
-            x
-            for j, v in sorted(w.items())
-            for x in (F.lit(j).cast("long"), F.lit(v).cast("long"))
-        ]
-    )
+    wmap = lit_long_map(w)
     scored = (
         feats.withColumn(
             "_w", F.coalesce(F.try_element_at(wmap, F.col("j")), F.lit(0))
@@ -2628,13 +2612,7 @@ def curation_pipeline(
         df, text_col, id_col, label, n_buckets, rounds, 1, 4, scale
     )
     feats = _quality_features(df, text_col, id_col, label, n_buckets)
-    wmap = F.create_map(
-        *[
-            x
-            for j, v in sorted(w.items())
-            for x in (F.lit(j).cast("long"), F.lit(v).cast("long"))
-        ]
-    )
+    wmap = lit_long_map(w)
     margins = (
         feats.withColumn(
             "_w", F.coalesce(F.try_element_at(wmap, F.col("j")), F.lit(0))
@@ -3123,15 +3101,8 @@ def _lang_gd(
     li = {lg: i for i, lg in enumerate(langs)}
     den = lr_den * 4 * max(n_docs, 1)
     for _ in range(rounds):
-        wmap = F.create_map(
-            *[
-                x
-                for (lg, j), v in sorted(w.items())
-                for x in (
-                    F.lit(li[lg] * (n_buckets + 1) + j).cast("long"),
-                    F.lit(v).cast("long"),
-                )
-            ]
+        wmap = lit_long_map(
+            {li[lg] * (n_buckets + 1) + j: v for (lg, j), v in w.items()}
         )
         f2 = feats.withColumn(
             "_li", F.explode(F.array(*[F.lit(i) for i in range(len(langs))]))
@@ -3241,15 +3212,8 @@ def lang_classifier_eval(
         scale,
     )
     li = {lg: i for i, lg in enumerate(langs)}
-    wmap = F.create_map(
-        *[
-            x
-            for (lg, j), v in sorted(w.items())
-            for x in (
-                F.lit(li[lg] * (n_buckets + 1) + j).cast("long"),
-                F.lit(v).cast("long"),
-            )
-        ]
+    wmap = lit_long_map(
+        {li[lg] * (n_buckets + 1) + j: v for (lg, j), v in w.items()}
     )
     lang_arr = F.array(*[F.lit(lg) for lg in langs])
     feats_te = _lang_char_features(

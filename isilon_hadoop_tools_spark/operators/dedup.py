@@ -1283,12 +1283,30 @@ def prefix_filter_jaccard_pairs(
             Window.partitionBy("id").orderBy("df", "shingle")
         ),
     )
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("set_size")
-        - F.ceil(F.lit(threshold) * F.col("set_size"))
-        + F.lit(1)
-    ).select("id", "set_size", "shingle", "df", "rn")
+    # REPARTITION_BY_NUM on the join key: the prefix self-join's
+    # shuffle is tiny in BYTES (short posting rows) but its candidate
+    # fan-out + positional-filter work is the query's dominant
+    # compute, and AQE coalesces by bytes — profiled at sf0.1 the
+    # joined stage ran on 3 post-coalesce partitions (8.1 s of the
+    # 12.3 s wall) with 29 cores idle. An explicit numbered
+    # repartition is exempt from AQE coalescing; the count comes from
+    # spark.sql.shuffle.partitions (cluster-sized by the caller,
+    # core-count locally), not a constant. Both join sides project
+    # from the same repartitioned frame, so the second side rides a
+    # ReusedExchange instead of a second shuffle.
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    npart = max(2, shuffle_partition_count(df.sparkSession))
+    prefix = (
+        ranked.filter(
+            F.col("rn")
+            <= F.col("set_size")
+            - F.ceil(F.lit(threshold) * F.col("set_size"))
+            + F.lit(1)
+        )
+        .select("id", "set_size", "shingle", "df", "rn")
+        .repartition(npart, "shingle")
+    )
     a = prefix.select(
         F.col("id").alias("id_a"),
         F.col("set_size").alias("size_a"),
