@@ -1168,7 +1168,12 @@ def hamming_recall_eval(
         *[F.col(c).alias(f"_{c}_b") for c in hash_cols],
     )
     truth = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        # broadcast the b-side: the eval corpus is bounded by contract
+        # (run on a sample), and without the hint the theta join plans
+        # as a CartesianProduct whose partition count is |a|x|b| parts
+        # (1024 tasks once the payload scan is widened to 32). BNLJ
+        # keeps the a-side's parallelism and ships only id+hash rows.
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .filter(
             F.bit_count(
                 F.col(f"_{primary}_a").bitwiseXOR(F.col(f"_{primary}_b"))

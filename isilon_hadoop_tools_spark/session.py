@@ -50,6 +50,20 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-partition the stages that materialize persisted
+        # plans: with the default (false) every .persist() subtree
+        # keeps raw spark.sql.shuffle.partitions tasks — profiled as
+        # fleets of 32-task ~0.3-0.7 s no-IO stages inside the
+        # k-means/PQ training loops; the conf trades exchange reuse
+        # on cache hits (irrelevant here: caches are per-operator
+        # scratch, never shared across differently-partitioned
+        # consumers) for right-sized cached stages. Env-overridable
+        # so a cluster deploy (where exchange reuse across cached
+        # consumers may matter) can flip it without a code change.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_AQE_CACHED_REPARTITION", "true"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -28,6 +28,7 @@ from isilon_hadoop_tools_spark.functions.text import (
     token_count,
 )
 from isilon_hadoop_tools_spark.operators import dedup, similarity
+from isilon_hadoop_tools_spark.session import shuffle_partition_count
 from isilon_hadoop_tools_spark.operators.allocate_ids import allocate_ids
 from isilon_hadoop_tools_spark.operators.guards import dangling_references
 from isilon_hadoop_tools_spark.operators.reconcile import reconcile
@@ -1001,6 +1002,26 @@ _PAYLOAD_SQL = r"""
 """
 
 
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id) frame feeding the synthetic payload generators.
+
+    Payload synthesis + codec decode is the CPU-dense part of every
+    multimodal query, and it parallelizes only as wide as this frame:
+    at bench scale the documents table is one parquet file, so the
+    whole synth+decode chain ran in 1-2 scan tasks (profiled 1.4 s
+    single-task BMP synth with 30 cores idle). Repartitioning the
+    8-byte id rows BEFORE synthesis is the guide-§8 move-small-rows
+    discipline: the exchange carries ids, never payloads, and the
+    downstream mapInPandas codecs run at full width. Skipped when the
+    scan is already at least as wide as the shuffle partition count
+    (the 100 TB case — real corpora arrive in many files)."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    npart = max(2, shuffle_partition_count(spark))
+    if ids.rdd.getNumPartitions() < npart:
+        return ids.repartition(npart, "doc_id")
+    return ids
+
+
 def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     payload = (
@@ -1632,7 +1653,7 @@ def _ppm_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id % 6 + 2) x (doc_id % 4 + 2)``, pixel byte ``p`` =
     ``(doc_id*31 + p*7) % 256`` — assembled as hex and unhex'd into a
     real binary payload the decoder must genuinely parse."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     w = F.pmod("doc_id", F.lit(6)) + F.lit(2)
     h = F.pmod("doc_id", F.lit(4)) + F.lit(2)
     n_bytes = w * h * F.lit(3)
@@ -1684,7 +1705,7 @@ def _wav_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic int16 samples ((doc_id*17 + i*13) % 65536, two's
     complement) — built entirely with JVM expressions (hex/unhex),
     no UDF."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     n = (F.pmod("doc_id", F.lit(16)) + F.lit(4)).cast("long")
     ds = n * 2
     sample_hex = F.array_join(
@@ -1744,7 +1765,7 @@ def _y4m_payload_df(
     base_mod`` is the duplicate-video knob."""
     from isilon_hadoop_tools_spark import multimodal as M
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     mod = base_mod
 
     def gen(batches):
@@ -1775,7 +1796,7 @@ def _wav_long_payload_df(
     but ``n_samples`` fixed at 144 (9 Goertzel frames) and the sample
     generator keyed on ``base = doc_id % base_mod`` — docs sharing a
     base get BYTE-IDENTICAL audio (the audio-dedup fixture)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     base = F.pmod("doc_id", F.lit(base_mod)).cast("long")
     n = F.lit(n_samples).cast("long")
     ds = n * 2
@@ -2464,7 +2485,7 @@ def _bmp_payload_df(
     """BMP payloads for the sf documents table — see
     :func:`_bmp_payload_from`."""
     return _bmp_payload_from(
-        _t(spark, sf_dir, "documents").select("doc_id"), base_mod
+        _doc_ids(spark, sf_dir), base_mod
     )
 
 
@@ -2549,7 +2570,7 @@ def _gif_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     palette indirection without ever seeing the payload."""
     from isilon_hadoop_tools_spark import multimodal as M
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         import numpy as np
@@ -2583,7 +2604,7 @@ def _gif_bmp_twin_payload_df(
     byte-DIFFERENT containers — the mixed-corpus dedup fixture."""
     from isilon_hadoop_tools_spark import multimodal as M
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         import numpy as np
@@ -2633,7 +2654,7 @@ def _png_payload_df(
     duplicate-image knob)."""
     from isilon_hadoop_tools_spark import multimodal as M
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     mod = base_mod
 
     def gen(batches):
@@ -2680,7 +2701,7 @@ def _jpeg_payload_df(
     doc_id % base_mod when set (the duplicate-image knob)."""
     from isilon_hadoop_tools_spark import multimodal as M
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     mod = base_mod
 
     def gen(batches):
