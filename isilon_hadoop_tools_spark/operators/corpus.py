@@ -2053,7 +2053,7 @@ def _quality_features(
     return tok_feats.unionByName(bias)
 
 
-def _quality_gd(
+def _quality_fit(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -2063,9 +2063,14 @@ def _quality_gd(
     lr_num: int,
     lr_den: int,
     scale: int,
-) -> dict[int, int]:
+) -> tuple[dict[int, int], DataFrame, int]:
     """The deterministic integer GD loop shared by
     :func:`quality_classifier_train` and :func:`quality_scores`.
+    Returns ``(weights, feats, n_docs)`` — the eagerly-checkpointed
+    feature frame and the corpus count are returned so scoring /
+    selection stages reuse them instead of re-tokenizing the corpus
+    and re-counting (one full feature-build pass + one count job per
+    caller saved; the values are bit-identical by construction).
 
     Model: logistic-style linear classifier with the HARD sigmoid
     ``σ̂(μ) = clamp(1/2 + μ/4, 0, 1)`` (the piecewise-linear logistic
@@ -2126,6 +2131,24 @@ def _quality_gd(
         den = lr_den * 4 * n_docs
         for j in w:
             w[j] = w[j] - _tdiv(lr_num * G.get(j, 0), den)
+    return w, feats, n_docs
+
+
+def _quality_gd(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label,
+    n_buckets: int,
+    rounds: int,
+    lr_num: int,
+    lr_den: int,
+    scale: int,
+) -> dict[int, int]:
+    w, _, _ = _quality_fit(
+        df, text_col, id_col, label, n_buckets, rounds, lr_num, lr_den,
+        scale,
+    )
     return w
 
 
@@ -2190,11 +2213,12 @@ def quality_scores(
     Output: ``id``, ``margin`` (fixed-point at ``scale``), ``score``
     (6 dp), ``keep`` (score ≥ 0.5 — the filter decision).
     """
-    w = _quality_gd(
+    # reuse the training pass's checkpointed feature frame — scoring
+    # re-tokenized the whole corpus a second time before r16
+    w, feats, _ = _quality_fit(
         df, text_col, id_col, label, n_buckets, rounds, lr_num, lr_den,
         scale,
     )
-    feats = _quality_features(df, text_col, id_col, label, n_buckets)
     wmap = lit_long_map(w)
     four_s = 4 * scale
     return (
@@ -2273,7 +2297,15 @@ def _suffix_grams(
     toks = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_arr")
     ).localCheckpoint(eager=False)
-    pe = toks.select(
+    # REPARTITION_BY_NUM on the window key: the gram build (lead
+    # window + k-token concat + md5 fingerprint per position) is the
+    # compute-dense stage of the operator, and AQE coalesces its
+    # exchange by BYTES — profiled 2 post-coalesce tasks at sf0.1.
+    # The numbered repartition satisfies the window's required
+    # distribution (it replaces, not adds to, the exchange) and is
+    # exempt from AQE coalescing.
+    npart = max(2, shuffle_partition_count(df.sparkSession))
+    pe = toks.repartition(npart, "id").select(
         "id", F.posexplode("_arr").alias("pos", "tok")
     )
     w = Window.partitionBy("id").orderBy("pos")
@@ -2608,10 +2640,11 @@ def curation_pipeline(
     ``n_dups`` (group size). Filtered-out documents do not appear;
     the caller's final corpus is ``keep_id == id``.
     """
-    w = _quality_gd(
+    # reuse the training pass's checkpointed feature frame and corpus
+    # count — the selection stage re-tokenized and re-counted before r16
+    w, feats, n_docs = _quality_fit(
         df, text_col, id_col, label, n_buckets, rounds, 1, 4, scale
     )
-    feats = _quality_features(df, text_col, id_col, label, n_buckets)
     wmap = lit_long_map(w)
     margins = (
         feats.withColumn(
@@ -2621,7 +2654,6 @@ def curation_pipeline(
         .agg(F.sum(F.col("_w") * F.col("x")).alias("m"))
         .withColumn("_negm", -F.col("m"))
     )
-    n_docs = df.count()
     keep_n = n_docs * keep_pct // 100
     kept_ids = (
         _ordered_row_number(margins, "_negm", ["id"], out="_rk")
@@ -2631,7 +2663,12 @@ def curation_pipeline(
     kept = df.join(
         kept_ids.select(F.col("id").alias(id_col)), id_col
     ).localCheckpoint(eager=False)
-    cut = suffix_span_cut(kept, text_col, id_col, min_len)
+    # cut is consumed by TWO branches (the dedup groups and the final
+    # join) — without the checkpoint the whole span-find+cut subtree
+    # is recomputed per consumer
+    cut = suffix_span_cut(kept, text_col, id_col, min_len).localCheckpoint(
+        eager=False
+    )
     groups = (
         cut.select(fingerprint64("clean_text").alias("_fp"), "id")
         .groupBy("_fp")

@@ -113,7 +113,19 @@ def ngram_jaccard_pairs(
     sized = posts.withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy("id"))
     )
-    lists = sized.groupBy("shingle").agg(
+    # REPARTITION_BY_NUM on the group key (the prefix-join fix applied
+    # to the inverted index): the per-shingle pair fan-out + the pair
+    # partial-aggregate run INSIDE the aggregation stage, whose width
+    # AQE coalesces by shuffle BYTES — tiny posting rows, compute-dense
+    # fan-out, profiled 3-4 post-coalesce tasks at sf0.1 with the rest
+    # of the box idle. The numbered repartition is AQE-exempt and
+    # satisfies the aggregation's required distribution, so it replaces
+    # (not adds to) the groupBy exchange; the count comes from
+    # spark.sql.shuffle.partitions (cluster-sized by the caller).
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    npart = max(2, shuffle_partition_count(df.sparkSession))
+    lists = sized.repartition(npart, "shingle").groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("id", "set_size"))).alias("members")
     )
     # all ordered pairs (members[i], members[j]), i < j — members is

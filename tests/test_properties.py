@@ -1705,3 +1705,38 @@ def test_quality_gd_matches_python_reference(spark, labels, extra):
         for j in w:
             w[j] -= _tdiv(grads[j], 4 * 4 * n)
     assert got == w
+
+
+def test_quality_fit_reuses_feats_and_count(spark):
+    """`_quality_fit` must hand back the SAME checkpointed feature
+    frame the GD loop trained on (scoring/selection reuse it instead
+    of re-tokenizing the corpus) and the true corpus count, and the
+    weights must match the `_quality_gd` wrapper exactly."""
+    from pyspark.sql import functions as F2
+
+    from isilon_hadoop_tools_spark.operators.corpus import (
+        _quality_fit,
+        _quality_gd,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ("good doc " if i % 2 else "bad doc ") * 3, i % 2)
+         for i in range(20)],
+        "doc_id long, text string, y int",
+    )
+    label = F2.col("y") == 1
+    w, feats, n_docs = _quality_fit(
+        df, "text", "doc_id", label, 8, 2, 1, 4, 1000
+    )
+    assert n_docs == 20
+    # the returned frame is the checkpointed features: one bias row
+    # (j = n_buckets) per document, ids intact
+    bias = feats.filter(F2.col("j") == 8)
+    assert bias.count() == 20
+    assert feats.select("id").distinct().count() == 20
+    # lineage is truncated by the eager checkpoint (reuse is free, no
+    # re-tokenize): the plan bottoms out at an RDD scan
+    assert "ExistingRDD" in feats._jdf.queryExecution().executedPlan().toString()
+    assert _quality_gd(
+        df, "text", "doc_id", label, 8, 2, 1, 4, 1000
+    ) == w
