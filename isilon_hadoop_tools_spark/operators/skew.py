@@ -422,19 +422,48 @@ def compaction_execute(
         .withColumn("_f", file_expr.cast("long"))
         .join(assign, ["_p", "_f"])
     )
+    # NUMBERED repartition: the un-numbered form is AQE-coalesced by
+    # shuffle bytes (3 post-coalesce write tasks at sf0.1, each
+    # sequentially committing ~400 dynamic partition dirs — 11 s of
+    # the 21 s wall); the numbered form keeps shuffle.partitions
+    # writers. Rows of one (_p, bin_seq) still hash to ONE task, so
+    # the one-file-per-bin layout is unchanged.
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    npart = max(2, shuffle_partition_count(spark))
     version = snapshot_write(
-        tagged.repartition(F.col("_p"), F.col("bin_seq")),
+        tagged.repartition(npart, F.col("_p"), F.col("bin_seq")),
         out_dir,
         partition_by=["_p", "bin_seq"],
     )
     before = table_checksum(df, checksum_cols).collect()[0]
     back = snapshot_read(spark, out_dir, version)
-    after = table_checksum(back, checksum_cols).collect()[0]
-    files_written = (
-        back.select(F.input_file_name().alias("f")).distinct().count()
+    # ONE read-back pass for checksum + physical-file count (the
+    # split form listed and scanned the 1200-file output twice)
+    _row = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in checksum_cols]
     )
-    n_files_before = assign.count()
-    n_files_after = assign.select("_p", "bin_seq").distinct().count()
+    from isilon_hadoop_tools_spark.functions.hashing import fingerprint64
+
+    after = (
+        back.select(
+            fingerprint64(_row).alias("_fp"),
+            F.input_file_name().alias("_file"),
+        )
+        .agg(
+            F.bit_xor("_fp").alias("checksum"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_file").alias("files_written"),
+        )
+        .collect()[0]
+    )
+    files_written = int(after["files_written"])
+    plan_counts = assign.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("_p", "bin_seq").alias("bins"),
+    ).collect()[0]
+    n_files_before = int(plan_counts["n"])
+    n_files_after = int(plan_counts["bins"])
     row = (
         int(before["n_rows"]),
         int(before["checksum"]),

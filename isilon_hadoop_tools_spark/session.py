@@ -64,6 +64,17 @@ def get_session(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             os.environ.get("SPARK_GRAFT_AQE_CACHED_REPARTITION", "true"),
         )
+        # snapshot readers pass manifests' explicit file lists; above
+        # this many paths Spark switches to a DISTRIBUTED listing job
+        # with one task per path (profiled: 1200-task / 3-4 s listing
+        # jobs per snapshot_read at sf0.1, twice per compaction
+        # rewrite, vs milliseconds of driver-side stat calls on a
+        # local FS). Local default covers the bench's file counts;
+        # an object-store cluster deploy can lower it via env.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "4096"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
