@@ -3042,6 +3042,12 @@ def web_curation_pipeline(
         F.col(url_col).alias("url"),
         text_expr.alias("text"),
     )
+    if html_col is not None:
+        # the HTML extraction chain is the pipeline's dominant
+        # per-row compute and d is consumed by THREE branches (the
+        # train checkpoint plus both decon_input arms) — checkpoint
+        # so extraction runs once, not three times
+        d = d.localCheckpoint(eager=False)
     train = d.filter(~is_eval).localCheckpoint(eager=False)
     ku = url_keep_one(train, "url", "id").select(
         "id", F.col("kept").alias("_uk")
