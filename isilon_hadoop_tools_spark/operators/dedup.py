@@ -445,6 +445,29 @@ def band_slice_array(hash_col, bits: int, bands: int):
     )
 
 
+def _width_pinned_groups(src: DataFrame, keys: list[str], *aggs) -> DataFrame:
+    """The distinct-hash group table of a band join, checkpointed at a
+    PINNED width: a ``REPARTITION_BY_NUM`` on the group key replaces
+    the aggregation's exchange (same required distribution, zero added
+    shuffles) and — being AQE-exempt — stops the checkpointed frame
+    from coalescing to 1-2 partitions on its tiny shuffle bytes.
+    Everything built on the checkpoint (band posexplode, the band
+    self-join fan-out, the pair partial aggregate) inherits its
+    parallelism from it, and that work is compute-dense: profiled as a
+    1-task 19 MB-shuffle-write fan-out stage in the unified 4-modality
+    query with 31 cores idle before the pin. The count comes from
+    ``spark.sql.shuffle.partitions`` (cluster-sized by the caller)."""
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    npart = max(2, shuffle_partition_count(src.sparkSession))
+    return (
+        src.repartition(npart, *keys)
+        .groupBy(*keys)
+        .agg(*aggs)
+        .localCheckpoint(eager=False)
+    )
+
+
 def hamming_band_pairs(
     hashes: DataFrame,
     hash_col: str,
@@ -491,10 +514,9 @@ def hamming_band_pairs(
     src = hashes.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("_hash")
     ).localCheckpoint(eager=False)
-    groups = (
-        src.groupBy("_hash")
-        .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("n_ids"))
-        .localCheckpoint(eager=False)
+    groups = _width_pinned_groups(
+        src, ["_hash"], F.min("id").alias("rep"),
+        F.count(F.lit(1)).alias("n_ids"),
     )
     banded = groups.select(
         "rep",
@@ -670,10 +692,8 @@ def tagged_hamming_band_pairs(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("_hash"),
     ).localCheckpoint(eager=False)
-    groups = (
-        src.groupBy("modality", "_hash")
-        .agg(F.min("id").alias("rep"))
-        .localCheckpoint(eager=False)
+    groups = _width_pinned_groups(
+        src, ["modality", "_hash"], F.min("id").alias("rep")
     )
     band_arr = tagged_band_slice_array(
         F.col("_hash"), F.col("modality"), params

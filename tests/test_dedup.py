@@ -474,6 +474,28 @@ def test_hamming_band_pairs_expanded_dup_group_complete(spark):
     assert out.count() == out.select("id_a", "id_b").distinct().count()
 
 
+def test_width_pinned_groups_keeps_explicit_partition_count(spark):
+    # r16 fan-out-width contract: the checkpointed group table every
+    # band fan-out stage inherits its parallelism from must hold the
+    # explicit REPARTITION_BY_NUM count after materialization instead
+    # of AQE-coalescing to 1 partition on its tiny shuffle bytes
+    # (profiled pre-fix: a 1-task 19 MB-shuffle-write band fan-out in
+    # the unified 4-modality query). Also pins result parity with a
+    # plain groupBy.
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id LONG, _hash LONG"
+    )
+    grouped = dedup._width_pinned_groups(
+        df, ["_hash"], F.min("id").alias("rep")
+    )
+    rows = {(r["_hash"], r["rep"]) for r in grouped.collect()}
+    assert rows == {(h, h) for h in range(7)}
+    npart = max(2, shuffle_partition_count(spark))
+    assert grouped.rdd.getNumPartitions() == npart
+
+
 def test_hamming_recall_eval_union_catches_band_miss(spark):
     # incomplete regime (max_hamming == bands): ids 1-2 differ in both
     # 4-bit slices of the primary hash (banding misses them) but share
