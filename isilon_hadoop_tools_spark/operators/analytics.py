@@ -1232,33 +1232,36 @@ def poisson_bootstrap_ci(
     how many replicates; the sort/selection runs on a B-length array
     per group row.
     """
-    from isilon_hadoop_tools_spark.functions.hashing import stable_hash32
-
     ts = poisson_thresholds()
-    sid = F.col(id_col).cast("string")
+    # SQL-string expressions, deliberately (the simhash build fix
+    # applied here): the Column-API replicate loop issued ~1200 py4j
+    # round-trips (20 replicates x (md5 hash + 6 threshold compares +
+    # 2 sums)) — ~3 s of driver time per DataFrame BUILD, i.e. per
+    # bench rep, on a query whose execution is a fraction of that.
+    # The parsed trees are the same expressions (the Column form
+    # already embeds the md5 subtree once per comparison; codegen's
+    # subexpression elimination sees both forms identically), so the
+    # plan and every emitted value are unchanged.
     aggs = [
         F.count(value_col).alias("_n"),
         F.sum(value_col).alias("_s"),
     ]
     for b in range(replicates):
-        h = stable_hash32(sid, seed=seed_base + b)
-        w = sum(
-            (h >= F.lit(t)).cast("int") for t in ts
+        h = (
+            f"CAST(conv(substring(md5(concat('{seed_base + b}:', "
+            f"CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
         )
-        aggs.append(F.sum(w * F.col(value_col)).alias(f"_ws{b}"))
-        aggs.append(F.sum(w).alias(f"_wn{b}"))
+        w = "(" + " + ".join(f"CAST({h} >= {t} AS INT)" for t in ts) + ")"
+        aggs.append(F.expr(f"sum({w} * {value_col})").alias(f"_ws{b}"))
+        aggs.append(F.expr(f"sum({w})").alias(f"_wn{b}"))
     g = df.groupBy(group_col).agg(*aggs)
-    means = F.array_sort(
-        F.array(
-            *[
-                F.round(
-                    F.col(f"_ws{b}")
-                    / F.nullif(F.col(f"_wn{b}"), F.lit(0)),
-                    6,
-                )
-                for b in range(replicates)
-            ]
+    means = F.expr(
+        "array_sort(array("
+        + ", ".join(
+            f"round(_ws{b} / nullif(_wn{b}, 0), 6)"
+            for b in range(replicates)
         )
+        + "))"
     )
     lo = int(alpha * replicates) + 1
     hi = replicates - int(alpha * replicates)

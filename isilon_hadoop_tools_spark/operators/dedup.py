@@ -1083,19 +1083,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     ).withColumn("h", stable_hash32("tok"))
+    # SQL-string expressions, deliberately: the Column-API form built
+    # ~400 py4j round-trips (bits vote columns x ~8 calls each + a
+    # bits-term fingerprint fold), ~1.2-1.5 s of driver time PER BUILD
+    # on this operator alone, paid again on every bench rep. One
+    # F.expr per vote + one for the fingerprint parses JVM-side in a
+    # handful of calls; the parsed trees are the same expressions
+    # (shiftright/&/CASE/CAST), so plans and results are unchanged.
     votes = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+            " THEN 1 ELSE -1 END)"
         ).alias(f"_s{j}")
         for j in range(bits)
     ]
     sums = toks.groupBy("id").agg(*votes)
-    fingerprint = None
-    for j in range(bits):
-        term = F.when(F.col(f"_s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    fingerprint = F.expr(
+        " + ".join(
+            f"CASE WHEN _s{j} > 0 THEN CAST({2 ** j} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+            for j in range(bits)
         )
-        fingerprint = term if fingerprint is None else fingerprint + term
+    )
     return sums.select("id", fingerprint.alias("simhash"))
 
 
