@@ -2365,42 +2365,56 @@ def _suffix_spans_from(
         fp = F.array_position(eq, F.lit(False))
         return F.when(fp > 0, fp - 1).otherwise(F.size(eq)).cast("long")
 
+    # each adjacent pair's LCP scores BOTH endpoints. Compute it ONCE
+    # per pair — one rn-equi-join carrying the suffix arrays, one
+    # zip_with compare — and attribute the value to both (id, pos)
+    # endpoints from the pair row; an earlier form ran TWO joins
+    # (next-shifted and prev-shifted) against ``ordered`` and scored
+    # each pair's LCP twice, doubling both the array shuffle and the
+    # 256-element prefix compares. Left endpoints with no successor
+    # attribute 0 (every position keeps >= 1 row, so the groupBy max
+    # below is unchanged); first positions simply lack a prev row,
+    # which the old form scored as an extra 0.
     nxt = ordered.select(
-        (F.col("rn") - 1).alias("rn"), F.col("_sfx").alias("_sfx_next")
+        (F.col("rn") - 1).alias("rn"),
+        F.col("id").alias("_id_n"),
+        F.col("pos").alias("_pos_n"),
+        F.col("_sfx").alias("_sfx_next"),
     )
-    dl = (
-        ordered.join(nxt, "rn", "left")
-        .select(
-            "id",
-            "pos",
-            F.col("_sfx").alias("_a"),
-            F.col("_sfx_next").alias("_b"),
+    pair_lcp = ordered.join(nxt, "rn", "left").select(
+        "id",
+        "pos",
+        "_id_n",
+        "_pos_n",
+        F.when(
+            F.col("_sfx_next").isNotNull(),
+            lcp(F.col("_sfx"), F.col("_sfx_next")),
         )
-        .withColumn(
-            "_lcp_next",
-            F.when(F.col("_b").isNotNull(), lcp(F.col("_a"), F.col("_b")))
-            .otherwise(F.lit(0)),
+        .otherwise(F.lit(0))
+        .alias("_l"),
+    )
+    # both attributions leave the SAME pipeline via one in-place
+    # explode (narrow — no second consumer, no checkpoint barrier):
+    # each pair row becomes its left-endpoint row plus, when a
+    # successor exists, its right-endpoint row
+    attr = F.explode(
+        F.array(
+            F.struct(
+                F.col("id").alias("id"),
+                F.col("pos").alias("pos"),
+                F.col("_l").alias("_l"),
+            ),
+            F.struct(
+                F.col("_id_n").alias("id"),
+                F.col("_pos_n").alias("pos"),
+                F.col("_l").alias("_l"),
+            ),
         )
     )
-    # each adjacent pair's LCP scores BOTH endpoints: max over the
-    # pair (prev, next) per position via one per-id-agnostic window
-    # on rn is avoided — instead union the pair's two attributions
-    prv = ordered.select(
-        (F.col("rn") + 1).alias("rn"), F.col("_sfx").alias("_sfx_prev")
-    )
-    both = dl.select(
-        "id", "pos", F.col("_lcp_next").alias("_l")
-    ).unionByName(
-        ordered.join(prv, "rn", "left").select(
-            "id",
-            "pos",
-            F.when(
-                F.col("_sfx_prev").isNotNull(),
-                lcp(F.col("_sfx"), F.col("_sfx_prev")),
-            )
-            .otherwise(F.lit(0))
-            .alias("_l"),
-        )
+    both = (
+        pair_lcp.select(attr.alias("_a"))
+        .select("_a.id", "_a.pos", "_a._l")
+        .filter(F.col("id").isNotNull())
     )
     hits = (
         both.groupBy("id", "pos")
