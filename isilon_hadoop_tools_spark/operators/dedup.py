@@ -44,7 +44,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_posting_list(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, max_df: int | None = None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_df: int | None = None,
+    wide: bool = False,
 ) -> DataFrame:
     """(shingle, id) posting list with optional frequent-shingle cap.
 
@@ -54,11 +59,25 @@ def shingle_posting_list(
     and measure ~4x slower here. The trailing ``distinct()`` needs no
     exchange — the window already hash-partitioned rows by ``id``,
     which satisfies the (id, shingle) clustering requirement.
+
+    ``wide=True`` replaces the window's exchange with a
+    ``REPARTITION_BY_NUM`` on ``id`` (same required distribution, zero
+    added shuffles, AQE-exempt): the shingle-build window is
+    compute-dense (lead chains + concat per token row) but its shuffle
+    is tiny in bytes, so AQE byte-coalescing otherwise runs it 2-3
+    tasks wide on a 32-core box. Callers that rebuild the posting list
+    per consumer (the prefix-filter join) pass it; single-consumer
+    callers keep the default.
     """
     pe = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
+    if wide:
+        from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+        npart = max(2, shuffle_partition_count(df.sparkSession))
+        pe = pe.repartition(npart, "id")
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
     posts = (
@@ -1318,7 +1337,23 @@ def prefix_filter_jaccard_pairs(
     # (a MEMORY_AND_DISK copy thrashes the block manager once the
     # row-format postings outgrow storage memory — the 30× sweep ran
     # 1.7× slower), so the rebuilds from the columnar scan stay.
-    posts = shingle_posting_list(df, text_col, id_col, k, max_df=None)
+    #
+    # Token identity is the 64-bit content FINGERPRINT of the shingle,
+    # not the string — the engine's exact-dedup convention (L1
+    # fingerprint→min-id uses the same md5-slice at the document
+    # level). Every downstream stage gets cheaper for it: the df join,
+    # the prefix self-join and the pair groupBy key on 8-byte longs
+    # instead of k-word strings, and — the dominant win — the exact
+    # verify's array_intersect compares primitive long arrays instead
+    # of hashing/comparing strings per element (profiled 94 CPU-s in
+    # the verify stage at sf0.1 on strings). The global (df, token)
+    # sort order changes with the token representation, but that order
+    # only shapes PRUNING (prefix selection + positional/suffix
+    # bounds); the exact verify decides the output, so results are
+    # identical under the fingerprint-identity convention.
+    posts = shingle_posting_list(
+        df, text_col, id_col, k, max_df=None, wide=True
+    ).select("id", fingerprint64("shingle").alias("shingle"))
     dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sized = posts.withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy("id"))
