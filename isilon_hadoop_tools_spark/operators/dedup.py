@@ -1148,30 +1148,34 @@ def lsh_recall_eval(
     ``n_true`` (exact Jaccard pairs >= threshold), ``n_candidates``
     (LSH band-collision pairs), ``n_hit`` (true pairs the LSH path
     surfaced), ``recall`` (hit share, 6 dp; 1.0 on an empty truth
-    set). Truth and candidate tables are bounded intermediates,
-    checkpointed once and consumed by count + semi-join.
+    set).
+
+    Shape: ONE full-outer join of the two (distinct-by-construction)
+    pair tables on the pair key, with a presence flag per side — all
+    three counts fall out of a single aggregation. An earlier form
+    checkpointed both tables and ran count + semi-join + count per
+    side (truth/cand consumed twice each); under AQE a lazy
+    localCheckpoint still executes the whole subtree at BUILD time
+    (``toRdd`` materializes every intermediate stage), so the
+    checkpoints bought nothing and cost persist passes — the
+    flag-join form computes each subtree exactly once with no
+    materialization at all.
     """
-    truth = (
-        ngram_jaccard_pairs(
-            df, text_col, id_col, k=k, threshold=threshold, max_df=max_df
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
-    )
-    cand = (
-        minhash_lsh_pairs(
-            df, text_col, id_col, num_hashes=num_hashes, bands=bands
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
-    )
-    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
-    agg_t = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    agg_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    agg_h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    truth = ngram_jaccard_pairs(
+        df, text_col, id_col, k=k, threshold=threshold, max_df=max_df
+    ).select("id_a", "id_b", F.lit(1).alias("_t"))
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
     return (
-        agg_t.crossJoin(agg_c)
-        .crossJoin(agg_h)
+        truth.join(cand, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_t").alias("n_true"),
+            F.count("_c").alias("n_candidates"),
+            F.count(F.when(F.col("_t").isNotNull(), F.col("_c"))).alias(
+                "n_hit"
+            ),
+        )
         .select(
             "n_true",
             "n_candidates",
@@ -1240,8 +1244,7 @@ def hamming_recall_eval(
             )
             <= max_hamming
         )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .select("id_a", "id_b", F.lit(1).alias("_t"))
     )
 
     def band_cand(c: str) -> DataFrame:
@@ -1256,27 +1259,45 @@ def hamming_recall_eval(
         return (
             ca.join(cb, ["band_idx", "band_val"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+            .select(
+                "id_a",
+                "id_b",
+                F.lit(1 if c == primary else 0).alias("_first"),
+            )
         )
 
-    cand_first = band_cand(primary).localCheckpoint(eager=False)
-    cand_union = cand_first
+    # one tagged union + pair groupBy replaces per-hash distinct()s:
+    # max(_first) marks pairs the primary hash alone would surface.
+    # All four counts then fall out of ONE full-outer flag-join pass —
+    # the same single-aggregation shape as lsh_recall_eval (see there
+    # for why the checkpointed count+semi-join form lost: under AQE a
+    # lazy localCheckpoint executes its subtree at build time, so the
+    # three checkpoints bought nothing and cost persist passes).
+    cand_union = band_cand(hash_cols[0])
     for c in hash_cols[1:]:
         cand_union = cand_union.unionByName(band_cand(c))
-    cand_union = cand_union.distinct().localCheckpoint(eager=False)
-    hit_first = truth.join(cand_first, ["id_a", "id_b"], "left_semi")
-    hit_union = truth.join(cand_union, ["id_a", "id_b"], "left_semi")
+    cand = cand_union.groupBy("id_a", "id_b").agg(
+        F.max("_first").alias("_first")
+    )
     recall = lambda n: (  # noqa: E731
         F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
             F.round(F.col(n) / F.col("n_true"), 6)
         )
     )
     return (
-        truth.agg(F.count(F.lit(1)).alias("n_true"))
-        .crossJoin(cand_union.agg(F.count(F.lit(1)).alias("n_candidates")))
-        .crossJoin(hit_first.agg(F.count(F.lit(1)).alias("n_hit_first")))
-        .crossJoin(hit_union.agg(F.count(F.lit(1)).alias("n_hit_union")))
+        truth.join(cand, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_t").alias("n_true"),
+            F.count("_first").alias("n_candidates"),
+            F.count(
+                F.when(
+                    F.col("_t").isNotNull() & (F.col("_first") == 1), 1
+                )
+            ).alias("n_hit_first"),
+            F.count(F.when(F.col("_t").isNotNull(), F.col("_first"))).alias(
+                "n_hit_union"
+            ),
+        )
         .select(
             "n_true",
             "n_candidates",
