@@ -559,27 +559,23 @@ def kmeans_assign(
     # at plan build plus a k·dim-node tree through analysis and
     # codegen EVERY Lloyd iteration — measured 2.22 s -> 0.65 s per
     # assignment pass at k=8, dim=64, bit-identical output (the
-    # (dist, list_id) struct-min tie-break is unchanged).
-    carr = F.lit([[int(v) for v in c] for _, c in cents]).cast(
-        "array<array<bigint>>"
+    # (dist, list_id) struct-min tie-break is unchanged). The whole
+    # argmin is ONE F.expr SQL string (the simhash/bootstrap fix):
+    # the Column/lambda form still paid ~0.5 s of py4j per Lloyd
+    # iteration rebuilding the same tree around fresh centroid
+    # values; the SQL text parses JVM-side in one call and the
+    # centroid ints render inline as the same two array literals.
+    carr_sql = ",".join(
+        "array(" + ",".join(str(int(v)) for v in c) + ")" for _, c in cents
     )
-    ids = F.lit([int(lid) for lid, _ in cents]).cast("array<int>")
-
-    def _dist(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("qv"), cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    best = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(len(cents))),
-            lambda i: F.struct(
-                _dist(F.element_at(carr, i)).alias("dist"),
-                F.element_at(ids, i).alias("list_id"),
-            ),
-        )
+    ids_sql = ",".join(str(int(lid)) for lid, _ in cents)
+    best = F.expr(
+        f"array_min(transform(sequence(1, {len(cents)}), i -> named_struct("
+        "'dist', aggregate(zip_with(qv, element_at(CAST(array("
+        f"{carr_sql}) AS ARRAY<ARRAY<BIGINT>>), i),"
+        " (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x),"
+        f" 'list_id', element_at(CAST(array({ids_sql}) AS ARRAY<INT>), i))))"
     )
     return vecs.withColumn("_b", best).select(
         "vid",
@@ -689,13 +685,16 @@ def kmeans_train(
     # computed Spark-side so it stays bit-identical to the
     # oracle's round(sum::DOUBLE / count). The Column list is
     # iteration-INVARIANT (only the centroid literals change), so
-    # build it once: constructing dim wrapped sum columns costs
-    # ~7 py4j roundtrips each, measured ~1.9 s of pure driver time
-    # per iteration when rebuilt inside the loop.
+    # build it once — and via ONE F.expr per column (the simhash /
+    # bootstrap SQL-string fix): the Column-API form cost ~7 py4j
+    # round-trips per component, measured 1.1 s of pure driver
+    # time at dim=64 for this list alone; the parsed trees are the
+    # same expressions, so plans and values are unchanged.
     agg_cols = [
-        F.round(F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1)))
-        .cast("long")
-        .alias(f"c{p}")
+        F.expr(
+            f"CAST(round(CAST(sum(qv[{p}]) AS DOUBLE) / count(1))"
+            " AS BIGINT)"
+        ).alias(f"c{p}")
         for p in range(dim)
     ]
     for _ in range(iters):
@@ -936,16 +935,24 @@ def semantic_dedup(
     # duplicates land in different clusters and never meet
     # norm as its own projected column, NOT inlined in the transform
     # lambda (inlining re-evaluates the norm aggregate per element —
-    # O(dim^2) per row; measured 0.72 s -> 0.28 s on the sf0.1 pass)
+    # O(dim^2) per row; measured 0.72 s -> 0.28 s on the sf0.1 pass).
+    # Both projections are F.expr SQL strings: the Column/lambda form
+    # cost ~1.0 s of py4j per build (profiled on the sf0.1 pass) for
+    # the same parsed trees. 0.0D keeps the SQL literals DOUBLE.
     raw = F.col(vec_col).cast("array<double>")
     nd = df.select(F.col(id_col), raw.alias("_r")).select(
-        F.col(id_col), "_r", _norm(F.col("_r")).alias("_n")
+        F.col(id_col),
+        "_r",
+        F.expr("sqrt(aggregate(_r, 0.0D, (acc, v) -> acc + v * v))").alias(
+            "_n"
+        ),
     )
     unit = nd.select(
         F.col(id_col),
-        F.when(F.col("_n") == 0, F.col("_r"))
-        .otherwise(F.transform("_r", lambda x: x / F.col("_n")))
-        .alias(vec_col),
+        F.expr(
+            "CASE WHEN _n = 0.0D THEN _r"
+            " ELSE transform(_r, x -> x / _n) END"
+        ).alias(vec_col),
     )
     # assign is consumed by THREE downstream branches (the pair join,
     # the component node list, and the final label join) and pairs is
@@ -1068,12 +1075,14 @@ def _pq_train(
         (int(r["subspace"]), int(r["_rn"]) - 1): [int(v) for v in r["qv"]]
         for r in init_rows
     }
-    # iteration-invariant agg Columns built once (same py4j-volume
-    # trade as kmeans_train — only the codebook changes per round)
+    # iteration-invariant agg Columns built once, via one F.expr per
+    # column (same py4j-volume trade as kmeans_train — only the
+    # codebook changes per round)
     agg_cols = [
-        F.round(F.sum(F.col("qv")[p]).cast("double") / F.count(F.lit(1)))
-        .cast("long")
-        .alias(f"c{p}")
+        F.expr(
+            f"CAST(round(CAST(sum(qv[{p}]) AS DOUBLE) / count(1))"
+            " AS BIGINT)"
+        ).alias(f"c{p}")
         for p in range(sub_dim)
     ]
     for _ in range(iters):
