@@ -128,6 +128,14 @@ def ngram_jaccard_pairs(
     posting pipeline three times (measured: 31 Exchange nodes in the
     final plan vs 5 for this form).
     """
+    # Two r16 experiments tried here and REVERTED on paired A/B:
+    # fingerprinting the shingle to a long (the prefix-filter-join
+    # move) was flat-to-negative — without an array_intersect verify
+    # to cheapen, the md5 per posting row costs what the narrower
+    # groupBy key saves; and wide=True on the posting build left
+    # every stage wall unchanged (the shingle window here is not
+    # compute-dense enough for width to matter, unlike the prefix
+    # join's rebuild-per-consumer form).
     posts = shingle_posting_list(df, text_col, id_col, k, max_df)
     sized = posts.withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy("id"))
@@ -1062,9 +1070,21 @@ def winnow_fingerprints(
                         {"id": np.concatenate(ids), "fp": np.concatenate(fps)}
                     )
 
-        return df.select(
-            F.col(id_col).cast("long").alias(id_col), text_col
-        ).mapInPandas(gen, "id long, fp long")
+        src = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+        # per-gram md5 in the Python worker is the query's entire cost
+        # and it parallelizes only as wide as the scan — one parquet
+        # file at bench scale means ONE task doing everything
+        # (profiled 1.8 s single-task with 31 cores idle). Same
+        # conditional widen as the multimodal payload builders
+        # (`_doc_ids`): repartition on the id ONLY when the scan is
+        # narrower than the shuffle partition count; a 100 TB corpus
+        # arrives in many splits and skips the exchange entirely.
+        from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+        npart = max(2, shuffle_partition_count(df.sparkSession))
+        if src.rdd.getNumPartitions() < npart:
+            src = src.repartition(npart, id_col)
+        return src.mapInPandas(gen, "id long, fp long")
     # Docs shorter than k+window-1 have no full window -> no
     # fingerprints. The filter also guards sequence() against a
     # negative span (Spark's sequence(1, n) with n < 1 descends).
