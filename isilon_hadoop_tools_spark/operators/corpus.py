@@ -3060,7 +3060,11 @@ def web_curation_pipeline(
         # the HTML extraction chain is the pipeline's dominant
         # per-row compute and d is consumed by THREE branches (the
         # train checkpoint plus both decon_input arms) — checkpoint
-        # so extraction runs once, not three times
+        # so extraction runs once, not three times. Widening d before
+        # the checkpoint (the html_extract fix) was tried and
+        # REVERTED: every downstream stage of this MANY-stage pipeline
+        # then runs 32 tasks of per-task overhead on trivially small
+        # data — paired A/B 3.7 → 9.1 s.
         d = d.localCheckpoint(eager=False)
     train = d.filter(~is_eval).localCheckpoint(eager=False)
     ku = url_keep_one(train, "url", "id").select(
@@ -3773,6 +3777,12 @@ def html_extract(
     newline, whitespace-normalized), ``n_blocks`` (non-empty text
     blocks seen), ``n_kept``.
     """
+    from isilon_hadoop_tools_spark.session import widen_narrow_input
+
+    # the regex chain below is the query's entire compute and runs at
+    # scan width — one parquet file at bench scale means 1-2 tasks;
+    # widen conditionally (no-op on a many-split production crawl)
+    df = widen_narrow_input(df, id_col)
     nonempty, kept = _html_blocks(html_col, min_words, max_anchor_ratio)
     return df.select(
         F.col(id_col),

@@ -1070,20 +1070,18 @@ def winnow_fingerprints(
                         {"id": np.concatenate(ids), "fp": np.concatenate(fps)}
                     )
 
-        src = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
         # per-gram md5 in the Python worker is the query's entire cost
         # and it parallelizes only as wide as the scan — one parquet
         # file at bench scale means ONE task doing everything
-        # (profiled 1.8 s single-task with 31 cores idle). Same
-        # conditional widen as the multimodal payload builders
-        # (`_doc_ids`): repartition on the id ONLY when the scan is
-        # narrower than the shuffle partition count; a 100 TB corpus
-        # arrives in many splits and skips the exchange entirely.
-        from isilon_hadoop_tools_spark.session import shuffle_partition_count
+        # (profiled 1.8 s single-task with 31 cores idle; 0.67 s
+        # widened). Conditional: a many-split corpus skips the
+        # exchange entirely.
+        from isilon_hadoop_tools_spark.session import widen_narrow_input
 
-        npart = max(2, shuffle_partition_count(df.sparkSession))
-        if src.rdd.getNumPartitions() < npart:
-            src = src.repartition(npart, id_col)
+        src = widen_narrow_input(
+            df.select(F.col(id_col).cast("long").alias(id_col), text_col),
+            id_col,
+        )
         return src.mapInPandas(gen, "id long, fp long")
     # Docs shorter than k+window-1 have no full window -> no
     # fingerprints. The filter also guards sequence() against a

@@ -241,6 +241,11 @@ def cosine_near_dup_pairs(
     # ReusedExchange — without materialization the Arrow bucketer runs
     # once per consumer (8 ArrowEvalPython nodes in the measured plan).
     # The table is id+2 ints per (row, table) — bounded, cheap to hold.
+    # NOTE: width-pinning this checkpoint (repartition on the band key
+    # before it, the r16 widen pattern) was tried and REVERTED: paired
+    # A/B 2.2 → 3.6 s — the added exchange plus 32-task downstream
+    # stages cost more than the 2-task join stages they replaced on
+    # this operator's small per-stage work.
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(bucketer(vec)).alias("table_id", "bucket"),

@@ -30,6 +30,20 @@ def shuffle_partition_count(spark: SparkSession, default: int = 200) -> int:
         return max(2, int(spark.sparkContext.defaultParallelism))
 
 
+def widen_narrow_input(df, *keys):
+    """Conditionally widen a scan-width-bound frame before a
+    compute-dense per-row stage (Python fingerprinting, codec decode,
+    HTML regex extraction): repartition on ``keys`` ONLY when the
+    frame has fewer partitions than ``spark.sql.shuffle.partitions``.
+    At bench scale a one-file parquet table otherwise runs the whole
+    stage in 1-2 tasks; a production many-split corpus skips the
+    exchange entirely (the `_doc_ids` pattern, generalized)."""
+    npart = max(2, shuffle_partition_count(df.sparkSession))
+    if df.rdd.getNumPartitions() < npart:
+        return df.repartition(npart, *keys)
+    return df
+
+
 def get_session(
     app_name: str = "isilon_hadoop_tools_spark",
     cpus: str | int | None = None,
