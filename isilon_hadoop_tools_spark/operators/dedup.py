@@ -1577,7 +1577,16 @@ def minhash_jaccard_eval(
     cands = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, k
     ).select("id_a", "id_b").localCheckpoint(eager=False)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # sigs feeds BOTH est-side joins and the semi-filtered posting
+    # list feeds three consumers (sizes + both inter sides): without
+    # materialization each consumer re-runs the tokenize + signature
+    # (resp. posting-window) build — profiled as five concurrent ~1 s
+    # 3-task jobs recomputing near-identical subtrees. Both are
+    # bounded intermediates (n×num_hashes int rows; candidate docs'
+    # postings only).
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, k
+    ).localCheckpoint(eager=False)
     est = (
         cands.join(
             sigs.select(
@@ -1605,8 +1614,10 @@ def minhash_jaccard_eval(
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    posts = shingle_posting_list(df, text_col, id_col, k).join(
-        cand_ids, "id", "left_semi"
+    posts = (
+        shingle_posting_list(df, text_col, id_col, k)
+        .join(cand_ids, "id", "left_semi")
+        .localCheckpoint(eager=False)
     )
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
