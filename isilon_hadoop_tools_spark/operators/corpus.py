@@ -3767,9 +3767,13 @@ def html_extract(
 
     Everything is stateless per-row column algebra (regex chains +
     array higher-order functions, all JVM-side — the ``redact_pii``
-    discipline): the plan is ONE scan-bound projection with no
-    shuffle, no UDF, and no state, so it pipelines at any scale and
-    composes in front of the curation capstones. The anchor-density
+    discipline): the plan is ONE scan-bound projection with no UDF
+    and no state, so it pipelines at any scale and composes in front
+    of the curation capstones. Inputs narrower than the shuffle
+    partition count take one conditional keyed repartition first
+    (``widen_narrow_input``) so the regex compute is not bound to a
+    1-2-task scan; any real many-split corpus skips it and the plan
+    is shuffle-free. The anchor-density
     comparison is exact integer math (``anchors·100 ≤
     words·round(ratio·100)``) so any engine replays it bit-for-bit.
 

@@ -82,11 +82,33 @@ def test_tagless_text_passes_through_normalized(spark):
 
 
 def test_plan_is_scan_bound_no_shuffle_no_udf(spark):
-    df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
+    # the 100 TB contract: an input already at >= shuffle-partition
+    # width takes NO exchange (the r16 widen is conditional) and no
+    # Python eval — the extraction stays one scan-bound projection
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    npart = max(2, shuffle_partition_count(spark))
+    df = spark.createDataFrame(
+        [(i, PAGE) for i in range(npart)], "doc_id long, html string"
+    ).repartition(npart, "doc_id")
     plan = html_extract(df, "doc_id", "html")._jdf.queryExecution()
     s = plan.executedPlan().toString()
-    assert "Exchange" not in s
+    assert s.count("Exchange") <= 1  # only the pre-existing repartition
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
+def test_narrow_input_widens_with_exactly_one_exchange(spark):
+    # bench-scale contract: a 1-partition input gets exactly ONE
+    # keyed repartition before the compute-dense regex stage
+    df = spark.createDataFrame(
+        [(1, PAGE)], "doc_id long, html string"
+    ).coalesce(1)
+    out = html_extract(df, "doc_id", "html")
+    s = out._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Exchange") == 1
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+    # result survives the widen
+    assert out.count() == 1
 
 
 def test_html_links_extraction_and_invisible_anchors(spark):

@@ -144,10 +144,36 @@ def test_q15_reuses_revenue_exchange(spark):
 def test_winnow_shuffle_free(spark):
     plan = _plan(spark, "doc_winnow_fingerprints")
     # winnowing is per-document stateless: gram hashing, window minima,
-    # and dedup all happen inside one per-row projection — the corpus
-    # never shuffles (no Exchange anywhere in the plan)
-    assert "Exchange" not in plan
+    # and dedup all happen inside one per-row projection — the only
+    # exchange permitted is the r16 CONDITIONAL widen (keyed
+    # repartition of the narrow bench-scale scan before the
+    # compute-dense Python fingerprint pass; a many-split corpus
+    # skips it, pinned by the narrow/wide contract below)
+    # formatted plans name each node twice (tree + details) — count
+    # the details header, one per node
+    assert plan.count(") Exchange") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_widen_skipped_on_wide_input(spark):
+    # the 100 TB contract: an input already at shuffle-partition width
+    # takes NO exchange beyond its own pre-partitioning
+    from isilon_hadoop_tools_spark.operators.dedup import winnow_fingerprints
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    npart = max(2, shuffle_partition_count(spark))
+    df = spark.createDataFrame(
+        [(i, "abcdefghijklmnopqrs tuvw xyz0123456789") for i in range(npart)],
+        "doc_id long, text string",
+    ).repartition(npart, "doc_id")
+    plan = (
+        winnow_fingerprints(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # only the test's own repartition — winnow itself adds none
+    assert plan.count("Exchange") <= 1
 
 
 def test_kmeans_assign_shuffle_free(spark):
