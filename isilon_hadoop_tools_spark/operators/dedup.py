@@ -1179,6 +1179,16 @@ def lsh_recall_eval(
     flag-join form computes each subtree exactly once with no
     materialization at all.
     """
+    # CORRECTNESS INVARIANT (ADVICE r16): the single-aggregation
+    # flag-join below is only exact while BOTH pair tables are
+    # distinct on (id_a, id_b) — duplicate rows would multiply
+    # through the full-outer join key and inflate every count.
+    # Today that holds by construction (ngram_jaccard_pairs ends in
+    # a pair groupBy; minhash_lsh_pairs collapses per-signature
+    # representatives then pair-distincts) and is pinned by
+    # tests/test_dedup.py::test_recall_eval_inputs_distinct_pairs —
+    # a change that makes either emit duplicate pairs must fail
+    # there, not silently skew recall here.
     truth = ngram_jaccard_pairs(
         df, text_col, id_col, k=k, threshold=threshold, max_df=max_df
     ).select("id_a", "id_b", F.lit(1).alias("_t"))
@@ -1214,6 +1224,7 @@ def hamming_recall_eval(
     bits: int,
     max_hamming: int,
     bands: int,
+    max_eval_rows: int = 250_000,
 ) -> DataFrame:
     """Recall of banded candidate generation in the INCOMPLETE regime
     (``max_hamming >= bands``): with that many flipped bits no band
@@ -1236,10 +1247,26 @@ def hamming_recall_eval(
     ``n_hit_union``/``recall_union`` (candidate on ANY hash; >=
     recall_first by construction). Recalls are 6 dp, 1.0 on empty
     truth.
+
+    ``max_eval_rows`` ENFORCES the eval-on-a-sample contract that the
+    quadratic truth pass and its broadcast b-side depend on (the r15
+    MoR delete-budget shape): past the budget the eval raises rather
+    than silently building an n^2 truth join over an unbounded
+    broadcast. The count rides the checkpoint the plan materializes
+    anyway, so the guard costs one count job over cached rows.
     """
     src = hashes.select(
         F.col(id_col).alias("id"), *[F.col(c) for c in hash_cols]
     ).localCheckpoint(eager=False)
+    n_rows = src.count()
+    if n_rows > max_eval_rows:
+        raise ValueError(
+            f"hamming_recall_eval input is {n_rows} rows, past the "
+            f"eval budget of {max_eval_rows} — the truth pass is "
+            "brute-force quadratic BY DESIGN (ground truth); run the "
+            "eval on a sample/partition, or raise max_eval_rows if "
+            "the n^2 cost and the broadcast b-side are truly intended"
+        )
     primary = hash_cols[0]
     a = src.select(
         F.col("id").alias("id_a"),
@@ -1360,7 +1387,24 @@ def prefix_filter_jaccard_pairs(
 
     Output: ``id_a``, ``id_b``, ``jaccard`` (id_a < id_b, jaccard >=
     ``threshold``) — identical to an uncapped
-    :func:`ngram_jaccard_pairs`.
+    :func:`ngram_jaccard_pairs` **under the engine's
+    fingerprint-identity convention**: shingle identity is the 60-bit
+    content fingerprint (:func:`fingerprint64`), not the string, the
+    same convention the L1 exact-dedup layer uses at the document
+    level. Every join/sort key AND the exact verify's
+    ``array_intersect`` therefore run on primitive longs. The cost of
+    the convention is the birthday bound on fingerprint collisions: at
+    ``N`` distinct shingles the expected number of colliding shingle
+    PAIRS is ``N**2 / 2**61`` (~4.3e-2 at N=1e9, ~43 at N=1e10, ~4300
+    at N=1e11 — i.e. per-pair jaccard error stays vanishing even at
+    100 TB, but it is no longer exactly zero). A collision merges two
+    unrelated shingles' identities: their ``df`` counts add (pruning
+    only — harmless) and the verify can count one false intersection
+    element per colliding pair co-occurring in a candidate pair.
+    Deployments that need strict string identity at 1e11+ shingles
+    should widen the key (e.g. a 2x64-bit fingerprint struct, or keep
+    the string in the final ``array_intersect`` while joining on the
+    fingerprint) — the pruning math is identity-agnostic.
 
     Shape: posting build (one id-partitioned window chain) → df join
     (shuffle on shingle) → per-doc rank window (re-uses the id hash

@@ -556,6 +556,12 @@ def kmeans_assign(
     vector before any exchange, identical output (equality-tested
     across the switch in `tests/test_similarity.py`).
     """
+    if not cents:
+        # fail loudly here, not at SQL-parse time: with zero centroids
+        # the rendered sequence(1, 0) yields a DESCENDING [1, 0] and
+        # element_at errors deep inside the parsed expression — a
+        # much harder trace than this guard (ADVICE r16).
+        raise ValueError("kmeans_assign: empty centroid list")
     if len(cents) > literal_threshold:
         return _kmeans_assign_join(vecs, cents)
     # TWO literal nodes total (one array<array<bigint>> of centroids,

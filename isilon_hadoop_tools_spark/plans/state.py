@@ -58,16 +58,27 @@ class ParquetState:
             raise KeyError(f"state table {table!r} never written and no schema given")
         return local_df(self.spark, [], schema)
 
-    def write(self, table: str, df: DataFrame) -> int:
+    def write(self, table: str, df: DataFrame, partitions: int | None = None) -> int:
         """Replace ``table`` with ``df`` (stage then swap); returns the
         new row count (read from the staged parquet footers on the
         driver — a re-read ``count()`` would cost one extra Spark job
-        per write, and the staged executor writes per stage)."""
+        per write, and the staged executor writes per stage).
+
+        ``partitions`` overrides ``write_partitions`` for THIS write:
+        ``coalesce(1)`` does not just produce one file — it collapses
+        the entire final stage (aggregation included) to one task, so
+        a compute-bearing state table (the streaming pair merges)
+        passes the plan's own shuffle width here to keep the merge
+        aggregation wide; catalog-sized tables keep the 1-file
+        default. More files per table is the explicit trade (the
+        table is swap-replaced every write, so the count never
+        accumulates)."""
         final = self._path(table)
         tmp = final + ".staging"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-        df.coalesce(self.write_partitions).write.mode("overwrite").parquet(tmp)
+        n_out = partitions or self.write_partitions
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
         n = self._footer_count(tmp)
         old = final + ".old"
         if os.path.isdir(final):

@@ -37,8 +37,21 @@ def widen_narrow_input(df, *keys):
     frame has fewer partitions than ``spark.sql.shuffle.partitions``.
     At bench scale a one-file parquet table otherwise runs the whole
     stage in 1-2 tasks; a production many-split corpus skips the
-    exchange entirely (the `_doc_ids` pattern, generalized)."""
+    exchange entirely (the `_doc_ids` pattern, generalized).
+
+    Designed for SCAN-LEVEL inputs (a parquet read plus row-local
+    projections/filters). The width probe uses ``.rdd``, which under
+    AQE materializes every upstream shuffle stage at plan-build time
+    (``toRdd``), so a frame whose physical plan already contains an
+    ``Exchange`` is passed through untouched rather than probed: its
+    width is shuffle-determined (not scan-determined), and probing it
+    would silently execute the upstream stages twice."""
     npart = max(2, shuffle_partition_count(df.sparkSession))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() < npart:
         return df.repartition(npart, *keys)
     return df

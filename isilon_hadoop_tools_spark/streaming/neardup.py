@@ -98,17 +98,41 @@ def simhash_index_apply_batch(
     if not new_members.take(1):
         return  # replayed or empty batch: nothing to fold in
     postings = state.read("band_postings", POSTINGS_SCHEMA)
-    delta_fps = new_members.select("fp").distinct().localCheckpoint(eager=True)
+    # keyed numbered repartition REPLACES the distinct's exchange
+    # (same required distribution, AQE-exempt): without it the
+    # checkpoint materializes at the anti-join's AQE-coalesced width
+    # (1 partition for a micro-batch) and the band fan-out + hamming
+    # candidate stage downstream runs single-task — profiled 0.8 →
+    # 1.9 → 2.3 s across three batches on the unified twin.
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    _npart = max(2, shuffle_partition_count(batch.sparkSession))
+    delta_fps = (
+        new_members.select("fp")
+        .repartition(_npart, "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     new_fps = delta_fps.join(
         postings.filter(F.col("band_idx") == 0).select("fp"), "fp", "left_anti"
     )
-    new_postings = new_fps.select(
-        F.posexplode(band_slice_array(F.col("fp"), bits, bands)).alias(
-            "band_idx", "band_val"
-        ),
-        "fp",
-    ).select(F.col("band_idx").cast("int"), "band_val", "fp")
-    all_postings = postings.unionByName(new_postings).localCheckpoint(eager=True)
+    new_postings = (
+        new_fps.select(
+            F.posexplode(band_slice_array(F.col("fp"), bits, bands)).alias(
+                "band_idx", "band_val"
+            ),
+            "fp",
+        )
+        .select(F.col("band_idx").cast("int"), "band_val", "fp")
+        # eager: O(batch) rows, consumed by the candidate join AND the
+        # postings append. The earlier form checkpointed the WHOLE
+        # postings union instead — an O(index) materialization per
+        # batch that grew with the stream (profiled 0.7 → 1.4 → 2.4 s
+        # across three batches); the union below is lazy now and the
+        # index side streams straight from its parquet scan.
+        .localCheckpoint(eager=True)
+    )
+    all_postings = postings.unionByName(new_postings)
     # pigeonhole candidates: batch's distinct fps x the full index,
     # keyed on (band slice index, slice value) — includes the
     # fp==fp case (identical fingerprints agree on every band)
@@ -145,18 +169,29 @@ def simhash_index_apply_batch(
             F.greatest("_ida", "_idb").alias("id_b"),
             "hamming",
         )
-        # drops self-pairs AND collapses the double emission of
-        # both-new pairs (x from the batch side, y from the index
-        # side and vice versa)
+        # drops self-pairs; the double emission of both-new pairs
+        # (x from the batch side, y from the index side and vice
+        # versa) carries the SAME symmetric hamming both ways, so the
+        # min-merge groupBy below collapses it — a distinct() here
+        # was a second full exchange of the pair rows for nothing
+        # (profiled as an extra AQE stage per batch, with the map
+        # side coalesced to 1 task on later batches)
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
     )
     current = state.read("near_pairs", PAIRS_SCHEMA)
+    # wide write: coalesce(1) would collapse the merge aggregation
+    # itself to one task (profiled as multi-second single-task jobs
+    # on the later batches); passing the plan's shuffle width keeps
+    # the groupBy stage parallel at the cost of more (swap-replaced,
+    # never accumulating) state files.
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
     state.write(
         "near_pairs",
         current.unionByName(pairs)
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").cast("int").alias("hamming")),
+        partitions=max(2, shuffle_partition_count(batch.sparkSession)),
     )
     # index tables APPEND their delta — O(batch) writes per batch,
     # not an O(corpus) rewrite (swap-on-write would make total write
@@ -236,21 +271,33 @@ def minhash_index_apply_batch(
     if not new_members.take(1):
         return  # replayed or empty batch
     postings = state.read("sig_postings", SIG_POSTINGS_SCHEMA)
-    delta_sigs = new_members.select("sig_key").distinct().localCheckpoint(
-        eager=True
+    # width-pinned delta checkpoint — see simhash_index_apply_batch
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    _npart = max(2, shuffle_partition_count(batch.sparkSession))
+    delta_sigs = (
+        new_members.select("sig_key")
+        .repartition(_npart, "sig_key")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     new_sigs = delta_sigs.join(
         postings.filter(F.col("band") == 0).select("sig_key"),
         "sig_key",
         "left_anti",
     )
-    new_postings = new_sigs.select(
-        F.posexplode(F.split("sig_key", r"\|")).alias("band", "band_key"),
-        "sig_key",
-    ).select(F.col("band").cast("int"), "band_key", "sig_key")
-    all_postings = postings.unionByName(new_postings).localCheckpoint(
-        eager=True
+    new_postings = (
+        new_sigs.select(
+            F.posexplode(F.split("sig_key", r"\|")).alias("band", "band_key"),
+            "sig_key",
+        )
+        .select(F.col("band").cast("int"), "band_key", "sig_key")
+        # eager O(batch) checkpoint; the index union stays lazy (see
+        # simhash_index_apply_batch — the old O(index)-per-batch
+        # union checkpoint grew with the stream)
+        .localCheckpoint(eager=True)
     )
+    all_postings = postings.unionByName(new_postings)
     delta_banded = delta_sigs.select(
         F.col("sig_key").alias("sig_d"),
         F.posexplode(F.split("sig_key", r"\|")).alias("band", "band_key"),
@@ -286,15 +333,21 @@ def minhash_index_apply_batch(
             F.greatest("_ida", "_idb").alias("id_b"),
             "n_bands",
         )
+        # both-new pairs arrive once per direction with the SAME
+        # n_bands (band agreement is symmetric), so the max-merge
+        # groupBy below collapses them — no distinct() exchange here
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()  # both-new pairs arrive once per direction
     )
     current = state.read("lsh_pairs", SIG_PAIRS_SCHEMA)
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
     state.write(
         "lsh_pairs",
         current.unionByName(pairs)
         .groupBy("id_a", "id_b")
         .agg(F.max("n_bands").alias("n_bands")),
+        # wide write — see simhash_index_apply_batch
+        partitions=max(2, shuffle_partition_count(batch.sparkSession)),
     )
     # O(delta) index appends — see simhash_index_apply_batch
     state.append("sig_postings", new_postings)
@@ -461,15 +514,25 @@ def tagged_index_apply_batch(
     delta = fps.filter(F.col("modality").isNotNull()).select(
         "modality", "id", F.col("fhash").alias("fp")
     )
+    sc = fps.sparkSession.sparkContext
     members = state.read("tfp_members", TAGGED_MEMBERS_SCHEMA)
+    sc.setJobDescription("tagged_index: new_members checkpoint")
     new_members = delta.join(
         members.select("modality", "id"), ["modality", "id"], "left_anti"
     ).localCheckpoint(eager=True)
+    sc.setJobDescription("tagged_index: empty-batch probe")
     if not new_members.take(1):
+        sc.setJobDescription(None)
         return  # replayed or empty batch
     postings = state.read("tband_postings", TAGGED_POSTINGS_SCHEMA)
+    # width-pinned delta checkpoint — see simhash_index_apply_batch
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    _npart = max(2, shuffle_partition_count(fps.sparkSession))
+    sc.setJobDescription("tagged_index: delta_fps checkpoint")
     delta_fps = (
         new_members.select("modality", "fp")
+        .repartition(_npart, "modality", "fp")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -481,16 +544,22 @@ def tagged_index_apply_batch(
     band_arr = tagged_band_slice_array(
         F.col("fp"), F.col("modality"), params
     )
-    new_postings = new_fps.select(
-        "modality",
-        F.posexplode(band_arr).alias("band_idx", "band_val"),
-        "fp",
-    ).select(
-        "modality", F.col("band_idx").cast("int"), "band_val", "fp"
+    sc.setJobDescription("tagged_index: new_postings checkpoint")
+    new_postings = (
+        new_fps.select(
+            "modality",
+            F.posexplode(band_arr).alias("band_idx", "band_val"),
+            "fp",
+        )
+        .select(
+            "modality", F.col("band_idx").cast("int"), "band_val", "fp"
+        )
+        # eager O(batch) checkpoint; the index union stays lazy (see
+        # simhash_index_apply_batch — the old O(index)-per-batch
+        # union checkpoint grew with the stream)
+        .localCheckpoint(eager=True)
     )
-    all_postings = postings.unionByName(new_postings).localCheckpoint(
-        eager=True
-    )
+    all_postings = postings.unionByName(new_postings)
     delta_banded = delta_fps.select(
         "modality",
         F.col("fp").alias("fp_d"),
@@ -528,18 +597,26 @@ def tagged_index_apply_batch(
             F.greatest("_ida", "_idb").alias("id_b"),
             "hamming",
         )
+        # both-new double emission carries the same symmetric
+        # hamming, so the min-merge groupBy collapses it — see
+        # simhash_index_apply_batch
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
     )
     current = state.read("tnear_pairs", TAGGED_PAIRS_SCHEMA)
+    sc.setJobDescription("tagged_index: pairs merge write")
     state.write(
         "tnear_pairs",
         current.unionByName(pairs)
         .groupBy("modality", "id_a", "id_b")
         .agg(F.min("hamming").cast("int").alias("hamming")),
+        # wide write — see simhash_index_apply_batch
+        partitions=max(2, shuffle_partition_count(fps.sparkSession)),
     )
+    sc.setJobDescription("tagged_index: postings append")
     state.append("tband_postings", new_postings)
+    sc.setJobDescription("tagged_index: members append")
     state.append("tfp_members", new_members)
+    sc.setJobDescription(None)
 
 
 def tagged_stream_into_state(

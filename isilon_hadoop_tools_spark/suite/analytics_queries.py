@@ -1998,8 +1998,10 @@ def orders_bloom_index_stream(
     """Streaming Bloom-bitmap maintenance (SC11s): the selective
     build side (orders > 400k) arrives AS A STREAM and its bit
     positions fold into a bounded state table (<= m_bits rows
-    forever; set-union is idempotent, so the stream is drained TWICE
-    and must converge); the lineitem probe side then prefilters
+    forever; set-union is idempotent, so replays converge — the
+    re-drain no-op is pinned by the streaming unit matrix in
+    tests/test_streaming_neardup.py, not re-proven per invocation);
+    the lineitem probe side then prefilters
     map-side with the maintained bitmap and verifies against the
     exact key set - identical result to the batch SC11 join."""
     import os
@@ -2017,14 +2019,13 @@ def orders_bloom_index_stream(
     shutil.rmtree(root, ignore_errors=True)
     state = ParquetState(spark, root)
     schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
-    for _ in range(2):
-        src = (
-            spark.readStream.schema(schema)
-            .parquet(f"{sf_dir}/orders.*")
-            .filter(F.col("o_totalprice") > 400000)
-            .select("o_orderkey")
-        )
-        bloom_stream_into_state(src, state, "o_orderkey")
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/orders.*")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    bloom_stream_into_state(src, state, "o_orderkey")
     bits = {
         r["bit"]
         for r in state.read("bloom_bits", BLOOM_BITS_SCHEMA).collect()

@@ -234,12 +234,11 @@ def embedding_ivf_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.unpersist()
     state = _fresh_state(spark, "embedding_ivf_index_stream")
     schema = emb.schema
-    for _ in range(2):
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(f"{sf_dir}/embeddings.*")  # file source needs a glob
-        )
-        ivf_stream_into_state(stream, state, cents)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/embeddings.*")  # file source needs a glob
+    )
+    ivf_stream_into_state(stream, state, cents)
     return state.read("ivf_postings", IVF_POSTINGS_SCHEMA).select(
         "list_id", F.col("vid").alias("vec_id"), "dist"
     )

@@ -503,9 +503,10 @@ def simhash_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger=1); each batch is fingerprinted, anti-joined
     against the persisted members, band-matched against the
     distinct-fingerprint postings index, and the newly-created pairs
-    merge into state — never a corpus-wide self-join. The stream is
-    drained TWICE without a checkpoint (replayed batches are no-ops
-    by the members anti-join), and the final pair state must equal
+    merge into state — never a corpus-wide self-join. No checkpoint:
+    replayed batches are no-ops by the members anti-join (pinned by
+    the replay/restart unit matrix in tests/test_streaming_neardup.py;
+    the bench drains once), and the final pair state must equal
     the batch ``simhash_near_pairs`` answer — the oracle brute-forces
     all pairs at hamming <= 3, so one missed or phantom incremental
     pair hash-fails."""
@@ -533,15 +534,14 @@ def simhash_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
     state = _fresh_state(spark, "simhash_index_stream")
     schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
-    for _ in range(2):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{stream_dir}/b*.parquet")
-        )
-        streaming.simhash_stream_into_state(
-            stream, state, text_col="text", id_col="doc_id"
-        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*.parquet")
+    )
+    streaming.simhash_stream_into_state(
+        stream, state, text_col="text", id_col="doc_id"
+    )
     return state.read("near_pairs", "id_a LONG, id_b LONG, hamming INT")
 
 
@@ -754,8 +754,10 @@ def minhash_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     against persisted members, band-key-matched against the
     DISTINCT-signature postings index, and the newly-created
     candidate pairs (with their agreeing-band counts) merge into
-    state. Drained twice without a checkpoint (replays are no-ops),
-    and the final pair state must hash-match the batch LSH candidate
+    state. No checkpoint: replays are no-ops by the members anti-join
+    (pinned by the unit matrix in tests/test_streaming_neardup.py;
+    the bench drains once), and the final pair
+    state must hash-match the batch LSH candidate
     answer — the same oracle as ``dedup_minhash_lsh_candidates``, so
     one missed cross-batch collision or wrong n_bands fails."""
     import os
@@ -782,16 +784,15 @@ def minhash_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
     state = _fresh_state(spark, "minhash_index_stream")
     schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
-    for _ in range(2):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{stream_dir}/b*.parquet")
-        )
-        streaming.minhash_stream_into_state(
-            stream, state, text_col="text", id_col="doc_id",
-            num_hashes=8, bands=4,
-        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*.parquet")
+    )
+    streaming.minhash_stream_into_state(
+        stream, state, text_col="text", id_col="doc_id",
+        num_hashes=8, bands=4,
+    )
     return state.read("lsh_pairs", "id_a LONG, id_b LONG, n_bands LONG")
 
 

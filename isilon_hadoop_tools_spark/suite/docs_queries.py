@@ -2959,8 +2959,10 @@ def paragraph_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-paragraph fixture arrives as three micro-batches ordered so a
     LATER batch carries lower doc ids (doc_id%3 descending order ->
     displacement is exercised: boilerplate ownership moves to the
-    lower id and previously-rebuilt docs re-assemble). Drained twice
-    without a checkpoint (replays no-op) and the final per-doc
+    lower id and previously-rebuilt docs re-assemble). No checkpoint
+    (replays no-op — pinned by the replay unit matrix in
+    tests/test_streaming_neardup.py; the bench drains once) and the
+    final per-doc
     snapshot must hash-match the batch `corpus_paragraph_dedup`
     oracle on the same corpus."""
     import os
@@ -2998,15 +3000,14 @@ def paragraph_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
     state = _fresh_state(spark, "paragraph_index_stream")
     schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
-    for _ in range(2):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{stream_dir}/b*.parquet")
-        )
-        streaming.paragraph_stream_into_state(
-            stream, state, text_col="text", id_col="doc_id"
-        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*.parquet")
+    )
+    streaming.paragraph_stream_into_state(
+        stream, state, text_col="text", id_col="doc_id"
+    )
     from isilon_hadoop_tools_spark.streaming.neardup import PP_KEPT_SCHEMA
 
     return state.read("pp_kept", PP_KEPT_SCHEMA)
@@ -3018,8 +3019,10 @@ def suffix_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table arrives as three micro-batches; each batch's
     grams probe the persisted duplicated-gram postings, spans
     recompute EXACTLY and only for touched documents, and the spans
-    state is swapped. Drained twice without a checkpoint (replays
-    are no-ops) and the final spans state must hash-match the batch
+    state is swapped. No checkpoint: replays are no-ops (pinned by
+    the replay/partial-append unit matrix in
+    tests/test_streaming_neardup.py; the bench drains once) and the
+    final spans state must hash-match the batch
     `doc_suffix_dup_spans` brute-force oracle on the same corpus —
     one missed cross-batch duplicate or a stale untouched-doc span
     fails the value hash."""
@@ -3047,16 +3050,15 @@ def suffix_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
     state = _fresh_state(spark, "suffix_index_stream")
     schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
-    for _ in range(2):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{stream_dir}/b*.parquet")
-        )
-        streaming.suffix_stream_into_state(
-            stream, state, text_col="text", id_col="doc_id",
-            min_len=_DUP_SPAN_N,
-        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*.parquet")
+    )
+    streaming.suffix_stream_into_state(
+        stream, state, text_col="text", id_col="doc_id",
+        min_len=_DUP_SPAN_N,
+    )
     from isilon_hadoop_tools_spark.streaming.neardup import SFX_SPANS_SCHEMA
 
     return state.read("sfx_spans", SFX_SPANS_SCHEMA)
@@ -3377,15 +3379,14 @@ def domain_caps_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
     state = _fresh_state(spark, "domain_caps_index_stream")
     schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
-    for _ in range(2):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{stream_dir}/b*.parquet")
-        )
-        streaming.domain_caps_stream_into_state(
-            stream, state, cap=20, url_col="url", id_col="doc_id"
-        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*.parquet")
+    )
+    streaming.domain_caps_stream_into_state(
+        stream, state, cap=20, url_col="url", id_col="doc_id"
+    )
     from isilon_hadoop_tools_spark.streaming.neardup import DC_KEPT_SCHEMA
 
     return state.read("dc_kept", DC_KEPT_SCHEMA)
@@ -3436,15 +3437,14 @@ def url_keep_one_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
     state = _fresh_state(spark, "url_keep_one_index_stream")
     schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
-    for _ in range(2):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{stream_dir}/b*.parquet")
-        )
-        streaming.url_keep_one_stream_into_state(
-            stream, state, url_col="url", id_col="doc_id"
-        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*.parquet")
+    )
+    streaming.url_keep_one_stream_into_state(
+        stream, state, url_col="url", id_col="doc_id"
+    )
     from isilon_hadoop_tools_spark.streaming.neardup import UK_KEPT_SCHEMA
 
     return state.read("uk_kept", UK_KEPT_SCHEMA)

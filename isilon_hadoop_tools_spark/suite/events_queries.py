@@ -494,9 +494,8 @@ def events_foreach_batch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from isilon_hadoop_tools_spark.streaming.events import merge_stream_into_state
 
     state = _fresh_state(spark, "events_foreach_batch")
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir)
-        merge_stream_into_state(ev, state)
+    ev = streaming.read_events_stream(spark, sf_dir)
+    merge_stream_into_state(ev, state)
     return state.read("events_seen", "event_id LONG, first_ts TIMESTAMP")
 
 
@@ -921,15 +920,14 @@ def compaction_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
     state = _fresh_state(spark, "compaction_index_stream")
     schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
-    for _ in range(2):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{stream_dir}/b*.parquet")
-        )
-        streaming.compaction_stream_into_state(
-            stream, state, target_bytes=65536
-        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*.parquet")
+    )
+    streaming.compaction_stream_into_state(
+        stream, state, target_bytes=65536
+    )
     return state.read("cp_plan", CP_PLAN_SCHEMA)
 
 
@@ -1893,7 +1891,9 @@ def events_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not replay-idempotent; one atomic swap commits counts +
     markers, O(1) marker state), the baseline histogram is a batch
     table, and the readout is the shared `psi_readout` formula over
-    the join. Drained TWICE without a checkpoint; the result must
+    the join. No checkpoint (replayed batch ids are marker-skipped —
+    pinned by the replay tests in tests/test_streaming.py; the bench
+    drains once); the result must
     equal the BATCH `events_psi_drift` gate row for row (that
     query's oracle is attached below after registration)."""
     from isilon_hadoop_tools_spark import streaming
@@ -1904,11 +1904,10 @@ def events_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     boundary = F.lit("2024-01-16").cast("timestamp")
     state = _fresh_state(spark, "events_psi_stream")
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir).filter(
-            F.col("ts") >= boundary
-        )
-        banded_count_stream_into_state(ev, state, "value", _PSI_BREAKS)
+    ev = streaming.read_events_stream(spark, sf_dir).filter(
+        F.col("ts") >= boundary
+    )
+    banded_count_stream_into_state(ev, state, "value", _PSI_BREAKS)
     cur = (
         state.read("band_counts", "row_id LONG, bucket LONG, cnt LONG")
         .filter(F.col("row_id") >= 0)
@@ -2472,7 +2471,9 @@ def events_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash rows merge into k-row state by bottom-k-of-union, the KMV
     merge property; exactly-once from the algebra (idempotent +
     commutative + associative), the third flavor after HLL's max and
-    CDC's max_by. Drained TWICE; final sample must equal the batch
+    CDC's max_by (replay convergence pinned by the merge/replay test
+    in tests/test_streaming.py; the bench drains once); final sample
+    must equal the batch
     bottom-k exactly."""
     from isilon_hadoop_tools_spark import streaming
     from isilon_hadoop_tools_spark.streaming.events import (
@@ -2481,11 +2482,10 @@ def events_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     state = _fresh_state(spark, "events_kmv_stream")
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir).select(
-            "event_id", "value"
-        )
-        kmv_stream_into_state(ev, state, k=512)
+    ev = streaming.read_events_stream(spark, sf_dir).select(
+        "event_id", "value"
+    )
+    kmv_stream_into_state(ev, state, k=512)
     return state.read("kmv_sample", KMV_STATE_SCHEMA).select(
         "event_id", "value"
     )
@@ -2509,8 +2509,10 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC upsert maintenance (§2.9 x EA5): micro-batches
     collapse to per-key latest rows and merge into parquet state by
     the same (ts, event_id) maximum — idempotent/commutative algebra,
-    so replays and out-of-order arrival converge without markers. The
-    stream is drained TWICE and the final state must equal the batch
+    so replays and out-of-order arrival converge without markers
+    (pinned by the out-of-order/tombstone/replay test in
+    tests/test_streaming.py; the bench drains once). The
+    final state must equal the batch
     ``events_cdc_apply`` oracle exactly (tombstones kept in state,
     filtered at read)."""
     from isilon_hadoop_tools_spark import streaming
@@ -2520,11 +2522,10 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     state = _fresh_state(spark, "events_cdc_stream")
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir).select(
-            "user_id", "ts", "event_id", "event_type", "value"
-        )
-        cdc_stream_into_state(ev, state)
+    ev = streaming.read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cdc_stream_into_state(ev, state)
     st = state.read("cdc_state", CDC_STATE_SCHEMA)
     return st.filter(F.col("event_type") != "error").select(
         "user_id", "value", F.col("ts").alias("last_ts")
@@ -2550,8 +2551,9 @@ def events_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas sum-merged into parquet state by foreachBatch. Sum-merge
     is NOT replay-idempotent (unlike HLL's max), so exactly-once
     comes from per-batch marker rows committed in the SAME atomic
-    table swap as the counts — the stream is drained TWICE and the
-    replayed batch ids are skipped; the final sketch must equal the
+    table swap as the counts — replayed batch ids are skipped (pinned
+    by the replay/checkpoint-restart tests in tests/test_streaming.py;
+    the bench drains once); the final sketch must equal the
     oracle's one-pass batch CMS exactly (integer counts, md5 hash
     family — no tolerance)."""
     from isilon_hadoop_tools_spark import streaming
@@ -2560,11 +2562,10 @@ def events_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     state = _fresh_state(spark, "events_cms_stream")
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir)
-        cms_stream_into_state(
-            ev, state, key="user_id", d=_CMS_D, w=_CMS_W
-        )
+    ev = streaming.read_events_stream(spark, sf_dir)
+    cms_stream_into_state(
+        ev, state, key="user_id", d=_CMS_D, w=_CMS_W
+    )
     return (
         state.read("cms_sketch", "row_id LONG, bucket LONG, cnt LONG")
         .filter(F.col("row_id") >= 0)
@@ -2593,9 +2594,8 @@ def events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     state = _fresh_state(spark, "events_hll_stream")
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir)
-        hll_stream_into_state(ev, state, key="user_id", b=_HLL_B)
+    ev = streaming.read_events_stream(spark, sf_dir)
+    hll_stream_into_state(ev, state, key="user_id", b=_HLL_B)
     return state.read("hll_registers", "bucket LONG, rho LONG")
 
 
@@ -3738,8 +3738,9 @@ def events_snapshot_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_every-th commit folds the chain into a full compaction
     snapshot, with vacuum expiring versions behind it. Never-torn
     reads, per-batch time travel through cdc_state_from_snapshots,
-    crash-replay convergence from the max_by idempotence. The stream
-    is drained TWICE (replay) and the reconstructed state must equal
+    crash-replay convergence from the max_by idempotence (pinned by
+    the replay tests in tests/test_streaming.py; the bench drains
+    once); the reconstructed state must equal
     the batch CDC oracle exactly."""
     import os
     import shutil
@@ -3753,13 +3754,12 @@ def events_snapshot_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     table_dir = f"{_SCRATCH}/snapshot_cdc_{tag}"
     shutil.rmtree(table_dir, ignore_errors=True)
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir).select(
-            "user_id", "ts", "event_id", "event_type", "value"
-        )
-        cdc_stream_into_snapshots(
-            ev, table_dir, compact_every=4, vacuum_keep=6
-        )
+    ev = streaming.read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cdc_stream_into_snapshots(
+        ev, table_dir, compact_every=4, vacuum_keep=6
+    )
     st = cdc_state_from_snapshots(spark, table_dir)
     return st.filter(F.col("event_type") != "error").select(
         "user_id", "value", F.col("ts").alias("last_ts")
@@ -3841,8 +3841,10 @@ def events_cdc_delete_stream(
     path): the stream's per-key winners upsert as delta commits while
     winners marked 'error' RETRACT their key as an equality-delete
     commit (O(retracted keys) written, no rewrite); the stream is
-    drained TWICE (the batch watermark makes the replay commit
-    nothing), then a batch delta re-appends corrected rows for half
+    drained once (the batch watermark makes any replay commit
+    nothing — pinned by the restart matrix in
+    tests/test_streaming_restart.py), then a batch delta re-appends
+    corrected rows for half
     the retracted users - and the MoR reader's sequence-number
     semantics re-materialize exactly those keys. The oracle predicts
     the surviving per-user state analytically."""
@@ -3862,14 +3864,13 @@ def events_cdc_delete_stream(
     tag = os.path.basename(sf_dir.rstrip("/"))
     table_dir = f"{_SCRATCH}/snapshot_cdc_del_{tag}"
     shutil.rmtree(table_dir, ignore_errors=True)
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir).select(
-            "user_id", "ts", "event_id", "event_type",
-            F.round(F.col("value"), 2).alias("value"),
-        )
-        cdc_delete_stream_into_snapshots(
-            ev, table_dir, delete_when=F.col("event_type") == "error"
-        )
+    ev = streaming.read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value"), 2).alias("value"),
+    )
+    cdc_delete_stream_into_snapshots(
+        ev, table_dir, delete_when=F.col("event_type") == "error"
+    )
     # batch re-append: corrected rows for half the retracted users —
     # the delete's commit version must NOT kill these later rows
     ev = _t(spark, sf_dir, "events")
@@ -4066,8 +4067,9 @@ def events_sprt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintainer - each micro-batch's 9-dp scaled LLR increments
     cumulate on the carried state and the first crossing LATCHES the
     decision (Wald's stopping rule); replayed batch ids are skipped
-    (the foreachBatch transactional-state recipe), so the stream is
-    drained TWICE and must still equal the batch decision."""
+    (the foreachBatch transactional-state recipe — replay skip pinned
+    by the replay test in tests/test_streaming.py; the bench drains
+    once) and must equal the batch decision."""
     from isilon_hadoop_tools_spark import streaming
     from isilon_hadoop_tools_spark.streaming.events import (
         SPRT_STATE_SCHEMA,
@@ -4075,11 +4077,10 @@ def events_sprt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     state = _fresh_state(spark, "sprt_stream")
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir).select(
-            "ts", "event_id", "event_type"
-        )
-        sprt_stream_into_state(ev, state, p0=0.1, p1=0.2)
+    ev = streaming.read_events_stream(spark, sf_dir).select(
+        "ts", "event_id", "event_type"
+    )
+    sprt_stream_into_state(ev, state, p0=0.1, p1=0.2)
     st = state.read("sprt", SPRT_STATE_SCHEMA)
     return st.select(
         F.col("decision"),
@@ -4622,9 +4623,11 @@ def events_snapshot_append_stream(
     """Exactly-once streaming APPEND into the snapshot format (SC10i
     - the plain fact-ingest path next to the CDC merge): each
     micro-batch commits as a delta snapshot with its batch id in the
-    manifest; the stream is drained TWICE and the replay commits
-    NOTHING (append has no merge algebra to absorb duplicates, so
-    exactly-once comes from the commit layer) - the chain read must
+    manifest; a replay commits NOTHING (append has no merge algebra
+    to absorb duplicates, so exactly-once comes from the commit
+    layer — pinned by the restart matrix in
+    tests/test_streaming_restart.py; the bench drains once) - the
+    chain read must
     equal the source table exactly."""
     import os
     import shutil
@@ -4640,11 +4643,10 @@ def events_snapshot_append_stream(
     tag = os.path.basename(sf_dir.rstrip("/"))
     table_dir = f"{_SCRATCH}/snapshot_append_{tag}"
     shutil.rmtree(table_dir, ignore_errors=True)
-    for _ in range(2):
-        ev = streaming.read_events_stream(spark, sf_dir).select(
-            "event_id", "user_id", "event_type", "value"
-        )
-        append_stream_into_snapshots(ev, table_dir)
+    ev = streaming.read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    append_stream_into_snapshots(ev, table_dir)
     return snapshot_read_chain(spark, table_dir)
 
 

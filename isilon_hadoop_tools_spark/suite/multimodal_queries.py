@@ -1134,8 +1134,10 @@ def multimodal_unified_index_stream(
     fingerprinted for TWO modalities (SimHash text + real-BMP-decode
     aHash image) and folded into ONE tagged band index — one postings
     table, one members table, one maintenance discipline for the whole
-    multimodal corpus. Drained TWICE without a checkpoint (the tagged
-    members anti-join makes replays no-ops); the final pair state must
+    multimodal corpus. No checkpoint: the tagged members anti-join
+    makes replays no-ops (pinned by the isolation/replay test in
+    tests/test_streaming_neardup.py; the bench drains once); the
+    final pair state must
     equal the union of the two batch per-modality answers — composed
     from their registered oracle strings."""
     import os
@@ -1182,15 +1184,14 @@ def multimodal_unified_index_stream(
     params = {"text": (32, 3, 4), "image": (36, 4, 6)}
     state = _fresh_state(spark, "multimodal_unified_index_stream")
     schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
-    for _ in range(2):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{stream_dir}/b*.parquet")
-        )
-        streaming.tagged_stream_into_state(
-            stream, state, params, fingerprint
-        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*.parquet")
+    )
+    streaming.tagged_stream_into_state(
+        stream, state, params, fingerprint
+    )
     return state.read(
         "tnear_pairs",
         "modality STRING, id_a LONG, id_b LONG, hamming INT",

@@ -521,6 +521,46 @@ def test_hamming_recall_eval_empty_truth_is_perfect(spark):
     assert r["n_true"] == 0 and r["recall_first"] == 1.0
 
 
+def test_hamming_recall_eval_budget_raise(spark):
+    # VERDICT r16 item 5: the quadratic truth pass + broadcast b-side
+    # ride the eval-on-a-sample contract; past max_eval_rows the eval
+    # must raise loudly instead of silently building an n^2 join.
+    import pytest
+
+    rows = [(i, i, i) for i in range(5)]
+    df = spark.createDataFrame(rows, "id LONG, ha LONG, hb LONG")
+    with pytest.raises(ValueError, match="eval budget"):
+        dedup.hamming_recall_eval(
+            df, "id", ["ha"], bits=8, max_hamming=2, bands=2,
+            max_eval_rows=4,
+        )
+    # at the budget boundary it still runs
+    r = dedup.hamming_recall_eval(
+        df, "id", ["ha"], bits=8, max_hamming=2, bands=2,
+        max_eval_rows=5,
+    ).collect()
+    assert len(r) == 1
+
+
+def test_recall_eval_inputs_distinct_pairs(spark):
+    # ADVICE r16: lsh_recall_eval's single-aggregation flag-join is
+    # exact only while both pair tables are distinct on (id_a, id_b).
+    # Pin the invariant on the producing operators with a fixture that
+    # would expose duplicates (multiple shared shingles AND multiple
+    # agreeing bands per pair).
+    docs = _docs(spark)
+    cand = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    ).collect()
+    pairs = [(r.id_a, r.id_b) for r in cand]
+    assert len(pairs) == len(set(pairs)), pairs
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.2, max_df=None
+    ).collect()
+    tpairs = [(r.id_a, r.id_b) for r in truth]
+    assert len(tpairs) == len(set(tpairs)), tpairs
+
+
 def test_prefix_filter_matches_uncapped_brute_force(spark):
     docs = _docs(spark)
     for t in (0.1, 0.5):

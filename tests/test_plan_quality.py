@@ -155,6 +155,25 @@ def test_winnow_shuffle_free(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_winnow_narrow_input_widens_with_exactly_one_exchange(spark):
+    # ADVICE r16: the `<= 1` contract above also passes with ZERO
+    # exchanges — if the conditional widen silently stopped firing on
+    # a narrow input, the 1-task Python fingerprint stage would go
+    # undetected. Pin EXACTLY one Exchange on a coalesce(1) input
+    # (mirror of test_narrow_input_widens_with_exactly_one_exchange
+    # for html_extract).
+    from isilon_hadoop_tools_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrs tuvw xyz0123456789")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    out = winnow_fingerprints(df, "text", "doc_id")
+    s = out._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Exchange") == 1
+    assert out.count() >= 1  # result survives the widen
+
+
 def test_winnow_widen_skipped_on_wide_input(spark):
     # the 100 TB contract: an input already at shuffle-partition width
     # takes NO exchange beyond its own pre-partitioning
