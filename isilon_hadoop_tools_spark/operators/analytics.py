@@ -2887,15 +2887,17 @@ def fellegi_sunter_em(
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     if len(rules) > 1:
-        # comparison fields are functions of the ids, so dedup on the
-        # pair key alone is exact
+        # comparison fields are functions of the ids, so the g-bits
+        # are identical across a pair's duplicate rows and dedup on
+        # the pair key alone is exact — and because
+        # _salted_block_pairs already reduced each pair to its K
+        # agreement bits, this exchange moves (id, id, K ints) per
+        # row instead of both sides' raw comparison payloads
+        # (guide §2.3: project before the exchange; profiled 280 MB
+        # of pair-dedup shuffle on the customer multirule linkage)
         pairs = pairs.dropDuplicates(["_ida", "_idb"])
-    gcols = [
-        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int").alias(f"g{i + 1}")
-        for i in range(k)
-    ]
     pat = (
-        pairs.select(*gcols)
+        pairs.select(*[f"g{i + 1}" for i in range(k)])
         .groupBy(*[f"g{i + 1}" for i in range(k)])
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .localCheckpoint(eager=False)
@@ -2976,7 +2978,21 @@ def _salted_block_pairs(
     runtime ``assert_true`` into ``_ns`` so an oversized block fails
     the job loudly (naming block and size) instead of silently
     subsampling — the guard is a no-op term (NULL → 0) while every
-    block fits the budget, so exact results stay bit-identical."""
+    block fits the budget, so exact results stay bit-identical.
+
+    Output: ``(_ida, _idb, g1..gK)`` — each pair already reduced to
+    its agreement bits, so everything downstream (multi-rule dedup,
+    the pattern aggregation) exchanges K ints per pair instead of
+    both sides' raw comparison values.
+
+    Width: the self-join's shuffle is tiny in BYTES (one row per
+    input record per side) but its fan-out output is the operator's
+    dominant compute and shuffle-write, and AQE coalesces by input
+    bytes — profiled at sf0.1 the join + pair stage ran on 2
+    post-coalesce tasks emitting 280 MB with 30 cores idle. The
+    AQE-exempt numbered repartition on the join key gives the
+    fan-out stage the plan's shuffle width (the
+    ``doc_prefix_jaccard_pairs`` fix applied here)."""
     blk = block_col if not isinstance(block_col, str) else F.col(block_col)
     ns = F.greatest(
         F.lit(1),
@@ -3005,6 +3021,9 @@ def _salted_block_pairs(
         .agg(F.count(F.lit(1)).alias("_bn"))
         .select("_blk", ns.alias("_ns"))
     )
+    from isilon_hadoop_tools_spark.session import shuffle_partition_count
+
+    npart = max(2, shuffle_partition_count(df.sparkSession))
     left = df.select(
         F.col(id_col).alias("_ida"),
         blk.alias("_blk"),
@@ -3016,15 +3035,28 @@ def _salted_block_pairs(
         *[c.alias(f"_b{i}") for i, (_, c) in enumerate(comparisons)],
     ).join(F.broadcast(sizes), "_blk")
     sub = lambda idc: F.pmod(F.xxhash64(F.col(idc)), F.col("_ns")).cast("int")
+    k = len(comparisons)
     return (
         left.withColumn("_sub", sub("_ida"))
         .drop("_ns")
+        .repartition(npart, "_blk", "_sub")
         .join(
-            right.withColumn("_sub", sub("_idb")).drop("_ns"),
+            right.withColumn("_sub", sub("_idb"))
+            .drop("_ns")
+            .repartition(npart, "_blk", "_sub"),
             ["_blk", "_sub"],
         )
         .filter(F.col("_ida") < F.col("_idb"))
-        .drop("_blk", "_sub")
+        .select(
+            "_ida",
+            "_idb",
+            *[
+                (F.col(f"_a{i}") == F.col(f"_b{i}"))
+                .cast("int")
+                .alias(f"g{i + 1}")
+                for i in range(k)
+            ],
+        )
     )
 
 

@@ -1080,35 +1080,68 @@ def multimodal_unified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument). At 100 TB: one index table, one maintenance pipeline,
     four modalities. Oracle = the union of the four per-modality
     brute-force oracles, composed from their registered strings."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from isilon_hadoop_tools_spark import multimodal as M
 
     docs = _t(spark, sf_dir, "documents")
-    text = dedup.simhash(docs, "text", "doc_id", bits=32).select(
-        F.lit("text").alias("modality"),
-        "id",
-        F.col("simhash").alias("fhash"),
-    )
-    image = M.bmp_ahash(
-        _bmp_payload_df(spark, sf_dir, base_mod=200), "payload", "doc_id"
-    ).select(
-        F.lit("image").alias("modality"),
-        F.col("doc_id").alias("id"),
-        F.col("ahash").alias("fhash"),
-    )
-    audio = M.wav_goertzel_hash(
-        _wav_long_payload_df(spark, sf_dir), "payload", "doc_id"
-    ).select(
-        F.lit("audio").alias("modality"),
-        F.col("doc_id").alias("id"),
-        F.col("ahash").alias("fhash"),
-    )
-    video = M.y4m_video_hash(
-        _y4m_payload_df(spark, sf_dir, base_mod=200), "payload", "doc_id"
-    ).select(
-        F.lit("video").alias("modality"),
-        F.col("doc_id").alias("id"),
-        F.col("vhash").alias("fhash"),
-    )
+
+    # Each modality's fingerprint pipeline is a large codec plan
+    # (payload synthesis + decode expression trees); unioning the
+    # four RAW plans made ONE mega-plan whose Catalyst analysis ran
+    # ~2.2-2.6 s single-threaded on the driver before the first job
+    # (profiled as the gap before job 1, r16 "not yet optimized" /
+    # r16-VERDICT item 4). Building and EAGERLY checkpointing each
+    # modality in its own driver thread (guide §2.6: overlap
+    # independent jobs) analyzes and executes the four pipelines
+    # CONCURRENTLY; the union the band join sees is then four RDD
+    # scans with a trivial plan. Same rows, same band join, same
+    # declared result (oracle-verified).
+    def fp(which: str):
+        sc = spark.sparkContext
+        sc.setJobDescription(f"unified_near_dups: {which} fingerprints")
+        if which == "text":
+            out = dedup.simhash(docs, "text", "doc_id", bits=32).select(
+                F.lit("text").alias("modality"),
+                "id",
+                F.col("simhash").alias("fhash"),
+            )
+        elif which == "image":
+            out = M.bmp_ahash(
+                _bmp_payload_df(spark, sf_dir, base_mod=200),
+                "payload",
+                "doc_id",
+            ).select(
+                F.lit("image").alias("modality"),
+                F.col("doc_id").alias("id"),
+                F.col("ahash").alias("fhash"),
+            )
+        elif which == "audio":
+            out = M.wav_goertzel_hash(
+                _wav_long_payload_df(spark, sf_dir), "payload", "doc_id"
+            ).select(
+                F.lit("audio").alias("modality"),
+                F.col("doc_id").alias("id"),
+                F.col("ahash").alias("fhash"),
+            )
+        else:
+            out = M.y4m_video_hash(
+                _y4m_payload_df(spark, sf_dir, base_mod=200),
+                "payload",
+                "doc_id",
+            ).select(
+                F.lit("video").alias("modality"),
+                F.col("doc_id").alias("id"),
+                F.col("vhash").alias("fhash"),
+            )
+        out = out.localCheckpoint(eager=True)
+        sc.setJobDescription(None)
+        return out
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        text, image, audio, video = pool.map(
+            fp, ["text", "image", "audio", "video"]
+        )
     tagged = text.unionByName(image).unionByName(audio).unionByName(video)
     return dedup.tagged_hamming_band_pairs(
         tagged,

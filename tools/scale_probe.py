@@ -196,6 +196,8 @@ def curvature() -> int:
         "doc_html_extract",
         "doc_phrase_search",
         "doc_gram_novelty",
+        "embedding_jl_distortion",
+        "doc_web_curation_pipeline",
     }
     _sel = {a for a in sys.argv[1:] if not a.startswith("--")}
     if (not _sel or _sel & _needs_copies) and not (
@@ -546,6 +548,140 @@ def curvature() -> int:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_jl(c: int) -> float:
+        # L56 JL distortion eval: corpus grows linearly (orthogonal
+        # per-copy transforms preserve norms), query count fixed —
+        # the projection is a shuffle-free per-row codegen pass and
+        # the distance eval is 10 queries x n rows, both linear
+        from isilon_hadoop_tools_spark.operators.similarity import (
+            jl_distortion_eval,
+        )
+
+        e = spark.read.parquet(str(scratch / "embeddings")).filter(
+            F.col("copy") < c
+        )
+        t0 = time.perf_counter()
+        jl_distortion_eval(
+            e, "embedding", "vec_id", n_queries=10, out_dim=16, in_dim=64
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_hilbert_write(c: int) -> float:
+        # SC8e Hilbert layout write: two-phase global rank + one
+        # parquet file per 1024-row zone + a pyarrow footer walk —
+        # rows, files and footer reads all grow linearly; the sweep
+        # certifies the rank pass and the per-file commit overhead
+        # don't compound superlinearly as zone count grows
+        import shutil
+
+        from isilon_hadoop_tools_spark.operators.skew import (
+            hilbert_key,
+            layout_write_footer_stats,
+        )
+
+        n = 100_000 * c
+        ev = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.col("id") * 2654435761, F.lit(50_000)).alias("user_id"),
+            F.pmod(F.col("id") * 40503, F.lit(1440)).alias("_minute"),
+        )
+        ubucket = F.pmod(F.col("user_id"), F.lit(256))
+        mod = F.pmod(F.col("_minute"), F.lit(256))
+        out_dir = str(scratch / f"hilbert_{c}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        layout_write_footer_stats(
+            ev,
+            hilbert_key([ubucket, mod], bits=8),
+            "event_id",
+            ubucket,
+            out_dir,
+            rows_per_file=1024,
+            lo=90,
+            hi=140,
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return dt
+
+    def run_jpeg_png(c: int) -> float:
+        # L16g x L16f mixed-container dedup: per-copy XOR pixel salt
+        # keeps each copy's within-copy duplicate structure identical
+        # to the baseline's (doc_id % 200 collisions) while making
+        # cross-copy images differ (iid growth — fresh shards, not a
+        # cross-copy pair blowup; only the degenerate 1x1-block bases
+        # can ever collide across salts, a handful of groups)
+        from isilon_hadoop_tools_spark import multimodal as M
+        from isilon_hadoop_tools_spark.operators.dedup import (
+            hamming_band_pairs,
+        )
+
+        n = 10_000 * c
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            for batch in batches:
+                payloads = []
+                for doc_id in batch["doc_id"]:
+                    base = int(doc_id) % 200
+                    salt = (int(doc_id) // 10_000) * 0x5B % 256
+                    wb, hb = base % 3 + 1, base % 2 + 1
+                    by, bx = np.mgrid[0:hb, 0:wb]
+                    v = ((base + 37 * bx + 73 * by) % 256) ^ salt
+                    pix = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+                    rgb = np.stack([pix] * 3, axis=-1).astype(np.uint8)
+                    if int(doc_id) % 2 == 0:
+                        payloads.append(M.jpeg_encode_rgb(rgb))
+                    else:
+                        payloads.append(M.png_encode_rgb(rgb))
+                yield pd.DataFrame(
+                    {"doc_id": batch["doc_id"], "payload": payloads}
+                )
+
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        payloads = ids.repartition(npart, "doc_id").mapInPandas(
+            gen, "doc_id long, payload binary"
+        )
+        even = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+        jpg = M.jpeg_ahash(payloads.filter(even), "payload", "doc_id")
+        png = M.png_ahash(payloads.filter(~even), "payload", "doc_id")
+        hashes = jpg.select("doc_id", "ahash").unionByName(
+            png.select("doc_id", "ahash")
+        )
+        t0 = time.perf_counter()
+        hamming_band_pairs(
+            hashes, "ahash", "doc_id", bits=36, max_hamming=4, bands=6
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_web_curation(c: int) -> float:
+        # L65 web-curation capstone: canonical groups stay 24 by the
+        # fixture's design (each grows linearly), survivors stay
+        # bounded, the eval slice grows linearly — canonicalization +
+        # the keep-one rank dominate and must track the row count
+        from isilon_hadoop_tools_spark.operators.corpus import (
+            web_curation_pipeline,
+        )
+        from isilon_hadoop_tools_spark.suite.docs_queries import (
+            _url_dedup_fixture,
+        )
+
+        d = spark.read.parquet(str(scratch / "documents")).filter(
+            F.col("copy") < c
+        )
+        urls = _url_dedup_fixture(d.select("doc_id")).join(
+            d.select("doc_id", "text"), "doc_id"
+        )
+        t0 = time.perf_counter()
+        web_curation_pipeline(
+            urls, "url", "text", "doc_id", cap=5,
+            is_eval=F.pmod(F.col("id"), F.lit(97)) == 0, n=3,
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def run_inc_join(c: int) -> float:
         # EA34 incremental join maintenance: both deltas and bases
         # grow linearly in c, so the three delta-dominated joins must
@@ -679,6 +815,10 @@ def curvature() -> int:
         ("orders_snapshot_merge_upsert", run_snapshot_merge, 1),
         ("doc_phrase_search", run_phrase, 1),
         ("doc_gram_novelty", run_novelty, 1),
+        ("embedding_jl_distortion", run_jl, 1),
+        ("events_hilbert_write_skipping", run_hilbert_write, 1),
+        ("multimodal_jpeg_png_near_dups", run_jpeg_png, 1),
+        ("doc_web_curation_pipeline", run_web_curation, 1),
     ):
         if only and name not in only:
             continue
