@@ -14,15 +14,19 @@ executed-plan classifier (which needs broadcast metrics) can rule on
 the build side.
 
 GATE BUDGET (VERDICT r16 item 2): the full 336-query sweep costs
-~7 min of plan builds and pushed the driver's pytest gate past its
-time budget. The default run audits a DETERMINISTIC sample — every
-query named in either cross-join allowlist (the known-BNLJ risk set,
-always audited in full) plus a stable ~1/4 of the rest by name hash —
-while ``SPARK_GRAFT_FULL_AUDIT=1`` restores the full-registry sweep
-(run in the builder's own close-out gate; the driver's fast gate gets
-the sample). The sample is stable across runs (md5 of the query name,
-no randomness), so the same quarter is always covered and a
-regression in it reproduces.
+~7 min of plan builds + allowlisted-cross executions and pushed the
+driver's pytest gate past its time budget. The default run audits a
+DETERMINISTIC sample — every query named in either cross-join
+allowlist (the known-BNLJ risk set, always SCREENED) plus a stable
+~1/4 of the rest by name hash — and, within the sample, EXECUTES a
+crossed query only if it is NOT already allowlist-named or falls in
+the hash quarter: a new (un-named) cross is still fully classified
+every run, while the stable allowlisted set's executed-plan
+re-classification happens in the hash-rotated quarter and the full
+gate. ``SPARK_GRAFT_FULL_AUDIT=1`` restores the full-registry,
+execute-every-cross sweep (run in the builder's close-out gate).
+The sample is stable across runs (md5 of the query name, no
+randomness), so regressions in it reproduce.
 """
 
 from __future__ import annotations
@@ -43,6 +47,10 @@ SF_DIR = "/root/testdata/sf0.001"
 FULL_AUDIT = os.environ.get("SPARK_GRAFT_FULL_AUDIT") == "1"
 
 
+def _in_quarter(name: str) -> bool:
+    return int(hashlib.md5(name.encode()).hexdigest(), 16) % 4 == 0
+
+
 def _audit_items():
     if FULL_AUDIT:
         return list(suite.REGISTRY.items())
@@ -50,8 +58,7 @@ def _audit_items():
     return [
         (n, spec)
         for n, spec in suite.REGISTRY.items()
-        if n in always
-        or int(hashlib.md5(n.encode()).hexdigest(), 16) % 4 == 0
+        if n in always or _in_quarter(n)
     ]
 
 
@@ -70,6 +77,16 @@ def test_no_unexplained_cross_join_anywhere_in_registry(spark):
             "BroadcastNestedLoopJoin" not in initial
             and "CartesianProduct" not in initial
         ):
+            continue
+        named = (
+            name in audit_plans.SCALAR_BNLJ_OK
+            or name in audit_plans.OBSERVED_BNLJ_OK
+        )
+        if not FULL_AUDIT and named and not _in_quarter(name):
+            # fast gate: an allowlist-NAMED cross is screened (it IS
+            # still a cross in the initial plan) but its executed-plan
+            # re-classification rides the hash quarter / full gate —
+            # a NEW, un-named cross is always executed and classified
             continue
         executed += 1
         df.collect()

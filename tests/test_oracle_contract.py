@@ -5,10 +5,23 @@ The driver's value-hash compares sort columns BY NAME, so an alias
 mismatch (``sum(l_quantity)`` vs ``sum_qty``) hash-fails even with
 identical values — this test catches that class (and any SQL syntax
 rot) in seconds, without running the data compare.
+
+GATE BUDGET (VERDICT r16 item 2): the DuckDB half (parse + DESCRIBE
+every oracle, the HUGEINT/DECIMAL bans) is seconds and always runs
+over the WHOLE registry. The Spark half (building every query's
+DataFrame for the schema compare) is the expensive part — ~5 min of
+plan builds, the same cost class as the full plan audit — so the
+default run builds only a stable md5 quarter of the registry;
+``SPARK_GRAFT_FULL_AUDIT=1`` restores the full schema compare (the
+builder's close-out gate). The real value compare for every query is
+the oracle gate (``tools/check.py``) and the driver's correctness
+window — this test is the fast alias/type tripwire, not the value
+check.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import duckdb
@@ -111,6 +124,11 @@ def test_every_oracle_parses_and_matches_spark_columns(spark, monkeypatch):
             "events_foreach_batch_state",
         ):
             continue
+        if (
+            os.environ.get("SPARK_GRAFT_FULL_AUDIT") != "1"
+            and int(hashlib.md5(name.encode()).hexdigest(), 16) % 4 != 0
+        ):
+            continue  # fast gate: Spark schema build on the md5 quarter
         spark_fields = spec.spark(spark, SMOKE_SF_DIR).schema.fields
         spark_cols = sorted(f.name for f in spark_fields)
         if spark_cols != oracle_cols:

@@ -5,6 +5,7 @@ argument list (reference ``tests/test__scripts.py:26-47``)."""
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import tomllib
@@ -38,6 +39,17 @@ def test_console_script_targets_resolve_to_callables():
 @pytest.mark.parametrize("script", sorted(_REFERENCE_SCRIPTS))
 @pytest.mark.parametrize("dist", ["cdh", "cdp", "hdp"])
 def test_dry_run_subprocess(script, dist, tmp_path):
+    # GATE BUDGET (VERDICT r16 item 2): each combo boots a full Spark
+    # session in a subprocess (~25-43 s; the 6-combo matrix was ~195 s
+    # of the pytest wall). The dist argument only selects catalog
+    # rows — the argv/shim surface under test is identical per dist —
+    # so the fast gate runs one dist per script (both scripts, both
+    # code paths) and SPARK_GRAFT_FULL_AUDIT=1 restores the matrix.
+    if os.environ.get("SPARK_GRAFT_FULL_AUDIT") != "1":
+        fast = {("cdh", "isilon_create_users"),
+                ("cdp", "isilon_create_directories")}
+        if (dist, script) not in fast:
+            pytest.skip("dist matrix behind SPARK_GRAFT_FULL_AUDIT=1")
     # the console-script wrapper pip generates is exactly
     # `sys.exit(fn(sys.argv[1:]))`; run that shim as a subprocess so
     # the whole argv surface (reference test__scripts.py:30-46) is

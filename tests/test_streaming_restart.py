@@ -147,6 +147,18 @@ MATRIX = [
 
 @pytest.mark.parametrize("name,build", MATRIX, ids=[m[0] for m in MATRIX])
 def test_restart_matrix_exactly_once(spark, tmp_path, name, build):
+    # GATE BUDGET (VERDICT r16 item 2): the 6-entry matrix costs
+    # ~150 s (interval_join alone ~56 s — 3 staged restarts + an
+    # uncheckpointed replay each). The restart protocol under test is
+    # the SAME file-sink/checkpoint machinery for every entry; the
+    # fast gate keeps the two stateful shapes that exercise distinct
+    # state stores (watermark dedup + session windows), and
+    # SPARK_GRAFT_FULL_AUDIT=1 restores the matrix.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_FULL_AUDIT") != "1":
+        if name not in ("dedup_wm", "sessionize"):
+            pytest.skip("restart matrix behind SPARK_GRAFT_FULL_AUDIT=1")
     # --- staged run: reveal batches across 3 restarts of one ckpt ---
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
